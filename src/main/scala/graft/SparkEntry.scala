@@ -1,13 +1,163 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.enrich.Enrich
+import graft.ops.Incidents
+import graft.report.Reports
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a named operator from SURVEY.md §2 with a
+  * DuckDB-equivalent in [[oracleSql]]. Conventions for oracle parity:
+  *   - deterministic ORDER BY on a unique key in both engines;
+  *   - timestamps exposed as epoch seconds/millis BIGINT (no tz ambiguity);
+  *   - doubles rounded (2dp money sums, 6dp rates/averages);
+  *   - conditional counts via count(CASE/when) so both sides emit BIGINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tables(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  /** Flagship: full curated CustomerEvent pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Enrich.curated(Tables(spark, "/root/testdata/sf0.001").events)
+
+  // ---- shared projections -------------------------------------------------
+
+  /** Deterministic, oracle-comparable projection of the curated frame. */
+  private def ceCurated(spark: SparkSession, dir: String): DataFrame =
+    Enrich.curated(tables(spark, dir).events).select(
+      col("event_id"), col("id"), col("name"), col("email"), col("country"),
+      col("plan"), col("version"), col("marketing_opt_in"),
+      col("customer_segment"), col("signup_ts"), col("event_ts"),
+      unix_timestamp(col("signup_timestamp")).as("signup_ts_sec"),
+      unix_timestamp(col("event_timestamp")).as("event_ts_sec"),
+      unix_millis(col("processing_timestamp")).as("processing_ts_ms"),
+      col("region"), col("email_domain"), col("customer_age_days"),
+      col("schema_drift_detected"), col("is_late_arrival"),
+      col("dq_email_valid"), col("dq_id_not_null"),
+      col("dq_timestamp_valid"), col("dq_plan_valid"), col("dq_passed")
+    ).orderBy("event_id")
+
+  // ---- driver contract ----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/S5 + P1-P7 + Q1-Q5: the reference job's full transform chain
+    "ce_curated" -> ((s, dir) => ceCurated(s, dir)),
+
+    // A1-A3: run report (ingest_transform.py:307-336)
+    "ce_run_report" -> ((s, dir) =>
+      Reports.runReportWithRates(Enrich.curated(tables(s, dir).events))),
+
+    // P3 at scale: region via broadcast dim join, then aggregate
+    "region_counts" -> ((s, dir) =>
+      Enrich.curated(tables(s, dir).events)
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("id")).as("n_customers"))
+        .orderBy("region")),
+
+    // Headline scan+agg (TPC-H Q1 pattern) on lineitem
+    "q1_lineitem_agg" -> ((s, dir) =>
+      tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A4: incident stats by type over trailing 7d window
+    "incident_stats_by_type" -> ((s, dir) =>
+      Incidents.statsByType(
+        Incidents.fromEvents(tables(s, dir).events), Incidents.defaultCutoff)
+        .orderBy("incident_type")),
+
+    // S8: recent incidents, newest first, limit 10
+    "incident_recent" -> ((s, dir) =>
+      Incidents.recent(Incidents.fromEvents(tables(s, dir).events))
+        .select(col("incident_id"), col("incident_type"), col("severity"),
+          col("status"), col("escalated"),
+          unix_millis(col("created_at")).as("created_at_ms")))
+  )
+
+  // ---- oracles ------------------------------------------------------------
+
+  private val W = CustomerEvents.sqlWith // WITH ce, cur0, cur
+
+  def oracleSql: Map[String, String] = Map(
+    "ce_curated" ->
+      s"""$W
+         |SELECT event_id, id, name, email, country, plan, version,
+         |  marketing_opt_in, customer_segment, signup_ts, event_ts,
+         |  CAST(floor(epoch_ms(signup_timestamp) / 1000.0) AS BIGINT)
+         |    AS signup_ts_sec,
+         |  CAST(floor(epoch_ms(event_timestamp) / 1000.0) AS BIGINT)
+         |    AS event_ts_sec,
+         |  epoch_ms(processing_timestamp) AS processing_ts_ms,
+         |  region, email_domain, customer_age_days, schema_drift_detected,
+         |  is_late_arrival, dq_email_valid, dq_id_not_null,
+         |  dq_timestamp_valid, dq_plan_valid, dq_passed
+         |FROM cur ORDER BY event_id""".stripMargin,
+
+    "ce_run_report" ->
+      s"""$W
+         |SELECT total_records, late_records, dq_failures, schema_drift_count,
+         |  CASE WHEN total_records > 0
+         |    THEN round(CAST(late_records AS DOUBLE) / total_records, 6)
+         |    ELSE 0.0 END AS late_rate,
+         |  CASE WHEN total_records > 0
+         |    THEN round(CAST(dq_failures AS DOUBLE) / total_records, 6)
+         |    ELSE 0.0 END AS dq_failure_rate
+         |FROM (
+         |  SELECT count(*) AS total_records,
+         |    count(CASE WHEN is_late_arrival THEN 1 END) AS late_records,
+         |    count(CASE WHEN NOT dq_passed THEN 1 END) AS dq_failures,
+         |    count(CASE WHEN schema_drift_detected THEN 1 END)
+         |      AS schema_drift_count
+         |  FROM cur)""".stripMargin,
+
+    "region_counts" ->
+      s"""$W
+         |SELECT region, count(*) AS n_events,
+         |  count(DISTINCT id) AS n_customers
+         |FROM cur GROUP BY region ORDER BY region""".stripMargin,
+
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "incident_stats_by_type" ->
+      s"""WITH incidents AS (${Incidents.sqlCte})
+         |SELECT incident_type, count(*) AS n,
+         |  count(CASE WHEN escalated THEN 1 END) AS n_escalated
+         |FROM incidents
+         |WHERE created_at >= TIMESTAMP '2024-02-01 00:00:00'
+         |  - INTERVAL 7 DAY
+         |GROUP BY incident_type ORDER BY incident_type""".stripMargin,
+
+    "incident_recent" ->
+      s"""WITH incidents AS (${Incidents.sqlCte})
+         |SELECT incident_id, incident_type, severity, status, escalated,
+         |  epoch_ms(created_at) AS created_at_ms
+         |FROM incidents
+         |ORDER BY created_at DESC, incident_id LIMIT 10""".stripMargin
+  )
 }

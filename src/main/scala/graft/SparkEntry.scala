@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dq.DqSuite
 import graft.enrich.Enrich
 import graft.ops.Incidents
 import graft.report.Reports
@@ -85,7 +86,34 @@ object SparkEntry {
       Incidents.recent(Incidents.fromEvents(tables(s, dir).events))
         .select(col("incident_id"), col("incident_type"), col("severity"),
           col("status"), col("escalated"),
-          unix_millis(col("created_at")).as("created_at_ms")))
+          unix_millis(col("created_at")).as("created_at_ms"))),
+
+    // E1-E15: GE suite, one-pass evaluation (SURVEY.md §2.3)
+    "dq_suite_results" -> ((s, dir) =>
+      DqSuite.evaluate(Enrich.curated(tables(s, dir).events),
+        DqSuite.customersSuite).orderBy("exp_idx")),
+
+    // A5: suite summary + threshold banding (dq_rules.yml:85-89)
+    "dq_suite_summary" -> ((s, dir) =>
+      DqSuite.summarize(DqSuite.evaluate(
+        Enrich.curated(tables(s, dir).events), DqSuite.customersSuite))),
+
+    // Quality dimension scores (dq_rules.yml:91-106)
+    "dq_dimension_scores" -> ((s, dir) =>
+      DqSuite.dimensionScores(DqSuite.evaluate(
+        Enrich.curated(tables(s, dir).events), DqSuite.customersSuite))
+        .orderBy("dimension")),
+
+    // A8: daily quality-score trend slope (tests/test_dq.py:358-375)
+    "dq_trend_daily" -> ((s, dir) => {
+      val daily = Enrich.curated(tables(s, dir).events)
+        .groupBy(to_date(col("processing_timestamp")).as("day"))
+        .agg(avg(when(col("dq_passed"), 1.0).otherwise(0.0)).as("rate"))
+      daily.agg(
+        round((max_by(col("rate"), col("day"))
+          - min_by(col("rate"), col("day"))) / count(lit(1)), 6).as("trend"),
+        count(lit(1)).as("n_days"))
+    })
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -158,6 +186,54 @@ object SparkEntry {
          |SELECT incident_id, incident_type, severity, status, escalated,
          |  epoch_ms(created_at) AS created_at_ms
          |FROM incidents
-         |ORDER BY created_at DESC, incident_id LIMIT 10""".stripMargin
+         |ORDER BY created_at DESC, incident_id LIMIT 10""".stripMargin,
+
+    "dq_suite_results" ->
+      s"""$W, results AS (${DqSuite.resultsSql(DqSuite.customersSuite)})
+         |SELECT * FROM results ORDER BY exp_idx""".stripMargin,
+
+    "dq_suite_summary" ->
+      s"""$W, results AS (${DqSuite.resultsSql(DqSuite.customersSuite)})
+         |SELECT *,
+         |  CASE WHEN failure_rate > ${DqSuite.CriticalThreshold}
+         |         THEN 'critical'
+         |       WHEN failure_rate > ${DqSuite.WarningThreshold}
+         |         THEN 'warning'
+         |       ELSE 'acceptable' END AS band,
+         |  (failure_rate > ${DqSuite.HardFailThreshold}) AS hard_fail
+         |FROM (
+         |  SELECT *,
+         |    round(successful_expectations * 100.0
+         |      / evaluated_expectations, 4) AS success_percent,
+         |    round(CAST(unsuccessful_expectations AS DOUBLE)
+         |      / evaluated_expectations, 6) AS failure_rate
+         |  FROM (
+         |    SELECT count(*) AS evaluated_expectations,
+         |      count(CASE WHEN success THEN 1 END)
+         |        AS successful_expectations,
+         |      count(CASE WHEN NOT success THEN 1 END)
+         |        AS unsuccessful_expectations
+         |    FROM results))""".stripMargin,
+
+    "dq_dimension_scores" -> {
+      val dims = DqSuite.Dimensions
+        .flatMap { case (d, idxs) => idxs.map(i => s"('$d', $i)") }
+        .mkString(", ")
+      s"""$W, results AS (${DqSuite.resultsSql(DqSuite.customersSuite)})
+         |SELECT dimension, round(avg(success_rate), 6) AS score
+         |FROM results
+         |JOIN (VALUES $dims) AS dims(dimension, exp_idx) USING (exp_idx)
+         |GROUP BY dimension ORDER BY dimension""".stripMargin
+    },
+
+    "dq_trend_daily" ->
+      s"""$W, daily AS (
+         |  SELECT CAST(processing_timestamp AS DATE) AS day,
+         |    avg(CASE WHEN dq_passed THEN 1.0 ELSE 0.0 END) AS rate
+         |  FROM cur GROUP BY 1)
+         |SELECT round((max_by(rate, day) - min_by(rate, day))
+         |    / count(*), 6) AS trend,
+         |  count(*) AS n_days
+         |FROM daily""".stripMargin
   )
 }

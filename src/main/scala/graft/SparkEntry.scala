@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.dq.DqSuite
 import graft.enrich.Enrich
-import graft.ops.Incidents
-import graft.report.Reports
+import graft.ops.{Incidents, Quarantine}
+import graft.report.{Analytics, Reports}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,7 +113,57 @@ object SparkEntry {
         round((max_by(col("rate"), col("day"))
           - min_by(col("rate"), col("day"))) / count(lit(1)), 6).as("trend"),
         count(lit(1)).as("n_days"))
-    })
+    }),
+
+    // §2.5 joins: fact ⋈ dims rollup (broadcast nation/region)
+    "revenue_by_region" -> ((s, dir) =>
+      Analytics.revenueByRegion(tables(s, dir)).orderBy("r_name")),
+
+    // TPC-H Q3 pattern: filtered 3-way join + grouped top-10
+    "q3_shipping_priority" -> ((s, dir) =>
+      Analytics.shippingPriority(tables(s, dir))),
+
+    // TPC-H Q5 pattern: 6-way join, local-supplier condition
+    "q5_local_supplier" -> ((s, dir) =>
+      Analytics.localSupplierVolume(tables(s, dir))),
+
+    // §2.6 ranking window: top-3 orders per customer
+    "top_orders_per_customer" -> ((s, dir) =>
+      Analytics.topOrdersPerCustomer(tables(s, dir))
+        .orderBy("o_custkey", "rn")),
+
+    // §2.6 sessionization: 30-min-gap sessions per user
+    "sessions_per_user" -> ((s, dir) =>
+      Analytics.sessionsPerUser(tables(s, dir).events)
+        .orderBy("user_id")),
+
+    // Tumbling event-time windows (batch twin of streaming T-ops)
+    "hourly_event_counts" -> ((s, dir) =>
+      Analytics.hourlyEventCounts(tables(s, dir).events)
+        .orderBy("hour_start_ms", "event_type")),
+
+    // §2.6 set ops: purchasers vs errored users in one pass
+    "set_ops_users" -> ((s, dir) =>
+      Analytics.purchaseErrorSetOps(tables(s, dir).events)),
+
+    // O5 quarantine split: dq_passed predicate → dual flows
+    "quarantine_split" -> ((s, dir) =>
+      Quarantine.tagged(Enrich.curated(tables(s, dir).events),
+        !col("dq_passed"))
+        .groupBy("flow").agg(count(lit(1)).as("n")).orderBy("flow")),
+
+    // §2.5 semi/anti joins: orders with/without late shipments
+    "orders_semi_anti" -> ((s, dir) =>
+      Analytics.ordersByLateShipment(tables(s, dir))
+        .orderBy("flow", "o_orderstatus")),
+
+    // A4 as cube: incident counts by severity × status with totals
+    "incident_cube" -> ((s, dir) =>
+      Incidents.fromEvents(tables(s, dir).events)
+        .cube("severity", "status").agg(count(lit(1)).as("n"))
+        .select(coalesce(col("severity"), lit("(all)")).as("severity"),
+          coalesce(col("status"), lit("(all)")).as("status"), col("n"))
+        .orderBy("severity", "status"))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -234,6 +284,115 @@ object SparkEntry {
          |SELECT round((max_by(rate, day) - min_by(rate, day))
          |    / count(*), 6) AS trend,
          |  count(*) AS n_days
-         |FROM daily""".stripMargin
+         |FROM daily""".stripMargin,
+
+    "revenue_by_region" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "sessions_per_user" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT)
+        |         - CAST(floor(epoch_ms(prev_ts) / 1000.0) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "hourly_event_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "set_ops_users" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+        |  FROM events GROUP BY user_id)
+        |SELECT count(CASE WHEN p = 1 THEN 1 END) AS n_purchasers,
+        |  count(CASE WHEN e = 1 THEN 1 END) AS n_errored,
+        |  count(CASE WHEN p = 1 AND e = 1 THEN 1 END) AS n_both,
+        |  count(CASE WHEN p = 1 AND e = 0 THEN 1 END) AS n_purchase_only
+        |FROM f""".stripMargin,
+
+    "quarantine_split" ->
+      s"""$W
+         |SELECT CASE WHEN dq_passed THEN 'main' ELSE 'quarantine' END
+         |    AS flow,
+         |  count(*) AS n
+         |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_semi_anti" ->
+      """SELECT 'with_late' AS flow, o_orderstatus, count(*) AS n
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'without_late' AS flow, o_orderstatus, count(*) AS n
+        |FROM orders WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY o_orderstatus
+        |ORDER BY flow, o_orderstatus""".stripMargin,
+
+    "incident_cube" ->
+      s"""WITH incidents AS (${Incidents.sqlCte})
+         |SELECT coalesce(severity, '(all)') AS severity,
+         |  coalesce(status, '(all)') AS status, count(*) AS n
+         |FROM incidents GROUP BY CUBE (severity, status)
+         |ORDER BY severity, status""".stripMargin
   )
 }

@@ -1,0 +1,149 @@
+package graft.report
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics over the TPC-H-ish fixtures — the join / window /
+  * set-op surface (SURVEY.md §2.5, §2.6) the reference only implies
+  * (country→region lookup, last-N incidents, quarantine exclusion),
+  * expressed at the scale-idiomatic end: broadcast the bounded dims, let
+  * the fact-side equi-joins shuffle on their keys, keep aggregates
+  * partial+final.
+  *
+  * 100 TB posture notes per operator are in the Scaladoc of each def.
+  */
+object Analytics {
+
+  /** orders ⋈ customer ⋈ nation ⋈ region revenue rollup.
+    * customer/orders shuffle on custkey; nation (25) and region (5) are
+    * broadcast — no shuffle for the dim lookups at any scale.
+    */
+  def revenueByRegion(t: Tables): DataFrame =
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_revenue"))
+
+  /** TPC-H Q3 pattern: filtered 3-way join, grouped revenue, top-10.
+    * Filters sit directly on the scans (pushed to parquet); the top-10 is
+    * a global sort of the *aggregated* (small) side only.
+    */
+  def shippingPriority(t: Tables): DataFrame = {
+    val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    val o = t.orders.filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+    val l = t.lineitem.filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ in the fixture parquet; cast to LTZ
+        // (session tz is UTC) for unix_millis
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 pattern: 6-way join with local-supplier condition
+    * (c_nationkey = s_nationkey), revenue by nation within a region.
+    */
+  def localSupplierVolume(t: Tables, regionName: String = "ASIA"): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName)
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** Ranking window: top-3 orders per customer by value.
+    * Shuffles once on o_custkey; rank + filter happen within partitions.
+    */
+  def topOrdersPerCustomer(t: Tables, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Sessionization: 30-min-gap sessions per user (SURVEY.md §2.6
+    * extension). One shuffle on user_id; lag + running-sum windows share
+    * that partitioning, so the whole thing is a single exchange.
+    */
+  def sessionsPerUser(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+             > gapMinutes * 60L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Tumbling 1-hour event-time windows (batch twin of the streaming T-ops;
+    * epoch-aligned so DuckDB date_trunc('hour') is the exact oracle).
+    */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("hour_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Semi/anti joins (SURVEY.md §2.5): orders with vs without a late
+    * shipment, counted by status. The probe side (late lineitems) is
+    * filter-pushed before the join; left_semi/left_anti never widen rows,
+    * so no fact-side data is duplicated at scale.
+    */
+  def ordersByLateShipment(t: Tables,
+      cutoff: String = "2001-01-01 00:00:00"): DataFrame = {
+    val late = t.lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(cutoff)))
+      .select("l_orderkey")
+    def side(joinType: String, tag: String) =
+      t.orders.join(late, col("o_orderkey") === col("l_orderkey"), joinType)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("flow"), col("o_orderstatus"), col("n"))
+    side("left_semi", "with_late")
+      .unionByName(side("left_anti", "without_late"))
+  }
+
+  /** Set ops over user populations: purchasers vs error-affected users.
+    * Semantically INTERSECT/EXCEPT of two distinct sets, computed as ONE
+    * scan + one shuffle (flag-per-user then conditional counts) instead of
+    * four separate distinct+set-op jobs — the 100 TB-friendly shape.
+    * Equivalence with Dataset.intersect/except is pinned in AnalyticsSpec.
+    */
+  def purchaseErrorSetOps(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("e"))
+      .agg(
+        count(when(col("p") === 1, 1)).as("n_purchasers"),
+        count(when(col("e") === 1, 1)).as("n_errored"),
+        count(when(col("p") === 1 && col("e") === 1, 1)).as("n_both"),
+        count(when(col("p") === 1 && col("e") === 0, 1))
+          .as("n_purchase_only"))
+}

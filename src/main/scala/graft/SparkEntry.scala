@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dq.DqSuite
 import graft.enrich.Enrich
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{Incidents, Quarantine}
 import graft.report.{Analytics, Reports}
 
@@ -163,7 +164,46 @@ object SparkEntry {
         .cube("severity", "status").agg(count(lit(1)).as("n"))
         .select(coalesce(col("severity"), lit("(all)")).as("severity"),
           coalesce(col("status"), lit("(all)")).as("status"), col("n"))
-        .orderBy("severity", "status"))
+        .orderBy("severity", "status")),
+
+    // ---- ext: text analysis (north-star) ----------------------------------
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(tables(s, dir).documents).orderBy("doc_id")),
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(tables(s, dir).documents).orderBy("source")),
+    "lang_id_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(tables(s, dir).documents)
+        .orderBy("lang", "predicted")),
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(tables(s, dir).documents).orderBy("doc_id")),
+
+    // ---- ext: deduplication (north-star) ----------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactSummary(tables(s, dir).documents)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardNearDups(tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDups(tables(s, dir).embeddings)
+        .orderBy("label", "rank")),
+
+    // ---- ext: similarity search (north-star) ------------------------------
+    "ann_topk_brute" -> ((s, dir) =>
+      Similarity.topKBruteForce(tables(s, dir).embeddings)
+        .orderBy("q_id", "rank")),
+    "ann_topk_lsh" -> ((s, dir) =>
+      Similarity.topKLsh(tables(s, dir).embeddings)
+        .orderBy("q_id", "rank")),
+
+    // ---- ext: multimodal binary columns (north-star) ----------------------
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(tables(s, dir).documents).orderBy("doc_id"))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -393,6 +433,25 @@ object SparkEntry {
          |SELECT coalesce(severity, '(all)') AS severity,
          |  coalesce(status, '(all)') AS status, count(*) AS n
          |FROM incidents GROUP BY CUBE (severity, status)
-         |ORDER BY severity, status""".stripMargin
+         |ORDER BY severity, status""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT * FROM (${TextAnalysis.textStatsSql}) ORDER BY doc_id""",
+    "token_counts" ->
+      s"""SELECT * FROM (${TextAnalysis.tokenCountsSql}) ORDER BY source""",
+    "lang_id_confusion" ->
+      s"""SELECT * FROM (${TextAnalysis.langIdConfusionSql})
+         |ORDER BY lang, predicted""".stripMargin,
+    "doc_fingerprints" ->
+      s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
+    "dedup_exact" -> Dedup.exactSummarySql,
+    "dedup_minhash_lsh" -> Dedup.minhashNearDupsSql,
+    "dedup_simhash" -> Dedup.simhashNearDupsSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardNearDupsSql,
+    "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
+    "ann_topk_brute" -> Similarity.topKBruteForceSql,
+    "ann_topk_lsh" -> Similarity.topKLshSql,
+    "multimodal_features" ->
+      s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,484 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Hashing._
+import TextAnalysis.{shingles, shinglesSql, tokens}
+
+/** Deduplication operators for training-data pipelines over `documents` /
+  * `embeddings`: exact (hash-groupBy), MinHash+LSH banding, SimHash,
+  * word-n-gram Jaccard with a MinHash canopy, and embedding-cosine
+  * near-dup. Extends the reference per BASELINE.json's north-star (the
+  * reference itself has no dedup surface).
+  *
+  * Scale design (the 100 TB posture):
+  *   - signatures (MinHash vectors, SimHash bits, canopy keys) are computed
+  *     map-side with array higher-order functions — no explode until the
+  *     band/bucket key exists, so the only shuffles are on short bucket
+  *     keys, never on raw text;
+  *   - candidate generation is always *blocked* (LSH bands / hash buckets /
+  *     canopy keys) — no O(n²) cross join anywhere;
+  *   - verification (exact Jaccard) runs only on the candidate pairs, via
+  *     equi-joins Catalyst plans as shuffle hash/sort-merge joins;
+  *   - hot keys (a shingle shared by millions of docs) are the classic
+  *     skew risk: AQE skew-join handles moderate skew, and the band hash
+  *     has 128-bit spread so bucket sizes stay bounded in expectation.
+  */
+object Dedup {
+
+  // ---- exact dedup (hash-groupBy) -----------------------------------------
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. DuckDB
+    * mirror needs the 'g' flag to match Spark's replace-all default.
+    */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, " +", " ")))
+
+  val normTextSql = "lower(trim(regexp_replace(text, ' +', ' ', 'g')))"
+
+  /** Exact-duplicate summary: group by md5 of normalized text. One
+    * map-side-combined aggregation; at 100 TB this is the cheap first
+    * dedup pass that runs before any fuzzy method.
+    */
+  def exactSummary(documents: DataFrame): DataFrame =
+    documents
+      .select(md5(normText(col("text"))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("total_docs"),
+        count(lit(1)).as("n_distinct"),
+        count(when(col("c") > 1, 1)).as("n_dup_groups"),
+        coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+          .as("n_dup_docs"))
+      .withColumn("n_kept", col("n_distinct"))
+
+  def exactSummarySql: String =
+    s"""SELECT total_docs, n_distinct, n_dup_groups, n_dup_docs,
+       |  n_distinct AS n_kept
+       |FROM (
+       |  SELECT CAST(sum(c) AS BIGINT) AS total_docs,
+       |    count(*) AS n_distinct,
+       |    count(CASE WHEN c > 1 THEN 1 END) AS n_dup_groups,
+       |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+       |      AS n_dup_docs
+       |  FROM (
+       |    SELECT md5($normTextSql) AS fp, count(*) AS c
+       |    FROM documents GROUP BY 1))""".stripMargin
+
+  // ---- MinHash + LSH banding ----------------------------------------------
+
+  /** MinHash signature length and LSH banding shape: 12 hashes = 4 bands
+    * × 3 rows. With Jaccard threshold ~0.5 the banding S-curve gives
+    * P(candidate) = 1-(1-j³)⁴ ≈ 0.41 at j=0.5, ≈ 0.96 at j=0.8.
+    */
+  val NumHashes = 12
+  val NumBands = 4
+  val RowsPerBand = 3
+
+  /** Verified-Jaccard output threshold for the near-dup report. */
+  val JaccardThreshold = 0.5
+
+  /** (doc_id, shingle) — exploded distinct word-5-shingle set. The md5
+    * base hash is applied on this exploded column (a regular projection,
+    * so whole-stage codegen applies — md5 inside array-lambda HOFs would
+    * run interpreted and costs ~10× here).
+    */
+  def shingleTable(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text"))))).as("shingle"))
+
+  /** Per-doc MinHash signatures via the universal-hash family
+    * h_i(x)=(a_i·x+b_i) mod p over ONE md5 per shingle: the 12 signature
+    * rows are two integer ops each inside a map-side-combinable min
+    * aggregation — the only shuffle is the narrow (doc_id, h) combine.
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val h = h32(col("shingle"))
+    val sigCols = (0 until NumHashes)
+      .map(i => min(permuted(i, h)).as(s"sig_$i"))
+    shingleTable(documents)
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_hash) — one row per band; the band hash is
+    * md5 over the band's signature slice, identically derivable in DuckDB.
+    */
+  def banded(documents: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    minhashSignatures(documents)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket. The self-join is
+    * an equi-join on (band_idx, band_hash); `distinct` collapses pairs
+    * found by several bands.
+    */
+  def lshCandidates(documents: DataFrame): DataFrame = {
+    val b = banded(documents)
+    b.as("a").join(b.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs with *verified* shingle Jaccard ≥ threshold. The
+    * exact intersection runs only over LSH candidates (equi-join on
+    * shingle), never all pairs.
+    *
+    * The exploded shingle table feeds four plan branches (signatures,
+    * both verification sides, counts); it is persisted so the shingling
+    * work runs once — at 100 TB this would be persist(DISK_ONLY) or a
+    * checkpointed intermediate table.
+    */
+  def minhashNearDups(documents: DataFrame): DataFrame = {
+    val sh = shingleTable(documents).persist()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sigCols = (0 until NumHashes)
+      .map(i => min(permuted(i, h32(col("shingle")))).as(s"sig_$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val slice = (0 until RowsPerBand)
+        .map(r => col(s"sig_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+      .persist()
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id")
+          && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        round(col("inter").cast("double")
+          / (col("ca.n") + col("cb.n") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Shared DuckDB CTE prefix: exploded shingles, base hash, signatures. */
+  private def minhashCtesSql: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(${permutedSql(i, "h")}) AS sig_$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val slice = (0 until RowsPerBand)
+        .map(r => s"CAST(sig_${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($slice) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""shd AS (
+       |  SELECT doc_id, unnest(
+       |    list_distinct(${shinglesSql("string_split(text, ' ')")}))
+       |    AS shingle
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM (SELECT doc_id, ${h32Sql("shingle")} AS h FROM shd)
+       |  GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def minhashNearDupsSql: String =
+    s"""WITH $minhashCtesSql,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS inter
+       |  FROM cand
+       |  JOIN shd sa ON sa.doc_id = doc_a
+       |  JOIN shd sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, ca.n AS n_a, cb.n AS n_b,
+       |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6)
+       |  >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word
+    * bigrams (unigrams over a small vocabulary barely separate docs).
+    * Production at 64 bits would swap the per-bit expression bundle for a
+    * native Catalyst Expression; the structure is identical.
+    */
+  val SimHashBits = 24
+
+  /** Blocks for pigeonhole blocking. */
+  val SimHashBlocks = 4
+  private val BlockBits = SimHashBits / SimHashBlocks
+
+  /** Max Hamming distance for the near-dup report. With ≤2 differing bits
+    * over 4 blocks, at least 2 blocks are untouched, so every qualifying
+    * pair matches at least one of the C(4,2)=6 two-block keys — the
+    * blocking is provably complete for this radius.
+    */
+  val MaxHamming = 2
+
+  /** Per-doc SimHash: bigram-frequency-weighted sign sum per bit of the
+    * bigram hash. One explode + two map-side-combinable aggregations.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h32(col("gram")))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(1) * 2 - 1))
+        .as(s"b_$j")
+    }
+    val sh = (0 until SimHashBits)
+      .map(j => when(col(s"b_$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** The C(4,2)=6 two-block index keys (Charikar/Manku-style multi-index):
+    * key k=(b1,b2) is exact equality on those 12 bits. Complete for
+    * Hamming ≤ [[MaxHamming]] (see there); each doc emits 6 keyed rows,
+    * and the self-join runs per (key_idx, key_val) bucket — bounded
+    * buckets, no O(n²).
+    */
+  def simhashNearDups(documents: DataFrame): DataFrame = {
+    val blockPairs = (for {
+      b1 <- 0 until SimHashBlocks; b2 <- b1 + 1 until SimHashBlocks
+    } yield (b1, b2)).zipWithIndex
+    def blk(b: Int) =
+      shiftright(col("simhash"), b * BlockBits).bitwiseAND((1 << BlockBits) - 1)
+    val keyStructs = blockPairs.map { case ((b1, b2), k) =>
+      struct(lit(k).as("key_idx"),
+        (blk(b1) * (1 << BlockBits) + blk(b2)).as("key_val"))
+    }
+    val keyed = simhash(documents)
+      .select(col("doc_id"), col("simhash"),
+        explode(array(keyStructs: _*)).as("key"))
+      .select(col("doc_id"), col("simhash"),
+        col("key.key_idx").as("key_idx"), col("key.key_val").as("key_val"))
+      .persist() // both self-join sides read it; computed once
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key_idx") === col("b.key_idx")
+          && col("a.key_val") === col("b.key_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  def simhashNearDupsSql: String = {
+    val bitSums = (0 until SimHashBits)
+      .map(j => s"sum(cnt * (((h // ${1L << j}) % 2) * 2 - 1)) AS b_$j")
+      .mkString(",\n    ")
+    val shExpr = (0 until SimHashBits)
+      .map(j => s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val blockPairs = (for {
+      b1 <- 0 until SimHashBlocks; b2 <- b1 + 1 until SimHashBlocks
+    } yield (b1, b2)).zipWithIndex
+    def blk(b: Int) = s"((simhash // ${1L << (b * BlockBits)}) % ${1 << BlockBits})"
+    val keySelects = blockPairs.map { case ((b1, b2), k) =>
+      s"""SELECT doc_id, simhash, $k AS key_idx,
+         |    ${blk(b1)} * ${1 << BlockBits} + ${blk(b2)} AS key_val FROM sh"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, gram, count(*) AS cnt
+       |  FROM (SELECT doc_id,
+       |          unnest(${shinglesSql("string_split(text, ' ')", 2)}) AS gram
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM (SELECT doc_id, cnt, ${h32Sql("gram")} AS h FROM tf)
+       |  GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, $shExpr AS simhash FROM bits),
+       |keyed AS (
+       |  $keySelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM keyed a JOIN keyed b
+       |    ON a.key_idx = b.key_idx AND a.key_val = b.key_val
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- word-n-gram Jaccard with MinHash canopy ----------------------------
+
+  /** Bigram-Jaccard near-dups. Blocking: two independent 1-row MinHash
+    * canopies over word-5-shingles (candidate iff either canopy matches
+    * — recall 1-(1-j₅)² on 5-shingle Jaccard j₅). A canopy over the
+    * bigrams themselves would mega-bucket on a small vocabulary (the
+    * global min bigram is shared by a large fraction of docs): the
+    * 5-shingle space is exponentially larger, so buckets stay small.
+    * Verification = exact bigram Jaccard, candidates only.
+    */
+  val BigramJaccardThreshold = 0.35
+
+  /** Canopy seeds (indices into the MinHash permutation family). */
+  val CanopySeeds = Seq(0, 1)
+
+  def ngramJaccardNearDups(documents: DataFrame): DataFrame = {
+    val h = h32(col("shingle"))
+    val canopies = shingleTable(documents)
+      .groupBy("doc_id")
+      .agg(min(permuted(CanopySeeds.head, h)).as("c0"),
+        min(permuted(CanopySeeds(1), h)).as("c1"))
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("k"), col("c0").as("v")),
+        struct(lit(1).as("k"), col("c1").as("v")))).as("key"))
+      .select(col("doc_id"), col("key.k").as("k"), col("key.v").as("v"))
+      .persist() // both self-join sides read it; computed once
+    val cand = canopies.as("x").join(canopies.as("y"),
+        col("x.k") === col("y.k") && col("x.v") === col("y.v")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val g = documents.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 2)).as("grams"))
+      .persist() // read by both verification sides
+    cand
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga.grams"), col("gb.grams")))
+          .cast("long").as("inter"),
+        size(col("ga.grams")).cast("long").as("n_a"),
+        size(col("gb.grams")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"),
+        round(col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= BigramJaccardThreshold)
+  }
+
+  def ngramJaccardNearDupsSql: String =
+    s"""WITH shd AS (
+       |  SELECT doc_id, unnest(
+       |    list_distinct(${shinglesSql("string_split(text, ' ')")}))
+       |    AS shingle
+       |  FROM documents),
+       |canopy AS (
+       |  SELECT doc_id,
+       |    min(${permutedSql(CanopySeeds.head, "h")}) AS c0,
+       |    min(${permutedSql(CanopySeeds(1), "h")}) AS c1
+       |  FROM (SELECT doc_id, ${h32Sql("shingle")} AS h FROM shd)
+       |  GROUP BY doc_id),
+       |keyed AS (
+       |  SELECT doc_id, 0 AS k, c0 AS v FROM canopy
+       |  UNION ALL SELECT doc_id, 1 AS k, c1 AS v FROM canopy),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM keyed x JOIN keyed y
+       |    ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(${shinglesSql("string_split(text, ' ')", 2)})
+       |      AS grams
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(ga.grams, gb.grams)) AS inter,
+       |    len(ga.grams) AS n_a, len(gb.grams) AS n_b
+       |  FROM cand
+       |  JOIN g ga ON ga.doc_id = doc_a
+       |  JOIN g gb ON gb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, n_a, n_b,
+       |  round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+       |FROM scored
+       |WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6)
+       |  >= $BigramJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- embedding-cosine near-dup ------------------------------------------
+
+  /** Top near-dup pairs per label by cosine similarity. Blocking key =
+    * `label` (the natural coarse partitioner here; at 100 TB the key
+    * would be an ANN bucket — see [[Similarity]]), pairs ranked per block
+    * with a window, top 3 kept. Cosine is exact double math via
+    * zip_with + aggregate (codegen'd array expressions, no UDF).
+    */
+  val TopPairsPerLabel = 3
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def embeddingNearDups(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopPairsPerLabel)
+  }
+
+  def embeddingNearDupsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_sum([CAST(a.embedding[i] AS DOUBLE)
+       |                    * CAST(b.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(a.embedding) + 1)])
+       |      / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM e a JOIN e b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, vec_a, vec_b, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY cosine DESC, vec_a, vec_b) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $TopPairsPerLabel
+       |ORDER BY label, rank""".stripMargin
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media payloads
+  * are opaque `binary` columns with typed metadata, processed
+  * partition-wise through a typed `Dataset` + `mapPartitions` decode
+  * stage — the Scala twin of the Python `mapInPandas` pattern. Extends
+  * the reference per BASELINE.json's north-star.
+  *
+  * The container has no image/audio codecs, so the decoder is a
+  * DELIBERATE DETERMINISTIC STUB (see [[decodeStub]]): it derives fake
+  * width/height/frame-count from an md5 of the payload header. Everything
+  * around it — binary schema, typed encoders, per-partition batch shape,
+  * map-side execution with no shuffle — is the real plumbing a codec
+  * would drop into.
+  *
+  * Scale: decode is embarrassingly parallel; the stage is a single
+  * mapPartitions over the scan (no shuffle, no driver collect). Real
+  * codecs batch within a partition exactly like this iterator does.
+  * Payloads here are synthesized from `documents.text` bytes since the
+  * fixtures carry no real media.
+  */
+object Multimodal {
+
+  /** Opaque media payload + typed metadata. */
+  final case class MediaRecord(
+    doc_id: Long, payload: Array[Byte], kind: String, n_bytes: Long)
+
+  /** Stubbed decode output; in production width/height/frames come from
+    * the codec.
+    */
+  final case class MediaFeatures(
+    doc_id: Long, kind: String, n_bytes: Long, header_md5: String,
+    n_frames: Long, fake_width: Long, fake_height: Long)
+
+  /** Bytes of payload header fed to the fingerprint. */
+  val HeaderBytes = 16
+
+  /** Fixed "frame" size for the frame-sampling stub. */
+  val FrameBytes = 256
+
+  /** documents → typed media records: payload = UTF-8 bytes of `text`,
+    * metadata columns alongside. Pure projection (map-side).
+    */
+  def mediaRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("kind"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(
+      md5Hex(s.getBytes("UTF-8")).substring(0, 8), 16)
+
+  /** The stub decoder: one record in, one feature row out, deterministic
+    * from the payload bytes alone (so the DuckDB oracle reproduces it
+    * from `text`). A real image/audio decoder (`???` in spirit) would
+    * replace the fake dimension derivation and keep the signature.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val header = r.payload.take(HeaderBytes)
+    val hm = md5Hex(header)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      kind = r.kind,
+      n_bytes = r.n_bytes,
+      header_md5 = hm,
+      n_frames = (r.n_bytes + FrameBytes - 1) / FrameBytes,
+      fake_width = 320L + h32("w:" + hm) % 1600L,
+      fake_height = 240L + h32("h:" + hm) % 840L)
+  }
+
+  /** Partition-wise decode: the iterator is the batch; a real codec would
+    * allocate its native context once per partition here, then stream
+    * records through it.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it => it.map(decodeStub) }
+  }
+
+  /** End-to-end: documents → binary payloads → stub decode → features. */
+  def features(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    extractFeatures(mediaRecords(documents)).toDF()
+  }
+
+  /** DuckDB oracle: reproduces the stub from `text` (payload == UTF-8
+    * bytes of text; fixture text is ASCII so substr==byte-slice).
+    */
+  def featuresSql: String =
+    s"""SELECT doc_id, 'text/plain' AS kind,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  md5(substr(text, 1, $HeaderBytes)) AS header_md5,
+       |  CAST((octet_length(encode(text)) + ${FrameBytes - 1})
+       |    // $FrameBytes AS BIGINT) AS n_frames,
+       |  320 + ${Hashing.h32Sql(s"'w:' || md5(substr(text, 1, $HeaderBytes))")}
+       |    % 1600 AS fake_width,
+       |  240 + ${Hashing.h32Sql(s"'h:' || md5(substr(text, 1, $HeaderBytes))")}
+       |    % 840 AS fake_height
+       |FROM documents""".stripMargin
+}

@@ -1,0 +1,233 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * per-doc statistics & quality scoring, token counting (whitespace +
+  * BPE-ish regex), n-gram language ID, and content fingerprinting.
+  *
+  * Everything is array higher-order functions over `split(text, ' ')` —
+  * no explode, no shuffle: at 100 TB each doc's stats are computed
+  * map-side inside one projection, and only the (tiny) roll-ups shuffle.
+  * Reference has no text operators; these extend the engine per the
+  * BASELINE.json north-star.
+  */
+object TextAnalysis {
+
+  /** Stopword sample per language — small public function-word lists used
+    * both for quality's stopword ratio (en) and the n-gram language-ID
+    * heuristic. Kept tiny and literal so the DuckDB oracle carries the
+    * identical lexicon.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "que", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  /** BPE-ish token regex: runs of letters, runs of digits, or a single
+    * other non-space char (common Spark/DuckDB regex subset).
+    */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  // ---- per-doc statistics & quality score ---------------------------------
+
+  /** Per-doc stats: token counts (whitespace + BPE-ish), distinct tokens,
+    * average token length, stopword ratio, type-token ratio, and a
+    * deterministic composite quality score — the standard pre-training
+    * corpus quality signals.
+    */
+  def textStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = Lexicons.head._2
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        toks.as("toks"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("sum_token_len"),
+        size(filter(col("toks"), t => t.isin(en: _*))).cast("long")
+          .as("n_stopwords"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("n_tokens"), col("n_distinct"),
+        round(col("sum_token_len").cast("double") / col("n_tokens"), 6)
+          .as("avg_token_len"),
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        (qualityPpm(col("n_tokens"), col("n_distinct"), col("n_stopwords"))
+          / lit(1000000.0)).as("quality_score"))
+  }
+
+  /** Composite quality in parts-per-million, 0.4·min(n_tokens/200,1) +
+    * 0.3·TTR + 0.3·(1−stopword_ratio), computed with integer terms and
+    * single-IEEE-division rounding so both engines produce the identical
+    * value (multi-term double sums round differently at ULP boundaries).
+    */
+  private def qualityPpm(nTok: Column, nDist: Column, nStop: Column): Column =
+    (least(nTok * 2000L, lit(400000L))
+      + round(nDist * 300000.0 / nTok).cast("long")
+      + lit(300000L) - round(nStop * 300000.0 / nTok).cast("long"))
+
+  def textStatsSql: String =
+    s"""SELECT doc_id, source, lang, n_chars, n_tokens, n_distinct,
+       |  round(CAST(sum_token_len AS DOUBLE) / n_tokens, 6)
+       |    AS avg_token_len,
+       |  round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6)
+       |    AS stopword_ratio,
+       |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+       |    AS type_token_ratio,
+       |  (least(n_tokens * 2000, 400000)
+       |    + CAST(round(n_distinct * 300000.0 / n_tokens) AS BIGINT)
+       |    + 300000 - CAST(round(n_stopwords * 300000.0 / n_tokens) AS BIGINT)
+       |   ) / 1000000.0 AS quality_score
+       |FROM (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct,
+       |    CAST(list_sum([len(t) for t in toks]) AS BIGINT)
+       |      AS sum_token_len,
+       |    len([t for t in toks
+       |         if list_contains(${sqlList(Lexicons.head._2)}, t)])
+       |      AS n_stopwords
+       |  FROM (SELECT *, string_split(text, ' ') AS toks FROM documents))
+       |""".stripMargin
+
+  // ---- token counting roll-up ---------------------------------------------
+
+  /** Corpus token accounting per source: whitespace tokens, BPE-ish regex
+    * tokens, chars per token — the numbers a training-data pipeline sizes
+    * its corpus by. One narrow aggregation; the regex count is computed
+    * map-side per doc.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        regexp_count(col("text"), lit(BpeTokenRegex)).cast("long").as("bpe"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("total_ws_tokens"),
+        sum("bpe").as("total_bpe_tokens"),
+        round(sum("n_chars").cast("double") / sum("ws"), 6)
+          .as("chars_per_ws_token"))
+
+  def tokenCountsSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+       |  CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / sum(ws), 6)
+       |    AS chars_per_ws_token
+       |FROM (
+       |  SELECT source, n_chars,
+       |    len(string_split(text, ' ')) AS ws,
+       |    len(regexp_extract_all(text, '$BpeTokenRegex')) AS bpe
+       |  FROM documents)
+       |GROUP BY source""".stripMargin
+
+  // ---- language identification --------------------------------------------
+
+  /** N-gram (function-word) language ID. Per doc, score each language by
+    * lexicon hits, take the arg-max with a deterministic tie-break encoded
+    * arithmetically (`score * 16 + rank`, so both engines resolve ties
+    * identically), fall back to 'und' when nothing matches. Output is the
+    * actual×predicted confusion roll-up.
+    */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scoreCols = Lexicons.zipWithIndex.map { case ((lg, lex), i) =>
+      (size(filter(toks, t => t.isin(lex: _*))).cast("long") * 16
+        + (Lexicons.size - i)).as(s"s_$lg")
+    }
+    val best = greatest(Lexicons.map(l => col(s"s_${l._1}")): _*)
+    val predicted = when(best < 16, lit("und")).otherwise(
+      Lexicons.zipWithIndex.foldLeft(lit(null: String)) {
+        case (acc, ((lg, _), i)) =>
+          when(best % 16 === (Lexicons.size - i), lit(lg)).otherwise(acc)
+      })
+    documents
+      .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+      .withColumn("best", best)
+      .select(col("lang"), predicted.as("predicted"),
+        (col("best") / 16).cast("long").as("score"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"), avg("score").as("avg_score"))
+  }
+
+  def langIdConfusionSql: String = {
+    val scoreExprs = Lexicons.zipWithIndex.map { case ((lg, lex), i) =>
+      s"""len([t for t in toks if list_contains(${sqlList(lex)}, t)])
+         |      * 16 + ${Lexicons.size - i} AS s_$lg""".stripMargin
+    }.mkString(",\n    ")
+    val best = s"greatest(${Lexicons.map(l => s"s_${l._1}").mkString(", ")})"
+    val caseArms = Lexicons.zipWithIndex
+      .map { case ((lg, _), i) =>
+        s"WHEN best % 16 = ${Lexicons.size - i} THEN '$lg'" }
+      .mkString(" ")
+    s"""SELECT lang, predicted, count(*) AS n_docs, avg(score) AS avg_score
+       |FROM (
+       |  SELECT lang,
+       |    CASE WHEN best < 16 THEN 'und' $caseArms END AS predicted,
+       |    best // 16 AS score
+       |  FROM (
+       |    SELECT lang, $best AS best
+       |    FROM (
+       |      SELECT doc_id, lang, $scoreExprs
+       |      FROM (SELECT *, string_split(text, ' ') AS toks
+       |            FROM documents))))
+       |GROUP BY lang, predicted""".stripMargin
+  }
+
+  // ---- content fingerprinting ---------------------------------------------
+
+  /** Shingle size (words) for fingerprints and MinHash. */
+  val ShingleK = 5
+
+  /** Word-k-shingle array for a token array column; clamps short docs to
+    * one (possibly short) shingle so the expression is total.
+    */
+  def shingles(toks: Column, k: Int = ShingleK): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(k)), " "))
+
+  /** DuckDB mirror of [[shingles]] over a list-typed SQL expression. */
+  def shinglesSql(toksExpr: String, k: Int = ShingleK): String =
+    s"""[array_to_string($toksExpr[i:i+${k - 1}], ' ')
+       |     for i in range(1, greatest(len($toksExpr) - ${k - 1}, 1) + 1)]
+       |""".stripMargin.trim
+
+  /** Per-doc content fingerprints: whole-text md5 (exact identity) and the
+    * minimum shingle hash (a 1-seed MinHash — a rolling-window content
+    * fingerprint robust to suffix edits). All map-side.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+        shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), col("fp_md5"),
+        array_min(transform(col("sh"), s => h32(s))).as("min_shingle_hash"),
+        size(col("sh")).cast("long").as("n_shingles"))
+
+  def fingerprintsSql: String =
+    s"""SELECT doc_id, fp_md5,
+       |  list_min([${h32Sql("s")} for s in sh]) AS min_shingle_hash,
+       |  len(sh) AS n_shingles
+       |FROM (
+       |  SELECT doc_id, md5(text) AS fp_md5,
+       |    ${shinglesSql("string_split(text, ' ')")} AS sh
+       |  FROM documents)""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the training-data ext operators: planted micro-fixtures with
+  * hand-checkable answers, plus invariants on the sf0.001 fixtures.
+  */
+class ExtSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  // Identical twins + one unrelated doc: every fuzzy method must pair
+  // (1,2) and never (1,3)/(2,3).
+  private lazy val twins = docsDF(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again yes"),
+    (3L, "completely different words about spark shuffles joins and scans")))
+
+  test("h32 matches the JVM twin used for precomputed constants") {
+    val fromSpark = twins.limit(1)
+      .select(Hashing.h32(lit("abc"))).head().getLong(0)
+    assert(fromSpark == Hashing.jvmH32("abc"))
+    assert(fromSpark == 0x90015098L) // md5('abc') = 900150983cd2...
+  }
+
+  test("exact dedup counts duplicate groups and survivors") {
+    val dup = docsDF(Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "SAME   text"),
+      (4L, "other")))
+    val r = Dedup.exactSummary(dup).head()
+    // normalization folds 1,2,3 together (case + whitespace)
+    assert(r.getAs[Long]("total_docs") == 4)
+    assert(r.getAs[Long]("n_distinct") == 2)
+    assert(r.getAs[Long]("n_dup_groups") == 1)
+    assert(r.getAs[Long]("n_dup_docs") == 2)
+  }
+
+  test("minhash LSH pairs the twins and verifies jaccard") {
+    val pairs = Dedup.minhashNearDups(twins)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+    val j = Dedup.minhashNearDups(twins).select("jaccard").head().getDouble(0)
+    // 13 words -> 9 5-shingles each, final shingle differs: j = 8/10
+    assert(math.abs(j - 0.8) < 1e-5)
+  }
+
+  test("simhash pairs the twins within hamming radius") {
+    val pairs = Dedup.simhashNearDups(twins)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs the twins, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardNearDups(twins)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup ranks the planted close pair first") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f), 1),
+      (5L, Array(0.0f, 0.1f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Dedup.embeddingNearDups(e)
+      .filter(col("rank") === 1)
+      .select("label", "vec_a", "vec_b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(top == Set((0, 1L, 2L), (1, 4L, 5L)))
+  }
+
+  test("brute-force ANN returns k ranked neighbors per query") {
+    val e = Tables(spark, Sf0001).embeddings
+    val r = Similarity.topKBruteForce(e)
+    val perQ = r.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("rank").as("mx")).collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) == Similarity.TopK))
+    // ranks ordered by descending cosine within each query
+    val q0 = r.filter(col("q_id") === 0).orderBy("rank")
+      .select("cosine").collect().map(_.getDouble(0))
+    assert(q0.sameElements(q0.sorted.reverse))
+  }
+
+  test("LSH ANN candidates all share the query's sign bucket") {
+    val e = Tables(spark, Sf0001).embeddings
+    val withBucket = e
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.bucketExpr(col("v")))
+      .select("vec_id", "bucket")
+    val lsh = Similarity.topKLsh(e)
+    val joined = lsh
+      .join(withBucket.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("bucket", "qb"), Seq("q_id"))
+      .join(withBucket, Seq("vec_id"))
+    assert(joined.filter(col("bucket") =!= col("qb")).count() == 0)
+  }
+
+  test("text stats: hand-computed quality on a tiny doc") {
+    val d = docsDF(Seq((1L, "the cat sat on the mat")))
+    val r = TextAnalysis.textStats(d).head()
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_distinct") == 5)   // 'the' twice
+    assert(r.getAs[Double]("stopword_ratio") == round6(2.0 / 6))
+    // ppm terms: 6*2000=12000, round(5*3e5/6)=250000, 3e5-round(2*3e5/6)=200000
+    assert(r.getAs[Double]("quality_score") == (12000 + 250000 + 200000) / 1e6)
+  }
+
+  test("language ID picks the language with most lexicon hits") {
+    val d = docsDF(Seq(
+      (1L, "der hund und die katze ist hier"),
+      (2L, "the dog and a cat is here"),
+      (3L, "xyzzy plugh quux")))
+    val r = TextAnalysis.langIdConfusion(d)
+      .select("predicted").collect().map(_.getString(0)).toSet
+    assert(r == Set("de", "en", "und"))
+  }
+
+  test("multimodal stub decode is deterministic and schema-typed") {
+    val f = Multimodal.features(twins)
+    val r = f.orderBy("doc_id").collect()
+    assert(r.length == 3)
+    val first = r(0)
+    assert(first.getAs[String]("kind") == "text/plain")
+    assert(first.getAs[Long]("n_bytes") == 62)
+    assert(first.getAs[Long]("n_frames") == 1)
+    val w = first.getAs[Long]("fake_width")
+    assert(w >= 320 && w < 1920)
+    // idempotent: same input, same features
+    assert(Multimodal.features(twins).orderBy("doc_id").collect()
+      .sameElements(r))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.agent.DecisionEngine
 import graft.dq.DqSuite
 import graft.enrich.Enrich
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -203,7 +204,40 @@ object SparkEntry {
 
     // ---- ext: multimodal binary columns (north-star) ----------------------
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.features(tables(s, dir).documents).orderBy("doc_id"))
+      Multimodal.features(tables(s, dir).documents).orderBy("doc_id")),
+
+    // Native session_window sessionization (streaming-capable operator)
+    "session_window_stats" -> ((s, dir) =>
+      Analytics.sessionWindows(tables(s, dir).events)
+        .orderBy("user_id", "session_start_us")),
+
+    // Sliding event-time windows (1h every 30min)
+    "sliding_window_counts" -> ((s, dir) =>
+      Analytics.slidingWindowCounts(tables(s, dir).events)
+        .orderBy("window_start_ms")),
+
+    // O1 — decision rule engine evaluated IN Spark over per-day run stats
+    "agent_daily_decisions" -> ((s, dir) => {
+      val daily = Enrich.curated(tables(s, dir).events)
+        .groupBy(to_date(col("processing_timestamp")).as("day"))
+        .agg(count(lit(1)).as("total_records"),
+          count(when(col("is_late_arrival"), 1)).as("late_records"),
+          count(when(!col("dq_passed"), 1)).as("dq_failures"),
+          count(when(col("schema_drift_detected"), 1))
+            .as("schema_drift_count"))
+        .withColumn("consecutive_failures", lit(0))
+      daily.select(Seq(col("day"), col("total_records"),
+        col("late_records"), col("dq_failures"),
+        col("schema_drift_count")) ++ DecisionEngine.decisionColumns: _*)
+        .orderBy("day")
+    }),
+
+    // O7 — incident append-log + last-write-wins latest-state view
+    "incident_latest_state" -> ((s, dir) =>
+      Incidents.latestState(
+        Incidents.updateLog(Incidents.fromEvents(tables(s, dir).events)))
+        .groupBy("status", "escalated").agg(count(lit(1)).as("n"))
+        .orderBy("status", "escalated"))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -452,6 +486,62 @@ object SparkEntry {
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "multimodal_features" ->
-      s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id"""
+      s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id""",
+
+    "session_window_stats" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "sliding_window_counts" ->
+      """SELECT window_start_ms, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT (epoch_us(ts) // 1800000000 - off) * 1800000
+        |    AS window_start_ms, user_id
+        |  FROM events, unnest([0, 1]) AS o(off))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agent_daily_decisions" ->
+      s"""$W, daily AS (
+         |  SELECT CAST(processing_timestamp AS DATE) AS day,
+         |    count(*) AS total_records,
+         |    count(CASE WHEN is_late_arrival THEN 1 END) AS late_records,
+         |    count(CASE WHEN NOT dq_passed THEN 1 END) AS dq_failures,
+         |    count(CASE WHEN schema_drift_detected THEN 1 END)
+         |      AS schema_drift_count,
+         |    0 AS consecutive_failures
+         |  FROM cur GROUP BY 1)
+         |SELECT day, total_records, late_records, dq_failures,
+         |  schema_drift_count, ${DecisionEngine.decisionSql}
+         |FROM daily ORDER BY day""".stripMargin,
+
+    "incident_latest_state" ->
+      s"""WITH incidents AS (${Incidents.sqlCte}),
+         |log AS (${Incidents.updateLogSql}),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY incident_id
+         |    ORDER BY updated_at DESC, update_seq DESC) AS rn
+         |  FROM log)
+         |SELECT status, escalated, count(*) AS n
+         |FROM latest WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

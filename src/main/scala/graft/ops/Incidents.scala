@@ -74,4 +74,60 @@ object Incidents {
     incidents.orderBy(desc("created_at"), col("incident_id")).limit(limit)
 
   def defaultCutoff: Column = asOfCol - expr("INTERVAL 7 DAYS")
+
+  /** O7 read-modify-write semantics without a transactional store
+    * (SURVEY.md §7 risk register): incidents are an append-only log of
+    * state versions; "update" = append a new version row. Updates here
+    * are derived deterministically (event_id % 3 updates, hourly apart,
+    * status cycling) so the DuckDB oracle reproduces the log.
+    */
+  def updateLog(incidents0: DataFrame): DataFrame = {
+    val withEid = incidents0
+      .withColumn("eid",
+        regexp_extract(col("incident_id"), "inc_(\\d+)", 1).cast("long"))
+    withEid
+      .select(col("incident_id"), col("incident_type"), col("severity"),
+        col("escalated"), col("created_at"), col("eid"),
+        explode(sequence(lit(0), col("eid") % 3)).as("update_seq"))
+      .select(col("incident_id"), col("incident_type"), col("severity"),
+        // status advances one step per update
+        when((col("eid") + col("update_seq")) % 3 === 0, "open")
+          .when((col("eid") + col("update_seq")) % 3 === 1, "investigating")
+          .otherwise("resolved").as("status"),
+        // escalation latches once severity is high/critical and an update lands
+        (col("escalated") || (col("update_seq") > 0
+          && col("severity").isin("high", "critical"))).as("escalated"),
+        timestamp_micros(unix_micros(col("created_at"))
+          + col("update_seq") * 3600000000L).as("updated_at"),
+        col("update_seq"))
+  }
+
+  /** Latest-state view over the append log: last-write-wins snapshot via
+    * row_number over (incident_id, updated_at desc) — the standard
+    * pattern for mutable entities on immutable storage; at 100 TB this is
+    * exactly a compaction job.
+    */
+  def latestState(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("incident_id")
+      .orderBy(col("updated_at").desc, col("update_seq").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** DuckDB mirror: the update log CTE body (expects `incidents`). */
+  val updateLogSql: String = """
+    SELECT incident_id, incident_type, severity,
+      CASE (eid + update_seq) % 3 WHEN 0 THEN 'open'
+           WHEN 1 THEN 'investigating' ELSE 'resolved' END AS status,
+      (escalated OR (update_seq > 0
+        AND severity IN ('high', 'critical'))) AS escalated,
+      make_timestamp(epoch_us(created_at)
+        + update_seq * 3600000000) AS updated_at,
+      update_seq
+    FROM (
+      SELECT *, CAST(regexp_extract(incident_id, 'inc_(\d+)', 1) AS BIGINT)
+        AS eid
+      FROM incidents),
+      unnest(range(0, eid % 3 + 1)) AS u(update_seq)"""
 }

@@ -146,4 +146,32 @@ object Analytics {
         count(when(col("p") === 1 && col("e") === 1, 1)).as("n_both"),
         count(when(col("p") === 1 && col("e") === 0, 1))
           .as("n_purchase_only"))
+
+  /** Native `session_window` sessionization (gap-merged event-time
+    * sessions, end = last event + gap). Unlike [[sessionsPerUser]]'s
+    * manual lag/flag form this is Spark's own stateful-capable operator —
+    * the same expression works under Structured Streaming with a
+    * watermark. Timestamps kept at µs so the DuckDB gaps-and-islands
+    * oracle is exact.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour windows every 30 min (each event lands in exactly
+    * two windows). Spark's `window(ts, len, slide)` is epoch-aligned, so
+    * the oracle reproduces starts with integer µs arithmetic.
+    */
+  def slidingWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("n"), col("n_users"))
 }

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+import graft.CustomerEvents
+import graft.enrich.Enrich
+import graft.ops.Quarantine
+
+/** The reference's streaming ingest job re-expressed as Structured
+  * Streaming combinators (SURVEY.md §2.7 T1-T7, §3.1):
+  * Kafka/memory source → JSON decode → flatten → enrich → DQ flags →
+  * watermark → dual parquet sink (main + quarantine) with an in-stream
+  * run report. Reference: spark/jobs/ingest_transform.py:100-392.
+  *
+  * Deliberate divergences (SURVEY.md §7 risk register):
+  *   - the run report is accumulated inside foreachBatch — the reference
+  *     aggregates the streaming frame post-hoc (ingest_transform.py:
+  *     307-316), which would throw on a real streaming DataFrame;
+  *   - the quarantine split is actually implemented (the reference only
+  *     records the filter condition, agent/tools.py:163);
+  *   - Avro decode (S4) is declared by the reference but its job parses
+  *     JSON; spark-avro is not on this classpath so JSON parity is what
+  *     we ship, with the schema as the single source of truth.
+  *
+  * Scale: the hot path is stateless per-row projection — no shuffle at
+  * all until a windowed aggregate is attached; the dual sink writes both
+  * flows from one materialized micro-batch (one source read), partitioned
+  * by (country, plan) for pruned downstream scans.
+  */
+object EventPipeline {
+
+  /** The 10-field CustomerEvent wire schema (reference:
+    * kafka/schemas/customer_events.avsc:1-71, redeclared at
+    * spark/jobs/ingest_transform.py:85-98).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("email", StringType, nullable = true),
+    StructField("signup_ts", LongType, nullable = true),
+    StructField("country", StringType, nullable = true),
+    StructField("plan", StringType, nullable = true),
+    StructField("event_ts", LongType, nullable = true),
+    StructField("version", IntegerType, nullable = true),
+    StructField("marketing_opt_in", BooleanType, nullable = true),
+    StructField("customer_segment", StringType, nullable = true)))
+
+  /** Watermark / late-arrival delay (ingest_transform.py:350). */
+  val WatermarkDelay = "15 minutes"
+
+  /** S1 — Kafka source (ingest_transform.py:100-111). Not exercised in
+    * tests (no broker in the harness) but the full option surface of the
+    * reference is preserved.
+    */
+  def fromKafka(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** S2+S3+S5 — decode `value` JSON against [[eventSchema]], keep Kafka
+    * metadata when present, flatten the struct (ingest_transform.py:
+    * 113-136). Unparseable payloads yield null columns (the declared
+    * contract). Works on any frame with a string/binary `value` column.
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    val present = Seq("key", "topic", "partition", "offset", "timestamp")
+      .filter(raw.columns.contains)
+    val meta = present.map {
+      case "key" => col("key").cast("string").as("kafka_key")
+      case c => col(c).as(s"kafka_$c")
+    }
+    raw
+      .select(meta :+
+        from_json(col("value").cast("string"), eventSchema).as("data"): _*)
+      .select(col("data.*") +: present.map(c => col(s"kafka_$c")): _*)
+  }
+
+  /** P1-P7 + Q1-Q5 over a (possibly streaming) parsed frame. Streaming
+    * uses real `current_timestamp()` for processing time (P2); batch
+    * tests inject a literal for determinism.
+    */
+  def curate(parsed: DataFrame,
+      processingTs: Column = current_timestamp()): DataFrame = {
+    val withTs = parsed.withColumn("processing_timestamp", processingTs)
+    val chain =
+      (Enrich.withEventTimestamps _) andThen Enrich.withRegion andThen
+        Enrich.withEmailDomain andThen Enrich.withCustomerAge andThen
+        Enrich.withDriftFlag andThen Enrich.withLateFlag
+    Enrich.withDqFlags(chain(withTs), col("processing_timestamp"))
+  }
+
+  /** T1 — event-time watermark; enables state cleanup + true late-row
+    * dropping in any downstream stateful operator.
+    */
+  def withLateness(curated: DataFrame): DataFrame =
+    curated.withWatermark("event_timestamp", WatermarkDelay)
+
+  /** Tumbling 1-hour event-time counts by plan — the stateful aggregation
+    * the reference imports `window` for but never uses
+    * (ingest_transform.py:17). Append output, so a window emits exactly
+    * once, after the watermark passes its end.
+    */
+  def windowedCounts(curated: DataFrame): DataFrame =
+    withLateness(curated)
+      .groupBy(window(col("event_timestamp"), "1 hour"), col("plan"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("plan"), col("n"))
+
+  /** Driver-side run-report accumulators (A1), filled inside
+    * foreachBatch — replaces the reference's invalid post-hoc streaming
+    * aggregate (ingest_transform.py:307-316).
+    */
+  final class RunStats(spark: SparkSession) extends Serializable {
+    val total: LongAccumulator = spark.sparkContext.longAccumulator("total")
+    val late: LongAccumulator = spark.sparkContext.longAccumulator("late")
+    val dqFailed: LongAccumulator = spark.sparkContext.longAccumulator("dqFailed")
+    val drifted: LongAccumulator = spark.sparkContext.longAccumulator("drifted")
+    def lateRate: Double =
+      if (total.value == 0) 0.0 else late.value.toDouble / total.value
+    def dqFailureRate: Double =
+      if (total.value == 0) 0.0 else dqFailed.value.toDouble / total.value
+  }
+
+  /** T3+T4+O5 — dual parquet sink via foreachBatch: one micro-batch
+    * materialization feeds the main flow, the quarantine flow and the
+    * run-report counters. Both sinks are hive-partitioned by
+    * (country, plan) like the reference sink (ingest_transform.py:
+    * 262-269). Returns the started query.
+    */
+  def startDualSink(curated: DataFrame, mainPath: String,
+      quarantinePath: String, checkpointDir: String, stats: RunStats,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    withLateness(curated).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cached = batch.persist()
+          try {
+            val r = cached.agg(
+              count(lit(1)),
+              count(when(col("is_late_arrival"), 1)),
+              count(when(!col("dq_passed"), 1)),
+              count(when(col("schema_drift_detected"), 1))).head()
+            stats.total.add(r.getLong(0)); stats.late.add(r.getLong(1))
+            stats.dqFailed.add(r.getLong(2)); stats.drifted.add(r.getLong(3))
+            val (main, quarantine) =
+              Quarantine.split(cached, !col("dq_passed"))
+            main.write.mode("append")
+              .partitionBy("country", "plan").parquet(mainPath)
+            quarantine.write.mode("append")
+              .partitionBy("country", "plan").parquet(quarantinePath)
+          } finally { cached.unpersist(); () }
+        }
+      }
+      .start()
+
+  /** T5 — bounded run: block up to `durationMs`, then stop. Tests use
+    * `Trigger.AvailableNow` + `processAllAvailable` instead.
+    */
+  def runBounded(query: StreamingQuery, durationMs: Long): Unit = {
+    query.awaitTermination(durationMs)
+    if (query.isActive) query.stop()
+  }
+
+  /** T7 — sink fallback: Snowflake/JDBC creds incomplete → parquet
+    * (ingest_transform.py:365-372). The JDBC writer is injected — this
+    * environment has no network — but the selection contract is the
+    * reference's.
+    */
+  def chooseSink(jdbcConfigComplete: Boolean): String =
+    if (jdbcConfigComplete) "jdbc" else "parquet"
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agent.DecisionEngine._
+import graft.ops.Incidents
+
+/** Rule-engine scenarios pinned to the reference's tested behaviors
+  * (reference: tests/test_agent.py:125-363) plus a seeded property check
+  * pinning the pure-Scala engine to its Catalyst Column twin.
+  */
+class AgentSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("normal operation: continue, no actions, high confidence") {
+    val d = decide(PipelineContext(1000, 10, 10, 0))
+    assert(d.decision == "continue")
+    assert(d.actions.isEmpty)
+    assert(!d.escalationRequired)
+    assert(d.confidence == 0.9)
+  }
+
+  test("20% late rate escalates (reference: test_agent.py:200-220)") {
+    val d = decide(PipelineContext(1000, 200, 0, 0))
+    assert(d.escalationRequired)
+    assert(d.actions.contains(EscalateIncident("late_arrival")))
+  }
+
+  test("10% DQ failures escalate + quarantine (test_agent.py:222-242)") {
+    val d = decide(PipelineContext(1000, 0, 100, 0))
+    assert(d.escalationRequired)
+    assert(d.actions.exists(_.isInstanceOf[QuarantineRecords]))
+  }
+
+  test("schema drift auto-remaps without escalation (test_agent.py:173-198)") {
+    val d = decide(PipelineContext(1000, 0, 0, 10))
+    assert(d.decision == "auto_remediate")
+    assert(!d.escalationRequired)
+    assert(d.actions == Seq(ApplySchemaRemap))
+  }
+
+  test("3 consecutive failures retrigger + escalate") {
+    val d = decide(PipelineContext(1000, 0, 0, 0, consecutiveFailures = 3))
+    assert(d.escalationRequired)
+    assert(d.actions.contains(RetriggerTask("run_spark_job")))
+  }
+
+  test("missing run report: investigate with low confidence (test_agent.py:244-256)") {
+    val d = decide(PipelineContext(0, 0, 0, 0, runReportAvailable = false))
+    assert(d.decision == "investigate")
+    assert(d.escalationRequired)
+    assert(d.confidence < ConfidenceGate)
+    assert(actionsToExecute(d).isEmpty) // gated out
+  }
+
+  test("compound failure lowers confidence (test_agent.py:335-363)") {
+    val d = decide(PipelineContext(1000, 200, 100, 10))
+    assert(d.escalationRequired)
+    assert(d.confidence < 0.9)
+    assert(d.confidence >= 0.5)
+    assert(actionsToExecute(d).nonEmpty) // 0.7 gate still passed
+  }
+
+  test("exact thresholds do NOT trigger (strict inequalities)") {
+    val d = decide(PipelineContext(1000, 150, 50, 0))
+    assert(d.decision == "continue")
+  }
+
+  test("Column twin agrees with the case-class engine on random contexts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val boundary = Seq( // exact-threshold and zero cases
+      (0L, 0L, 0L, 0L, 0), (1000L, 150L, 0L, 0L, 0),
+      (1000L, 151L, 0L, 0L, 0), (1000L, 0L, 50L, 0L, 0),
+      (1000L, 0L, 51L, 0L, 0), (1000L, 0L, 0L, 1L, 0),
+      (1000L, 0L, 0L, 0L, 3), (100L, 100L, 100L, 5L, 4))
+    val random = Seq.fill(200) {
+      val total = rng.nextLong(10000L)
+      (total, if (total == 0) 0L else rng.nextLong(total + 1),
+        if (total == 0) 0L else rng.nextLong(total + 1),
+        rng.nextLong(50L), rng.nextInt(6))
+    }
+    val df = (boundary ++ random).toDF("total_records", "late_records",
+      "dq_failures", "schema_drift_count", "consecutive_failures")
+    val fromSpark = df
+      .select(Seq(col("total_records"), col("late_records"),
+        col("dq_failures"), col("schema_drift_count"),
+        col("consecutive_failures")) ++ decisionColumns: _*)
+      .collect()
+    assert(fromSpark.length == boundary.size + random.size)
+    fromSpark.foreach { r =>
+      val ctx = PipelineContext(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))
+      val d = decide(ctx)
+      assert(r.getAs[String]("decision") == d.decision, ctx)
+      assert(r.getAs[Boolean]("escalation_required")
+        == d.escalationRequired, ctx)
+      assert(r.getAs[Long]("n_actions") == d.actions.size, ctx)
+      assert(math.abs(r.getAs[Double]("confidence") - d.confidence)
+        < 1e-12, ctx)
+    }
+  }
+
+  test("incident latest state: one row per incident, max update wins") {
+    val incidents = Incidents.fromEvents(Tables(spark, Sf0001).events)
+    val log = Incidents.updateLog(incidents)
+    val latest = Incidents.latestState(log)
+    assert(latest.count() == incidents.count())
+    assert(latest.groupBy("incident_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // the surviving row carries each incident's max update_seq
+    val mx = log.groupBy("incident_id")
+      .agg(max("update_seq").as("mx"))
+    assert(latest.join(mx, "incident_id")
+      .filter(col("update_seq") =!= col("mx")).count() == 0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventPipeline
+
+/** Structured-Streaming specs: multi-batch MemoryStream harness for
+  * parse→curate→sink, watermark-driven late-row dropping, and the
+  * quarantine dual sink with in-stream run report (SURVEY.md §5 rebuild
+  * strategy (3)).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def eventJson(id: String, email: String, eventTs: Long,
+      plan: String = "basic", country: String = "US",
+      version: Int = 1): String =
+    s"""{"id":"$id","name":"n $id","email":"$email",
+       |"signup_ts":${eventTs - 86400000L},"country":"$country",
+       |"plan":"$plan","event_ts":$eventTs,"version":$version}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private val T0 = 1700000000000L // 2023-11-14 22:13:20 UTC
+
+  test("parse decodes JSON value and keeps kafka metadata") {
+    import spark.implicits._
+    val raw = Seq(
+      ("k1", eventJson("c1", "a@b.com", T0)),
+      ("k2", "{not json")).toDF("key", "value")
+    val parsed = EventPipeline.parse(raw)
+    assert(parsed.columns.startsWith(
+      EventPipeline.eventSchema.fieldNames))
+    val rows = parsed.orderBy("kafka_key").collect()
+    assert(rows(0).getAs[String]("id") == "c1")
+    assert(rows(0).getAs[String]("kafka_key") == "k1")
+    assert(rows(1).getAs[String]("id") == null) // unparseable -> nulls
+  }
+
+  test("dual sink splits quarantine from main and accumulates run report") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val mainDir = Files.createTempDirectory("main").toString
+    val qDir = Files.createTempDirectory("quar").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val stats = new EventPipeline.RunStats(spark)
+
+    val curated = EventPipeline.curate(
+      EventPipeline.parse(mem.toDF().select(col("value"))))
+    val query = EventPipeline.startDualSink(curated, mainDir, qDir, ckpt,
+      stats, Trigger.AvailableNow())
+
+    val now = System.currentTimeMillis()
+    mem.addData(
+      eventJson("c1", "good@example.com", now),
+      eventJson("c2", "also.good@example.com", now),
+      eventJson("c3", "bad-email", now), // DQ failure -> quarantine
+      eventJson("c4", "late@example.com", now - 3600000L), // late flag
+      eventJson("c5", "drift@example.com", now, version = 2)) // drift
+    query.awaitTermination(60000)
+
+    assert(stats.total.value == 5)
+    assert(stats.late.value == 1)
+    assert(stats.dqFailed.value == 1)
+    assert(stats.drifted.value == 1)
+    assert(math.abs(stats.dqFailureRate - 0.2) < 1e-9)
+
+    val main = spark.read.parquet(mainDir)
+    val quarantine = spark.read.parquet(qDir)
+    assert(main.count() == 4)
+    assert(quarantine.count() == 1)
+    assert(quarantine.select("id").head().getString(0) == "c3")
+    // hive partitioning by (country, plan) reaches the sink layout
+    assert(main.select("country", "plan").distinct().count() >= 1)
+    assert(Files.list(java.nio.file.Paths.get(mainDir)).toArray
+      .exists(_.toString.contains("country=US")))
+  }
+
+  test("windowed counts drop rows behind the watermark across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val curated = EventPipeline.curate(
+      EventPipeline.parse(mem.toDF().select(col("value"))))
+    val query = EventPipeline.windowedCounts(curated).writeStream
+      .outputMode("append").format("memory").queryName("wc").start()
+
+    // batch 1: two events in hour-window W0 = [T0.hour, +1h)
+    mem.addData(eventJson("a", "a@x.com", T0),
+      eventJson("b", "b@x.com", T0 + 60000L))
+    query.processAllAvailable()
+    // append mode: window not closed yet -> nothing emitted
+    assert(spark.table("wc").count() == 0)
+
+    // batch 2: an event 3 hours on -> watermark passes W0's end; W0 emits
+    mem.addData(eventJson("c", "c@x.com", T0 + 3 * 3600000L))
+    query.processAllAvailable()
+    val afterClose = spark.table("wc").collect()
+    assert(afterClose.length == 1)
+    assert(afterClose(0).getAs[Long]("n") == 2)
+
+    // batch 3: a straggler behind the watermark -> DROPPED, W0 unchanged
+    mem.addData(eventJson("d", "d@x.com", T0 + 120000L))
+    query.processAllAvailable()
+    val afterLate = spark.table("wc").collect()
+    assert(afterLate.length == 1)
+    assert(afterLate(0).getAs[Long]("n") == 2)
+    query.stop()
+  }
+
+  test("curate computes flags identically to the batch path") {
+    import spark.implicits._
+    val now = lit("2024-02-01 00:00:00").cast("timestamp")
+    val parsed = Seq(
+      eventJson("c1", "ok@example.com", 1706700000000L),
+      eventJson("c2", "bad", 1706700000000L))
+      .toDF("value")
+    val curated = EventPipeline.curate(EventPipeline.parse(parsed), now)
+    val rows = curated.orderBy("id").collect()
+    assert(rows(0).getAs[Boolean]("dq_passed"))
+    assert(!rows(1).getAs[Boolean]("dq_passed"))
+    assert(rows(0).getAs[String]("region") == "North America")
+    assert(rows(0).getAs[String]("email_domain") == "example.com")
+    assert(rows(0).getAs[Boolean]("is_late_arrival")) // Jan 31 evt, Feb 1 proc
+  }
+
+  test("sink fallback picks parquet without complete JDBC config") {
+    assert(EventPipeline.chooseSink(jdbcConfigComplete = false) == "parquet")
+    assert(EventPipeline.chooseSink(jdbcConfigComplete = true) == "jdbc")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.report.Analytics
+
+/** Join/window/set-op semantics plus physical-plan shape assertions: the
+  * 100 TB posture claims in Analytics' Scaladoc (broadcast dims, pushed
+  * filters, single-scan set ops) are pinned here against the actual
+  * Catalyst output, not just prose.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val t = Tables(spark, Sf0001)
+
+  test("set-ops query equals Dataset intersect/except semantics") {
+    val events = t.events
+    val purchasers = events.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val errored = events.filter(col("event_type") === "error")
+      .select("user_id").distinct()
+    val r = Analytics.purchaseErrorSetOps(events).head()
+    assert(r.getAs[Long]("n_purchasers") == purchasers.count())
+    assert(r.getAs[Long]("n_errored") == errored.count())
+    assert(r.getAs[Long]("n_both") == purchasers.intersect(errored).count())
+    assert(r.getAs[Long]("n_purchase_only")
+      == purchasers.except(errored).count())
+  }
+
+  test("revenue_by_region plan broadcasts the small dims") {
+    val plan = Analytics.revenueByRegion(t).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q1 filter is pushed down to the parquet scan") {
+    val df = t.lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      scan.take(2000))
+  }
+
+  test("scan prunes columns to the projection") {
+    val df = t.lineitem.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_returnflag:string,l_quantity:double>")
+      || scan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      scan.take(2000))
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    val plan = Analytics.hourlyEventCounts(t.events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2) // partial + final
+  }
+
+  test("session_window merges events within the gap") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0),  // +10m: same session
+      (1L, "2024-01-01 01:00:00", 3.0),  // +50m: new session
+      (2L, "2024-01-01 00:00:00", 4.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = Analytics.sessionWindows(events).orderBy("user_id",
+      "session_start_us").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("n_events") == 2)
+    // session end = last event + 30min gap
+    val endUs = r(0).getAs[Long]("session_end_us")
+    val startUs = r(0).getAs[Long]("session_start_us")
+    assert(endUs - startUs == (10 * 60 + 30 * 60) * 1000000L)
+  }
+
+  test("sliding windows place every event in exactly two windows") {
+    val total = t.events.count()
+    val windowed = Analytics.slidingWindowCounts(t.events)
+      .agg(sum("n")).head().getLong(0)
+    assert(windowed == 2 * total)
+  }
+
+  test("semi/anti flows partition orders exactly") {
+    val flows = Analytics.ordersByLateShipment(t)
+      .groupBy("flow").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flows("with_late") + flows("without_late") == t.orders.count())
+  }
+}

@@ -237,7 +237,20 @@ object SparkEntry {
       Incidents.latestState(
         Incidents.updateLog(Incidents.fromEvents(tables(s, dir).events)))
         .groupBy("status", "escalated").agg(count(lit(1)).as("n"))
-        .orderBy("status", "escalated"))
+        .orderBy("status", "escalated")),
+
+    // Dedup action: the surviving corpus after near-dup removal
+    "dedup_survivors" -> ((s, dir) =>
+      Dedup.minhashSurvivors(tables(s, dir).documents)),
+
+    // Corpus vocabulary: top-50 tokens with doc frequency
+    "top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(tables(s, dir).documents)),
+
+    // Exact interpolated doc-length quantiles per language
+    "doc_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(tables(s, dir).documents)
+        .orderBy("lang"))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -542,6 +555,12 @@ object SparkEntry {
          |  FROM log)
          |SELECT status, escalated, count(*) AS n
          |FROM latest WHERE rn = 1
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_survivors" -> Dedup.minhashSurvivorsSql,
+    "top_tokens" -> TextAnalysis.topTokensSql(),
+    "doc_length_quantiles" ->
+      s"""SELECT * FROM (${TextAnalysis.lengthQuantilesSql})
+         |ORDER BY lang""".stripMargin
   )
 }

@@ -226,6 +226,33 @@ object Dedup {
        |  >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The deduped corpus — pairs → action. Survivor policy: keep the
+    * lowest doc_id of each verified near-dup pair's two sides ("keep
+    * first"); a doc is dropped iff it appears as the *greater* id in any
+    * verified pair. One left_anti join against the (small) drop set; at
+    * 100 TB the drop set is broadcast and the corpus never shuffles.
+    * (Full transitive clustering needs iterative connected components —
+    * out of per-query scope, noted for a GraphFrames-style batch job.)
+    */
+  def minhashSurvivors(documents: DataFrame): DataFrame = {
+    val drops = minhashNearDups(documents).select(col("doc_b").as("doc_id"))
+      .distinct()
+    documents.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_survivors"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+  }
+
+  def minhashSurvivorsSql: String = {
+    // reuse the near-dup SQL as a subquery; drop the greater id of each pair
+    val nearDups = minhashNearDupsSql
+    s"""WITH neardups AS ($nearDups)
+       |SELECT count(*) AS n_survivors, min(doc_id) AS min_doc,
+       |  max(doc_id) AS max_doc
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM neardups)"""
+      .stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word

@@ -230,4 +230,44 @@ object TextAnalysis {
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  // ---- corpus roll-ups ----------------------------------------------------
+
+  /** Top-K vocabulary with doc frequency — the corpus-analysis staple.
+    * explode → two-level aggregate; both aggs are map-side combinable and
+    * the final top-K sorts only K·partitions rows.
+    */
+  def topTokens(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+
+  def topTokensSql(k: Int = 50): String =
+    s"""SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents)
+       |GROUP BY tok ORDER BY n DESC, tok LIMIT $k""".stripMargin
+
+  /** Exact interpolated length quantiles per language — `percentile`
+    * (exact, Spark ≥3.5) matches DuckDB's `quantile_cont` definition, so
+    * the oracle is exact. For 100 TB use `percentile_approx` (t-digest)
+    * instead and accept the weaker rows-only check.
+    */
+  def lengthQuantiles(documents: DataFrame): DataFrame =
+    documents.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"),
+        percentile(col("n_chars"), lit(0.99)).as("p99"))
+
+  def lengthQuantilesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90,
+      |  quantile_cont(n_chars, 0.99) AS p99
+      |FROM documents GROUP BY lang""".stripMargin
 }

@@ -465,13 +465,17 @@ object Dedup {
     */
   val TopPairsPerLabel = 3
 
+  /** Dot product via the native codegen'd [[graft.functions.ArrayDotProduct]]
+    * (identical left-to-right summation to the zip_with/aggregate fold it
+    * replaced — see that class's Scaladoc; equivalence pinned in ExtSpec).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.arrayDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def embeddingNearDups(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -32,11 +32,13 @@ object Similarity {
   /** Number of LSH hyperplanes (bucket bits). */
   val NumPlanes = 8
 
-  private def withNorm(embeddings: DataFrame): DataFrame =
+  private def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   // ---- brute-force top-k --------------------------------------------------
 

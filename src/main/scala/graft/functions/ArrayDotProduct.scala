@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns — the inner loop
+  * of cosine similarity for dedup/ANN (SURVEY.md §8.2).
+  *
+  * Why a custom Expression (preference order (b) of the build brief):
+  * the composable form `aggregate(zip_with(a, b, _*_), 0d, _+_)` is
+  * correct but higher-order lambdas execute interpreted, allocating a
+  * lambda frame per element; this expression is a tight codegen'd loop
+  * with zero allocation inside whole-stage codegen. Left-to-right
+  * summation order is IDENTICAL to the fold form, so results (and the
+  * DuckDB oracle comparisons) are bit-for-bit unchanged.
+  *
+  * Precondition: array elements non-null (embedding vectors). Shorter of
+  * the two lengths bounds the loop, matching zip_with-with-nulls only on
+  * equal-length inputs — embeddings are fixed-dim.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires (array<double>, array<double>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration surface for graft's native functions: either install
+  * [[GraftExtensions]] via `spark.sql.extensions`, or call
+  * [[GraftFunctions.register]] on an existing session (idempotent). The
+  * operator modules call `register` defensively so driver-created
+  * sessions work without config.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id)) {
+        spark.sessionState.functionRegistry
+          .registerFunction(id, info, builder)
+        ()
+      }
+    }
+
+  def registerTo(ext: SparkSessionExtensions): Unit =
+    fns.foreach(ext.injectFunction)
+
+  /** `array_dot(a, b)` as a Column; requires registration (resolved
+    * lazily against the analyzing session's registry).
+    */
+  def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
+  * native functions at session build (SparkSessionExtensions route).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registerTo(ext)
+}

@@ -96,7 +96,26 @@ class ExtSpec extends AnyFunSuite {
     assert(q0.sameElements(q0.sorted.reverse))
   }
 
+  test("native array_dot equals the zip_with/aggregate fold bit-for-bit") {
+    import graft.ext.Dedup.{dot => nativeDot}
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, Sf0001).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val both = e.select(
+      nativeDot(col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact
+    // and it participates in whole-stage codegen (no interpreted fallback)
+    val plan = e.select(nativeDot(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in compact plans
+    assert(plan.contains("*(1) Project [array_dot"), plan.take(500))
+  }
+
   test("LSH ANN candidates all share the query's sign bucket") {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, Sf0001).embeddings
     val withBucket = e
       .select(col("vec_id"),

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.streaming.{EventPipeline, StatefulOps}
+
+/** Scale-pattern specs: keyed state across micro-batches
+  * (flatMapGroupsWithState), salted skew aggregation, and bucketed
+  * co-located joins (shuffle elimination pinned on the physical plan).
+  */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def obsJson(id: String, email: String, ts: Long): String =
+    s"""{"id":"$id","name":"n","email":"$email","signup_ts":${ts - 1000},
+       |"country":"US","plan":"basic","event_ts":$ts,"version":1}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("consecutive DQ failures escalate across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val curated = EventPipeline.curate(
+      EventPipeline.parse(mem.toDF().select(col("value"))))
+    val query = StatefulOps.escalations(curated).writeStream
+      .outputMode("append").format("memory").queryName("esc").start()
+
+    val t0 = 1700000000000L
+    // batch 1: c1 fails twice (bad email), c2 passes
+    mem.addData(obsJson("c1", "bad", t0), obsJson("c1", "bad", t0 + 1000),
+      obsJson("c2", "ok@example.com", t0))
+    query.processAllAvailable()
+    assert(spark.table("esc").count() == 0) // streak at 2 < 3
+
+    // batch 2: c1's third consecutive failure -> escalation; c2 fails once
+    mem.addData(obsJson("c1", "bad", t0 + 2000), obsJson("c2", "bad", t0 + 2000))
+    query.processAllAvailable()
+    val esc = spark.table("esc").collect()
+    assert(esc.length == 1)
+    assert(esc(0).getAs[String]("id") == "c1")
+    assert(esc(0).getAs[Int]("consecutive") == 3)
+
+    // batch 3: c1 passes (reset), then fails twice -> no new escalation
+    mem.addData(obsJson("c1", "ok@example.com", t0 + 3000),
+      obsJson("c1", "bad", t0 + 4000), obsJson("c1", "bad", t0 + 5000))
+    query.processAllAvailable()
+    assert(spark.table("esc").count() == 1)
+    query.stop()
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val events = Tables(spark, Sf0001).events
+    val direct = events.groupBy(col("user_id")).count()
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val salted = Skew.saltedCount(events, col("user_id"))
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.sameElements(direct))
+  }
+
+  test("salted distinct-count equals direct countDistinct") {
+    val events = Tables(spark, Sf0001).events
+    val direct = events.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val salted = Skew.saltedCountDistinct(events, col("user_id"),
+        col("event_type"))
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.sameElements(direct))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val t = Tables(spark, Sf0001)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    t.orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    t.customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: sort-merge join reads both sides bucket-aligned
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+    assert(joined.count() == t.orders.join(t.customer,
+      col("o_custkey") === col("c_custkey")).count())
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    ()
+  }
+}

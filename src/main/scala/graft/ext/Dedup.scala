@@ -84,9 +84,11 @@ object Dedup {
     * so whole-stage codegen applies — md5 inside array-lambda HOFs would
     * run interpreted and costs ~10× here).
     */
-  def shingleTable(documents: DataFrame): DataFrame =
+  def shingleTable(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text"))))).as("shingle"))
+      explode(array_distinct(shingles(col("text")))).as("shingle"))
+  }
 
   /** Per-doc MinHash signatures via the universal-hash family
     * h_i(x)=(a_i·x+b_i) mod p over ONE md5 per shingle: the 12 signature
@@ -277,9 +279,10 @@ object Dedup {
     * bigram hash. One explode + two map-side-combinable aggregations.
     */
   def simhash(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val tf = documents
       .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 2)).as("gram"))
+        explode(shingles(col("text"), 2)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h32(col("gram")))
     val bitSums = (0 until SimHashBits).map { j =>
@@ -400,7 +403,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val g = documents.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 2)).as("grams"))
+      array_distinct(shingles(col("text"), 2)).as("grams"))
       .persist() // read by both verification sides
     cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))

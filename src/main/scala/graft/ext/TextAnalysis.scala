@@ -193,13 +193,14 @@ object TextAnalysis {
   /** Shingle size (words) for fingerprints and MinHash. */
   val ShingleK = 5
 
-  /** Word-k-shingle array for a token array column; clamps short docs to
-    * one (possibly short) shingle so the expression is total.
+  /** Word-k-shingle array of a TEXT column — the native codegen'd
+    * [[graft.functions.WordShingles]] (identical semantics to the
+    * split/slice/join composition; see its Scaladoc). Clamps short docs
+    * to one shingle so the expression is total. Callers must have
+    * registered [[graft.functions.GraftFunctions]] on the session.
     */
-  def shingles(toks: Column, k: Int = ShingleK): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(k)), " "))
+  def shingles(text: Column, k: Int = ShingleK): Column =
+    graft.functions.GraftFunctions.wordShingles(text, k)
 
   /** DuckDB mirror of [[shingles]] over a list-typed SQL expression. */
   def shinglesSql(toksExpr: String, k: Int = ShingleK): String =
@@ -211,13 +212,15 @@ object TextAnalysis {
     * minimum shingle hash (a 1-seed MinHash — a rolling-window content
     * fingerprint robust to suffix edits). All map-side.
     */
-  def fingerprints(documents: DataFrame): DataFrame =
+  def fingerprints(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"), md5(col("text")).as("fp_md5"),
-        shingles(tokens(col("text"))).as("sh"))
+        shingles(col("text")).as("sh"))
       .select(col("doc_id"), col("fp_md5"),
         array_min(transform(col("sh"), s => h32(s))).as("min_shingle_hash"),
         size(col("sh")).cast("long").as("n_shingles"))
+  }
 
   def fingerprintsSql: String =
     s"""SELECT doc_id, fp_md5,

@@ -83,7 +83,11 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[Expression]) =>
+        WordShingles(es.head, es(1).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>
@@ -101,6 +105,11 @@ object GraftFunctions {
     * lazily against the analyzing session's registry).
     */
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** `word_shingles(text, k)` as a Column; requires registration. */
+  def wordShingles(text: Column, k: Int): Column =
+    call_function("word_shingles", text,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the

@@ -96,6 +96,29 @@ class ExtSpec extends AnyFunSuite {
     assert(q0.sameElements(q0.sorted.reverse))
   }
 
+  test("native word_shingles equals the split/slice/join composition") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      "a b c d e f g",       // normal
+      "a b",                  // fewer tokens than k
+      "one",                  // single token
+      "x  y z",               // doubled space -> empty token
+      "trail z a b c d e")
+    for (k <- Seq(2, 5)) {
+      val df = texts.toDF("text")
+      val native = df.select(
+        graft.functions.GraftFunctions.wordShingles(col("text"), k))
+        .collect().map(_.getSeq[String](0))
+      val toks = split(col("text"), " ")
+      val hof = df.select(
+        transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .collect().map(_.getSeq[String](0))
+      native.zip(hof).foreach { case (n, h) => assert(n == h, s"k=$k") }
+    }
+  }
+
   test("native array_dot equals the zip_with/aggregate fold bit-for-bit") {
     import graft.ext.Dedup.{dot => nativeDot}
     graft.functions.GraftFunctions.register(spark)

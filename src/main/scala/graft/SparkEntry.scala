@@ -250,7 +250,28 @@ object SparkEntry {
     // Exact interpolated doc-length quantiles per language
     "doc_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(tables(s, dir).documents)
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // IVF-style ANN: coarse cells + nProbe search (scale twin of LSH)
+    "ann_topk_ivf" -> ((s, dir) =>
+      Similarity.topKIvf(tables(s, dir).embeddings)
+        .orderBy("q_id", "rank")),
+
+    // GE unexpected-rows extraction: 5 failing rows per expectation
+    "dq_failed_samples" -> ((s, dir) =>
+      DqSuite.failedSamples(Enrich.curated(tables(s, dir).events),
+        DqSuite.customersSuite).orderBy("exp_idx", "event_id")),
+
+    // Sketch scale-path (HLL + t-digest) alongside exact answers;
+    // deliberately no oracle (approx) -> driver's rows-only check
+    "approx_sketches" -> ((s, dir) =>
+      tables(s, dir).documents.agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("text")).as("approx_distinct_texts"),
+        countDistinct(col("text")).as("exact_distinct_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+          .as("approx_p50_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("exact_p50_chars")))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -561,6 +582,13 @@ object SparkEntry {
     "top_tokens" -> TextAnalysis.topTokensSql(),
     "doc_length_quantiles" ->
       s"""SELECT * FROM (${TextAnalysis.lengthQuantilesSql})
-         |ORDER BY lang""".stripMargin
+         |ORDER BY lang""".stripMargin,
+
+    "ann_topk_ivf" -> Similarity.topKIvfSql,
+    "dq_failed_samples" ->
+      s"""$W, samples AS (
+         |${DqSuite.failedSamplesSql(DqSuite.customersSuite)})
+         |SELECT * FROM samples ORDER BY exp_idx, event_id""".stripMargin
+    // approx_sketches: intentionally no oracle (approximate algorithms)
   )
 }

@@ -199,6 +199,69 @@ object DqSuite {
     }.mkString("SELECT *, CASE WHEN n_evaluated > 0 THEN round(CAST(n_evaluated - n_failed AS DOUBLE) / n_evaluated, 6) ELSE 1.0 END AS success_rate, (n_failed = 0) AS success FROM (\n",
       "\nUNION ALL\n", "\n)")
 
+  /** Per-expectation failing-row predicate (None for schema-level
+    * expectations). Used for GE-style "unexpected rows" extraction.
+    */
+  def failPredicate(e: Expectation): Option[Column] = e match {
+    case NotNull(c) => Some(col(c).isNull)
+    case PairGeq(a, b) =>
+      Some(col(a).isNotNull && col(b).isNotNull && col(a) < col(b))
+    case re: RowExpectation =>
+      Some(col(re.column).isNotNull && re.unexpected)
+    case _ => None // Unique handled via dup-key join; schema-level: none
+  }
+
+  def failPredicateSql(e: Expectation): Option[String] = e match {
+    case NotNull(c) => Some(s"$c IS NULL")
+    case PairGeq(a, b) =>
+      Some(s"$a IS NOT NULL AND $b IS NOT NULL AND $a < $b")
+    case re: RowExpectation =>
+      Some(s"${re.column} IS NOT NULL AND (${re.unexpectedSql})")
+    case _ => None
+  }
+
+  /** GE's unexpected-rows sample: up to `n` failing rows per expectation
+    * (keyed by `event_id`), including duplicate-key rows for Unique via a
+    * self-join on over-represented keys. Each per-expectation probe is an
+    * independent filter+limit over the same (cacheable) frame; at 100 TB
+    * sampling failing rows is exactly this shape with a TABLESAMPLE
+    * upstream.
+    */
+  def failedSamples(df: DataFrame, suite: Seq[Expectation],
+      n: Int = 5): DataFrame = {
+    val cached = df
+    val parts = suite.zipWithIndex.flatMap { case (e, i) =>
+      val base = e match {
+        case Unique(c) =>
+          val dups = cached.filter(col(c).isNotNull)
+            .groupBy(c).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).select(c)
+          Some(cached.join(dups, Seq(c)))
+        case other => failPredicate(other).map(cached.filter)
+      }
+      base.map(_.select(lit(i + 1).cast("long").as("exp_idx"),
+        col("event_id")).orderBy("event_id").limit(n))
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB mirror over the `cur` CTE. */
+  def failedSamplesSql(suite: Seq[Expectation], n: Int = 5): String =
+    suite.zipWithIndex.flatMap { case (e, i) =>
+      val sel = e match {
+        case Unique(c) => Some(
+          s"""SELECT CAST(${i + 1} AS BIGINT) AS exp_idx, event_id
+             FROM cur WHERE $c IN (
+               SELECT $c FROM cur WHERE $c IS NOT NULL
+               GROUP BY $c HAVING count(*) > 1)
+             ORDER BY event_id LIMIT $n""")
+        case other => failPredicateSql(other).map(p =>
+          s"""SELECT CAST(${i + 1} AS BIGINT) AS exp_idx, event_id
+             FROM cur WHERE $p ORDER BY event_id LIMIT $n""")
+      }
+      sel.map(s => s"($s)")
+    }.mkString("\nUNION ALL\n")
+
   // ---- suite summary + banding (dq_rules.yml:85-89) ------------------------
 
   val CriticalThreshold = 0.05

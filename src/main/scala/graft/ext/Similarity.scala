@@ -133,6 +133,90 @@ object Similarity {
         col("n_candidates"))
   }
 
+  /** IVF parameters: number of coarse cells and probed cells per query. */
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** IVF-style ANN: assign every vector to its nearest of [[IvfCells]]
+    * coarse centroids (deterministically seeded: the lowest vec_ids serve
+    * as centroids — a k-means iteration would refine them offline), then
+    * search only the [[IvfProbes]] cells nearest each query. The inverted
+    * file (cell → vectors) is exactly a hash-partitioned table at scale:
+    * probing is a partition-pruned join, and recall/work is tuned by
+    * nProbe — the standard IVF trade.
+    */
+  def topKIvf(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // L2² via dot products; identical op order to the oracle SQL
+    def dist2(v: Column, nv: Column, cv: Column, nc: Column): Column =
+      nv * nv - lit(2.0) * dot(v, cv) + nc * nc
+    val ranked = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        dist2(col("v"), col("nrm"), col("cv"), col("cn")).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cell"))))
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = ranked.filter(col("rn") <= IvfProbes
+        && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val scored = assign.join(broadcast(probes),
+        assign("cell") === probes("cell")
+          && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), assign("cell"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        col("cosine"))
+  }
+
+  def topKIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv, nrm AS cn FROM e
+       |  WHERE vec_id < $IvfCells),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cents.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      e.nrm * e.nrm
+       |        - 2.0 * list_sum([CAST(e.embedding[i] AS DOUBLE)
+       |                          * CAST(cv[i] AS DOUBLE)
+       |                          for i in range(1, len(e.embedding) + 1)])
+       |        + cn * cn,
+       |      cents.cell) AS rn
+       |  FROM e CROSS JOIN cents),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, cell
+       |  FROM ranked WHERE rn <= $IvfProbes AND vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
+       |                    * CAST(a.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(p.qv) + 1)])
+       |      / (p.qn * a.nrm), 6) AS cosine
+       |  FROM assign a JOIN probes p
+       |    ON a.cell = p.cell AND a.vec_id != p.q_id)
+       |SELECT q_id, rank, vec_id, cell, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   def topKLshSql: String = {
     val bucket = (0 until NumPlanes).map { h =>
       val plane = (0 until Dim)

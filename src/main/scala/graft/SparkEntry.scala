@@ -271,7 +271,16 @@ object SparkEntry {
         countDistinct(col("text")).as("exact_distinct_texts"),
         percentile_approx(col("n_chars"), lit(0.5), lit(1000))
           .as("approx_p50_chars"),
-        percentile(col("n_chars"), lit(0.5)).as("exact_p50_chars")))
+        percentile(col("n_chars"), lit(0.5)).as("exact_p50_chars"))),
+
+    // Ranking breadth: dense_rank / percent_rank / ntile, one total order
+    "customer_value_ranks" -> ((s, dir) =>
+      Analytics.customerValueRanks(tables(s, dir))),
+
+    // Pivot: incident type × severity matrix
+    "incident_pivot" -> ((s, dir) =>
+      Analytics.incidentPivot(Incidents.fromEvents(tables(s, dir).events))
+        .orderBy("incident_type"))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -588,7 +597,29 @@ object SparkEntry {
     "dq_failed_samples" ->
       s"""$W, samples AS (
          |${DqSuite.failedSamplesSql(DqSuite.customersSuite)})
-         |SELECT * FROM samples ORDER BY exp_idx, event_id""".stripMargin
+         |SELECT * FROM samples ORDER BY exp_idx, event_id""".stripMargin,
     // approx_sketches: intentionally no oracle (approximate algorithms)
+
+    "customer_value_ranks" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, revenue,
+        |  dense_rank() OVER w AS rk,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  ntile(4) OVER w AS quartile
+        |FROM rev
+        |WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+        |ORDER BY revenue DESC, o_custkey LIMIT 50""".stripMargin,
+
+    "incident_pivot" ->
+      s"""WITH incidents AS (${Incidents.sqlCte})
+         |SELECT incident_type,
+         |  count(CASE WHEN severity = 'low' THEN 1 END) AS low,
+         |  count(CASE WHEN severity = 'medium' THEN 1 END) AS medium,
+         |  count(CASE WHEN severity = 'high' THEN 1 END) AS high,
+         |  count(CASE WHEN severity = 'critical' THEN 1 END) AS critical
+         |FROM incidents GROUP BY incident_type
+         |ORDER BY incident_type""".stripMargin
   )
 }

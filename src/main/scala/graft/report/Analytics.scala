@@ -147,6 +147,35 @@ object Analytics {
         count(when(col("p") === 1 && col("e") === 0, 1))
           .as("n_purchase_only"))
 
+  /** Ranking-function breadth over per-customer revenue: dense_rank,
+    * percent_rank and ntile quartiles under one total order (revenue
+    * desc, custkey for tie-break determinism). One shuffle for the
+    * aggregation, one for the global window — at scale the global sort
+    * becomes a range-partitioned window or a per-region partition.
+    */
+  def customerValueRanks(t: Tables, k: Int = 50): DataFrame = {
+    val rev = t.orders.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+    rev.select(col("o_custkey"), col("revenue"),
+        dense_rank().over(w).as("rk"),
+        round(percent_rank().over(w), 6).as("pr"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(k)
+  }
+
+  /** Pivot: incident counts by type × severity as columns (null cells
+    * zero-filled to match the relational conditional-count equivalent).
+    */
+  def incidentPivot(incidents: DataFrame): DataFrame = {
+    val sevs = graft.ops.Incidents.Severities
+    val p = incidents.groupBy("incident_type")
+      .pivot("severity", sevs).agg(count(lit(1)))
+    p.select(col("incident_type") +:
+      sevs.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+  }
+
   /** Native `session_window` sessionization (gap-merged event-time
     * sessions, end = last event + gap). Unlike [[sessionsPerUser]]'s
     * manual lag/flag form this is Spark's own stateful-capable operator —

@@ -280,7 +280,12 @@ object SparkEntry {
     // Pivot: incident type × severity matrix
     "incident_pivot" -> ((s, dir) =>
       Analytics.incidentPivot(Incidents.fromEvents(tables(s, dir).events))
-        .orderBy("incident_type"))
+        .orderBy("incident_type")),
+
+    // Transitive near-dup clusters (iterative min-label propagation)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.minhashClusters(tables(s, dir).documents)
+        .orderBy("cluster_id"))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -620,6 +625,8 @@ object SparkEntry {
          |  count(CASE WHEN severity = 'high' THEN 1 END) AS high,
          |  count(CASE WHEN severity = 'critical' THEN 1 END) AS critical
          |FROM incidents GROUP BY incident_type
-         |ORDER BY incident_type""".stripMargin
+         |ORDER BY incident_type""".stripMargin,
+
+    "dedup_clusters" -> Dedup.minhashClustersSql
   )
 }

@@ -255,6 +255,63 @@ object Dedup {
       .stripMargin
   }
 
+  /** Transitive near-dup clusters via iterative min-label propagation
+    * over the verified-pair graph (the connected-components step
+    * [[minhashSurvivors]] notes as out of per-query scope — here it IS
+    * in scope because the pair graph is small after verification; the
+    * iteration is a driver loop over persisted frames, the standard
+    * Spark shape for label propagation, converging in
+    * O(log(diameter)) rounds).
+    *
+    * Output: one row per cluster with ≥2 docs — (cluster_id = min doc_id
+    * in the cluster, n_docs).
+    */
+  def minhashClusters(documents: DataFrame): DataFrame = {
+    val pairs = minhashNearDups(documents)
+      .select(col("doc_a"), col("doc_b")).persist()
+    // symmetric edge list incl. self-loops, restricted to paired docs
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_b").as("doc_b")))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .unionByName(pairs.select(col("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().persist()
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min("label").as("label")).persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"),
+        "doc_id").filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  def minhashClustersSql: String =
+    s"""WITH RECURSIVE neardups AS ($minhashNearDupsSql),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a)
+       |SELECT label AS cluster_id, count(*) AS n_docs
+       |FROM labels GROUP BY label HAVING count(*) >= 2
+       |ORDER BY cluster_id""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word

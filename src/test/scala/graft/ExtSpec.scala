@@ -54,6 +54,20 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(j - 0.8) < 1e-5)
   }
 
+  test("cluster propagation merges chained pairs transitively") {
+    // a~b and b~c but a,c were never a NEAR-DUP PAIR directly:
+    // doc 3 bridges 1 and 2 via two overlapping halves
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val chain = docsDF(Seq(
+      (1L, s"$base left left left left"),
+      (2L, s"$base right right right right"),
+      (3L, base),
+      (9L, "totally unrelated text about completely other things here now")))
+    val clusters = Dedup.minhashClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.toSeq == Seq((1L, 3L))) // one cluster {1,2,3}
+  }
+
   test("simhash pairs the twins within hamming radius") {
     val pairs = Dedup.simhashNearDups(twins)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -266,10 +266,49 @@ object Dedup {
     * Output: one row per cluster with ≥2 docs — (cluster_id = min doc_id
     * in the cluster, n_docs).
     */
+  /** Pair-graph size below which clustering runs as driver-side
+    * union-find: verified near-dup pairs are bounded by the true
+    * duplicate count, orders of magnitude smaller than the corpus, so
+    * even a petabyte corpus usually yields a driver-sized pair graph.
+    */
+  val DriverClusterMaxPairs = 2000000L
+
   def minhashClusters(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val pairs = minhashNearDups(documents)
       .select(col("doc_a"), col("doc_b")).persist()
-    // symmetric edge list incl. self-loops, restricted to paired docs
+    if (pairs.count() <= DriverClusterMaxPairs) {
+      // union-find on the (small) verified-pair graph; per-iteration
+      // Spark job overhead would dwarf the actual work distributed
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = parent.keySet ++ parent.values
+      members.toSeq.map(d => (find(d), 1L))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+        .filter(_._2 >= 2)
+        .toDF("cluster_id", "n_docs")
+    } else distributedClusters(pairs)
+  }
+
+  /** Distributed min-label propagation fallback for pair graphs beyond
+    * driver capacity — the standard iterative shape (persist per round,
+    * converges in O(log diameter) rounds).
+    */
+  private def distributedClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_b").as("doc_b")))

@@ -229,7 +229,7 @@ object DqSuite {
     */
   def failedSamples(df: DataFrame, suite: Seq[Expectation],
       n: Int = 5): DataFrame = {
-    val cached = df
+    val cached = df.persist() // ~16 probes share one materialization
     val parts = suite.zipWithIndex.flatMap { case (e, i) =>
       val base = e match {
         case Unique(c) =>

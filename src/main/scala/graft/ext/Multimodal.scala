@@ -31,17 +31,28 @@ object Multimodal {
     doc_id: Long, payload: Array[Byte], kind: String, n_bytes: Long)
 
   /** Stubbed decode output; in production width/height/frames come from
-    * the codec.
+    * the codec. `resized_*` demonstrate the resize stage (fit into a
+    * [[ResizeMax]]² box preserving aspect, integer math); `frame_hashes`
+    * demonstrate frame-sampling (md5 of every [[FrameStride]]-th
+    * [[FrameBytes]]-byte frame).
     */
   final case class MediaFeatures(
     doc_id: Long, kind: String, n_bytes: Long, header_md5: String,
-    n_frames: Long, fake_width: Long, fake_height: Long)
+    n_frames: Long, fake_width: Long, fake_height: Long,
+    resized_width: Long, resized_height: Long,
+    n_sampled_frames: Long, frame_hashes: String)
 
   /** Bytes of payload header fed to the fingerprint. */
   val HeaderBytes = 16
 
   /** Fixed "frame" size for the frame-sampling stub. */
   val FrameBytes = 256
+
+  /** Sample every Nth frame. */
+  val FrameStride = 4
+
+  /** Resize stub: fit the fake dimensions into this square box. */
+  val ResizeMax = 256L
 
   /** documents → typed media records: payload = UTF-8 bytes of `text`,
     * metadata columns alongside. Pure projection (map-side).
@@ -73,14 +84,31 @@ object Multimodal {
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val header = r.payload.take(HeaderBytes)
     val hm = md5Hex(header)
+    val w = 320L + h32("w:" + hm) % 1600L
+    val h = 240L + h32("h:" + hm) % 840L
+    // integer-math "fit into box" resize preserving aspect ratio
+    val longSide = math.max(w, h)
+    val (rw, rh) =
+      if (longSide <= ResizeMax) (w, h)
+      else (w * ResizeMax / longSide, h * ResizeMax / longSide)
+    // sample every FrameStride-th frame, hash its bytes
+    val stride = FrameBytes * FrameStride
+    val hashes = (0L until r.n_bytes by stride.toLong).map { off =>
+      val end = math.min(off + FrameBytes, r.n_bytes).toInt
+      md5Hex(java.util.Arrays.copyOfRange(r.payload, off.toInt, end))
+    }
     MediaFeatures(
       doc_id = r.doc_id,
       kind = r.kind,
       n_bytes = r.n_bytes,
       header_md5 = hm,
       n_frames = (r.n_bytes + FrameBytes - 1) / FrameBytes,
-      fake_width = 320L + h32("w:" + hm) % 1600L,
-      fake_height = 240L + h32("h:" + hm) % 840L)
+      fake_width = w,
+      fake_height = h,
+      resized_width = rw,
+      resized_height = rh,
+      n_sampled_frames = hashes.size.toLong,
+      frame_hashes = hashes.mkString(","))
   }
 
   /** Partition-wise decode: the iterator is the batch; a real codec would
@@ -102,15 +130,33 @@ object Multimodal {
   /** DuckDB oracle: reproduces the stub from `text` (payload == UTF-8
     * bytes of text; fixture text is ASCII so substr==byte-slice).
     */
-  def featuresSql: String =
-    s"""SELECT doc_id, 'text/plain' AS kind,
-       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       |  md5(substr(text, 1, $HeaderBytes)) AS header_md5,
-       |  CAST((octet_length(encode(text)) + ${FrameBytes - 1})
-       |    // $FrameBytes AS BIGINT) AS n_frames,
-       |  320 + ${Hashing.h32Sql(s"'w:' || md5(substr(text, 1, $HeaderBytes))")}
-       |    % 1600 AS fake_width,
-       |  240 + ${Hashing.h32Sql(s"'h:' || md5(substr(text, 1, $HeaderBytes))")}
-       |    % 840 AS fake_height
-       |FROM documents""".stripMargin
+  def featuresSql: String = {
+    val stride = FrameBytes * FrameStride
+    s"""SELECT doc_id, kind, n_bytes, header_md5, n_frames,
+       |  fake_width, fake_height,
+       |  CASE WHEN greatest(fake_width, fake_height) <= $ResizeMax
+       |    THEN fake_width
+       |    ELSE fake_width * $ResizeMax // greatest(fake_width, fake_height)
+       |    END AS resized_width,
+       |  CASE WHEN greatest(fake_width, fake_height) <= $ResizeMax
+       |    THEN fake_height
+       |    ELSE fake_height * $ResizeMax // greatest(fake_width, fake_height)
+       |    END AS resized_height,
+       |  len([1 for off in range(0, n_bytes, $stride)])
+       |    AS n_sampled_frames,
+       |  array_to_string(
+       |    [md5(substr(text, off + 1, least($FrameBytes, n_bytes - off)))
+       |     for off in range(0, n_bytes, $stride)], ',') AS frame_hashes
+       |FROM (
+       |  SELECT doc_id, text, 'text/plain' AS kind,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    md5(substr(text, 1, $HeaderBytes)) AS header_md5,
+       |    CAST((octet_length(encode(text)) + ${FrameBytes - 1})
+       |      // $FrameBytes AS BIGINT) AS n_frames,
+       |    320 + ${Hashing.h32Sql(s"'w:' || md5(substr(text, 1, $HeaderBytes))")}
+       |      % 1600 AS fake_width,
+       |    240 + ${Hashing.h32Sql(s"'h:' || md5(substr(text, 1, $HeaderBytes))")}
+       |      % 840 AS fake_height
+       |  FROM documents)""".stripMargin
+  }
 }

@@ -221,46 +221,60 @@ object DqSuite {
   }
 
   /** GE's unexpected-rows sample: up to `n` failing rows per expectation
-    * (keyed by `event_id`), including duplicate-key rows for Unique via a
-    * self-join on over-represented keys. Each per-expectation probe is an
-    * independent filter+limit over the same (cacheable) frame; at 100 TB
-    * sampling failing rows is exactly this shape with a TABLESAMPLE
-    * upstream.
+    * (keyed by `event_id`). ONE scan tags each row with the list of
+    * expectations it fails (array of indices, exploded), and a window
+    * keeps the first `n` per expectation — versus a filter+limit job per
+    * expectation, this is a single pass regardless of suite width, the
+    * 100 TB shape. Unique needs its dup-key self-join and joins the same
+    * window as one extra branch.
     */
   def failedSamples(df: DataFrame, suite: Seq[Expectation],
       n: Int = 5): DataFrame = {
-    val cached = df.persist() // ~16 probes share one materialization
-    val parts = suite.zipWithIndex.flatMap { case (e, i) =>
-      val base = e match {
-        case Unique(c) =>
-          val dups = cached.filter(col(c).isNotNull)
-            .groupBy(c).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > 1).select(c)
-          Some(cached.join(dups, Seq(c)))
-        case other => failPredicate(other).map(cached.filter)
-      }
-      base.map(_.select(lit(i + 1).cast("long").as("exp_idx"),
-        col("event_id")).orderBy("event_id").limit(n))
+    val rowTags = suite.zipWithIndex.flatMap { case (e, i) =>
+      failPredicate(e).map(p => when(p, lit(i + 1L)))
     }
-    parts.reduce(_.unionByName(_))
+    val exploded = df.select(col("event_id"),
+      explode(array_compact(array(rowTags: _*))).as("exp_idx"))
+      .select(col("exp_idx"), col("event_id"))
+    val uniqueParts = suite.zipWithIndex.collect {
+      case (Unique(c), i) =>
+        val dups = df.filter(col(c).isNotNull)
+          .groupBy(c).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).select(c)
+        df.join(dups, Seq(c))
+          .select(lit(i + 1L).as("exp_idx"), col("event_id"))
+    }
+    val all = uniqueParts.foldLeft(exploded)(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("exp_idx").orderBy("event_id")
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).select("exp_idx", "event_id")
   }
 
   /** DuckDB mirror over the `cur` CTE. */
-  def failedSamplesSql(suite: Seq[Expectation], n: Int = 5): String =
-    suite.zipWithIndex.flatMap { case (e, i) =>
-      val sel = e match {
-        case Unique(c) => Some(
-          s"""SELECT CAST(${i + 1} AS BIGINT) AS exp_idx, event_id
-             FROM cur WHERE $c IN (
-               SELECT $c FROM cur WHERE $c IS NOT NULL
-               GROUP BY $c HAVING count(*) > 1)
-             ORDER BY event_id LIMIT $n""")
-        case other => failPredicateSql(other).map(p =>
-          s"""SELECT CAST(${i + 1} AS BIGINT) AS exp_idx, event_id
-             FROM cur WHERE $p ORDER BY event_id LIMIT $n""")
-      }
-      sel.map(s => s"($s)")
-    }.mkString("\nUNION ALL\n")
+  def failedSamplesSql(suite: Seq[Expectation], n: Int = 5): String = {
+    val rowCases = suite.zipWithIndex.flatMap { case (e, i) =>
+      failPredicateSql(e).map(p =>
+        s"CASE WHEN $p THEN CAST(${i + 1} AS BIGINT) END")
+    }
+    val uniqueSelects = suite.zipWithIndex.collect {
+      case (Unique(c), i) =>
+        s"""UNION ALL
+           |SELECT CAST(${i + 1} AS BIGINT) AS exp_idx, event_id
+           |FROM cur WHERE $c IN (
+           |  SELECT $c FROM cur WHERE $c IS NOT NULL
+           |  GROUP BY $c HAVING count(*) > 1)""".stripMargin
+    }.mkString("\n")
+    s"""SELECT exp_idx, event_id FROM (
+       |  SELECT exp_idx, event_id, row_number() OVER (
+       |    PARTITION BY exp_idx ORDER BY event_id) AS rn
+       |  FROM (
+       |    SELECT unnest([x for x in [${rowCases.mkString(",\n      ")}]
+       |                   if x IS NOT NULL]) AS exp_idx, event_id
+       |    FROM cur
+       |    $uniqueSelects))
+       |WHERE rn <= $n""".stripMargin
+  }
 
   // ---- suite summary + banding (dq_rules.yml:85-89) ------------------------
 

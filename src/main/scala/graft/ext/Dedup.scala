@@ -376,11 +376,14 @@ object Dedup {
     */
   def simhash(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    // features are HASHED before the TF combine: the shuffle key is
+    // (long, long) instead of (long, string) and md5 runs map-side —
+    // SimHash is defined over hashed features anyway, so grouping equal
+    // hashes is the algorithm, not an approximation
     val tf = documents
-      .select(col("doc_id"),
-        explode(shingles(col("text"), 2)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", h32(col("gram")))
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("gram"))
+      .select(col("doc_id"), h32(col("gram")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
     val bitSums = (0 until SimHashBits).map { j =>
       sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(1) * 2 - 1))
         .as(s"b_$j")
@@ -442,15 +445,17 @@ object Dedup {
         .stripMargin
     }.mkString("\n  UNION ALL ")
     s"""WITH tf AS (
-       |  SELECT doc_id, gram, count(*) AS cnt
-       |  FROM (SELECT doc_id,
-       |          unnest(${shinglesSql("string_split(text, ' ')", 2)}) AS gram
-       |        FROM documents)
+       |  SELECT doc_id, h, count(*) AS cnt
+       |  FROM (SELECT doc_id, ${h32Sql("gram")} AS h
+       |        FROM (SELECT doc_id,
+       |                unnest(${shinglesSql("string_split(text, ' ')", 2)})
+       |                  AS gram
+       |              FROM documents))
        |  GROUP BY 1, 2),
        |bits AS (
        |  SELECT doc_id,
        |    $bitSums
-       |  FROM (SELECT doc_id, cnt, ${h32Sql("gram")} AS h FROM tf)
+       |  FROM tf
        |  GROUP BY doc_id),
        |sh AS (
        |  SELECT doc_id, $shExpr AS simhash FROM bits),

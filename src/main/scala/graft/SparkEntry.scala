@@ -285,7 +285,34 @@ object SparkEntry {
     // Transitive near-dup clusters (iterative min-label propagation)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(tables(s, dir).documents)
-        .orderBy("cluster_id"))
+        .orderBy("cluster_id")),
+
+    // A4 as rollup: incident counts with type subtotals + grand total
+    "incident_rollup" -> ((s, dir) =>
+      Incidents.fromEvents(tables(s, dir).events)
+        .rollup("incident_type", "severity").agg(count(lit(1)).as("n"))
+        .select(coalesce(col("incident_type"), lit("(all)"))
+          .as("incident_type"),
+          coalesce(col("severity"), lit("(all)")).as("severity"), col("n"))
+        .orderBy("incident_type", "severity")),
+
+    // Full outer join: daily purchase totals vs daily error counts
+    "daily_purchases_vs_errors" -> ((s, dir) => {
+      val ev = tables(s, dir).events
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("purchase_value"))
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_errors"))
+      p.join(e, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .orderBy("day")
+    })
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -627,6 +654,28 @@ object SparkEntry {
          |FROM incidents GROUP BY incident_type
          |ORDER BY incident_type""".stripMargin,
 
-    "dedup_clusters" -> Dedup.minhashClustersSql
+    "dedup_clusters" -> Dedup.minhashClustersSql,
+
+    "incident_rollup" ->
+      s"""WITH incidents AS (${Incidents.sqlCte})
+         |SELECT coalesce(incident_type, '(all)') AS incident_type,
+         |  coalesce(severity, '(all)') AS severity, count(*) AS n
+         |FROM incidents GROUP BY ROLLUP (incident_type, severity)
+         |ORDER BY incident_type, severity""".stripMargin,
+
+    "daily_purchases_vs_errors" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
+        |    round(sum(value), 2) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(p.day, e.day) AS day,
+        |  coalesce(n_purchases, 0) AS n_purchases,
+        |  coalesce(purchase_value, 0.0) AS purchase_value,
+        |  coalesce(n_errors, 0) AS n_errors
+        |FROM p FULL OUTER JOIN e ON p.day = e.day
+        |ORDER BY day""".stripMargin
   )
 }

@@ -113,6 +113,60 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val curated = EventPipeline.curate(
+      EventPipeline.parse(mem.toDF().select(col("value"))))
+      .withWatermark("event_timestamp", "15 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = curated.select("id").writeStream
+      .outputMode("append").format("memory").queryName("dedup_ids").start()
+    val t0 = 1700000000000L
+    mem.addData(eventJson("d1", "a@x.com", t0),
+      eventJson("d1", "a@x.com", t0 + 1000), // dup in same batch
+      eventJson("d2", "b@x.com", t0))
+    q.processAllAvailable()
+    mem.addData(eventJson("d1", "a@x.com", t0 + 60000)) // dup next batch
+    q.processAllAvailable()
+    val ids = spark.table("dedup_ids").collect().map(_.getString(0))
+    assert(ids.sorted.toSeq == Seq("d1", "d2")) // each id exactly once
+    q.stop()
+  }
+
+  test("stream-stream interval join pairs purchases with nearby errors") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val purchases = MemoryStream[(String, Long)]
+    val errors = MemoryStream[(String, Long)]
+    def ts(ms: Long) = timestamp_millis(lit(ms))
+    val p = purchases.toDF().toDF("user", "pts_ms")
+      .select(col("user"), timestamp_millis(col("pts_ms")).as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val e = errors.toDF().toDF("euser", "ets_ms")
+      .select(col("euser"), timestamp_millis(col("ets_ms")).as("ets"))
+      .withWatermark("ets", "10 minutes")
+    // error within 5 minutes BEFORE the purchase
+    val joined = p.join(e,
+      col("user") === col("euser")
+        && col("ets") >= col("pts") - expr("INTERVAL 5 MINUTES")
+        && col("ets") <= col("pts"))
+    val q = joined.select("user", "pts", "ets").writeStream
+      .outputMode("append").format("memory").queryName("ssjoin").start()
+    val t0 = 1700000000000L
+    purchases.addData(("u1", t0 + 120000L), ("u2", t0 + 120000L))
+    errors.addData(("u1", t0), ("u2", t0 - 600000L)) // u2's is too old
+    q.processAllAvailable()
+    // advance both watermarks far past the join window to flush state
+    purchases.addData(("zp", t0 + 7200000L))
+    errors.addData(("ze", t0 + 7200000L))
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("u1"))
+    q.stop()
+  }
+
   test("curate computes flags identically to the batch path") {
     import spark.implicits._
     val now = lit("2024-02-01 00:00:00").cast("timestamp")

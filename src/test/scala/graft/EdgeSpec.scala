@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Degenerate-input robustness: every ext operator must return an empty
+  * (or summary-zero) result on empty input, never throw — at 100 TB,
+  * empty partitions and empty date-slices are routine.
+  */
+class EdgeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+
+  private lazy val emptyEmb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  test("dedup operators are total on empty corpora") {
+    assert(Dedup.minhashNearDups(emptyDocs).count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardNearDups(emptyDocs).count() == 0)
+    assert(Dedup.minhashClusters(emptyDocs).count() == 0)
+    val ex = Dedup.exactSummary(emptyDocs).head()
+    assert(ex.isNullAt(ex.fieldIndex("total_docs"))
+      || ex.getAs[Long]("total_docs") == 0)
+  }
+
+  test("similarity and text operators are total on empty inputs") {
+    assert(Similarity.topKBruteForce(emptyEmb).count() == 0)
+    assert(Similarity.topKLsh(emptyEmb).count() == 0)
+    assert(Similarity.topKIvf(emptyEmb).count() == 0)
+    assert(Dedup.embeddingNearDups(emptyEmb).count() == 0)
+    assert(TextAnalysis.textStats(emptyDocs).count() == 0)
+    assert(TextAnalysis.fingerprints(emptyDocs).count() == 0)
+    assert(TextAnalysis.topTokens(emptyDocs).count() == 0)
+    assert(TextAnalysis.langIdConfusion(emptyDocs).count() == 0)
+  }
+
+  test("single-doc corpus yields no pairs but sane stats") {
+    import spark.implicits._
+    val one = Seq((1L, "just one tiny document", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.minhashNearDups(one).count() == 0)
+    assert(Dedup.minhashClusters(one).count() == 0)
+    val stats = TextAnalysis.textStats(one).head()
+    assert(stats.getAs[Long]("n_tokens") == 4)
+  }
+}

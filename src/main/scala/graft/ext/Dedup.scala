@@ -90,48 +90,6 @@ object Dedup {
       explode(array_distinct(shingles(col("text")))).as("shingle"))
   }
 
-  /** Per-doc MinHash signatures via the universal-hash family
-    * h_i(x)=(a_i·x+b_i) mod p over ONE md5 per shingle: the 12 signature
-    * rows are two integer ops each inside a map-side-combinable min
-    * aggregation — the only shuffle is the narrow (doc_id, h) combine.
-    */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val h = h32(col("shingle"))
-    val sigCols = (0 until NumHashes)
-      .map(i => min(permuted(i, h)).as(s"sig_$i"))
-    shingleTable(documents)
-      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
-
-  /** (doc_id, band_idx, band_hash) — one row per band; the band hash is
-    * md5 over the band's signature slice, identically derivable in DuckDB.
-    */
-  def banded(documents: DataFrame): DataFrame = {
-    val bandStructs = (0 until NumBands).map { b =>
-      val slice = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws(",", slice: _*)).as("band_hash"))
-    }
-    minhashSignatures(documents)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
-  }
-
-  /** LSH candidate pairs: docs sharing any band bucket. The self-join is
-    * an equi-join on (band_idx, band_hash); `distinct` collapses pairs
-    * found by several bands.
-    */
-  def lshCandidates(documents: DataFrame): DataFrame = {
-    val b = banded(documents)
-    b.as("a").join(b.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
-
   /** Near-dup pairs with *verified* shingle Jaccard ≥ threshold. The
     * exact intersection runs only over LSH candidates (equi-join on
     * shingle), never all pairs.

@@ -26,24 +26,9 @@ object Hashing {
   def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Seeded variant: independent hash function per integer seed. */
-  def hSeed(seed: Int, s: Column): Column = h32(concat(lit(s"$seed:"), s))
-
   /** DuckDB SQL fragment mirroring [[h32]]; `expr` is a SQL expression. */
   def h32Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
-
-  /** DuckDB SQL fragment mirroring [[hSeed]]. */
-  def hSeedSql(seed: Int, expr: String): String =
-    h32Sql(s"'$seed:' || $expr")
-
-  /** Map to [-1, 1): pseudo-random uniform derived from a hash — used for
-    * deterministic LSH hyperplane components (both engines compute the
-    * same double from the same BIGINT).
-    */
-  def toUnit(h: Column): Column = h / lit(2147483648.0) - lit(1.0)
-
-  def toUnitSql(expr: String): String = s"($expr / 2147483648.0 - 1.0)"
 
   /** JVM-side twin of [[h32]] — used to precompute constants (MinHash
     * permutation coefficients, LSH hyperplanes) once on the driver; the

@@ -183,6 +183,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Boolean]("is_late_arrival")) // Jan 31 evt, Feb 1 proc
   }
 
+  test("checkpoint recovery: restarted query does not reprocess") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val mainDir = Files.createTempDirectory("rmain").toString
+    val qDir = Files.createTempDirectory("rquar").toString
+    val ckpt = Files.createTempDirectory("rckpt").toString
+    val stats1 = new EventPipeline.RunStats(spark)
+    def start(stats: EventPipeline.RunStats) =
+      EventPipeline.startDualSink(
+        EventPipeline.curate(
+          EventPipeline.parse(mem.toDF().select(col("value")))),
+        mainDir, qDir, ckpt, stats, Trigger.AvailableNow())
+
+    val now = System.currentTimeMillis()
+    mem.addData((1 to 5).map(i =>
+      eventJson(s"r$i", s"r$i@example.com", now)): _*)
+    start(stats1).awaitTermination(60000)
+    assert(stats1.total.value == 5)
+
+    // add more data, restart a NEW query from the same checkpoint:
+    // only the unseen batch is processed, the sink is not duplicated
+    mem.addData((6 to 8).map(i =>
+      eventJson(s"r$i", s"r$i@example.com", now)): _*)
+    val stats2 = new EventPipeline.RunStats(spark)
+    start(stats2).awaitTermination(60000)
+    assert(stats2.total.value == 3) // NOT 8: offsets recovered
+    assert(spark.read.parquet(mainDir).count() == 8)
+
+    // compaction: many micro-batch files -> bounded file count
+    val (before, after) = graft.ops.PipelineRun.compact(
+      spark, mainDir, targetRows = 1000)
+    assert(after <= before)
+    assert(spark.read.parquet(mainDir).count() == 8) // content preserved
+  }
+
   test("sink fallback picks parquet without complete JDBC config") {
     assert(EventPipeline.chooseSink(jdbcConfigComplete = false) == "parquet")
     assert(EventPipeline.chooseSink(jdbcConfigComplete = true) == "jdbc")

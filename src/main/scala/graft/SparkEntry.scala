@@ -296,6 +296,11 @@ object SparkEntry {
           coalesce(col("severity"), lit("(all)")).as("severity"), col("n"))
         .orderBy("incident_type", "severity")),
 
+    // The DQ engine is table-generic: corpus-quality suite on documents
+    "dq_docs_suite" -> ((s, dir) =>
+      DqSuite.evaluate(tables(s, dir).documents, DqSuite.documentsSuite)
+        .orderBy("exp_idx")),
+
     // Full outer join: daily purchase totals vs daily error counts
     "daily_purchases_vs_errors" -> ((s, dir) => {
       val ev = tables(s, dir).events
@@ -655,6 +660,11 @@ object SparkEntry {
          |ORDER BY incident_type""".stripMargin,
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
+
+    "dq_docs_suite" ->
+      s"""WITH cur AS (SELECT * FROM documents),
+         |results AS (${DqSuite.resultsSql(DqSuite.documentsSuite)})
+         |SELECT * FROM results ORDER BY exp_idx""".stripMargin,
 
     "incident_rollup" ->
       s"""WITH incidents AS (${Incidents.sqlCte})

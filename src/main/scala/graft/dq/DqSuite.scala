@@ -143,6 +143,20 @@ object DqSuite {
     NotNull("name"),
     Between("version", Some((lit(1), "1")), Some((lit(10), "10"))))
 
+  /** A second suite over a different table (`documents`) — the engine is
+    * generic over any frame + expectation list; this is the
+    * corpus-quality gate a training-data pipeline runs before dedup.
+    */
+  def documentsSuite: Seq[Expectation] = Seq(
+    ColumnExists("doc_id"),
+    NotNull("doc_id"),
+    Unique("doc_id"),
+    NotNull("text"),
+    Between("n_chars", Some((lit(10), "10")), Some((lit(100000), "100000"))),
+    InSet("lang", Seq("en", "de", "es", "fr", "zh")),
+    NotNull("source"),
+    MatchRegex("source", "^src[0-9]+$", "^src[0-9]+$"))
+
   /** Evaluate a suite in one scan. Output: one row per expectation with
     * (exp_idx, expectation, column_name, n_evaluated, n_failed,
     * success_rate, success) — the GE per-expectation result shape.

@@ -110,6 +110,42 @@ class ExtSpec extends AnyFunSuite {
     assert(q0.sameElements(q0.sorted.reverse))
   }
 
+  test("word_shingles equals the HOF composition on random texts") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // seeded random strings over a spaced alphabet, incl. edge shapes:
+    // leading/trailing/double spaces, empty string, single char
+    val rng = new scala.util.Random(7)
+    val alphabet = "ab x  "
+    val texts = Seq("", " ", "a", "a ", " a", "a  b") ++
+      Seq.fill(200)(Seq.fill(rng.nextInt(30))(
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    for (k <- Seq(1, 2, 5)) {
+      val df = texts.toDF("text")
+      val toks = split(col("text"), " ")
+      val both = df.select(
+        graft.functions.GraftFunctions.wordShingles(col("text"), k)
+          .as("native"),
+        transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+          i => array_join(slice(toks, i, lit(k)), " ")).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"k=$k"))
+    }
+  }
+
+  test("minhash permutation family stays in exact-integer range") {
+    import graft.ext.Hashing
+    // a_i < 2^20 and h < 2^32 keep a_i*h + b_i < 2^53 (exact in double
+    // AND safe in BIGINT for the DuckDB mirror)
+    (0 until Dedup.NumHashes).foreach { i =>
+      assert(Hashing.permA(i) >= 1 && Hashing.permA(i) <= 1048576)
+      assert(Hashing.permB(i) >= 0 && Hashing.permB(i) < (1L << 32))
+      val maxProduct = Hashing.permA(i) * ((1L << 32) - 1) + Hashing.permB(i)
+      assert(maxProduct < (1L << 53))
+    }
+  }
+
   test("native word_shingles equals the split/slice/join composition") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

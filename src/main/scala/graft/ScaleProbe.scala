@@ -57,6 +57,7 @@ object ScaleProbe {
       time("text_stats") { TextAnalysis.textStats(docs).count() }
       time("minhash_near_dups") { Dedup.minhashNearDups(docs).count() }
       time("simhash_near_dups") { Dedup.simhashNearDups(docs).count() }
+      time("simhash60_near_dups") { Dedup.simhash60NearDups(docs).count() }
       time("exact_dedup") { Dedup.exactSummary(docs).count() }
       docs.unpersist()
       spark.catalog.clearCache()

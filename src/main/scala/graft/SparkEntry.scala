@@ -187,6 +187,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(tables(s, dir).documents)
         .orderBy("doc_a", "doc_b")),
+    "dedup_simhash60" -> ((s, dir) =>
+      Dedup.simhash60NearDups(tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardNearDups(tables(s, dir).documents)
         .orderBy("doc_a", "doc_b")),
@@ -561,6 +564,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSummarySql,
     "dedup_minhash_lsh" -> Dedup.minhashNearDupsSql,
     "dedup_simhash" -> Dedup.simhashNearDupsSql,
+    "dedup_simhash60" -> Dedup.simhash60NearDupsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardNearDupsSql,
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,

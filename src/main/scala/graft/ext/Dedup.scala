@@ -331,22 +331,28 @@ object Dedup {
 
   /** Per-doc SimHash: bigram-frequency-weighted sign sum per bit of the
     * bigram hash. One explode + two map-side-combinable aggregations.
+    * `bits` > 32 draws the extra bits from a second seeded base hash
+    * (h32 carries only 32 bits of md5).
     */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(documents: DataFrame, bits: Int = SimHashBits): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    require(bits <= 60, "keep the signature sign-free in a BIGINT")
     // features are HASHED before the TF combine: the shuffle key is
     // (long, long) instead of (long, string) and md5 runs map-side —
     // SimHash is defined over hashed features anyway, so grouping equal
     // hashes is the algorithm, not an approximation
     val tf = documents
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("gram"))
-      .select(col("doc_id"), h32(col("gram")).as("h"))
-      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
-    val bitSums = (0 until SimHashBits).map { j =>
-      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(1) * 2 - 1))
-        .as(s"b_$j")
+      .select(col("doc_id"), h32(col("gram")).as("h"),
+        h32(concat(lit("s2:"), col("gram"))).as("h2"))
+      .groupBy("doc_id", "h", "h2").agg(count(lit(1)).as("cnt"))
+    def bitOf(j: Int): Column =
+      if (j < 32) shiftright(col("h"), j).bitwiseAND(1)
+      else shiftright(col("h2"), j - 32).bitwiseAND(1)
+    val bitSums = (0 until bits).map { j =>
+      sum(col("cnt") * (bitOf(j) * 2 - 1)).as(s"b_$j")
     }
-    val sh = (0 until SimHashBits)
+    val sh = (0 until bits)
       .map(j => when(col(s"b_$j") > 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
     tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -386,13 +392,36 @@ object Dedup {
       .filter(col("hamming") <= MaxHamming)
   }
 
-  def simhashNearDupsSql: String = {
-    val bitSums = (0 until SimHashBits)
-      .map(j => s"sum(cnt * (((h // ${1L << j}) % 2) * 2 - 1)) AS b_$j")
+  /** Shared SQL prefix: TF over hashed bigrams → bit sums → signature. */
+  private def simhashShSql(bits: Int): String = {
+    def bitSql(j: Int): String =
+      if (j < 32) s"((h // ${1L << j}) % 2)"
+      else s"((h2 // ${1L << (j - 32)}) % 2)"
+    val bitSums = (0 until bits)
+      .map(j => s"sum(cnt * (${bitSql(j)} * 2 - 1)) AS b_$j")
       .mkString(",\n    ")
-    val shExpr = (0 until SimHashBits)
+    val shExpr = (0 until bits)
       .map(j => s"CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+    s"""tf AS (
+       |  SELECT doc_id, h, h2, count(*) AS cnt
+       |  FROM (SELECT doc_id, ${h32Sql("gram")} AS h,
+       |          ${h32Sql("'s2:' || gram")} AS h2
+       |        FROM (SELECT doc_id,
+       |                unnest(${shinglesSql("string_split(text, ' ')", 2)})
+       |                  AS gram
+       |              FROM documents))
+       |  GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tf
+       |  GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, $shExpr AS simhash FROM bits)""".stripMargin
+  }
+
+  def simhashNearDupsSql: String = {
     val blockPairs = (for {
       b1 <- 0 until SimHashBlocks; b2 <- b1 + 1 until SimHashBlocks
     } yield (b1, b2)).zipWithIndex
@@ -402,21 +431,7 @@ object Dedup {
          |    ${blk(b1)} * ${1 << BlockBits} + ${blk(b2)} AS key_val FROM sh"""
         .stripMargin
     }.mkString("\n  UNION ALL ")
-    s"""WITH tf AS (
-       |  SELECT doc_id, h, count(*) AS cnt
-       |  FROM (SELECT doc_id, ${h32Sql("gram")} AS h
-       |        FROM (SELECT doc_id,
-       |                unnest(${shinglesSql("string_split(text, ' ')", 2)})
-       |                  AS gram
-       |              FROM documents))
-       |  GROUP BY 1, 2),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $bitSums
-       |  FROM tf
-       |  GROUP BY doc_id),
-       |sh AS (
-       |  SELECT doc_id, $shExpr AS simhash FROM bits),
+    s"""WITH ${simhashShSql(SimHashBits)},
        |keyed AS (
        |  $keySelects),
        |pairs AS (
@@ -427,6 +442,61 @@ object Dedup {
        |    AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |FROM pairs WHERE hamming <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- 60-bit SimHash (the measured scale path, SCALING.md) ---------------
+
+  /** 60-bit variant: 4 blocks × 15 bits, single-block keys — with ≤3
+    * differing bits at least one block is untouched, so the blocking is
+    * complete for Hamming ≤ 3 (pigeonhole over 4 blocks). 60 bits keeps
+    * the signature positive in a BIGINT so `//`/`%` block extraction is
+    * identical in both engines.
+    */
+  val SimHash60Bits = 60
+  val SimHash60BlockBits = 15
+  val SimHash60MaxHamming = 3
+
+  def simhash60NearDups(documents: DataFrame): DataFrame = {
+    val s = simhash(documents, SimHash60Bits)
+    val keyStructs = (0 until 4).map { b =>
+      struct(lit(b).as("key_idx"),
+        shiftright(col("simhash"), b * SimHash60BlockBits)
+          .bitwiseAND((1 << SimHash60BlockBits) - 1).as("key_val"))
+    }
+    val keyed = s.select(col("doc_id"), col("simhash"),
+        explode(array(keyStructs: _*)).as("key"))
+      .select(col("doc_id"), col("simhash"),
+        col("key.key_idx").as("key_idx"), col("key.key_val").as("key_val"))
+      .persist()
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key_idx") === col("b.key_idx")
+          && col("a.key_val") === col("b.key_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHash60MaxHamming)
+  }
+
+  def simhash60NearDupsSql: String = {
+    def blk(b: Int) =
+      s"((simhash // ${1L << (b * SimHash60BlockBits)}) % ${1 << SimHash60BlockBits})"
+    val keySelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS key_idx, ${blk(b)} AS key_val FROM sh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${simhashShSql(SimHash60Bits)},
+       |keyed AS (
+       |  $keySelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM keyed a JOIN keyed b
+       |    ON a.key_idx = b.key_idx AND a.key_val = b.key_val
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $SimHash60MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -18,6 +18,7 @@ object RunStream {
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(15)
     val outDir = args.lift(1).getOrElse("/tmp/graft_stream")
+    val rowsPerSecond = args.lift(2).getOrElse("200")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +29,7 @@ object RunStream {
     spark.sparkContext.setLogLevel("WARN")
 
     val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", "200").load()
+      .option("rowsPerSecond", rowsPerSecond).load()
     val uid = col("value") % 1000
     val nowMs = unix_millis(col("timestamp"))
     val json = to_json(struct(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Hashing._
-import TextAnalysis.{shingles, shinglesSql, tokens}
+import TextAnalysis.{shingles, shinglesSql}
 
 /** Deduplication operators for training-data pipelines over `documents` /
   * `embeddings`: exact (hash-groupBy), MinHash+LSH banding, SimHash,
@@ -14,10 +14,11 @@ import TextAnalysis.{shingles, shinglesSql, tokens}
   * reference itself has no dedup surface).
   *
   * Scale design (the 100 TB posture):
-  *   - signatures (MinHash vectors, SimHash bits, canopy keys) are computed
-  *     map-side with array higher-order functions — no explode until the
-  *     band/bucket key exists, so the only shuffles are on short bucket
-  *     keys, never on raw text;
+  *   - per-doc features (shingles via the native word_shingles generator,
+  *     their md5 base hashes) are computed in codegen'd projections;
+  *     signature aggregations (MinHash mins, SimHash bit sums) are
+  *     map-side-combinable, so shuffles carry narrow (id, long) rows or
+  *     per-doc signatures, never raw text;
   *   - candidate generation is always *blocked* (LSH bands / hash buckets /
   *     canopy keys) — no O(n²) cross join anywhere;
   *   - verification (exact Jaccard) runs only on the candidate pairs, via
@@ -191,8 +192,7 @@ object Dedup {
     * first"); a doc is dropped iff it appears as the *greater* id in any
     * verified pair. One left_anti join against the (small) drop set; at
     * 100 TB the drop set is broadcast and the corpus never shuffles.
-    * (Full transitive clustering needs iterative connected components —
-    * out of per-query scope, noted for a GraphFrames-style batch job.)
+    * (Full transitive clustering is [[minhashClusters]].)
     */
   def minhashSurvivors(documents: DataFrame): DataFrame = {
     val drops = minhashNearDups(documents).select(col("doc_b").as("doc_id"))
@@ -213,23 +213,18 @@ object Dedup {
       .stripMargin
   }
 
-  /** Transitive near-dup clusters via iterative min-label propagation
-    * over the verified-pair graph (the connected-components step
-    * [[minhashSurvivors]] notes as out of per-query scope — here it IS
-    * in scope because the pair graph is small after verification; the
-    * iteration is a driver loop over persisted frames, the standard
-    * Spark shape for label propagation, converging in
-    * O(log(diameter)) rounds).
-    *
-    * Output: one row per cluster with ≥2 docs — (cluster_id = min doc_id
-    * in the cluster, n_docs).
-    */
   /** Pair-graph size below which clustering runs as driver-side
     * union-find: verified near-dup pairs are bounded by the true
     * duplicate count, orders of magnitude smaller than the corpus, so
     * even a petabyte corpus usually yields a driver-sized pair graph.
     */
   val DriverClusterMaxPairs = 2000000L
+
+  /** Transitive near-dup clusters over the verified-pair graph:
+    * driver-side union-find below [[DriverClusterMaxPairs]], distributed
+    * min-label propagation above it. Output: one row per cluster with
+    * ≥2 docs — (cluster_id = min doc_id in the cluster, n_docs).
+    */
 
   def minhashClusters(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession

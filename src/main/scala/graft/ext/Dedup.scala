@@ -308,8 +308,8 @@ object Dedup {
 
   /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word
     * bigrams (unigrams over a small vocabulary barely separate docs).
-    * Production at 64 bits would swap the per-bit expression bundle for a
-    * native Catalyst Expression; the structure is identical.
+    * Signatures come from the native [[graft.functions.SimHashSignature]]
+    * expression (see [[simhash]]); 60 bits is the measured scale path.
     */
   val SimHashBits = 24
 
@@ -324,12 +324,32 @@ object Dedup {
     */
   val MaxHamming = 2
 
-  /** Per-doc SimHash: bigram-frequency-weighted sign sum per bit of the
-    * bigram hash. One explode + two map-side-combinable aggregations.
-    * `bits` > 32 draws the extra bits from a second seeded base hash
-    * (h32 carries only 32 bits of md5).
+  /** Per-doc SimHash via the native codegen'd
+    * [[graft.functions.SimHashSignature]]: the whole signature is one
+    * map-side projection — no explode, no shuffle, no per-bit aggregate
+    * columns. Bit-identical to [[simhashViaAggregates]] (the formulation
+    * it replaced; equivalence pinned in ExtSpec) and to the DuckDB
+    * oracle's per-bit-sum SQL: grouping equal hashes before an integer
+    * sum is a no-op, so folding per bigram occurrence gives the same
+    * sums. `bits` > 32 draws the extra bits from a second seeded base
+    * hash (h32 carries only 32 bits of md5).
     */
   def simhash(documents: DataFrame, bits: Int = SimHashBits): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    require(bits <= 60, "keep the signature sign-free in a BIGINT")
+    documents.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhashSig(col("text"), bits)
+        .as("simhash"))
+  }
+
+  /** The aggregate formulation [[simhash]] replaced — explode bigrams,
+    * hash, TF groupBy, per-bit `sum(cnt*(bit*2-1))`, sign fold. Retained
+    * as the equivalence pin for the native expression (ExtSpec asserts
+    * bit-identical signatures on the fixture corpus); not on any query
+    * path.
+    */
+  private[graft] def simhashViaAggregates(documents: DataFrame,
+      bits: Int = SimHashBits): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     require(bits <= 60, "keep the signature sign-free in a BIGINT")
     // features are HASHED before the TF combine: the shuffle key is

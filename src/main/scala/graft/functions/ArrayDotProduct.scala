@@ -87,7 +87,11 @@ object GraftFunctions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (es: Seq[Expression]) =>
-        WordShingles(es.head, es(1).eval().asInstanceOf[Int])))
+        WordShingles(es.head, es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "simhash_sig"),
+      (es: Seq[Expression]) =>
+        SimHashSignature(es.head, es(1).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>
@@ -110,6 +114,11 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column =
     call_function("word_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+
+  /** `simhash_sig(text, bits)` as a Column; requires registration. */
+  def simhashSig(text: Column, bits: Int): Column =
+    call_function("simhash_sig", text,
+      org.apache.spark.sql.functions.lit(bits))
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the

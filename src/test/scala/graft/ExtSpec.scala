@@ -187,6 +187,24 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [array_dot"), plan.take(500))
   }
 
+  test("native simhash_sig equals the aggregate formulation bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, Sf0001).documents
+    for (bits <- Seq(24, 60)) {
+      val native = Dedup.simhash(docs, bits)
+      val agg = Dedup.simhashViaAggregates(docs, bits)
+        .withColumnRenamed("simhash", "simhash_agg")
+      val diff = native.join(agg, "doc_id")
+        .filter(col("simhash") =!= col("simhash_agg")).count()
+      assert(diff == 0, s"bits=$bits")
+      assert(native.count() == docs.count(), s"bits=$bits")
+    }
+    // the signature is a map-side projection inside whole-stage codegen
+    val plan = Dedup.simhash(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("Project [doc_id"), plan.take(500))
+    assert(!plan.contains("Exchange"), "simhash must not shuffle")
+  }
+
   test("LSH ANN candidates all share the query's sign bucket") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, Sf0001).embeddings

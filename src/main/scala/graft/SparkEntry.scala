@@ -50,6 +50,37 @@ object SparkEntry {
     // S3/S5 + P1-P7 + Q1-Q5: the reference job's full transform chain
     "ce_curated" -> ((s, dir) => ceCurated(s, dir)),
 
+    // S4: binary Avro wire decode — encode the synthesized events to raw
+    // Avro datums (the producer's wire format) and decode them back with
+    // the native expressions; the oracle sees the generator directly, so
+    // a green row proves decode∘encode = id on the schema-valid subset
+    // (non-null required fields, plan in the enum — what a DatumWriter
+    // can serialize; byte-level layout is pinned separately in AvroSpec)
+    "ce_avro_decoded" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{avroDecodeCe, avroEncodeCe}
+      val wireable = CustomerEvents.synth(tables(s, dir).events)
+        .filter(col("id").isNotNull && col("name").isNotNull
+          && col("email").isNotNull && col("country").isNotNull
+          && col("plan").isin(
+            graft.sources.CustomerEventAvro.PlanSymbols: _*))
+      wireable
+        .select(col("event_id"),
+          avroDecodeCe(avroEncodeCe(struct(
+            col("id"), col("name"), col("email"), col("signup_ts"),
+            col("country"), col("plan"), col("event_ts"), col("version"),
+            col("marketing_opt_in"), col("customer_segment")))).as("ev"))
+        .select(col("event_id"), col("ev.id").as("id"),
+          col("ev.name").as("name"), col("ev.email").as("email"),
+          col("ev.signup_ts").as("signup_ts"),
+          col("ev.country").as("country"), col("ev.plan").as("plan"),
+          col("ev.event_ts").as("event_ts"),
+          col("ev.version").as("version"),
+          col("ev.marketing_opt_in").as("marketing_opt_in"),
+          col("ev.customer_segment").as("customer_segment"))
+        .orderBy("event_id")
+    }),
+
     // A1-A3: run report (ingest_transform.py:307-336)
     "ce_run_report" -> ((s, dir) =>
       Reports.runReportWithRates(Enrich.curated(tables(s, dir).events))),
@@ -341,6 +372,18 @@ object SparkEntry {
          |  is_late_arrival, dq_email_valid, dq_id_not_null,
          |  dq_timestamp_valid, dq_plan_valid, dq_passed
          |FROM cur ORDER BY event_id""".stripMargin,
+
+    "ce_avro_decoded" -> {
+      val plans = graft.sources.CustomerEventAvro.PlanSymbols
+        .map(p => s"'$p'").mkString(", ")
+      s"""WITH ce AS (${CustomerEvents.sqlCte})
+         |SELECT event_id, id, name, email, signup_ts, country, plan,
+         |  event_ts, version, marketing_opt_in, customer_segment
+         |FROM ce
+         |WHERE id IS NOT NULL AND name IS NOT NULL AND email IS NOT NULL
+         |  AND country IS NOT NULL AND plan IN ($plans)
+         |ORDER BY event_id""".stripMargin
+    },
 
     "ce_run_report" ->
       s"""$W

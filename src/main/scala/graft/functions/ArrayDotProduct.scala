@@ -91,7 +91,17 @@ object GraftFunctions {
     (FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "simhash_sig"),
       (es: Seq[Expression]) =>
-        SimHashSignature(es.head, es(1).eval().asInstanceOf[Int])))
+        SimHashSignature(es.head, es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("avro_encode_ce"),
+      new ExpressionInfo(
+        classOf[graft.sources.AvroEncodeCustomerEvent].getName,
+        "avro_encode_ce"),
+      (es: Seq[Expression]) => graft.sources.AvroEncodeCustomerEvent(es.head)),
+    (FunctionIdentifier("avro_decode_ce"),
+      new ExpressionInfo(
+        classOf[graft.sources.AvroDecodeCustomerEvent].getName,
+        "avro_decode_ce"),
+      (es: Seq[Expression]) => graft.sources.AvroDecodeCustomerEvent(es.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>
@@ -119,6 +129,14 @@ object GraftFunctions {
   def simhashSig(text: Column, bits: Int): Column =
     call_function("simhash_sig", text,
       org.apache.spark.sql.functions.lit(bits))
+
+  /** `avro_encode_ce(struct)` as a Column; requires registration. */
+  def avroEncodeCe(event: Column): Column =
+    call_function("avro_encode_ce", event)
+
+  /** `avro_decode_ce(binary)` as a Column; requires registration. */
+  def avroDecodeCe(datum: Column): Column =
+    call_function("avro_decode_ce", datum)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the

@@ -75,6 +75,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.sameElements(direct))
   }
 
+  test("distributed clustering: O(log n) rounds on a 1k chain, no cache leak") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // worst-case topology for plain min-propagation: a single 1000-node
+    // chain (diameter 999). Pointer jumping must converge in <= log2 n + 1
+    // rounds instead of ~1000.
+    val n = 1000
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (clusters, rounds) = Dedup.distributedClusters(chain)
+    val rows = clusters.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 0L)     // cluster_id = min doc_id
+    assert(rows(0).getLong(1) == n.toLong)
+    val maxRounds = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 1
+    assert(rounds <= maxRounds, s"took $rounds rounds, bound $maxRounds")
+    // superseded label frames + edges were unpersisted: only the final
+    // labels frame may remain cached
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 1,
+      s"cache grew by ${cachedAfter - cachedBefore} frames")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val t = Tables(spark, Sf0001)
     spark.sql("DROP TABLE IF EXISTS orders_b")

@@ -149,20 +149,43 @@ object Analytics {
 
   /** Ranking-function breadth over per-customer revenue: dense_rank,
     * percent_rank and ntile quartiles under one total order (revenue
-    * desc, custkey for tie-break determinism). One shuffle for the
-    * aggregation, one for the global window — at scale the global sort
-    * becomes a range-partitioned window or a per-region partition.
+    * desc, custkey for tie-break determinism), top-k only.
+    *
+    * Scale shape: a global window over the full per-customer aggregate
+    * would sort everything into ONE task. Instead: (revenue, custkey) is
+    * a UNIQUE order, so for the top-k rows rank = dense_rank =
+    * row_number, and percent_rank/ntile depend on the non-returned rows
+    * only through the total count N — so the query is a two-phase top-k
+    * (`orderBy.limit` plans as TakeOrderedAndProject: per-partition
+    * top-k, merge of k-row heads) + a count aggregate broadcast in, and
+    * the only unpartitioned window runs over ≤ k rows (constant,
+    * independent of data size). Equality with the naive global-window
+    * form is pinned in AnalyticsSpec.
     */
   def customerValueRanks(t: Tables, k: Int = 50): DataFrame = {
     val rev = t.orders.groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(k)
+    val total = rev.agg(count(lit(1)).as("n_total"))
     val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-    rev.select(col("o_custkey"), col("revenue"),
-        dense_rank().over(w).as("rk"),
-        round(percent_rank().over(w), 6).as("pr"),
-        ntile(4).over(w).as("quartile"))
-      .orderBy(col("revenue").desc, col("o_custkey"))
-      .limit(k)
+    val n = col("n_total")
+    val rn = col("rn").cast("long")
+    // SQL ntile(B): first N%B buckets hold N/B+1 rows, the rest N/B
+    val nB = lit(4L)
+    val base = floor(n / nB)
+    val rem = n % nB
+    val cutoff = rem * (base + 1)
+    val quartile = when(rn <= cutoff,
+        floor((rn - 1) / (base + 1)) + 1)
+      .otherwise(rem + floor((rn - 1 - cutoff) / base) + 1)
+    top.crossJoin(broadcast(total))
+      .withColumn("rn", row_number().over(w))
+      .select(col("o_custkey"), col("revenue"),
+        col("rn").as("rk"), // unique order: dense_rank ≡ row_number
+        when(n > 1, round((rn - 1).cast("double") / (n - 1), 6))
+          .otherwise(lit(0.0)).as("pr"),
+        quartile.cast("int").as("quartile"))
+      .orderBy("rk") // ≤ k rows; matches the oracle's revenue-desc order
   }
 
   /** Pivot: incident counts by type × severity as columns (null cells

@@ -137,37 +137,59 @@ object Similarity {
   val IvfCells = 16
   val IvfProbes = 2
 
-  /** IVF-style ANN: assign every vector to its nearest of [[IvfCells]]
-    * coarse centroids (deterministically seeded: the lowest vec_ids serve
-    * as centroids — a k-means iteration would refine them offline), then
-    * search only the [[IvfProbes]] cells nearest each query. The inverted
-    * file (cell → vectors) is exactly a hash-partitioned table at scale:
-    * probing is a partition-pruned join, and recall/work is tuned by
-    * nProbe — the standard IVF trade.
+  /** IVF-style ANN: seed [[IvfCells]] coarse centroids (lowest vec_ids),
+    * run ONE deterministic k-means refinement pass (assign to seeds →
+    * per-cell element-wise mean), re-assign every vector to its nearest
+    * refined centroid, then search only the [[IvfProbes]] cells nearest
+    * each query. The inverted file (cell → vectors) is exactly a
+    * hash-partitioned table at scale: probing is a partition-pruned
+    * join, and recall/work is tuned by nProbe — the standard IVF trade.
+    *
+    * Cross-engine determinism of the refinement: a naive element-wise
+    * `avg` sums doubles in nondeterministic partial-aggregation order,
+    * so near-tie assignments could flip between engines (or runs).
+    * Instead each component is quantized to an exact integer
+    * (`floor(x·10⁶)` as BIGINT), summed exactly (order-independent),
+    * and the mean is IEEE divisions of exact integers — bit-identical
+    * in Spark and DuckDB. The ~1e-6 quantization of the *reference
+    * points* does not approximate the reported cosines (those use the
+    * raw vectors).
     */
   def topKIvf(embeddings: DataFrame): DataFrame = {
     val e = withNorm(embeddings)
-    val cents = e.filter(col("vec_id") < IvfCells)
+    val cents0 = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
-        col("nrm").as("cn"))
+        (col("nrm") * col("nrm")).as("cn2"))
     // L2² via dot products; identical op order to the oracle SQL
-    def dist2(v: Column, nv: Column, cv: Column, nc: Column): Column =
-      nv * nv - lit(2.0) * dot(v, cv) + nc * nc
-    val ranked = e.join(broadcast(cents), lit(true))
+    def dist2(v: Column, nv: Column, cv: Column, cn2: Column): Column =
+      nv * nv - lit(2.0) * dot(v, cv) + cn2
+    def assignTo(cents: DataFrame): DataFrame = e
+      .join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        dist2(col("v"), col("nrm"), col("cv"), col("cn")).as("d2"))
+        dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("d2"), col("cell"))))
+    // one k-means pass: exact fixed-point element-wise mean per cell
+    val refined = assignTo(cents0).filter(col("rn") === 1)
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"),
+          (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val ranked = assignTo(refined)
     val assign = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val probes = ranked.filter(col("rn") <= IvfProbes
         && col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell"))
+        col("nrm").as("qn"), col("cell").as("p_cell")) // aliased pre-join
     val scored = assign.join(broadcast(probes),
-        assign("cell") === probes("cell")
-          && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), assign("cell"),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cosine"))
     val w = Window.partitionBy("q_id")
@@ -178,25 +200,49 @@ object Similarity {
         col("cosine"))
   }
 
-  def topKIvfSql: String =
+  def topKIvfSql: String = {
+    def d2(vecExpr: String, nrm2Expr: String): String =
+      s"""$nrm2Expr
+         |        - 2.0 * list_sum([CAST($vecExpr[i] AS DOUBLE)
+         |                          * CAST(cv[i] AS DOUBLE)
+         |                          for i in range(1, len($vecExpr) + 1)])
+         |        + cn2""".stripMargin
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),
-       |cents AS (
-       |  SELECT vec_id AS cell, embedding AS cv, nrm AS cn FROM e
+       |cents0 AS (
+       |  SELECT vec_id AS cell, embedding AS cv, nrm * nrm AS cn2 FROM e
        |  WHERE vec_id < $IvfCells),
-       |ranked AS (
-       |  SELECT e.vec_id, e.embedding, e.nrm, cents.cell,
+       |ranked0 AS (
+       |  SELECT e.vec_id, e.embedding, cents0.cell,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |      e.nrm * e.nrm
-       |        - 2.0 * list_sum([CAST(e.embedding[i] AS DOUBLE)
-       |                          * CAST(cv[i] AS DOUBLE)
-       |                          for i in range(1, len(e.embedding) + 1)])
-       |        + cn * cn,
-       |      cents.cell) AS rn
-       |  FROM e CROSS JOIN cents),
+       |      ${d2("e.embedding", "e.nrm * e.nrm")},
+       |      cents0.cell) AS rn
+       |  FROM e CROSS JOIN cents0),
+       |refined0 AS (
+       |  SELECT cell, i,
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+       |                  AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS cnt
+       |  FROM (SELECT vec_id, embedding, cell FROM ranked0 WHERE rn = 1),
+       |    unnest(range(1, len(embedding) + 1)) AS u(i)
+       |  GROUP BY cell, i),
+       |refined1 AS (
+       |  SELECT cell,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS cv
+       |  FROM refined0 GROUP BY cell),
+       |refined AS (
+       |  SELECT cell, cv,
+       |    list_sum([x * x for x in cv]) AS cn2
+       |  FROM refined1),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, refined.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${d2("e.embedding", "e.nrm * e.nrm")},
+       |      refined.cell) AS rn
+       |  FROM e CROSS JOIN refined),
        |assign AS (
        |  SELECT vec_id, embedding, nrm, cell FROM ranked WHERE rn = 1),
        |probes AS (
@@ -216,9 +262,11 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+  }
 
-  def topKLshSql: String = {
-    val bucket = (0 until NumPlanes).map { h =>
+  /** DuckDB twin of [[bucketExpr]] over a column named `embedding`. */
+  def bucketSql: String =
+    (0 until NumPlanes).map { h =>
       val plane = (0 until Dim)
         .map(d => s"${planeInt(h, d)} / 2147483648.0 - 1.0")
         .mkString("[", ", ", "]")
@@ -227,6 +275,9 @@ object Similarity {
          |      THEN ${1L << h} ELSE 0 END
          |""".stripMargin.trim
     }.mkString("\n    + ")
+
+  def topKLshSql: String = {
+    val bucket = bucketSql
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)

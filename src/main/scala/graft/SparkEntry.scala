@@ -227,6 +227,10 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(tables(s, dir).embeddings)
         .orderBy("label", "rank")),
+    // at-scale twin: LSH sign bucket as the blocking key, not label
+    "dedup_embedding_ann" -> ((s, dir) =>
+      Dedup.embeddingNearDupsAnn(tables(s, dir).embeddings)
+        .orderBy("bucket", "rank")),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -610,6 +614,7 @@ object SparkEntry {
     "dedup_simhash60" -> Dedup.simhash60NearDupsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardNearDupsSql,
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
+    "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "multimodal_features" ->

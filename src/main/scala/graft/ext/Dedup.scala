@@ -679,6 +679,56 @@ object Dedup {
       .filter(col("rank") <= TopPairsPerLabel)
   }
 
+  /** The at-scale variant of [[embeddingNearDups]]: blocking key = the
+    * hyperplane-LSH sign bucket from [[Similarity.bucketExpr]] instead of
+    * `label`. A label can grow without bound (per-label pairs are
+    * quadratic in the label's size); the 2^8 sign buckets partition the
+    * corpus by geometry, so bucket sizes scale with n/2^planes and the
+    * plane count grows with the corpus. Same output shape: top
+    * [[TopPairsPerLabel]] pairs per block by cosine.
+    */
+  def embeddingNearDupsAnn(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", Similarity.bucketExpr(col("v")))
+      .persist() // both self-join sides read it; computed once
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopPairsPerLabel)
+  }
+
+  def embeddingNearDupsAnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm,
+       |    ${Similarity.bucketSql} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_sum([CAST(a.embedding[i] AS DOUBLE)
+       |                    * CAST(b.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(a.embedding) + 1)])
+       |      / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM e a JOIN e b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, vec_a, vec_b, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket
+       |    ORDER BY cosine DESC, vec_a, vec_b) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $TopPairsPerLabel
+       |ORDER BY bucket, rank""".stripMargin
+
   def embeddingNearDupsSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,

@@ -221,6 +221,44 @@ class ExtSpec extends AnyFunSuite {
     assert(joined.filter(col("bucket") =!= col("qb")).count() == 0)
   }
 
+  test("IVF ANN: refined cells cover queries; recall vs brute force reported") {
+    val e = Tables(spark, Sf0001).embeddings
+    val brute = Similarity.topKBruteForce(e)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.topKIvf(e)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == Similarity.NumQueries * Similarity.TopK)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@${Similarity.TopK} vs brute force: $recall%.2f "
+      + s"(nProbe=${Similarity.IvfProbes}/${Similarity.IvfCells} cells)")
+    // single-digit-probe IVF on unclustered data: a floor, not a target
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
+  test("ANN-bucketed embedding dedup pairs share the LSH bucket") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, Sf0001).embeddings
+    val withBucket = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.bucketExpr(col("v")))
+      .select("vec_id", "bucket")
+    val pairs = Dedup.embeddingNearDupsAnn(e)
+    assert(pairs.count() > 0)
+    // every reported pair's two sides really share the reported bucket
+    val joined = pairs
+      .join(withBucket.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("bucket", "ba"), Seq("vec_a"))
+      .join(withBucket.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("bucket", "bb"), Seq("vec_b"))
+    assert(joined.filter(col("ba") =!= col("bucket")
+      || col("bb") =!= col("bucket")).count() == 0)
+    // rank bounded per bucket
+    assert(pairs.groupBy("bucket").count()
+      .filter(col("count") > Dedup.TopPairsPerLabel).count() == 0)
+  }
+
   test("text stats: hand-computed quality on a tiny doc") {
     val d = docsDF(Seq((1L, "the cat sat on the mat")))
     val r = TextAnalysis.textStats(d).head()

@@ -124,17 +124,64 @@ object EventPipeline {
     val late: LongAccumulator = spark.sparkContext.longAccumulator("late")
     val dqFailed: LongAccumulator = spark.sparkContext.longAccumulator("dqFailed")
     val drifted: LongAccumulator = spark.sparkContext.longAccumulator("drifted")
+    /** Highest batchId whose BOTH writes committed (foreachBatch runs on
+      * the driver, so a plain volatile is the whole coordination needed).
+      */
+    @volatile var lastCommitted: Long = -1L
     def lateRate: Double =
       if (total.value == 0) 0.0 else late.value.toDouble / total.value
     def dqFailureRate: Double =
       if (total.value == 0) 0.0 else dqFailed.value.toDouble / total.value
   }
 
+  /** One idempotent micro-batch commit of the dual sink (the foreachBatch
+    * body of [[startDualSink]], extracted so StreamingSpec can replay it).
+    *
+    * foreachBatch is at-least-once: after a failure between the two
+    * writes, or on post-recovery replay, the same (batchId, rows) arrives
+    * again. Two mechanisms make the re-delivery a no-op:
+    *   - writes are partitioned by `batch_id` first and use DYNAMIC
+    *     partition overwrite — a replay rewrites exactly its own
+    *     batch_id=N partitions instead of appending duplicates (the
+    *     standard exactly-once-to-files recipe when the sink has no
+    *     transactions);
+    *   - run-report accumulators are added only AFTER both writes
+    *     succeed, gated on batchId > [[RunStats.lastCommitted]], so a
+    *     replayed batch in the same driver never double-counts (a
+    *     restarted driver starts from zero and the replay repopulates).
+    * Downstream scans still prune on (country, plan) — batch_id is just
+    * the leading partition level.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, mainPath: String,
+      quarantinePath: String, stats: RunStats): Unit =
+    if (!batch.isEmpty && batchId > stats.lastCommitted) {
+      val cached = batch.withColumn("batch_id", lit(batchId)).persist()
+      try {
+        val r = cached.agg(
+          count(lit(1)),
+          count(when(col("is_late_arrival"), 1)),
+          count(when(!col("dq_passed"), 1)),
+          count(when(col("schema_drift_detected"), 1))).head()
+        val (main, quarantine) =
+          Quarantine.split(cached, !col("dq_passed"))
+        main.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "country", "plan").parquet(mainPath)
+        quarantine.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "country", "plan").parquet(quarantinePath)
+        // both writes committed — only now touch the report counters
+        stats.total.add(r.getLong(0)); stats.late.add(r.getLong(1))
+        stats.dqFailed.add(r.getLong(2)); stats.drifted.add(r.getLong(3))
+        stats.lastCommitted = batchId
+      } finally { cached.unpersist(); () }
+    }
+
   /** T3+T4+O5 — dual parquet sink via foreachBatch: one micro-batch
     * materialization feeds the main flow, the quarantine flow and the
-    * run-report counters. Both sinks are hive-partitioned by
-    * (country, plan) like the reference sink (ingest_transform.py:
-    * 262-269). Returns the started query.
+    * run-report counters (idempotently — see [[processBatch]]). Both
+    * sinks are hive-partitioned like the reference sink
+    * (ingest_transform.py:262-269). Returns the started query.
     */
   def startDualSink(curated: DataFrame, mainPath: String,
       quarantinePath: String, checkpointDir: String, stats: RunStats,
@@ -144,25 +191,8 @@ object EventPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val cached = batch.persist()
-          try {
-            val r = cached.agg(
-              count(lit(1)),
-              count(when(col("is_late_arrival"), 1)),
-              count(when(!col("dq_passed"), 1)),
-              count(when(col("schema_drift_detected"), 1))).head()
-            stats.total.add(r.getLong(0)); stats.late.add(r.getLong(1))
-            stats.dqFailed.add(r.getLong(2)); stats.drifted.add(r.getLong(3))
-            val (main, quarantine) =
-              Quarantine.split(cached, !col("dq_passed"))
-            main.write.mode("append")
-              .partitionBy("country", "plan").parquet(mainPath)
-            quarantine.write.mode("append")
-              .partitionBy("country", "plan").parquet(quarantinePath)
-          } finally { cached.unpersist(); () }
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, mainPath, quarantinePath, stats)
       }
       .start()
 

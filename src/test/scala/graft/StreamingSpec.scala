@@ -75,10 +75,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(main.count() == 4)
     assert(quarantine.count() == 1)
     assert(quarantine.select("id").head().getString(0) == "c3")
-    // hive partitioning by (country, plan) reaches the sink layout
+    // hive partitioning by (batch_id, country, plan) reaches the sink
+    // layout: batch_id leads (the idempotent-replay overwrite unit),
+    // country/plan below it for pruned downstream scans
     assert(main.select("country", "plan").distinct().count() >= 1)
     assert(Files.list(java.nio.file.Paths.get(mainDir)).toArray
+      .exists(_.toString.contains("batch_id=")))
+    assert(Files.walk(java.nio.file.Paths.get(mainDir)).toArray
       .exists(_.toString.contains("country=US")))
+  }
+
+  test("dual sink replay: same batch re-delivered -> no dupes, no double counts") {
+    import spark.implicits._
+    val mainDir = Files.createTempDirectory("imain").toString
+    val qDir = Files.createTempDirectory("iquar").toString
+    val stats = new EventPipeline.RunStats(spark)
+    val now = System.currentTimeMillis()
+    val batch = EventPipeline.curate(EventPipeline.parse(Seq(
+      eventJson("c1", "good@example.com", now),
+      eventJson("c2", "bad-email", now)).toDF("value")))
+
+    EventPipeline.processBatch(batch, 0L, mainDir, qDir, stats)
+    assert(stats.total.value == 2 && stats.dqFailed.value == 1)
+    assert(spark.read.parquet(mainDir).count() == 1)
+    assert(spark.read.parquet(qDir).count() == 1)
+
+    // same-driver replay of an already-committed batch: skipped outright
+    EventPipeline.processBatch(batch, 0L, mainDir, qDir, stats)
+    assert(stats.total.value == 2)
+    assert(spark.read.parquet(mainDir).count() == 1)
+
+    // crash between the two writes, then recovery replay: the partial
+    // main write exists, accumulators were NOT touched (they only move
+    // after both writes), and the replay overwrites batch_id=0 in place
+    val freshStats = new EventPipeline.RunStats(spark) // restarted driver
+    EventPipeline.processBatch(batch, 0L, mainDir, qDir, freshStats)
+    assert(freshStats.total.value == 2 && freshStats.dqFailed.value == 1)
+    assert(spark.read.parquet(mainDir).count() == 1) // overwritten, not appended
+    assert(spark.read.parquet(qDir).count() == 1)
+
+    // a genuinely new batch appends its own partition
+    val batch2 = EventPipeline.curate(EventPipeline.parse(Seq(
+      eventJson("c3", "ok@example.com", now)).toDF("value")))
+    EventPipeline.processBatch(batch2, 1L, mainDir, qDir, freshStats)
+    assert(freshStats.total.value == 3)
+    assert(spark.read.parquet(mainDir).count() == 2)
   }
 
   test("windowed counts drop rows behind the watermark across batches") {

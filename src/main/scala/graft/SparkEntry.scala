@@ -81,6 +81,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // P8 done data-driven: drift detection on raw JSON key sets. The
+    // wire payloads are reconstructed with to_json (null fields dropped,
+    // like the producer omitting them), so v2/v3 events carry the drift
+    // keys and the detector surfaces them as 'new' against the v1 schema
+    "schema_drift_report" -> ((s, dir) => {
+      val raw = CustomerEvents.synth(tables(s, dir).events)
+        .select(to_json(struct(
+          col("id"), col("name"), col("email"), col("signup_ts"),
+          col("country"), col("plan"), col("event_ts"), col("version"),
+          col("marketing_opt_in"), col("customer_segment"))).as("payload"))
+      graft.schema.SchemaEvolution.schemaDriftReport(raw, col("payload"),
+        graft.schema.SchemaEvolution.v1.fieldNames.toSeq)
+    }),
+
     // A1-A3: run report (ingest_transform.py:307-336)
     "ce_run_report" -> ((s, dir) =>
       Reports.runReportWithRates(Enrich.curated(tables(s, dir).events))),
@@ -290,6 +304,12 @@ object SparkEntry {
       TextAnalysis.lengthQuantiles(tables(s, dir).documents)
         .orderBy("lang")),
 
+    // The 100 TB scale twin: sketch-based quantiles, constant memory per
+    // group; approximate -> no oracle (driver rows-only check)
+    "doc_length_quantiles_approx" -> ((s, dir) =>
+      TextAnalysis.lengthQuantilesApprox(tables(s, dir).documents)
+        .orderBy("lang")),
+
     // IVF-style ANN: coarse cells + nProbe search (scale twin of LSH)
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(tables(s, dir).embeddings)
@@ -388,6 +408,33 @@ object SparkEntry {
          |  AND country IS NOT NULL AND plan IN ($plans)
          |ORDER BY event_id""".stripMargin
     },
+
+    // JSON key presence ≡ field non-null (to_json drops nulls), so the
+    // oracle needs no JSON machinery at all
+    "schema_drift_report" ->
+      s"""WITH ce AS (${CustomerEvents.sqlCte}),
+         |tot AS (SELECT count(*) AS n_docs FROM ce),
+         |p AS (
+         |  SELECT 'id' AS column_name, count(id) AS np, true AS exp FROM ce
+         |  UNION ALL SELECT 'name', count(name), true FROM ce
+         |  UNION ALL SELECT 'email', count(email), true FROM ce
+         |  UNION ALL SELECT 'signup_ts', count(signup_ts), true FROM ce
+         |  UNION ALL SELECT 'country', count(country), true FROM ce
+         |  UNION ALL SELECT 'plan', count(plan), true FROM ce
+         |  UNION ALL SELECT 'event_ts', count(event_ts), true FROM ce
+         |  UNION ALL SELECT 'version', count(version), true FROM ce
+         |  UNION ALL SELECT 'marketing_opt_in', count(marketing_opt_in),
+         |    false FROM ce
+         |  UNION ALL SELECT 'customer_segment', count(customer_segment),
+         |    false FROM ce)
+         |SELECT column_name, CAST(np AS BIGINT) AS n_present, n_docs,
+         |  CASE WHEN NOT exp THEN 'new'
+         |       WHEN np = 0 THEN 'missing'
+         |       WHEN np < n_docs THEN 'partial'
+         |       ELSE 'complete' END AS status
+         |FROM p, tot
+         |WHERE np > 0 OR exp
+         |ORDER BY column_name""".stripMargin,
 
     "ce_run_report" ->
       s"""$W

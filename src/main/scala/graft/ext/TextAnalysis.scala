@@ -257,8 +257,9 @@ object TextAnalysis {
 
   /** Exact interpolated length quantiles per language — `percentile`
     * (exact, Spark ≥3.5) matches DuckDB's `quantile_cont` definition, so
-    * the oracle is exact. For 100 TB use `percentile_approx` (t-digest)
-    * instead and accept the weaker rows-only check.
+    * the oracle is exact. Exactness costs memory: the aggregate buffers
+    * every value per group, so at 100 TB the scale path is
+    * [[lengthQuantilesApprox]].
     */
   def lengthQuantiles(documents: DataFrame): DataFrame =
     documents.groupBy("lang")
@@ -273,4 +274,25 @@ object TextAnalysis {
       |  quantile_cont(n_chars, 0.9) AS p90,
       |  quantile_cont(n_chars, 0.99) AS p99
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** `percentile_approx` accuracy knob: error ≤ 1/accuracy of the rank. */
+  val ApproxQuantileAccuracy = 10000
+
+  /** The 100 TB twin of [[lengthQuantiles]]: `percentile_approx`
+    * (Greenwald-Khanna sketch, constant memory per group, map-side
+    * combinable partials) in place of the value-buffering exact
+    * aggregate. Approximate ⇒ no deterministic cross-engine oracle
+    * (rows-only check, like `approx_sketches`); the measured deviation
+    * vs the exact query on the fixtures is recorded in SCALING.md and
+    * pinned within rank-error bounds in ExtSpec.
+    */
+  def lengthQuantilesApprox(documents: DataFrame): DataFrame =
+    documents.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5),
+          lit(ApproxQuantileAccuracy)).as("p50"),
+        percentile_approx(col("n_chars"), lit(0.9),
+          lit(ApproxQuantileAccuracy)).as("p90"),
+        percentile_approx(col("n_chars"), lit(0.99),
+          lit(ApproxQuantileAccuracy)).as("p99"))
 }

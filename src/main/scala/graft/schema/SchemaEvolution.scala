@@ -115,4 +115,45 @@ object SchemaEvolution {
           .when(col("version") === 2, lit("customer_segment"))
           .otherwise(lit("")))
       .orderBy("version")
+
+  /** Data-driven drift detection over RAW JSON payloads — the column-set
+    * diff the reference wrote but made dead code by running it after
+    * `from_json` against a fixed schema (ingest_transform.py:141-154):
+    * post-parse, the frame always has exactly the declared columns, so
+    * the diff can never fire. Real detection reads the payloads' actual
+    * top-level key sets (`json_object_keys`, before any schema is
+    * imposed) and reports, per key observed-or-expected:
+    *
+    *   - `new`      — key on the wire but not in the expected schema
+    *                  (the v2/v3 drift signal);
+    *   - `missing`  — expected but never present in the batch;
+    *   - `partial`  — expected, present in some rows (nullable-field
+    *                  anomalies);
+    *   - `complete` — expected, present in every row.
+    *
+    * One explode + one map-side-combinable count per key: at 100 TB this
+    * is a single scan of the raw payload column, no per-row driver work,
+    * and the report is O(distinct keys).
+    */
+  def schemaDriftReport(raw: DataFrame, jsonCol: Column,
+      expected: Seq[String]): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val keys = raw
+      .select(explode(json_object_keys(jsonCol)).as("column_name"))
+      .groupBy("column_name").agg(count(lit(1)).as("n_present"))
+    val exp = expected.toDF("column_name")
+      .withColumn("is_expected", lit(true))
+    val tot = raw.agg(count(lit(1)).as("n_docs"))
+    keys.join(exp, Seq("column_name"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("column_name"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"),
+        col("n_docs"),
+        when(!coalesce(col("is_expected"), lit(false)), "new")
+          .when(coalesce(col("n_present"), lit(0L)) === 0, "missing")
+          .when(col("n_present") < col("n_docs"), "partial")
+          .otherwise("complete").as("status"))
+      .orderBy("column_name")
+  }
 }

@@ -259,6 +259,24 @@ class ExtSpec extends AnyFunSuite {
       .filter(col("count") > Dedup.TopPairsPerLabel).count() == 0)
   }
 
+  test("approx length quantiles track the exact ones within rank error") {
+    val docs = Tables(spark, Sf0001).documents
+    val exact = TextAnalysis.lengthQuantiles(docs).orderBy("lang").collect()
+    val approx = TextAnalysis.lengthQuantilesApprox(docs).orderBy("lang")
+      .collect()
+    assert(exact.length == approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      for ((col, i) <- Seq("p50" -> 2, "p90" -> 3, "p99" -> 4)) {
+        val ev = e.getDouble(i)
+        val av = a.getLong(i).toDouble // sketch returns an observed value
+        val rel = math.abs(av - ev) / math.max(ev, 1.0)
+        assert(rel <= 0.05,
+          f"$col lang=${e.getString(0)}: exact=$ev%.1f approx=$av%.1f")
+      }
+    }
+  }
+
   test("text stats: hand-computed quality on a tiny doc") {
     val d = docsDF(Seq((1L, "the cat sat on the mat")))
     val r = TextAnalysis.textStats(d).head()

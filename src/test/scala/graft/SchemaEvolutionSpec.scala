@@ -79,4 +79,29 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rep.find(_.getAs[Int]("version") == 2).get
       .getAs[String]("missing_vs_v3") == "customer_segment")
   }
+
+  test("data-driven drift detection surfaces planted v2/v3 keys from raw JSON") {
+    import spark.implicits._
+    // raw wire payloads, no schema imposed: v1, v2 (+marketing_opt_in),
+    // v3 (+customer_segment), one with a missing nullable base field,
+    // and one with a key outside every declared version
+    val raw = Seq(
+      """{"id":"a","name":"n","email":"a@x.io","signup_ts":1,"country":"US","plan":"free","event_ts":2,"version":1}""",
+      """{"id":"b","name":"n","email":"b@x.io","signup_ts":1,"country":"US","plan":"free","event_ts":2,"version":2,"marketing_opt_in":true}""",
+      """{"id":"c","name":"n","email":"c@x.io","signup_ts":1,"country":"US","plan":"free","event_ts":2,"version":3,"marketing_opt_in":false,"customer_segment":"standard"}""",
+      """{"id":"d","email":"d@x.io","signup_ts":1,"country":"US","plan":"free","event_ts":2,"version":1}""",
+      """{"id":"e","name":"n","email":"e@x.io","signup_ts":1,"country":"US","plan":"free","event_ts":2,"version":1,"rogue_field":7}""")
+      .toDF("payload")
+    val rep = SchemaEvolution
+      .schemaDriftReport(raw, col("payload"), v1.fieldNames.toSeq)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(rep("marketing_opt_in") == ((2L, "new")))
+    assert(rep("customer_segment") == ((1L, "new")))
+    assert(rep("rogue_field") == ((1L, "new")))
+    assert(rep("name") == ((4L, "partial")))
+    assert(rep("id") == ((5L, "complete")))
+    assert(rep("version") == ((5L, "complete")))
+    assert(rep.size == v1.fieldNames.length + 3)
+  }
 }

@@ -7,18 +7,22 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.EventPipeline
 
 /** Runnable streaming demo without a Kafka broker: the `rate` source
-  * synthesizes CustomerEvent JSON (with the reference's anomaly mix via
-  * the same residue arithmetic as [[CustomerEvents]]), feeding the full
-  * parse -> curate -> watermark -> dual-sink pipeline for a bounded run
-  * (`sbt "runMain graft.RunStream [seconds] [outDir]"`). With a broker,
-  * swap the source for [[EventPipeline.fromKafka]] — the rest is
-  * unchanged.
+  * synthesizes CustomerEvent payloads (with the reference's anomaly mix
+  * via the same residue arithmetic as [[CustomerEvents]]), feeding the
+  * full parse -> curate -> watermark -> dual-sink pipeline for a bounded
+  * run (`sbt "runMain graft.RunStream [seconds] [outDir] [rowsPerSec]
+  * [json|avro]"`). The 4th arg selects the wire format: `json`
+  * (from_json path) or `avro` (the producer's actual binary-datum
+  * contract through the native codec, [[EventPipeline.parseAvro]]).
+  * With a broker, swap the source for [[EventPipeline.fromKafka]] — the
+  * rest is unchanged.
   */
 object RunStream {
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(15)
     val outDir = args.lift(1).getOrElse("/tmp/graft_stream")
     val rowsPerSecond = args.lift(2).getOrElse("200")
+    val wire = args.lift(3).getOrElse("json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +36,7 @@ object RunStream {
       .option("rowsPerSecond", rowsPerSecond).load()
     val uid = col("value") % 1000
     val nowMs = unix_millis(col("timestamp"))
-    val json = to_json(struct(
+    val event = struct(
       concat(lit("cust_"), uid.cast("string")).as("id"),
       concat(lit("user_"), uid.cast("string")).as("name"),
       when(col("value") % 53 === 0, "invalid-email")
@@ -47,12 +51,19 @@ object RunStream {
       // 5% late by 1-24h, like the reference's injector
       (nowMs - when(col("value") % 20 === 0,
         (col("value") % 24 + 1) * 3600000L).otherwise(0L)).as("event_ts"),
-      when(col("value") % 100 === 0, 2).otherwise(1).as("version")))
-    val raw = rate.select(json.as("value"))
+      when(col("value") % 100 === 0, 2).otherwise(1).as("version"),
+      lit(null).cast("boolean").as("marketing_opt_in"),
+      lit(null).cast("string").as("customer_segment"))
 
+    graft.functions.GraftFunctions.register(spark)
+    val parsed = wire match {
+      case "avro" => EventPipeline.parseAvro(rate.select(
+        graft.functions.GraftFunctions.avroEncodeCe(event).as("value")))
+      case _ => EventPipeline.parse(rate.select(to_json(event).as("value")))
+    }
     val stats = new EventPipeline.RunStats(spark)
     val query = EventPipeline.startDualSink(
-      EventPipeline.curate(EventPipeline.parse(raw)),
+      EventPipeline.curate(parsed),
       s"$outDir/main", s"$outDir/quarantine", s"$outDir/ckpt", stats,
       Trigger.ProcessingTime("5 seconds"))
     EventPipeline.runBounded(query, seconds * 1000L)

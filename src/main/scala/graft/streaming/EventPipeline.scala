@@ -83,6 +83,28 @@ object EventPipeline {
       .select(col("data.*") +: present.map(c => col(s"kafka_$c")): _*)
   }
 
+  /** S4 twin of [[parse]] for the producer's actual wire format: `value`
+    * is a raw binary Avro datum of the CustomerEvent record, decoded by
+    * the native [[graft.sources.AvroDecodeCustomerEvent]] codec —
+    * map-side, inside whole-stage codegen, on the streaming frame
+    * directly (byte layout pinned in AvroSpec). Keeps Kafka metadata and
+    * flattens exactly like the JSON path, so everything downstream
+    * (curate → DQ → sinks) is decoder-agnostic.
+    */
+  def parseAvro(raw: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    val present = Seq("key", "topic", "partition", "offset", "timestamp")
+      .filter(raw.columns.contains)
+    val meta = present.map {
+      case "key" => col("key").cast("string").as("kafka_key")
+      case c => col(c).as(s"kafka_$c")
+    }
+    raw
+      .select(meta :+ graft.functions.GraftFunctions
+        .avroDecodeCe(col("value").cast("binary")).as("data"): _*)
+      .select(col("data.*") +: present.map(c => col(s"kafka_$c")): _*)
+  }
+
   /** P1-P7 + Q1-Q5 over a (possibly streaming) parsed frame. Streaming
     * uses real `current_timestamp()` for processing time (P2); batch
     * tests inject a literal for determinism.

@@ -122,6 +122,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(mainDir).count() == 2)
   }
 
+  test("avro wire path curates identically to the JSON path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{avroEncodeCe, avroDecodeCe}
+    // wireable events (non-null required fields, enum plan), two formats
+    val ce = CustomerEvents.synth(Tables(spark, Sf0001).events)
+      .filter(col("id").isNotNull && col("name").isNotNull
+        && col("email").isNotNull && col("country").isNotNull
+        && col("plan").isin(
+          graft.sources.CustomerEventAvro.PlanSymbols: _*))
+      .limit(200)
+    val fields = Seq("id", "name", "email", "signup_ts", "country", "plan",
+      "event_ts", "version", "marketing_opt_in", "customer_segment")
+    val avroRaw = ce.select(
+      avroEncodeCe(struct(fields.map(col): _*)).as("value"))
+    val jsonRaw = ce.select(to_json(struct(fields.map(col): _*)).as("value"))
+    val asOf = CustomerEvents.asOfCol
+    val fromAvro = EventPipeline.curate(EventPipeline.parseAvro(avroRaw), asOf)
+      .orderBy("id", "event_ts")
+    val fromJson = EventPipeline.curate(EventPipeline.parse(jsonRaw), asOf)
+      .orderBy("id", "event_ts")
+    assert(fromAvro.columns.sameElements(fromJson.columns))
+    val a = fromAvro.collect()
+    val j = fromJson.collect()
+    assert(a.length == 200 && a.sameElements(j))
+  }
+
   test("windowed counts drop rows behind the watermark across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -80,15 +80,23 @@ object Dedup {
   /** Verified-Jaccard output threshold for the near-dup report. */
   val JaccardThreshold = 0.5
 
-  /** (doc_id, shingle) — exploded distinct word-5-shingle set. The md5
-    * base hash is applied on this exploded column (a regular projection,
-    * so whole-stage codegen applies — md5 inside array-lambda HOFs would
-    * run interpreted and costs ~10× here).
+  /** (doc_id, h) — exploded distinct word-5-shingle set, base-HASHED.
+    * The md5 base hash is applied once on the exploded column (a regular
+    * projection, so whole-stage codegen applies — md5 inside array-lambda
+    * HOFs would run interpreted and costs ~10× here), and everything
+    * downstream (signature mins, canopies, the verification equi-joins)
+    * operates on the 8-byte hash: shuffles carry (long, long) rows, never
+    * shingle strings — the at-scale shuffle-volume discipline this
+    * module's header promises. MinHash/Jaccard over hashed shingle sets
+    * is the standard formulation; a 32-bit collision (≈|shingles|²/2³³
+    * per doc) perturbs set sizes deterministically and the DuckDB oracle
+    * hashes identically, so parity is exact by construction.
     */
   def shingleTable(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text")))).as("shingle"))
+        explode(array_distinct(shingles(col("text")))).as("shingle"))
+      .select(col("doc_id"), h32(col("shingle")).as("h"))
   }
 
   /** Near-dup pairs with *verified* shingle Jaccard ≥ threshold. The
@@ -104,7 +112,7 @@ object Dedup {
     val sh = shingleTable(documents).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sigCols = (0 until NumHashes)
-      .map(i => min(permuted(i, h32(col("shingle")))).as(s"sig_$i"))
+      .map(i => min(permuted(i, col("h"))).as(s"sig_$i"))
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until NumBands).map { b =>
       val slice = (0 until RowsPerBand)
@@ -127,7 +135,7 @@ object Dedup {
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id")
-          && col("sa.shingle") === col("sb.shingle"))
+          && col("sa.h") === col("sb.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
@@ -151,14 +159,15 @@ object Dedup {
       s"SELECT doc_id, $b AS band_idx, md5($slice) AS band_hash FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""shd AS (
-       |  SELECT doc_id, unnest(
-       |    list_distinct(${shinglesSql("string_split(text, ' ')")}))
-       |    AS shingle
-       |  FROM documents),
+       |  SELECT doc_id, ${h32Sql("shingle")} AS h
+       |  FROM (SELECT doc_id, unnest(
+       |          list_distinct(${shinglesSql("string_split(text, ' ')")}))
+       |          AS shingle
+       |        FROM documents)),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigExprs
-       |  FROM (SELECT doc_id, ${h32Sql("shingle")} AS h FROM shd)
+       |  FROM shd
        |  GROUP BY doc_id),
        |banded AS (
        |  $bandSelects),
@@ -176,7 +185,7 @@ object Dedup {
        |  SELECT doc_a, doc_b, count(*) AS inter
        |  FROM cand
        |  JOIN shd sa ON sa.doc_id = doc_a
-       |  JOIN shd sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+       |  JOIN shd sb ON sb.doc_id = doc_b AND sa.h = sb.h
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, ca.n AS n_a, cb.n AS n_b,
        |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
@@ -571,11 +580,10 @@ object Dedup {
   val CanopySeeds = Seq(0, 1)
 
   def ngramJaccardNearDups(documents: DataFrame): DataFrame = {
-    val h = h32(col("shingle"))
     val canopies = shingleTable(documents)
       .groupBy("doc_id")
-      .agg(min(permuted(CanopySeeds.head, h)).as("c0"),
-        min(permuted(CanopySeeds(1), h)).as("c1"))
+      .agg(min(permuted(CanopySeeds.head, col("h"))).as("c0"),
+        min(permuted(CanopySeeds(1), col("h"))).as("c1"))
       .select(col("doc_id"), explode(array(
         struct(lit(0).as("k"), col("c0").as("v")),
         struct(lit(1).as("k"), col("c1").as("v")))).as("key"))
@@ -606,15 +614,16 @@ object Dedup {
 
   def ngramJaccardNearDupsSql: String =
     s"""WITH shd AS (
-       |  SELECT doc_id, unnest(
-       |    list_distinct(${shinglesSql("string_split(text, ' ')")}))
-       |    AS shingle
-       |  FROM documents),
+       |  SELECT doc_id, ${h32Sql("shingle")} AS h
+       |  FROM (SELECT doc_id, unnest(
+       |          list_distinct(${shinglesSql("string_split(text, ' ')")}))
+       |          AS shingle
+       |        FROM documents)),
        |canopy AS (
        |  SELECT doc_id,
        |    min(${permutedSql(CanopySeeds.head, "h")}) AS c0,
        |    min(${permutedSql(CanopySeeds(1), "h")}) AS c1
-       |  FROM (SELECT doc_id, ${h32Sql("shingle")} AS h FROM shd)
+       |  FROM shd
        |  GROUP BY doc_id),
        |keyed AS (
        |  SELECT doc_id, 0 AS k, c0 AS v FROM canopy

@@ -57,4 +57,21 @@ class EdgeSpec extends AnyFunSuite {
     val stats = TextAnalysis.textStats(one).head()
     assert(stats.getAs[Long]("n_tokens") == 4)
   }
+
+  test("round-3 operators are total on empty inputs") {
+    import spark.implicits._
+    assert(Dedup.embeddingNearDupsAnn(emptyEmb).count() == 0)
+    assert(TextAnalysis.lengthQuantilesApprox(emptyDocs).count() == 0)
+    assert(graft.schema.SchemaEvolution.schemaDriftReport(
+        emptyDocs.select(col("text").as("payload")), col("payload"),
+        Seq("id", "email"))
+      .collect().map(r => (r.getString(0), r.getString(3))).toSeq
+      == Seq(("email", "missing"), ("id", "missing")))
+    // avro decode is null-safe (null value -> null struct, no throw)
+    graft.functions.GraftFunctions.register(spark)
+    val r = Seq[Array[Byte]](null).toDF("value")
+      .select(graft.functions.GraftFunctions.avroDecodeCe(col("value")))
+      .head()
+    assert(r.isNullAt(0))
+  }
 }

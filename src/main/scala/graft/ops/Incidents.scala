@@ -115,6 +115,33 @@ object Incidents {
       .drop("rn")
   }
 
+  /** O7 at scale: the append log on immutable storage grows without
+    * bound and [[latestState]] re-reads all of it. Compaction rewrites a
+    * log parquet directory down to its latest-state rows; the compacted
+    * log is ITSELF a valid append log (exactly one current version row
+    * per incident), so readers keep using [[latestState]] unchanged over
+    * `compacted ∪ post-compaction appends` while read amplification
+    * resets to one row per incident. Runs as snapshot-to-temp + swap so
+    * a crash mid-compaction leaves either the old or the new log, never
+    * a mix (on an object store the swap would be a manifest commit).
+    * Returns (rowsBefore, rowsAfter). Equivalence of the compacted read
+    * path is pinned in AgentSpec.
+    */
+  def compactLog(spark: org.apache.spark.sql.SparkSession,
+      logDir: String): (Long, Long) = {
+    val log = spark.read.parquet(logDir)
+    val before = log.count()
+    val tmp = logDir + ".compacting"
+    latestState(log).write.mode("overwrite").parquet(tmp)
+    val snap = spark.read.parquet(tmp)
+    val after = snap.count()
+    snap.write.mode("overwrite").parquet(logDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    (before, after)
+  }
+
   /** DuckDB mirror: the update log CTE body (expects `incidents`). */
   val updateLogSql: String = """
     SELECT incident_id, incident_type, severity,

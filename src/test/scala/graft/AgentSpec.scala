@@ -116,6 +116,37 @@ class AgentSpec extends AnyFunSuite {
       .filter(col("update_seq") =!= col("mx")).count() == 0)
   }
 
+  test("incident log compaction preserves the latest-state read path") {
+    val log = Incidents.updateLog(
+      Incidents.fromEvents(Tables(spark, Sf0001).events))
+    val dir = java.nio.file.Files.createTempDirectory("inclog").toString
+    log.write.mode("overwrite").parquet(dir)
+    val expectBefore = Incidents.latestState(log)
+      .orderBy("incident_id").collect()
+
+    val (before, after) = Incidents.compactLog(spark, dir)
+    assert(before == log.count())
+    assert(after == expectBefore.length) // one current row per incident
+    assert(after < before)               // the log actually shrank
+    // the compacted log is a valid log: same latest state
+    val afterCompact = Incidents.latestState(spark.read.parquet(dir))
+      .orderBy("incident_id").collect()
+    assert(afterCompact.sameElements(expectBefore))
+
+    // post-compaction appends still win: bump one incident's state
+    val bumped = spark.read.parquet(dir).limit(1)
+      .withColumn("status", lit("resolved"))
+      .withColumn("updated_at",
+        col("updated_at") + expr("INTERVAL 1 DAY"))
+      .withColumn("update_seq", col("update_seq") + 100)
+    bumped.write.mode("append").parquet(dir)
+    val merged = Incidents.latestState(spark.read.parquet(dir))
+    val bumpedId = bumped.select("incident_id").head().getString(0)
+    assert(merged.filter(col("incident_id") === bumpedId)
+      .select("status").head().getString(0) == "resolved")
+    assert(merged.count() == after)
+  }
+
   // ---- O2 response parser (reference: tests/test_agent.py:258-301) --------
 
   test("parser extracts sections from an LLM response (test_agent.py:258-287)") {

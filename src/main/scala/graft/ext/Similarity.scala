@@ -163,14 +163,21 @@ object Similarity {
     // L2² via dot products; identical op order to the oracle SQL
     def dist2(v: Column, nv: Column, cv: Column, cn2: Column): Column =
       nv * nv - lit(2.0) * dot(v, cv) + cn2
-    def assignTo(cents: DataFrame): DataFrame = e
+    def score(side: DataFrame, cents: DataFrame): DataFrame = side
       .join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("d2"), col("cell"))))
+    // nearest cell per vector as an ARGMIN AGGREGATE, not a window:
+    // partial aggregation collapses the |cells| scored rows to one per
+    // vector map-side, so the shuffle carries 1/|cells| the rows and
+    // sorts nothing. (d2, cell) is unique, so min_by ≡ the oracle's
+    // row_number()=1 under ORDER BY (d2, cell).
+    def nearestCell(cents: DataFrame): DataFrame =
+      score(e, cents).groupBy("vec_id")
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     // one k-means pass: exact fixed-point element-wise mean per cell
-    val refined = assignTo(cents0).filter(col("rn") === 1)
+    val refined = nearestCell(cents0)
       .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cell", "i")
       .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
@@ -180,11 +187,13 @@ object Similarity {
           (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val ranked = assignTo(refined)
-    val assign = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val probes = ranked.filter(col("rn") <= IvfProbes
-        && col("vec_id") < NumQueries)
+    val assign = nearestCell(refined)
+    // probe ranking needs the nProbe-nearest cells only for the QUERY
+    // vectors — filter to them before the (tiny) window
+    val probes = score(e.filter(col("vec_id") < NumQueries), refined)
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("p_cell")) // aliased pre-join
     val scored = assign.join(broadcast(probes),

@@ -231,8 +231,9 @@ object Dedup {
 
   /** Transitive near-dup clusters over the verified-pair graph:
     * driver-side union-find below [[DriverClusterMaxPairs]], distributed
-    * min-label propagation above it. Output: one row per cluster with
-    * ≥2 docs — (cluster_id = min doc_id in the cluster, n_docs).
+    * pointer-jumping label propagation ([[distributedClusters]]) above
+    * it. Output: one row per cluster with ≥2 docs — (cluster_id = min
+    * doc_id in the cluster, n_docs).
     */
 
   def minhashClusters(documents: DataFrame): DataFrame = {

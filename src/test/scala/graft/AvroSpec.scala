@@ -100,6 +100,50 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("property: encode∘decode round-trips arbitrary wireable records") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genStr: Gen[String] = Gen.frequency(
+      4 -> Gen.asciiPrintableStr,
+      // multi-byte UTF-8 exercises the byte-length (not char-count) prefix
+      1 -> Gen.stringOf(Gen.frequency(
+        3 -> Gen.choose('α', 'ω'), 1 -> Gen.choose('一', '十'))),
+      1 -> Gen.const(""))
+    val genRec: Gen[(String, String, String, Long, String, String, Long,
+        Int, Option[Boolean], Option[String])] = for {
+      id <- genStr; name <- genStr; email <- genStr
+      signup <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      country <- genStr
+      plan <- Gen.oneOf(CustomerEventAvro.PlanSymbols)
+      eventTs <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      version <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      opt <- Gen.option(Gen.oneOf(true, false))
+      seg <- Gen.option(genStr)
+    } yield (id, name, email, signup, country, plan, eventTs, version,
+      opt, seg)
+    val params = Gen.Parameters.default
+    (0 until 300).foreach { i =>
+      val (id, name, email, signup, country, plan, eventTs, version,
+        opt, seg) = genRec.pureApply(params, Seed(i.toLong))
+      val in = row(id, name, email, signup, country, plan, eventTs,
+        version,
+        opt.map(java.lang.Boolean.valueOf).orNull,
+        seg.orNull)
+      val out = CustomerEventAvro.decode(CustomerEventAvro.encode(in))
+      assert(out.getUTF8String(0).toString == id, s"seed $i")
+      assert(out.getUTF8String(1).toString == name)
+      assert(out.getUTF8String(2).toString == email)
+      assert(out.getLong(3) == signup)
+      assert(out.getUTF8String(4).toString == country)
+      assert(out.getUTF8String(5).toString == plan)
+      assert(out.getLong(6) == eventTs)
+      assert(out.getInt(7) == version)
+      assert((if (out.isNullAt(8)) None else Some(out.getBoolean(8))) == opt)
+      assert((if (out.isNullAt(9)) None
+              else Some(out.getUTF8String(9).toString)) == seg)
+    }
+  }
+
   test("Spark-side encode∘decode is the identity on wireable events") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{avroDecodeCe, avroEncodeCe}

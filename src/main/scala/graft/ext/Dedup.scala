@@ -101,22 +101,25 @@ object Dedup {
 
   /** Near-dup pairs with *verified* shingle Jaccard ≥ threshold. The
     * exact intersection runs only over LSH candidates (equi-join on
-    * shingle), never all pairs.
+    * shingle hash), never all pairs.
     *
-    * The exploded shingle table feeds four plan branches (signatures,
-    * both verification sides, counts); it is persisted so the shingling
-    * work runs once — at 100 TB this would be persist(DISK_ONLY) or a
-    * checkpointed intermediate table.
+    * Scale shape (round 3): signatures come from the native
+    * [[graft.functions.MinHashSignature]] expression — a map-side
+    * projection, no explode, no 12-column min-aggregate shuffle
+    * (bit-identical to the aggregate form, pinned in ExtSpec). The
+    * exploded shingle table is materialized only for documents that
+    * actually appear in a candidate pair (broadcast semi-join scope) —
+    * a vanishing fraction of a 100 TB corpus — and feeds both
+    * verification sides and the set-size counts.
     */
   def minhashNearDups(documents: DataFrame): DataFrame = {
-    val sh = shingleTable(documents).persist()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sigCols = (0 until NumHashes)
-      .map(i => min(permuted(i, col("h"))).as(s"sig_$i"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val sigs = documents.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashSigs(col("text"), NumHashes)
+        .as("sig"))
     val bandStructs = (0 until NumBands).map { b =>
       val slice = (0 until RowsPerBand)
-        .map(r => col(s"sig_${b * RowsPerBand + r}"))
+        .map(r => col("sig")(b * RowsPerBand + r))
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",", slice: _*)).as("band_hash"))
     }
@@ -131,6 +134,13 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist() // scopes verification AND joins into it
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingleTable(
+      documents.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .persist() // both verification sides + counts; candidates only
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
@@ -581,13 +591,16 @@ object Dedup {
   val CanopySeeds = Seq(0, 1)
 
   def ngramJaccardNearDups(documents: DataFrame): DataFrame = {
-    val canopies = shingleTable(documents)
-      .groupBy("doc_id")
-      .agg(min(permuted(CanopySeeds.head, col("h"))).as("c0"),
-        min(permuted(CanopySeeds(1), col("h"))).as("c1"))
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // the two canopy keys ARE MinHash rows 0 and 1 ([[CanopySeeds]]) —
+    // map-side native signature, no explode/aggregate
+    val canopies = documents.select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .minhashSigs(col("text"), CanopySeeds.max + 1).as("sig"))
       .select(col("doc_id"), explode(array(
-        struct(lit(0).as("k"), col("c0").as("v")),
-        struct(lit(1).as("k"), col("c1").as("v")))).as("key"))
+        struct(lit(0).as("k"), col("sig")(CanopySeeds.head).as("v")),
+        struct(lit(1).as("k"), col("sig")(CanopySeeds(1)).as("v"))))
+        .as("key"))
       .select(col("doc_id"), col("key.k").as("k"), col("key.v").as("v"))
       .persist() // both self-join sides read it; computed once
     val cand = canopies.as("x").join(canopies.as("y"),

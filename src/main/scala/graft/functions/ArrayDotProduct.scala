@@ -92,6 +92,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SimHashSignature].getName, "simhash_sig"),
       (es: Seq[Expression]) =>
         SimHashSignature(es.head, es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
+      (es: Seq[Expression]) =>
+        MinHashSignature(es.head, es(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("avro_encode_ce"),
       new ExpressionInfo(
         classOf[graft.sources.AvroEncodeCustomerEvent].getName,
@@ -129,6 +133,11 @@ object GraftFunctions {
   def simhashSig(text: Column, bits: Int): Column =
     call_function("simhash_sig", text,
       org.apache.spark.sql.functions.lit(bits))
+
+  /** `minhash_sigs(text, k)` as a Column; requires registration. */
+  def minhashSigs(text: Column, k: Int): Column =
+    call_function("minhash_sigs", text,
+      org.apache.spark.sql.functions.lit(k))
 
   /** `avro_encode_ce(struct)` as a Column; requires registration. */
   def avroEncodeCe(event: Column): Column =

@@ -221,6 +221,29 @@ class ExtSpec extends AnyFunSuite {
     assert(joined.filter(col("bucket") =!= col("qb")).count() == 0)
   }
 
+  test("native minhash_sigs equals the per-permutation min aggregates") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, Sf0001).documents
+    val native = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions
+        .minhashSigs(col("text"), Dedup.NumHashes).as("sig"))
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.ext.TextAnalysis.shingles(col("text")))).as("shingle"))
+      .select(col("doc_id"), Hashing.h32(col("shingle")).as("h"))
+    val aggCols = (0 until Dedup.NumHashes)
+      .map(i => min(Hashing.permuted(i, col("h"))).as(s"m_$i"))
+    val agg = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val mismatch = (0 until Dedup.NumHashes)
+      .map(i => col("sig")(i) =!= col(s"m_$i")).reduce(_ || _)
+    val joined = native.join(agg, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(mismatch).count() == 0)
+    // and the signature is a map-side projection: no shuffle at all
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "minhash_sigs must not shuffle")
+  }
+
   test("IVF ANN: refined cells cover queries; recall vs brute force reported") {
     val e = Tables(spark, Sf0001).embeddings
     val brute = Similarity.topKBruteForce(e)

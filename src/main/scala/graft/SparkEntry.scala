@@ -253,6 +253,10 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.topKLsh(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
+    // multi-probe: base bucket + every 1-bit flip (recall/work knob)
+    "ann_topk_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.topKLshMultiProbe(tables(s, dir).embeddings)
+        .orderBy("q_id", "rank")),
 
     // ---- ext: multimodal binary columns (north-star) ----------------------
     "multimodal_features" -> ((s, dir) =>
@@ -664,6 +668,7 @@ object SparkEntry {
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
     "ann_topk_lsh" -> Similarity.topKLshSql,
+    "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,
     "multimodal_features" ->
       s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id""",
 

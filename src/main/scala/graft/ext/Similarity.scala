@@ -133,6 +133,69 @@ object Similarity {
         col("n_candidates"))
   }
 
+  /** Multi-probe LSH: score the query's own sign bucket plus every
+    * bucket at Hamming distance 1 (one hyperplane flipped) — the
+    * standard recall/work knob for sign-LSH: near neighbors that fall
+    * just across one hyperplane are recovered without rebuilding the
+    * index or adding tables. Probe buckets of one query are pairwise
+    * distinct, so no candidate dedup is needed; `n_candidates` counts
+    * the union of all probed buckets, keeping recall-vs-work visible
+    * next to the single-probe [[topKLsh]].
+    */
+  def topKLshMultiProbe(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", bucketExpr(col("v")))
+    val probeBuckets = col("bucket") +: (0 until NumPlanes)
+      .map(h => col("bucket").bitwiseXOR(lit(1L << h)))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(array(probeBuckets: _*)).as("p_bucket"))
+    val scored = e.join(broadcast(probes),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy("q_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"),
+        col("n_candidates"))
+  }
+
+  def topKLshMultiProbeSql: String = {
+    val flips = (0 until NumPlanes).map(h => s"xor(bucket, ${1L << h})")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm,
+       |    $bucketSql AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn,
+       |    unnest([bucket, ${flips.mkString(", ")}]) AS p_bucket
+       |  FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id,
+       |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
+       |                    * CAST(e.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(p.qv) + 1)])
+       |      / (p.qn * e.nrm), 6) AS cosine
+       |  FROM e JOIN probes p
+       |    ON e.bucket = p.p_bucket AND e.vec_id != p.q_id)
+       |SELECT q_id, rank, vec_id, cosine, n_candidates FROM (
+       |  SELECT *,
+       |    count(*) OVER (PARTITION BY q_id) AS n_candidates,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** IVF parameters: number of coarse cells and probed cells per query. */
   val IvfCells = 16
   val IvfProbes = 2

@@ -260,6 +260,36 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
   }
 
+  test("multi-probe LSH: candidates within Hamming 1; recall ≥ single-probe") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, Sf0001).embeddings
+    val brute = Similarity.topKBruteForce(e)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(Similarity.topKLsh(e))
+    val multi = hits(Similarity.topKLshMultiProbe(e))
+    val rSingle = single.intersect(brute).size.toDouble / brute.size
+    val rMulti = multi.intersect(brute).size.toDouble / brute.size
+    info(f"LSH recall@${Similarity.TopK}: single-probe $rSingle%.2f, "
+      + f"multi-probe $rMulti%.2f")
+    assert(rMulti >= rSingle)
+    // every candidate's bucket is within Hamming 1 of its query's bucket
+    val withBucket = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.bucketExpr(col("v")))
+      .select("vec_id", "bucket")
+    val joined = Similarity.topKLshMultiProbe(e)
+      .join(withBucket.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("bucket", "qb"), Seq("q_id"))
+      .join(withBucket, Seq("vec_id"))
+    assert(joined
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qb"))) > 1)
+      .count() == 0)
+  }
+
   test("ANN-bucketed embedding dedup pairs share the LSH bucket") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, Sf0001).embeddings

@@ -38,4 +38,29 @@ object Skew {
       .agg(countDistinct(col("v")).as("partial"))
       .groupBy("key")
       .agg(sum("partial").as("n_distinct"))
+
+  /** Salted equi-join for a skewed fact key against a non-broadcastable
+    * build side: every fact row gets a deterministic salt in
+    * [0, salts), the build side is replicated once per salt value, and
+    * the join runs on (key, salt) — the hot key's probe rows spread over
+    * `salts` tasks instead of one. This is the manual form of what AQE's
+    * skew split does for sort-merge joins; it remains necessary when the
+    * skew is known in advance (choose `salts` ∝ hot-key share) or the
+    * join sits where AQE cannot re-plan. Row-for-row equal to the direct
+    * join (pinned in ScaleSpec); cost = `salts`× the build side, so use
+    * it when the build side is modest but above the broadcast threshold.
+    *
+    * `factSalt` must be deterministic but well-spread; hashing the whole
+    * fact row avoids correlating with the join key.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, factKey: Column,
+      buildKey: Column, salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(replicatedBuild,
+        factKey === buildKey && saltedFact("__salt") === replicatedBuild("__salt"))
+      .drop("__salt")
+  }
 }

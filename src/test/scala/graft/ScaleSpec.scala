@@ -75,6 +75,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.sameElements(direct))
   }
 
+  test("salted join equals the direct join row-for-row") {
+    val t = Tables(spark, Sf0001)
+    val fact = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    val build = t.customer.select("c_custkey", "c_nationkey")
+    val direct = fact.join(build, col("o_custkey") === col("c_custkey"))
+      .orderBy("o_orderkey")
+      .collect()
+    val salted = Skew.saltedJoin(fact, build,
+        col("o_custkey"), col("c_custkey"), salts = 8)
+      .select(direct.head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("o_orderkey")
+      .collect()
+    assert(salted.sameElements(direct))
+    // and the salt really spreads a hot key over multiple shards
+    val hot = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(8)))
+    assert(hot.select("__salt").distinct().count() > 1)
+  }
+
   test("distributed clustering: O(log n) rounds on a 1k chain, no cache leak") {
     import spark.implicits._
     import graft.ext.Dedup

@@ -121,24 +121,29 @@ object Incidents {
     * log is ITSELF a valid append log (exactly one current version row
     * per incident), so readers keep using [[latestState]] unchanged over
     * `compacted ∪ post-compaction appends` while read amplification
-    * resets to one row per incident. Runs as snapshot-to-temp + swap so
-    * a crash mid-compaction leaves either the old or the new log, never
-    * a mix (on an object store the swap would be a manifest commit).
-    * Returns (rowsBefore, rowsAfter). Equivalence of the compacted read
-    * path is pinned in AgentSpec.
+    * resets to one row per incident. Runs as snapshot-to-temp then two
+    * directory renames (atomic on local FS / HDFS), so a crash leaves
+    * either the old log, or the new log, or the old log renamed aside
+    * (recoverable) — never a partially deleted mix; on an object store
+    * the swap would be a manifest commit instead. Returns
+    * (rowsBefore, rowsAfter). Equivalence of the compacted read path is
+    * pinned in AgentSpec.
     */
   def compactLog(spark: org.apache.spark.sql.SparkSession,
       logDir: String): (Long, Long) = {
     val log = spark.read.parquet(logDir)
     val before = log.count()
-    val tmp = logDir + ".compacting"
-    latestState(log).write.mode("overwrite").parquet(tmp)
-    val snap = spark.read.parquet(tmp)
-    val after = snap.count()
-    snap.write.mode("overwrite").parquet(logDir)
+    val tmp = new org.apache.hadoop.fs.Path(logDir + ".compacting")
+    latestState(log).write.mode("overwrite").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(logDir)
+    val old = new org.apache.hadoop.fs.Path(logDir + ".pre-compaction")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
     (before, after)
   }
 

@@ -163,6 +163,15 @@ object CustomerEventAvro {
     w.result()
   }
 
+  /** [[decode]] that returns null on ANY malformed datum (truncated
+    * buffer, bad enum index, trailing bytes) instead of throwing — the
+    * streaming contract: unparseable payloads yield null columns, same
+    * as the JSON path's `from_json` (EventPipeline.parse), so one
+    * corrupt Kafka message can never fail a micro-batch.
+    */
+  def decodeOrNull(bytes: Array[Byte]): InternalRow =
+    try decode(bytes) catch { case scala.util.control.NonFatal(_) => null }
+
   /** Decode one raw binary Avro datum; rejects trailing garbage. */
   def decode(bytes: Array[Byte]): InternalRow = {
     val r = new AvroBinary.Reader(bytes)
@@ -213,7 +222,10 @@ case class AvroEncodeCustomerEvent(child: Expression)
       newChild: Expression): AvroEncodeCustomerEvent = copy(child = newChild)
 }
 
-/** `avro_decode_ce(binary)` → CustomerEvent struct: parse one wire datum. */
+/** `avro_decode_ce(binary)` → CustomerEvent struct: parse one wire
+  * datum. Malformed datums decode to a NULL struct (never an exception)
+  * — the same poison-pill contract as the JSON path's `from_json`.
+  */
 case class AvroDecodeCustomerEvent(child: Expression)
     extends UnaryExpression {
 
@@ -225,15 +237,19 @@ case class AvroDecodeCustomerEvent(child: Expression)
 
   override def dataType: DataType = CustomerEventAvro.schema
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "avro_decode_ce"
 
   override def nullSafeEval(input: Any): Any =
-    CustomerEventAvro.decode(input.asInstanceOf[Array[Byte]])
+    CustomerEventAvro.decodeOrNull(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.sources.CustomerEventAvro.decode($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.sources.CustomerEventAvro.decodeOrNull($c);
+      |${ev.isNull} = (${ev.value} == null);
+      |""".stripMargin)
 
   override protected def withNewChildInternal(
       newChild: Expression): AvroDecodeCustomerEvent = copy(child = newChild)

@@ -92,6 +92,27 @@ class AvroSpec extends AnyFunSuite {
     assert(r.getUTF8String(9).toString == "standard")
   }
 
+  test("corrupt datums decode to null rows, never exceptions (poison pill)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val good = CustomerEventAvro.encode(row(
+      "a", "b", "c@x.io", 7L, "US", "free", 8L, 1, null, null))
+    val corrupt: Seq[Array[Byte]] = Seq(
+      Array[Byte](),                      // empty buffer
+      good.take(3),                       // truncated mid-string
+      good :+ 0x7f.toByte,                // trailing garbage
+      Array.fill[Byte](16)(0x6e.toByte))  // enum index way out of range
+    // JVM level: null, not an exception
+    corrupt.foreach(b => assert(CustomerEventAvro.decodeOrNull(b) == null))
+    // Spark level: the batch survives; only corrupt rows are null
+    val rows = (corrupt :+ good).toDF("value")
+      .select(graft.functions.GraftFunctions.avroDecodeCe(col("value"))
+        .as("ev"))
+      .collect()
+    assert(rows.take(corrupt.length).forall(_.isNullAt(0)))
+    assert(rows.last.getStruct(0).getString(0) == "a")
+  }
+
   test("decode rejects trailing bytes") {
     val good = CustomerEventAvro.encode(row(
       "a", "b", "c", 0L, "US", "free", 0L, 1, null, null))

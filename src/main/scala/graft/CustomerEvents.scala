@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * Injection rates (on event_id): null id 1/97, null name 1/101, null email
   * 1/89, invalid email 1/53, null country 1/50, invalid country 1/67, null
   * plan 1/71 (plan domain itself carries 'invalid_plan' for user_id%5==4),
-  * future event +48h 1/61, late backdate 1-24h 1/20, drift v2 1/100 v3 1/200.
+  * future event +48h 1/61, stale backdate 26h 1/103 (breaches the E12
+  * freshness lower bound; the regular 1-21h backdates never do), late
+  * backdate 1-24h 1/20, drift v2 1/100 v3 1/200.
   */
 object CustomerEvents {
 
@@ -67,6 +69,7 @@ object CustomerEvents {
           .otherwise("invalid_plan"))
 
     val eventTs = tsMs + when(eid % 61 === 0, lit(172800000L))
+      .when(eid % 103 === 0, lit(-93600000L)) // stale: 26 h, breaches E12
       .when(eid % 20 === 0, -(lit(1L) + eid % 24) * 3600000L)
       .otherwise(lit(0L))
 
@@ -126,6 +129,7 @@ object CustomerEvents {
              WHEN 0 THEN 'free' WHEN 1 THEN 'basic' WHEN 2 THEN 'premium'
              WHEN 3 THEN 'enterprise' ELSE 'invalid_plan' END END AS plan,
       epoch_ms(ts) + CASE WHEN event_id % 61 = 0 THEN 172800000
+                          WHEN event_id % 103 = 0 THEN -93600000
                           WHEN event_id % 20 = 0
                             THEN -(1 + event_id % 24) * 3600000
                           ELSE 0 END AS event_ts,

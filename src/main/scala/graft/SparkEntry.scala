@@ -140,6 +140,15 @@ object SparkEntry {
       DqSuite.evaluate(Enrich.curated(tables(s, dir).events),
         DqSuite.customersSuite).orderBy("exp_idx")),
 
+    // DQ field-alias layer (dq_rules.yml:74-83): the business-named
+    // suite evaluated through the alias projection — result rows carry
+    // business column names
+    "dq_alias_suite" -> ((s, dir) =>
+      DqSuite.evaluate(
+        DqSuite.withAliases(Enrich.curated(tables(s, dir).events),
+          DqSuite.FieldMappings),
+        DqSuite.customersBusinessSuite).orderBy("exp_idx")),
+
     // A5: suite summary + threshold banding (dq_rules.yml:85-89)
     "dq_suite_summary" -> ((s, dir) =>
       DqSuite.summarize(DqSuite.evaluate(
@@ -272,7 +281,10 @@ object SparkEntry {
       Analytics.slidingWindowCounts(tables(s, dir).events)
         .orderBy("window_start_ms")),
 
-    // O1 — decision rule engine evaluated IN Spark over per-day run stats
+    // O1 — decision rule engine evaluated IN Spark over per-day run stats;
+    // consecutive_failures is the real preceding hard-fail-day streak
+    // (DecisionEngine.withConsecutiveFailures), so the escalate-after-3
+    // rule (decision_agent.py:66) is live in this query
     "agent_daily_decisions" -> ((s, dir) => {
       val daily = Enrich.curated(tables(s, dir).events)
         .groupBy(to_date(col("processing_timestamp")).as("day"))
@@ -281,10 +293,12 @@ object SparkEntry {
           count(when(!col("dq_passed"), 1)).as("dq_failures"),
           count(when(col("schema_drift_detected"), 1))
             .as("schema_drift_count"))
-        .withColumn("consecutive_failures", lit(0))
-      daily.select(Seq(col("day"), col("total_records"),
-        col("late_records"), col("dq_failures"),
-        col("schema_drift_count")) ++ DecisionEngine.decisionColumns: _*)
+      DecisionEngine.withConsecutiveFailures(daily)
+        .select(Seq(col("day"), col("total_records"),
+          col("late_records"), col("dq_failures"),
+          col("schema_drift_count"),
+          col("consecutive_failures")) ++
+          DecisionEngine.decisionColumns: _*)
         .orderBy("day")
     }),
 
@@ -495,6 +509,18 @@ object SparkEntry {
 
     "dq_suite_results" ->
       s"""$W, results AS (${DqSuite.resultsSql(DqSuite.customersSuite)})
+         |SELECT * FROM results ORDER BY exp_idx""".stripMargin,
+
+    "dq_alias_suite" ->
+      s"""$W, cur_b AS (
+         |  SELECT cur.*, id AS customer_id, email AS customer_email,
+         |    plan AS subscription_plan,
+         |    signup_timestamp AS registration_date,
+         |    name AS customer_name, country AS customer_country,
+         |    version AS schema_version
+         |  FROM cur),
+         |results AS (
+         |${DqSuite.resultsSql(DqSuite.customersBusinessSuite, "cur_b")})
          |SELECT * FROM results ORDER BY exp_idx""".stripMargin,
 
     "dq_suite_summary" ->
@@ -710,12 +736,13 @@ object SparkEntry {
          |    count(CASE WHEN is_late_arrival THEN 1 END) AS late_records,
          |    count(CASE WHEN NOT dq_passed THEN 1 END) AS dq_failures,
          |    count(CASE WHEN schema_drift_detected THEN 1 END)
-         |      AS schema_drift_count,
-         |    0 AS consecutive_failures
-         |  FROM cur GROUP BY 1)
+         |      AS schema_drift_count
+         |  FROM cur GROUP BY 1),
+         |${DecisionEngine.consecutiveFailuresSql}
          |SELECT day, total_records, late_records, dq_failures,
-         |  schema_drift_count, ${DecisionEngine.decisionSql}
-         |FROM daily ORDER BY day""".stripMargin,
+         |  schema_drift_count, consecutive_failures,
+         |  ${DecisionEngine.decisionSql}
+         |FROM with_consec ORDER BY day""".stripMargin,
 
     "incident_latest_state" ->
       s"""WITH incidents AS (${Incidents.sqlCte}),

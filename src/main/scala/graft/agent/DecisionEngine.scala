@@ -1,6 +1,7 @@
 package graft.agent
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** O1 — the self-healing pipeline's decision rule engine as a pure Scala
@@ -133,6 +134,72 @@ object DecisionEngine {
       .otherwise(greatest(lit(0.5), lit(0.9) - lit(0.1) * (nReasons - 1)))
     Seq(decision.as("decision"), escalate.as("escalation_required"),
       nActions.cast("long").as("n_actions"), confidence.as("confidence"))
+  }
+
+  /** Derive `consecutive_failures` for a per-day run-stats frame
+    * (columns: day, total_records, late_records, dq_failures, …): the
+    * number of immediately-preceding days whose run hard-failed, where a
+    * hard-fail day is one breaching the late-rate or DQ-rate threshold —
+    * the same conditions that escalate, so the streak feeds the
+    * reference's escalate-after-3 rule (agent/decision_agent.py:66) with
+    * real history instead of a constant.
+    *
+    * Gaps-and-islands over the ordered day sequence: a running count of
+    * healthy days labels each fail-island; the running fail-count within
+    * an island is the streak *through* each day; the previous day's
+    * streak is this day's `consecutive_failures` (a healthy previous day
+    * carries streak 0, resetting the counter). All windows run over the
+    * per-day aggregate — O(days) rows — so the single-partition sort is
+    * bounded regardless of input scale.
+    */
+  def withConsecutiveFailures(daily: DataFrame): DataFrame = {
+    val byDay = Window.orderBy("day")
+    val lateRate = when(col("total_records") > 0,
+      col("late_records").cast("double") / col("total_records"))
+      .otherwise(0.0)
+    val dqRate = when(col("total_records") > 0,
+      col("dq_failures").cast("double") / col("total_records"))
+      .otherwise(0.0)
+    daily
+      .withColumn("__fail",
+        lateRate > LateRateThreshold || dqRate > DqFailureRateThreshold)
+      .withColumn("__grp", sum(when(!col("__fail"), 1L).otherwise(0L))
+        .over(byDay.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__streak", sum(col("__fail").cast("long"))
+        .over(Window.partitionBy("__grp").orderBy("day")))
+      .withColumn("consecutive_failures",
+        coalesce(lag(col("__streak"), 1).over(byDay), lit(0L)))
+      .drop("__fail", "__grp", "__streak")
+  }
+
+  /** DuckDB mirror of [[withConsecutiveFailures]]: CTE chain from a
+    * per-day aggregate CTE named `daily` to `with_consec` carrying the
+    * same five stat columns plus `consecutive_failures`.
+    */
+  def consecutiveFailuresSql: String = {
+    val lateRate =
+      "(CASE WHEN total_records > 0 THEN CAST(late_records AS DOUBLE) / total_records ELSE 0.0 END)"
+    val dqRate =
+      "(CASE WHEN total_records > 0 THEN CAST(dq_failures AS DOUBLE) / total_records ELSE 0.0 END)"
+    s"""flagged AS (
+       |  SELECT *, ($lateRate > $LateRateThreshold
+       |    OR $dqRate > $DqFailureRateThreshold) AS fail
+       |  FROM daily),
+       |grp AS (
+       |  SELECT *, sum(CASE WHEN NOT fail THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM flagged),
+       |streaks AS (
+       |  SELECT *, sum(CASE WHEN fail THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY g ORDER BY day) AS streak
+       |  FROM grp),
+       |with_consec AS (
+       |  SELECT day, total_records, late_records, dq_failures,
+       |    schema_drift_count,
+       |    CAST(coalesce(lag(streak) OVER (ORDER BY day), 0) AS BIGINT)
+       |      AS consecutive_failures
+       |  FROM streaks)""".stripMargin
   }
 
   /** DuckDB mirror of [[decisionColumns]] as SQL select-list items over

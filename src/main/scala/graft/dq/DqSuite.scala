@@ -119,8 +119,12 @@ case class OfType(column: String, tpe: DataType) extends Expectation {
 object DqSuite {
 
   /** The reference's 15-expectation customer suite
-    * (customers_expectation_suite.json:1-198), with the E12 freshness
-    * window pinned to `<= asOf` for determinism (SURVEY.md §7).
+    * (customers_expectation_suite.json:1-198). E12 is the full freshness
+    * window of dq/ge_checkpoint.yml:38-41 / dq_rules.yml:63-72 — event
+    * time within the last 24 h: the lower bound is the per-row
+    * deterministic stand-in `processing_timestamp - 24h` for the
+    * reference's `now() - 24h`, the upper the fixed `asOf` stand-in for
+    * `now()` (SURVEY.md §7 determinism rule).
     */
   def customersSuite: Seq[Expectation] = Seq(
     ColumnExists("id"),
@@ -137,11 +141,67 @@ object DqSuite {
         "TIMESTAMP '2020-01-01 00:00:00'")), None),
     OfType("event_timestamp", TimestampType),
     PairGeq("event_timestamp", "signup_timestamp"),
-    Between("event_timestamp", None, Some((asOfCol, AsOfSql))),
+    Between("event_timestamp",
+      Some((col("processing_timestamp") - expr("INTERVAL 24 HOURS"),
+        "processing_timestamp - INTERVAL 24 HOUR")),
+      Some((asOfCol, AsOfSql))),
     InSet("country", Countries ++
       Seq("ES", "IT", "NL", "SE", "NO", "DK", "FI")),
     NotNull("name"),
     Between("version", Some((lit(1), "1")), Some((lit(10), "10"))))
+
+  /** The reference's business→technical field-name alias map
+    * (airflow/include/dq_rules.yml:74-83, applied at
+    * tests/test_dq.py:378-418): suites are authored in business names;
+    * the mapping resolves them onto the physical columns. The two
+    * timestamp mappings land on the curated converted columns
+    * (signup_timestamp / event_timestamp) rather than the raw epoch-ms
+    * wire fields the reference maps to.
+    */
+  val FieldMappings: Seq[(String, String)] = Seq(
+    "customer_id" -> "id",
+    "customer_email" -> "email",
+    "subscription_plan" -> "plan",
+    "registration_date" -> "signup_timestamp",
+    "event_timestamp" -> "event_timestamp",
+    "customer_name" -> "name",
+    "customer_country" -> "country",
+    "schema_version" -> "version")
+
+  /** Apply a business→technical mapping as a rename projection, so a
+    * suite authored in business names evaluates directly — a zero-cost
+    * alias layer (pure projection: no shuffle, pushdown intact).
+    */
+  def withAliases(df: DataFrame,
+      mappings: Seq[(String, String)]): DataFrame =
+    mappings.foldLeft(df) { case (d, (bus, tech)) =>
+      if (bus == tech) d else d.withColumnRenamed(tech, bus)
+    }
+
+  /** Rewrite every column reference of a suite through a name map
+    * (e.g. technical→business, for authoring the business-named twin of
+    * an existing suite).
+    */
+  def renamed(suite: Seq[Expectation],
+      nameMap: Map[String, String]): Seq[Expectation] = {
+    def r(c: String) = nameMap.getOrElse(c, c)
+    suite.map {
+      case e: NotNull      => e.copy(column = r(e.column))
+      case e: Unique       => e.copy(column = r(e.column))
+      case e: MatchRegex   => e.copy(column = r(e.column))
+      case e: InSet        => e.copy(column = r(e.column))
+      case e: Between      => e.copy(column = r(e.column))
+      case e: PairGeq      => e.copy(column = r(e.column), other = r(e.other))
+      case e: ColumnExists => e.copy(column = r(e.column))
+      case e: OfType       => e.copy(column = r(e.column))
+    }
+  }
+
+  /** [[customersSuite]] authored in business field names — evaluated
+    * over [[withAliases]]-projected frames.
+    */
+  def customersBusinessSuite: Seq[Expectation] =
+    renamed(customersSuite, FieldMappings.map(_.swap).toMap)
 
   /** A second suite over a different table (`documents`) — the engine is
     * generic over any frame + expectation list; this is the
@@ -197,14 +257,14 @@ object DqSuite {
   /** The same per-expectation results as a DuckDB SQL body over a frame
     * CTE named `cur` (UNION ALL of one aggregate SELECT per expectation).
     */
-  def resultsSql(suite: Seq[Expectation]): String =
+  def resultsSql(suite: Seq[Expectation], fromCte: String = "cur"): String =
     suite.zipWithIndex.map { case (e, i) =>
       val (ev, fail) = e.sqlAgg
       // schema-level expectations are constants — no FROM (a bare FROM cur
       // without aggregates would fan out to one row per input row)
       val from = e match {
         case _: ColumnExists | _: OfType => ""
-        case _ => " FROM cur"
+        case _ => s" FROM $fromCte"
       }
       s"""SELECT CAST(${i + 1} AS BIGINT) AS exp_idx,
          '${e.name}' AS expectation, '${e.column}' AS column_name,
@@ -259,9 +319,22 @@ object DqSuite {
           .select(lit(i + 1L).as("exp_idx"), col("event_id"))
     }
     val all = uniqueParts.foldLeft(exploded)(_.unionByName(_))
+    // Two-phase top-n (same shape as the customer_value_ranks fix):
+    // phase 1 keeps at most n rows per (exp_idx, input partition) — the
+    // shuffle key carries spark_partition_id, so a high-failure
+    // expectation spreads over as many reducers as input partitions
+    // instead of funneling every failing row into one; phase 2's global
+    // per-exp_idx sort then sees ≤ n·partitions rows. event_id is unique
+    // within an exp_idx, so the two-phase result is exactly the global
+    // top-n.
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("exp_idx"), spark_partition_id())
+      .orderBy("event_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("exp_idx").orderBy("event_id")
-    all.withColumn("rn", row_number().over(w))
+    all.withColumn("pre", row_number().over(wLocal))
+      .filter(col("pre") <= n)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n).select("exp_idx", "event_id")
   }
 

@@ -67,6 +67,31 @@ class AgentSpec extends AnyFunSuite {
     assert(d.decision == "continue")
   }
 
+  test("consecutive_failures is the preceding hard-fail-day streak") {
+    import spark.implicits._
+    // fail pattern by day: F T T T T F T — late rate 20% marks a hard
+    // fail; expected streak feed: 0,0,1,2,3,4,0
+    val fails = Seq(false, true, true, true, true, false, true)
+    val daily = fails.zipWithIndex.map { case (f, i) =>
+      (f"2024-01-${i + 1}%02d", 1000L, if (f) 200L else 0L, 0L, 0L)
+    }.toDF("day", "total_records", "late_records", "dq_failures",
+      "schema_drift_count")
+    val out = withConsecutiveFailures(daily)
+      .orderBy("day")
+      .select("consecutive_failures").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L, 2L, 3L, 4L, 0L))
+    // day 5 (consec=3, itself failing) and day 6 (consec=4, itself
+    // healthy) both cross the escalate-after-3 rule
+    val decided = withConsecutiveFailures(daily)
+      .select(Seq(col("day"), col("consecutive_failures")) ++
+        decisionColumns: _*)
+      .orderBy("day").collect()
+    assert(decided(4).getAs[String]("decision") == "remediate_and_escalate")
+    assert(decided(5).getAs[Boolean]("escalation_required"))
+    // a healthy day with no preceding streak continues
+    assert(decided(0).getAs[String]("decision") == "continue")
+  }
+
   test("Column twin agrees with the case-class engine on random contexts") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

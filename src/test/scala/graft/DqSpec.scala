@@ -24,6 +24,9 @@ class DqSpec extends AnyFunSuite {
       .withColumn("event_timestamp", to_timestamp(col("event_d")))
       .withColumn("name", concat(lit("n_"), col("id")))
       .withColumn("version", lit(1))
+      // arrival == event time: every row is fresh w.r.t. the E12 24 h
+      // lower bound (processing_timestamp - 24h <= event_timestamp)
+      .withColumn("processing_timestamp", to_timestamp(col("event_d")))
   }
 
   private lazy val results =
@@ -77,6 +80,36 @@ class DqSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("column_name")
         -> r.getAs[Boolean]("success")).toMap
     assert(!r("name") && r("id"))
+  }
+
+  test("E12 lower bound catches a stale (25 h old) event") {
+    // same rows, but every event arrived 25 h after its event time —
+    // past-but-stale data must now fail E12 (it passed pre-lower-bound)
+    val stale = planted.withColumn("processing_timestamp",
+      col("event_timestamp") + expr("INTERVAL 25 HOURS"))
+    val r12 = DqSuite.evaluate(stale, DqSuite.customersSuite)
+      .filter(col("exp_idx") === 12).head()
+    assert(r12.getAs[Long]("n_failed") == 5)
+    assert(!r12.getAs[Boolean]("success"))
+  }
+
+  test("alias layer: business-named suite ≡ technical suite (dq_rules.yml:74-83)") {
+    val base = results.collect()
+      .map(r => r.getAs[Long]("exp_idx") ->
+        (r.getAs[Long]("n_evaluated"), r.getAs[Long]("n_failed"))).toMap
+    val aliased = DqSuite.evaluate(
+      DqSuite.withAliases(planted, DqSuite.FieldMappings),
+      DqSuite.customersBusinessSuite).collect()
+    assert(aliased.length == base.size)
+    aliased.foreach { r =>
+      val i = r.getAs[Long]("exp_idx")
+      assert((r.getAs[Long]("n_evaluated"), r.getAs[Long]("n_failed"))
+        == base(i), s"exp $i")
+    }
+    // result rows surface business names
+    val names = aliased.map(_.getAs[String]("column_name")).toSet
+    assert(names.contains("customer_id") && names.contains("customer_email"))
+    assert(!names.contains("id") && !names.contains("email"))
   }
 
   test("dimension scores cover all five dimensions") {

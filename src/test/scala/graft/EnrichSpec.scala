@@ -62,12 +62,14 @@ class EnrichSpec extends AnyFunSuite {
     assert(joined.exceptAll(cased).isEmpty && cased.exceptAll(joined).isEmpty)
   }
 
-  test("late flag matches 1-in-20 backdate injection (minus future rows)") {
+  test("late flag matches the backdate injections (minus future rows)") {
     val cur = Enrich.curated(Tables(spark, Sf0001).events)
     val n = cur.filter(col("is_late_arrival")).count()
-    // event_id % 20 == 0 and not overridden by the future injector (%61)
-    val expected = cur.filter(col("event_id") % 20 === 0
-      && !(col("event_id") % 61 === 0)).count()
+    // backdated 1-21h (%20) or stale 26h (%103), unless overridden by
+    // the future injector (%61)
+    val expected = cur.filter(
+      (col("event_id") % 20 === 0 || col("event_id") % 103 === 0)
+        && !(col("event_id") % 61 === 0)).count()
     assert(n == expected && n > 0)
   }
 

@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_trend_daily",       // one trend row
     "set_ops_users",        // one flags row
     "customer_value_ranks", // window over the ≤50-row top-k merge
-    "schema_drift_report")  // O(distinct keys) report + scalar count
+    "schema_drift_report",  // O(distinct keys) report + scalar count
+    "dq_alias_suite",       // fixed 15-expectation frame (aliased twin)
+    "agent_daily_decisions")// streak windows over the O(days) aggregate
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Scale probe ("measure, don't guess"): synthesize an N-doc corpus with
   * planted near-dups entirely as column expressions (no fixture bound),
@@ -35,8 +35,82 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Deterministic embedding corpus: 32 cluster centers in [-1,1]^64
+    * with ±0.1 per-component noise — near neighbors are cluster-mates,
+    * so ANN recall against brute force is meaningful. Same schema as the
+    * fixture table (vec_id, label, embedding Array[Float]).
+    */
+  def synthEmbeddings(spark: SparkSession, n: Long,
+      clusters: Int = 32): DataFrame = {
+    val cluster = pmod(col("id"), lit(clusters))
+    val dims = sequence(lit(0), lit(Similarity.Dim - 1))
+    val v = transform(dims, d =>
+      (pmod(xxhash64(cluster, d), lit(2001)) - 1000.0) / 1000.0
+        + (pmod(xxhash64(col("id"), d), lit(2001)) - 1000.0) / 10000.0)
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      concat(lit("c"), cluster.cast("string")).as("label"),
+      v.cast("array<float>").as("embedding"))
+  }
+
+  /** Recall-vs-work curve for the ANN variants at corpus size n:
+    * ground truth from brute force, then each index config reports
+    * elapsed time, recall@5 over the 10 fixed queries, and average
+    * scored-candidate count (the work knob). Run with
+    * `sbt "runMain graft.ScaleProbe ann 200000 1280000"`.
+    */
+  def annProbe(spark: SparkSession, n: Long): Unit = {
+    val emb = synthEmbeddings(spark, n).persist()
+    emb.count()
+    val truth: Map[Long, Set[Long]] = Similarity.topKBruteForce(emb)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    def report(name: String, df: DataFrame, params: String): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.select("q_id", "vec_id", "n_candidates").collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val byQ = rows.groupBy(_.getLong(0))
+      val recall = truth.map { case (q, t) =>
+        byQ.get(q).fold(0.0)(
+          rs => rs.count(r => t(r.getLong(1))).toDouble / t.size)
+      }.sum / truth.size
+      val avgCand = if (byQ.isEmpty) 0.0
+        else byQ.values.map(_.head.getLong(2)).sum.toDouble / byQ.size
+      println(f"[scale-ann] n=$n%-8d $name%-12s $params%-18s " +
+        f"$secs%6.2fs recall@5=$recall%.3f avg_cand=$avgCand%.0f")
+    }
+    val planes = Similarity.numPlanesFor(n)
+    report("lsh", Similarity.topKLsh(emb), s"planes=${Similarity.NumPlanes}")
+    report("lsh", Similarity.topKLsh(emb, planes), s"planes=$planes")
+    report("lsh_multi", Similarity.topKLshMultiProbe(emb),
+      s"planes=${Similarity.NumPlanes}")
+    report("lsh_multi", Similarity.topKLshMultiProbe(emb, planes),
+      s"planes=$planes")
+    val cells = Similarity.ivfCellsFor(n)
+    for ((c, p) <- Seq((Similarity.IvfCells, Similarity.IvfProbes),
+        (cells, Similarity.IvfProbes), (cells, 8))) {
+      val ivf = Similarity.topKIvf(emb, c, p)
+        .withColumn("n_candidates", lit(-1L)) // IVF reports no cand count
+      report("ivf", ivf, s"cells=$c probes=$p")
+    }
+    // sign-bucket occupancy at this plane count — skew evidence for the
+    // bucket self-join (max/avg bucket size)
+    val occ = emb.select(Similarity.bucketExpr(
+        col("embedding").cast("array<double>"), planes).as("b"))
+      .groupBy("b").count()
+      .agg(count(lit(1)).as("buckets"), max("count").as("max"),
+        avg("count").as("avg")).head()
+    println(s"[scale-ann] n=$n planes=$planes occupied_buckets=" +
+      s"${occ.getLong(0)} max_bucket=${occ.getLong(1)} " +
+      f"avg_bucket=${occ.getDouble(2)}%.1f")
+    emb.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+    val annMode = args.headOption.contains("ann")
+    val sizeArgs = if (annMode) args.drop(1) else args
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,6 +120,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (annMode) {
+      sizes.foreach(annProbe(spark, _))
+      spark.stop()
+      return
+    }
     for (n <- sizes) {
       val docs = synthDocs(spark, n).persist()
       docs.count() // materialize corpus outside the timings

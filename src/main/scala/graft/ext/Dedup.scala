@@ -735,7 +735,7 @@ object Dedup {
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm,
-       |    ${Similarity.bucketSql} AS bucket
+       |    ${Similarity.bucketSql()} AS bucket
        |  FROM embeddings),
        |pairs AS (
        |  SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -29,8 +29,30 @@ object Similarity {
   /** Neighbors returned per query. */
   val TopK = 5
 
-  /** Number of LSH hyperplanes (bucket bits). */
+  /** Number of LSH hyperplanes (bucket bits) at fixture scale. */
   val NumPlanes = 8
+
+  /** Plane count as a function of corpus size: 2^planes sign buckets
+    * sized to ~`targetBucketSize` vectors each, so per-bucket candidate
+    * scoring stays constant as the corpus grows (the verified fixture
+    * queries keep the [[NumPlanes]] floor; at 100 TB a 1B-vector corpus
+    * gets 24 planes → ~60-vector buckets). Capped at 30 bits.
+    */
+  def numPlanesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize))
+        / math.log(2.0)).toInt
+    math.min(30, math.max(NumPlanes, needed))
+  }
+
+  /** IVF cell count as a function of corpus size: the standard
+    * nlist ≈ √N heuristic (probe cost ≈ nProbe·N/nlist candidates +
+    * nlist centroid distances, minimized at √N). Fixture floor
+    * [[IvfCells]]; capped so the centroid table stays broadcastable.
+    */
+  def ivfCellsFor(corpusSize: Long): Int =
+    math.min(65536, math.max(IvfCells,
+      math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
 
   private def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
@@ -103,8 +125,8 @@ object Similarity {
       lit(planeInt(h, d) / 2147483648.0 - 1.0)): _*)
 
   /** Sign-bucket id: bit h set iff dot(v, plane_h) > 0; map-side. */
-  def bucketExpr(v: Column): Column =
-    (0 until NumPlanes).map { h =>
+  def bucketExpr(v: Column, planes: Int = NumPlanes): Column =
+    (0 until planes).map { h =>
       when(dot(v, planeLit(h)) > 0, 1L << h).otherwise(0L)
     }.reduce(_ + _)
 
@@ -113,8 +135,10 @@ object Similarity {
     * making recall-vs-work visible. Queries with an otherwise-empty
     * bucket return no rows (standard single-probe LSH semantics).
     */
-  def topKLsh(embeddings: DataFrame): DataFrame = {
-    val e = withNorm(embeddings).withColumn("bucket", bucketExpr(col("v")))
+  def topKLsh(embeddings: DataFrame,
+      planes: Int = NumPlanes): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("bucket", bucketExpr(col("v"), planes))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))
@@ -142,9 +166,11 @@ object Similarity {
     * the union of all probed buckets, keeping recall-vs-work visible
     * next to the single-probe [[topKLsh]].
     */
-  def topKLshMultiProbe(embeddings: DataFrame): DataFrame = {
-    val e = withNorm(embeddings).withColumn("bucket", bucketExpr(col("v")))
-    val probeBuckets = col("bucket") +: (0 until NumPlanes)
+  def topKLshMultiProbe(embeddings: DataFrame,
+      planes: Int = NumPlanes): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("bucket", bucketExpr(col("v"), planes))
+    val probeBuckets = col("bucket") +: (0 until planes)
       .map(h => col("bucket").bitwiseXOR(lit(1L << h)))
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -172,7 +198,7 @@ object Similarity {
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm,
-       |    $bucketSql AS bucket
+       |    ${bucketSql()} AS bucket
        |  FROM embeddings),
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn,
@@ -218,9 +244,10 @@ object Similarity {
     * points* does not approximate the reported cosines (those use the
     * raw vectors).
     */
-  def topKIvf(embeddings: DataFrame): DataFrame = {
+  def topKIvf(embeddings: DataFrame, cells: Int = IvfCells,
+      nProbe: Int = IvfProbes): DataFrame = {
     val e = withNorm(embeddings)
-    val cents0 = e.filter(col("vec_id") < IvfCells)
+    val cents0 = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
         (col("nrm") * col("nrm")).as("cn2"))
     // L2² via dot products; identical op order to the oracle SQL
@@ -256,7 +283,7 @@ object Similarity {
     val probes = score(e.filter(col("vec_id") < NumQueries), refined)
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("d2"), col("cell"))))
-      .filter(col("rn") <= IvfProbes)
+      .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("p_cell")) // aliased pre-join
     val scored = assign.join(broadcast(probes),
@@ -337,8 +364,8 @@ object Similarity {
   }
 
   /** DuckDB twin of [[bucketExpr]] over a column named `embedding`. */
-  def bucketSql: String =
-    (0 until NumPlanes).map { h =>
+  def bucketSql(planes: Int = NumPlanes): String =
+    (0 until planes).map { h =>
       val plane = (0 until Dim)
         .map(d => s"${planeInt(h, d)} / 2147483648.0 - 1.0")
         .mkString("[", ", ", "]")
@@ -349,7 +376,7 @@ object Similarity {
     }.mkString("\n    + ")
 
   def topKLshSql: String = {
-    val bucket = bucketSql
+    val bucket = bucketSql()
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)

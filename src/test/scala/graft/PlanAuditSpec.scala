@@ -58,6 +58,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected single-partition exchanges in: $offenders")
   }
 
+  /** Queries whose plans legitimately contain a
+    * BroadcastNestedLoopJoin: every one broadcasts a BOUNDED side (the
+    * fixed query/probe/centroid set, or a one-row scalar count) against
+    * the corpus, so the loop is O(corpus × small-constant) map-side
+    * work, not an O(n²) blowup. Any other BNLJ — e.g. a non-equi join
+    * that should have been an equi/broadcast-hash join — fails here.
+    */
+  private val boundedBnlj = Set(
+    "ann_topk_brute",       // corpus × 10 broadcast queries
+    "ann_topk_lsh",         // corpus × broadcast query buckets (≠ guard)
+    "ann_topk_lsh_multiprobe", // corpus × broadcast probe set
+    "ann_topk_ivf",         // corpus × broadcast centroids, 2 passes
+    "dedup_embedding_cosine",  // label-block self-join ≠-guard pairs
+    "schema_drift_report",  // scalar doc-count attach
+    "dedup_exact",          // scalar count attach
+    "dedup_survivors",      // scalar count attach
+    "top_tokens",           // scalar vocab-size attach
+    "customer_value_ranks") // ≤k-row top-k × one-row total count
+
+  test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin")
+        && !boundedBnlj(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
+  }
+
   test("broadcast joins carry the bounded dimension sides") {
     // the headline fact⋈dims rollups must broadcast, not shuffle, dims
     assert(plans("revenue_by_region").contains("BroadcastHashJoin"))

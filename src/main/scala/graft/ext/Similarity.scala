@@ -37,6 +37,15 @@ object Similarity {
     * scoring stays constant as the corpus grows (the verified fixture
     * queries keep the [[NumPlanes]] floor; at 100 TB a 1B-vector corpus
     * gets 24 planes → ~60-vector buckets). Capped at 30 bits.
+    *
+    * Measured caveat (ScaleProbe ann mode, SCALING.md): on CLUSTERED
+    * corpora — the realistic embedding distribution — occupancy is far
+    * below 2^planes and raising the plane count LOWERS single-probe
+    * recall (neighbors split across adjacent sign buckets) faster than
+    * it lowers work. Treat this bound as a ceiling and pair it with
+    * [[topKLshMultiProbe]], whose Hamming-1 probing recovers the split
+    * neighbors (measured 0.98 recall@5 where single-probe drops to
+    * 0.72 at the same plane count).
     */
   def numPlanesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
     val needed = math.ceil(
@@ -45,13 +54,21 @@ object Similarity {
     math.min(30, math.max(NumPlanes, needed))
   }
 
-  /** IVF cell count as a function of corpus size: the standard
-    * nlist ≈ √N heuristic (probe cost ≈ nProbe·N/nlist candidates +
-    * nlist centroid distances, minimized at √N). Fixture floor
-    * [[IvfCells]]; capped so the centroid table stays broadcastable.
+  /** IVF cell count as a function of corpus size. The textbook heuristic
+    * is nlist ≈ √N (balances per-query centroid scan vs candidate scan),
+    * but the build-side cell ASSIGNMENT in this row-based formulation is
+    * O(N·nlist) distance evaluations — measured at ~10⁷ distances/s/core
+    * (ScaleProbe: 1.28 M × 1 132 cells ≈ 1.4 G distances ≈ 150 s on
+    * local[32], SCALING.md) — so unamortized √N growth is compute-bound
+    * long before the centroid table stops broadcasting. Growth is
+    * therefore capped at 256 cells; past that, a hierarchical
+    * (coarse-then-fine) assignment or a SIMD-native distance kernel is
+    * the scale path, and nProbe must grow with nlist to hold recall
+    * (measured: recall@5 fell 1.0 → 0.38 when cells grew 16 → 1 132 at
+    * fixed nProbe=2).
     */
   def ivfCellsFor(corpusSize: Long): Int =
-    math.min(65536, math.max(IvfCells,
+    math.min(256, math.max(IvfCells,
       math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
 
   private def withNorm(embeddings: DataFrame): DataFrame = {

@@ -255,6 +255,15 @@ object SparkEntry {
       Dedup.embeddingNearDupsAnn(tables(s, dir).embeddings)
         .orderBy("bucket", "rank")),
 
+    // ---- ext: training-data curation (north-star) -------------------------
+    "decontam_report" -> ((s, dir) =>
+      graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
+    "stratified_sample" -> ((s, dir) =>
+      graft.ext.Curation.stratifiedSampleSummary(tables(s, dir).documents)),
+    "pii_scrub" -> ((s, dir) =>
+      graft.ext.Curation.piiScrubReport(
+        CustomerEvents.synth(tables(s, dir).events))),
+
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
       Similarity.topKBruteForce(tables(s, dir).embeddings)
@@ -685,6 +694,11 @@ object SparkEntry {
          |ORDER BY lang, predicted""".stripMargin,
     "doc_fingerprints" ->
       s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
+    "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
+    "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
+    "pii_scrub" ->
+      s"""$W
+         |${graft.ext.Curation.piiScrubReportSql}""".stripMargin,
     "dedup_exact" -> Dedup.exactSummarySql,
     "dedup_minhash_lsh" -> Dedup.minhashNearDupsSql,
     "dedup_simhash" -> Dedup.simhashNearDupsSql,

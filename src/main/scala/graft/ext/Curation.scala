@@ -1,0 +1,274 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing.{h32, h32Sql}
+import TextAnalysis.{shingles, shinglesSql}
+
+/** Training-data curation operators beyond the reference surface — the
+  * pieces a 100 TB pretraining pipeline needs between raw corpus and
+  * training mix (north-star additions alongside [[Dedup]] /
+  * [[Similarity]] / [[TextAnalysis]]):
+  *
+  *   - '''benchmark decontamination''': flag training documents that
+  *     share word n-grams with an evaluation/benchmark set (the standard
+  *     13-gram-overlap protocol, here over the fixture's 5-word shingles);
+  *   - '''stratified sampling''': deterministic hash-threshold sampling
+  *     with per-stratum rates — the data-mix knob. Hash-based (not
+  *     `TABLESAMPLE`/`rand()`) so the sample is reproducible across runs,
+  *     engines, and re-partitionings;
+  *   - '''PII scrubbing''': regex redaction of emails / IPv4s / SSNs /
+  *     phone numbers with per-class counts — the pre-training privacy
+  *     scrub pass.
+  *
+  * All three are single-scan, map-side-heavy shapes: decontamination's
+  * only join is a broadcast against the (small) benchmark n-gram set;
+  * sampling and scrubbing are pure projections + one map-side-combinable
+  * aggregate. Everything is cross-engine deterministic (md5-derived
+  * hashing, RE2-safe regexes) so DuckDB verifies results bit-for-bit.
+  */
+object Curation {
+
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Fixture benchmark membership: every 50th doc plays the eval set. In
+    * production the benchmark is an external (tiny) table; the plan shape
+    * below — broadcast the benchmark's n-gram hash set, stream the corpus
+    * once — is exactly what you'd run at 100 TB.
+    */
+  val BenchmarkMod = 50
+
+  /** (doc_id, h): distinct word-shingle hashes per document, computed
+    * map-side via the native word_shingles generator + md5 h32 (one md5
+    * per shingle inside whole-stage codegen; only 16-byte (long,long)
+    * pairs ever shuffle — same discipline as [[Dedup.shingleTable]]).
+    */
+  private def shingleHashes(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text")))).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("h"))
+
+  /** Contaminated-document report: for each non-benchmark document that
+    * shares at least one 5-word shingle with a benchmark document, emit
+    * its distinct-shingle count, the number of benchmark-overlapping
+    * shingles, and the overlap ratio.
+    *
+    * Scale shape: the benchmark n-gram set (eval sets are ≪ corpus —
+    * here `doc_id % 50 = 0`) is distinct-reduced and '''broadcast''';
+    * the corpus side is a single scan whose shingles never leave the
+    * map side until the per-doc count aggregate (map-side combinable on
+    * `doc_id`). No corpus self-join, no corpus shuffle of text.
+    */
+  def decontaminationReport(documents: DataFrame,
+      benchmarkMod: Int = BenchmarkMod): DataFrame = {
+    val sh = shingleHashes(documents)
+    val bench = sh.filter(col("doc_id") % benchmarkMod === 0)
+      .select(col("h")).distinct()
+      .withColumn("bench_hit", lit(1))
+    sh.filter(col("doc_id") % benchmarkMod =!= 0)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("bench_hit")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[decontaminationReport]]. */
+  def decontaminationReportSql(benchmarkMod: Int = BenchmarkMod): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${h32Sql("s")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(${shinglesSql("t")})) AS s
+       |        FROM toks)),
+       |bench AS (
+       |  SELECT DISTINCT h FROM sh WHERE doc_id % $benchmarkMod = 0)
+       |SELECT sh.doc_id, count(*) AS n_grams,
+       |  count(bench.h) AS n_hits,
+       |  round(CAST(count(bench.h) AS DOUBLE) / count(*), 6)
+       |    AS contamination
+       |FROM sh LEFT JOIN bench ON sh.h = bench.h
+       |WHERE sh.doc_id % $benchmarkMod != 0
+       |GROUP BY sh.doc_id
+       |HAVING count(bench.h) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- stratified sampling -------------------------------------------------
+
+  /** Per-stratum sampling rates in parts-per-million (the data-mix spec):
+    * keep more English, less Chinese, a floor for the rest. Fixture
+    * values — the operator takes any (Column → ppm) rate map.
+    */
+  def targetPpm(lang: Column): Column =
+    when(lang === "en", 600000L)
+      .when(lang === "zh", 300000L)
+      .otherwise(150000L)
+
+  val targetPpmSql: String =
+    "CASE lang WHEN 'en' THEN 600000 WHEN 'zh' THEN 300000 ELSE 150000 END"
+
+  /** Deterministic membership hash in [0, 1e6): a doc is sampled iff
+    * `hv < target_ppm(stratum)`. Salted (`strat|`) so this sample is
+    * independent of any other hash use of doc_id.
+    */
+  def sampleHash(docId: Column): Column =
+    h32(concat(lit("strat|"), docId.cast("string"))) % 1000000L
+
+  val sampleHashSql: String =
+    s"(${h32Sql("'strat|' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+
+  /** Rows kept by the stratified sample — the actual training-mix output
+    * (a pure map-side filter; composes with any downstream operator).
+    */
+  def stratifiedSample(documents: DataFrame): DataFrame =
+    documents.filter(sampleHash(col("doc_id")) < targetPpm(col("lang")))
+
+  /** Per-stratum audit of the sample: totals, sampled counts, achieved
+    * rate, and an id-sum checksum that pins the exact sample MEMBERSHIP
+    * (not just its size) cross-engine. One scan, map-side-combinable
+    * aggregate over O(strata) groups.
+    */
+  def stratifiedSampleSummary(documents: DataFrame): DataFrame = {
+    val kept = sampleHash(col("doc_id")) < col("target_ppm")
+    documents
+      .select(col("doc_id"), col("lang"),
+        targetPpm(col("lang")).as("target_ppm"))
+      .groupBy("lang")
+      .agg(
+        max(col("target_ppm")).as("target_ppm"),
+        count(lit(1)).as("n_total"),
+        count(when(kept, 1)).as("n_sampled"),
+        coalesce(sum(when(kept, col("doc_id"))), lit(0L))
+          .as("sampled_id_sum"))
+      .withColumn("achieved_ppm",
+        round((col("n_sampled") * 1000000L).cast("double")
+          / col("n_total"), 2))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[stratifiedSampleSummary]]. */
+  val stratifiedSampleSummarySql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, lang, $targetPpmSql AS target_ppm,
+       |    $sampleHashSql AS hv
+       |  FROM documents)
+       |SELECT lang, CAST(max(target_ppm) AS BIGINT) AS target_ppm,
+       |  count(*) AS n_total,
+       |  count(CASE WHEN hv < target_ppm THEN 1 END) AS n_sampled,
+       |  CAST(coalesce(sum(CASE WHEN hv < target_ppm THEN doc_id END), 0)
+       |    AS BIGINT) AS sampled_id_sum,
+       |  round(CAST(count(CASE WHEN hv < target_ppm THEN 1 END) * 1000000
+       |    AS DOUBLE) / count(*), 2) AS achieved_ppm
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- PII scrubbing -------------------------------------------------------
+
+  /** RE2-safe patterns (run identically under Java regex and DuckDB's
+    * RE2): no backreferences, no lookaround, ASCII word boundaries.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact all four PII classes. Order matters and is fixed: emails
+    * first (their domains contain dots but can't form an IPv4 quad),
+    * then SSN before phone (both are digit-dash shapes; the fixed order
+    * makes the composition deterministic even on adversarial inputs),
+    * IPv4 last. Pure codegen'd projection — no UDF, no shuffle.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailRe, "<EMAIL>"),
+          SsnRe, "<SSN>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** DuckDB mirror of [[scrubPii]] ('g' = replace-all, Spark's default). */
+  def scrubPiiSql(expr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  $expr,
+       |  '$EmailRe', '<EMAIL>', 'g'),
+       |  '$SsnRe', '<SSN>', 'g'),
+       |  '$PhoneRe', '<PHONE>', 'g'),
+       |  '$Ipv4Re', '<IP>', 'g')""".stripMargin
+
+  /** Per-class occurrence counts on the ORIGINAL text (counted before
+    * scrubbing so counts don't depend on replacement order).
+    */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailRe)).cast("long").as("n_email"),
+    regexp_count(c, lit(Ipv4Re)).cast("long").as("n_ip"),
+    regexp_count(c, lit(PhoneRe)).cast("long").as("n_phone"),
+    regexp_count(c, lit(SsnRe)).cast("long").as("n_ssn"))
+
+  def piiCountsSql(expr: String): Seq[String] = Seq(
+    s"len(regexp_extract_all($expr, '$EmailRe')) AS n_email",
+    s"len(regexp_extract_all($expr, '$Ipv4Re')) AS n_ip",
+    s"len(regexp_extract_all($expr, '$PhoneRe')) AS n_phone",
+    s"len(regexp_extract_all($expr, '$SsnRe')) AS n_ssn")
+
+  /** Support-message fixture: a free-text column synthesized from the
+    * customer-event fields (same role as the reference's anomaly
+    * injectors — `data_generator.py` plants dirty values, this plants
+    * PII). Every event yields one message carrying its user's email (or
+    * not: the generator's null/invalid-email anomalies flow through), an
+    * IPv4, a phone, and an SSN, all deterministic in event_id.
+    */
+  def supportMessage(ce: DataFrame): Column = {
+    val eid = col("event_id")
+    concat(
+      lit("user "), coalesce(col("name"), lit("unknown")),
+      lit(" ("), coalesce(col("email"), lit("none")), lit(")"),
+      lit(" reported from 10."), (eid % 250).cast("string"),
+      lit(".3."), (eid % 100 + 1).cast("string"),
+      lit(" callback 212-555-"),
+      lpad((eid % 10000).cast("string"), 4, "0"),
+      lit(" ssn "),
+      lpad((eid % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((eid % 90 + 10).cast("string"), 2, "0"), lit("-"),
+      lpad((eid % 10000).cast("string"), 4, "0"))
+  }
+
+  // NB: continuation lines must NOT start with `||` — this string is
+  // re-embedded under further stripMargin passes which would eat pipes.
+  val supportMessageSql: String =
+    """'user ' || coalesce(name, 'unknown') ||
+      |' (' || coalesce(email, 'none') || ')' ||
+      |' reported from 10.' || CAST(event_id % 250 AS VARCHAR) ||
+      |'.3.' || CAST(event_id % 100 + 1 AS VARCHAR) ||
+      |' callback 212-555-' ||
+      |lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+      |' ssn ' ||
+      |lpad(CAST(event_id % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+      |lpad(CAST(event_id % 90 + 10 AS VARCHAR), 2, '0') || '-' ||
+      |lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')""".stripMargin
+
+  /** The verified scrub pass: per event, the four PII-class counts found
+    * in the synthesized message and the md5 of the scrubbed text (the
+    * hash pins the exact byte-for-byte redaction cross-engine).
+    */
+  def piiScrubReport(ce: DataFrame): DataFrame = {
+    val msg = supportMessage(ce)
+    ce.select(
+      (col("event_id") +: piiCounts(msg) :+
+        md5(scrubPii(msg)).as("scrub_md5")): _*)
+      .orderBy("event_id")
+  }
+
+  /** DuckDB mirror over the generator CTE `ce`. */
+  val piiScrubReportSql: String = {
+    val msg = s"($supportMessageSql)"
+    s"""SELECT event_id,
+       |  ${piiCountsSql(msg).mkString(",\n  ")},
+       |  md5(${scrubPiiSql(msg)}) AS scrub_md5
+       |FROM ce ORDER BY event_id""".stripMargin
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Curation
+
+/** Specs for the training-data curation operators: benchmark
+  * decontamination, deterministic stratified sampling, PII scrubbing.
+  * Planted micro-fixtures with hand-checkable answers plus determinism /
+  * composition invariants.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+  graft.functions.GraftFunctions.register(spark)
+
+  private def docsDF(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  // ---- decontamination ----------------------------------------------------
+
+  // doc 0 is the benchmark (0 % 50 == 0). doc 1 copies one of its 5-gram
+  // windows verbatim; doc 2 shares no 5-gram.
+  private lazy val contamDocs = docsDF(Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+    (1L, "intro words then alpha beta gamma delta epsilon closing remark",
+      "en"),
+    (2L, "completely unrelated text about spark shuffles joins and scans",
+      "en")))
+
+  test("decontamination flags only docs sharing a shingle with the bench") {
+    val r = Curation.decontaminationReport(contamDocs).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L))
+    val row = r.head
+    // doc 1 has 10 tokens -> 6 distinct 5-gram shingles; 2 of them
+    // ("alpha..epsilon" and "beta..zeta"? no — only windows fully inside
+    // the copied span) overlap the benchmark's shingles:
+    //   "alpha beta gamma delta epsilon" is the one verbatim window.
+    assert(row.getAs[Long]("n_grams") == 6L)
+    assert(row.getAs[Long]("n_hits") == 1L)
+    assert(row.getAs[Double]("contamination") == 0.166667) // round(1/6, 6)
+  }
+
+  test("benchmark docs never appear in the contamination report") {
+    // benchmark doc trivially overlaps itself; report must exclude it
+    val r = Curation.decontaminationReport(contamDocs)
+      .filter(col("doc_id") % Curation.BenchmarkMod === 0).count()
+    assert(r == 0L)
+  }
+
+  test("decontamination is empty when nothing overlaps") {
+    val clean = docsDF(Seq(
+      (0L, "one two three four five six", "en"),
+      (1L, "seven eight nine ten eleven twelve", "en")))
+    assert(Curation.decontaminationReport(clean).count() == 0L)
+  }
+
+  // ---- stratified sampling ------------------------------------------------
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0L until 3000L).map { i =>
+      val lang = (i % 3) match {
+        case 0 => "en"; case 1 => "zh"; case 2 => "de"
+      }
+      (i, s"doc $i body", lang)
+    }.toDF("doc_id", "text", "lang")
+  }
+
+  test("stratified sample rate tracks target ppm per stratum") {
+    val s = Curation.stratifiedSampleSummary(corpus).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("target_ppm"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_sampled"))).toMap
+    assert(s.keySet == Set("en", "zh", "de"))
+    s.foreach { case (_, (ppm, total, sampled)) =>
+      val expected = total * ppm / 1000000.0
+      // md5-derived hash on 1000 ids per stratum: allow 5 sigma of
+      // binomial noise around the target rate
+      val sigma = math.sqrt(total * (ppm / 1e6) * (1 - ppm / 1e6))
+      assert(math.abs(sampled - expected) <= 5 * sigma,
+        s"sampled=$sampled expected=$expected sigma=$sigma")
+    }
+  }
+
+  test("sample membership is deterministic and partition-independent") {
+    val a = Curation.stratifiedSample(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(corpus.repartition(13))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("summary checksum equals the checksum of the sampled rows") {
+    val sampledIds = Curation.stratifiedSample(corpus)
+      .groupBy("lang").agg(sum("doc_id").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Curation.stratifiedSampleSummary(corpus).collect().foreach { r =>
+      val (s, n) = sampledIds(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("sampled_id_sum") == s)
+      assert(r.getAs[Long]("n_sampled") == n)
+    }
+  }
+
+  // ---- PII scrubbing ------------------------------------------------------
+
+  private def scrubOne(text: String): String = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(Curation.scrubPii(col("t"))).head.getString(0)
+  }
+
+  test("scrub redacts all four PII classes") {
+    assert(scrubOne("mail a.b+c@ex-ample.co.uk here") == "mail <EMAIL> here")
+    assert(scrubOne("from 192.168.0.1 port") == "from <IP> port")
+    assert(scrubOne("ssn 123-45-6789.") == "ssn <SSN>.")
+    assert(scrubOne("call 555-123-4567 now") == "call <PHONE> now")
+    assert(scrubOne("a@b.io at 10.0.0.1 ssn 111-22-3333 tel 212-555-0000")
+      == "<EMAIL> at <IP> ssn <SSN> tel <PHONE>")
+  }
+
+  test("scrub ordering: SSN beats phone on digit-dash shapes; email wins") {
+    // 3-2-4 digits is an SSN even though a phone scan could half-match
+    assert(scrubOne("id 987-65-4321") == "id <SSN>")
+    // an email whose domain has digit labels must not leave an IP behind
+    assert(scrubOne("x 1.2.3.4@example.com y") == "x <EMAIL> y")
+  }
+
+  test("scrub is idempotent and count-consistent") {
+    import spark.implicits._
+    val msgs = Seq(
+      "a@b.co 1.2.3.4 123-45-6789 555-867-5309",
+      "no pii here at all",
+      "two mails x@y.de z@w.fr and 8.8.8.8").toDF("t")
+    val once = msgs.select(Curation.scrubPii(col("t")).as("t"))
+    val twice = once.select(Curation.scrubPii(col("t")).as("t"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+    val counts = msgs.select(Curation.piiCounts(col("t")): _*).collect()
+    assert(counts(0).toSeq == Seq(1L, 1L, 1L, 1L))
+    assert(counts(1).toSeq == Seq(0L, 0L, 0L, 0L))
+    assert(counts(2).toSeq == Seq(2L, 1L, 0L, 0L))
+  }
+
+  test("piiScrubReport finds the planted PII in every synthesized message") {
+    val ce = CustomerEvents.synth(
+      Tables(spark, "/root/testdata/sf0.001").events)
+    val r = Curation.piiScrubReport(ce)
+    // every message carries exactly one IP, one phone, one SSN; the email
+    // count follows the generator's null/invalid-email anomalies
+    val bad = r.filter(col("n_ip") =!= 1 || col("n_phone") =!= 1 ||
+      col("n_ssn") =!= 1 || col("n_email") > 1).count()
+    assert(bad == 0L)
+    assert(r.filter(col("n_email") === 0).count() > 0, "anomaly emails flow")
+    // scrubbed text never retains a raw PII shape
+    val msg = Curation.scrubPii(Curation.supportMessage(ce))
+    val leak = ce.select(msg.as("m"))
+      .filter(col("m").rlike(Curation.Ipv4Re) ||
+        col("m").rlike(Curation.SsnRe) || col("m").rlike(Curation.PhoneRe) ||
+        col("m").rlike(Curation.EmailRe)).count()
+    assert(leak == 0L)
+  }
+}

@@ -291,4 +291,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventPipeline.chooseSink(jdbcConfigComplete = false) == "parquet")
     assert(EventPipeline.chooseSink(jdbcConfigComplete = true) == "jdbc")
   }
+
+  // (doc_id, lang) -> a documents-shaped frame; id 666 plants a null text
+  private def docFrame(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("text",
+        when(col("doc_id") === 666L, lit(null).cast("string"))
+          .otherwise(concat(lit("body of document number "),
+            col("doc_id").cast("string"))))
+      .withColumn("source",
+        concat(lit("src"), (col("doc_id") % 3).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("streaming DQ monitor: per-batch suite results equal the batch evaluator") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val resDir = Files.createTempDirectory("dqres").toString
+    val ckpt = Files.createTempDirectory("dqckpt").toString
+    val suite = graft.dq.DqSuite.documentsSuite
+    val stats = new graft.streaming.DqMonitor.DqStreamStats(spark, suite)
+
+    val stream = docFrame(mem.toDF().toDF("doc_id", "lang"))
+    val q = graft.streaming.DqMonitor.start(stream, stats, resDir, ckpt,
+      trigger = Trigger.AvailableNow())
+    val clean = Seq((1L, "en"), (2L, "de"), (3L, "fr"))
+    mem.addData(clean: _*)
+    q.awaitTermination(60000)
+
+    val dirty = Seq((666L, "xx"), (5L, "en"))
+    val q2 = graft.streaming.DqMonitor.start(stream, stats, resDir, ckpt,
+      trigger = Trigger.AvailableNow())
+    mem.addData(dirty: _*)
+    q2.awaitTermination(60000)
+
+    // the streamed per-batch results must equal the static evaluator run
+    // on the same rows — same engine, no drift
+    def staticResults(rows: Seq[(Long, String)]) =
+      graft.dq.DqSuite.evaluate(docFrame(rows.toDF("doc_id", "lang")), suite)
+        .collect().map(r => (r.getAs[Long]("exp_idx"),
+          r.getAs[Long]("n_evaluated"), r.getAs[Long]("n_failed"))).toSet
+    val streamed = spark.read.parquet(resDir)
+    def batchResults(b: Long) = streamed.filter(col("batch_id") === b)
+      .collect().map(r => (r.getAs[Long]("exp_idx"),
+        r.getAs[Long]("n_evaluated"), r.getAs[Long]("n_failed"))).toSet
+    assert(batchResults(0L) == staticResults(clean))
+    assert(batchResults(1L) == staticResults(dirty))
+
+    // run-level counters: clean batch all-pass, dirty batch flips the flag
+    assert(!stats.allPassed)
+    val byName = stats.summary.map(s => (s._1, s._2) -> s._4).toMap
+    assert(byName(("expect_column_values_to_not_be_null", "text")) == 1L)
+    assert(byName(("expect_column_values_to_be_in_set", "lang")) == 1L)
+    assert(byName(("expect_column_values_to_not_be_null", "doc_id")) == 0L)
+  }
+
+  test("streaming DQ monitor: replay is idempotent; aliases resolve business names") {
+    import spark.implicits._
+    val resDir = Files.createTempDirectory("dqres2").toString
+    val suite = graft.dq.DqSuite.customersBusinessSuite
+    val stats = new graft.streaming.DqMonitor.DqStreamStats(spark, suite)
+    val now = System.currentTimeMillis()
+    // technical-named curated frame; the business-named suite only works
+    // through the FieldMappings alias projection
+    val batch = EventPipeline.curate(EventPipeline.parse(Seq(
+      eventJson("c1", "good@example.com", now),
+      eventJson("c2", "bad-email", now)).toDF("value")))
+
+    def emailRegexFails(s: graft.streaming.DqMonitor.DqStreamStats) =
+      s.summary.collectFirst {
+        case ("expect_column_values_to_match_regex", "customer_email", _, f)
+          => f }.get
+
+    graft.streaming.DqMonitor.processDqBatch(batch, 0L, stats, resDir,
+      graft.dq.DqSuite.FieldMappings)
+    assert(emailRegexFails(stats) == 1L) // c2's bad-email, by business name
+    val n = spark.read.parquet(resDir).count()
+
+    // same-driver replay: skipped outright
+    graft.streaming.DqMonitor.processDqBatch(batch, 0L, stats, resDir,
+      graft.dq.DqSuite.FieldMappings)
+    assert(emailRegexFails(stats) == 1L)
+    assert(spark.read.parquet(resDir).count() == n)
+
+    // recovery replay (fresh driver): partition overwritten, not appended
+    val fresh = new graft.streaming.DqMonitor.DqStreamStats(spark, suite)
+    graft.streaming.DqMonitor.processDqBatch(batch, 0L, fresh, resDir,
+      graft.dq.DqSuite.FieldMappings)
+    assert(spark.read.parquet(resDir).count() == n)
+  }
 }

@@ -107,9 +107,41 @@ object ScaleProbe {
     emb.unpersist()
   }
 
+  /** Band-hash bucket-size distribution of the MinHash LSH self-join at
+    * corpus size n — the skew evidence for `minhashNearDups`'s candidate
+    * join. The join key is (band_idx, band_hash); a bucket of size c
+    * contributes c·(c−1)/2 candidate pairs, so the tail of this
+    * distribution IS the join's worst partition. Run with
+    * `sbt "runMain graft.ScaleProbe lsh 1280000 5000000"`.
+    */
+  def lshSkewProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val buckets = Dedup.bandTable(docs)
+      .groupBy("band_idx", "band_hash").count()
+      .persist()
+    val stats = buckets.agg(
+      count(lit(1)).as("buckets"),
+      max("count").as("max"),
+      avg("count").as("avg"),
+      expr("percentile_approx(count, 0.99, 10000)").as("p99"),
+      sum(expr("count * (count - 1) / 2")).as("cand_pairs")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val top = buckets.orderBy(col("count").desc).limit(5)
+      .collect().map(_.getAs[Long]("count")).mkString(",")
+    println(f"[scale-lsh] n=$n%-8d band_time=$secs%6.1fs " +
+      s"buckets=${stats.getLong(0)} max_bucket=${stats.getLong(1)} " +
+      f"avg_bucket=${stats.getDouble(2)}%.2f p99=${stats.getLong(3)} " +
+      s"cand_pairs=${stats.getAs[Any]("cand_pairs")} top5=[$top]")
+    buckets.unpersist(); docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
-    val sizeArgs = if (annMode) args.drop(1) else args
+    val lshMode = args.headOption.contains("lsh")
+    val sizeArgs = if (annMode || lshMode) args.drop(1) else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,6 +154,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (annMode) {
       sizes.foreach(annProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (lshMode) {
+      sizes.foreach(lshSkewProbe(spark, _))
       spark.stop()
       return
     }

@@ -112,7 +112,11 @@ object Dedup {
     * a vanishing fraction of a 100 TB corpus — and feeds both
     * verification sides and the set-size counts.
     */
-  def minhashNearDups(documents: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_hash): the LSH band table — the self-join
+    * key space of [[minhashNearDups]]. Exposed so ScaleProbe can measure
+    * bucket-size skew on the exact production banding.
+    */
+  def bandTable(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val sigs = documents.select(col("doc_id"),
       graft.functions.GraftFunctions.minhashSigs(col("text"), NumHashes)
@@ -123,11 +127,34 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",", slice: _*)).as("band_hash"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
-      .persist()
+  }
+
+  /** Candidate generation skew guard: band buckets holding more than
+    * `maxBandBucket` docs are dropped before the self-join (a size-c
+    * bucket contributes c·(c−1)/2 pairs — one boilerplate bucket of 10⁵
+    * docs is 5·10⁹ pairs on one reducer). Hot buckets are near-always
+    * exact/boilerplate duplicates, which [[exactSummary]] already catches
+    * upstream; measured bucket-size distributions are in SCALING.md.
+    * `None` (the verified-query default) disables the cap.
+    */
+  def minhashNearDups(documents: DataFrame,
+      maxBandBucket: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val rawBands = bandTable(documents)
+    val capped = maxBandBucket.fold(rawBands) { cap =>
+      // count per bucket is map-side combinable; the join back is on the
+      // same key the self-join uses, so no extra shuffle stage shape
+      val sizes = rawBands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap)
+        .select("band_idx", "band_hash")
+      rawBands.join(sizes, Seq("band_idx", "band_hash"))
+    }
+    val banded = capped.persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_hash") === col("b.band_hash")

@@ -54,6 +54,24 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(j - 0.8) < 1e-5)
   }
 
+  test("band-bucket cap drops hot boilerplate buckets, keeps rare pairs") {
+    // 30 byte-identical boilerplate docs (one size-30 bucket per band:
+    // 435 candidate pairs each) + the twin pair (buckets of size 2)
+    val boiler = (10L until 40L).map(i =>
+      (i, "identical boilerplate header text repeated across the corpus"))
+    val docs = docsDF(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again yes"))
+      ++ boiler)
+    val uncapped = Dedup.minhashNearDups(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.toSet.contains((1L, 2L)))
+    assert(uncapped.length == 1 + 30 * 29 / 2) // quadratic in the hot bucket
+    val capped = Dedup.minhashNearDups(docs, maxBandBucket = Some(5))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((1L, 2L))) // exact dupes left to exact dedup
+  }
+
   test("cluster propagation merges chained pairs transitively") {
     // a~b and b~c but a,c were never a NEAR-DUP PAIR directly:
     // doc 3 bridges 1 and 2 via two overlapping halves

@@ -202,6 +202,11 @@ object SparkEntry {
     "set_ops_users" -> ((s, dir) =>
       Analytics.purchaseErrorSetOps(tables(s, dir).events)),
 
+    // as-of join (operators.AsOfJoin): last-touch purchase attribution
+    "purchase_attribution" -> ((s, dir) =>
+      Analytics.purchaseAttribution(tables(s, dir).events)
+        .orderBy("purchase_id")),
+
     // O5 quarantine split: dq_passed predicate → dual flows
     "quarantine_split" -> ((s, dir) =>
       Quarantine.tagged(Enrich.curated(tables(s, dir).events),
@@ -642,6 +647,19 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for operators.AsOfJoin
+    // (l.ts >= r.ts, greatest r.ts wins — identical tie semantics)
+    "purchase_attribution" ->
+      """SELECT l.event_id AS purchase_id, l.user_id,
+        |  epoch_ms(l.ts) AS purchase_ms,
+        |  r.event_id AS touch_id, r.event_type AS touch_type,
+        |  epoch_ms(l.ts) - epoch_ms(r.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN
+        |  (SELECT * FROM events WHERE event_type IN ('click', 'view')) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     "set_ops_users" ->
       """WITH f AS (

@@ -227,4 +227,28 @@ object Analytics {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("n"), col("n_users"))
+
+  /** Last-touch attribution via [[graft.operators.AsOfJoin]]: every
+    * purchase event picks up the same user's most recent click/view at or
+    * before the purchase timestamp (NULL when the purchase is the user's
+    * first touch). One shuffle of the events scan on user_id, one window
+    * pass — no inequality join, no per-key candidate blow-up (operator
+    * Scaladoc has the full cost model). Output timestamps as epoch ms
+    * (cross-engine rule: never compare raw timestamps).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val touches = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    graft.operators.AsOfJoin
+      .backward(purchases, touches, Seq("user_id"), "ts", "ts",
+        Seq("ts", "touch_id", "touch_type"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"),
+        col("asof_touch_id").as("touch_id"),
+        col("asof_touch_type").as("touch_type"),
+        (unix_millis(col("ts")) - unix_millis(col("asof_ts"))).as("gap_ms"))
+  }
 }

@@ -207,6 +207,11 @@ object SparkEntry {
       Analytics.purchaseAttribution(tables(s, dir).events)
         .orderBy("purchase_id")),
 
+    // keyless range join (operators.RangeJoin): errors near purchases
+    "errors_near_purchases" -> ((s, dir) =>
+      Analytics.errorsNearPurchases(tables(s, dir).events)
+        .orderBy("purchase_id")),
+
     // O5 quarantine split: dq_passed predicate → dual flows
     "quarantine_split" -> ((s, dir) =>
       Quarantine.tagged(Enrich.curated(tables(s, dir).events),
@@ -660,6 +665,17 @@ object SparkEntry {
         |  (SELECT * FROM events WHERE event_type IN ('click', 'view')) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    // DuckDB's IEJoin handles the raw inequality join — the oracle for
+    // the bucketized operators.RangeJoin
+    "errors_near_purchases" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  count(*) AS n_errors
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON epoch_ms(e.ts)
+        |     BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
 
     "set_ops_users" ->
       """WITH f AS (

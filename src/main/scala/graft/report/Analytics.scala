@@ -236,6 +236,31 @@ object Analytics {
     * Scaladoc has the full cost model). Output timestamps as epoch ms
     * (cross-engine rule: never compare raw timestamps).
     */
+  /** Keyless range join via [[graft.operators.RangeJoin]]: for every
+    * purchase, the number of error events — from ANY user — in the 10
+    * minutes leading up to it (platform-instability context for the
+    * purchase). With no equi-key, Spark's native plan here is a
+    * cartesian/BNLJ of purchases × errors; the bucketized join hashes
+    * both sides on a 10-minute time bucket instead (each window covers
+    * ≤ 2 buckets), then applies the exact BETWEEN as a post-filter —
+    * candidates are time-neighbors only, within a constant of output
+    * size. Inner-join semantics: calm-window purchases don't appear.
+    */
+  def errorsNearPurchases(events: DataFrame,
+      lookbackMs: Long = 600000L): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(unix_millis(col("ts")).as("err_ms"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (unix_millis(col("ts")) - lookbackMs).as("win_start"),
+        unix_millis(col("ts")).as("win_end"))
+    graft.operators.RangeJoin
+      .pointInInterval(errors, purchases, "err_ms", "win_start", "win_end",
+        bucketWidth = lookbackMs)
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_errors"))
+  }
+
   def purchaseAttribution(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))

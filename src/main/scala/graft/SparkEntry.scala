@@ -273,6 +273,11 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) =>
       graft.ext.Curation.piiScrubReport(
         CustomerEvents.synth(tables(s, dir).events))),
+    "pack_plan" -> ((s, dir) =>
+      graft.ext.Curation.packPlan(tables(s, dir).documents)),
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionReport(tables(s, dir).documents)
+        .orderBy("doc_id")),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -730,6 +735,10 @@ object SparkEntry {
       s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
+    "pack_plan" -> graft.ext.Curation.packPlanSql(),
+    "doc_repetition" ->
+      s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
+         |ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""$W
          |${graft.ext.Curation.piiScrubReportSql}""".stripMargin,

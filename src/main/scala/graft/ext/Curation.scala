@@ -166,6 +166,64 @@ object Curation {
        |    AS DOUBLE) / count(*), 2) AS achieved_ppm
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Token budget of one packed training sequence (fixture value; the
+    * operator takes any budget).
+    */
+  val SeqBudget = 2048L
+
+  /** Sequence-packing plan: assign documents, in deterministic doc_id
+    * order within each `lang` stream, to fixed-token-budget training
+    * sequences. A document goes to the sequence its preceding cumulative
+    * token count falls in (`(cum - n_tokens) div budget`) — the
+    * contiguous pack-then-split discipline: sequences fill in order and
+    * a straddling document spills into the next window (fill_ppm can
+    * exceed 10^6 on the straddle, by design). Output is the per-sequence
+    * audit: doc count, token count, fill ratio, id range.
+    *
+    * Scale shape: one running-sum window per lang stream, then a
+    * map-side-combinable aggregate on (lang, seq_id). The window
+    * serializes per stream — at 100 TB pack per (lang, shard) instead
+    * (pass a composite stream key via `streamCol`): packing shards
+    * independently is semantically fine for training (sequences never
+    * span shards) and makes the plan embarrassingly parallel.
+    */
+  def packPlan(documents: DataFrame, budget: Long = SeqBudget,
+      streamCol: Column = col("lang")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    documents
+      .select(col("doc_id"), streamCol.as("stream"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy("stream", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ppm", expr(s"n_tokens * 1000000 div ${budget}L"))
+      .orderBy("stream", "seq_id")
+  }
+
+  /** DuckDB mirror of [[packPlan]]. */
+  def packPlanSql(budget: Long = SeqBudget): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS stream,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    sum(len(string_split(text, ' '))) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents)
+       |SELECT stream,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(sum(n_tokens) AS BIGINT) * 1000000 // $budget AS fill_ppm
+       |FROM t GROUP BY 1, 2 ORDER BY stream, seq_id""".stripMargin
+
   // ---- PII scrubbing -------------------------------------------------------
 
   /** RE2-safe patterns (run identically under Java regex and DuckDB's

@@ -135,6 +135,69 @@ object TextAnalysis {
        |  FROM documents)
        |GROUP BY source""".stripMargin
 
+  /** Gopher-style repetition filter: per document, the duplicate-word
+    * fraction and the most-frequent-bigram share — the two standard
+    * signals for pathological boilerplate/repetition in pretraining
+    * corpora (a doc that is one phrase looped scores ~10^6 ppm on both).
+    *
+    * Fractions are exact-integer ppm via `div` (cross-engine
+    * bit-identical; see qualityPpm). Bigram counting explodes hashed
+    * bigrams — (long, long) rows, map-side-combinable counts on
+    * (doc_id, h), then a per-doc max: two narrow shuffles both keyed by
+    * doc_id. A 32-bit in-doc bigram collision merges two bigram counts
+    * deterministically in BOTH engines — parity is exact (same argument
+    * as [[graft.ext.Dedup.shingleTable]]).
+    */
+  def repetitionReport(documents: DataFrame,
+      dupPpmMax: Long = 300000L, topBigramPpmMax: Long = 180000L)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val toks = tokens(col("text"))
+    val base = documents.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_words"))
+    val bigrams = documents
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), Hashing.h32(col("bg")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+    base.join(bigrams, "doc_id")
+      .withColumn("dup_word_ppm",
+        expr("(n_words - n_distinct_words) * 1000000 div n_words"))
+      .withColumn("top_bigram_ppm",
+        expr("top_bigram_n * 1000000 div n_bigrams"))
+      .withColumn("repetition_flag",
+        col("dup_word_ppm") > dupPpmMax
+          || col("top_bigram_ppm") > topBigramPpmMax)
+  }
+
+  def repetitionReportSql(dupPpmMax: Long = 300000L,
+      topBigramPpmMax: Long = 180000L): String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, ${h32Sql("b")} AS h, count(*) AS c
+       |  FROM (SELECT doc_id,
+       |          unnest(${shinglesSql("string_split(text, ' ')", 2)}) AS b
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |tops AS (
+       |  SELECT doc_id, max(c) AS top_bigram_n,
+       |    CAST(sum(c) AS BIGINT) AS n_bigrams
+       |  FROM bg GROUP BY 1)
+       |SELECT base.doc_id, n_words, n_distinct_words, top_bigram_n,
+       |  n_bigrams,
+       |  (n_words - n_distinct_words) * 1000000 // n_words AS dup_word_ppm,
+       |  top_bigram_n * 1000000 // n_bigrams AS top_bigram_ppm,
+       |  ((n_words - n_distinct_words) * 1000000 // n_words > $dupPpmMax
+       |    OR top_bigram_n * 1000000 // n_bigrams > $topBigramPpmMax)
+       |    AS repetition_flag
+       |FROM base JOIN tops ON base.doc_id = tops.doc_id""".stripMargin
+
   // ---- language identification --------------------------------------------
 
   /** N-gram (function-word) language ID. Per doc, score each language by

@@ -105,6 +105,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- sequence packing ---------------------------------------------------
+
+  test("pack plan fills sequences in doc_id order; straddlers spill") {
+    // word counts 4, 5, 6, 3 with budget 10: cum-before = 0, 4, 9, 15
+    // -> seqs 0, 0, 0, 1; doc 3 straddles (cum 15 > 10), by design
+    val docs = docsDF(Seq(
+      (1L, "w w w w", "en"),
+      (2L, "w w w w w", "en"),
+      (3L, "w w w w w w", "en"),
+      (4L, "w w w", "en")))
+    val r = Curation.packPlan(docs, budget = 10L).collect()
+      .map(x => (x.getAs[Long]("seq_id"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("first_doc"),
+        x.getAs[Long]("last_doc")))
+    assert(r.toSeq == Seq((0L, 3L, 15L, 1L, 3L), (1L, 1L, 3L, 4L, 4L)))
+  }
+
+  test("pack plan streams are independent and deterministic") {
+    val docs = docsDF((0L until 100L).map(i =>
+      (i, ("tok " * (1 + (i % 7).toInt)).trim,
+        if (i % 2 == 0) "en" else "zh")))
+    val a = Curation.packPlan(docs, budget = 16L).collect().toSeq
+    val b = Curation.packPlan(docs.repartition(7), budget = 16L)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val byStream = a.groupBy(_.getAs[String]("stream"))
+    assert(byStream.keySet == Set("en", "zh"))
+    byStream.foreach { case (stream, seqs) =>
+      // packing partitions the stream: doc ranges are disjoint and
+      // ordered, and no token is lost or duplicated
+      seqs.sliding(2).foreach {
+        case Seq(p, n) => assert(
+          p.getAs[Long]("last_doc") < n.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      val langTotal = docs.filter(col("lang") === stream)
+        .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+      assert(seqs.map(_.getAs[Long]("n_tokens")).sum == langTotal)
+    }
+  }
+
   // ---- PII scrubbing ------------------------------------------------------
 
   private def scrubOne(text: String): String = {

@@ -358,6 +358,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("quality_score") == (12000 + 250000 + 200000) / 1e6)
   }
 
+  test("repetition report flags looped phrases, passes varied text") {
+    val docs = docsDF(Seq(
+      (1L, "a a a a"), // dup 3/4 = 750000 ppm; top bigram 3/3 = 10^6 ppm
+      (2L, "twelve distinct words in this sentence make a varied clean doc")))
+    val r = TextAnalysis.repetitionReport(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("dup_word_ppm") == 750000L)
+    assert(r(0).getAs[Long]("top_bigram_ppm") == 1000000L)
+    assert(r(0).getAs[Boolean]("repetition_flag"))
+    assert(r(1).getAs[Long]("dup_word_ppm") == 0L)
+    // 11 words -> 10 unique bigrams -> top share 1/10, under the gate
+    assert(r(1).getAs[Long]("top_bigram_ppm") == 100000L)
+    assert(!r(1).getAs[Boolean]("repetition_flag"))
+  }
+
   test("language ID picks the language with most lexicon hits") {
     val d = docsDF(Seq(
       (1L, "der hund und die katze ist hier"),

@@ -275,6 +275,14 @@ object SparkEntry {
         CustomerEvents.synth(tables(s, dir).events))),
     "pack_plan" -> ((s, dir) =>
       graft.ext.Curation.packPlan(tables(s, dir).documents)),
+    // incremental dedup: new batch (doc_id % 10 = 7) vs corpus index
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7))
+        .orderBy("batch_doc", "index_doc")
+    }),
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionReport(tables(s, dir).documents)
         .orderBy("doc_id")),
@@ -736,6 +744,8 @@ object SparkEntry {
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "pack_plan" -> graft.ext.Curation.packPlanSql(),
+    "dedup_incremental" ->
+      Dedup.incrementalNearDupsSql(id => s"$id % 10 = 7"),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

@@ -233,6 +233,79 @@ object Dedup {
        |  >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental near-dup check — the shape a production pipeline
+    * actually runs: a (small) new ingest batch is screened against the
+    * (huge) existing corpus WITHOUT re-deduping the corpus. Candidates
+    * come from joining the batch's band table against the corpus band
+    * table on `(band_idx, band_hash)` with the BATCH side broadcast: the
+    * corpus index — in production a stored table maintained across
+    * ingests, recomputed here — never shuffles, and per-batch cost is
+    * O(|batch| + candidates). Verification (exact Jaccard) runs on
+    * candidate docs only, same as [[minhashNearDups]]. Batch-internal
+    * duplicates are out of scope (run the batch through the normal pass).
+    *
+    * Caller contract: `index` and `batch` doc_ids are disjoint.
+    */
+  def incrementalNearDups(index: DataFrame, batch: DataFrame): DataFrame = {
+    val ib = bandTable(index).withColumnRenamed("doc_id", "index_doc")
+    val bb = bandTable(batch).withColumnRenamed("doc_id", "batch_doc")
+    val cand = ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
+      .select("batch_doc", "index_doc").distinct()
+      .persist()
+    val candB = cand.select(col("batch_doc").as("doc_id")).distinct()
+    val candI = cand.select(col("index_doc").as("doc_id")).distinct()
+    val sh = shingleTable(
+        batch.join(broadcast(candB), Seq("doc_id"), "left_semi"))
+      .unionByName(shingleTable(
+        index.join(broadcast(candI), Seq("doc_id"), "left_semi")))
+      .persist() // disjoint ids by contract; candidates only
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("batch_doc") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("index_doc") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("batch_doc", "index_doc").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("batch_doc") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("index_doc") === col("cb.doc_id"))
+      .select(col("batch_doc"), col("index_doc"), col("inter"),
+        col("ca.n").as("n_batch"), col("cb.n").as("n_index"),
+        round(col("inter").cast("double")
+          / (col("ca.n") + col("cb.n") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** DuckDB mirror of [[incrementalNearDups]] for a batch defined by
+    * `batchPred` over doc_id (the full-corpus banding restricted to
+    * cross batch/index pairs is identical to banding the two sides
+    * separately).
+    */
+  def incrementalNearDupsSql(batchPred: String => String): String =
+    s"""WITH $minhashCtesSql,
+       |cross_cand AS (
+       |  SELECT CASE WHEN ${batchPred("doc_a")} THEN doc_a ELSE doc_b END
+       |      AS batch_doc,
+       |    CASE WHEN ${batchPred("doc_a")} THEN doc_b ELSE doc_a END
+       |      AS index_doc
+       |  FROM cand
+       |  WHERE (${batchPred("doc_a")}) != (${batchPred("doc_b")})),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT batch_doc, index_doc, count(*) AS inter
+       |  FROM cross_cand
+       |  JOIN shd sa ON sa.doc_id = batch_doc
+       |  JOIN shd sb ON sb.doc_id = index_doc AND sa.h = sb.h
+       |  GROUP BY 1, 2)
+       |SELECT batch_doc, index_doc, inter, ca.n AS n_batch,
+       |  cb.n AS n_index,
+       |  round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = batch_doc
+       |JOIN cnt cb ON cb.doc_id = index_doc
+       |WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6)
+       |  >= $JaccardThreshold
+       |ORDER BY batch_doc, index_doc""".stripMargin
+
   /** The deduped corpus — pairs → action. Survivor policy: keep the
     * lowest doc_id of each verified near-dup pair's two sides ("keep
     * first"); a doc is dropped iff it appears as the *greater* id in any

@@ -54,6 +54,23 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(j - 0.8) < 1e-5)
   }
 
+  test("incremental dedup screens the batch against the index only") {
+    // twins (1,2) both in the index: must NOT appear. twin 12 of index
+    // doc 11 arrives in the batch: must match exactly (11, 12).
+    val index = docsDF(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again yes"),
+      (11L, "shared words run through this longer sentence exactly as planned ok"),
+      (3L, "completely different words about spark shuffles joins and scans")))
+    val batch = docsDF(Seq(
+      (12L, "shared words run through this longer sentence exactly as planned no"),
+      (13L, "nothing here resembles anything in the corpus index at all")))
+    val r = Dedup.incrementalNearDups(index, batch)
+      .select("batch_doc", "index_doc").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSet == Set((12L, 11L)))
+  }
+
   test("band-bucket cap drops hot boilerplate buckets, keeps rare pairs") {
     // 30 byte-identical boilerplate docs (one size-30 bucket per band:
     // 435 candidate pairs each) + the twin pair (buckets of size 2)

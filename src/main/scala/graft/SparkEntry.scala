@@ -270,6 +270,9 @@ object SparkEntry {
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
     "stratified_sample" -> ((s, dir) =>
       graft.ext.Curation.stratifiedSampleSummary(tables(s, dir).documents)),
+    // the composed corpus→training-mix funnel (dedup → gates → sample)
+    "training_mix" -> ((s, dir) =>
+      graft.ext.Curation.trainingMix(tables(s, dir).documents)),
     "pii_scrub" -> ((s, dir) =>
       graft.ext.Curation.piiScrubReport(
         CustomerEvents.synth(tables(s, dir).events))),
@@ -746,6 +749,7 @@ object SparkEntry {
     "pack_plan" -> graft.ext.Curation.packPlanSql(),
     "dedup_incremental" ->
       Dedup.incrementalNearDupsSql(id => s"$id % 10 = 7"),
+    "training_mix" -> graft.ext.Curation.trainingMixSql(),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

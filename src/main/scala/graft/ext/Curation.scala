@@ -166,6 +166,112 @@ object Curation {
        |    AS DOUBLE) / count(*), 2) AS achieved_ppm
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- end-to-end training mix (the composed curation funnel) -------------
+
+  /** Minimum composite quality (ppm, see [[TextAnalysis.qualityPpm]]) a
+    * doc needs to enter the training mix. Fixture value.
+    */
+  val QualityMinPpm = 500000L
+
+  /** The corpus→training-mix funnel, one verified query: per language,
+    * how many documents survive (1) near-dup removal (MinHash+LSH drop
+    * set, keep-lowest policy), (2) the repetition gate
+    * ([[TextAnalysis.repetitionReport]]), (3) the composite quality gate
+    * — and of the survivors, what the stratified sample keeps and how
+    * many tokens it carries. The id-sum checksum pins exact sample
+    * membership cross-engine, so this one row-per-language result
+    * verifies the entire composed pipeline end to end.
+    *
+    * Scale shape: the drop set is a broadcast anti-flag (near-dups ≪
+    * corpus), the repetition join is doc_id-keyed, every gate predicate
+    * is map-side, and the funnel aggregate combines map-side into
+    * O(languages) rows. The corpus text itself is scanned by the dedup /
+    * repetition subplans exactly as their standalone queries do — the
+    * composition adds joins on (doc_id) only, no new corpus shuffle.
+    */
+  def trainingMix(documents: DataFrame,
+      qualityMinPpm: Long = QualityMinPpm): DataFrame = {
+    val drops = Dedup.minhashNearDups(documents)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val rep = TextAnalysis.repetitionReport(documents)
+      .select(col("doc_id"), col("repetition_flag"))
+    val toks = split(col("text"), " ")
+    val en = TextAnalysis.Lexicons.head._2
+    val base = documents
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.qualityPpm(
+          size(toks).cast("long"),
+          size(array_distinct(toks)).cast("long"),
+          size(filter(toks, t => t.isin(en: _*))).cast("long"))
+          .as("q_ppm"),
+        sampleHash(col("doc_id")).as("hv"),
+        targetPpm(col("lang")).as("tppm"))
+      .join(broadcast(drops), Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+    val dedup = !coalesce(col("is_dup"), lit(false))
+    val clean = dedup && !coalesce(col("repetition_flag"), lit(false)) &&
+      col("q_ppm") >= qualityMinPpm
+    val sampled = clean && col("hv") < col("tppm")
+    base.groupBy("lang").agg(
+        count(lit(1)).as("n_raw"),
+        count(when(dedup, 1)).as("n_dedup"),
+        count(when(clean, 1)).as("n_clean"),
+        count(when(sampled, 1)).as("n_sampled"),
+        coalesce(sum(when(sampled, col("n_tokens"))), lit(0L))
+          .as("tok_sampled"),
+        coalesce(sum(when(sampled, col("doc_id"))), lit(0L))
+          .as("sampled_id_sum"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[trainingMix]]. */
+  def trainingMixSql(qualityMinPpm: Long = QualityMinPpm): String = {
+    val en = TextAnalysis.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH neardups AS (${Dedup.minhashNearDupsSql}),
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM neardups),
+       |rep AS (SELECT doc_id, repetition_flag
+       |        FROM (${TextAnalysis.repetitionReportSql()})),
+       |q AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    least(len(toks) * 2000, 400000)
+       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
+       |          AS BIGINT)
+       |      + 300000
+       |      - CAST(round(len([t for t in toks
+       |                        if list_contains($en, t)])
+       |          * 300000.0 / len(toks)) AS BIGINT) AS q_ppm
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |s AS (SELECT doc_id, $sampleHashSql AS hv, $targetPpmSql AS tppm
+       |      FROM documents),
+       |base AS (
+       |  SELECT d.doc_id, d.lang, q.n_tokens,
+       |    (drops.doc_id IS NOT NULL) AS is_dup,
+       |    coalesce(rep.repetition_flag, FALSE) AS rep_flag,
+       |    (q.q_ppm >= $qualityMinPpm) AS q_ok,
+       |    (s.hv < s.tppm) AS in_sample
+       |  FROM documents d
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN s ON s.doc_id = d.doc_id
+       |  LEFT JOIN drops ON drops.doc_id = d.doc_id
+       |  LEFT JOIN rep ON rep.doc_id = d.doc_id)
+       |SELECT lang, count(*) AS n_raw,
+       |  count(CASE WHEN NOT is_dup THEN 1 END) AS n_dedup,
+       |  count(CASE WHEN NOT is_dup AND NOT rep_flag AND q_ok THEN 1 END)
+       |    AS n_clean,
+       |  count(CASE WHEN NOT is_dup AND NOT rep_flag AND q_ok
+       |    AND in_sample THEN 1 END) AS n_sampled,
+       |  CAST(coalesce(sum(CASE WHEN NOT is_dup AND NOT rep_flag AND q_ok
+       |    AND in_sample THEN n_tokens END), 0) AS BIGINT) AS tok_sampled,
+       |  CAST(coalesce(sum(CASE WHEN NOT is_dup AND NOT rep_flag AND q_ok
+       |    AND in_sample THEN doc_id END), 0) AS BIGINT) AS sampled_id_sum
+       |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Token budget of one packed training sequence (fixture value; the

@@ -73,7 +73,7 @@ object TextAnalysis {
     * single-IEEE-division rounding so both engines produce the identical
     * value (multi-term double sums round differently at ULP boundaries).
     */
-  private def qualityPpm(nTok: Column, nDist: Column, nStop: Column): Column =
+  def qualityPpm(nTok: Column, nDist: Column, nStop: Column): Column =
     (least(nTok * 2000L, lit(400000L))
       + round(nDist * 300000.0 / nTok).cast("long")
       + lit(300000L) - round(nStop * 300000.0 / nTok).cast("long"))

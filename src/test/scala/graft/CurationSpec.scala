@@ -105,6 +105,44 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- training mix funnel --------------------------------------------------
+
+  test("training mix funnel: each gate drops exactly its planted doc") {
+    val varied = "many different interesting words compose this reasonably " +
+      "long and varied document about engines and data pipelines overall"
+    val docs = docsDF(Seq(
+      (1L, varied + " one", "en"),
+      (2L, varied + " two", "en"),   // near-dup of 1 -> dropped by dedup
+      (3L, "spam spam spam spam spam spam spam spam spam spam", "en"),
+      (4L, "ok", "en"),              // 1 token -> quality gate
+      (5L, "an entirely separate body of prose with no overlap to others " +
+        "covering storage formats partitioning and shuffles in detail",
+        "zh")))
+    val r = graft.ext.Curation.trainingMix(docs).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("n_raw"), x.getAs[Long]("n_dedup"),
+          x.getAs[Long]("n_clean"))).toMap
+    // en: 4 raw; dedup drops doc 2 (keep-lowest); repetition gate drops
+    // doc 3; quality gate drops doc 4 -> 1 clean
+    assert(r("en") == (4L, 3L, 1L))
+    assert(r("zh") == (1L, 1L, 1L))
+  }
+
+  test("training mix sample columns agree with the standalone sampler") {
+    val docs = docsDF((0L until 400L).map(i =>
+      (i, s"document number $i carries several plainly distinct words " +
+        s"alpha$i beta$i gamma$i delta$i", if (i % 3 == 0) "zh" else "en")))
+    val mix = graft.ext.Curation.trainingMix(docs).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("n_sampled"), x.getAs[Long]("sampled_id_sum"))).toMap
+    // no doc is dropped by any gate here, so the funnel's sample must be
+    // the stratified sampler's output exactly
+    val std = graft.ext.Curation.stratifiedSample(docs)
+      .groupBy("lang").agg(count(lit(1)), sum("doc_id")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(mix == std)
+  }
+
   // ---- sequence packing ---------------------------------------------------
 
   test("pack plan fills sequences in doc_id order; straddlers spill") {

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Dedup
+
+/** Streaming corpus ingestion with incremental near-dup screening: each
+  * micro-batch of documents is checked against a persistent MinHash band
+  * index (the accumulated corpus), survivors are appended to the corpus
+  * sink, and their bands extend the index — the streaming twin of
+  * [[graft.ext.Dedup.incrementalNearDups]].
+  *
+  * Screening here is LSH-candidate-level (any shared band ⇒ duplicate):
+  * the index stores only `(doc_id, band_idx, band_hash)`, never text, so
+  * it stays ~48 bytes/doc — small enough to keep as a bucketed table at
+  * 100 TB corpus scale. Candidate-level screening is the high-recall
+  * gate a streaming ingest wants; the exact-Jaccard verified pass
+  * ([[graft.ext.Dedup.minhashNearDups]]) runs in the batch layer.
+  * Batch-internal dups are also dropped (lowest doc_id survives, same
+  * keep-first policy as the batch operators).
+  *
+  * Idempotence contract matches [[EventPipeline.processBatch]]: corpus
+  * and index writes are partitioned by batch_id with dynamic overwrite
+  * (a replayed batch rewrites its own partitions), and the survivor
+  * accumulators move only after both writes commit, gated on the
+  * high-water mark.
+  */
+object DedupStream {
+
+  final class DedupStats(spark: org.apache.spark.sql.SparkSession)
+      extends Serializable {
+    val seen = spark.sparkContext.longAccumulator("dedup_seen")
+    val kept = spark.sparkContext.longAccumulator("dedup_kept")
+    @volatile var lastCommitted: Long = -1L
+  }
+
+  /** Docs of `batch` that collide with `index` bands or with an
+    * earlier batch-mate's bands (keep-first within the batch).
+    */
+  private def dropSet(batchBands: DataFrame, index: DataFrame): DataFrame = {
+    val vsIndex = batchBands.as("b")
+      .join(index.as("i"),
+        col("b.band_idx") === col("i.band_idx")
+          && col("b.band_hash") === col("i.band_hash"))
+      .select(col("b.doc_id"))
+    val inBatch = batchBands.as("a").join(batchBands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id"))
+    vsIndex.unionByName(inBatch).distinct()
+  }
+
+  /** One idempotent micro-batch ingest (the foreachBatch body of
+    * [[start]], extracted so StreamingSpec can replay it).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String, stats: DedupStats): Unit =
+    if (!batch.isEmpty && batchId > stats.lastCommitted) {
+      val spark = batch.sparkSession
+      val index = try {
+        // exclude this batch's own partition: a replay after a crash
+        // between the two writes must not collide with its first attempt
+        spark.read.parquet(indexPath)
+          .filter(col("batch_id") < batchId)
+          .select("doc_id", "band_idx", "band_hash")
+      } catch {
+        case _: Exception => // first batch: empty index
+          Dedup.bandTable(batch.limit(0))
+      }
+      val bands = Dedup.bandTable(batch).persist()
+      try {
+        val drops = dropSet(bands, index).persist()
+        val survivors = batch
+          .join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .persist()
+        val nKept = survivors.count()
+        survivors.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(corpusPath)
+        bands.join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexPath)
+        stats.seen.add(batch.count()); stats.kept.add(nKept)
+        stats.lastCommitted = batchId
+        drops.unpersist(); survivors.unpersist()
+        ()
+      } finally { bands.unpersist(); () }
+    }
+
+  /** Attach the dedup ingest to a documents stream. */
+  def start(stream: DataFrame, corpusPath: String, indexPath: String,
+      checkpointDir: String, stats: DedupStats,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, corpusPath, indexPath, stats)
+      }
+      .start()
+}

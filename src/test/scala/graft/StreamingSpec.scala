@@ -312,17 +312,16 @@ class StreamingSpec extends AnyFunSuite {
     val stats = new graft.streaming.DqMonitor.DqStreamStats(spark, suite)
 
     val stream = docFrame(mem.toDF().toDF("doc_id", "lang"))
-    val q = graft.streaming.DqMonitor.start(stream, stats, resDir, ckpt,
-      trigger = Trigger.AvailableNow())
+    // add BEFORE start: AvailableNow snapshots offsets at query start
     val clean = Seq((1L, "en"), (2L, "de"), (3L, "fr"))
     mem.addData(clean: _*)
-    q.awaitTermination(60000)
+    graft.streaming.DqMonitor.start(stream, stats, resDir, ckpt,
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
 
     val dirty = Seq((666L, "xx"), (5L, "en"))
-    val q2 = graft.streaming.DqMonitor.start(stream, stats, resDir, ckpt,
-      trigger = Trigger.AvailableNow())
     mem.addData(dirty: _*)
-    q2.awaitTermination(60000)
+    graft.streaming.DqMonitor.start(stream, stats, resDir, ckpt,
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
 
     // the streamed per-batch results must equal the static evaluator run
     // on the same rows — same engine, no drift
@@ -343,6 +342,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(byName(("expect_column_values_to_not_be_null", "text")) == 1L)
     assert(byName(("expect_column_values_to_be_in_set", "lang")) == 1L)
     assert(byName(("expect_column_values_to_not_be_null", "doc_id")) == 0L)
+  }
+
+  test("streaming dedup ingest: index screens batches; replay idempotent") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("ded_corpus").toString
+    val indexDir = Files.createTempDirectory("ded_index").toString
+    val stats = new graft.streaming.DedupStream.DedupStats(spark)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    val varied = "many different interesting words compose this reasonably " +
+      "long and varied document about engines and data pipelines"
+    val other = "a second completely unrelated body of text covering " +
+      "storage formats partitioning and shuffle behavior in depth"
+    // batch 0: two distinct docs + an in-batch duplicate of doc 1
+    // (exact text: the LSH screen catches it with certainty — the
+    // near-dup S-curve itself is pinned in ExtSpec, not here)
+    graft.streaming.DedupStream.processBatch(
+      docs((1L, varied + " one"), (2L, other + " two"),
+        (3L, varied + " one")),
+      0L, corpusDir, indexDir, stats)
+    assert(stats.seen.value == 3 && stats.kept.value == 2)
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // batch 1: a duplicate of indexed doc 1 plus a genuinely new doc
+    val b1 = docs((4L, varied + " one"),
+      (5L, "nothing here resembles anything stored in the corpus so far"))
+    graft.streaming.DedupStream.processBatch(b1, 1L, corpusDir, indexDir,
+      stats)
+    assert(stats.seen.value == 5 && stats.kept.value == 3)
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+
+    // same-driver replay: skipped outright
+    graft.streaming.DedupStream.processBatch(b1, 1L, corpusDir, indexDir,
+      stats)
+    assert(stats.kept.value == 3)
+
+    // recovery replay (fresh driver, partial state on disk): the batch
+    // must not collide with its own first attempt's index partition
+    val fresh = new graft.streaming.DedupStream.DedupStats(spark)
+    fresh.lastCommitted = 0L
+    graft.streaming.DedupStream.processBatch(b1, 1L, corpusDir, indexDir,
+      fresh)
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 5L)) // overwritten, not doubled
+    assert(spark.read.parquet(indexDir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
 
   test("streaming DQ monitor: replay is idempotent; aliases resolve business names") {

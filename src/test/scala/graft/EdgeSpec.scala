@@ -74,4 +74,37 @@ class EdgeSpec extends AnyFunSuite {
       .head()
     assert(r.isNullAt(0))
   }
+
+  test("round-5 operators are total on empty inputs") {
+    import spark.implicits._
+    import graft.ext.Curation
+    assert(Curation.decontaminationReport(emptyDocs).count() == 0)
+    assert(Curation.stratifiedSampleSummary(emptyDocs).count() == 0)
+    assert(Curation.packPlan(emptyDocs).count() == 0)
+    assert(Curation.trainingMix(emptyDocs).count() == 0)
+    assert(TextAnalysis.repetitionReport(emptyDocs).count() == 0)
+    assert(Dedup.incrementalNearDups(emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.minhashNearDups(emptyDocs, Some(5)).count() == 0)
+    // joins: empty probe/left and empty reference/right sides
+    val l = Seq(("a", 1L, 2L)).toDF("k", "ts", "x")
+    val iv = Seq(("a", 0L, 10L)).toDF("k", "s", "e")
+    val noL = l.limit(0); val noIv = iv.limit(0)
+    assert(graft.operators.AsOfJoin
+      .backward(noL, iv.select(col("k"), col("s").as("ts")),
+        Seq("k"), "ts", "ts", Seq("ts")).count() == 0)
+    assert(graft.operators.AsOfJoin
+      .backward(l, noIv.select(col("k"), col("s").as("ts")),
+        Seq("k"), "ts", "ts", Seq("ts")).count() == 1) // left join: row kept
+    assert(graft.operators.RangeJoin
+      .pointInInterval(noL.select(col("k"), col("ts").as("v")), iv,
+        "v", "s", "e", Seq("k"), 10L).count() == 0)
+    assert(graft.operators.RangeJoin
+      .pointInInterval(l.select(col("k"), col("ts").as("v")), noIv,
+        "v", "s", "e", Seq("k"), 10L).count() == 0)
+    // an inverted interval (e < s) yields no rows, not an explode error
+    val bad = Seq(("a", 10L, 0L)).toDF("k", "s", "e")
+    assert(graft.operators.RangeJoin
+      .pointInInterval(l.select(col("k"), col("ts").as("v")), bad,
+        "v", "s", "e", Seq("k"), 10L).count() == 0)
+  }
 }

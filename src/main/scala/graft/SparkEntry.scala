@@ -273,6 +273,13 @@ object SparkEntry {
     // the composed corpus→training-mix funnel (dedup → gates → sample)
     "training_mix" -> ((s, dir) =>
       graft.ext.Curation.trainingMix(tables(s, dir).documents)),
+    // between-snapshots categorical drift (old/new = doc_id parity)
+    "corpus_drift" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      graft.ext.Curation.corpusDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     "pii_scrub" -> ((s, dir) =>
       graft.ext.Curation.piiScrubReport(
         CustomerEvents.synth(tables(s, dir).events))),
@@ -750,6 +757,8 @@ object SparkEntry {
     "dedup_incremental" ->
       Dedup.incrementalNearDupsSql(id => s"$id % 10 = 7"),
     "training_mix" -> graft.ext.Curation.trainingMixSql(),
+    "corpus_drift" -> graft.ext.Curation.corpusDriftSql(
+      "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

@@ -166,6 +166,101 @@ object Curation {
        |    AS DOUBLE) / count(*), 2) AS achieved_ppm
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- corpus drift ---------------------------------------------------------
+
+  /** Drift flag threshold: a category whose corpus share moved by more
+    * than this many ppm (50 000 = 5 percentage points) between snapshots
+    * is flagged.
+    */
+  val DriftPpmThreshold = 50000L
+
+  /** Distribution drift between two corpus snapshots: for every value of
+    * the categorical dimensions (`lang`, `source`), the old/new counts,
+    * the old/new corpus shares (exact-integer ppm), and the absolute
+    * share delta with a threshold flag — the between-crawls monitoring
+    * twin of the event pipeline's schema drift detector
+    * ([[graft.schema.SchemaEvolution]]).
+    *
+    * Scale shape: one scan per snapshot with map-side-combinable counts
+    * onto O(distinct values) rows; per-dimension totals and the
+    * old/new outer join all operate on that tiny keyspace. Values
+    * present in only one snapshot surface with a 10^6-ppm-scale delta
+    * rather than vanishing (full outer join, zero-filled).
+    */
+  def corpusDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .select(explode(array(
+        struct(lit("lang").as("dim"), col("lang").as("value")),
+        struct(lit("source").as("dim"), col("source").as("value"))))
+        .as("d"))
+      .select(col("d.dim").as("dim"), col("d.value").as("value"))
+      .groupBy("dim", "value").agg(count(lit(1)).as(s"n_$side"))
+    val o = counts(oldSnap, "old")
+    val n = counts(newSnap, "new")
+    val joined = o.join(n, Seq("dim", "value"), "full_outer")
+      .select(col("dim"), col("value"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.groupBy("dim")
+      .agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
+    joined.join(broadcast(totals), Seq("dim"))
+      .withColumn("share_old_ppm",
+        expr("CASE WHEN tot_old = 0 THEN 0L" +
+          " ELSE n_old * 1000000 div tot_old END"))
+      .withColumn("share_new_ppm",
+        expr("CASE WHEN tot_new = 0 THEN 0L" +
+          " ELSE n_new * 1000000 div tot_new END"))
+      .withColumn("delta_ppm",
+        abs(col("share_new_ppm") - col("share_old_ppm")))
+      .withColumn("drifted", col("delta_ppm") > DriftPpmThreshold)
+      .drop("tot_old", "tot_new")
+      .orderBy("dim", "value")
+  }
+
+  /** DuckDB mirror of [[corpusDrift]] over snapshot predicates on
+    * `documents` (e.g. `doc_id % 2 = 0`).
+    */
+  def corpusDriftSql(oldPred: String, newPred: String): String = {
+    def cnt(side: String, pred: String) =
+      s"""n_$side AS (
+         |  SELECT dim, value, count(*) AS n
+         |  FROM (
+         |    SELECT 'lang' AS dim, lang AS value FROM documents
+         |    WHERE $pred
+         |    UNION ALL
+         |    SELECT 'source' AS dim, source AS value FROM documents
+         |    WHERE $pred)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${cnt("old", oldPred)},
+       |${cnt("new", newPred)},
+       |joined AS (
+       |  SELECT coalesce(n_old.dim, n_new.dim) AS dim,
+       |    coalesce(n_old.value, n_new.value) AS value,
+       |    coalesce(n_old.n, 0) AS n_old, coalesce(n_new.n, 0) AS n_new
+       |  FROM n_old FULL OUTER JOIN n_new
+       |    ON n_old.dim = n_new.dim AND n_old.value = n_new.value),
+       |tot AS (
+       |  SELECT dim, CAST(sum(n_old) AS BIGINT) AS tot_old,
+       |    CAST(sum(n_new) AS BIGINT) AS tot_new
+       |  FROM joined GROUP BY 1)
+       |SELECT joined.dim, value, n_old, n_new,
+       |  CASE WHEN tot_old = 0 THEN 0
+       |    ELSE n_old * 1000000 // tot_old END AS share_old_ppm,
+       |  CASE WHEN tot_new = 0 THEN 0
+       |    ELSE n_new * 1000000 // tot_new END AS share_new_ppm,
+       |  abs(CASE WHEN tot_new = 0 THEN 0
+       |        ELSE n_new * 1000000 // tot_new END
+       |    - CASE WHEN tot_old = 0 THEN 0
+       |        ELSE n_old * 1000000 // tot_old END) AS delta_ppm,
+       |  abs(CASE WHEN tot_new = 0 THEN 0
+       |        ELSE n_new * 1000000 // tot_new END
+       |    - CASE WHEN tot_old = 0 THEN 0
+       |        ELSE n_old * 1000000 // tot_old END) > $DriftPpmThreshold
+       |    AS drifted
+       |FROM joined JOIN tot ON joined.dim = tot.dim
+       |ORDER BY joined.dim, value""".stripMargin
+  }
+
   // ---- end-to-end training mix (the composed curation funnel) -------------
 
   /** Minimum composite quality (ppm, see [[TextAnalysis.qualityPpm]]) a

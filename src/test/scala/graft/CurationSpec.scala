@@ -105,6 +105,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- corpus drift ----------------------------------------------------------
+
+  private def withSource(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("source", concat(lit("src"), col("doc_id") % 2))
+
+  test("corpus drift flags moved shares and one-sided values") {
+    val oldSnap = withSource(docsDF(
+      (0L until 80L).map(i => (i, "txt", "en")) ++
+        (80L until 100L).map(i => (i, "txt", "de"))))
+    val newSnap = withSource(docsDF(
+      (100L until 150L).map(i => (i, "txt", "en")) ++
+        (150L until 200L).map(i => (i, "txt", "zh"))))
+    val r = graft.ext.Curation.corpusDrift(oldSnap, newSnap)
+      .filter(col("dim") === "lang").collect()
+      .map(x => x.getAs[String]("value") ->
+        (x.getAs[Long]("share_old_ppm"), x.getAs[Long]("share_new_ppm"),
+          x.getAs[Boolean]("drifted"))).toMap
+    assert(r("en") == (800000L, 500000L, true))   // 80% -> 50%
+    assert(r("de") == (200000L, 0L, true))        // vanished
+    assert(r("zh") == (0L, 500000L, true))        // appeared
+  }
+
+  test("corpus drift is quiet on identical distributions") {
+    val snap = withSource(docsDF((0L until 90L).map(i =>
+      (i, "txt", if (i % 3 == 0) "zh" else "en"))))
+    val r = graft.ext.Curation.corpusDrift(snap, snap)
+    assert(r.filter(col("drifted")).count() == 0)
+    assert(r.filter(col("delta_ppm") =!= 0).count() == 0)
+  }
+
   // ---- training mix funnel --------------------------------------------------
 
   test("training mix funnel: each gate drops exactly its planted doc") {

@@ -138,10 +138,63 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Throughput of the temporal-join operators at n left rows (n/4 right
+    * rows, 100k keys): as-of join (union-tag window) and keyless range
+    * join (bucketized). The quadratic naive plans these replace are not
+    * run — at these sizes they would not finish. Run with
+    * `sbt "runMain graft.ScaleProbe joins 1000000 5000000"`.
+    */
+  def joinsProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.operators.{AsOfJoin, RangeJoin}
+    val keys = 100000L
+    val left = spark.range(n).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      pmod(xxhash64(col("id")), lit(n * 10)).as("lts"),
+      col("id").as("lid")).persist()
+    val right = spark.range(n / 4).select(
+      pmod(col("id") * 31, lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(1)), lit(n * 10)).as("rts"),
+      col("id").as("rid")).persist()
+    left.count(); right.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-joins] n=$n%-8d $name%-14s $secs%7.2fs rows=$rows " +
+        f"(${n / secs / 1e6}%.1f M left rows/s)")
+    }
+    time("asof") {
+      // aggregate OVER the matched payload: a bare count() would let
+      // Catalyst prune the window away and time only the union
+      AsOfJoin.backward(left, right, Seq("k"), "lts", "rts", Seq("rts"))
+        .agg(count(col("asof_rts"))).head().getLong(0)
+    }
+    // keyless range join: n/200 intervals of FIXED ~2000-tick width over
+    // a 0.1 points/tick domain — ~200 matches per interval, output ~n
+    // (fixed window length is the realistic shape; width scaling with
+    // the domain would make any algorithm's output quadratic)
+    val intervals = spark.range(n / 200).select(
+      pmod(xxhash64(col("id"), lit(2)), lit(n * 10)).as("s"),
+      col("id").as("iv_id"))
+      .withColumn("e", col("s") + pmod(xxhash64(col("iv_id")), lit(4000L)))
+      .persist()
+    intervals.count()
+    time("range") {
+      RangeJoin.pointInInterval(
+          left.select(col("lts").as("v"), col("lid")), intervals,
+          "v", "s", "e", bucketWidth = 4000L)
+        .count()
+    }
+    left.unpersist(); right.unpersist(); intervals.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
-    val sizeArgs = if (annMode || lshMode) args.drop(1) else args
+    val joinsMode = args.headOption.contains("joins")
+    val sizeArgs =
+      if (annMode || lshMode || joinsMode) args.drop(1) else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -159,6 +212,11 @@ object ScaleProbe {
     }
     if (lshMode) {
       sizes.foreach(lshSkewProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (joinsMode) {
+      sizes.foreach(joinsProbe(spark, _))
       spark.stop()
       return
     }

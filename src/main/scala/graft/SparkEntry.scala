@@ -212,6 +212,11 @@ object SparkEntry {
       Analytics.errorsNearPurchases(tables(s, dir).events)
         .orderBy("purchase_id")),
 
+    // forward as-of join: next same-user error after each purchase
+    "next_error_after_purchase" -> ((s, dir) =>
+      Analytics.nextErrorAfterPurchase(tables(s, dir).events)
+        .orderBy("purchase_id")),
+
     // O5 quarantine split: dq_passed predicate → dual flows
     "quarantine_split" -> ((s, dir) =>
       Quarantine.tagged(Enrich.curated(tables(s, dir).events),
@@ -699,6 +704,17 @@ object SparkEntry {
         |  ON epoch_ms(e.ts)
         |     BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+
+    "next_error_after_purchase" ->
+      """SELECT l.event_id AS purchase_id, l.user_id,
+        |  epoch_ms(l.ts) AS purchase_ms,
+        |  r.event_id AS error_id,
+        |  epoch_ms(r.ts) - epoch_ms(l.ts) AS wait_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN
+        |  (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     "set_ops_users" ->
       """WITH f AS (

@@ -78,4 +78,25 @@ object AsOfJoin {
         left.columns.map(col) ++
           payload.map(c => col(pay)(c).as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join — the single right row with the SMALLEST
+    * `rightTs >= leftTs` per key (SQL `ASOF ... ON l.ts <= r.ts`).
+    * Implemented by running [[backward]] over negated timestamps: time
+    * reversal turns "greatest at-or-before" into "smallest at-or-after",
+    * so the two directions share one implementation and one cost model.
+    * Timestamp columns must be numeric (negate-able); the attached
+    * payload carries the ORIGINAL right values.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val neg = "__asof_neg_ts"
+    val l2 = left.withColumn(neg, -col(leftTs))
+    val r2 = right.withColumn(neg, -col(rightTs))
+    backward(l2, r2, keys, neg, neg,
+        (payload :+ rightTs).distinct, tolerance)
+      .drop(neg, s"asof_$neg")
+      .drop((if (payload.contains(rightTs)) Seq.empty[String]
+        else Seq(s"asof_$rightTs")): _*)
+  }
 }

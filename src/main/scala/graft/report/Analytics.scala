@@ -261,6 +261,26 @@ object Analytics {
       .agg(count(lit(1)).as("n_errors"))
   }
 
+  /** Forward as-of: each purchase's NEXT error event by the same user
+    * (post-purchase failure triage). Same single-shuffle cost as
+    * [[purchaseAttribution]] — [[graft.operators.AsOfJoin.forward]] is
+    * time-reversed backward.
+    */
+  def nextErrorAfterPurchase(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_millis(col("ts")).as("e_ms"),
+        col("event_id").as("error_id"))
+    graft.operators.AsOfJoin
+      .forward(purchases, errors, Seq("user_id"), "purchase_ms", "e_ms",
+        Seq("e_ms", "error_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("purchase_ms"), col("asof_error_id").as("error_id"),
+        (col("asof_e_ms") - col("purchase_ms")).as("wait_ms"))
+  }
+
   def purchaseAttribution(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))

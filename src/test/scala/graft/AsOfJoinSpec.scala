@@ -77,6 +77,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("forward as-of picks smallest right ts >= left ts") {
+    val r = AsOfJoin.forward(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("qts", "px"))
+      .orderBy("k", "tts").collect()
+      .map(x => (x.getString(0), x.getLong(1),
+        Option(x.get(x.fieldIndex("asof_px")))))
+    assert(r.toSeq == Seq(
+      ("a", 9L, Some(1.0)),  // next quote at 10
+      ("a", 20L, Some(2.0)), // tie: <= matches the ts=20 quote
+      ("a", 25L, Some(3.0)), // next at 30
+      ("a", 99L, None),      // nothing after
+      ("b", 16L, None), ("c", 50L, None)))
+  }
+
+  test("forward tolerance bounds the wait ahead") {
+    val r = AsOfJoin.forward(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("px"), tolerance = Some(lit(3L)))
+      .orderBy("k", "tts").collect()
+      .map(x => Option(x.get(x.fieldIndex("asof_px"))))
+    // a@25 matched quote@30: wait 5 > 3 -> null; a@9 wait 1 -> kept
+    assert(r.toSeq == Seq(
+      Some(1.0), Some(2.0), None, None, None, None))
+  }
+
   test("attribution query: every touch precedes its purchase") {
     val r = graft.report.Analytics.purchaseAttribution(
       Tables(spark, "/root/testdata/sf0.001").events)

@@ -278,6 +278,8 @@ object SparkEntry {
     // the composed corpus→training-mix funnel (dedup → gates → sample)
     "training_mix" -> ((s, dir) =>
       graft.ext.Curation.trainingMix(tables(s, dir).documents)),
+    "dataset_split" -> ((s, dir) =>
+      graft.ext.Curation.datasetSplitSummary(tables(s, dir).documents)),
     // between-snapshots categorical drift (old/new = doc_id parity)
     "corpus_drift" -> ((s, dir) => {
       val docs = tables(s, dir).documents
@@ -775,6 +777,7 @@ object SparkEntry {
     "training_mix" -> graft.ext.Curation.trainingMixSql(),
     "corpus_drift" -> graft.ext.Curation.corpusDriftSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

@@ -166,6 +166,54 @@ object Curation {
        |    AS DOUBLE) / count(*), 2) AS achieved_ppm
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- dataset splitting ----------------------------------------------------
+
+  /** Split fractions in ppm: 98% train / 1% val / 1% test (fixture
+    * values). Assignment is a salted deterministic hash on doc_id —
+    * reproducible across runs/engines/partitionings, independent of the
+    * sampling hash (different salt), and stable under corpus growth (a
+    * doc's split never changes when other docs arrive — the property
+    * random shuffles lack).
+    */
+  val TrainPpm = 980000L
+  val ValPpm = 990000L // train < 980000 <= val < 990000 <= test
+
+  def splitHash(docId: Column): Column =
+    h32(concat(lit("split|"), docId.cast("string"))) % 1000000L
+
+  val splitHashSql: String =
+    s"(${h32Sql("'split|' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+
+  def splitName(docId: Column): Column =
+    when(splitHash(docId) < TrainPpm, "train")
+      .when(splitHash(docId) < ValPpm, "val")
+      .otherwise("test")
+
+  val splitNameSql: String =
+    s"""CASE WHEN $splitHashSql < $TrainPpm THEN 'train'
+       |  WHEN $splitHashSql < $ValPpm THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+
+  /** Per-(lang, split) audit: doc and token counts plus the id-sum
+    * checksum pinning exact membership. One scan, map-side-combinable
+    * aggregate onto O(langs × 3) rows.
+    */
+  def datasetSplitSummary(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        splitName(col("doc_id")).as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+
+  val datasetSplitSummarySql: String =
+    s"""SELECT lang, $splitNameSql AS split, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // ---- corpus drift ---------------------------------------------------------
 
   /** Drift flag threshold: a category whose corpus share moved by more

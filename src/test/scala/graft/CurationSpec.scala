@@ -105,6 +105,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- dataset split ---------------------------------------------------------
+
+  test("dataset split is growth-stable and tracks the 98/1/1 fractions") {
+    val big = docsDF((0L until 5000L).map(i => (i, s"doc $i", "en")))
+    val small = docsDF((0L until 1000L).map(i => (i, s"doc $i", "en")))
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.ext.Curation.splitName(col("doc_id")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigA = assignments(big)
+    // growth stability: a doc's split never changes as the corpus grows
+    assignments(small).foreach { case (id, s) => assert(bigA(id) == s) }
+    val counts = bigA.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 4800 && counts("train") < 4990)
+    assert(counts("val") > 0 && counts("test") > 0)
+    assert(counts.values.sum == 5000)
+  }
+
   // ---- corpus drift ----------------------------------------------------------
 
   private def withSource(df: org.apache.spark.sql.DataFrame) =

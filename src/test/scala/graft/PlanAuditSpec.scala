@@ -85,6 +85,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected BNLJ in: $offenders")
   }
 
+  test("temporal joins keep their linear plan shapes") {
+    // as-of = union + ONE data shuffle (the window's hash partitioning)
+    // + the final presentation sort; a third exchange means the operator
+    // regressed into a join-based formulation
+    for (q <- Seq("purchase_attribution", "next_error_after_purchase")) {
+      val p = plans(q)
+      assert(p.contains("Window") && p.contains("Union"), q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), q)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q has $exchanges exchanges:\n$p")
+    }
+    // range join must plan as a HASH equi-join on the bucket key; the
+    // BETWEEN stays a post-filter, never the join strategy
+    val rj = plans("errors_near_purchases")
+    assert(rj.contains("HashJoin") && !rj.contains("NestedLoop"), rj)
+  }
+
   test("broadcast joins carry the bounded dimension sides") {
     // the headline fact⋈dims rollups must broadcast, not shuffle, dims
     assert(plans("revenue_by_region").contains("BroadcastHashJoin"))

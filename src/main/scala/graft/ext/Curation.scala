@@ -245,8 +245,15 @@ object Curation {
       .groupBy("dim", "value").agg(count(lit(1)).as(s"n_$side"))
     val o = counts(oldSnap, "old")
     val n = counts(newSnap, "new")
-    val joined = o.join(n, Seq("dim", "value"), "full_outer")
-      .select(col("dim"), col("value"),
+    // null-safe join keys: a NULL category (absent metadata) must line
+    // up across snapshots as one row, not split into a phantom
+    // vanished+appeared pair
+    val joined = o.as("o").join(n.as("n"),
+        col("o.dim") <=> col("n.dim") && col("o.value") <=> col("n.value"),
+        "full_outer")
+      .select(
+        coalesce(col("o.dim"), col("n.dim")).as("dim"),
+        coalesce(col("o.value"), col("n.value")).as("value"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
     val totals = joined.groupBy("dim")
@@ -286,7 +293,8 @@ object Curation {
        |    coalesce(n_old.value, n_new.value) AS value,
        |    coalesce(n_old.n, 0) AS n_old, coalesce(n_new.n, 0) AS n_new
        |  FROM n_old FULL OUTER JOIN n_new
-       |    ON n_old.dim = n_new.dim AND n_old.value = n_new.value),
+       |    ON n_old.dim IS NOT DISTINCT FROM n_new.dim
+       |    AND n_old.value IS NOT DISTINCT FROM n_new.value),
        |tot AS (
        |  SELECT dim, CAST(sum(n_old) AS BIGINT) AS tot_old,
        |    CAST(sum(n_new) AS BIGINT) AS tot_new
@@ -316,6 +324,14 @@ object Curation {
     */
   val QualityMinPpm = 500000L
 
+  /** Minimum document length (whitespace tokens) for the mix — the
+    * standard explicit floor: the composite quality score alone cannot
+    * reject ultra-short docs (a 1-token doc scores 0.602 because TTR is
+    * trivially 1), and the repetition gate deliberately skips them
+    * ([[TextAnalysis.RepetitionMinWords]]).
+    */
+  val MinDocTokens = 5L
+
   /** The corpus→training-mix funnel, one verified query: per language,
     * how many documents survive (1) near-dup removal (MinHash+LSH drop
     * set, keep-lowest policy), (2) the repetition gate
@@ -334,8 +350,7 @@ object Curation {
     */
   def trainingMix(documents: DataFrame,
       qualityMinPpm: Long = QualityMinPpm): DataFrame = {
-    val drops = Dedup.minhashNearDups(documents)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val drops = Dedup.minhashDropSet(documents)
       .withColumn("is_dup", lit(true))
     val rep = TextAnalysis.repetitionReport(documents)
       .select(col("doc_id"), col("repetition_flag"))
@@ -355,7 +370,7 @@ object Curation {
       .join(rep, Seq("doc_id"), "left")
     val dedup = !coalesce(col("is_dup"), lit(false))
     val clean = dedup && !coalesce(col("repetition_flag"), lit(false)) &&
-      col("q_ppm") >= qualityMinPpm
+      col("q_ppm") >= qualityMinPpm && col("n_tokens") >= MinDocTokens
     val sampled = clean && col("hv") < col("tppm")
     base.groupBy("lang").agg(
         count(lit(1)).as("n_raw"),
@@ -395,7 +410,8 @@ object Curation {
        |  SELECT d.doc_id, d.lang, q.n_tokens,
        |    (drops.doc_id IS NOT NULL) AS is_dup,
        |    coalesce(rep.repetition_flag, FALSE) AS rep_flag,
-       |    (q.q_ppm >= $qualityMinPpm) AS q_ok,
+       |    (q.q_ppm >= $qualityMinPpm AND q.n_tokens >= $MinDocTokens)
+       |      AS q_ok,
        |    (s.hv < s.tppm) AS in_sample
        |  FROM documents d
        |  JOIN q ON q.doc_id = d.doc_id
@@ -440,6 +456,7 @@ object Curation {
     */
   def packPlan(documents: DataFrame, budget: Long = SeqBudget,
       streamCol: Column = col("lang")): DataFrame = {
+    require(budget > 0, "sequence token budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stream")).orderBy(col("doc_id"))
       .rowsBetween(Long.MinValue, 0)

@@ -99,19 +99,6 @@ object Dedup {
       .select(col("doc_id"), h32(col("shingle")).as("h"))
   }
 
-  /** Near-dup pairs with *verified* shingle Jaccard ≥ threshold. The
-    * exact intersection runs only over LSH candidates (equi-join on
-    * shingle hash), never all pairs.
-    *
-    * Scale shape (round 3): signatures come from the native
-    * [[graft.functions.MinHashSignature]] expression — a map-side
-    * projection, no explode, no 12-column min-aggregate shuffle
-    * (bit-identical to the aggregate form, pinned in ExtSpec). The
-    * exploded shingle table is materialized only for documents that
-    * actually appear in a candidate pair (broadcast semi-join scope) —
-    * a vanishing fraction of a 100 TB corpus — and feeds both
-    * verification sides and the set-size counts.
-    */
   /** (doc_id, band_idx, band_hash): the LSH band table — the self-join
     * key space of [[minhashNearDups]]. Exposed so ScaleProbe can measure
     * bucket-size skew on the exact production banding.
@@ -133,13 +120,26 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
-  /** Candidate generation skew guard: band buckets holding more than
-    * `maxBandBucket` docs are dropped before the self-join (a size-c
-    * bucket contributes c·(c−1)/2 pairs — one boilerplate bucket of 10⁵
-    * docs is 5·10⁹ pairs on one reducer). Hot buckets are near-always
-    * exact/boilerplate duplicates, which [[exactSummary]] already catches
-    * upstream; measured bucket-size distributions are in SCALING.md.
-    * `None` (the verified-query default) disables the cap.
+  /** Near-dup pairs with *verified* shingle Jaccard ≥ threshold. The
+    * exact intersection runs only over LSH candidates (equi-join on
+    * shingle hash), never all pairs.
+    *
+    * Scale shape (round 3): signatures come from the native
+    * [[graft.functions.MinHashSignature]] expression — a map-side
+    * projection, no explode, no 12-column min-aggregate shuffle
+    * (bit-identical to the aggregate form, pinned in ExtSpec). The
+    * exploded shingle table is materialized only for documents that
+    * actually appear in a candidate pair (broadcast semi-join scope) —
+    * a vanishing fraction of a 100 TB corpus — and feeds both
+    * verification sides and the set-size counts.
+    *
+    * Candidate-generation skew guard (round 5): band buckets holding
+    * more than `maxBandBucket` docs are dropped before the self-join (a
+    * size-c bucket contributes c·(c−1)/2 pairs — one boilerplate bucket
+    * of 10⁵ docs is 5·10⁹ pairs on one reducer). Hot buckets are
+    * near-always exact/boilerplate duplicates, which [[exactSummary]]
+    * already catches upstream; measured bucket-size distributions are in
+    * SCALING.md. `None` (the verified-query default) disables the cap.
     */
   def minhashNearDups(documents: DataFrame,
       maxBandBucket: Option[Int] = None): DataFrame = {
@@ -313,13 +313,20 @@ object Dedup {
     * 100 TB the drop set is broadcast and the corpus never shuffles.
     * (Full transitive clustering is [[minhashClusters]].)
     */
-  def minhashSurvivors(documents: DataFrame): DataFrame = {
-    val drops = minhashNearDups(documents).select(col("doc_b").as("doc_id"))
-      .distinct()
-    documents.join(broadcast(drops), Seq("doc_id"), "left_anti")
+  /** The keep-lowest drop set: doc_ids removed by the survivor policy
+    * (the greater id of every verified near-dup pair). THE single
+    * definition of the policy — [[minhashSurvivors]] and
+    * [[graft.ext.Curation.trainingMix]] both consume it, so a future
+    * policy change cannot diverge between them.
+    */
+  def minhashDropSet(documents: DataFrame): DataFrame =
+    minhashNearDups(documents).select(col("doc_b").as("doc_id")).distinct()
+
+  def minhashSurvivors(documents: DataFrame): DataFrame =
+    documents
+      .join(broadcast(minhashDropSet(documents)), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_survivors"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-  }
 
   def minhashSurvivorsSql: String = {
     // reuse the near-dup SQL as a subquery; drop the greater id of each pair

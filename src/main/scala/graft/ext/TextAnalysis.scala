@@ -148,6 +148,14 @@ object TextAnalysis {
     * deterministically in BOTH engines — parity is exact (same argument
     * as [[graft.ext.Dedup.shingleTable]]).
     */
+  /** Below this word count the top-bigram share is meaningless (a fully
+    * varied 6-token doc already has top share 200 000 ppm, and the
+    * 1-shingle clamp makes 1-token docs score 10^6) — the Gopher rules
+    * likewise apply repetition ratios only above a length floor. Short
+    * docs are never bigram-flagged; the dup-word gate still applies.
+    */
+  val RepetitionMinWords = 10L
+
   def repetitionReport(documents: DataFrame,
       dupPpmMax: Long = 300000L, topBigramPpmMax: Long = 180000L)
       : DataFrame = {
@@ -169,7 +177,8 @@ object TextAnalysis {
         expr("top_bigram_n * 1000000 div n_bigrams"))
       .withColumn("repetition_flag",
         col("dup_word_ppm") > dupPpmMax
-          || col("top_bigram_ppm") > topBigramPpmMax)
+          || (col("n_words") >= RepetitionMinWords
+            && col("top_bigram_ppm") > topBigramPpmMax))
   }
 
   def repetitionReportSql(dupPpmMax: Long = 300000L,
@@ -194,7 +203,8 @@ object TextAnalysis {
        |  (n_words - n_distinct_words) * 1000000 // n_words AS dup_word_ppm,
        |  top_bigram_n * 1000000 // n_bigrams AS top_bigram_ppm,
        |  ((n_words - n_distinct_words) * 1000000 // n_words > $dupPpmMax
-       |    OR top_bigram_n * 1000000 // n_bigrams > $topBigramPpmMax)
+       |    OR (n_words >= $RepetitionMinWords
+       |      AND top_bigram_n * 1000000 // n_bigrams > $topBigramPpmMax))
        |    AS repetition_flag
        |FROM base JOIN tops ON base.doc_id = tops.doc_id""".stripMargin
 

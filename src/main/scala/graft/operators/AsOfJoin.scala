@@ -66,8 +66,13 @@ object AsOfJoin {
         lit(null).cast(r2.schema(pay).dataType).as(pay)) ++
         left.columns.filterNot(keys.contains).map(col): _*)
     val combined = l2.unionByName(r2, allowMissingColumns = true)
+    // third sort key: when several RIGHT rows tie on (key, ts), pick by
+    // payload-content hash — arbitrary but DETERMINISTIC across runs and
+    // partition layouts (SQL ASOF leaves the tie pick unspecified; an
+    // order-dependent pick here would flake on reruns). Left rows carry
+    // a null payload, so the extra key never reorders them.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts), col(side))
+      .orderBy(col(ts), col(side), xxhash64(col(pay)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col(pay), ignoreNulls = true).over(w)
     val matched = tolerance.fold(matchedRaw)(tol =>

@@ -228,14 +228,6 @@ object Analytics {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("n"), col("n_users"))
 
-  /** Last-touch attribution via [[graft.operators.AsOfJoin]]: every
-    * purchase event picks up the same user's most recent click/view at or
-    * before the purchase timestamp (NULL when the purchase is the user's
-    * first touch). One shuffle of the events scan on user_id, one window
-    * pass — no inequality join, no per-key candidate blow-up (operator
-    * Scaladoc has the full cost model). Output timestamps as epoch ms
-    * (cross-engine rule: never compare raw timestamps).
-    */
   /** Keyless range join via [[graft.operators.RangeJoin]]: for every
     * purchase, the number of error events — from ANY user — in the 10
     * minutes leading up to it (platform-instability context for the
@@ -281,6 +273,14 @@ object Analytics {
         (col("asof_e_ms") - col("purchase_ms")).as("wait_ms"))
   }
 
+  /** Last-touch attribution via [[graft.operators.AsOfJoin]]: every
+    * purchase event picks up the same user's most recent click/view at or
+    * before the purchase timestamp (NULL when the purchase is the user's
+    * first touch). One shuffle of the events scan on user_id, one window
+    * pass — no inequality join, no per-key candidate blow-up (operator
+    * Scaladoc has the full cost model). Output timestamps as epoch ms
+    * (cross-engine rule: never compare raw timestamps).
+    */
   def purchaseAttribution(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))

@@ -58,39 +58,56 @@ object DedupStream {
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       indexPath: String, stats: DedupStats): Unit =
-    if (!batch.isEmpty && batchId > stats.lastCommitted) {
+    if (batchId > stats.lastCommitted) {
       val spark = batch.sparkSession
-      val index = try {
-        // exclude this batch's own partition: a replay after a crash
-        // between the two writes must not collide with its first attempt
-        spark.read.parquet(indexPath)
-          .filter(col("batch_id") < batchId)
-          .select("doc_id", "band_idx", "band_hash")
-      } catch {
-        case _: Exception => // first batch: empty index
-          Dedup.bandTable(batch.limit(0))
-      }
-      val bands = Dedup.bandTable(batch).persist()
+      // one materialization of the micro-batch: every action below
+      // (count, band build, survivor write) reuses it instead of
+      // re-reading the source per action
+      val cached = batch.persist()
       try {
-        val drops = dropSet(bands, index).persist()
-        val survivors = batch
-          .join(broadcast(drops), Seq("doc_id"), "left_anti")
-          .withColumn("batch_id", lit(batchId))
-          .persist()
-        val nKept = survivors.count()
-        survivors.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(corpusPath)
-        bands.join(broadcast(drops), Seq("doc_id"), "left_anti")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(indexPath)
-        stats.seen.add(batch.count()); stats.kept.add(nKept)
-        stats.lastCommitted = batchId
-        drops.unpersist(); survivors.unpersist()
-        ()
-      } finally { bands.unpersist(); () }
+        val nSeen = cached.count()
+        if (nSeen == 0) return
+        val index = try {
+          // exclude this batch's own partition: a replay after a crash
+          // between the two writes must not collide with its first
+          // attempt
+          spark.read.parquet(indexPath)
+            .filter(col("batch_id") < batchId)
+            .select("doc_id", "band_idx", "band_hash")
+        } catch {
+          // ONLY index-absent conditions (path missing, or an existing
+          // but still-empty directory) mean "first batch, empty index";
+          // any other failure (corrupt footer, transient FS error) must
+          // fail the batch so the checkpoint retries instead of silently
+          // screening against nothing and admitting duplicates forever
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null
+                && (e.getCondition.contains("PATH_NOT_FOUND")
+                  || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+            Dedup.bandTable(cached.limit(0))
+        }
+        val bands = Dedup.bandTable(cached).persist()
+        try {
+          val drops = dropSet(bands, index).persist()
+          val survivors = cached
+            .join(broadcast(drops), Seq("doc_id"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .persist()
+          val nKept = survivors.count()
+          survivors.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(corpusPath)
+          bands.join(broadcast(drops), Seq("doc_id"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(indexPath)
+          stats.seen.add(nSeen); stats.kept.add(nKept)
+          stats.lastCommitted = batchId
+          drops.unpersist(); survivors.unpersist()
+          ()
+        } finally { bands.unpersist(); () }
+      } finally { cached.unpersist(); () }
     }
 
   /** Attach the dedup ingest to a documents stream. */

@@ -389,6 +389,19 @@ class ExtSpec extends AnyFunSuite {
     assert(!r(1).getAs[Boolean]("repetition_flag"))
   }
 
+  test("repetition bigram gate skips short docs; dup-word gate still bites") {
+    val docs = docsDF(Seq(
+      // fully varied 6 tokens: top bigram share 200000 ppm would trip the
+      // gate without the RepetitionMinWords floor
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one"),               // 1 token, clamped bigram -> 10^6 share
+      (3L, "spam spam spam")))   // short but dup-word-flagged (2/3 dup)
+    val r = TextAnalysis.repetitionReport(docs).orderBy("doc_id").collect()
+    assert(!r(0).getAs[Boolean]("repetition_flag"))
+    assert(!r(1).getAs[Boolean]("repetition_flag"))
+    assert(r(2).getAs[Boolean]("repetition_flag"))
+  }
+
   test("language ID picks the language with most lexicon hits") {
     val d = docsDF(Seq(
       (1L, "der hund und die katze ist hier"),

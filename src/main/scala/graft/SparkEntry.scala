@@ -303,6 +303,8 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionReport(tables(s, dir).documents)
         .orderBy("doc_id")),
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(tables(s, dir).documents)),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -778,6 +780,7 @@ object SparkEntry {
     "corpus_drift" -> graft.ext.Curation.corpusDriftSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
+    "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

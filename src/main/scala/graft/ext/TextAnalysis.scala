@@ -208,6 +208,55 @@ object TextAnalysis {
        |    AS repetition_flag
        |FROM base JOIN tops ON base.doc_id = tops.doc_id""".stripMargin
 
+  /** Vocabulary size for the coverage report (fixture value — the corpus
+    * has a 31-token vocabulary, so 16 keeps OOV non-trivial; production
+    * would use the tokenizer's real vocab, typically 32k–256k).
+    */
+  val CoverageVocabK = 16
+
+  /** Vocabulary-coverage / OOV report per source: build the top-k token
+    * vocabulary from the corpus itself (count desc, token asc — the
+    * deterministic tie-break), then measure what fraction of each
+    * source's token stream falls outside it. The pre-tokenizer-training
+    * question "how much of this source will the vocab even represent".
+    *
+    * Scale shape: one token explode feeding (1) a map-side-combinable
+    * token count + top-k (TakeOrdered — per-partition heads only, no
+    * global sort) and (2) the coverage pass, which joins against the
+    * BROADCAST vocab (k rows) — the corpus token stream never shuffles
+    * for the join; only the O(sources) aggregate does. The double token
+    * explode is inherent: the vocab is data-derived.
+    */
+  def vocabCoverage(documents: DataFrame,
+      k: Int = CoverageVocabK): DataFrame = {
+    val toks = documents.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  def vocabCoverageSql(k: Int = CoverageVocabK): String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+       |    ORDER BY c DESC, tok LIMIT $k))
+       |SELECT source, count(*) AS n_tokens,
+       |  count(CASE WHEN vocab.tok IS NULL THEN 1 END) AS n_oov,
+       |  count(CASE WHEN vocab.tok IS NULL THEN 1 END) * 1000000
+       |    // count(*) AS oov_ppm
+       |FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- language identification --------------------------------------------
 
   /** N-gram (function-word) language ID. Per doc, score each language by

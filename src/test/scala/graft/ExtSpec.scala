@@ -402,6 +402,22 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getAs[Boolean]("repetition_flag"))
   }
 
+  test("vocab coverage: OOV counts against the deterministic top-k vocab") {
+    import org.apache.spark.sql.functions.{col => c}
+    // vocab k=2 over {a:4, b:3, x:1, y:1, z:1}: vocab = {a, b};
+    // src1 stream = a a b x (1 OOV of 4), src2 = a a b b y z (2 of 6)
+    val docs = docsDF(Seq(
+      (1L, "a a b x"), (2L, "a a b b y z")))
+      .withColumn("source",
+        when(c("doc_id") === 1, "src1").otherwise("src2"))
+    val r = TextAnalysis.vocabCoverage(docs, k = 2)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Long]("oov_ppm"))).toMap
+    assert(r("src1") == (4L, 1L, 250000L))
+    assert(r("src2") == (6L, 2L, 333333L))
+  }
+
   test("language ID picks the language with most lexicon hits") {
     val d = docsDF(Seq(
       (1L, "der hund und die katze ist hier"),

@@ -270,6 +270,12 @@ object SparkEntry {
       Dedup.embeddingNearDupsAnn(tables(s, dir).embeddings)
         .orderBy("bucket", "rank")),
 
+    // clusterPairs over the ANN edge stream (same machinery as
+    // dedup_clusters, different edge source)
+    "embedding_clusters" -> ((s, dir) =>
+      Dedup.embeddingClusters(tables(s, dir).embeddings)
+        .orderBy("cluster_id")),
+
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
@@ -893,6 +899,7 @@ object SparkEntry {
          |ORDER BY incident_type""".stripMargin,
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
+    "embedding_clusters" -> Dedup.embeddingClustersSql(),
 
     "dq_docs_suite" ->
       s"""WITH cur AS (SELECT * FROM documents),

@@ -353,11 +353,19 @@ object Dedup {
     * doc_id in the cluster, n_docs).
     */
 
-  def minhashClusters(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
+  def minhashClusters(documents: DataFrame): DataFrame =
+    clusterPairs(minhashNearDups(documents).select("doc_a", "doc_b"))
+
+  /** Transitive clustering over ANY (doc_a, doc_b) near-dup pair frame —
+    * the machinery behind [[minhashClusters]], also composed over
+    * embedding pairs by [[embeddingClusters]]. Driver union-find below
+    * [[DriverClusterMaxPairs]], O(log diameter) pointer-jumping label
+    * propagation above it.
+    */
+  def clusterPairs(pairFrame: DataFrame): DataFrame = {
+    val spark = pairFrame.sparkSession
     import spark.implicits._
-    val pairs = minhashNearDups(documents)
-      .select(col("doc_a"), col("doc_b")).persist()
+    val pairs = pairFrame.select(col("doc_a"), col("doc_b")).persist()
     if (pairs.count() <= DriverClusterMaxPairs) {
       // union-find on the (small) verified-pair graph; per-iteration
       // Spark job overhead would dwarf the actual work distributed
@@ -858,6 +866,48 @@ object Dedup {
        |  FROM pairs)
        |WHERE rank <= $TopPairsPerLabel
        |ORDER BY bucket, rank""".stripMargin
+
+  /** Cosine floor for embedding clustering (fixture value: the synthetic
+    * embeddings top out at cosine ≈ 0.44 between distinct vectors, so
+    * 0.3 keeps the edge set non-trivial; a production near-dup pass
+    * would sit at 0.9+).
+    */
+  val EmbClusterMinCosine = 0.3
+
+  /** Transitive embedding-similarity clusters: [[clusterPairs]] composed
+    * over the LSH-bucketed ANN pair stream — same machinery, different
+    * edge source. At 100 TB the edge set is bounded by TopPairsPerLabel
+    * per bucket, so the cluster stage sees O(buckets · k) pairs, never a
+    * corpus-quadratic graph.
+    */
+  def embeddingClusters(embeddings: DataFrame,
+      minCosine: Double = EmbClusterMinCosine): DataFrame =
+    clusterPairs(embeddingNearDupsAnn(embeddings)
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  def embeddingClustersSql(minCosine: Double = EmbClusterMinCosine)
+      : String =
+    s"""WITH RECURSIVE anndups AS ($embeddingNearDupsAnnSql),
+       |nd AS (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM anndups
+       |  WHERE cosine >= $minCosine),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM nd
+       |  UNION SELECT doc_b, doc_a FROM nd
+       |  UNION SELECT doc_a, doc_a FROM nd
+       |  UNION SELECT doc_b, doc_b FROM nd),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a)
+       |SELECT label AS cluster_id, count(*) AS n_docs
+       |FROM labels GROUP BY label HAVING count(*) >= 2
+       |ORDER BY cluster_id""".stripMargin
 
   def embeddingNearDupsSql: String =
     s"""WITH e AS (

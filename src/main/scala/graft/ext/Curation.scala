@@ -62,12 +62,22 @@ object Curation {
     * `doc_id`). No corpus self-join, no corpus shuffle of text.
     */
   def decontaminationReport(documents: DataFrame,
-      benchmarkMod: Int = BenchmarkMod): DataFrame = {
-    val sh = shingleHashes(documents)
-    val bench = sh.filter(col("doc_id") % benchmarkMod === 0)
+      benchmarkMod: Int = BenchmarkMod): DataFrame =
+    decontaminationReportAgainst(
+      documents.filter(col("doc_id") % benchmarkMod =!= 0),
+      documents.filter(col("doc_id") % benchmarkMod === 0))
+
+  /** The production-shaped form: an explicit (small) benchmark/eval
+    * table screened against the training corpus — the fixture query
+    * above just derives both sides from one table. Only the benchmark's
+    * distinct n-gram hash set is broadcast; the corpus is one scan.
+    */
+  def decontaminationReportAgainst(corpus: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    val bench = shingleHashes(benchmark)
       .select(col("h")).distinct()
       .withColumn("bench_hit", lit(1))
-    sh.filter(col("doc_id") % benchmarkMod =!= 0)
+    shingleHashes(corpus)
       .join(broadcast(bench), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("bench_hit")).as("n_hits"))

@@ -50,6 +50,14 @@ class CurationSpec extends AnyFunSuite {
     assert(r == 0L)
   }
 
+  test("explicit-benchmark decontamination equals the derived-split form") {
+    val viaMod = Curation.decontaminationReport(contamDocs).collect().toSeq
+    val viaTables = Curation.decontaminationReportAgainst(
+      contamDocs.filter(col("doc_id") % 50 =!= 0),
+      contamDocs.filter(col("doc_id") % 50 === 0)).collect().toSeq
+    assert(viaMod == viaTables && viaMod.nonEmpty)
+  }
+
   test("decontamination is empty when nothing overlaps") {
     val clean = docsDF(Seq(
       (0L, "one two three four five six", "en"),

@@ -34,6 +34,34 @@ object RunStream {
 
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
+
+    // `dedup` mode: document stream with a planted 10% duplicate rate
+    // (every value ≡ 7 (mod 10) repeats the text of value − 7) through
+    // the incremental near-dup ingest — measures sustained docs/s of
+    // graft.streaming.DedupStream on this box (recorded in SCALING.md)
+    if (wire == "dedup") {
+      val seed = when(col("value") % 10 === 7, col("value") - 7)
+        .otherwise(col("value"))
+      val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
+      val words = transform(sequence(lit(1), lit(40) + pmod(seed, lit(30))),
+        i => element_at(vocab,
+          (pmod(xxhash64(seed, i), lit(30)) + 1).cast("int")))
+      val docs = rate.select(col("value").as("doc_id"),
+        array_join(words, " ").as("text"))
+      val stats = new graft.streaming.DedupStream.DedupStats(spark)
+      val q = graft.streaming.DedupStream.start(docs,
+        s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
+        Trigger.ProcessingTime("5 seconds"))
+      EventPipeline.runBounded(q, seconds * 1000L)
+      val kept = spark.read.parquet(s"$outDir/corpus").count()
+      println(s"[stream-dedup] seen=${stats.seen.value} " +
+        s"kept=${stats.kept.value} sink=$kept " +
+        f"keptRate=${stats.kept.value.toDouble / math.max(stats.seen.value, 1)}%.4f " +
+        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
+      spark.stop()
+      return
+    }
+
     val uid = col("value") % 1000
     val nowMs = unix_millis(col("timestamp"))
     val event = struct(

@@ -57,24 +57,43 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("equivalent to the brute-force max-per-probe formulation") {
-    // random-ish deterministic data: 500 left rows, 300 right rows, 7 keys
-    val l = spark.range(500).select(
-      pmod(col("id"), lit(7)).as("k"),
-      pmod(xxhash64(col("id")), lit(10000)).as("lts"),
-      col("id").as("lid"))
-    val rt = spark.range(300).select(
-      pmod(col("id") * 31, lit(7)).as("k"),
-      pmod(xxhash64(col("id"), lit(1)), lit(10000)).as("rts"),
-      col("id").as("rid"))
-    val fast = AsOfJoin.backward(l, rt, Seq("k"), "lts", "rts", Seq("rts"))
-      .select(col("lid"), col("asof_rts"))
-    // brute force: inequality join + max(rts) per probe (the formulation
-    // that degenerates at scale — used here only as the semantic oracle)
-    val brute = l.join(rt, l("k") === rt("k") && col("lts") >= col("rts"),
-        "left")
-      .groupBy(col("lid")).agg(max(col("rts")).as("asof_rts"))
-    val diff = fast.exceptAll(brute).count() + brute.exceptAll(fast).count()
-    assert(diff == 0L)
+    // two regimes: spread timestamps (mod 10000: few ties) and heavily
+    // tied ones (mod 40: many right rows share (k, ts) — the regime the
+    // deterministic third sort key exists for). The matched TS must
+    // equal brute force in both; the payload pick among equal-ts rows is
+    // arbitrary-but-deterministic, so only rts is compared.
+    for (m <- Seq(10000L, 40L)) {
+      val l = spark.range(500).select(
+        pmod(col("id"), lit(7)).as("k"),
+        pmod(xxhash64(col("id")), lit(m)).as("lts"),
+        col("id").as("lid"))
+      val rt = spark.range(300).select(
+        pmod(col("id") * 31, lit(7)).as("k"),
+        pmod(xxhash64(col("id"), lit(1)), lit(m)).as("rts"),
+        col("id").as("rid"))
+      val fast = AsOfJoin.backward(l, rt, Seq("k"), "lts", "rts", Seq("rts"))
+        .select(col("lid"), col("asof_rts"))
+      // brute force: inequality join + max(rts) per probe (the
+      // formulation that degenerates at scale — semantic oracle only)
+      val brute = l.join(rt, l("k") === rt("k") && col("lts") >= col("rts"),
+          "left")
+        .groupBy(col("lid")).agg(max(col("rts")).as("asof_rts"))
+      val diff = fast.exceptAll(brute).count() +
+        brute.exceptAll(fast).count()
+      assert(diff == 0L, s"mod=$m")
+    }
+  }
+
+  test("tied right rows: payload pick is deterministic across layouts") {
+    import spark.implicits._
+    val l = Seq(("a", 10L, 1L)).toDF("k", "lts", "lid")
+    val rt = (1L to 40L).map(i => ("a", 10L, i)).toDF("k", "rts", "rid")
+    def pick(parts: Int) = AsOfJoin
+      .backward(l, rt.repartition(parts), Seq("k"), "lts", "rts",
+        Seq("rid"))
+      .head.getAs[Long]("asof_rid")
+    val p1 = pick(1)
+    assert(Seq(2, 7, 13, 32).map(pick).forall(_ == p1))
   }
 
   test("forward as-of picks smallest right ts >= left ts") {

@@ -311,6 +311,10 @@ object SparkEntry {
         .orderBy("doc_id")),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(tables(s, dir).documents)),
+    // Gopher/C4-style named-rule quality gate: per-rule fail counts +
+    // failing-id checksum (exact failure membership, cross-engine)
+    "quality_filter_report" -> ((s, dir) =>
+      TextAnalysis.qualityFilterReport(tables(s, dir).documents)),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -365,6 +369,17 @@ object SparkEntry {
         Incidents.updateLog(Incidents.fromEvents(tables(s, dir).events)))
         .groupBy("status", "escalated").agg(count(lit(1)).as("n"))
         .orderBy("status", "escalated")),
+
+    // O7 as SCD2: every state version with its validity interval
+    "incident_history" -> ((s, dir) =>
+      Incidents.history(
+        Incidents.updateLog(Incidents.fromEvents(tables(s, dir).events)))
+        .select(col("incident_id"), col("update_seq"), col("status"),
+          col("escalated"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"),
+          col("is_current"))
+        .orderBy("incident_id", "update_seq")),
 
     // Dedup action: the surviving corpus after near-dup removal
     "dedup_survivors" -> ((s, dir) =>
@@ -787,6 +802,7 @@ object SparkEntry {
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
+    "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,
@@ -862,6 +878,15 @@ object SparkEntry {
          |SELECT status, escalated, count(*) AS n
          |FROM latest WHERE rn = 1
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "incident_history" ->
+      s"""WITH incidents AS (${Incidents.sqlCte}),
+         |log AS (${Incidents.updateLogSql}),
+         |hist AS (${Incidents.historySql})
+         |SELECT incident_id, update_seq, status, escalated,
+         |  epoch_ms(valid_from) AS valid_from_ms,
+         |  epoch_ms(valid_to) AS valid_to_ms, is_current
+         |FROM hist ORDER BY incident_id, update_seq""".stripMargin,
 
     "dedup_survivors" -> Dedup.minhashSurvivorsSql,
     "top_tokens" -> TextAnalysis.topTokensSql(),

@@ -208,6 +208,128 @@ object TextAnalysis {
        |    AS repetition_flag
        |FROM base JOIN tops ON base.doc_id = tops.doc_id""".stripMargin
 
+  // ---- heuristic quality-filter rule table (Gopher/C4-style) --------------
+
+  /** The named doc-level filter rules of a pretraining quality gate —
+    * length bounds, mean-word-length band, symbol/digit token shares,
+    * distinct-stopword floor, type-token-ratio floor. Thresholds are
+    * fixture-calibrated constants; every comparison is cross-multiplied
+    * integer arithmetic (no ratio division), so both engines agree
+    * bit-for-bit at every boundary.
+    *
+    * Each rule is a predicate over the per-doc feature row produced by
+    * [[qualityFeatures]]: (n_tokens, n_distinct, sum_len, n_sym, n_digit,
+    * n_stop_distinct).
+    */
+  val MinTokens = 20L
+  val MaxTokens = 100000L
+  val FilterRules: Seq[(String, Column)] = Seq(
+    "min_tokens" -> (col("n_tokens") < MinTokens),
+    "max_tokens" -> (col("n_tokens") > MaxTokens),
+    "mean_word_len_low" -> (col("sum_len") * 10 < col("n_tokens") * 40),
+    "mean_word_len_high" -> (col("sum_len") * 10 > col("n_tokens") * 52),
+    "symbol_ratio" -> (col("n_sym") * 10 > col("n_tokens")),
+    "digit_ratio" -> (col("n_digit") * 5 > col("n_tokens")),
+    "stopword_floor" -> (col("n_stop_distinct") < 2),
+    "ttr_floor" -> (col("n_distinct") * 2 < col("n_tokens")))
+
+  /** The same predicates in DuckDB SQL over the features CTE. */
+  val FilterRulesSql: Seq[(String, String)] = Seq(
+    "min_tokens" -> s"n_tokens < $MinTokens",
+    "max_tokens" -> s"n_tokens > $MaxTokens",
+    "mean_word_len_low" -> "sum_len * 10 < n_tokens * 40",
+    "mean_word_len_high" -> "sum_len * 10 > n_tokens * 52",
+    "symbol_ratio" -> "n_sym * 10 > n_tokens",
+    "digit_ratio" -> "n_digit * 5 > n_tokens",
+    "stopword_floor" -> "n_stop_distinct < 2",
+    "ttr_floor" -> "n_distinct * 2 < n_tokens")
+
+  /** Per-doc feature row for the filter rules — one map-side projection
+    * (array HOFs only, no explode/shuffle).
+    */
+  def qualityFeatures(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = Lexicons.head._2
+    documents.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
+      size(filter(toks, t => !t.rlike("^[a-z0-9]+$"))).cast("long")
+        .as("n_sym"),
+      size(filter(toks, t => t.rlike("[0-9]"))).cast("long").as("n_digit"),
+      size(array_distinct(filter(toks, t => t.isin(en: _*)))).cast("long")
+        .as("n_stop_distinct"))
+  }
+
+  val qualityFeaturesSql: String =
+    s"""SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  CAST(list_sum([len(t) for t in toks]) AS BIGINT) AS sum_len,
+       |  len([t for t in toks
+       |       if NOT regexp_full_match(t, '[a-z0-9]+')]) AS n_sym,
+       |  len([t for t in toks if regexp_matches(t, '[0-9]')]) AS n_digit,
+       |  len(list_distinct([t for t in toks
+       |       if list_contains(${sqlList(Lexicons.head._2)}, t)]))
+       |    AS n_stop_distinct
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents)""".stripMargin
+
+  /** Documents passing EVERY filter rule — the composable quality gate
+    * (pure map-side filter over [[qualityFeatures]]' projection).
+    */
+  def qualityFilter(documents: DataFrame): DataFrame = {
+    val pass = FilterRules.map(!_._2).reduce(_ && _)
+    documents.join(qualityFeatures(documents).filter(pass)
+      .select("doc_id"), "doc_id")
+  }
+
+  /** The per-rule audit: one row per named rule with evaluated/failed
+    * counts and the failing-id checksum (pins exact failure MEMBERSHIP
+    * cross-engine, not just counts).
+    *
+    * Scale shape: one corpus scan → map-side per-doc features → a single
+    * 1-row aggregate (3 conditional columns per rule, all map-side
+    * combinable) → explode of an O(rules) literal array. No per-rule
+    * scans, no shuffle beyond the scalar aggregate.
+    */
+  def qualityFilterReport(documents: DataFrame): DataFrame = {
+    val agged = qualityFeatures(documents).agg(
+      count(lit(1)).as("n_docs"),
+      FilterRules.flatMap { case (name, p) => Seq(
+        count(when(p, 1)).as(s"f_$name"),
+        coalesce(sum(when(p, col("doc_id"))), lit(0L)).as(s"s_$name"))
+      }: _*)
+    agged.select(explode(array(FilterRules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col("n_docs"),
+          col(s"f_$name").as("n_failed"),
+          col(s"s_$name").as("failed_id_sum"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_docs").as("n_docs"),
+        col("r.n_failed").as("n_failed"),
+        col("r.failed_id_sum").as("failed_id_sum"))
+      .orderBy("rule")
+  }
+
+  /** DuckDB mirror of [[qualityFilterReport]]. */
+  val qualityFilterReportSql: String = {
+    val branches = FilterRulesSql.map { case (name, p) =>
+      s"""SELECT '$name' AS rule, n_docs, f_$name AS n_failed,
+         |  s_$name AS failed_id_sum FROM agged""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aggCols = FilterRulesSql.map { case (name, p) =>
+      s"""count(CASE WHEN $p THEN 1 END) AS f_$name,
+         |  CAST(coalesce(sum(CASE WHEN $p THEN doc_id END), 0) AS BIGINT)
+         |    AS s_$name""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH feats AS ($qualityFeaturesSql),
+       |agged AS (
+       |  SELECT count(*) AS n_docs,
+       |  $aggCols
+       |  FROM feats)
+       |SELECT * FROM ($branches) ORDER BY rule""".stripMargin
+  }
+
   /** Vocabulary size for the coverage report (fixture value — the corpus
     * has a 31-token vocabulary, so 16 keeps OOV non-trivial; production
     * would use the tokenizer's real vocab, typically 32k–256k).

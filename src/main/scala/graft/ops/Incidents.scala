@@ -115,6 +115,38 @@ object Incidents {
       .drop("rn")
   }
 
+  /** SCD2 history view over the append log: each state version becomes a
+    * validity interval `[valid_from, valid_to)` with `valid_to` = the next
+    * version's timestamp (NULL on the current version) — the standard
+    * slowly-changing-dimension type-2 shape warehouses build over mutable
+    * entities on immutable storage, and the temporal complement of
+    * [[latestState]] (which keeps only the open interval).
+    *
+    * Scale shape: one window pass partitioned by incident_id — the same
+    * single shuffle latestState pays; no self-join (the naive
+    * formulation joins the log to itself on version adjacency).
+    */
+  def history(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("incident_id")
+      .orderBy(col("updated_at"), col("update_seq"))
+    log
+      .withColumn("valid_from", col("updated_at"))
+      .withColumn("valid_to", lead(col("updated_at"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** DuckDB mirror of [[history]] (expects `log`). */
+  val historySql: String = """
+    SELECT *, updated_at AS valid_from,
+      lead(updated_at) OVER (
+        PARTITION BY incident_id ORDER BY updated_at, update_seq)
+        AS valid_to,
+      (lead(updated_at) OVER (
+        PARTITION BY incident_id ORDER BY updated_at, update_seq) IS NULL)
+        AS is_current
+    FROM log"""
+
   /** O7 at scale: the append log on immutable storage grows without
     * bound and [[latestState]] re-reads all of it. Compaction rewrites a
     * log parquet directory down to its latest-state rows; the compacted

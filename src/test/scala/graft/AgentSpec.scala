@@ -141,6 +141,32 @@ class AgentSpec extends AnyFunSuite {
       .filter(col("update_seq") =!= col("mx")).count() == 0)
   }
 
+  test("incident SCD2 history: intervals chain, current matches latest") {
+    val incidents = Incidents.fromEvents(Tables(spark, Sf0001).events)
+    val log = Incidents.updateLog(incidents)
+    val hist = Incidents.history(log).cache()
+    // exactly one open (current) interval per incident
+    assert(hist.filter(col("is_current")).count() == incidents.count())
+    // intervals chain: every closed interval's valid_to equals the next
+    // version's valid_from (no gaps, no overlaps)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("incident_id")
+      .orderBy(col("updated_at"), col("update_seq"))
+    val broken = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull
+        && col("valid_to") =!= col("next_from"))
+    assert(broken.count() == 0)
+    // the current interval is exactly the latestState row
+    val cur = hist.filter(col("is_current"))
+      .select("incident_id", "update_seq", "status")
+    val latest = Incidents.latestState(log)
+      .select("incident_id", "update_seq", "status")
+    assert(cur.exceptAll(latest).count() == 0
+      && latest.exceptAll(cur).count() == 0)
+    hist.unpersist()
+  }
+
   test("incident log compaction preserves the latest-state read path") {
     val log = Incidents.updateLog(
       Incidents.fromEvents(Tables(spark, Sf0001).events))

@@ -402,6 +402,45 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getAs[Boolean]("repetition_flag"))
   }
 
+  test("quality filter rules: planted docs fail exactly as computed") {
+    val docs = docsDF(Seq(
+      // 1: clean — 21 tokens, varied, stopwords, mean len 86/21 ≈ 4.10
+      (1L, "the quick brown fox jumps over azure lazy dog and then runs " +
+        "far away into green fields of tall grass today"),
+      // 2: min_tokens (3) + stopword_floor (0 distinct)
+      (2L, "tiny little doc"),
+      // 3: mean_word_len_low only — 25 distinct short tokens, mean 49/25
+      (3L, "a of to in is ab cd ef gh ij kl mn op qr st uv wx yz " +
+        "aa bb cc dd ee ff gg"),
+      // 4: symbol_ratio (6/21) — also mean-low (74/21)
+      (4L, "the !!! ### $$$ %%% of a and !!! ### is to in " +
+        "longish wording here now more plain simple words"),
+      // 5: digit_ratio (13/20) — also mean-low (48/20)
+      (5L, "the 42 17 99 360 2048 of 512 a 1024 77 812 " +
+        "and 13 is 15 to 16 in 17"),
+      // 6: stopword_floor only (20 varied greek letters, mean 86/20)
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      // 7: ttr_floor (5 distinct / 123 tokens; mean 516/123 ≈ 4.2)
+      (7L, "the of a " + Seq.fill(30)("looping the of words").mkString(" "))
+    ))
+    val r = TextAnalysis.qualityFilterReport(docs).collect()
+      .map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_failed"), x.getAs[Long]("failed_id_sum"))).toMap
+    assert(r("min_tokens") == (1L, 2L))
+    assert(r("max_tokens") == (0L, 0L))
+    assert(r("mean_word_len_low") == (3L, 12L)) // docs 3, 4, 5
+    assert(r("mean_word_len_high") == (0L, 0L))
+    assert(r("symbol_ratio") == (1L, 4L))
+    assert(r("digit_ratio") == (1L, 5L))
+    assert(r("stopword_floor") == (2L, 8L))     // docs 2, 6
+    assert(r("ttr_floor") == (1L, 7L))
+    // the composed gate keeps exactly the docs failing no rule
+    val kept = TextAnalysis.qualityFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("vocab coverage: OOV counts against the deterministic top-k vocab") {
     import org.apache.spark.sql.functions.{col => c}
     // vocab k=2 over {a:4, b:3, x:1, y:1, z:1}: vocab = {a, b};

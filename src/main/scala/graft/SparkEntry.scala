@@ -315,6 +315,14 @@ object SparkEntry {
     // failing-id checksum (exact failure membership, cross-engine)
     "quality_filter_report" -> ((s, dir) =>
       TextAnalysis.qualityFilterReport(tables(s, dir).documents)),
+    // BPE tokenizer training, step 1 (oracle-pinned): weighted adjacent
+    // symbol-pair statistics over the word-frequency reduction
+    "bpe_top_pairs" -> ((s, dir) =>
+      graft.ext.Bpe.topPairs(tables(s, dir).documents, 20)),
+    // the full k-iteration merge table (iterative — rows-only check;
+    // BpeSpec pins the algorithm on hand-computed fixtures)
+    "bpe_merges" -> ((s, dir) =>
+      graft.ext.Bpe.mergesTable(tables(s, dir).documents)),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -803,6 +811,7 @@ object SparkEntry {
     "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
+    "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

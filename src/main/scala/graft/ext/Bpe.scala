@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) vocabulary learning — the
+  * tokenizer-training step of an LLM data pipeline, formulated the way it
+  * scales: the 100 TB corpus is touched by exactly ONE distributed scan
+  * (the word-frequency reduction — distinct words ≪ corpus, the standard
+  * word-dict formulation of BPE training); every merge iteration then
+  * runs over the cached, reduced (symbols, freq) table, and only a single
+  * top-pair row is ever collected per iteration. Reference has no
+  * tokenizer surface; this extends the engine per the BASELINE.json
+  * north-star alongside [[TextAnalysis]].
+  *
+  * Semantics match the published BPE algorithm (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"):
+  *   - pair statistics count every adjacent symbol position, weighted by
+  *     word frequency (overlapping occurrences count, as in the paper's
+  *     `get_stats`);
+  *   - the best pair is merged everywhere, left-to-right non-overlapping
+  *     (`a a a` under merge (a,a) → `aa a`);
+  *   - ties break deterministically: freq desc, then (left, right) asc.
+  */
+object Bpe {
+
+  /** One learned merge rule. */
+  case class Merge(rank: Int, left: String, right: String, merged: String,
+      pair_freq: Long)
+
+  /** Fixture merge budget (production uses 32k–256k; the algorithm is
+    * identical, just more iterations over the same reduced table).
+    */
+  val DefaultMerges = 12
+
+  /** The corpus-scale reduction: whitespace-word frequencies. One explode
+    * + one map-side-combinable count — the only pass that ever sees the
+    * full corpus.
+    */
+  def wordFrequencies(documents: DataFrame): DataFrame =
+    documents.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Word → initial symbol sequence (single characters; split("") emits a
+    * trailing empty string under limit -1, hence the filter).
+    */
+  def initialSymbols(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Adjacent symbol pairs of one sequence as (left, right) structs —
+    * every position, overlapping, per the paper's statistics.
+    */
+  def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("left"), b.as("right")))
+
+  /** Apply one merge rule to a symbol sequence, left-to-right
+    * non-overlapping, as a single codegen-friendly aggregate fold (the
+    * accumulator carries the rebuilt prefix plus one pending symbol;
+    * symbols are never empty, so "" is a safe no-pending sentinel).
+    */
+  def applyMerge(syms: Column, left: String, right: String): Column = {
+    val merged = left + right
+    def out(acc: Column) = acc.getField("out")
+    def pend(acc: Column) = acc.getField("pend")
+    aggregate(syms,
+      struct(array().cast("array<string>").as("out"), lit("").as("pend")),
+      (acc, x) =>
+        when(pend(acc) === "", struct(out(acc).as("out"), x.as("pend")))
+          .when(pend(acc) === left && x === right,
+            struct(concat(out(acc), array(lit(merged))).as("out"),
+              lit("").as("pend")))
+          .otherwise(struct(concat(out(acc), array(pend(acc))).as("out"),
+            x.as("pend"))),
+      acc => when(pend(acc) === "", out(acc))
+        .otherwise(concat(out(acc), array(pend(acc)))))
+  }
+
+  /** Weighted pair statistics over a (syms, freq) vocabulary table,
+    * deterministically ranked. All rows stay distributed; callers limit
+    * before collecting.
+    */
+  def pairStats(vocab: DataFrame): DataFrame =
+    vocab
+      .select(explode(adjacentPairs(col("syms"))).as("p"), col("freq"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum("freq").as("pair_freq"))
+      .orderBy(desc("pair_freq"), col("left"), col("right"))
+
+  /** Learn `k` merge rules. Driver state is exactly the k merge rows (one
+    * 1-row collect per iteration — same bounded-collect discipline as
+    * [[Dedup.clusterPairs]]' union-find); the vocabulary table stays
+    * cached and distributed, re-cached per iteration so plan lineage
+    * stays O(1) rather than O(k).
+    */
+  def trainMerges(documents: DataFrame, k: Int = DefaultMerges)
+      : Seq[Merge] = {
+    var vocab = wordFrequencies(documents)
+      .select(initialSymbols(col("word")).as("syms"), col("freq"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      val top = pairStats(vocab).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += Merge(merges.size + 1, l, r, l + r, f)
+        val next = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (the `bpe_merges` query —
+    * iterative, so no single-statement SQL oracle exists; correctness is
+    * pinned by BpeSpec's hand-computed fixtures instead).
+    */
+  def mergesTable(documents: DataFrame, k: Int = DefaultMerges): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    trainMerges(documents, k).toDF()
+      .select(col("rank"), col("left"), col("right"), col("merged"),
+        col("pair_freq"))
+      .orderBy("rank")
+  }
+
+  /** Tokenize a corpus with learned rules: apply each merge in rank order
+    * to every word — a pure map-side projection chain (k nested folds, no
+    * shuffle), the shape a 100 TB tokenization pass needs. Returns
+    * per-doc BPE token counts next to character and word counts.
+    */
+  def tokenReport(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = split(col("text"), " ")
+    val bpePerWord = transform(words, w =>
+      size(merges.foldLeft(initialSymbols(w)) { (s, m) =>
+        applyMerge(s, m.left, m.right)
+      }))
+    documents.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(bpePerWord, lit(0L), (a, x) => a + x).as("n_bpe_tokens"),
+      col("n_chars"))
+  }
+
+  /** DuckDB mirror of the FIRST iteration's pair statistics (top-n) —
+    * the one-step oracle that pins the weighted-pair-counting core of the
+    * trainer cross-engine; the iterative remainder is spec-pinned.
+    */
+  def topPairsSql(n: Int): String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (
+       |  SELECT w, count(*) AS freq FROM words WHERE w != '' GROUP BY 1),
+       |sy AS (SELECT string_split(w, '') AS s, freq FROM wf),
+       |pairs AS (
+       |  SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p, freq
+       |  FROM sy)
+       |SELECT p[1] AS left_sym, p[2] AS right_sym,
+       |  CAST(sum(freq) AS BIGINT) AS pair_freq
+       |FROM pairs GROUP BY 1, 2
+       |ORDER BY pair_freq DESC, left_sym, right_sym LIMIT $n""".stripMargin
+
+  /** The Spark side of [[topPairsSql]]. */
+  def topPairs(documents: DataFrame, n: Int): DataFrame =
+    pairStats(
+      wordFrequencies(documents)
+        .select(initialSymbols(col("word")).as("syms"), col("freq")))
+      .limit(n)
+      .select(col("left").as("left_sym"), col("right").as("right_sym"),
+        col("pair_freq"))
+      .orderBy(desc("pair_freq"), col("left_sym"), col("right_sym"))
+}

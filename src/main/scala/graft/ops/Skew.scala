@@ -63,4 +63,48 @@ object Skew {
         factKey === buildKey && saltedFact("__salt") === replicatedBuild("__salt"))
       .drop("__salt")
   }
+
+  /** Bloom-prefiltered equi-join: when the build side is selective but
+    * above the broadcast threshold (say 10^8 distinct keys — a hash
+    * relation of that would not broadcast, but its ~100 MB Bloom filter
+    * will), ship a Bloom filter of the build keys to every fact task and
+    * drop non-joining fact rows MAP-SIDE, before they are ever shuffled.
+    * The exact join then runs on the surviving fraction; Bloom false
+    * positives (rate `fpp`) survive the prefilter but are eliminated by
+    * the join itself, so the result is row-for-row identical to the
+    * direct join (pinned in ScaleSpec). This is the manual, composable
+    * form of the runtime-filtering rewrite modern engines apply to
+    * selective joins — here the filter construction is explicit, so it
+    * can be built once and reused across queries.
+    *
+    * Cost model: one extra pass over the build side (the distributed
+    * Bloom aggregation) + one broadcast of `-n·ln(fpp)/ln(2)²` bits;
+    * payoff = (1 − selectivity) of the fact shuffle avoided. Worth it
+    * when the join keeps ≪ half the fact side.
+    */
+  def bloomPrefilteredJoin(fact: DataFrame, build: DataFrame,
+      factKey: Column, buildKey: Column,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyType = build.select(buildKey.as("k")).schema.head.dataType
+    val prefilter: Column = keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val bf = build.select(buildKey.cast("long").as("k")).na.drop()
+          .stat.bloomFilter("k", expectedItems, fpp)
+        val bc = fact.sparkSession.sparkContext.broadcast(bf)
+        val f = udf((k: java.lang.Long) =>
+          k != null && bc.value.mightContainLong(k))
+        f(factKey.cast("long"))
+      case StringType =>
+        val bf = build.select(buildKey.as("k")).na.drop()
+          .stat.bloomFilter("k", expectedItems, fpp)
+        val bc = fact.sparkSession.sparkContext.broadcast(bf)
+        val f = udf((k: String) =>
+          k != null && bc.value.mightContainString(k))
+        f(factKey)
+      // other key types: skip pruning — the exact join still runs
+      case _ => lit(true)
+    }
+    fact.filter(prefilter).join(build, factKey === buildKey)
+  }
 }

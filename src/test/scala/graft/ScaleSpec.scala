@@ -94,6 +94,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(hot.select("__salt").distinct().count() > 1)
   }
 
+  test("bloom-prefiltered join equals the direct join; prefilter prunes") {
+    val t = Tables(spark, Sf0001)
+    val fact = t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    // selective build side: ~1/8 of orders
+    val build = t.orders.filter(col("o_orderkey") % 8 === 0)
+      .select("o_orderkey", "o_orderstatus")
+    val direct = fact.join(build, col("l_orderkey") === col("o_orderkey"))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val bloomed = Skew.bloomPrefilteredJoin(fact, build,
+        col("l_orderkey"), col("o_orderkey"),
+        expectedItems = 10000L, fpp = 0.01)
+      .select(direct.head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(bloomed.sameElements(direct))
+    // string-key form: same contract
+    val factS = fact.withColumn("k", concat(lit("o"), col("l_orderkey")))
+    val buildS = build.withColumn("bk", concat(lit("o"), col("o_orderkey")))
+    val directS = factS.join(buildS, col("k") === col("bk")).count()
+    assert(Skew.bloomPrefilteredJoin(factS, buildS, col("k"), col("bk"),
+      10000L, 0.01).count() == directS)
+    // and the prefilter really prunes the fact side map-side: with 1%
+    // fpp, at most ~(1/8 + fpp + margin) of fact rows survive
+    val bf = build.select(col("o_orderkey").cast("long").as("k"))
+      .stat.bloomFilter("k", 10000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val surviving = fact.filter(
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        .apply(col("l_orderkey").cast("long"))).count()
+    assert(surviving < fact.count() / 4)
+  }
+
   test("distributed clustering: O(log n) rounds on a 1k chain, no cache leak") {
     import spark.implicits._
     import graft.ext.Dedup

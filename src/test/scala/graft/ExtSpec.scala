@@ -295,6 +295,44 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
   }
 
+  test("PQ ANN: valid codes, recall vs brute force, exact re-rank") {
+    import graft.ext.ProductQuant
+    val emb = Tables(spark, Sf0001).embeddings
+    val cbs = ProductQuant.trainCodebooks(emb)
+    assert(cbs.size == ProductQuant.NumSubspaces)
+    assert(cbs.forall(_.size == ProductQuant.CodebookK))
+    assert(cbs.forall(_.forall(_.size == ProductQuant.SubDim)))
+    // codes are in [0, K) — the 4-bit/byte-code compression claim
+    val codes = emb
+      .select(ProductQuant.encodeExpr(
+        col("embedding").cast("array<double>"), cbs).as("c"))
+      .select(explode(col("c")).as("k"))
+    assert(codes.filter(col("k") < 0
+      || col("k") >= ProductQuant.CodebookK).count() == 0)
+    // ADC + shortlist re-rank recovers most of the true top-k. The
+    // measured 0.88 (pinned at a 0.8 floor) is the honest K=16 ceiling
+    // on clustered data: all members of a cluster quantize to the SAME
+    // codes, so ADC cannot discriminate inside a cluster and the
+    // shortlist tie-breaks by id — the scale remedy is K=256 codebooks
+    // (byte codes), not a bigger shortlist.
+    val pq = ProductQuant.topKPq(emb)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.topKBruteForce(emb)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall@${Similarity.TopK} = $recall")
+    // winners carry exact cosine: spot-check one against brute force
+    val b = Similarity.topKBruteForce(emb)
+      .select("q_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ProductQuant.topKPq(emb).select("q_id", "vec_id", "cosine").collect()
+      .foreach { r =>
+        b.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+          assert(math.abs(r.getDouble(2) - exact) < 1e-12)
+        }
+      }
+  }
+
   test("multi-probe LSH: candidates within Hamming 1; recall ≥ single-probe") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, Sf0001).embeddings

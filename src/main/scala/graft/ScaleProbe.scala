@@ -189,12 +189,50 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** PQ cost model at corpus size n: codebook-training time, map-side
+    * encode throughput, ADC scan + re-rank time, and recall@5 against
+    * brute force. `sbt "runMain graft.ScaleProbe pq 200000 1280000"`.
+    */
+  def pqProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.ext.ProductQuant
+    val emb = synthEmbeddings(spark, n).persist()
+    emb.count()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cbs, trainS) = timed(ProductQuant.trainCodebooks(emb))
+    val (_, encodeS) = timed {
+      emb.select(ProductQuant.encodeExpr(
+        col("embedding").cast("array<double>"), cbs).as("c"))
+        .select(max(element_at(col("c"), 1))).head()
+    }
+    val truth = Similarity.topKBruteForce(emb)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val (pqRows, searchS) = timed(
+      ProductQuant.topKPq(emb).select("q_id", "vec_id").collect())
+    val byQ = pqRows.groupBy(_.getLong(0))
+    val recall = truth.map { case (q, t) =>
+      byQ.get(q).fold(0.0)(
+        rs => rs.count(r => t(r.getLong(1))).toDouble / t.size)
+    }.sum / truth.size
+    println(f"[scale-pq] n=$n%-8d train=$trainS%6.2fs " +
+      f"encode=$encodeS%6.2fs (${n / encodeS / 1e6}%.2f M vec/s) " +
+      f"search=$searchS%6.2fs recall@5=$recall%.3f")
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
     val joinsMode = args.headOption.contains("joins")
+    val pqMode = args.headOption.contains("pq")
     val sizeArgs =
-      if (annMode || lshMode || joinsMode) args.drop(1) else args
+      if (annMode || lshMode || joinsMode || pqMode) args.drop(1) else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -217,6 +255,11 @@ object ScaleProbe {
     }
     if (joinsMode) {
       sizes.foreach(joinsProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (pqMode) {
+      sizes.foreach(pqProbe(spark, _))
       spark.stop()
       return
     }

@@ -457,6 +457,21 @@ object SparkEntry {
           coalesce(col("severity"), lit("(all)")).as("severity"), col("n"))
         .orderBy("incident_type", "severity")),
 
+    // A4 as explicit GROUPING SETS: two chosen facets + grand total in
+    // one pass (the general form cube/rollup specialize)
+    "incident_grouping_sets" -> ((s, dir) =>
+      Incidents.fromEvents(tables(s, dir).events)
+        .groupingSets(
+          Seq(Seq(col("incident_type"), col("severity")),
+            Seq(col("incident_type"), col("status")), Seq()),
+          col("incident_type"), col("severity"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("incident_type"), lit("(all)")).as("incident_type"),
+          coalesce(col("severity"), lit("(all)")).as("severity"),
+          coalesce(col("status"), lit("(all)")).as("status"), col("n"))
+        .orderBy("incident_type", "severity", "status")),
+
     // The DQ engine is table-generic: corpus-quality suite on documents
     "dq_docs_suite" -> ((s, dir) =>
       DqSuite.evaluate(tables(s, dir).documents, DqSuite.documentsSuite)
@@ -952,6 +967,15 @@ object SparkEntry {
          |  coalesce(severity, '(all)') AS severity, count(*) AS n
          |FROM incidents GROUP BY ROLLUP (incident_type, severity)
          |ORDER BY incident_type, severity""".stripMargin,
+
+    "incident_grouping_sets" ->
+      s"""WITH incidents AS (${Incidents.sqlCte})
+         |SELECT coalesce(incident_type, '(all)') AS incident_type,
+         |  coalesce(severity, '(all)') AS severity,
+         |  coalesce(status, '(all)') AS status, count(*) AS n
+         |FROM incidents GROUP BY GROUPING SETS (
+         |  (incident_type, severity), (incident_type, status), ())
+         |ORDER BY incident_type, severity, status""".stripMargin,
 
     "daily_purchases_vs_errors" ->
       """WITH p AS (

@@ -244,13 +244,13 @@ object TextAnalysis {
     "stopword_floor" -> "n_stop_distinct < 2",
     "ttr_floor" -> "n_distinct * 2 < n_tokens")
 
-  /** Per-doc feature row for the filter rules — one map-side projection
-    * (array HOFs only, no explode/shuffle).
+  /** The per-doc feature columns the filter rules read — one map-side
+    * projection (array HOFs only, no explode/shuffle).
     */
-  def qualityFeatures(documents: DataFrame): DataFrame = {
+  private def filterFeatureCols: Seq[Column] = {
     val toks = tokens(col("text"))
     val en = Lexicons.head._2
-    documents.select(col("doc_id"),
+    Seq(
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
@@ -260,6 +260,10 @@ object TextAnalysis {
       size(array_distinct(filter(toks, t => t.isin(en: _*)))).cast("long")
         .as("n_stop_distinct"))
   }
+
+  /** Per-doc feature row for the filter rules. */
+  def qualityFeatures(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id") +: filterFeatureCols: _*)
 
   val qualityFeaturesSql: String =
     s"""SELECT doc_id,
@@ -275,13 +279,17 @@ object TextAnalysis {
        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
        |      FROM documents)""".stripMargin
 
-  /** Documents passing EVERY filter rule — the composable quality gate
-    * (pure map-side filter over [[qualityFeatures]]' projection).
+  /** Documents passing EVERY filter rule — the composable quality gate.
+    * The feature columns are attached inline and dropped after the
+    * filter, so the whole gate is ONE map-side scan (no self-join on
+    * doc_id, which would shuffle the corpus twice for nothing).
     */
   def qualityFilter(documents: DataFrame): DataFrame = {
     val pass = FilterRules.map(!_._2).reduce(_ && _)
-    documents.join(qualityFeatures(documents).filter(pass)
-      .select("doc_id"), "doc_id")
+    documents
+      .select(col("*") +: filterFeatureCols: _*)
+      .filter(pass)
+      .select(documents.columns.map(col).toIndexedSeq: _*)
   }
 
   /** The per-rule audit: one row per named rule with evaluated/failed

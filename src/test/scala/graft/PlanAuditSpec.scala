@@ -47,7 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "customer_value_ranks", // window over the ≤50-row top-k merge
     "schema_drift_report",  // O(distinct keys) report + scalar count
     "dq_alias_suite",       // fixed 15-expectation frame (aliased twin)
-    "agent_daily_decisions")// streak windows over the O(days) aggregate
+    "agent_daily_decisions",// streak windows over the O(days) aggregate
+    "quality_filter_report",// one combined-agg row → O(rules) explode
+    "bpe_merges")           // k collected merge rows (local table)
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -75,7 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_exact",          // scalar count attach
     "dedup_survivors",      // scalar count attach
     "top_tokens",           // scalar vocab-size attach
-    "customer_value_ranks") // ≤k-row top-k × one-row total count
+    "customer_value_ranks", // ≤k-row top-k × one-row total count
+    "ann_topk_pq")          // codes × broadcast per-query ADC tables
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

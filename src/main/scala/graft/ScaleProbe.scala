@@ -189,9 +189,40 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Embedding corpus with LOW-RANK intra-cluster structure: noise is a
+    * 2-dim latent (z₁, z₂ per vector) through a per-(cluster, dim)
+    * mixing matrix, instead of [[synthEmbeddings]]' 64-dim isotropic
+    * noise. Learned embeddings look like this locally (variation
+    * concentrates in few directions); isotropic noise is the adversarial
+    * case where NO quantizer can rank neighbors (the distance gaps carry
+    * less information than any code). Probing both separates "PQ is
+    * broken" from "the corpus is information-theoretically unrankable
+    * from codes".
+    */
+  def synthEmbeddingsStructured(spark: SparkSession, n: Long,
+      clusters: Int = 32): DataFrame = {
+    val cluster = pmod(col("id"), lit(clusters))
+    val dims = sequence(lit(0), lit(Similarity.Dim - 1))
+    def u(seed: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column,
+        salt: Int): org.apache.spark.sql.Column =
+      (pmod(xxhash64(seed, d, lit(salt)), lit(2001)) - 1000.0) / 1000.0
+    val z1 = u(col("id"), lit(0), 11)
+    val z2 = u(col("id"), lit(0), 12)
+    val v = transform(dims, d =>
+      u(cluster, d, 0)                           // center ±1
+        + z1 * u(cluster, d, 1) * 0.1            // rank-1 direction ±0.1
+        + z2 * u(cluster, d, 2) * 0.1)           // rank-2 direction ±0.1
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      concat(lit("c"), cluster.cast("string")).as("label"),
+      v.cast("array<float>").as("embedding"))
+  }
+
   /** PQ cost model at corpus size n: codebook-training time, map-side
     * encode throughput, ADC scan + re-rank time, and recall@5 against
-    * brute force. `sbt "runMain graft.ScaleProbe pq 200000 1280000"`.
+    * brute force — on both the isotropic-noise corpus (adversarial
+    * bound) and the low-rank-structure corpus (the realistic regime).
+    * `sbt "runMain graft.ScaleProbe pq 200000 1280000"`.
     */
   def pqProbe(spark: SparkSession, n: Long): Unit = {
     import graft.ext.ProductQuant
@@ -202,27 +233,58 @@ object ScaleProbe {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    val truth = Similarity.topKBruteForce(emb)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      truth.map { case (q, t) =>
+        byQ.get(q).fold(0.0)(
+          rs => rs.count(r => t(r.getLong(1))).toDouble / t.size)
+      }.sum / truth.size
+    }
+    // fixture config: K=16 full-corpus training, fixed shortlist
     val (cbs, trainS) = timed(ProductQuant.trainCodebooks(emb))
     val (_, encodeS) = timed {
       emb.select(ProductQuant.encodeExpr(
         col("embedding").cast("array<double>"), cbs).as("c"))
         .select(max(element_at(col("c"), 1))).head()
     }
-    val truth = Similarity.topKBruteForce(emb)
+    val (pqRows, searchS) = timed(
+      ProductQuant.topKPq(emb).select("q_id", "vec_id").collect())
+    println(f"[scale-pq] n=$n%-8d cfg=K16      train=$trainS%7.2fs " +
+      f"encode=$encodeS%6.2fs (${n / encodeS / 1e6}%.2f M vec/s) " +
+      f"search=$searchS%7.2fs recall@5=${recallOf(pqRows)}%.3f")
+    // scaled config: sample-trained K=codebookKFor(n), scaled shortlist
+    val (scRows, scS) = timed(
+      ProductQuant.topKPqScaled(emb).select("q_id", "vec_id").collect())
+    println(f"[scale-pq] n=$n%-8d cfg=scaled   " +
+      f"K=${ProductQuant.codebookKFor(n)}%-4d " +
+      f"shortlist=${ProductQuant.shortlistFor(n)}%-5d " +
+      f"total=$scS%7.2fs recall@5=${recallOf(scRows)}%.3f")
+    emb.unpersist()
+    // low-rank-structure corpus: the regime PQ is built for
+    val embS = synthEmbeddingsStructured(spark, n).persist()
+    embS.count()
+    val truthS = Similarity.topKBruteForce(embS)
       .select("q_id", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) =>
         q -> rs.map(_.getLong(1)).toSet }
-    val (pqRows, searchS) = timed(
-      ProductQuant.topKPq(emb).select("q_id", "vec_id").collect())
-    val byQ = pqRows.groupBy(_.getLong(0))
-    val recall = truth.map { case (q, t) =>
-      byQ.get(q).fold(0.0)(
-        rs => rs.count(r => t(r.getLong(1))).toDouble / t.size)
-    }.sum / truth.size
-    println(f"[scale-pq] n=$n%-8d train=$trainS%6.2fs " +
-      f"encode=$encodeS%6.2fs (${n / encodeS / 1e6}%.2f M vec/s) " +
-      f"search=$searchS%6.2fs recall@5=$recall%.3f")
-    emb.unpersist()
+    def recallOfS(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      truthS.map { case (q, t) =>
+        byQ.get(q).fold(0.0)(
+          rs => rs.count(r => t(r.getLong(1))).toDouble / t.size)
+      }.sum / truthS.size
+    }
+    val (stRows, stS) = timed(
+      ProductQuant.topKPqScaled(embS).select("q_id", "vec_id").collect())
+    println(f"[scale-pq] n=$n%-8d cfg=lowrank  " +
+      f"K=${ProductQuant.codebookKFor(n)}%-4d " +
+      f"shortlist=${ProductQuant.shortlistFor(n)}%-5d " +
+      f"total=$stS%7.2fs recall@5=${recallOfS(stRows)}%.3f")
+    embS.unpersist()
     spark.catalog.clearCache()
   }
 

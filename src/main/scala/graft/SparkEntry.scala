@@ -315,6 +315,10 @@ object SparkEntry {
     // failing-id checksum (exact failure membership, cross-engine)
     "quality_filter_report" -> ((s, dir) =>
       TextAnalysis.qualityFilterReport(tables(s, dir).documents)),
+    // Unicode canonicalization pass (native nfc_normalize expression):
+    // md5 pins the exact canonical bytes cross-engine
+    "text_normalized" -> ((s, dir) =>
+      graft.ext.Curation.normalizedReport(tables(s, dir).documents)),
     // BPE tokenizer training, step 1 (oracle-pinned): weighted adjacent
     // symbol-pair statistics over the word-frequency reduction
     "bpe_top_pairs" -> ((s, dir) =>
@@ -832,6 +836,7 @@ object SparkEntry {
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
     "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),
+    "text_normalized" -> graft.ext.Curation.normalizedReportSql,
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

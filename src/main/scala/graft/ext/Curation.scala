@@ -500,6 +500,43 @@ object Curation {
        |  CAST(sum(n_tokens) AS BIGINT) * 1000000 // $budget AS fill_ppm
        |FROM t GROUP BY 1, 2 ORDER BY stream, seq_id""".stripMargin
 
+  // ---- text canonicalization ----------------------------------------------
+
+  /** Canonical text form: Unicode NFC (native [[graft.functions
+    * .NfcNormalize]] expression — composed/decomposed glyph encodings
+    * unify before anything hashes or shingles), whitespace runs
+    * collapsed, edges trimmed, lowercased. The mandatory first pass
+    * before exact/fuzzy dedup at 100 TB: a pure codegen'd projection, no
+    * UDF, no shuffle. Lowercasing happens LAST so it sees the composed
+    * forms.
+    */
+  def normalizeText(c: Column): Column = {
+    lower(trim(regexp_replace(
+      graft.functions.GraftFunctions.nfcNormalize(c), "\\s+", " ")))
+  }
+
+  /** DuckDB mirror (its nfc_normalize implements the same Unicode
+    * normalization; the regex class \\s is ASCII in both engines).
+    */
+  def normalizeTextSql(expr: String): String =
+    s"lower(trim(regexp_replace(nfc_normalize($expr), '\\s+', ' ', 'g')))"
+
+  /** The verified canonicalization pass: per doc, the md5 of the
+    * canonical text (pins exact bytes cross-engine) and its length.
+    */
+  def normalizedReport(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      md5(normalizeText(col("text"))).as("norm_md5"),
+      length(normalizeText(col("text"))).cast("long").as("n_norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  val normalizedReportSql: String =
+    s"""SELECT doc_id, md5(${normalizeTextSql("text")}) AS norm_md5,
+       |  CAST(len(${normalizeTextSql("text")}) AS BIGINT) AS n_norm_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- PII scrubbing -------------------------------------------------------
 
   /** RE2-safe patterns (run identically under Java regex and DuckDB's

@@ -49,24 +49,15 @@ object ProductQuant {
   private def subvec(v: Column, m: Int): Column =
     slice(v, m * SubDim + 1, SubDim)
 
-  /** Ordered left-to-right squared-L2 between a subvector column and a
-    * literal centroid — (x−c)·(x−c) summed in index order, mirroring the
-    * oracle's list_sum comprehension exactly. (Measured: this HOF fold
-    * beats a fully-unrolled arithmetic tree ~3× end-to-end — the argmin
-    * instantiates it M·K = 128 times per row and Catalyst's analysis
-    * cost scales with the tree, not the loop.)
+  /** Squared-L2 between two subvector COLUMNS (training-time scoring)
+    * via the dot-product identity sv·sv − 2·sv·cv + cv·cv, so each term
+    * is the NATIVE codegen'd array_dot — the assignment pass scores
+    * O(sample·M·K) pairs and interpreted zip_with lambdas were its
+    * bottleneck at K=256. The oracle computes the identical identity in
+    * the identical order (same discipline as [[Similarity.topKIvf]]).
     */
-  private def subD2Lit(v: Column, m: Int, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(slice(v, m * SubDim + 1, SubDim),
-        array(centroid.map(lit): _*),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (a, x) => a + x)
-
-  /** Squared-L2 between two subvector COLUMNS (training-time scoring). */
   private def subD2(sv: Column, cv: Column): Column =
-    aggregate(zip_with(sv, cv, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (a, x) => a + x)
+    dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv)
 
   /** L2-normalized double vector — PQ quantizes the UNIT sphere, so its
     * L2 distances are monotone in cosine (‖q−x‖² = 2−2·cos for unit
@@ -81,10 +72,14 @@ object ProductQuant {
   /** Train the M×K codebooks distributed, return them collected (bounded:
     * M·K·SubDim doubles — the sample-train shape; the corpus-scale work
     * is the one assignment pass + one aggregation). Seeds are the
-    * subvectors of the K lowest vec_ids; one k-means refinement pass with
-    * exact-integer element means (bit-identical to the SQL oracle).
+    * subvectors of the `k` lowest vec_ids present (rank-based, so a
+    * hash-sampled training set works; on the fixture's contiguous ids
+    * rank−1 ≡ vec_id, which is what the SQL oracle's `vec_id < K` seed
+    * predicate assumes). One k-means refinement pass with exact-integer
+    * element means (bit-identical to the SQL oracle).
     */
-  def trainCodebooks(embeddings: DataFrame): Seq[Seq[Seq[Double]]] = {
+  def trainCodebooks(embeddings: DataFrame,
+      k: Int = CodebookK): Seq[Seq[Seq[Double]]] = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       unitVec(col("embedding")).as("v"))
@@ -92,8 +87,12 @@ object ProductQuant {
       explode(array((0 until NumSubspaces).map(m =>
         struct(lit(m).as("m"), subvec(col("v"), m).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val seeds = sub.filter(col("vec_id") < CodebookK)
-      .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"))
+    val seedIds = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
+          .as("cell"))
+    val seeds = sub.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("m"), col("cell"), col("sv").as("cv"))
     val assigned = sub.join(broadcast(seeds), Seq("m"))
       .select(col("vec_id"), col("m"), col("sv"), col("cell"),
         subD2(col("sv"), col("cv")).as("d2"))
@@ -124,33 +123,41 @@ object ProductQuant {
         r.getSeq[Double](2)
     }.toMap
     (0 until NumSubspaces).map { m =>
-      (0 until CodebookK).map { k =>
-        byKey.getOrElse((m, k), seedRows((m, k)))
+      (0 until k).map { c =>
+        byKey.getOrElse((m, c), seedRows((m, c)))
       }
     }
   }
 
-  /** The encoding argmin over one subspace's literal codebook:
-    * first-index-of-min (ties to the lowest code, matching the oracle's
-    * list_position).
+  /** Map-side PQ codes for every vector (array<int>, M entries): the
+    * native [[graft.functions.PqEncode]] codec with the collected
+    * codebooks as ONE nested-array literal — a flat codegen'd M·K·S
+    * loop per row (argmin ties keep the first code, matching the
+    * oracle's list_position).
     */
-  private def codeExpr(v: Column, m: Int, cb: Seq[Seq[Double]]): Column = {
-    val d = array(cb.indices.map(k => subD2Lit(v, m, cb(k))): _*)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
-
-  /** Map-side PQ codes for every vector (array<int>, M entries). */
   def encodeExpr(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    array((0 until NumSubspaces).map(m =>
-      codeExpr(v, m, codebooks(m))): _*)
+    graft.functions.GraftFunctions.pqEncode(v, typedLit(codebooks))
 
-  /** Per-query ADC distance tables: tabs[m][k] = ||q_m − c_{m,k}||²,
-    * a nested-array literal-codebook expression (M×K doubles per query).
+  /** The ADC approximate distance: Σ_m tabs[m][codes[m]+1], unrolled to
+    * M flat element_at terms summed left-to-right (identical order to
+    * the oracle's list comprehension). This is THE hot loop — it runs
+    * once per (query, corpus vector) — and the flat form stays inside
+    * whole-stage codegen where a zip_with/aggregate fold would execute
+    * two interpreted lambda frames per element (measured ~20× slower on
+    * the 1.28 M-vector probe).
+    */
+  private def adcSum(codes: Column, tabs: Column): Column =
+    (1 to NumSubspaces).map { m =>
+      element_at(element_at(tabs, m),
+        (element_at(codes, m) + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** Per-query ADC distance tables: tabs[m][k] = ||q_m − c_{m,k}||² via
+    * the native [[graft.functions.PqDistTables]] codec (same loop, same
+    * index-ascending summation as the oracle's comprehension).
     */
   def distTablesExpr(qv: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    array((0 until NumSubspaces).map(m =>
-      array(codebooks(m).indices.map(k =>
-        subD2Lit(qv, m, codebooks(m)(k))): _*)): _*)
+    graft.functions.GraftFunctions.pqDistTables(qv, typedLit(codebooks))
 
   /** ADC shortlist size: with K=16 codebooks whole clusters share codes,
     * so the ADC distance ties across cluster members — the shortlist must
@@ -166,9 +173,42 @@ object ProductQuant {
     * re-rank of the ≤ queries·L shortlist fetched BY ID — raw vectors
     * never shuffle; only codes do the scan work.
     */
-  def topKPq(embeddings: DataFrame): DataFrame = {
+  def topKPq(embeddings: DataFrame): DataFrame =
+    topKPqWith(embeddings, trainCodebooks(embeddings), Shortlist)
+
+  /** The scale knobs, measured in ScaleProbe (SCALING.md): K must grow
+    * past 16 once clusters dwarf the codebook (all members of a cluster
+    * share codes → ADC is blind inside it; recall collapsed to 0.00 at
+    * 200 k synthetic vectors), and the shortlist must track corpus size.
+    * Codebooks train on a deterministic hash-sample (the standard PQ
+    * practice — centroids need a representative sample, not the corpus).
+    */
+  def codebookKFor(corpusSize: Long): Int =
+    if (corpusSize <= 50000L) CodebookK else 256
+
+  def shortlistFor(corpusSize: Long): Int =
+    math.max(Shortlist, math.min(2000, (corpusSize / 2000L).toInt))
+
+  val TrainSampleTarget = 50000L
+
+  /** Corpus-scaled PQ search: sample-train K=[[codebookKFor]] codebooks,
+    * then the same encode/ADC/re-rank pipeline with a corpus-sized
+    * shortlist. (The verified fixture query keeps the K=16 full-corpus
+    * config so the SQL oracle stays tractable.)
+    */
+  def topKPqScaled(embeddings: DataFrame): DataFrame = {
+    val n = embeddings.count()
+    val mod = math.max(1L, n / TrainSampleTarget)
+    val sample = embeddings
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    topKPqWith(embeddings, trainCodebooks(sample, codebookKFor(n)),
+      shortlistFor(n))
+  }
+
+  /** Encode, ADC-scan, shortlist, re-rank against given codebooks. */
+  def topKPqWith(embeddings: DataFrame, cbs: Seq[Seq[Seq[Double]]],
+      shortlistN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cbs = trainCodebooks(embeddings)
     val e = embeddings.select(col("vec_id"),
       unitVec(col("embedding")).as("v"))
     val codes = e.select(col("vec_id"),
@@ -178,19 +218,16 @@ object ProductQuant {
         distTablesExpr(col("v"), cbs).as("tabs"))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("tabs"),
-            (c, t) => element_at(t, (c + 1).cast("int"))),
-          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+        round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
     val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
       .orderBy(col("approx_d2"), col("vec_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("approx_d2"), col("vec_id"))
     val shortlist = scored
       .withColumn("pre", row_number().over(wLocal))
-      .filter(col("pre") <= Shortlist)
+      .filter(col("pre") <= shortlistN)
       .withColumn("sl", row_number().over(w))
-      .filter(col("sl") <= Shortlist)
+      .filter(col("sl") <= shortlistN)
       .select("q_id", "vec_id", "approx_d2")
     // exact-cosine re-rank of the bounded shortlist, fetched by id;
     // cosines are computed on the RAW vectors, as in the brute baseline
@@ -233,11 +270,17 @@ object ProductQuant {
        |  SELECT m, vec_id AS cell, sv AS cv FROM sub
        |  WHERE vec_id < $K),
        |assigned AS (
+       |  -- training d2 via the dot identity sv·sv − 2·sv·cv + cv·cv,
+       |  -- mirroring the Spark side's native array_dot terms exactly
        |  SELECT vec_id, m, sv, cell FROM (
        |    SELECT sub.vec_id, sub.m, sub.sv, seeds.cell,
        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
-       |        list_sum([(sub.sv[i] - seeds.cv[i]) * (sub.sv[i] - seeds.cv[i])
-       |                  for i in range(1, $S + 1)]),
+       |        list_sum([sub.sv[i] * sub.sv[i]
+       |                  for i in range(1, $S + 1)])
+       |        - 2.0 * list_sum([sub.sv[i] * seeds.cv[i]
+       |                          for i in range(1, $S + 1)])
+       |        + list_sum([seeds.cv[i] * seeds.cv[i]
+       |                    for i in range(1, $S + 1)]),
        |        seeds.cell) AS rn
        |    FROM sub JOIN seeds ON sub.m = seeds.m)
        |  WHERE rn = 1),

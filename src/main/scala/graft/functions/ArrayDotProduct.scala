@@ -96,6 +96,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
       (es: Seq[Expression]) =>
         MinHashSignature(es.head, es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es.head, es(1))),
+    (FunctionIdentifier("pq_dist_tables"),
+      new ExpressionInfo(classOf[PqDistTables].getName, "pq_dist_tables"),
+      (es: Seq[Expression]) => PqDistTables(es.head, es(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
     (FunctionIdentifier("avro_encode_ce"),
       new ExpressionInfo(
         classOf[graft.sources.AvroEncodeCustomerEvent].getName,
@@ -138,6 +147,18 @@ object GraftFunctions {
   def minhashSigs(text: Column, k: Int): Column =
     call_function("minhash_sigs", text,
       org.apache.spark.sql.functions.lit(k))
+
+  /** `pq_encode(v, codebooks)` as a Column; requires registration. */
+  def pqEncode(v: Column, codebooks: Column): Column =
+    call_function("pq_encode", v, codebooks)
+
+  /** `pq_dist_tables(v, codebooks)` as a Column; requires registration. */
+  def pqDistTables(v: Column, codebooks: Column): Column =
+    call_function("pq_dist_tables", v, codebooks)
+
+  /** `nfc_normalize(text)` as a Column; requires registration. */
+  def nfcNormalize(text: Column): Column =
+    call_function("nfc_normalize", text)
 
   /** `avro_encode_ce(struct)` as a Column; requires registration. */
   def avroEncodeCe(event: Column): Column =

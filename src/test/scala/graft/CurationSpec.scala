@@ -19,6 +19,31 @@ class CurationSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang")
   }
 
+  // ---- text canonicalization ----------------------------------------------
+
+  test("normalizeText unifies NFC forms, whitespace runs, and case") {
+    import spark.implicits._
+    val composed = "café"              // é as one code point
+    val decomposed = "café"           // e + combining acute
+    val rows = Seq(
+      (1L, s"  $composed   Menu "),
+      (2L, s"$decomposed\tMENU"),
+      (3L, "cafe menu")) // plain ascii — different text, different hash
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        Curation.normalizeText(col("text")).as("norm"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == out(1))                // NFC + ws + case unified
+    assert(out(0) == s"$composed menu")
+    assert(out(2) != out(0))
+    // the native expression is a no-op (same instance semantics) on
+    // already-NFC input and normalizes decomposed input to composed
+    val nfc = rows.select(
+      graft.functions.GraftFunctions.nfcNormalize(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(nfc(1).contains(composed) && !nfc(1).contains("́"))
+  }
+
   // ---- decontamination ----------------------------------------------------
 
   // doc 0 is the benchmark (0 % 50 == 0). doc 1 copies one of its 5-gram

@@ -98,25 +98,33 @@ object Bpe {
     */
   def trainMerges(documents: DataFrame, k: Int = DefaultMerges)
       : Seq[Merge] = {
+    // LAZY localCheckpoints: each iteration's single action (the top-pair
+    // collect) both materializes the merged vocab and truncates its
+    // lineage — one job per iteration instead of the two an eager
+    // checkpoint costs. The parent checkpoint is unpersisted only AFTER
+    // its child materialized (the child's lineage is truncated at that
+    // point, so the parent's cached blocks are no longer reachable).
     var vocab = wordFrequencies(documents)
       .select(initialSymbols(col("word")).as("syms"), col("freq"))
-      .cache()
+      .localCheckpoint(false)
+    var parent: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (merges.size < k && !exhausted) {
-      val top = pairStats(vocab).limit(1).collect()
+      val top = pairStats(vocab).limit(1).collect() // materializes vocab
+      parent.foreach(_.unpersist())
+      parent = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, f) = (top.head.getString(0), top.head.getString(1),
           top.head.getLong(2))
         merges += Merge(merges.size + 1, l, r, l + r, f)
-        val next = vocab
+        vocab = vocab
           .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
-          .localCheckpoint(true)
-        vocab.unpersist()
-        vocab = next
+          .localCheckpoint(false)
       }
     }
+    parent.foreach(_.unpersist())
     vocab.unpersist()
     merges.toSeq
   }

@@ -87,12 +87,19 @@ object ProductQuant {
       explode(array((0 until NumSubspaces).map(m =>
         struct(lit(m).as("m"), subvec(col("v"), m).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val seedIds = e.orderBy("vec_id").limit(k)
-      .select(col("vec_id"),
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
-          .as("cell"))
-    val seeds = sub.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("m"), col("cell"), col("sv").as("cv"))
+    // Seeds: the k lowest vec_ids present (TakeOrdered — one tiny job),
+    // subvector-sliced on the driver (k·M rows) and rebroadcast as a
+    // local frame — rank c is the cell id, ≡ vec_id on the fixture's
+    // contiguous ids (what the oracle's `vec_id < K` predicate assumes).
+    val spark0 = embeddings.sparkSession
+    import spark0.implicits._
+    val seedVecs = e.orderBy("vec_id").limit(k).collect()
+    val seedCells: Seq[(Int, Long, Seq[Double])] = for {
+      (r, c) <- seedVecs.toSeq.zipWithIndex
+      m <- 0 until NumSubspaces
+    } yield (m, c.toLong, r.getSeq[Double](1)
+      .slice(m * SubDim, m * SubDim + SubDim))
+    val seeds = seedCells.toDF("m", "cell", "cv")
     val assigned = sub.join(broadcast(seeds), Seq("m"))
       .select(col("vec_id"), col("m"), col("sv"), col("cell"),
         subD2(col("sv"), col("cv")).as("d2"))
@@ -118,9 +125,8 @@ object ProductQuant {
     // empty. The encoding argmin still needs all K entries, identically
     // in both engines — empty cells keep their SEED subvector (the
     // oracle does the same via its seeds LEFT JOIN).
-    val seedRows = seeds.collect().map { r =>
-      (r.getAs[Int]("m"), r.getAs[Long]("cell").toInt) ->
-        r.getSeq[Double](2)
+    val seedRows = seedCells.map { case (m, cell, cv) =>
+      (m, cell.toInt) -> cv
     }.toMap
     (0 until NumSubspaces).map { m =>
       (0 until k).map { c =>

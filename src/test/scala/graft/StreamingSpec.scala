@@ -344,6 +344,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(byName(("expect_column_values_to_not_be_null", "doc_id")) == 0L)
   }
 
+  test("streaming curation gate: normalize + quality-filter + scrub per batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val mem = MemoryStream[(Long, String)]
+    val outDir = Files.createTempDirectory("curout").toString
+    val ckpt = Files.createTempDirectory("curckpt").toString
+    // one clean long doc, one too-short doc (min_tokens), one with PII
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over azure lazy dog and then runs " +
+        "far away into green fields of tall grass today"),
+      (2L, "tiny doc"),
+      (3L, "the quick brown fox jumps over azure lazy dog and then mails " +
+        "far away into green fields of tall grass at bob@example.com"))
+    mem.addData(rows: _*)
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the batch curation operators compose unchanged per micro-batch:
+        // canonicalize -> named-rule gate -> PII scrub
+        val canon = batch.withColumn("text",
+          graft.ext.Curation.normalizeText(col("text")))
+        graft.ext.TextAnalysis.qualityFilter(canon)
+          .withColumn("text", graft.ext.Curation.scrubPii(col("text")))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir).orderBy("doc_id").collect()
+    // doc 2 dropped by the min_tokens rule; 1 and 3 survive
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // PII redacted post-gate; canonical text is lowercased
+    val t3 = out(1).getAs[String]("text")
+    assert(t3.contains("<EMAIL>") && !t3.contains("bob@example.com"))
+    // canonical text is lowercased (doc 1 has no redaction markers)
+    val t1 = out(0).getAs[String]("text")
+    assert(t1.toLowerCase == t1)
+    // and the streamed survivors equal the batch composition exactly
+    val batchOut = graft.ext.TextAnalysis.qualityFilter(
+        rows.toDF("doc_id", "text")
+          .withColumn("lang", lit("en"))
+          .withColumn("source", lit("s"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("text", graft.ext.Curation.normalizeText(col("text"))))
+      .withColumn("text", graft.ext.Curation.scrubPii(col("text")))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("text")).toSeq
+      == batchOut.map(_.getAs[String]("text")).toSeq)
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

@@ -94,6 +94,10 @@ object ProductQuant {
     val spark0 = embeddings.sparkSession
     import spark0.implicits._
     val seedVecs = e.orderBy("vec_id").limit(k).collect()
+    // corpora smaller than k train a k'=|corpus| codebook (codes stay
+    // dense in [0, k'))
+    val kEff = seedVecs.length
+    require(kEff > 0, "cannot train PQ codebooks on an empty corpus")
     val seedCells: Seq[(Int, Long, Seq[Double])] = for {
       (r, c) <- seedVecs.toSeq.zipWithIndex
       m <- 0 until NumSubspaces
@@ -129,7 +133,7 @@ object ProductQuant {
       (m, cell.toInt) -> cv
     }.toMap
     (0 until NumSubspaces).map { m =>
-      (0 until k).map { c =>
+      (0 until kEff).map { c =>
         byKey.getOrElse((m, c), seedRows((m, c)))
       }
     }

@@ -107,4 +107,47 @@ class EdgeSpec extends AnyFunSuite {
       .pointInInterval(l.select(col("k"), col("ts").as("v")), bad,
         "v", "s", "e", Seq("k"), 10L).count() == 0)
   }
+
+  test("round-5b operators degrade gracefully on degenerate inputs") {
+    import spark.implicits._
+    import graft.ext.{Bpe, Curation, ProductQuant}
+    // empty corpus: report rows exist with zero counts; gates/BPE empty
+    assert(TextAnalysis.qualityFilter(emptyDocs).count() == 0)
+    val rep = TextAnalysis.qualityFilterReport(emptyDocs).collect()
+    assert(rep.length == TextAnalysis.FilterRules.size
+      && rep.forall(_.getAs[Long]("n_failed") == 0L)
+      && rep.forall(_.getAs[Long]("n_docs") == 0L))
+    assert(Bpe.trainMerges(emptyDocs).isEmpty)
+    assert(Curation.normalizedReport(emptyDocs).count() == 0)
+    // single-char words: no adjacent pairs -> trainer stops with no merges
+    val singles = Seq((1L, "a b c"), (2L, "b c a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Bpe.trainMerges(singles).isEmpty)
+    // null text flows through normalization/scrub as null, never throws
+    val withNull = Seq((1L, null: String), (2L, "ok text here"))
+      .toDF("doc_id", "text")
+    val norm = withNull
+      .select(Curation.normalizeText(col("text")).as("n"),
+        Curation.scrubPii(col("text")).as("s"))
+      .orderBy(lit(1)).collect()
+    assert(norm.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+    // PQ on a corpus smaller than K trains a dense |corpus|-cell book
+    val tiny = Seq(
+      (0L, Array.fill(64)(0.1f), 0), (1L, Array.fill(64)(0.9f), 0),
+      (2L, Array.fill(64)(-0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cbs = ProductQuant.trainCodebooks(tiny)
+    assert(cbs.forall(_.size == 3))
+    val codes = tiny.select(ProductQuant.encodeExpr(
+        col("embedding").cast("array<double>"), cbs).as("c"))
+      .select(explode(col("c"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 3))
+    // z-order on a constant column: span-0 guard, single bucket, no NaN
+    val const = spark.range(100).select(lit(7L).as("x"), col("id").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zconst").toString
+    graft.ops.Layout.writeZOrdered(const, dir, Seq("x", "y"), 4)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }

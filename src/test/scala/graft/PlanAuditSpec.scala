@@ -105,6 +105,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rj.contains("HashJoin") && !rj.contains("NestedLoop"), rj)
   }
 
+  test("round-5 query plans keep their intended shapes") {
+    // canonicalization: a pure projection + presentation sort — no join,
+    // no aggregate, at most the sort's range exchange
+    val tn = plans("text_normalized")
+    assert(!tn.contains("Join") && !tn.contains("Aggregate"), tn)
+    // the quality gate report: no join (one scan -> one combined agg);
+    // the single-partition exchange is the allowlisted 1-row agg
+    val qf = plans("quality_filter_report")
+    assert(!qf.contains("Join"), qf)
+    assert(qf.contains("nfc_normalize") == false) // gate reads raw text
+    // SCD2 history: one window over incident_id, no self-join
+    val ih = plans("incident_history")
+    assert(ih.contains("Window") && !ih.contains("Join"), ih)
+    // BPE pair stats: top-n via TakeOrdered — per-partition heads, never
+    // a global sort of the full pair table
+    val bp = plans("bpe_top_pairs")
+    assert(bp.contains("TakeOrdered"), bp)
+    // PQ: the native codec expressions are IN the plan (the HOF
+    // formulation would show aggregate/zip_with lambda nodes instead)
+    val pq = plans("ann_topk_pq")
+    assert(pq.contains("pq_encode") && pq.contains("pq_dist_tables"), pq)
+  }
+
   test("broadcast joins carry the bounded dimension sides") {
     // the headline fact⋈dims rollups must broadcast, not shuffle, dims
     assert(plans("revenue_by_region").contains("BroadcastHashJoin"))

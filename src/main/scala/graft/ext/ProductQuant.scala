@@ -229,6 +229,52 @@ object ProductQuant {
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
+    shortlistAndRerank(scored, embeddings, shortlistN)
+  }
+
+  /** The LSH-pruned composition — the production-index shape the PQ
+    * probe's findings point to (SCALING.md): the scan touches only
+    * (bucket, codes) per corpus vector (~16 bytes instead of the 256-byte
+    * raw vector), candidates are restricted to the query's sign bucket
+    * plus its Hamming-1 probes ([[Similarity.topKLshMultiProbe]]'s
+    * recall knob), ADC orders the candidates from codes alone, and the
+    * bounded shortlist is re-ranked with exact cosine fetched by id. At
+    * 100 TB this is LSH for candidate generation + PQ for scan memory +
+    * exact scoring for ranking precision — each layer doing the one job
+    * it is good at.
+    */
+  def topKPqLshPruned(embeddings: DataFrame,
+      planes: Int = Similarity.NumPlanes,
+      shortlistN: Int = Shortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cbs = trainCodebooks(embeddings)
+    val e = embeddings.select(col("vec_id"),
+      unitVec(col("embedding")).as("v"))
+    val indexed = e.select(col("vec_id"),
+      Similarity.bucketExpr(col("v"), planes).as("bucket"),
+      encodeExpr(col("v"), cbs).as("codes"))
+    val probeBuckets = col("bucket") +: (0 until planes)
+      .map(h => col("bucket").bitwiseXOR(lit(1L << h)))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        distTablesExpr(col("v"), cbs).as("tabs"),
+        Similarity.bucketExpr(col("v"), planes).as("bucket"))
+      .select(col("q_id"), col("tabs"),
+        explode(array(probeBuckets: _*)).as("p_bucket"))
+    val scored = indexed.join(broadcast(probes),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
+    shortlistAndRerank(scored, embeddings, shortlistN)
+  }
+
+  /** Two-phase ADC shortlist (per-partition pre-limit → global, as in
+    * customer_value_ranks) + exact-cosine re-rank of the bounded
+    * shortlist fetched BY ID — raw vectors never shuffle; cosines are
+    * computed on the RAW vectors, as in the brute baseline.
+    */
+  private def shortlistAndRerank(scored: DataFrame, embeddings: DataFrame,
+      shortlistN: Int): DataFrame = {
     val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
       .orderBy(col("approx_d2"), col("vec_id"))
     val w = Window.partitionBy("q_id")
@@ -239,8 +285,6 @@ object ProductQuant {
       .withColumn("sl", row_number().over(w))
       .filter(col("sl") <= shortlistN)
       .select("q_id", "vec_id", "approx_d2")
-    // exact-cosine re-rank of the bounded shortlist, fetched by id;
-    // cosines are computed on the RAW vectors, as in the brute baseline
     val en = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))

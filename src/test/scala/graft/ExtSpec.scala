@@ -333,6 +333,45 @@ class ExtSpec extends AnyFunSuite {
       }
   }
 
+  test("LSH-pruned PQ: bucket-restricted ADC scan still finds neighbors") {
+    import graft.ext.ProductQuant
+    val emb = Tables(spark, Sf0001).embeddings
+    // 4 planes on the 200-vector fixture: ~12 vectors per bucket, so the
+    // probe set actually holds candidates (at the default 8, 256 buckets
+    // over 200 vectors leave probes near-empty — occupancy must track
+    // corpus size, the numPlanesFor contract)
+    val planes = 4
+    val pruned = ProductQuant.topKPqLshPruned(emb, planes)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.topKBruteForce(emb)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall is bounded by the probe set's coverage (measured 0.40 at 4
+    // planes on this fixture — a bucket-geometry property, not a PQ
+    // one), so pin RELATIVE to the exact-scoring multi-probe LSH on the
+    // same probe set: the ADC shortlist + re-rank must recover ≥85 % of
+    // what exact in-bucket scoring finds
+    val lshRef = Similarity.topKLshMultiProbe(emb, planes)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pruned intersect brute).size.toDouble / brute.size
+    val refRecall = (lshRef intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.85 * refRecall,
+      s"LSH-pruned PQ recall $recall vs exact-scoring reference $refRecall")
+    // every returned candidate really came from a probed bucket: its
+    // sign bucket is within Hamming 1 of its query's bucket
+    import org.apache.spark.sql.functions.{col => c}
+    val buckets = emb
+      .select(c("vec_id"), Similarity.bucketExpr(
+        c("embedding").cast("array<double>"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.foreach { case (q, v) =>
+      val ham = java.lang.Long.bitCount(buckets(q) ^ buckets(v))
+      assert(ham <= 1, s"pair ($q,$v) at hamming $ham")
+    }
+  }
+
   test("multi-probe LSH: candidates within Hamming 1; recall ≥ single-probe") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, Sf0001).embeddings

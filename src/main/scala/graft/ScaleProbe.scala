@@ -305,6 +305,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
     if (annMode) {
       sizes.foreach(annProbe(spark, _))
       spark.stop()
@@ -334,6 +335,11 @@ object ScaleProbe {
         println(f"[scale] n=$n%-8d $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
       }
       time("text_stats") { TextAnalysis.textStats(docs).count() }
+      time("quality_gate") { TextAnalysis.qualityFilter(docs).count() }
+      time("normalize_md5") {
+        docs.select(md5(graft.ext.Curation.normalizeText(col("text")))
+          .as("h")).filter(col("h").isNotNull).count()
+      }
       time("minhash_near_dups") { Dedup.minhashNearDups(docs).count() }
       time("simhash_near_dups") { Dedup.simhashNearDups(docs).count() }
       time("simhash60_near_dups") { Dedup.simhash60NearDups(docs).count() }

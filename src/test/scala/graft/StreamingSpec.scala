@@ -400,6 +400,43 @@ class StreamingSpec extends AnyFunSuite {
       == batchOut.map(_.getAs[String]("text")).toSeq)
   }
 
+  test("streaming embedding ingest: LSH-table index screens near-dups") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.EmbedStream
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    def perturb(v: Seq[Float]): Seq[Float] = v.map(x => x + 0.01f)
+    val (a, b, c, d) = (vec(), vec(), vec(), vec())
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val corpusDir = Files.createTempDirectory("embcorpus").toString
+    val indexDir = Files.createTempDirectory("embindex").toString
+    val ckpt = Files.createTempDirectory("embckpt").toString
+    val stats = new EmbedStream.EmbedStats(spark)
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+
+    mem.addData((0L, a), (1L, b), (2L, c))
+    EmbedStream.start(stream, corpusDir, indexDir, ckpt, stats,
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+    // near-copy of vector 0 (1 % perturbation — the sign pattern still
+    // matches in at least one of the 4 tables), one genuinely new
+    // direction, and a batch-internal near-copy of it (keep-first)
+    mem.addData((10L, perturb(a)), (11L, d), (12L, perturb(d)))
+    EmbedStream.start(stream, corpusDir, indexDir, ckpt, stats,
+      trigger = Trigger.AvailableNow()).awaitTermination(60000)
+
+    val kept = spark.read.parquet(corpusDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 11L))
+    assert(stats.seen.value == 6L && stats.kept.value == 4L)
+    // the index carries NumTables rows per surviving vector, no text
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() == 4L * EmbedStream.NumTables)
+    assert(idx.groupBy("vec_id").count()
+      .filter(col("count") =!= EmbedStream.NumTables).count() == 0)
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

@@ -315,6 +315,10 @@ object SparkEntry {
     // failing-id checksum (exact failure membership, cross-engine)
     "quality_filter_report" -> ((s, dir) =>
       TextAnalysis.qualityFilterReport(tables(s, dir).documents)),
+    // Data-mixing weights: per-source natural vs target token shares
+    // and the repeat-epochs to hit the target mix (exact-integer ppm)
+    "source_mix_weights" -> ((s, dir) =>
+      graft.ext.Curation.sourceMixWeights(tables(s, dir).documents)),
     // Unicode canonicalization pass (native nfc_normalize expression):
     // md5 pins the exact canonical bytes cross-engine
     "text_normalized" -> ((s, dir) =>
@@ -837,6 +841,7 @@ object SparkEntry {
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
     "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),
     "text_normalized" -> graft.ext.Curation.normalizedReportSql,
+    "source_mix_weights" -> graft.ext.Curation.sourceMixWeightsSql,
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

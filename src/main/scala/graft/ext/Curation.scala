@@ -500,6 +500,57 @@ object Curation {
        |  CAST(sum(n_tokens) AS BIGINT) * 1000000 // $budget AS fill_ppm
        |FROM t GROUP BY 1, 2 ORDER BY stream, seq_id""".stripMargin
 
+  // ---- source mixing weights ----------------------------------------------
+
+  /** Target corpus share per source in ppm (fixture: even-numbered
+    * sources 70 000, odd 30 000 — sums to 10⁶ over the 20 fixture
+    * sources). Production passes its mix spec; the arithmetic is the
+    * point.
+    */
+  def targetSourcePpm(source: Column): Column =
+    when(regexp_extract(source, "src(\\d+)", 1).cast("long") % 2 === 0,
+      70000L).otherwise(30000L)
+
+  val targetSourcePpmSql: String =
+    """CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT)
+      |  % 2 = 0 THEN 70000 ELSE 30000 END""".stripMargin
+
+  /** Per-source data-mixing weights: natural token share vs the target
+    * mix, and the EPOCHS each source must be repeated (ppm) so the
+    * training stream hits the target at the natural corpus token budget
+    * — the standard mix-weight calculation of pretraining recipes
+    * (epochs_i = target_share_i · T / tokens_i). Exact-integer ppm
+    * arithmetic end to end, one scan + an O(sources) aggregate + a
+    * one-row total attach.
+    */
+  def sourceMixWeights(documents: DataFrame): DataFrame = {
+    val perSrc = documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val total = perSrc.agg(sum("n_tokens").as("t_total"))
+    perSrc.join(broadcast(total))
+      .withColumn("natural_ppm", expr("n_tokens * 1000000 div t_total"))
+      .withColumn("target_ppm", targetSourcePpm(col("source")))
+      .withColumn("epochs_ppm", expr("target_ppm * t_total div n_tokens"))
+      .drop("t_total")
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[sourceMixWeights]]. */
+  val sourceMixWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  n_tokens * 1000000 // t_total AS natural_ppm,
+       |  ($targetSourcePpmSql) AS target_ppm,
+       |  ($targetSourcePpmSql) * t_total // n_tokens AS epochs_ppm
+       |FROM per, tot ORDER BY source""".stripMargin
+
   // ---- text canonicalization ----------------------------------------------
 
   /** Canonical text form: Unicode NFC (native [[graft.functions

@@ -19,6 +19,30 @@ class CurationSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang")
   }
 
+  // ---- source mixing weights ----------------------------------------------
+
+  test("source mix weights: hand-computed shares and epochs") {
+    import spark.implicits._
+    // src0: 2 docs × 3 tokens, src2: 1 doc × 6 tokens → T = 12,
+    // natural share 500000 ppm each; targets 70000/70000 (both even)
+    val docs = Seq(
+      (1L, "a b c", "src0"), (2L, "d e f", "src0"),
+      (3L, "g h i j k l", "src2"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.sourceMixWeights(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("natural_ppm"),
+          x.getAs[Long]("epochs_ppm"))).toMap
+    assert(r("src0") == (6L, 500000L, 70000L * 12 / 6))
+    assert(r("src2") == (6L, 500000L, 70000L * 12 / 6))
+    // an odd source gets the 30000 target
+    val odd = Curation.sourceMixWeights(
+        docs.withColumn("source", lit("src3"))).head()
+    assert(odd.getAs[Long]("target_ppm") == 30000L)
+    assert(odd.getAs[Long]("natural_ppm") == 1000000L)
+    assert(odd.getAs[Long]("epochs_ppm") == 30000L) // target/1 share
+  }
+
   // ---- text canonicalization ----------------------------------------------
 
   test("normalizeText unifies NFC forms, whitespace runs, and case") {

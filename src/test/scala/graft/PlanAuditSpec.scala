@@ -49,7 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_alias_suite",       // fixed 15-expectation frame (aliased twin)
     "agent_daily_decisions",// streak windows over the O(days) aggregate
     "quality_filter_report",// one combined-agg row → O(rules) explode
-    "bpe_merges")           // k collected merge rows (local table)
+    "bpe_merges",           // k collected merge rows (local table)
+    "source_mix_weights")   // one-row corpus-total attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -78,7 +79,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_survivors",      // scalar count attach
     "top_tokens",           // scalar vocab-size attach
     "customer_value_ranks", // ≤k-row top-k × one-row total count
-    "ann_topk_pq")          // codes × broadcast per-query ADC tables
+    "ann_topk_pq",          // codes × broadcast per-query ADC tables
+    "source_mix_weights")   // O(sources) rows × one-row total count
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

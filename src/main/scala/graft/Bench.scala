@@ -23,7 +23,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // optional arg (dev only): comma-separated query-name filter
+    val only = args.headOption.map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     // pass 2 replicates pass 1's cold-start semantics (drop persisted
     // frames first; intra-pass cache reuse is the library's natural

@@ -88,11 +88,22 @@ object ScaleProbe {
     report("lsh_multi", Similarity.topKLshMultiProbe(emb, planes),
       s"planes=$planes")
     val cells = Similarity.ivfCellsFor(n)
+    // flat assignment is O(N·cells): keep it at its measured 256-cell
+    // ceiling for the baseline comparison (SCALING.md, 150 s at 1 132)
+    val flatCells = math.min(256, cells)
     for ((c, p) <- Seq((Similarity.IvfCells, Similarity.IvfProbes),
-        (cells, Similarity.IvfProbes), (cells, 8))) {
+        (flatCells, Similarity.IvfProbes), (flatCells, 8))) {
       val ivf = Similarity.topKIvf(emb, c, p)
         .withColumn("n_candidates", lit(-1L)) // IVF reports no cand count
       report("ivf", ivf, s"cells=$c probes=$p")
+    }
+    // hierarchical assignment runs the UNCAPPED √N cell count, with and
+    // without nProbe scaling (the recall knob ivfProbesFor supplies)
+    val hProbes = Similarity.ivfProbesFor(cells)
+    for (p <- Seq(Similarity.IvfProbes, hProbes).distinct) {
+      val hier = Similarity.topKIvfHier(emb, cells, p)
+        .withColumn("n_candidates", lit(-1L))
+      report("ivf_hier", hier, s"cells=$cells probes=$p")
     }
     // sign-bucket occupancy at this plane count — skew evidence for the
     // bucket self-join (max/avg bucket size)
@@ -341,7 +352,12 @@ object ScaleProbe {
           .as("h")).filter(col("h").isNotNull).count()
       }
       time("minhash_near_dups") { Dedup.minhashNearDups(docs).count() }
-      time("simhash_near_dups") { Dedup.simhashNearDups(docs).count() }
+      // 24-bit blocking saturates quadratically past ~1.28M on this
+      // near-identical corpus (SCALING.md) — probe it only below that
+      if (n <= 1280000L)
+        time("simhash_near_dups") { Dedup.simhashNearDups(docs).count() }
+      time("simhash_adaptive") {
+        Dedup.simhashNearDupsAdaptive(docs, Some(n)).count() }
       time("simhash60_near_dups") { Dedup.simhash60NearDups(docs).count() }
       time("exact_dedup") { Dedup.exactSummary(docs).count() }
       docs.unpersist()

@@ -253,8 +253,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(tables(s, dir).documents)
         .orderBy("doc_a", "doc_b")),
+    // band-adaptive default: 24-bit two-block index at fixture size
+    // (what the sf oracle checks), 60-bit single-block past the measured
+    // saturation ceiling (Dedup.SimHashAdaptiveMaxDocs)
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(tables(s, dir).documents)
+      Dedup.simhashNearDupsAdaptive(tables(s, dir).documents)
         .orderBy("doc_a", "doc_b")),
     "dedup_simhash60" -> ((s, dir) =>
       Dedup.simhash60NearDups(tables(s, dir).documents)
@@ -296,8 +299,11 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) =>
       graft.ext.Curation.piiScrubReport(
         CustomerEvents.synth(tables(s, dir).events))),
+    // sharded composite stream key (lang:shard): the window parallelizes
+    // across |langs| × PackShards partitions — no per-lang serialization
     "pack_plan" -> ((s, dir) =>
-      graft.ext.Curation.packPlan(tables(s, dir).documents)),
+      graft.ext.Curation.packPlan(tables(s, dir).documents,
+        streamCol = graft.ext.Curation.packStreamSharded())),
     // incremental dedup: new batch (doc_id % 10 = 7) vs corpus index
     "dedup_incremental" -> ((s, dir) => {
       val docs = tables(s, dir).documents
@@ -419,6 +425,14 @@ object SparkEntry {
     // IVF-style ANN: coarse cells + nProbe search (scale twin of LSH)
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.topKIvf(tables(s, dir).embeddings)
+        .orderBy("q_id", "rank")),
+
+    // Hierarchical IVF: coarse-then-fine assignment (O(N·2√nlist)
+    // instead of O(N·nlist)) with nProbe scaled to the cell count —
+    // the scale path past the flat assignment's measured wall
+    "ann_topk_ivf_hier" -> ((s, dir) =>
+      Similarity.topKIvfHier(tables(s, dir).embeddings,
+        nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
         .orderBy("q_id", "rank")),
 
     // Product-quantization ANN: codebook train → byte codes → ADC scan
@@ -830,7 +844,8 @@ object SparkEntry {
       s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
-    "pack_plan" -> graft.ext.Curation.packPlanSql(),
+    "pack_plan" -> graft.ext.Curation.packPlanSql(
+      streamSql = graft.ext.Curation.packStreamShardedSql()),
     "dedup_incremental" ->
       Dedup.incrementalNearDupsSql(id => s"$id % 10 = 7"),
     "training_mix" -> graft.ext.Curation.trainingMixSql(),
@@ -934,6 +949,7 @@ object SparkEntry {
          |ORDER BY lang""".stripMargin,
 
     "ann_topk_ivf" -> Similarity.topKIvfSql,
+    "ann_topk_ivf_hier" -> Similarity.topKIvfHierSql,
     "ann_topk_pq" -> graft.ext.ProductQuant.topKPqSql,
     "dq_failed_samples" ->
       s"""$W, samples AS (

@@ -483,13 +483,36 @@ object Curation {
       .orderBy("stream", "seq_id")
   }
 
-  /** DuckDB mirror of [[packPlan]]. */
-  def packPlanSql(budget: Long = SeqBudget): String =
+  /** Shard count per lang for the sharded packing stream (fixture
+    * value; production sizes this to executor count × a few).
+    */
+  val PackShards = 4
+
+  /** Deterministic composite stream key `lang:shard` — the 100 TB
+    * packing shape. Sequences never span shards (semantically fine for
+    * training), so each (lang, shard) stream packs independently and
+    * [[packPlan]]'s running-sum window parallelizes across
+    * |langs| × nShards partitions instead of serializing one task per
+    * lang. The shard is a stable md5 hash of doc_id, so reruns and both
+    * engines agree ([[Hashing.h32]] is non-negative → plain `%`).
+    */
+  def packStreamSharded(nShards: Int = PackShards): Column =
+    concat(col("lang"), lit(":"),
+      (Hashing.h32(col("doc_id").cast("string")) % nShards).cast("string"))
+
+  /** DuckDB twin of [[packStreamSharded]]. */
+  def packStreamShardedSql(nShards: Int = PackShards): String =
+    s"lang || ':' || CAST(${Hashing.h32Sql("CAST(doc_id AS VARCHAR)")}" +
+      s" % $nShards AS VARCHAR)"
+
+  /** DuckDB mirror of [[packPlan]]; `streamSql` mirrors `streamCol`. */
+  def packPlanSql(budget: Long = SeqBudget,
+      streamSql: String = "lang"): String =
     s"""WITH t AS (
-       |  SELECT doc_id, lang AS stream,
+       |  SELECT doc_id, $streamSql AS stream,
        |    len(string_split(text, ' ')) AS n_tokens,
        |    sum(len(string_split(text, ' '))) OVER (
-       |      PARTITION BY lang ORDER BY doc_id
+       |      PARTITION BY $streamSql ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM documents)
        |SELECT stream,

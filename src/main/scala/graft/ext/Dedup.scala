@@ -690,6 +690,32 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Corpus-size ceiling for the 24-bit two-block index: past this the
+    * 12-bit keys (4 096 distinct values per key_idx) mega-bucket on
+    * near-identical corpora and the bucket self-join turns quadratic
+    * (measured regime, SCALING.md — the ScaleProbe loop for this
+    * variant is capped at 1.28 M docs). The 60-bit single-block index
+    * (15-bit keys, 32 768 values) is the measured scale path.
+    */
+  val SimHashAdaptiveMaxDocs = 250000L
+
+  /** Band-adaptive SimHash near-dup detection — the DEFAULT simhash
+    * route. At fixture/small scale the 24-bit C(4,2) two-block index
+    * wins (cheaper signature, tight Hamming ≤ [[MaxHamming]] radius);
+    * past [[SimHashAdaptiveMaxDocs]] it saturates, so the router
+    * switches to the 60-bit 4×15-bit single-block index
+    * ([[simhash60NearDups]]), complete for Hamming ≤
+    * [[SimHash60MaxHamming]]. `sizeHint` skips the sizing count when
+    * the caller already knows the corpus size (e.g. from a previous
+    * stage or table statistics).
+    */
+  def simhashNearDupsAdaptive(documents: DataFrame,
+      sizeHint: Option[Long] = None): DataFrame = {
+    val n = sizeHint.getOrElse(documents.count())
+    if (n <= SimHashAdaptiveMaxDocs) simhashNearDups(documents)
+    else simhash60NearDups(documents)
+  }
+
   // ---- word-n-gram Jaccard with MinHash canopy ----------------------------
 
   /** Bigram-Jaccard near-dups. Blocking: two independent 1-row MinHash

@@ -54,22 +54,35 @@ object Similarity {
     math.min(30, math.max(NumPlanes, needed))
   }
 
-  /** IVF cell count as a function of corpus size. The textbook heuristic
-    * is nlist ≈ √N (balances per-query centroid scan vs candidate scan),
-    * but the build-side cell ASSIGNMENT in this row-based formulation is
-    * O(N·nlist) distance evaluations — measured at ~10⁷ distances/s/core
-    * (ScaleProbe: 1.28 M × 1 132 cells ≈ 1.4 G distances ≈ 150 s on
-    * local[32], SCALING.md) — so unamortized √N growth is compute-bound
-    * long before the centroid table stops broadcasting. Growth is
-    * therefore capped at 256 cells; past that, a hierarchical
-    * (coarse-then-fine) assignment or a SIMD-native distance kernel is
-    * the scale path, and nProbe must grow with nlist to hold recall
-    * (measured: recall@5 fell 1.0 → 0.38 when cells grew 16 → 1 132 at
-    * fixed nProbe=2).
+  /** IVF cell count as a function of corpus size: the textbook
+    * nlist ≈ √N (balances per-query centroid scan vs candidate scan).
+    * Uncapped: [[topKIvfHier]]'s coarse-then-fine assignment is
+    * O(N·2√nlist) distance evaluations, so √N cell growth stays
+    * compute-feasible (the FLAT [[topKIvf]] assignment is O(N·nlist) —
+    * measured 1.28 M × 1 132 cells ≈ 1.4 G distances ≈ 150 s on
+    * local[32], SCALING.md — and keeps its own 256-cell ceiling in
+    * ScaleProbe). Pair with [[ivfProbesFor]]: nProbe must grow with
+    * nlist to hold recall (measured: recall@5 fell 1.0 → 0.38 when
+    * cells grew 16 → 1 132 at fixed nProbe=2).
     */
   def ivfCellsFor(corpusSize: Long): Int =
-    math.min(256, math.max(IvfCells,
-      math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
+    math.max(IvfCells, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
+
+  /** Coarse-level cell count for [[topKIvfHier]]: √nlist minimizes the
+    * per-vector assignment work C + nlist/C.
+    */
+  def ivfCoarseFor(cells: Int): Int =
+    math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  /** Probe count scaled with the cell count: nProbe ≈ √nlist keeps the
+    * probed corpus fraction ≈ nProbe/nlist ≈ nlist^(-1/2) shrinking as
+    * the index grows while the probed-cell population (≈ nProbe·N/nlist
+    * = N/√nlist... per-query work) stays sub-linear. Holding nProbe
+    * CONSTANT as nlist grows is the measured recall cliff (1.0 → 0.38,
+    * see [[ivfCellsFor]]).
+    */
+  def ivfProbesFor(cells: Int): Int =
+    math.max(IvfProbes, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
   private def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
@@ -364,6 +377,202 @@ object Similarity {
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, cell
        |  FROM ranked WHERE rn <= $IvfProbes AND vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
+       |                    * CAST(a.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(p.qv) + 1)])
+       |      / (p.qn * a.nrm), 6) AS cosine
+       |  FROM assign a JOIN probes p
+       |    ON a.cell = p.cell AND a.vec_id != p.q_id)
+       |SELECT q_id, rank, vec_id, cell, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Coarse probe width for [[topKIvfHier]] queries. */
+  val IvfCoarseProbes = 2
+
+  /** Hierarchical IVF: the scale path past [[topKIvf]]'s O(N·nlist)
+    * assignment wall. Two-level structure:
+    *
+    *   1. COARSE level: [[ivfCoarseFor]] (≈√nlist) centroids seeded from
+    *      the lowest vec_ids, refined with ONE exact fixed-point k-means
+    *      pass (identical determinism discipline to [[topKIvf]]), then
+    *      every vector assigned to its nearest coarse cell — O(N·√nlist).
+    *   2. FINE level: the `cells` lowest vec_ids become raw sub-centroids
+    *      OWNED by their coarse cell, plus each refined coarse mean as a
+    *      fallback sub-centroid (cell id −(ccell+1)) so a coarse cell
+    *      with no seed still covers its vectors. Each vector is assigned
+    *      to the nearest fine cell WITHIN its coarse cell — expected
+    *      O(N·nlist/√nlist) = O(N·√nlist).
+    *
+    * Total assignment is O(N·2√nlist) distance evaluations vs the flat
+    * O(N·nlist): at nlist = 2 263 (N = 5.12 M) that is 23 G → 0.5 G.
+    * The approximation vs flat IVF: a vector near a coarse boundary may
+    * land in a fine cell of the "wrong" coarse side; queries compensate
+    * by probing [[IvfCoarseProbes]] coarse cells and ranking the nProbe
+    * nearest fine cells across their union ([[ivfProbesFor]] scales
+    * nProbe with nlist). Both centroid tables are broadcast; the corpus
+    * never shuffles — probing stays a broadcast bucket join, exactly a
+    * partition-pruned scan at 100 TB.
+    */
+  def topKIvfHier(embeddings: DataFrame, cells: Int = IvfCells,
+      nProbe: Int = IvfProbes,
+      probeCoarse: Int = IvfCoarseProbes): DataFrame = {
+    val e = withNorm(embeddings)
+    val nCoarse = ivfCoarseFor(cells)
+    def dist2(v: Column, nv: Column, cv: Column, cn2: Column): Column =
+      nv * nv - lit(2.0) * dot(v, cv) + cn2
+    val coarse0 = e.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("ccell"), col("v").as("cv"),
+        (col("nrm") * col("nrm")).as("cn2"))
+    def scoreC(side: DataFrame, cents: DataFrame): DataFrame = side
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
+        dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
+    // argmin AGGREGATE (not a window): map-side partial aggregation
+    // collapses the |cells| scored rows per vector before the shuffle
+    def nearestCoarse(side: DataFrame, cents: DataFrame): DataFrame =
+      scoreC(side, cents).groupBy("vec_id")
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
+    // one exact fixed-point k-means pass on the coarse level
+    val coarseRefined = nearestCoarse(e, coarse0)
+      .select(col("ccell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("ccell", "i")
+      .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("ccell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"),
+          (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val coarseAssign = nearestCoarse(e, coarseRefined)
+    val fineCells = coarseAssign.filter(col("vec_id") < cells)
+      .select(col("ccell"), col("vec_id").as("cell"), col("v").as("fv"),
+        (col("nrm") * col("nrm")).as("fn2"))
+      .unionByName(coarseRefined.select(col("ccell"),
+        (-col("ccell") - 1).as("cell"), col("cv").as("fv"),
+        col("cn2").as("fn2")))
+    val assign = coarseAssign.join(broadcast(fineCells), Seq("ccell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    // query probing: probeCoarse nearest coarse cells (tiny window over
+    // queries only), then the nProbe nearest fine cells in their union
+    val qCoarse = scoreC(e.filter(col("vec_id") < NumQueries), coarseRefined)
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("ccell"))))
+      .filter(col("rn") <= probeCoarse)
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"))
+    val probes = qCoarse.join(broadcast(fineCells), Seq("ccell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("p_cell"))
+    val scored = assign.join(broadcast(probes),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        col("cosine"))
+  }
+
+  /** DuckDB twin of [[topKIvfHier]] at the fixture parameters
+    * (cells = [[IvfCells]], nProbe = ivfProbesFor(cells),
+    * probeCoarse = [[IvfCoarseProbes]]). Same exact-integer coarse
+    * refinement, same (d2, cell) tie-breaks, same op order in every
+    * distance — row_number()=1 here ≡ min_by there because the ordering
+    * key is unique.
+    */
+  def topKIvfHierSql: String = {
+    val nCoarse = ivfCoarseFor(IvfCells)
+    val nProbe = ivfProbesFor(IvfCells)
+    def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
+        cn2Expr: String): String =
+      s"""$nrm2Expr
+         |        - 2.0 * list_sum([CAST($vecExpr[i] AS DOUBLE)
+         |                          * CAST($cvExpr[i] AS DOUBLE)
+         |                          for i in range(1, len($vecExpr) + 1)])
+         |        + $cn2Expr""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |coarse0 AS (
+       |  SELECT vec_id AS ccell, embedding AS cv, nrm * nrm AS cn2 FROM e
+       |  WHERE vec_id < $nCoarse),
+       |cranked0 AS (
+       |  SELECT e.vec_id, e.embedding, coarse0.ccell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${d2("e.embedding", "e.nrm * e.nrm", "cv", "cn2")},
+       |      coarse0.ccell) AS rn
+       |  FROM e CROSS JOIN coarse0),
+       |crefined0 AS (
+       |  SELECT ccell, i,
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+       |                  AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS cnt
+       |  FROM (SELECT vec_id, embedding, ccell FROM cranked0 WHERE rn = 1),
+       |    unnest(range(1, len(embedding) + 1)) AS u(i)
+       |  GROUP BY ccell, i),
+       |crefined1 AS (
+       |  SELECT ccell,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS cv
+       |  FROM crefined0 GROUP BY ccell),
+       |crefined AS (
+       |  SELECT ccell, cv,
+       |    list_sum([x * x for x in cv]) AS cn2
+       |  FROM crefined1),
+       |cranked AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, crefined.ccell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${d2("e.embedding", "e.nrm * e.nrm", "cv", "cn2")},
+       |      crefined.ccell) AS rn
+       |  FROM e CROSS JOIN crefined),
+       |cassign AS (
+       |  SELECT vec_id, embedding, nrm, ccell FROM cranked WHERE rn = 1),
+       |fcells AS (
+       |  SELECT ccell, vec_id AS cell, embedding AS fv, nrm * nrm AS fn2
+       |  FROM cassign WHERE vec_id < $IvfCells
+       |  UNION ALL
+       |  SELECT ccell, -ccell - 1 AS cell, cv AS fv, cn2 AS fn2
+       |  FROM crefined),
+       |franked AS (
+       |  SELECT a.vec_id, a.embedding, a.nrm, f.cell,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${d2("a.embedding", "a.nrm * a.nrm", "f.fv", "f.fn2")},
+       |      f.cell) AS rn
+       |  FROM cassign a JOIN fcells f ON a.ccell = f.ccell),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM franked WHERE rn = 1),
+       |qcoarse AS (
+       |  SELECT vec_id, embedding, nrm, ccell FROM cranked
+       |  WHERE vec_id < $NumQueries AND rn <= $IvfCoarseProbes),
+       |qranked AS (
+       |  SELECT qc.vec_id, qc.embedding, qc.nrm, f.cell,
+       |    row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+       |      ${d2("qc.embedding", "qc.nrm * qc.nrm", "f.fv", "f.fn2")},
+       |      f.cell) AS rn
+       |  FROM qcoarse qc JOIN fcells f ON qc.ccell = f.ccell),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, cell
+       |  FROM qranked WHERE rn <= $nProbe),
        |scored AS (
        |  SELECT p.q_id, a.vec_id, a.cell,
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)

@@ -131,22 +131,31 @@ object SchemaEvolution {
     *                  anomalies);
     *   - `complete` — expected, present in every row.
     *
-    * One explode + one map-side-combinable count per key: at 100 TB this
-    * is a single scan of the raw payload column, no per-row driver work,
-    * and the report is O(distinct keys).
+    * ONE scan, one shuffle: every row emits a sentinel key alongside its
+    * observed keys, so the per-key presence counts AND the doc total come
+    * out of the same map-side-combined aggregate — the JSON parse (the
+    * dominant cost) runs exactly once over the corpus, and the doc-total
+    * attach is a window over the O(distinct keys) aggregate rather than a
+    * second corpus scan + cross join. No per-row driver work; the report
+    * is O(distinct keys).
     */
   def schemaDriftReport(raw: DataFrame, jsonCol: Column,
       expected: Seq[String]): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val keys = raw
-      .select(explode(json_object_keys(jsonCol)).as("column_name"))
+    // NUL cannot begin a sane JSON object key; the sentinel counts docs
+    val Sentinel = "\u0000__n_docs__"
+    val counts = raw.select(explode(concat(
+        array(lit(Sentinel)), json_object_keys(jsonCol))).as("column_name"))
       .groupBy("column_name").agg(count(lit(1)).as("n_present"))
     val exp = expected.toDF("column_name")
       .withColumn("is_expected", lit(true))
-    val tot = raw.agg(count(lit(1)).as("n_docs"))
-    keys.join(exp, Seq("column_name"), "full_outer")
-      .crossJoin(broadcast(tot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // single partition over the O(keys) aggregate only
+    counts.join(exp, Seq("column_name"), "full_outer")
+      .withColumn("n_docs", coalesce(max(when(
+        col("column_name") === Sentinel, col("n_present"))).over(w), lit(0L)))
+      .filter(col("column_name") =!= Sentinel)
       .select(col("column_name"),
         coalesce(col("n_present"), lit(0L)).as("n_present"),
         col("n_docs"),

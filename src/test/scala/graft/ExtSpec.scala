@@ -279,6 +279,19 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "minhash_sigs must not shuffle")
   }
 
+  test("adaptive simhash routes 24-bit below the ceiling, 60-bit above") {
+    val docs = Tables(spark, Sf0001).documents
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(Dedup.simhashNearDupsAdaptive(docs))
+      == pairs(Dedup.simhashNearDups(docs)),
+      "below the ceiling the adaptive route must be the 24-bit index")
+    assert(pairs(Dedup.simhashNearDupsAdaptive(docs,
+        Some(Dedup.SimHashAdaptiveMaxDocs + 1)))
+      == pairs(Dedup.simhash60NearDups(docs)),
+      "above the ceiling the adaptive route must be the 60-bit index")
+  }
+
   test("IVF ANN: refined cells cover queries; recall vs brute force reported") {
     val e = Tables(spark, Sf0001).embeddings
     val brute = Similarity.topKBruteForce(e)
@@ -293,6 +306,34 @@ class ExtSpec extends AnyFunSuite {
       + s"(nProbe=${Similarity.IvfProbes}/${Similarity.IvfCells} cells)")
     // single-digit-probe IVF on unclustered data: a floor, not a target
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
+  test("hierarchical IVF: full assignment coverage; recall vs brute force") {
+    val e = Tables(spark, Sf0001).embeddings
+    val n = e.count()
+    val brute = Similarity.topKBruteForce(e)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nProbe = Similarity.ivfProbesFor(Similarity.IvfCells)
+    val hier = Similarity.topKIvfHier(e, nProbe = nProbe)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hier.size == Similarity.NumQueries * Similarity.TopK)
+    val recall = hier.intersect(brute).size.toDouble / brute.size
+    info(f"hier-IVF recall@${Similarity.TopK} vs brute force: $recall%.2f "
+      + s"(nProbe=$nProbe/${Similarity.IvfCells} cells, "
+      + s"coarse=${Similarity.ivfCoarseFor(Similarity.IvfCells)})")
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+    // coarse-cell fallback sub-centroids guarantee every vector lands in
+    // exactly one fine cell — the coverage claim behind the inner join
+    assert(recall >= 0.2 && hier.nonEmpty)
+    val assignedAll = Similarity.topKIvfHier(e,
+      cells = 4, nProbe = 8, probeCoarse = 2) // degenerate: 2 coarse cells
+      .select("q_id").distinct().count()
+    assert(assignedAll == Similarity.NumQueries,
+      "every query must produce results even with degenerate cell counts")
+    info(s"n=$n corpus fully assigned (degenerate-cells probe returned "
+      + s"$assignedAll/${Similarity.NumQueries} queries)")
   }
 
   test("PQ ANN: valid codes, recall vs brute force, exact re-rank") {

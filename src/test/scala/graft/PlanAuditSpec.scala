@@ -73,6 +73,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_topk_lsh",         // corpus × broadcast query buckets (≠ guard)
     "ann_topk_lsh_multiprobe", // corpus × broadcast probe set
     "ann_topk_ivf",         // corpus × broadcast centroids, 2 passes
+    "ann_topk_ivf_hier",    // corpus × broadcast coarse centroids
     "dedup_embedding_cosine",  // label-block self-join ≠-guard pairs
     "schema_drift_report",  // scalar doc-count attach
     "dedup_exact",          // scalar count attach
@@ -128,6 +129,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // formulation would show aggregate/zip_with lambda nodes instead)
     val pq = plans("ann_topk_pq")
     assert(pq.contains("pq_encode") && pq.contains("pq_dist_tables"), pq)
+  }
+
+  test("round-6 query plans keep their intended shapes") {
+    // sequence packing: the running-sum window must hash-partition on
+    // the sharded (lang:shard) stream key — a single-partition window
+    // here would serialize whole-language streams (the scale ceiling
+    // round 6 removed)
+    val pp = plans("pack_plan")
+    assert(pp.contains("Window"), pp)
+    assert(!pp.contains("SinglePartition"),
+      s"pack_plan window must not funnel to one partition:\n$pp")
+    // hierarchical IVF: both centroid tables broadcast; the corpus must
+    // never shuffle into a sort-merge join
+    val ih = plans("ann_topk_ivf_hier")
+    assert(ih.contains("BroadcastHashJoin")
+      || ih.contains("BroadcastNestedLoopJoin"), ih)
+    assert(!ih.contains("SortMergeJoin"), ih)
   }
 
   test("broadcast joins carry the bounded dimension sides") {

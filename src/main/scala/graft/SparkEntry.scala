@@ -86,7 +86,11 @@ object SparkEntry {
     // like the producer omitting them), so v2/v3 events carry the drift
     // keys and the detector surfaces them as 'new' against the v1 schema
     "schema_drift_report" -> ((s, dir) => {
-      val raw = CustomerEvents.synth(tables(s, dir).events)
+      // the sf fixture is ONE parquet split; spread the synth rows so the
+      // JSON serialize+parse (the dominant cost) uses every core — at
+      // production scale the input arrives already partitioned
+      val raw = CustomerEvents.synth(tables(s, dir).events
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .select(to_json(struct(
           col("id"), col("name"), col("email"), col("signup_ts"),
           col("country"), col("plan"), col("event_ts"), col("version"),

@@ -354,6 +354,21 @@ object SparkEntry {
       Similarity.topKLshMultiProbe(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
 
+    // Z-order layout as a verified round-trip: write the (orderkey,
+    // partkey) projection into range-disjoint Z files, read them back
+    // through a 2-D box predicate — rows must match DuckDB running the
+    // same box on the SOURCE table (lossless layout), and LayoutSpec
+    // pins the files-pruned-vs-total evidence on the same written path
+    "zorder_box_read" -> ((s, dir) => {
+      val path = s"/tmp/graft_zorder_${new java.io.File(dir).getName}"
+      graft.ops.Layout.zOrderedBoxRead(
+        tables(s, dir).lineitem.select("l_orderkey", "l_partkey",
+          "l_quantity", "l_extendedprice"),
+        path, "l_orderkey", "l_partkey", numFiles = 16)
+        .orderBy("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice")
+    }),
+
     // ---- ext: multimodal binary columns (north-star) ----------------------
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(tables(s, dir).documents).orderBy("doc_id")),
@@ -859,6 +874,18 @@ object SparkEntry {
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
     "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),
+    // the k-merge trainer, unrolled to chained CTEs (round 6: the last
+    // meaningfully-checkable query moves from rows-only to full oracle)
+    "bpe_merges" -> graft.ext.Bpe.mergesSql(),
+    "zorder_box_read" ->
+      """WITH b AS (
+        |  SELECT max(l_orderkey) AS xm, max(l_partkey) AS ym
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN xm // 5 AND xm * 3 // 10
+        |  AND l_partkey BETWEEN ym // 10 AND ym // 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "text_normalized" -> graft.ext.Curation.normalizedReportSql,
     "source_mix_weights" -> graft.ext.Curation.sourceMixWeightsSql,
     "doc_repetition" ->

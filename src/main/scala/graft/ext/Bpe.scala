@@ -129,9 +129,9 @@ object Bpe {
     merges.toSeq
   }
 
-  /** The learned merge table as a DataFrame (the `bpe_merges` query —
-    * iterative, so no single-statement SQL oracle exists; correctness is
-    * pinned by BpeSpec's hand-computed fixtures instead).
+  /** The learned merge table as a DataFrame (the `bpe_merges` query).
+    * Cross-engine oracle: [[mergesSql]] (k unrolled CTE iterations);
+    * BpeSpec additionally pins hand-computed fixtures.
     */
   def mergesTable(documents: DataFrame, k: Int = DefaultMerges): DataFrame = {
     val spark = documents.sparkSession
@@ -146,6 +146,14 @@ object Bpe {
     * to every word — a pure map-side projection chain (k nested folds, no
     * shuffle), the shape a 100 TB tokenization pass needs. Returns
     * per-doc BPE token counts next to character and word counts.
+    *
+    * k ceiling: each merge adds one nested fold to a single Catalyst
+    * expression tree, so ANALYSIS/codegen cost grows with k — fine at
+    * the ≤100-merge rule sets this module trains, but a production 32k+
+    * vocabulary would blow up the planner long before execution. At that
+    * scale apply the merge table inside ONE native expression taking the
+    * rules as a literal array (the [[graft.functions.PqCodec]] pattern:
+    * loop in `doGenCode`, not in the expression tree).
     */
   def tokenReport(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
     val words = split(col("text"), " ")
@@ -157,6 +165,58 @@ object Bpe {
       size(words).cast("long").as("n_words"),
       aggregate(bpePerWord, lit(0L), (a, x) => a + x).as("n_bpe_tokens"),
       col("n_chars"))
+  }
+
+  /** Full cross-engine oracle for the k-merge trainer, as one DuckDB
+    * statement with the k iterations UNROLLED into chained CTEs (k is a
+    * fixed parameter, so no recursion is needed — and a recursive CTE
+    * could not take a global argmax per step anyway).
+    *
+    * Key encoding trick: a symbol sequence is a single string with a
+    * LEADING `chr(31)` separator before every symbol ("␟a␟b␟c"). One
+    * merge step is then exactly `replace(s, '␟l␟r', '␟lr')`: SQL
+    * `replace` scans left-to-right, never rescans its own output, and
+    * the leading-separator form makes matches token-aligned (a pattern
+    * can never start mid-symbol) while consecutive pairs stay matchable
+    * ("␟a␟a␟a␟a" → "␟aa␟aa", the paper's non-overlapping semantics).
+    */
+  def mergesSql(k: Int = DefaultMerges): String = {
+    val S = "chr(31)"
+    val steps = (0 until k).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, pf,
+         |    row_number() OVER (ORDER BY pf DESC, l, r) AS rn
+         |  FROM (
+         |    SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS pf
+         |    FROM (
+         |      SELECT unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS p,
+         |        freq
+         |      FROM (SELECT string_split(substr(s, 2), $S) AS sy, freq
+         |            FROM v$i))
+         |    GROUP BY 1, 2)),
+         |t$i AS (SELECT l, r, pf FROM p$i WHERE rn = 1),
+         |v${i + 1} AS (
+         |  SELECT replace(s, $S || l || $S || r, $S || l || r) AS s, freq
+         |  FROM v$i, t$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k).map { i =>
+      if (i == 0)
+        s"""SELECT ${i + 1} AS rank, l AS "left", r AS "right",
+           |    l || r AS merged, pf AS pair_freq FROM t$i""".stripMargin
+      else s"  UNION ALL SELECT ${i + 1}, l, r, l || r, pf FROM t$i"
+    }.mkString("\n")
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1),
+       |v0 AS (
+       |  SELECT $S || array_to_string(string_split(w, ''), $S) AS s, freq
+       |  FROM wf),
+       |$steps,
+       |merges AS (
+       |$union)
+       |SELECT rank, "left", "right", merged, pair_freq FROM merges
+       |ORDER BY rank""".stripMargin
   }
 
   /** DuckDB mirror of the FIRST iteration's pair statistics (top-n) —

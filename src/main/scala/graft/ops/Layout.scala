@@ -44,6 +44,9 @@ object Layout {
   def zValue(cols: Seq[Column], bounds: Seq[(Double, Double)],
       bits: Int = BitsPerDim): Column = {
     val n = cols.size
+    require(n * bits <= 63,
+      s"Z value must fit a signed 64-bit long: $n dims x $bits bits; " +
+        "lower bits (e.g. 4 dims need bits <= 15)")
     val quantized = cols.zip(bounds).map { case (c, (lo, hi)) =>
       quantize(c, lo, hi, bits)
     }
@@ -65,6 +68,12 @@ object Layout {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    if (row.anyNull) {
+      // empty input (or an all-null Z column): no bounds to quantize
+      // against — write the frame as-is rather than NPE on the stats row
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val bounds = colNames.indices.map(i =>
       (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
     df.withColumn("__z", zValue(colNames.map(col), bounds))
@@ -72,5 +81,25 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** The Z-order round-trip behind the verified `zorder_box_read` query:
+    * write `df` Z-ordered on two integral columns, read the files back,
+    * and return the rows inside a 2-D box derived from each key's max
+    * (x ∈ [max/5, 3·max/10], y ∈ [max/10, max/4] — ~1.5 % of rows at any
+    * scale; integer division matches the oracle's `//`). Correctness of
+    * the round-trip is the oracle's claim; the PRUNING payoff — the box
+    * touches few of the range-disjoint files — is pinned in LayoutSpec
+    * over the same written path.
+    */
+  def zOrderedBoxRead(df: DataFrame, path: String,
+      xCol: String, yCol: String, numFiles: Int): DataFrame = {
+    val mx = df.agg(max(col(xCol)), max(col(yCol))).head()
+    if (mx.anyNull) return df.filter(lit(false))
+    val (xm, ym) = (mx.getLong(0), mx.getLong(1))
+    writeZOrdered(df, path, Seq(xCol, yCol), numFiles)
+    df.sparkSession.read.parquet(path)
+      .filter(col(xCol).between(xm / 5, xm * 3 / 10)
+        && col(yCol).between(ym / 10, ym / 4))
   }
 }

@@ -65,4 +65,41 @@ class LayoutSpec extends AnyFunSuite {
       .count()
     assert(touching <= files / 4, s"$touching of $files files touch probe")
   }
+
+  test("verified zorder_box_read query prunes most files by stats") {
+    // drive the exact shipping query (it writes /tmp/graft_zorder_<sf>),
+    // then audit the written files' min/max boxes against its box
+    val sf = SparkTestSession.Sf0001
+    val rows = SparkEntry.queries("zorder_box_read")(spark, sf).collect()
+    assert(rows.nonEmpty, "box predicate must select rows at sf0.001")
+    val li = Tables(spark, sf).lineitem
+    val mx = li.agg(max("l_orderkey"), max("l_partkey")).head()
+    val (xm, ym) = (mx.getLong(0), mx.getLong(1))
+    val path = s"/tmp/graft_zorder_${new java.io.File(sf).getName}"
+    val boxes = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lox"), max("l_orderkey").as("hix"),
+        min("l_partkey").as("loy"), max("l_partkey").as("hiy"))
+      .collect()
+    val touching = boxes.count(r =>
+      r.getLong(1) <= xm * 3 / 10 && r.getLong(2) >= xm / 5
+        && r.getLong(3) <= ym / 4 && r.getLong(4) >= ym / 10)
+    info(s"zorder_box_read: ${rows.length} rows; " +
+      s"$touching of ${boxes.length} files touch the box by stats")
+    assert(boxes.length >= 8, "expected a multi-file Z layout")
+    assert(touching <= boxes.length / 2,
+      s"Z layout should let stats prune most files: $touching/${boxes.length}")
+  }
+
+  test("z-order guards: empty input writes cleanly; >63 Z bits rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("zguard").toString
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    Layout.writeZOrdered(empty, s"$dir/empty", Seq("x", "y"), 4)
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("a"), col("b"), col("c"), col("d")),
+        Seq.fill(4)((0.0, 1.0))) // 4 dims × 16 bits = 64 > 63
+    }
+    assert(e.getMessage.contains("64-bit"))
+  }
 }

@@ -171,13 +171,20 @@ object EventPipeline {
     *     succeed, gated on batchId > [[RunStats.lastCommitted]], so a
     *     replayed batch in the same driver never double-counts (a
     *     restarted driver starts from zero and the replay repopulates).
-    * Downstream scans still prune on (country, plan) — batch_id is just
-    * the leading partition level.
+    * Partition scheme is (batch_id, event_date, country, plan):
+    * batch_id leads for the idempotent overwrite; `event_date` (derived
+    * from the event timestamp) is the 100 TB pruning lever — nearly
+    * every downstream scan is time-bounded, and at ~N TB/day a scan
+    * without date pruning reads the whole corpus (SCALING.md).
+    * StreamingSpec asserts the date-pruned scan reads only matching
+    * partition directories.
     */
   def processBatch(batch: DataFrame, batchId: Long, mainPath: String,
       quarantinePath: String, stats: RunStats): Unit =
     if (!batch.isEmpty && batchId > stats.lastCommitted) {
-      val cached = batch.withColumn("batch_id", lit(batchId)).persist()
+      val cached = batch.withColumn("batch_id", lit(batchId))
+        .withColumn("event_date", to_date(col("event_timestamp")))
+        .persist()
       try {
         val r = cached.agg(
           count(lit(1)),
@@ -188,10 +195,10 @@ object EventPipeline {
           Quarantine.split(cached, !col("dq_passed"))
         main.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "country", "plan").parquet(mainPath)
+          .partitionBy("batch_id", "event_date", "country", "plan").parquet(mainPath)
         quarantine.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "country", "plan").parquet(quarantinePath)
+          .partitionBy("batch_id", "event_date", "country", "plan").parquet(quarantinePath)
         // both writes committed — only now touch the report counters
         stats.total.add(r.getLong(0)); stats.late.add(r.getLong(1))
         stats.dqFailed.add(r.getLong(2)); stats.drifted.add(r.getLong(3))

@@ -7,7 +7,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventPipeline
+import graft.streaming.{EventPipeline, JdbcSink}
+
+/** The exact column contract of Spark's Kafka source (key/value are
+  * binary; topic/partition/offset/timestamp/timestampType metadata) —
+  * the protocol twin used to exercise the `fromKafka` hot path without a
+  * broker in the harness.
+  */
+case class KafkaShaped(key: Array[Byte], value: Array[Byte], topic: String,
+  partition: Int, offset: Long, timestamp: java.sql.Timestamp,
+  timestampType: Int)
 
 /** Structured-Streaming specs: multi-batch MemoryStream harness for
   * parse→curate→sink, watermark-driven late-row dropping, and the
@@ -82,7 +91,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(mainDir)).toArray
       .exists(_.toString.contains("batch_id=")))
     assert(Files.walk(java.nio.file.Paths.get(mainDir)).toArray
+      .exists(_.toString.contains("event_date=")))
+    assert(Files.walk(java.nio.file.Paths.get(mainDir)).toArray
       .exists(_.toString.contains("country=US")))
+    // a date-bounded scan must PRUNE to the matching partition dirs: the
+    // 100 TB pruning lever the event_date level exists for. The late c4
+    // row may fall on yesterday's date; filter on today's and assert
+    // every file read lives under that partition directory.
+    val today = new java.sql.Date(now).toString
+    val pruned = main.filter(col("event_date") === lit(today))
+    val scannedFiles = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scannedFiles.nonEmpty)
+    assert(scannedFiles.forall(_.contains(s"event_date=$today")),
+      s"date filter must prune to event_date=$today dirs: " +
+        scannedFiles.mkString(", "))
+    val plan =
+      pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"expected a partition filter on event_date in:\n$plan")
   }
 
   test("dual sink replay: same batch re-delivered -> no dupes, no double counts") {
@@ -120,6 +147,118 @@ class StreamingSpec extends AnyFunSuite {
     EventPipeline.processBatch(batch2, 1L, mainDir, qDir, freshStats)
     assert(freshStats.total.value == 3)
     assert(spark.read.parquet(mainDir).count() == 2)
+  }
+
+  test("Kafka-shaped streaming frame: full column contract end to end") {
+    // S1's one unexercised line is `readStream.format("kafka")`; this is
+    // its protocol twin — a STREAMING source carrying exactly the Kafka
+    // frame columns (binary key/value + topic/partition/offset/timestamp
+    // metadata) driven through the same parse→curate→sink chain, asserted
+    // identical to the plain value-only path on the same payloads.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val now = T0
+    val payloads = Seq(
+      eventJson("c1", "good@example.com", now),
+      eventJson("c2", "bad-email", now),
+      eventJson("c3", "drift@example.com", now, version = 3))
+    val mem = MemoryStream[KafkaShaped]
+    val mainDir = Files.createTempDirectory("kmain").toString
+    val qDir = Files.createTempDirectory("kquar").toString
+    val ckpt = Files.createTempDirectory("kckpt").toString
+    val stats = new EventPipeline.RunStats(spark)
+    val curated = EventPipeline.curate(
+      EventPipeline.parse(mem.toDF()),
+      processingTs = lit(new java.sql.Timestamp(now)))
+    mem.addData(payloads.zipWithIndex.map { case (p, i) =>
+      KafkaShaped(s"k$i".getBytes("UTF-8"), p.getBytes("UTF-8"),
+        "customer-events", i % 2, 100L + i,
+        new java.sql.Timestamp(now + i), 0)
+    }: _*)
+    val query = EventPipeline.startDualSink(curated, mainDir, qDir, ckpt,
+      stats, Trigger.AvailableNow())
+    query.awaitTermination(60000)
+    assert(stats.total.value == 3 && stats.dqFailed.value == 1)
+    val sunk = spark.read.parquet(mainDir)
+    // Kafka metadata columns survive the whole chain into the sink
+    assert(Seq("kafka_key", "kafka_topic", "kafka_partition",
+      "kafka_offset", "kafka_timestamp").forall(sunk.columns.contains))
+    val k = sunk.filter(col("id") === "c1").head()
+    assert(k.getAs[String]("kafka_key") == "k0")
+    assert(k.getAs[String]("kafka_topic") == "customer-events")
+    assert(k.getAs[Long]("kafka_offset") == 100L)
+    // and the curated FIELDS are identical to the value-only batch path
+    val twin = EventPipeline.curate(
+      payloads.toDF("value").transform(EventPipeline.parse),
+      processingTs = lit(new java.sql.Timestamp(now)))
+    val fields = EventPipeline.eventSchema.fieldNames.toSeq ++
+      Seq("region", "email_domain", "is_late_arrival", "dq_passed",
+        "schema_drift_detected")
+    val all = sunk.unionByName(spark.read.parquet(qDir)) // main + quarantine
+    val got = all.select(fields.map(col): _*).orderBy("id").collect()
+    val want = twin.select(fields.map(col): _*).orderBy("id").collect()
+    assert(got.toSeq == want.toSeq,
+      "Kafka-shaped path must curate identically to the value-only path")
+  }
+
+  test("JDBC sink leg: real .format(\"jdbc\") writes, idempotent replay") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val table = "curated_events"
+    val now = T0
+    def count(): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery(s"SELECT count(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    val batch = EventPipeline.curate(EventPipeline.parse(Seq(
+        eventJson("c1", "good@example.com", now),
+        eventJson("c2", "also@example.com", now)).toDF("value")),
+      processingTs = lit(new java.sql.Timestamp(now)))
+    JdbcSink.writeBatch(batch, 0L, url, table)
+    assert(count() == 2)
+    // replay of the same batch: delete-then-append converges, no dupes
+    JdbcSink.writeBatch(batch, 0L, url, table)
+    assert(count() == 2)
+    // a new batch appends its own rows
+    val batch2 = EventPipeline.curate(EventPipeline.parse(Seq(
+        eventJson("c3", "third@example.com", now)).toDF("value")),
+      processingTs = lit(new java.sql.Timestamp(now)))
+    JdbcSink.writeBatch(batch2, 1L, url, table)
+    assert(count() == 3)
+    // partial-delivery crash sim: half of batch 2 landed, then the full
+    // batch replays — the DELETE step clears the partial rows first
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      s"DELETE FROM $table WHERE batch_id = 1 AND id = 'c3'")
+    finally c.close()
+    JdbcSink.writeBatch(batch2, 1L, url, table)
+    assert(count() == 3)
+    // values round-trip through the JDBC type mapping
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+    assert(back.filter(col("dq_passed") === false).count() == 0)
+    assert(back.select("email").as[String].collect().toSet
+      == Set("good@example.com", "also@example.com", "third@example.com"))
+    // streaming leg: the foreachBatch wrapper drives the same writer
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("jckpt").toString
+    val q = JdbcSink.start(
+      EventPipeline.curate(EventPipeline.parse(
+        mem.toDF().select(col("value")))),
+      url, "curated_stream", ckpt, Trigger.AvailableNow())
+    mem.addData(eventJson("s1", "s1@example.com", now))
+    q.awaitTermination(60000)
+    val sc2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = sc2.createStatement()
+        .executeQuery("SELECT count(*) FROM curated_stream")
+      rs.next(); assert(rs.getLong(1) == 1)
+    } finally sc2.close()
   }
 
   test("avro wire path curates identically to the JSON path") {

@@ -553,10 +553,16 @@ object Curation {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
     val total = perSrc.agg(sum("n_tokens").as("t_total"))
+    // ppm pre-multiplies by 10^6 before the integer division: do it in
+    // DECIMAL(38,0) (the oracle mirrors with HUGEINT) so a source above
+    // ~9.2e12 tokens — real at 100 TB ≈ 25 T tokens — cannot wrap a
+    // BIGINT; `div` on decimals still yields an exact BIGINT result
     perSrc.join(broadcast(total))
-      .withColumn("natural_ppm", expr("n_tokens * 1000000 div t_total"))
+      .withColumn("natural_ppm",
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div t_total"))
       .withColumn("target_ppm", targetSourcePpm(col("source")))
-      .withColumn("epochs_ppm", expr("target_ppm * t_total div n_tokens"))
+      .withColumn("epochs_ppm",
+        expr("CAST(target_ppm AS DECIMAL(38,0)) * t_total div n_tokens"))
       .drop("t_total")
       .orderBy("source")
   }
@@ -569,9 +575,11 @@ object Curation {
        |  FROM documents GROUP BY 1),
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM per)
        |SELECT source, n_docs, n_tokens,
-       |  n_tokens * 1000000 // t_total AS natural_ppm,
+       |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // t_total
+       |    AS BIGINT) AS natural_ppm,
        |  ($targetSourcePpmSql) AS target_ppm,
-       |  ($targetSourcePpmSql) * t_total // n_tokens AS epochs_ppm
+       |  CAST(CAST(($targetSourcePpmSql) AS HUGEINT) * t_total // n_tokens
+       |    AS BIGINT) AS epochs_ppm
        |FROM per, tot ORDER BY source""".stripMargin
 
   // ---- text canonicalization ----------------------------------------------

@@ -84,20 +84,27 @@ object Skew {
     */
   def bloomPrefilteredJoin(fact: DataFrame, build: DataFrame,
       factKey: Column, buildKey: Column,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
+    // an undersized filter silently saturates (fpp -> 1: correct rows,
+    // zero pruning) — so when the caller gives no capacity hint, size
+    // from the actual build cardinality (one extra count over the side
+    // we were going to scan anyway)
+    val items =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1L, build.select(buildKey.as("k")).na.drop().count())
     val keyType = build.select(buildKey.as("k")).schema.head.dataType
     val prefilter: Column = keyType match {
       case ByteType | ShortType | IntegerType | LongType =>
         val bf = build.select(buildKey.cast("long").as("k")).na.drop()
-          .stat.bloomFilter("k", expectedItems, fpp)
+          .stat.bloomFilter("k", items, fpp)
         val bc = fact.sparkSession.sparkContext.broadcast(bf)
         val f = udf((k: java.lang.Long) =>
           k != null && bc.value.mightContainLong(k))
         f(factKey.cast("long"))
       case StringType =>
         val bf = build.select(buildKey.as("k")).na.drop()
-          .stat.bloomFilter("k", expectedItems, fpp)
+          .stat.bloomFilter("k", items, fpp)
         val bc = fact.sparkSession.sparkContext.broadcast(bf)
         val f = udf((k: String) =>
           k != null && bc.value.mightContainString(k))

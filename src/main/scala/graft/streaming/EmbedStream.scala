@@ -64,6 +64,15 @@ object EmbedStream {
         col("tb.bucket").as("bucket"))
   }
 
+  /** Per-SESSION best-effort counters. `lastCommitted` (and the
+    * accumulators) live in driver memory only: after a driver restart a
+    * replayed batch re-adds to seen/kept, so treat the counts as
+    * monitoring signals, not ledger truth. The DATA stays exactly-once
+    * either way — [[processBatch]] writes via dynamic partition
+    * overwrite keyed on batch_id, so a replay overwrites its own
+    * partition. Durable counts, when needed, come from aggregating the
+    * committed batch_id partitions on disk.
+    */
   final class EmbedStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {
     val seen = spark.sparkContext.longAccumulator("embed_seen")

@@ -454,6 +454,20 @@ object SparkEntry {
         nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
         .orderBy("q_id", "rank")),
 
+    // Persisted-index serving: build the IVF index ONCE to disk
+    // (assignment hive-partitioned by cell), then serve queries by
+    // scanning only the probed cell= partitions — the "index once,
+    // read nProbe/nlist of the files per query batch" shape a
+    // 1000-executor deployment runs. Same result as the in-flight
+    // hierarchical path, so it shares that oracle.
+    "ann_topk_ivf_served" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(tables(s, dir).embeddings, path)
+      Similarity.topKIvfServed(s, path,
+        nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
+        .orderBy("q_id", "rank")
+    }),
+
     // Product-quantization ANN: codebook train → byte codes → ADC scan
     // → exact re-rank (the memory-compression scale path)
     "ann_topk_pq" -> ((s, dir) =>
@@ -981,6 +995,9 @@ object SparkEntry {
 
     "ann_topk_ivf" -> Similarity.topKIvfSql,
     "ann_topk_ivf_hier" -> Similarity.topKIvfHierSql,
+    // the served path must reproduce the in-flight hierarchical result
+    // bit-for-bit — same build, same probes, same tie-breaks
+    "ann_topk_ivf_served" -> Similarity.topKIvfHierSql,
     "ann_topk_pq" -> graft.ext.ProductQuant.topKPqSql,
     "dq_failed_samples" ->
       s"""$W, samples AS (

@@ -423,55 +423,33 @@ object Similarity {
   def topKIvfHier(embeddings: DataFrame, cells: Int = IvfCells,
       nProbe: Int = IvfProbes,
       probeCoarse: Int = IvfCoarseProbes): DataFrame = {
-    val e = withNorm(embeddings)
-    val nCoarse = ivfCoarseFor(cells)
-    def dist2(v: Column, nv: Column, cv: Column, cn2: Column): Column =
-      nv * nv - lit(2.0) * dot(v, cv) + cn2
-    val coarse0 = e.filter(col("vec_id") < nCoarse)
-      .select(col("vec_id").as("ccell"), col("v").as("cv"),
-        (col("nrm") * col("nrm")).as("cn2"))
-    def scoreC(side: DataFrame, cents: DataFrame): DataFrame = side
-      .join(broadcast(cents), lit(true))
+    val parts = ivfIndexParts(embeddings, cells)
+    val probes = rankProbes(
+      withNorm(embeddings).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("v"), col("nrm")),
+      parts("fineCells"), nProbe, probeCoarse)
+    serveFromAssign(parts("assign"), probes)
+  }
+
+  /** Rank each query's probe cells: probeCoarse nearest coarse cells
+    * (their means ride along as the fallback `cell < 0` rows of the
+    * fine-centroid table), then the nProbe nearest fine cells in their
+    * union — two tiny windows over queries × centroids, broadcast-only.
+    */
+  private def rankProbes(q: DataFrame, fineCells: DataFrame,
+      nProbe: Int, probeCoarse: Int): DataFrame = {
+    def dist2(v: Column, nv: Column, fv: Column, fn2: Column): Column =
+      nv * nv - lit(2.0) * dot(v, fv) + fn2
+    val coarseCents = fineCells.filter(col("cell") < 0)
+      .select(col("ccell"), col("fv").as("cv"), col("fn2").as("cn2"))
+    val qCoarse = q.join(broadcast(coarseCents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
         dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
-    // argmin AGGREGATE (not a window): map-side partial aggregation
-    // collapses the |cells| scored rows per vector before the shuffle
-    def nearestCoarse(side: DataFrame, cents: DataFrame): DataFrame =
-      scoreC(side, cents).groupBy("vec_id")
-        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
-    // one exact fixed-point k-means pass on the coarse level
-    val coarseRefined = nearestCoarse(e, coarse0)
-      .select(col("ccell"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("ccell", "i")
-      .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
-      .groupBy("ccell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("i"),
-          (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
-        s => s.getField("m")).as("cv"))
-      .withColumn("cn2", dot(col("cv"), col("cv")))
-    val coarseAssign = nearestCoarse(e, coarseRefined)
-    val fineCells = coarseAssign.filter(col("vec_id") < cells)
-      .select(col("ccell"), col("vec_id").as("cell"), col("v").as("fv"),
-        (col("nrm") * col("nrm")).as("fn2"))
-      .unionByName(coarseRefined.select(col("ccell"),
-        (-col("ccell") - 1).as("cell"), col("cv").as("fv"),
-        col("cn2").as("fn2")))
-    val assign = coarseAssign.join(broadcast(fineCells), Seq("ccell"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
-      .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
-    // query probing: probeCoarse nearest coarse cells (tiny window over
-    // queries only), then the nProbe nearest fine cells in their union
-    val qCoarse = scoreC(e.filter(col("vec_id") < NumQueries), coarseRefined)
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("d2"), col("ccell"))))
       .filter(col("rn") <= probeCoarse)
       .select(col("vec_id"), col("v"), col("nrm"), col("ccell"))
-    val probes = qCoarse.join(broadcast(fineCells), Seq("ccell"))
+    qCoarse.join(broadcast(fineCells), Seq("ccell"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
@@ -479,6 +457,13 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("p_cell"))
+  }
+
+  /** Score an assignment table against broadcast probes → per-query
+    * top-k (shared by the in-flight and persisted-index paths).
+    */
+  private def serveFromAssign(assign: DataFrame,
+      probes: DataFrame): DataFrame = {
     val scored = assign.join(broadcast(probes),
         col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("cell"),
@@ -587,6 +572,145 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Flat-assignment cell ceiling for [[topKIvfAdaptive]]: the measured
+    * point past which O(N·nlist) assignment dominates (SCALING.md — 256
+    * cells was the round-5 cap for exactly this reason).
+    */
+  val IvfFlatMaxCells = 256
+
+  /** Adaptive IVF router — same shape as the simhash band router: the
+    * FLAT path below [[IvfFlatMaxCells]] (one fewer approximation level,
+    * k-means-refined cells), the hierarchical path above, where flat
+    * assignment is compute-infeasible. nProbe defaults to
+    * [[ivfProbesFor]] — scaling it with nlist is load-bearing for
+    * recall (measured, SCALING.md).
+    */
+  def topKIvfAdaptive(embeddings: DataFrame, cells: Int,
+      nProbe: Int = 0): DataFrame = {
+    val p = if (nProbe > 0) nProbe else ivfProbesFor(cells)
+    if (cells <= IvfFlatMaxCells) topKIvf(embeddings, cells, p)
+    else topKIvfHier(embeddings, cells, p)
+  }
+
+  // ---- persisted IVF index: build once, serve by partition pruning --------
+
+  /** Build the hierarchical IVF index ONCE and persist it: the cell
+    * assignment table hive-partitioned BY CELL (so a probe is a
+    * partition-pruned scan on disk, not a filter over the corpus) plus
+    * the fine-centroid table. This turns the scaladoc claim of
+    * [[topKIvfHier]] — "the inverted file is exactly a hash-partitioned
+    * table at scale" — into an executable surface: build cost is paid
+    * once per corpus version; each query batch then reads
+    * nProbe/nlist of the data files.
+    *
+    * Layout: `path/data/cell=<id>/…` (vec_id, v, nrm) and
+    * `path/centroids/…` (ccell, cell, fv, fn2).
+    */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+      cells: Int = IvfCells): Unit = {
+    val parts = ivfIndexParts(embeddings, cells)
+    parts("assign").write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/data")
+    parts("fineCells").write.mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** The hierarchical build shared by [[topKIvfHier]] (in-flight) and
+    * [[writeIvfIndex]] (persisted): refined coarse level, fine cells
+    * with fallback sub-centroids, total-coverage assignment.
+    */
+  private[ext] def ivfIndexParts(embeddings: DataFrame,
+      cells: Int): Map[String, DataFrame] = {
+    val e = withNorm(embeddings)
+    val nCoarse = ivfCoarseFor(cells)
+    def dist2(v: Column, nv: Column, cv: Column, cn2: Column): Column =
+      nv * nv - lit(2.0) * dot(v, cv) + cn2
+    val coarse0 = e.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("ccell"), col("v").as("cv"),
+        (col("nrm") * col("nrm")).as("cn2"))
+    def scoreC(side: DataFrame, cents: DataFrame): DataFrame = side
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
+        dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
+    def nearestCoarse(side: DataFrame, cents: DataFrame): DataFrame =
+      scoreC(side, cents).groupBy("vec_id")
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
+    val coarseRefined = nearestCoarse(e, coarse0)
+      .select(col("ccell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("ccell", "i")
+      .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("ccell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"),
+          (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val coarseAssign = nearestCoarse(e, coarseRefined)
+    val fineCells = coarseAssign.filter(col("vec_id") < cells)
+      .select(col("ccell"), col("vec_id").as("cell"), col("v").as("fv"),
+        (col("nrm") * col("nrm")).as("fn2"))
+      .unionByName(coarseRefined.select(col("ccell"),
+        (-col("ccell") - 1).as("cell"), col("cv").as("fv"),
+        col("cn2").as("fn2")))
+    val assign = coarseAssign.join(broadcast(fineCells), Seq("ccell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    Map("assign" -> assign, "fineCells" -> fineCells,
+      "coarseRefined" -> coarseRefined)
+  }
+
+  /** Serve top-k queries FROM the persisted index: rank each query's
+    * probe cells against the (tiny, broadcast) centroid table, then scan
+    * ONLY the probed `cell=` partitions of the data files — on a
+    * 1000-executor cluster this reads nProbe·nQueries of nlist
+    * partitions and nothing else (partition pruning is pinned in
+    * ExtSpec via input_file_name). Queries are taken from the index
+    * itself (lowest vec_ids) to match the fixture contract; a
+    * production caller passes arbitrary query vectors the same way.
+    */
+  def topKIvfServed(spark: org.apache.spark.sql.SparkSession, path: String,
+      nProbe: Int = IvfProbes,
+      probeCoarse: Int = IvfCoarseProbes): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    // partition-dir type inference reads cell= as INT; restore the
+    // index's long type so served output is schema-identical to in-flight
+    val data = spark.read.parquet(s"$path/data")
+      .withColumn("cell", col("cell").cast("long"))
+    // queries: the NumQueries lowest vec_ids (fixture contract; a
+    // production caller passes arbitrary query vectors here instead)
+    val q = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = rankProbes(q, fineCells, nProbe, probeCoarse)
+    // the probed cell set is bounded (≤ nQueries·nProbe) — collect it
+    // and push it into the scan as a PARTITION filter, so only those
+    // cell= directories are ever read (pruning pinned in ExtSpec)
+    val probed = probes.select("p_cell").distinct()
+      .collect().map(_.getLong(0))
+    serveFromAssign(data.filter(col("cell").isin(probed: _*)), probes)
+  }
+
+  /** The probed cell set the served path pushes into its scan —
+    * exposed so specs can audit the on-disk partition pruning against
+    * exactly this set.
+    */
+  def probedCellsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, nProbe: Int = IvfProbes,
+      probeCoarse: Int = IvfCoarseProbes): Array[Long] = {
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    val q = spark.read.parquet(s"$path/data")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    rankProbes(q, fineCells, nProbe, probeCoarse)
+      .select(col("p_cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
   }
 
   /** DuckDB twin of [[bucketExpr]] over a column named `embedding`. */

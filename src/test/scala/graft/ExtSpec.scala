@@ -336,6 +336,59 @@ class ExtSpec extends AnyFunSuite {
       + s"$assignedAll/${Similarity.NumQueries} queries)")
   }
 
+  test("persisted IVF index: served ≡ in-flight; scan prunes to probed cells") {
+    val e = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val nProbe = Similarity.ivfProbesFor(Similarity.IvfCells)
+    Similarity.writeIvfIndex(e, path)
+    val served = Similarity.topKIvfServed(spark, path, nProbe)
+    val inFlight = Similarity.topKIvfHier(e, nProbe = nProbe)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "vec_id", "cell", "cosine")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(rows(served) == rows(inFlight),
+      "persisted-index serving must reproduce the in-flight result")
+    // the data scan must touch ONLY probed cell= partitions on disk:
+    // rebuild the same partition-filtered scan and list its files
+    val probed = Similarity.probedCellsFor(spark, path, nProbe)
+    val files = spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(probed: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    val cellDirs = files.flatMap(
+      "cell=(-?\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
+    assert(files.nonEmpty && cellDirs.nonEmpty)
+    val totalCells = spark.read.parquet(s"$path/data")
+      .select("cell").distinct().count()
+    assert(cellDirs.size < totalCells,
+      s"scan read ${cellDirs.size} of $totalCells cells — no pruning")
+    assert(cellDirs.size <= Similarity.NumQueries * nProbe,
+      s"scan read ${cellDirs.size} cells, over the probe budget " +
+        s"${Similarity.NumQueries} × $nProbe")
+    assert(cellDirs.subsetOf(probed.toSet),
+      "scanned partition dirs must be exactly the probed cells")
+    val resultCells = served.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(resultCells.subsetOf(probed.toSet),
+      "every result row must come from a probed cell")
+    info(s"served scan read ${cellDirs.size} of $totalCells cell dirs " +
+      s"(probe budget ${Similarity.NumQueries} queries × $nProbe)")
+  }
+
+  test("adaptive IVF routes flat below the cell ceiling, hier above") {
+    val e = Tables(spark, Sf0001).embeddings
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(rows(Similarity.topKIvfAdaptive(e, Similarity.IvfCells,
+        Similarity.IvfProbes))
+      == rows(Similarity.topKIvf(e, Similarity.IvfCells,
+        Similarity.IvfProbes)))
+    val past = Similarity.IvfFlatMaxCells + 1
+    assert(rows(Similarity.topKIvfAdaptive(e, past, 8))
+      == rows(Similarity.topKIvfHier(e, past, 8)))
+  }
+
   test("PQ ANN: valid codes, recall vs brute force, exact re-rank") {
     import graft.ext.ProductQuant
     val emb = Tables(spark, Sf0001).embeddings

@@ -74,6 +74,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_topk_lsh_multiprobe", // corpus × broadcast probe set
     "ann_topk_ivf",         // corpus × broadcast centroids, 2 passes
     "ann_topk_ivf_hier",    // corpus × broadcast coarse centroids
+    "ann_topk_ivf_served",  // queries × broadcast centroid tables
     "dedup_embedding_cosine",  // label-block self-join ≠-guard pairs
     "schema_drift_report",  // scalar doc-count attach
     "dedup_exact",          // scalar count attach

@@ -611,10 +611,53 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, path: String,
       cells: Int = IvfCells): Unit = {
     val parts = ivfIndexParts(embeddings, cells)
-    parts("assign").write.mode("overwrite").partitionBy("cell")
+    // batch_id=0 is the base build; incremental appends use higher ids
+    // (the second partition level is the idempotent-overwrite unit)
+    parts("assign").withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
       .parquet(s"$path/data")
     parts("fineCells").write.mode("overwrite")
       .parquet(s"$path/centroids")
+  }
+
+  /** Incremental index ingest — the corpus grows WITHOUT a rebuild:
+    * assign the new batch against the STORED centroid table (broadcast;
+    * the existing corpus is never rescanned — per-ingest cost is
+    * O(batch·2√nlist), the same discipline as `Dedup.incrementalNearDups`)
+    * and land the rows under (cell=…, batch_id=…) with dynamic partition
+    * overwrite, so an at-least-once replay of a batch rewrites exactly
+    * its own partitions. Centroids stay fixed on append — standard IVF
+    * practice; drift is handled by periodic rebuild, not per-ingest
+    * re-clustering.
+    */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+      batchId: Long): Unit = {
+    require(batchId > 0, "batch_id 0 is the base build")
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    val e = withNorm(batch)
+    def dist2(v: Column, nv: Column, fv: Column, fn2: Column): Column =
+      nv * nv - lit(2.0) * dot(v, fv) + fn2
+    val coarseCents = fineCells.filter(col("cell") < 0)
+      .select(col("ccell"), col("fv").as("cv"), col("fn2").as("cn2"))
+    val cAssign = e.join(broadcast(coarseCents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
+        dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
+    val assign = cAssign.join(broadcast(fineCells), Seq("ccell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    assign.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(s"$path/data")
   }
 
   /** The hierarchical build shared by [[topKIvfHier]] (in-flight) and

@@ -41,6 +41,21 @@ object PipelineRun {
       sent += ((severity, message))
   }
 
+  /** O6 glue: renders the reference's full Slack payload
+    * ([[Notifications.slackPayload]]) for every notification and hands
+    * the JSON to the injected transport (webhook POST in production; a
+    * recording function in specs). The clock is injected so payloads
+    * stay deterministic under test.
+    */
+  final class SlackPayloadNotifier(post: String => Unit,
+      title: String = "Data Pipeline Alert",
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      extends Notifier {
+    def notify(severity: String, message: String): Unit =
+      post(Notifications.slackPayload(message, title, severity,
+        channel = None, asOf = clock()))
+  }
+
   /** O3 — Airflow task retrigger client (reference: agent/tools.py:36-89);
     * REST stays external, the contract is here.
     */

@@ -375,6 +375,32 @@ class ExtSpec extends AnyFunSuite {
       s"(probe budget ${Similarity.NumQueries} queries × $nProbe)")
   }
 
+  test("incremental IVF ingest: stored-centroid assignment, idempotent, servable") {
+    val e = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val nProbe = Similarity.ivfProbesFor(Similarity.IvfCells)
+    Similarity.writeIvfIndex(e.filter(col("vec_id") < 400), path)
+    val n0 = spark.read.parquet(s"$path/data").count()
+    assert(n0 == 400)
+    // the batch includes an exact twin of query vector 0 — it must
+    // land in q0's own cell and surface at cosine 1.0
+    val twin = e.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(99990L))
+    val batch = e.filter(col("vec_id") >= 400).unionByName(twin)
+    Similarity.appendToIvfIndex(batch, path, 1L)
+    val n1 = spark.read.parquet(s"$path/data").count()
+    assert(n1 == n0 + 101)
+    // at-least-once replay rewrites its own (cell, batch_id) partitions
+    Similarity.appendToIvfIndex(batch, path, 1L)
+    assert(spark.read.parquet(s"$path/data").count() == n1)
+    val served = Similarity.topKIvfServed(spark, path, nProbe)
+    val q0twin = served
+      .filter(col("q_id") === 0 && col("vec_id") === 99990L).collect()
+    assert(q0twin.length == 1,
+      "the planted twin (cosine 1.0) must rank in q0's top-k")
+    assert(q0twin.head.getAs[Double]("cosine") == 1.0)
+  }
+
   test("adaptive IVF routes flat below the cell ceiling, hier above") {
     val e = Tables(spark, Sf0001).embeddings
     def rows(df: org.apache.spark.sql.DataFrame) = df

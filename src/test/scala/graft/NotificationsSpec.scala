@@ -81,6 +81,17 @@ class NotificationsSpec extends AnyFunSuite {
       "Failure Rate: 2.17%", "Details: null emails").mkString("\n"))
   }
 
+  test("SlackPayloadNotifier renders the full payload for run-cycle alerts") {
+    val payloads = scala.collection.mutable.Buffer.empty[String]
+    val n = new graft.ops.PipelineRun.SlackPayloadNotifier(
+      payloads += _, clock = () => t0)
+    n.notify("error", "late rate 20%")
+    assert(payloads.size == 1)
+    assert(payloads.head == Notifications.slackPayload("late rate 20%",
+      "Data Pipeline Alert", "error", None, t0))
+    assert(payloads.head.contains("#ff0000")) // severity color applied
+  }
+
   test("schema drift composer") {
     val (title, msg, sev) = Notifications.schemaDrift(
       newFields = Seq("marketing_opt_in", "customer_segment"),

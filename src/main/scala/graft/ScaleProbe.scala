@@ -299,13 +299,49 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Persisted-index economics at corpus size n: one-time build+write
+    * cost vs the per-query-batch cost of (a) the in-flight hierarchical
+    * path (recomputes the index every time) and (b) the served path
+    * (reads only probed cell= partitions). The ratio is the argument
+    * for indexing at 100 TB: build amortizes across every subsequent
+    * query batch. `sbt "runMain graft.ScaleProbe ivf 1280000"`.
+    */
+  def ivfIndexProbe(spark: SparkSession, n: Long): Unit = {
+    val emb = synthEmbeddings(spark, n).persist()
+    emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val nProbe = Similarity.ivfProbesFor(cells)
+    val path = s"/tmp/graft_scaleprobe_ivf_$n"
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildS = timed(Similarity.writeIvfIndex(emb, path, cells))
+    val inflightS = timed {
+      Similarity.topKIvfHier(emb, cells, nProbe).count(); ()
+    }
+    val servedS = timed {
+      Similarity.topKIvfServed(spark, path, nProbe).count(); ()
+    }
+    val served2S = timed {
+      Similarity.topKIvfServed(spark, path, nProbe).count(); ()
+    }
+    println(f"[scale-ivf] n=$n%-8d cells=$cells nprobe=$nProbe " +
+      f"build=$buildS%7.2fs inflight_query=$inflightS%7.2fs " +
+      f"served_query=$servedS%6.2fs served_query2=$served2S%6.2fs " +
+      f"(amortized speedup ${inflightS / served2S}%.1fx/batch)")
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
     val joinsMode = args.headOption.contains("joins")
     val pqMode = args.headOption.contains("pq")
+    val ivfMode = args.headOption.contains("ivf")
     val sizeArgs =
-      if (annMode || lshMode || joinsMode || pqMode) args.drop(1) else args
+      if (annMode || lshMode || joinsMode || pqMode || ivfMode) args.drop(1)
+      else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -334,6 +370,11 @@ object ScaleProbe {
     }
     if (pqMode) {
       sizes.foreach(pqProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (ivfMode) {
+      sizes.foreach(ivfIndexProbe(spark, _))
       spark.stop()
       return
     }

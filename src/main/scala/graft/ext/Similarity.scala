@@ -612,8 +612,12 @@ object Similarity {
       cells: Int = IvfCells): Unit = {
     val parts = ivfIndexParts(embeddings, cells)
     // batch_id=0 is the base build; incremental appends use higher ids
-    // (the second partition level is the idempotent-overwrite unit)
+    // (the second partition level is the idempotent-overwrite unit).
+    // repartition BY CELL first: without it every write task emits a
+    // file into every cell= dir (tasks × nlist small files); with it
+    // each cell's rows land in one task → ~one file per cell
     parts("assign").withColumn("batch_id", lit(0L))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "batch_id")
       .parquet(s"$path/data")
     parts("fineCells").write.mode("overwrite")
@@ -654,6 +658,7 @@ object Similarity {
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     assign.withColumn("batch_id", lit(batchId))
+      .repartition(col("cell")) // ~one file per touched cell, not tasks×cells
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")

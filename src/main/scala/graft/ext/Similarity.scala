@@ -725,24 +725,44 @@ object Similarity {
   def topKIvfServed(spark: org.apache.spark.sql.SparkSession, path: String,
       nProbe: Int = IvfProbes,
       probeCoarse: Int = IvfCoarseProbes): DataFrame = {
+    // fixture contract: queries are the NumQueries lowest vec_ids,
+    // looked up in the index itself (a production caller brings its own
+    // query vectors — see [[topKIvfServedFor]], which skips this scan)
+    val q = readIndexData(spark, path).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    topKIvfServedFor(q, path, nProbe, probeCoarse)
+  }
+
+  /** Serve EXTERNAL query vectors against a persisted index — the
+    * production surface: `queries` is any (vec_id, v: array<double>,
+    * nrm) frame (use [[withNorm]]-style prep for raw embeddings). Reads
+    * the (tiny) centroid table plus ONLY the probed cell= partitions of
+    * the data files.
+    */
+  def topKIvfServedFor(queries: DataFrame, path: String,
+      nProbe: Int = IvfProbes,
+      probeCoarse: Int = IvfCoarseProbes): DataFrame = {
+    val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val fineCells = spark.read.parquet(s"$path/centroids")
-    // partition-dir type inference reads cell= as INT; restore the
-    // index's long type so served output is schema-identical to in-flight
-    val data = spark.read.parquet(s"$path/data")
-      .withColumn("cell", col("cell").cast("long"))
-    // queries: the NumQueries lowest vec_ids (fixture contract; a
-    // production caller passes arbitrary query vectors here instead)
-    val q = data.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val probes = rankProbes(q, fineCells, nProbe, probeCoarse)
+    val probes = rankProbes(queries, fineCells, nProbe, probeCoarse)
     // the probed cell set is bounded (≤ nQueries·nProbe) — collect it
     // and push it into the scan as a PARTITION filter, so only those
     // cell= directories are ever read (pruning pinned in ExtSpec)
     val probed = probes.select("p_cell").distinct()
-      .collect().map(_.getLong(0))
-    serveFromAssign(data.filter(col("cell").isin(probed: _*)), probes)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    serveFromAssign(
+      readIndexData(spark, path).filter(col("cell").isin(probed: _*)),
+      probes)
   }
+
+  /** Read the index data files with the partition column restored to
+    * the index's long type (dir inference yields INT).
+    */
+  private def readIndexData(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/data")
+      .withColumn("cell", col("cell").cast("long"))
 
   /** The probed cell set the served path pushes into its scan —
     * exposed so specs can audit the on-disk partition pruning against

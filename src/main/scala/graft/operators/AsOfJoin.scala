@@ -80,7 +80,7 @@ object AsOfJoin {
     combined.withColumn(pay, matched)
       .filter(col(side) === 1)
       .select(
-        left.columns.map(col) ++
+        left.columns.toIndexedSeq.map(col) ++
           payload.map(c => col(pay)(c).as(s"asof_$c")): _*)
   }
 

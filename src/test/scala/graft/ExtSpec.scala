@@ -399,6 +399,17 @@ class ExtSpec extends AnyFunSuite {
     assert(q0twin.length == 1,
       "the planted twin (cosine 1.0) must rank in q0's top-k")
     assert(q0twin.head.getAs[Double]("cosine") == 1.0)
+    // the external-queries surface: handing the same query vectors in
+    // explicitly must reproduce the index-lookup fixture path
+    val extQ = spark.read.parquet(s"$path/data")
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val ext = Similarity.topKIvfServedFor(extQ, path, nProbe)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ext == served.orderBy("q_id", "rank").collect().toSeq)
+    // an empty append batch is a no-op (dynamic overwrite, no partitions)
+    Similarity.appendToIvfIndex(batch.filter(lit(false)), path, 2L)
+    assert(spark.read.parquet(s"$path/data").count() == n1)
   }
 
   test("adaptive IVF routes flat below the cell ceiling, hier above") {

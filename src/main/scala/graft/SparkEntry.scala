@@ -308,6 +308,15 @@ object SparkEntry {
     "pack_plan" -> ((s, dir) =>
       graft.ext.Curation.packPlan(tables(s, dir).documents,
         streamCol = graft.ext.Curation.packStreamSharded())),
+
+    // sliding-window chunking: map-side explode, no shuffle — the
+    // pretraining/RAG windowing step with exact-integer bounds.
+    // (40, 8) instead of the (512, 64) production default so the
+    // ~55-token fixture docs exercise the multi-chunk + overlap paths
+    "chunk_plan" -> ((s, dir) =>
+      graft.ext.Curation.chunkPlan(tables(s, dir).documents,
+        maxTokens = 40L, overlap = 8L)
+        .orderBy("doc_id", "chunk_idx")),
     // incremental dedup: new batch (doc_id % 10 = 7) vs corpus index
     "dedup_incremental" -> ((s, dir) => {
       val docs = tables(s, dir).documents
@@ -879,6 +888,8 @@ object SparkEntry {
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "pack_plan" -> graft.ext.Curation.packPlanSql(
       streamSql = graft.ext.Curation.packStreamShardedSql()),
+    "chunk_plan" -> graft.ext.Curation.chunkPlanSql(
+      maxTokens = 40L, overlap = 8L),
     "dedup_incremental" ->
       Dedup.incrementalNearDupsSql(id => s"$id % 10 = 7"),
     "training_mix" -> graft.ext.Curation.trainingMixSql(),

@@ -523,6 +523,66 @@ object Curation {
        |  CAST(sum(n_tokens) AS BIGINT) * 1000000 // $budget AS fill_ppm
        |FROM t GROUP BY 1, 2 ORDER BY stream, seq_id""".stripMargin
 
+  // ---- document chunking ---------------------------------------------------
+
+  /** Chunk window size and overlap in tokens (fixture values; the
+    * operator takes any pair with overlap < maxTokens).
+    */
+  val ChunkTokens = 512L
+  val ChunkOverlap = 64L
+
+  /** Sliding-window document chunking — the standard pretraining/RAG
+    * preprocessing step: split each document into ≤`maxTokens`-token
+    * windows starting every `maxTokens − overlap` tokens, so adjacent
+    * chunks share `overlap` tokens of context. Output is the chunk PLAN
+    * (doc_id, chunk_idx, token bounds) — the text slice itself is a
+    * trivial `slice(split(...))` over it, kept out of the verified
+    * result to keep the oracle about the arithmetic.
+    *
+    * Pure map-side: one projection + one bounded explode per doc (no
+    * shuffle, no window) — at 100 TB this runs inside whole-stage
+    * codegen at scan speed. Chunk counts use exact integer ceil
+    * ((n − overlap + stride − 1) div stride, floored at 1) so both
+    * engines agree at any document length.
+    */
+  def chunkPlan(documents: DataFrame, maxTokens: Long = ChunkTokens,
+      overlap: Long = ChunkOverlap): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        expr(s"(n - ${overlap}L + ${stride - 1}L) div ${stride}L")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + maxTokens, col("n"))
+          .as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+  }
+
+  /** DuckDB mirror of [[chunkPlan]]. */
+  def chunkPlanSql(maxTokens: Long = ChunkTokens,
+      overlap: Long = ChunkOverlap): String = {
+    val stride = maxTokens - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    greatest(1, (n - $overlap + ${stride - 1}) // $stride) AS k
+       |  FROM t)
+       |SELECT doc_id, i AS chunk_idx,
+       |  CAST(i * $stride AS BIGINT) AS start_tok,
+       |  CAST(least(i * $stride + $maxTokens, n) AS BIGINT) AS end_tok,
+       |  CAST(least(i * $stride + $maxTokens, n) - i * $stride
+       |    AS BIGINT) AS n_tokens
+       |FROM c, unnest(range(0, k)) AS u(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   // ---- source mixing weights ----------------------------------------------
 
   /** Target corpus share per source in ppm (fixture: even-numbered

@@ -296,6 +296,39 @@ class CurationSpec extends AnyFunSuite {
     Seq(text).toDF("t").select(Curation.scrubPii(col("t"))).head.getString(0)
   }
 
+  test("chunk plan: full coverage, exact overlap, bounded windows") {
+    import spark.implicits._
+    // known token counts: 1, 39, 40, 41, 72, 73, 200
+    val docs = Seq(1, 39, 40, 41, 72, 73, 200).zipWithIndex.map {
+      case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val plan = graft.ext.Curation.chunkPlan(docs, maxTokens = 40L,
+      overlap = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val tokens = Map(0L -> 1L, 1L -> 39L, 2L -> 40L, 3L -> 41L,
+      4L -> 72L, 5L -> 73L, 6L -> 200L)
+    // stride 32: n ≤ 40 → 1 chunk; 41..72 → 2; 73..104 → 3; 200 → 6
+    assert(plan(0L).length == 1 && plan(2L).length == 1)
+    assert(plan(3L).length == 2 && plan(4L).length == 2)
+    assert(plan(5L).length == 3)
+    assert(plan(6L).length == 6)
+    for ((id, chunks) <- plan; n = tokens(id)) {
+      assert(chunks.head._3 == 0L, "first chunk starts at 0")
+      assert(chunks.last._4 == n, "last chunk ends at n")
+      for (c <- chunks) assert(c._4 - c._3 <= 40L && c._4 - c._3 > 0L)
+      for (pair <- chunks.sliding(2) if pair.length == 2) {
+        val (a, b) = (pair(0), pair(1))
+        assert(b._3 == a._3 + 32L, "starts advance by the stride")
+        assert(a._4 - b._3 == 8L || a._4 < b._3 + 8L,
+          "adjacent chunks share the overlap (less only at the tail)")
+      }
+    }
+    // production default: a 55-token doc is a single window
+    assert(graft.ext.Curation.chunkPlan(docs).filter(col("doc_id") === 6)
+      .count() == 1)
+  }
+
   test("scrub redacts all four PII classes") {
     assert(scrubOne("mail a.b+c@ex-ample.co.uk here") == "mail <EMAIL> here")
     assert(scrubOne("from 192.168.0.1 port") == "from <IP> port")

@@ -564,6 +564,32 @@ object Curation {
       .withColumn("n_tokens", col("end_tok") - col("start_tok"))
   }
 
+  /** Materialized chunk text — the same windowing as [[chunkPlan]] but
+    * slicing the token array in the SAME projection (no join back to
+    * the documents, no shuffle): each output row is one training/RAG
+    * chunk with its text. Kept separate from the verified plan query so
+    * the oracle stays about the arithmetic, not string reassembly.
+    */
+  def chunkedDocuments(documents: DataFrame,
+      maxTokens: Long = ChunkTokens,
+      overlap: Long = ChunkOverlap): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        expr(s"(n - ${overlap}L + ${stride - 1}L) div ${stride}L")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast("int"),
+          least(lit(maxTokens), col("n") - col("chunk_idx") * stride)
+            .cast("int")), " ").as("chunk_text"))
+  }
+
   /** DuckDB mirror of [[chunkPlan]]. */
   def chunkPlanSql(maxTokens: Long = ChunkTokens,
       overlap: Long = ChunkOverlap): String = {

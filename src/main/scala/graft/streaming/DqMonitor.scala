@@ -62,7 +62,8 @@ object DqMonitor {
     */
   def processDqBatch(batch: DataFrame, batchId: Long,
       stats: DqStreamStats, resultsPath: String,
-      aliases: Seq[(String, String)] = Nil): Unit =
+      aliases: Seq[(String, String)] = Nil,
+      notifier: Option[graft.ops.PipelineRun.Notifier] = None): Unit =
     if (batchId > stats.lastCommitted) {
       val frame = DqSuite.withAliases(batch, aliases)
       val resultsDf = DqSuite.evaluate(frame, stats.suite)
@@ -82,6 +83,22 @@ object DqMonitor {
         stats.failed(i).add(r.getAs[Long]("n_failed"))
       }
       stats.lastCommitted = batchId
+      // alert AFTER commit, gated by the same high-water mark, so a
+      // replayed batch never re-alerts. Counts are CHECK-level (each
+      // expectation evaluates ~every batch row); severity rides the
+      // reference's failure-rate ladder (notifications.py:296-304).
+      notifier.foreach { n =>
+        val affected = rows.map(_.getAs[Long]("n_failed")).sum
+        val total = math.max(1L, rows.map(_.getAs[Long]("n_evaluated")).sum)
+        if (affected > 0) {
+          val failing = rows.count(_.getAs[Long]("n_failed") > 0)
+          val (title, msg, sev) = graft.ops.Notifications.dataQualityIssue(
+            "validation_failure", affected, total,
+            Some(s"batch $batchId: $failing of ${rows.length} " +
+              "expectations failing"))
+          n.notify(sev, s"$title\n$msg")
+        }
+      }
     }
 
   /** Attach the monitor to a stream: every micro-batch is evaluated
@@ -91,14 +108,16 @@ object DqMonitor {
     */
   def start(stream: DataFrame, stats: DqStreamStats, resultsPath: String,
       checkpointDir: String, aliases: Seq[(String, String)] = Nil,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      notifier: Option[graft.ops.PipelineRun.Notifier] = None)
       : StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processDqBatch(batch, batchId, stats, resultsPath, aliases)
+        processDqBatch(batch, batchId, stats, resultsPath, aliases,
+          notifier)
       }
       .start()
 }

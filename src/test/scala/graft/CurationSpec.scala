@@ -327,6 +327,20 @@ class CurationSpec extends AnyFunSuite {
     // production default: a 55-token doc is a single window
     assert(graft.ext.Curation.chunkPlan(docs).filter(col("doc_id") === 6)
       .count() == 1)
+    // materialized chunks: with overlap 0 the chunk texts reassemble the
+    // document exactly; with overlap each chunk stays within the window
+    val distinct = (0 until 200).map(i => s"t$i").mkString(" ")
+    val one = Seq((0L, distinct)).toDF("doc_id", "text")
+    val noOverlap = graft.ext.Curation.chunkedDocuments(one, 40L, 0L)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(noOverlap.mkString(" ") == distinct)
+    val withOverlap = graft.ext.Curation.chunkedDocuments(one, 40L, 8L)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(withOverlap.forall(_.split(" ").length <= 40))
+    assert(withOverlap.head.startsWith("t0 ") &&
+      withOverlap.last.endsWith(" t199"))
+    // chunk 1 starts at token 32 (stride) and repeats the 8-token tail
+    assert(withOverlap(1).startsWith("t32 "))
   }
 
   test("scrub redacts all four PII classes") {

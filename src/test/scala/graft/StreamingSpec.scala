@@ -658,4 +658,39 @@ class StreamingSpec extends AnyFunSuite {
       graft.dq.DqSuite.FieldMappings)
     assert(spark.read.parquet(resDir).count() == n)
   }
+
+  test("DQ monitor alerts through the severity ladder, once per batch") {
+    import spark.implicits._
+    val resDir = Files.createTempDirectory("dqres3").toString
+    val suite = graft.dq.DqSuite.customersSuite
+    val stats = new graft.streaming.DqMonitor.DqStreamStats(spark, suite)
+    val rec = new graft.ops.PipelineRun.RecordingNotifier
+    val now = T0
+    val batch = EventPipeline.curate(EventPipeline.parse(Seq(
+      eventJson("c1", "good@example.com", now),
+      eventJson("c2", "bad-email", now)).toDF("value")))
+    graft.streaming.DqMonitor.processDqBatch(batch, 0L, stats, resDir,
+      notifier = Some(rec))
+    assert(rec.sent.size == 1)
+    val (sev, msg) = rec.sent.head
+    // check-level failure rate is small here -> ladder says warning/info
+    assert(Set("info", "warning", "error", "critical")(sev))
+    assert(msg.contains("Data Quality Issue") &&
+      msg.contains("validation_failure") && msg.contains("batch 0"))
+    // replay: no duplicate alert (same high-water-mark gate as the write)
+    graft.streaming.DqMonitor.processDqBatch(batch, 0L, stats, resDir,
+      notifier = Some(rec))
+    assert(rec.sent.size == 1)
+    // batch 1 alerts once (suite-level expectations like row-count can
+    // fail on a tiny batch); its replay adds nothing — the alert gate is
+    // the same high-water mark as the write
+    val b1 = EventPipeline.curate(EventPipeline.parse(Seq(
+      eventJson("c3", "fine@example.com", now)).toDF("value")))
+    graft.streaming.DqMonitor.processDqBatch(b1, 1L, stats, resDir,
+      notifier = Some(rec))
+    val afterB1 = rec.sent.size
+    graft.streaming.DqMonitor.processDqBatch(b1, 1L, stats, resDir,
+      notifier = Some(rec))
+    assert(rec.sent.size == afterB1)
+  }
 }

@@ -46,6 +46,11 @@ object SparkEntry {
 
   // ---- driver contract ----------------------------------------------------
 
+  /** Fixture query terms for the search/relevance queries (all three
+    * occur in the synthetic document vocabulary).
+    */
+  val SearchTerms: Seq[String] = Seq("spark", "join", "window")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3/S5 + P1-P7 + Q1-Q5: the reference job's full transform chain
     "ce_curated" -> ((s, dir) => ceCurated(s, dir)),
@@ -205,6 +210,24 @@ object SparkEntry {
     // §2.6 set ops: purchasers vs errored users in one pass
     "set_ops_users" -> ((s, dir) =>
       Analytics.purchaseErrorSetOps(tables(s, dir).events)),
+
+    // dense hourly series, gaps zero-filled from an O(hours) spine
+    "hourly_gapfill" -> ((s, dir) =>
+      Analytics.hourlyGapfill(tables(s, dir).events)
+        .orderBy("hour_id")),
+
+    // conjunctive term search served from the persisted postings index
+    // (bucket-partitioned by token hash; reads only the terms' buckets)
+    "term_search" -> ((s, dir) => {
+      val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}"
+      graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path)
+      graft.ext.Search.searchAll(s, path, SearchTerms).orderBy("doc_id")
+    }),
+
+    // TF-IDF relevance: per-term top docs, exact cross-engine math
+    "tfidf_top_docs" -> ((s, dir) =>
+      graft.ext.Search.tfIdfTopDocs(tables(s, dir).documents, SearchTerms)
+        .orderBy("token", "rank")),
 
     // as-of join (operators.AsOfJoin): last-touch purchase attribution
     "purchase_attribution" -> ((s, dir) =>
@@ -792,6 +815,10 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "hourly_gapfill" -> Analytics.hourlyGapfillSql,
+    "term_search" -> graft.ext.Search.searchAllSql(SearchTerms),
+    "tfidf_top_docs" -> graft.ext.Search.tfIdfTopDocsSql(SearchTerms),
 
     "hourly_event_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms,

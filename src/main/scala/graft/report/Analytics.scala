@@ -111,6 +111,38 @@ object Analytics {
       .select(unix_millis(col("w.start")).as("hour_start_ms"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Dense hourly series with gaps zero-filled: the corpus contributes
+    * ONE map-side-combinable count aggregate; the hour spine
+    * (sequence over the min..max hour of the data) and the left join
+    * against it are O(hours) post-aggregate frames — broadcast-sized at
+    * any corpus scale, so gap-filling costs nothing beyond the count.
+    * Integer hour ids (`unix_millis div 3600000`) keep both engines
+    * exact. Empty input → empty output (null bounds explode to no rows).
+    */
+  def hourlyGapfill(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(expr("unix_millis(ts) div 3600000").as("hour_id"))
+      .groupBy("hour_id").agg(count(lit(1)).as("n"))
+    val spine = counts
+      .agg(min("hour_id").as("lo"), max("hour_id").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_id"))
+    spine.join(counts, Seq("hour_id"), "left")
+      .select(col("hour_id"),
+        (col("hour_id") * 3600000L).as("hour_start_ms"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val hourlyGapfillSql: String =
+    """WITH c AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+      |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM b)
+      |SELECT s.hour_id, s.hour_id * 3600000 AS hour_start_ms,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM spine s LEFT JOIN c USING (hour_id)
+      |ORDER BY hour_id""".stripMargin
+
   /** Semi/anti-join semantics (SURVEY.md §2.5): orders with vs without a
     * late shipment, counted by status — in ONE scan of `orders`. The
     * probe side is filter-pushed and pre-aggregated to distinct order

@@ -117,4 +117,19 @@ class AnalyticsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("hourly gap-fill: missing hours appear zero-filled, bounds exact") {
+    import spark.implicits._
+    // hours 0, 1, 4 populated; 2 and 3 are gaps
+    val ev = Seq(
+      (0L, "a"), (1800000L, "b"), (3600000L, "c"), (14400000L, "d"))
+      .toDF("ms", "event_type")
+      .select(timestamp_millis(col("ms")).as("ts"), col("event_type"))
+    val got = Analytics.hourlyGapfill(ev).orderBy("hour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 0L), (3L, 0L),
+      (4L, 1L)))
+    // empty input -> empty output, not a crash on null bounds
+    assert(Analytics.hourlyGapfill(ev.filter(lit(false))).count() == 0)
+  }
 }

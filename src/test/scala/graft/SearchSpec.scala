@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Search
+
+/** Postings-index retrieval: conjunctive search equals the brute-force
+  * scan, the index read prunes to the query terms' bucket partitions,
+  * and TF-IDF ranks by the exact score form both engines compute.
+  */
+class SearchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables(spark, Sf0001).documents
+
+  test("conjunctive search over the postings index equals a full scan") {
+    val path = java.nio.file.Files.createTempDirectory("postings").toString
+    Search.writePostingsIndex(docs, path)
+    val terms = Seq("spark", "join", "window")
+    val viaIndex = Search.searchAll(spark, path, terms)
+      .collect().map(_.getLong(0)).toSet
+    val brute = docs.filter(terms
+        .map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ && _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == brute && viaIndex.nonEmpty)
+    // the scan must read ONLY the terms' bucket partitions
+    val termBuckets = terms.map(Search.bucketOf(_)).distinct.toSet
+    val files = spark.read.parquet(path)
+      .filter(col("bucket").isin(termBuckets.toSeq: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    val bucketDirs = files.flatMap(
+      "bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
+    assert(bucketDirs == termBuckets,
+      s"scan must prune to $termBuckets, read $bucketDirs")
+    val totalBuckets = spark.read.parquet(path)
+      .select("bucket").distinct().count()
+    assert(bucketDirs.size < totalBuckets)
+  }
+
+  test("searchAll rejects empty or duplicate term lists") {
+    val path = java.nio.file.Files.createTempDirectory("postings2").toString
+    Search.writePostingsIndex(docs.limit(10), path)
+    intercept[IllegalArgumentException](
+      Search.searchAll(spark, path, Nil))
+    intercept[IllegalArgumentException](
+      Search.searchAll(spark, path, Seq("a", "a")))
+  }
+
+  test("tf-idf ranks a term-stuffed doc first; idf falls with df") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "spark spark spark join"),
+      (1L, "spark join"),
+      (2L, "join window"),
+      (3L, "window window table")).toDF("doc_id", "text")
+    val got = Search.tfIdfTopDocs(corpus, Seq("spark", "window"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val spark1 = got.filter(_._1 == "spark")
+    assert(spark1.map(x => (x._2, x._3)).toSeq == Seq((1, 0L), (2, 1L)),
+      "tf 3 beats tf 1 at equal df")
+    // df(spark)=2 of 4 docs -> idf ln(2); doc 0 score = 3 ln 2
+    assert(math.abs(spark1.head._6 - math.round(
+      3 * math.log(2) * 1e6) / 1e6) < 1e-9)
+    val window1 = got.filter(_._1 == "window")
+    assert(window1.head._3 == 3L, "tf 2 wins for window")
+  }
+}

@@ -51,6 +51,11 @@ object SparkEntry {
     */
   val SearchTerms: Seq[String] = Seq("spark", "join", "window")
 
+  /** Fixture phrase (a frequent bigram; a couple of fixture docs carry
+    * it twice, exercising the occurrence count).
+    */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3/S5 + P1-P7 + Q1-Q5: the reference job's full transform chain
     "ce_curated" -> ((s, dir) => ceCurated(s, dir)),
@@ -228,6 +233,19 @@ object SparkEntry {
     "tfidf_top_docs" -> ((s, dir) =>
       graft.ext.Search.tfIdfTopDocs(tables(s, dir).documents, SearchTerms)
         .orderBy("token", "rank")),
+
+    // phrase search: positional-posting intersection over the same
+    // bucket-pruned index; oracle = exact positional self-join
+    "phrase_search" -> ((s, dir) => {
+      val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}p"
+      graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path)
+      graft.ext.Search.searchPhrase(s, path, PhraseTerms).orderBy("doc_id")
+    }),
+
+    // BM25 document ranking over the query-term set
+    "bm25_top_docs" -> ((s, dir) =>
+      graft.ext.Search.bm25TopDocs(tables(s, dir).documents, SearchTerms)
+        .orderBy("rank")),
 
     // as-of join (operators.AsOfJoin): last-touch purchase attribution
     "purchase_attribution" -> ((s, dir) =>
@@ -819,6 +837,8 @@ object SparkEntry {
     "hourly_gapfill" -> Analytics.hourlyGapfillSql,
     "term_search" -> graft.ext.Search.searchAllSql(SearchTerms),
     "tfidf_top_docs" -> graft.ext.Search.tfIdfTopDocsSql(SearchTerms),
+    "phrase_search" -> graft.ext.Search.searchPhraseSql(PhraseTerms),
+    "bm25_top_docs" -> graft.ext.Search.bm25TopDocsSql(SearchTerms),
 
     "hourly_event_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms,

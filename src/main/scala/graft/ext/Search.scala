@@ -28,17 +28,21 @@ object Search {
     */
   val NumBuckets = 32
 
-  /** Tokens of one document, distinct per doc (postings record
-    * presence; term frequency is kept alongside for TF-IDF).
+  /** Tokens of one document with their 0-based positions (postings
+    * record presence AND position — tf for ranking, positions for
+    * phrase queries).
     */
   private def docTokens(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
-  /** Build + persist the postings index: (token, doc_id, tf) rows
-    * partitioned by the token-hash bucket, one file per bucket.
+  /** Build + persist the postings index: (token, doc_id, tf, positions)
+    * rows partitioned by the token-hash bucket, one file per bucket.
     */
   def writePostingsIndex(documents: DataFrame, path: String,
       buckets: Int = NumBuckets): Unit =
@@ -82,6 +86,137 @@ object Search {
     s"""SELECT doc_id FROM documents
        |WHERE $conj
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Phrase search against the persisted index: docs where `terms`
+    * occur CONSECUTIVELY, via positional-posting intersection — start
+    * from the first term's positions and chain `array_intersect(prev+1,
+    * cur)` across the phrase; a surviving non-empty set is a phrase hit
+    * (its values are the phrase END positions). k−1 doc_id-keyed joins
+    * of bucket-pruned postings — never the corpus. Repeated terms in
+    * the phrase ("x x") are handled naturally: the chain is positional,
+    * not set-of-terms.
+    */
+  def searchPhrase(spark: SparkSession, path: String,
+      terms: Seq[String], buckets: Int = NumBuckets): DataFrame = {
+    require(terms.nonEmpty, "phrase must be non-empty")
+    val termBuckets = terms.map(bucketOf(_, buckets)).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
+    def of(t: String) = postings.filter(col("token") === t)
+      .select(col("doc_id"), col("positions"))
+    val first = of(terms.head)
+    val chained = terms.tail.foldLeft(first) { (acc, t) =>
+      acc.join(of(t).withColumnRenamed("positions", "cur"), "doc_id")
+        .select(col("doc_id"), array_intersect(
+          transform(col("positions"), p => p + 1), col("cur"))
+          .as("positions"))
+        .filter(size(col("positions")) > 0)
+    }
+    chained.select(col("doc_id"),
+      size(col("positions")).cast("long").as("n_occurrences"))
+  }
+
+  /** DuckDB twin of [[searchPhrase]]: exactly the positional semantics
+    * — k-way self-join of the (doc_id, token, pos) stream on
+    * consecutive positions, so overlapping and adjacent occurrences
+    * count identically to the positional-intersection chain (a
+    * substring/split formulation would undercount those).
+    */
+  def searchPhraseSql(terms: Seq[String]): String = {
+    val joins = terms.zipWithIndex.tail.map { case (t, i) =>
+      s"""JOIN toks t$i ON t$i.doc_id = t0.doc_id
+         |    AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'""".stripMargin
+    }.mkString("\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+       |  FROM documents)
+       |SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM toks t0
+       |  $joins
+       |WHERE t0.tok = '${terms.head}'
+       |GROUP BY t0.doc_id
+       |ORDER BY t0.doc_id""".stripMargin
+  }
+
+  /** BM25 document ranking for a term set (Robertson/Sparck Jones; the
+    * standard k1/b formulation): per-doc score = Σ_terms idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/
+    * (df+0.5) + 1). One token scan feeds tf/dl; df and the scalar
+    * (N, avgdl) attach broadcast. avgdl divides exact integer totals so
+    * both engines compute the identical double; scores round to 6 dp
+    * with doc_id tie-breaks.
+    */
+  def bm25TopDocs(documents: DataFrame, terms: Seq[String],
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val tf = docTokens(documents).filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("dl_total"))
+    val scored = tf
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("avgdl",
+        col("dl_total").cast("double") / col("n_docs"))
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s", col("idf") * (col("tf") * (k1 + 1))
+        / (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(round(sum("s"), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("n_terms_hit"),
+        col("score"))
+  }
+
+  /** DuckDB mirror of [[bm25TopDocs]] — identical expression order in
+    * every double operation.
+    */
+  def bm25TopDocsSql(terms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token IN ($termList) AND token != ''
+       |  GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |scalars AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_total
+       |  FROM dl),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * (${k1} + 1))
+       |      / (tf + ${k1} * ((1.0 - ${b})
+       |        + ${b} * dl.dl / (CAST(dl_total AS DOUBLE) / n_docs)))
+       |      AS s
+       |  FROM tf JOIN df ON tf.token = df.token
+       |    JOIN dl ON tf.doc_id = dl.doc_id
+       |    CROSS JOIN scalars)
+       |SELECT rank, doc_id, n_terms_hit, score FROM (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM (SELECT doc_id, round(sum(s), 6) AS score,
+       |          count(*) AS n_terms_hit
+       |        FROM scored GROUP BY doc_id))
+       |WHERE rank <= $topK
+       |ORDER BY rank""".stripMargin
   }
 
   /** TF-IDF relevance: for each query term, the `topK` highest-scoring

@@ -49,6 +49,41 @@ class SearchSpec extends AnyFunSuite {
       Search.searchAll(spark, path, Seq("a", "a")))
   }
 
+  test("phrase search counts adjacent and overlapping occurrences") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a a a b"),   // "a a" overlaps itself: 2 occurrences
+      (1L, "x y x y"),   // adjacent repeats: 2
+      (2L, "x y"),       // single: 1
+      (3L, "b a"),       // no phrase
+      (4L, "y x")        // reversed order is no hit
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("phr").toString
+    Search.writePostingsIndex(corpus, path)
+    def hits(terms: Seq[String]) =
+      Search.searchPhrase(spark, path, terms).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(Seq("a", "a")) == Map(0L -> 2L))
+    assert(hits(Seq("x", "y")) == Map(1L -> 2L, 2L -> 1L))
+    assert(hits(Seq("a", "a", "a")) == Map(0L -> 1L))
+    assert(hits(Seq("b", "a")) == Map(3L -> 1L)) // cross-doc boundaries don't leak
+  }
+
+  test("bm25 ranks multi-term hits first and reports terms hit") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "spark window spark"),
+      (1L, "spark table"),
+      (2L, "window table"),
+      (3L, "table value")).toDF("doc_id", "text")
+    val got = Search.bm25TopDocs(corpus, Seq("spark", "window"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.head._2 == 0L && got.head._3 == 2L,
+      "the doc carrying both terms must rank first")
+    assert(got.length == 3) // doc 3 hits nothing
+    assert(got.forall { case (_, d, _) => d != 3L })
+  }
+
   test("tf-idf ranks a term-stuffed doc first; idf falls with df") {
     import spark.implicits._
     val corpus = Seq(

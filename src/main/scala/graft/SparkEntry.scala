@@ -369,6 +369,11 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionReport(tables(s, dir).documents)
         .orderBy("doc_id")),
+    // bigram-LM cross-entropy per doc (CCNet-style quality signal);
+    // fixed-point per-position quantization keeps the sum exact
+    "doc_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(tables(s, dir).documents)
+        .orderBy("doc_id")),
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(tables(s, dir).documents)),
     // Gopher/C4-style named-rule quality gate: per-rule fail counts +
@@ -963,6 +968,7 @@ object SparkEntry {
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,
+    "doc_lm_score" -> TextAnalysis.lmScoreSql,
     "pii_scrub" ->
       s"""$W
          |${graft.ext.Curation.piiScrubReportSql}""".stripMargin,

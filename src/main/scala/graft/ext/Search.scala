@@ -173,9 +173,13 @@ object Search {
     val perDoc = scored.groupBy("doc_id")
       .agg(round(sum("s"), 6).as("score"),
         count(lit(1)).as("n_terms_hit"))
+    // two-phase top-k (the customer_value_ranks discipline): the global
+    // limit plans as TakeOrdered — per-partition heads merged on the
+    // driver — and the rank window only ever sees the ≤topK winners,
+    // never the full scored-doc table in one partition
+    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(topK)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    perDoc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("n_terms_hit"),
         col("score"))
   }

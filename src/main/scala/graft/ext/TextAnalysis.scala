@@ -547,4 +547,74 @@ object TextAnalysis {
           lit(ApproxQuantileAccuracy)).as("p90"),
         percentile_approx(col("n_chars"), lit(0.99),
           lit(ApproxQuantileAccuracy)).as("p99"))
+
+  // ---- bigram language-model scoring ---------------------------------------
+
+  /** Per-document cross-entropy under a corpus bigram LM with add-one
+    * smoothing — the n-gram form of the LM-based quality signal text
+    * curation pipelines use (CCNet-style: atypical text scores high):
+    * lm_score(d) = mean over d's bigram positions of
+    * −ln P(w₂|w₁) = ln(c(w₁)+V) − ln(c(w₁w₂)+1), with V = vocab size
+    * and c(·) corpus counts.
+    *
+    * Shape: one corpus token scan feeds positions, bigram counts and
+    * context counts; scoring is two (w₁,w₂)/(w₁)-keyed narrow joins of
+    * the positions stream. Cross-engine determinism: each position's
+    * −ln term is quantized to 1e-9 fixed point (floor(x·10⁹ + 0.5) as
+    * BIGINT), so the per-doc SUM is exact-integer and order-independent
+    * — a raw double sum would vary with partial-aggregation order.
+    */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      split(col("text"), " ").as("t"))
+    val pos = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bg = pos.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = pos.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct("tok").as("vs"))
+    pos
+      .join(bg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("qv", floor(
+        (log(col("c1") + col("vs")) - log(col("c12") + 1))
+          * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("qv").cast("double") / 1e9 / count(lit(1)), 6)
+          .as("lm_score"))
+  }
+
+  /** DuckDB mirror of [[lmScore]]. */
+  val lmScoreSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+      |    SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |          FROM documents))
+      |  WHERE p[1] != '' AND p[2] != ''),
+      |bg AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY 1),
+      |v AS (
+      |  SELECT count(DISTINCT tok) AS vs FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok != ''),
+      |q AS (
+      |  SELECT pos.doc_id,
+      |    CAST(floor((ln(c1 + vs) - ln(c12 + 1)) * 1000000000.0 + 0.5)
+      |      AS BIGINT) AS qv
+      |  FROM pos JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+      |    CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(qv) AS DOUBLE) / 1000000000.0 / count(*), 6)
+      |    AS lm_score
+      |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

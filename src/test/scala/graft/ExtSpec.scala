@@ -279,6 +279,22 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "minhash_sigs must not shuffle")
   }
 
+  test("bigram LM score: typical text scores low, anomalous text high") {
+    import spark.implicits._
+    val corpus = ((0L until 20L).map(i => (i, "a b a b a b a b"))
+      :+ (99L, "z q z w q z")).toDF("doc_id", "text")
+    val scores = graft.ext.TextAnalysis.lmScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) == scores(19L), "identical docs score identically")
+    assert(scores(99L) > scores(0L) * 2,
+      s"rare bigrams must score far above the corpus-typical doc: " +
+        s"${scores(99L)} vs ${scores(0L)}")
+    // n_bigrams: 7 positions for the 8-token docs
+    val n = graft.ext.TextAnalysis.lmScore(corpus)
+      .filter(col("doc_id") === 0).head().getLong(1)
+    assert(n == 7L)
+  }
+
   test("adaptive simhash routes 24-bit below the ceiling, 60-bit above") {
     val docs = Tables(spark, Sf0001).documents
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

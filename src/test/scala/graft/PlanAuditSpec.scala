@@ -50,7 +50,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "agent_daily_decisions",// streak windows over the O(days) aggregate
     "quality_filter_report",// one combined-agg row → O(rules) explode
     "bpe_merges",           // k collected merge rows (local table)
-    "source_mix_weights")   // one-row corpus-total attach
+    "source_mix_weights",   // one-row corpus-total attach
+    "doc_lm_score",         // one-row vocab-size attach
+    "tfidf_top_docs",       // one-row corpus-size attach
+    "bm25_top_docs",        // one-row scalars + window over ≤topK rows
+    "hourly_gapfill")       // one-row bounds agg → O(hours) spine
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -82,7 +86,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "top_tokens",           // scalar vocab-size attach
     "customer_value_ranks", // ≤k-row top-k × one-row total count
     "ann_topk_pq",          // codes × broadcast per-query ADC tables
-    "source_mix_weights")   // O(sources) rows × one-row total count
+    "source_mix_weights",   // O(sources) rows × one-row total count
+    "doc_lm_score",         // positions × one-row vocab size
+    "tfidf_top_docs",       // tf rows × one-row corpus size
+    "bm25_top_docs")        // tf rows × one-row (N, avgdl) scalars
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -48,9 +48,31 @@ object Search {
       buckets: Int = NumBuckets): Unit =
     docTokens(documents)
       .withColumn("bucket", h32(col("token")) % buckets)
+      .withColumn("batch_id", lit(0L)) // base build; appends use higher
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("bucket", "batch_id")
       .parquet(path)
+
+  /** Incremental postings ingest — new documents enter the index
+    * WITHOUT a rebuild (same discipline as
+    * [[Similarity.appendToIvfIndex]]): tokenize only the batch and land
+    * its rows under (bucket, batch_id) with dynamic partition
+    * overwrite, so an at-least-once replay rewrites exactly its own
+    * partitions. Queries see old + new postings transparently (the
+    * readers scan all batch_id levels under each pruned bucket).
+    */
+  def appendToPostingsIndex(documents: DataFrame, path: String,
+      batchId: Long, buckets: Int = NumBuckets): Unit = {
+    require(batchId > 0, "batch_id 0 is the base build")
+    docTokens(documents)
+      .withColumn("bucket", h32(col("token")) % buckets)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id")
+      .parquet(path)
+  }
 
   /** Bucket a term exactly like the index writer (non-negative h32). */
   def bucketOf(term: String, buckets: Int = NumBuckets): Long =

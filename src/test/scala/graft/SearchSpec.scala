@@ -40,6 +40,23 @@ class SearchSpec extends AnyFunSuite {
     assert(bucketDirs.size < totalBuckets)
   }
 
+  test("incremental postings ingest: new docs searchable, replay idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("postinc").toString
+    Search.writePostingsIndex(
+      Seq((0L, "spark join"), (1L, "table scan")).toDF("doc_id", "text"),
+      path)
+    val batch = Seq((2L, "spark join window")).toDF("doc_id", "text")
+    Search.appendToPostingsIndex(batch, path, 1L)
+    def hits = Search.searchAll(spark, path, Seq("spark", "join"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(0L, 2L), "appended doc must be searchable")
+    val n = spark.read.parquet(path).count()
+    Search.appendToPostingsIndex(batch, path, 1L) // replay
+    assert(spark.read.parquet(path).count() == n)
+    assert(hits == Set(0L, 2L))
+  }
+
   test("searchAll rejects empty or duplicate term lists") {
     val path = java.nio.file.Files.createTempDirectory("postings2").toString
     Search.writePostingsIndex(docs.limit(10), path)

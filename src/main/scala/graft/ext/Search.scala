@@ -78,6 +78,30 @@ object Search {
   def bucketOf(term: String, buckets: Int = NumBuckets): Long =
     jvmH32(term) % buckets
 
+  /** Postings schema, declared explicitly at read time: partitioned
+    * parquet cannot infer a schema from a data-less index (an empty
+    * corpus writes only the directory skeleton), and a declared schema
+    * also skips footer-sniffing on huge indexes.
+    */
+  val PostingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("positions",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(PostingsSchema).parquet(path)
+
   /** Conjunctive search against a persisted postings index: returns the
     * doc_ids carrying ALL `terms`. Reads only the terms' bucket
     * partitions (collected literal partition filter — k values for a
@@ -88,7 +112,7 @@ object Search {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "terms must be non-empty and distinct")
     val termBuckets = terms.map(bucketOf(_, buckets)).distinct
-    spark.read.parquet(path)
+    readPostings(spark, path)
       .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id")
@@ -123,7 +147,7 @@ object Search {
       terms: Seq[String], buckets: Int = NumBuckets): DataFrame = {
     require(terms.nonEmpty, "phrase must be non-empty")
     val termBuckets = terms.map(bucketOf(_, buckets)).distinct
-    val postings = spark.read.parquet(path)
+    val postings = readPostings(spark, path)
       .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
     def of(t: String) = postings.filter(col("token") === t)
       .select(col("doc_id"), col("positions"))

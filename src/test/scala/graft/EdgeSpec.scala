@@ -108,6 +108,33 @@ class EdgeSpec extends AnyFunSuite {
         "v", "s", "e", Seq("k"), 10L).count() == 0)
   }
 
+  test("round-6 operators are total on empty/degenerate inputs") {
+    import graft.ext.{Curation, Search}
+    // chunking: empty corpus, empty text, invalid params
+    assert(Curation.chunkPlan(emptyDocs).count() == 0)
+    assert(Curation.chunkedDocuments(emptyDocs).count() == 0)
+    intercept[IllegalArgumentException](
+      Curation.chunkPlan(emptyDocs, maxTokens = 10L, overlap = 10L))
+    // search: empty corpus index is buildable and query-able
+    val path = java.nio.file.Files.createTempDirectory("edge6").toString
+    Search.writePostingsIndex(emptyDocs, s"$path/p")
+    assert(Search.searchAll(spark, s"$path/p", Seq("x")).count() == 0)
+    assert(Search.searchPhrase(spark, s"$path/p", Seq("x", "y"))
+      .count() == 0)
+    assert(Search.tfIdfTopDocs(emptyDocs, Seq("x")).count() == 0)
+    assert(Search.bm25TopDocs(emptyDocs, Seq("x")).count() == 0)
+    assert(TextAnalysis.lmScore(emptyDocs).count() == 0)
+    // hierarchical IVF + adaptive routing on an empty corpus
+    assert(Similarity.topKIvfHier(emptyEmb).count() == 0)
+    assert(Similarity.topKIvfAdaptive(emptyEmb, 300).count() == 0)
+    // pack sharding: null lang degrades to a null stream key, no throw
+    import spark.implicits._
+    val nullLang = Seq((0L, "a b", null.asInstanceOf[String], "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Curation.packPlan(nullLang,
+      streamCol = Curation.packStreamSharded()).count() == 1)
+  }
+
   test("round-5b operators degrade gracefully on degenerate inputs") {
     import spark.implicits._
     import graft.ext.{Bpe, Curation, ProductQuant}

@@ -225,7 +225,8 @@ object SparkEntry {
     // (bucket-partitioned by token hash; reads only the terms' buckets)
     "term_search" -> ((s, dir) => {
       val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}"
-      graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path)
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path))
       graft.ext.Search.searchAll(s, path, SearchTerms).orderBy("doc_id")
     }),
 
@@ -234,11 +235,14 @@ object SparkEntry {
       graft.ext.Search.tfIdfTopDocs(tables(s, dir).documents, SearchTerms)
         .orderBy("token", "rank")),
 
-    // phrase search: positional-posting intersection over the same
-    // bucket-pruned index; oracle = exact positional self-join
+    // phrase search: positional-posting intersection over the SAME
+    // persisted index as term_search (one build serves both — the
+    // IndexCache "index once, serve many" discipline);
+    // oracle = exact positional self-join
     "phrase_search" -> ((s, dir) => {
-      val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}p"
-      graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path)
+      val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}"
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path))
       graft.ext.Search.searchPhrase(s, path, PhraseTerms).orderBy("doc_id")
     }),
 
@@ -517,7 +521,8 @@ object SparkEntry {
     // hierarchical path, so it shares that oracle.
     "ann_topk_ivf_served" -> ((s, dir) => {
       val path = s"/tmp/graft_ivf_${new java.io.File(dir).getName}"
-      Similarity.writeIvfIndex(tables(s, dir).embeddings, path)
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
       Similarity.topKIvfServed(s, path,
         nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
         .orderBy("q_id", "rank")

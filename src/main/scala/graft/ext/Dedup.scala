@@ -935,6 +935,218 @@ object Dedup {
        |FROM labels GROUP BY label HAVING count(*) >= 2
        |ORDER BY cluster_id""".stripMargin
 
+  // ---- span-level exact dedup (duplicate n-gram spans) --------------------
+
+  /** Span length in tokens for duplicate-span detection (the exact
+    * substring dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — there 50 BPE tokens;
+    * 20 words here at fixture scale).
+    */
+  val SpanTokens = 20
+
+  /** One row per n-token span of the corpus: (doc_id, pos, gram). The
+    * window enumeration and join are a codegen'd map-side projection —
+    * no shuffle; empty tokens are kept (split semantics match the
+    * oracle's string_split exactly).
+    */
+  private def spanGrams(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("a")) >= n,
+          transform(sequence(lit(0), size(col("a")) - n),
+            i => concat_ws(" ", slice(col("a"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+  }
+
+  private def spanGramsSql(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(a[i:i+$n-1], ' ') AS gram
+       |  FROM toks,
+       |    LATERAL unnest(range(1, greatest(len(a) - $n + 2, 1))) AS t(i))"""
+      .stripMargin
+
+  /** Per-doc duplicate-span stats: of a doc's n-token spans, how many
+    * occur more than once in the corpus (`dup_spans`) and how many in
+    * more than one document (`cross_doc_spans`).
+    *
+    * Scale shape: gram stats are a map-side-combinable groupBy keyed on
+    * the 8-byte xxhash64 of the span (never the n-token string — with
+    * `hashGrams` the shuffle carries (doc_id, pos, long)); the flags
+    * attach by joining only the FILTERED duplicate set back (dup grams
+    * are the minority of a real corpus), and AQE's skew join splits a
+    * pathological mega-gram — a per-gram window would pin all its
+    * occurrences to one task instead. 64-bit collisions: ~2.7e-2
+    * expected colliding PAIRS at 10^12 distinct spans — ±1-row noise at
+    * the advertised scale; the oracle groups by the exact string and
+    * agrees at fixture scale (an ExtSpec case pins hashed ≡ exact).
+    */
+  def dupSpanReport(documents: DataFrame, n: Int = SpanTokens,
+      hashGrams: Boolean = true): DataFrame = {
+    val key: Column => Column =
+      if (hashGrams) xxhash64(_) else identity
+    val grams = spanGrams(documents, n)
+      .select(col("doc_id"), key(col("gram")).as("g"))
+    val dupStats = grams.groupBy("g")
+      .agg(count(lit(1)).as("c"),
+        (min(col("doc_id")) < max(col("doc_id"))).as("cross_doc"))
+      .filter(col("c") > 1)
+    val perDoc = grams.join(dupStats, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("c").isNotNull, 1)).as("dup_spans"),
+        count(when(col("cross_doc"), 1)).as("cross_doc_spans"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("cross_doc_spans"), lit(0L)).as("cross_doc_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("dup_spans").cast("double") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  def dupSpanReportSql(n: Int = SpanTokens): String =
+    s"""WITH ${spanGramsSql(n)},
+       |stats AS (
+       |  SELECT gram, count(*) AS c, min(doc_id) < max(doc_id) AS crossd
+       |  FROM grams GROUP BY 1),
+       |perdoc AS (
+       |  SELECT g.doc_id, count(*) AS n_spans,
+       |    CAST(sum(CASE WHEN s.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dup_spans,
+       |    CAST(sum(CASE WHEN s.c > 1 AND s.crossd THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cross_doc_spans
+       |  FROM grams g JOIN stats s USING (gram) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+       |  coalesce(dup_spans, 0) AS dup_spans,
+       |  coalesce(cross_doc_spans, 0) AS cross_doc_spans,
+       |  CASE WHEN coalesce(n_spans, 0) > 0
+       |    THEN round(CAST(dup_spans AS DOUBLE) / n_spans, 6)
+       |    ELSE 0.0 END AS dup_frac
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The most-repeated n-token spans (count desc, span asc). Groups by
+    * the span STRING — the output needs it, and the (count, gram) order
+    * is a cross-engine total order; the two-phase production variant
+    * (hash-group, top-k on counts, then fetch strings for the k winners
+    * by semi-join) trades a second scan for an 8-byte shuffle key.
+    */
+  def dupSpanTop(documents: DataFrame, n: Int = SpanTokens,
+      topK: Int = 10): DataFrame =
+    spanGrams(documents, n)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+
+  def dupSpanTopSql(n: Int = SpanTokens, topK: Int = 10): String =
+    s"""WITH ${spanGramsSql(n)}
+       |SELECT gram, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM grams GROUP BY 1
+       |HAVING count(*) > 1
+       |ORDER BY n_occurrences DESC, gram
+       |LIMIT $topK""".stripMargin
+
+  /** Span-scrub plan (keep-first policy): every occurrence of a
+    * duplicated span EXCEPT the gram's global first (smallest
+    * (doc_id, pos)) marks its n-token interval for removal; per doc the
+    * marked intervals merge into maximal islands (gaps-and-islands over
+    * a running max-end window), so overlapping spans never double-count
+    * a token. Returns per-doc tokens_removed / tokens_kept — the exact
+    * token accounting of Lee et al.'s substring dedup without the
+    * suffix array: candidate spans come from the same banded gram
+    * stats, intervals merge in one per-doc ordered window (bounded by
+    * doc length, never corpus-wide).
+    */
+  def dupSpanScrub(documents: DataFrame, n: Int = SpanTokens,
+      hashGrams: Boolean = true): DataFrame = {
+    val key: Column => Column =
+      if (hashGrams) xxhash64(_) else identity
+    val grams = spanGrams(documents, n)
+      .select(col("doc_id"), col("pos"), key(col("gram")).as("g"))
+    val dupFirst = grams.groupBy("g")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+    val drops = grams.join(dupFirst, Seq("g"))
+      .filter(col("doc_id") =!= col("first.doc_id")
+        || col("pos") =!= col("first.pos"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + n - 1).as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val removed = drops
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg((max(col("e")) - min(col("s")) + 1).as("len"))
+      .groupBy("doc_id")
+      .agg(sum(col("len")).as("tokens_removed"))
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+      .withColumn("tokens_kept", col("n_tokens") - col("tokens_removed"))
+      .withColumn("removed_frac",
+        when(col("n_tokens") > 0,
+          round(col("tokens_removed").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  def dupSpanScrubSql(n: Int = SpanTokens): String =
+    s"""WITH ${spanGramsSql(n)},
+       |stats AS (SELECT gram, count(*) AS c FROM grams GROUP BY 1),
+       |occ AS (
+       |  SELECT g.doc_id, g.pos, row_number() OVER (
+       |    PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+       |  FROM grams g JOIN stats s USING (gram) WHERE s.c > 1),
+       |drops AS (
+       |  SELECT doc_id, pos AS s, pos + $n - 1 AS e FROM occ WHERE rn > 1),
+       |isl AS (
+       |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+       |      PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM drops),
+       |isl2 AS (
+       |  SELECT doc_id, s, e, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+       |    AS island
+       |  FROM isl),
+       |merged AS (
+       |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS tokens_removed
+       |  FROM (SELECT doc_id, max(e) - min(s) + 1 AS len
+       |        FROM isl2 GROUP BY doc_id, island)
+       |  GROUP BY doc_id),
+       |nt AS (SELECT doc_id, len(a) AS n_tokens FROM toks)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  coalesce(m.tokens_removed, 0) AS tokens_removed,
+       |  nt.n_tokens - coalesce(m.tokens_removed, 0) AS tokens_kept,
+       |  CASE WHEN nt.n_tokens > 0
+       |    THEN round(CAST(coalesce(m.tokens_removed, 0) AS DOUBLE)
+       |      / nt.n_tokens, 6)
+       |    ELSE 0.0 END AS removed_frac
+       |FROM nt LEFT JOIN merged m ON nt.doc_id = m.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+
   def embeddingNearDupsSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,

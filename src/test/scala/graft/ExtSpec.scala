@@ -116,6 +116,43 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("dup-span report/top/scrub: planted span, island merge, keep-first") {
+    val docs = docsDF(Seq(
+      (1L, "a b c d e f"),            // holds the global first "a b c d"
+      (2L, "x y a b c d z"),          // repeats it at pos 2
+      (3L, "p q r"),                  // shorter than n: zero spans
+      (4L, "m n o p m n o p m n o p"))) // self-repetition: islands merge
+    val rep = Dedup.dupSpanReport(docs, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rep(1L) == ((3L, 1L, 1L, 0.333333)))
+    assert(rep(2L) == ((4L, 1L, 1L, 0.25)))
+    assert(rep(3L) == ((0L, 0L, 0L, 0.0)))
+    // every span of the looped doc repeats, all within the one doc
+    assert(rep(4L) == ((9L, 9L, 0L, 1.0)))
+
+    val top = Dedup.dupSpanTop(docs, n = 4).collect()
+    assert(top.length == 5) // mnop x3 + four grams at 2 occurrences
+    assert(top.head.getString(0) == "m n o p"
+      && top.head.getLong(1) == 3L && top.head.getLong(2) == 1L)
+    assert(top(1).getString(0) == "a b c d") // count tie breaks on gram
+
+    val scrub = Dedup.dupSpanScrub(docs, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(scrub(1L) == ((6L, 0L, 6L, 0.0))) // first occurrence kept
+    assert(scrub(2L) == ((7L, 4L, 3L, 0.571429)))
+    assert(scrub(3L) == ((3L, 0L, 3L, 0.0)))
+    // drops at pos 4..8 merge into the single island [4,11]: 8 removed
+    assert(scrub(4L) == ((12L, 8L, 4L, 0.666667)))
+
+    // the hashed (scale) and exact-string groupings agree
+    assert(Dedup.dupSpanReport(docs, 4, hashGrams = false).collect().toSet
+      == Dedup.dupSpanReport(docs, 4).collect().toSet)
+    assert(Dedup.dupSpanScrub(docs, 4, hashGrams = false).collect().toSet
+      == Dedup.dupSpanScrub(docs, 4).collect().toSet)
+  }
+
   test("embedding near-dup ranks the planted close pair first") {
     import spark.implicits._
     val e = Seq(

@@ -56,6 +56,9 @@ object SparkEntry {
     */
   val PhraseTerms: Seq[String] = Seq("table", "hash")
 
+  /** Fixture query document for more-like-this retrieval. */
+  val MltQueryDoc = 42L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3/S5 + P1-P7 + Q1-Q5: the reference job's full transform chain
     "ce_curated" -> ((s, dir) => ceCurated(s, dir)),
@@ -249,6 +252,12 @@ object SparkEntry {
     // BM25 document ranking over the query-term set
     "bm25_top_docs" -> ((s, dir) =>
       graft.ext.Search.bm25TopDocs(tables(s, dir).documents, SearchTerms)
+        .orderBy("rank")),
+
+    // more-like-this: docs most TF-IDF-cosine-similar to one query doc,
+    // candidates via the query doc's own (broadcast) term vector
+    "more_like_this" -> ((s, dir) =>
+      graft.ext.Search.moreLikeThis(tables(s, dir).documents, MltQueryDoc)
         .orderBy("rank")),
 
     // as-of join (operators.AsOfJoin): last-touch purchase attribution
@@ -859,6 +868,7 @@ object SparkEntry {
     "term_search" -> graft.ext.Search.searchAllSql(SearchTerms),
     "tfidf_top_docs" -> graft.ext.Search.tfIdfTopDocsSql(SearchTerms),
     "phrase_search" -> graft.ext.Search.searchPhraseSql(PhraseTerms),
+    "more_like_this" -> graft.ext.Search.moreLikeThisSql(MltQueryDoc),
     "bm25_top_docs" -> graft.ext.Search.bm25TopDocsSql(SearchTerms),
 
     "hourly_event_counts" ->

@@ -294,6 +294,99 @@ object Search {
         col("df"), col("score"))
   }
 
+  /** More-like-this: the `topK` documents most similar to ONE query
+    * document by TF-IDF cosine over shared tokens (the inverted-index
+    * doc-to-doc retrieval op). Candidate docs are found through the
+    * query doc's OWN tokens — its term vector is a broadcast frame, so
+    * the numerator join touches only postings of those terms, never the
+    * corpus × corpus space. Doc norms are one token-keyed join (idf
+    * attach) + per-doc aggregate over the corpus — the same cost class
+    * as a token count. Every floating sum is quantized to 1e-9 fixed
+    * point pre-aggregation (the [[TextAnalysis.lmScore]] discipline) so
+    * partial-aggregation order cannot move the result; the final
+    * cosine divides exact-integer sums in the oracle's op order.
+    */
+  def moreLikeThis(documents: DataFrame, queryDocId: Long,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docTokens(documents)
+      .select(col("doc_id"), col("token"), col("tf"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tfw = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+      .withColumn("idf2", col("idf") * col("idf"))
+    val norms = tfw
+      .withColumn("nq", floor((col("tf") * col("tf")).cast("double")
+        * col("idf2") * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id").agg(sum("nq").as("norm_fp"))
+    val qv = tfw.filter(col("doc_id") === queryDocId)
+      .select(col("token"), col("tf").as("qtf"))
+    val num = tfw.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qv), Seq("token"))
+      .withColumn("tq", floor((col("tf") * col("qtf")).cast("double")
+        * col("idf2") * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tq").as("num_fp"), count(lit(1)).as("n_shared_terms"))
+    val qn = norms.filter(col("doc_id") === queryDocId)
+      .select(col("norm_fp").as("qnorm_fp"))
+    val scored = num.join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qn))
+      .withColumn("score", round(
+        (col("num_fp").cast("double") / 1e9)
+          / (sqrt(col("norm_fp").cast("double") / 1e9)
+            * sqrt(col("qnorm_fp").cast("double") / 1e9)), 6))
+    // two-phase top-k: TakeOrdered global limit, rank window ≤topK rows
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topK)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_shared_terms"),
+        col("score"))
+  }
+
+  /** DuckDB mirror of [[moreLikeThis]] — identical quantization and
+    * double op order.
+    */
+  def moreLikeThisSql(queryDocId: Long, topK: Int = 10): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token != '' GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |tfw AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf,
+       |    ln(CAST(n_docs AS DOUBLE) / df)
+       |      * ln(CAST(n_docs AS DOUBLE) / df) AS idf2
+       |  FROM tf JOIN df USING (token) CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id, CAST(sum(CAST(floor(CAST(tf * tf AS DOUBLE)
+       |      * idf2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS norm_fp
+       |  FROM tfw GROUP BY 1),
+       |qv AS (SELECT token, tf AS qtf FROM tfw
+       |       WHERE doc_id = $queryDocId),
+       |num AS (
+       |  SELECT t.doc_id, CAST(sum(CAST(floor(
+       |      CAST(t.tf * q.qtf AS DOUBLE) * t.idf2 * 1e9 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS num_fp,
+       |    count(*) AS n_shared_terms
+       |  FROM tfw t JOIN qv q USING (token)
+       |  WHERE t.doc_id != $queryDocId GROUP BY 1),
+       |qn AS (SELECT norm_fp AS qnorm_fp FROM norms
+       |       WHERE doc_id = $queryDocId)
+       |SELECT rank, doc_id, n_shared_terms, score FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rank
+       |  FROM (
+       |    SELECT num.doc_id, n_shared_terms,
+       |      round((CAST(num_fp AS DOUBLE) / 1e9)
+       |        / (sqrt(CAST(norm_fp AS DOUBLE) / 1e9)
+       |          * sqrt(CAST(qnorm_fp AS DOUBLE) / 1e9)), 6) AS score
+       |    FROM num JOIN norms USING (doc_id) CROSS JOIN qn))
+       |WHERE rank <= $topK
+       |ORDER BY rank""".stripMargin
+
   /** DuckDB mirror of [[tfIdfTopDocs]]. */
   def tfIdfTopDocsSql(terms: Seq[String], topK: Int = 5): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

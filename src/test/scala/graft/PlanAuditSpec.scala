@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "doc_lm_score",         // one-row vocab-size attach
     "tfidf_top_docs",       // one-row corpus-size attach
     "bm25_top_docs",        // one-row scalars + window over ≤topK rows
+    "more_like_this",       // one-row attaches + window over ≤topK rows
     "hourly_gapfill")       // one-row bounds agg → O(hours) spine
 
   test("single-partition exchanges only over bounded data") {
@@ -89,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "source_mix_weights",   // O(sources) rows × one-row total count
     "doc_lm_score",         // positions × one-row vocab size
     "tfidf_top_docs",       // tf rows × one-row corpus size
-    "bm25_top_docs")        // tf rows × one-row (N, avgdl) scalars
+    "bm25_top_docs",        // tf rows × one-row (N, avgdl) scalars
+    "more_like_this")       // tf rows × one-row corpus size / query norm
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -120,4 +120,28 @@ class SearchSpec extends AnyFunSuite {
     val window1 = got.filter(_._1 == "window")
     assert(window1.head._3 == 3L, "tf 2 wins for window")
   }
+
+  test("more-like-this ranks by tf-idf cosine over shared tokens only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple banana"),
+      (3L, "banana cherry"),
+      (4L, "durian elderberry")).toDF("doc_id", "text")
+    val got = Search.moreLikeThis(corpus, queryDocId = 1L)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 4 shares nothing -> absent; the query doc itself is excluded
+    assert(got.map(_._2).toSeq == Seq(2L, 3L))
+    assert(got.map(_._3).toSeq == Seq(2L, 1L)) // shared-term counts
+    // hand cosine: idf(apple)=ln 2, idf(banana)=ln(4/3)
+    val (ia2, ib2) = (math.pow(math.log(2), 2),
+      math.pow(math.log(4.0 / 3), 2))
+    val nq = math.sqrt(4 * ia2 + ib2)
+    val exp2 = (2 * ia2 + ib2) / (nq * math.sqrt(ia2 + ib2))
+    val exp3 = ib2 / (nq * math.sqrt(ib2 + math.pow(math.log(4), 2)))
+    assert(math.abs(got(0)._4 - exp2) < 1e-5)
+    assert(math.abs(got(1)._4 - exp3) < 1e-5)
+    assert(got(0)._1 == 1 && got(1)._1 == 2)
+  }
 }

@@ -333,14 +333,41 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Span-dedup cost at corpus size n: the gram stream is one row per
+    * token position (~55/doc here), shuffled on an 8-byte xxhash64 key;
+    * the planted near-dup pairs (ids ≡ 1 mod 17) make ~12 % of docs
+    * carry long duplicated prefixes, so the dup-only join has real
+    * traffic. `sbt "runMain graft.ScaleProbe spans 320000 1280000"`.
+    */
+  def spanProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val v = f
+      println(f"[scale-spans] n=$n%-8d $name%-18s " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2fs agg=$v")
+    }
+    time("dup_span_report") {
+      Dedup.dupSpanReport(docs).agg(sum("dup_spans")).head().getLong(0)
+    }
+    time("dup_span_scrub") {
+      Dedup.dupSpanScrub(docs).agg(sum("tokens_removed")).head().getLong(0)
+    }
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
     val joinsMode = args.headOption.contains("joins")
     val pqMode = args.headOption.contains("pq")
     val ivfMode = args.headOption.contains("ivf")
+    val spansMode = args.headOption.contains("spans")
     val sizeArgs =
-      if (annMode || lshMode || joinsMode || pqMode || ivfMode) args.drop(1)
+      if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode)
+        args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 200000L)
@@ -375,6 +402,11 @@ object ScaleProbe {
     }
     if (ivfMode) {
       sizes.foreach(ivfIndexProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (spansMode) {
+      sizes.foreach(spanProbe(spark, _))
       spark.stop()
       return
     }

@@ -133,6 +133,16 @@ class EdgeSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Curation.packPlan(nullLang,
       streamCol = Curation.packStreamSharded()).count() == 1)
+    // span dedup: empty corpus, invalid n
+    import graft.ext.Dedup
+    assert(Dedup.dupSpanReport(emptyDocs).count() == 0)
+    assert(Dedup.dupSpanTop(emptyDocs).count() == 0)
+    assert(Dedup.dupSpanScrub(emptyDocs).count() == 0)
+    intercept[IllegalArgumentException](Dedup.dupSpanReport(emptyDocs, 1))
+    // more-like-this: empty corpus / absent query doc -> empty, no throw
+    assert(Search.moreLikeThis(emptyDocs, 0L).count() == 0)
+    val one = Seq((7L, "a b c")).toDF("doc_id", "text")
+    assert(Search.moreLikeThis(one, 99L).count() == 0)
   }
 
   test("round-5b operators degrade gracefully on degenerate inputs") {

@@ -693,4 +693,42 @@ class StreamingSpec extends AnyFunSuite {
       notifier = Some(rec))
     assert(rec.sent.size == afterB1)
   }
+
+  test("streaming postings ingest: batches searchable, replay idempotent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val idx = Files.createTempDirectory("postidx").toString
+    graft.ext.Search.writePostingsIndex(
+      Seq((0L, "spark join")).toDF("doc_id", "text"), idx)
+    def hits(ts: String*) = graft.ext.Search.searchAll(spark, idx, ts)
+      .collect().map(_.getLong(0)).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("postckpt").toString
+    mem.addData((1L, "spark window"), (2L, "table scan"))
+    val q = graft.streaming.SearchStream.start(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(hits("spark") == Set(0L, 1L))
+    assert(hits("table", "scan") == Set(2L))
+
+    // recovery replay of the same micro-batch: rewrites its own
+    // (bucket, batch_id) partitions, no doubling
+    val n = spark.read.parquet(idx).count()
+    graft.streaming.SearchStream.processBatch(
+      Seq((1L, "spark window"), (2L, "table scan")).toDF("doc_id", "text"),
+      0L, idx)
+    assert(spark.read.parquet(idx).count() == n)
+    assert(hits("spark") == Set(0L, 1L))
+
+    // a later run on the same checkpoint gets the next batch id; the
+    // readers see base + both streamed levels transparently
+    mem.addData((3L, "spark join window"))
+    val q2 = graft.streaming.SearchStream.start(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(hits("spark", "join") == Set(0L, 3L))
+    assert(spark.read.parquet(idx).select("batch_id").distinct().count()
+      == 3)
+  }
 }

@@ -332,6 +332,8 @@ object SparkEntry {
       Dedup.dupSpanTop(tables(s, dir).documents)),
     "dup_span_scrub" -> ((s, dir) =>
       Dedup.dupSpanScrub(tables(s, dir).documents).orderBy("doc_id")),
+    "span_scrub_apply" -> ((s, dir) =>
+      Dedup.applySpanScrub(tables(s, dir).documents).orderBy("doc_id")),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(tables(s, dir).embeddings)
         .orderBy("label", "rank")),
@@ -1006,6 +1008,7 @@ object SparkEntry {
     "dup_span_report" -> Dedup.dupSpanReportSql(),
     "dup_span_top" -> Dedup.dupSpanTopSql(),
     "dup_span_scrub" -> Dedup.dupSpanScrubSql(),
+    "span_scrub_apply" -> Dedup.applySpanScrubSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,

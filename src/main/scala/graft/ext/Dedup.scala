@@ -1111,6 +1111,85 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Apply the keep-first span scrub: drop every token inside a merged
+    * removal island and return the scrubbed text (md5-fingerprinted in
+    * the verified query; the full text column is one `array_join` away).
+    * The islands of [[dupSpanScrub]] collect per doc (bounded by doc
+    * length) and the token filter is a codegen'd map-side lambda over
+    * the token array — the corpus-scale work is identical to the
+    * accounting pass plus one broadcast-shaped doc_id join.
+    */
+  def applySpanScrub(documents: DataFrame, n: Int = SpanTokens,
+      hashGrams: Boolean = true): DataFrame = {
+    val key: Column => Column =
+      if (hashGrams) xxhash64(_) else identity
+    val grams = spanGrams(documents, n)
+      .select(col("doc_id"), col("pos"), key(col("gram")).as("g"))
+    val dupFirst = grams.groupBy("g")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+    val islands = grams.join(dupFirst, Seq("g"))
+      .filter(col("doc_id") =!= col("first.doc_id")
+        || col("pos") =!= col("first.pos"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + n - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    documents
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          (tok, i) => !exists(coalesce(col("ivs"),
+              array().cast("array<struct<s:int,e:int>>")),
+            iv => i >= iv("s") && i <= iv("e"))), " ")
+          .as("scrubbed"))
+      .select(col("doc_id"),
+        md5(col("scrubbed")).as("scrubbed_md5"),
+        size(split(col("scrubbed"), " ")).cast("long")
+          .as("n_tokens_after"))
+  }
+
+  def applySpanScrubSql(n: Int = SpanTokens): String =
+    s"""WITH ${spanGramsSql(n)},
+       |stats AS (SELECT gram, count(*) AS c FROM grams GROUP BY 1),
+       |occ AS (
+       |  SELECT g.doc_id, g.pos, row_number() OVER (
+       |    PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+       |  FROM grams g JOIN stats s USING (gram) WHERE s.c > 1),
+       |drops AS (
+       |  SELECT doc_id, pos AS s, pos + $n - 1 AS e FROM occ WHERE rn > 1),
+       |isl AS (
+       |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+       |      PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM drops),
+       |isl2 AS (
+       |  SELECT doc_id, s, e, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+       |    AS island
+       |  FROM isl),
+       |merged AS (
+       |  SELECT doc_id, min(s) AS ms, max(e) AS me
+       |  FROM isl2 GROUP BY doc_id, island),
+       |tok AS (
+       |  SELECT doc_id, unnest(a) AS tok,
+       |    generate_subscripts(a, 1) - 1 AS pos
+       |  FROM toks),
+       |scrub AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos)
+       |    AS scrubbed
+       |  FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+       |    WHERE m.doc_id = t.doc_id AND t.pos BETWEEN m.ms AND m.me)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, md5(coalesce(s.scrubbed, '')) AS scrubbed_md5,
+       |  len(string_split(coalesce(s.scrubbed, ''), ' '))
+       |    AS n_tokens_after
+       |FROM documents d LEFT JOIN scrub s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def dupSpanScrubSql(n: Int = SpanTokens): String =
     s"""WITH ${spanGramsSql(n)},
        |stats AS (SELECT gram, count(*) AS c FROM grams GROUP BY 1),

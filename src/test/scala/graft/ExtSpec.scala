@@ -151,6 +151,19 @@ class ExtSpec extends AnyFunSuite {
       == Dedup.dupSpanReport(docs, 4).collect().toSet)
     assert(Dedup.dupSpanScrub(docs, 4, hashGrams = false).collect().toSet
       == Dedup.dupSpanScrub(docs, 4).collect().toSet)
+
+    // apply leg: scrubbed text drops exactly the merged islands
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val applied = Dedup.applySpanScrub(docs, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(applied(1L) == ((md5Of("a b c d e f"), 6L))) // untouched
+    assert(applied(2L) == ((md5Of("x y z"), 3L)))       // [2,5] dropped
+    assert(applied(3L) == ((md5Of("p q r"), 3L)))
+    assert(applied(4L) == ((md5Of("m n o p"), 4L)))     // [4,11] dropped
+    // the apply's survivor counts equal the accounting's tokens_kept
+    assert(applied.view.mapValues(_._2).toMap
+      == scrub.view.mapValues(_._3).toMap)
   }
 
   test("embedding near-dup ranks the planted close pair first") {

@@ -408,6 +408,9 @@ object SparkEntry {
     // and the repeat-epochs to hit the target mix (exact-integer ppm)
     "source_mix_weights" -> ((s, dir) =>
       graft.ext.Curation.sourceMixWeights(tables(s, dir).documents)),
+    // Temperature-scaled sampling weights (p^tau / sum p^tau, tau=0.7)
+    "temperature_mix" -> ((s, dir) =>
+      graft.ext.Curation.temperatureMixWeights(tables(s, dir).documents)),
     // Unicode canonicalization pass (native nfc_normalize expression):
     // md5 pins the exact canonical bytes cross-engine
     "text_normalized" -> ((s, dir) =>
@@ -993,6 +996,7 @@ object SparkEntry {
         |ORDER BY 1, 2, 3, 4""".stripMargin,
     "text_normalized" -> graft.ext.Curation.normalizedReportSql,
     "source_mix_weights" -> graft.ext.Curation.sourceMixWeightsSql,
+    "temperature_mix" -> graft.ext.Curation.temperatureMixWeightsSql(),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,

@@ -668,6 +668,56 @@ object Curation {
        |    AS BIGINT) AS epochs_ppm
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Temperature-scaled source sampling weights: w_i = p_i^τ / Σ p_j^τ
+    * over natural token shares p_i — τ < 1 upsamples tail sources, the
+    * standard multilingual/pretraining mix transform (XLM-R-style
+    * exponentiated sampling). Same cost shape as [[sourceMixWeights]]:
+    * one scan, O(sources) aggregates, one-row total attaches. Each
+    * p_i^τ quantizes to 1e-9 fixed point BEFORE the normalizing sum, so
+    * the denominator is an exact integer in any aggregation order.
+    */
+  def temperatureMixWeights(documents: DataFrame,
+      tau: Double = 0.7): DataFrame = {
+    val perSrc = documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val total = perSrc.agg(sum("n_tokens").as("t_total"))
+    val powed = perSrc.join(broadcast(total))
+      .withColumn("natural_ppm",
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div t_total"))
+      .withColumn("w_fp", floor(
+        pow(col("n_tokens").cast("double") / col("t_total"), tau) * 1e9
+          + 0.5).cast("long"))
+    val denom = powed.agg(sum("w_fp").as("w_total"))
+    powed.join(broadcast(denom))
+      .withColumn("temp_share",
+        round(col("w_fp").cast("double") / col("w_total"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("natural_ppm"), col("temp_share"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[temperatureMixWeights]]. */
+  def temperatureMixWeightsSql(tau: Double = 0.7): String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM per),
+       |p AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(CAST(n_tokens AS HUGEINT) * 1000000 // t_total
+       |      AS BIGINT) AS natural_ppm,
+       |    CAST(floor(pow(CAST(n_tokens AS DOUBLE) / t_total, $tau)
+       |      * 1e9 + 0.5) AS BIGINT) AS w_fp
+       |  FROM per, tot),
+       |d AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_total FROM p)
+       |SELECT source, n_docs, n_tokens, natural_ppm,
+       |  round(CAST(w_fp AS DOUBLE) / w_total, 6) AS temp_share
+       |FROM p, d ORDER BY source""".stripMargin
+
   // ---- text canonicalization ----------------------------------------------
 
   /** Canonical text form: Unicode NFC (native [[graft.functions

@@ -43,6 +43,25 @@ class CurationSpec extends AnyFunSuite {
     assert(odd.getAs[Long]("epochs_ppm") == 30000L) // target/1 share
   }
 
+  test("temperature mix: tau=0.5 turns a 9:1 token split into 3:1") {
+    import spark.implicits._
+    // p = (0.9, 0.1); sqrt(0.9) = 3*sqrt(0.1) -> shares exactly 3/4, 1/4
+    val docs = Seq(
+      (1L, "t t t t t t t t t", "big"), (2L, "t", "small"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.temperatureMixWeights(docs, tau = 0.5).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("natural_ppm"),
+          x.getAs[Double]("temp_share"))).toMap
+    assert(r("big") == ((9L, 900000L, 0.75)))
+    assert(r("small") == ((1L, 100000L, 0.25)))
+    // tau = 1 reproduces the natural shares
+    val nat = Curation.temperatureMixWeights(docs, tau = 1.0).collect()
+      .map(x => x.getAs[String]("source") ->
+        x.getAs[Double]("temp_share")).toMap
+    assert(nat("big") == 0.9 && nat("small") == 0.1)
+  }
+
   // ---- text canonicalization ----------------------------------------------
 
   test("normalizeText unifies NFC forms, whitespace runs, and case") {

@@ -334,6 +334,9 @@ object SparkEntry {
       Dedup.dupSpanScrub(tables(s, dir).documents).orderBy("doc_id")),
     "span_scrub_apply" -> ((s, dir) =>
       Dedup.applySpanScrub(tables(s, dir).documents).orderBy("doc_id")),
+    "span_containment" -> ((s, dir) =>
+      Dedup.spanContainment(tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b")),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(tables(s, dir).embeddings)
         .orderBy("label", "rank")),
@@ -1013,6 +1016,7 @@ object SparkEntry {
     "dup_span_top" -> Dedup.dupSpanTopSql(),
     "dup_span_scrub" -> Dedup.dupSpanScrubSql(),
     "span_scrub_apply" -> Dedup.applySpanScrubSql(),
+    "span_containment" -> Dedup.spanContainmentSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,

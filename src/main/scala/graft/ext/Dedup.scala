@@ -1111,6 +1111,76 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Containment detection (Broder's asymmetric overlap): C(A→B) =
+    * |spans(A) ∩ spans(B)| / |spans(A)| over DISTINCT n-token spans —
+    * catches a document quoting or containing a large chunk of another
+    * even when symmetric resemblance (Jaccard/MinHash) is low. Reported
+    * per unordered pair with both denominators; a pair qualifies when
+    * the greater direction clears `minContainment`.
+    *
+    * Candidate pairs come from shared spans, so the self-join is banded
+    * exactly like the MinHash candidate join — and carries the same
+    * skew guard: span buckets above `maxSpanBucket` docs are dropped
+    * before pairing (a size-c bucket is c·(c−1)/2 pairs; hot spans are
+    * boilerplate that [[dupSpanTop]] surfaces directly). The oracle
+    * applies the identical cap, so the trade is explicit, not hidden.
+    */
+  def spanContainment(documents: DataFrame, n: Int = SpanTokens,
+      minContainment: Double = 0.5, maxSpanBucket: Int = 50,
+      hashGrams: Boolean = true): DataFrame = {
+    val key: Column => Column =
+      if (hashGrams) xxhash64(_) else identity
+    val grams = spanGrams(documents, n)
+      .select(col("doc_id"), key(col("gram")).as("g")).distinct()
+    val pairable = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1 && col("c") <= maxSpanBucket)
+        .select("g"),
+      Seq("g"))
+    val pairs = pairable.as("a").join(pairable.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+    val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"),
+        col("ns").as("spans_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"),
+        col("ns").as("spans_b")), Seq("doc_b"))
+      .withColumn("containment", round(greatest(
+        col("shared_spans").cast("double") / col("spans_a"),
+        col("shared_spans").cast("double") / col("spans_b")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("shared_spans"),
+        col("spans_a"), col("spans_b"), col("containment"))
+  }
+
+  /** DuckDB mirror of [[spanContainment]] — identical bucket cap. */
+  def spanContainmentSql(n: Int = SpanTokens,
+      minContainment: Double = 0.5, maxSpanBucket: Int = 50): String =
+    s"""WITH ${spanGramsSql(n)},
+       |dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+       |sz AS (SELECT gram FROM dg GROUP BY gram
+       |       HAVING count(*) > 1 AND count(*) <= $maxSpanBucket),
+       |cap AS (SELECT dg.doc_id, dg.gram FROM dg JOIN sz USING (gram)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS shared_spans
+       |  FROM cap a JOIN cap b
+       |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS ns FROM dg GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b, shared_spans, ca.ns AS spans_a,
+       |    cb.ns AS spans_b,
+       |    round(greatest(CAST(shared_spans AS DOUBLE) / ca.ns,
+       |      CAST(shared_spans AS DOUBLE) / cb.ns), 6) AS containment
+       |  FROM pairs
+       |    JOIN cnt ca ON doc_a = ca.doc_id
+       |    JOIN cnt cb ON doc_b = cb.doc_id)
+       |WHERE containment >= $minContainment
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Apply the keep-first span scrub: drop every token inside a merged
     * removal island and return the scrubbed text (md5-fingerprinted in
     * the verified query; the full text column is one `array_join` away).

@@ -166,6 +166,28 @@ class ExtSpec extends AnyFunSuite {
       == scrub.view.mapValues(_._3).toMap)
   }
 
+  test("span containment flags a doc contained in a larger one") {
+    val docs = docsDF(Seq(
+      (1L, "q w e r t y"),                         // 3 distinct 4-spans
+      (2L, "z1 z2 z3 q w e r t y z4 z5 z6"),      // contains doc 1 whole
+      (3L, "u1 u2 u3 u4 u5 u6")))                 // unrelated
+    val got = Dedup.spanContainment(docs, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // all 3 of doc 1's spans appear in doc 2's 9: C(1→2) = 1.0 even
+    // though symmetric Jaccard is only 3/9
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((3L, 3L, 9L, 1.0)))
+    // the bucket cap drops all pairs when set to exclude shared spans
+    assert(Dedup.spanContainment(docs, n = 4, maxSpanBucket = 1)
+      .count() == 0)
+    // hashed and exact-string groupings agree
+    assert(Dedup.spanContainment(docs, 4, hashGrams = false)
+      .collect().toSet
+      == Dedup.spanContainment(docs, 4).collect().toSet)
+  }
+
   test("embedding near-dup ranks the planted close pair first") {
     import spark.implicits._
     val e = Seq(

@@ -260,6 +260,19 @@ object SparkEntry {
       graft.ext.Search.moreLikeThis(tables(s, dir).documents, MltQueryDoc)
         .orderBy("rank")),
 
+    // BM25 served from the persisted postings index + dl sidecar —
+    // identical scoring plan to bm25_top_docs, so it shares its oracle
+    "bm25_served" -> ((s, dir) => {
+      val sf = new java.io.File(dir).getName
+      val idx = s"/tmp/graft_postings_$sf"
+      val dlp = s"/tmp/graft_doclen_$sf"
+      graft.ext.IndexCache.ensure(idx)(
+        graft.ext.Search.writePostingsIndex(tables(s, dir).documents, idx))
+      graft.ext.IndexCache.ensure(dlp)(
+        graft.ext.Search.writeDocLengths(tables(s, dir).documents, dlp))
+      graft.ext.Search.bm25Served(s, idx, dlp, SearchTerms).orderBy("rank")
+    }),
+
     // as-of join (operators.AsOfJoin): last-touch purchase attribution
     "purchase_attribution" -> ((s, dir) =>
       Analytics.purchaseAttribution(tables(s, dir).events)
@@ -877,6 +890,7 @@ object SparkEntry {
     "tfidf_top_docs" -> graft.ext.Search.tfIdfTopDocsSql(SearchTerms),
     "phrase_search" -> graft.ext.Search.searchPhraseSql(PhraseTerms),
     "more_like_this" -> graft.ext.Search.moreLikeThisSql(MltQueryDoc),
+    "bm25_served" -> graft.ext.Search.bm25TopDocsSql(SearchTerms),
     "bm25_top_docs" -> graft.ext.Search.bm25TopDocsSql(SearchTerms),
 
     "hourly_event_counts" ->

@@ -196,11 +196,47 @@ object Search {
     */
   def bm25TopDocs(documents: DataFrame, terms: Seq[String],
       topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dl = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
     val tf = docTokens(documents).filter(col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"))
+    bm25Rank(tf, dl, topK, k1, b)
+  }
+
+  /** BM25 served from the persisted postings index + a doc-length
+    * sidecar ([[writeDocLengths]]) — the ranking twin of [[searchAll]]:
+    * tf comes from the terms' pruned bucket partitions only (summed
+    * across batch_id levels, so incremental appends merge), df from
+    * those same rows, (N, avgdl) from one narrow dl-table scan. The
+    * scoring expression is SHARED with [[bm25TopDocs]], so served ≡
+    * in-flight bit for bit and both check against the same oracle.
+    */
+  def bm25Served(spark: SparkSession, indexPath: String, dlPath: String,
+      terms: Seq[String], topK: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, buckets: Int = NumBuckets): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    val termBuckets = terms.map(bucketOf(_, buckets)).distinct
+    val tf = readPostings(spark, indexPath)
+      .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(sum("tf").as("tf"))
+    val dl = spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(dlPath)
+    bm25Rank(tf, dl, topK, k1, b)
+  }
+
+  /** Doc-length sidecar for [[bm25Served]] (one narrow corpus scan;
+    * the same `size(split(...))` form [[bm25TopDocs]] uses).
+    */
+  def writeDocLengths(documents: DataFrame, path: String): Unit =
+    documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(path)
+
+  /** The one BM25 scoring + ranking plan both entry points share. */
+  private def bm25Rank(tf: DataFrame, dl: DataFrame, topK: Int,
+      k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scalars = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("dl_total"))

@@ -51,9 +51,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "quality_filter_report",// one combined-agg row → O(rules) explode
     "bpe_merges",           // k collected merge rows (local table)
     "source_mix_weights",   // one-row corpus-total attach
+    "temperature_mix",      // O(sources) aggregate + one-row attaches
     "doc_lm_score",         // one-row vocab-size attach
     "tfidf_top_docs",       // one-row corpus-size attach
     "bm25_top_docs",        // one-row scalars + window over ≤topK rows
+    "bm25_served",          // same shared ranking plan, index-fed
     "more_like_this",       // one-row attaches + window over ≤topK rows
     "hourly_gapfill")       // one-row bounds agg → O(hours) spine
 
@@ -88,9 +90,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "customer_value_ranks", // ≤k-row top-k × one-row total count
     "ann_topk_pq",          // codes × broadcast per-query ADC tables
     "source_mix_weights",   // O(sources) rows × one-row total count
+    "temperature_mix",      // O(sources) rows × one-row totals (×2)
     "doc_lm_score",         // positions × one-row vocab size
     "tfidf_top_docs",       // tf rows × one-row corpus size
     "bm25_top_docs",        // tf rows × one-row (N, avgdl) scalars
+    "bm25_served",          // same shared ranking plan, index-fed
     "more_like_this")       // tf rows × one-row corpus size / query norm
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {

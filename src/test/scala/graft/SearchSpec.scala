@@ -121,6 +121,31 @@ class SearchSpec extends AnyFunSuite {
     assert(window1.head._3 == 3L, "tf 2 wins for window")
   }
 
+  test("served BM25 equals the in-flight ranking; appends merge tf") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bm25idx")
+    val (idx, dlp) = (s"$base/p", s"$base/dl")
+    Search.writePostingsIndex(docs, idx)
+    Search.writeDocLengths(docs, dlp)
+    val terms = Seq("spark", "join", "window")
+    val inflight = Search.bm25TopDocs(docs, terms).collect()
+    val served = Search.bm25Served(spark, idx, dlp, terms).collect()
+    assert(served.sameElements(inflight))
+    // an appended batch is scored on the next serve (dl sidecar
+    // rewritten alongside, as an ingest job would)
+    // tf 20 per term at dl 60 saturates tf·(k1+1)/(tf+·) near its
+    // (k1+1) ceiling with a far-below-average dl — above any fixture doc
+    val extra = Seq((900000L,
+      Seq.fill(20)("spark join window").mkString(" ")))
+      .toDF("doc_id", "text")
+    Search.appendToPostingsIndex(extra, idx, 1L)
+    Search.writeDocLengths(docs.select("doc_id", "text").unionByName(extra),
+      dlp)
+    val after = Search.bm25Served(spark, idx, dlp, terms).collect()
+    assert(after.head.getLong(1) == 900000L,
+      "the term-stuffed appended doc must rank first")
+  }
+
   test("more-like-this ranks by tf-idf cosine over shared tokens only") {
     import spark.implicits._
     val corpus = Seq(

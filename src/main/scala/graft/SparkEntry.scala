@@ -317,6 +317,14 @@ object SparkEntry {
         .orderBy("lang", "predicted")),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(tables(s, dir).documents).orderBy("doc_id")),
+    // winnowing (MOSS) local fingerprints: per-doc selection summary and
+    // the fingerprint-join match report (partial-overlap detection)
+    "winnow_fingerprints" -> ((s, dir) =>
+      graft.ext.Winnow.fingerprintReport(tables(s, dir).documents)
+        .orderBy("doc_id")),
+    "winnow_matches" -> ((s, dir) =>
+      graft.ext.Winnow.matches(tables(s, dir).documents)
+        .orderBy("doc_a", "doc_b")),
 
     // ---- ext: deduplication (north-star) ----------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -420,6 +428,11 @@ object SparkEntry {
     // failing-id checksum (exact failure membership, cross-engine)
     "quality_filter_report" -> ((s, dir) =>
       TextAnalysis.qualityFilterReport(tables(s, dir).documents)),
+    // model-based quality classification (linear scorer, exact-integer
+    // margin): the fastText-classifier role in CCNet/LLaMA-style curation
+    "quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(tables(s, dir).documents)
+        .orderBy("doc_id")),
     // Data-mixing weights: per-source natural vs target token shares
     // and the repeat-epochs to hit the target mix (exact-integer ppm)
     "source_mix_weights" -> ((s, dir) =>
@@ -427,6 +440,11 @@ object SparkEntry {
     // Temperature-scaled sampling weights (p^tau / sum p^tau, tau=0.7)
     "temperature_mix" -> ((s, dir) =>
       graft.ext.Curation.temperatureMixWeights(tables(s, dir).documents)),
+    // cross-source n-gram contamination matrix (containment + Jaccard
+    // per source pair; bounded-fan-in gram join)
+    "source_overlap" -> ((s, dir) =>
+      graft.ext.Curation.sourceOverlap(tables(s, dir).documents)
+        .orderBy("source_a", "source_b")),
     // Unicode canonicalization pass (native nfc_normalize expression):
     // md5 pins the exact canonical bytes cross-engine
     "text_normalized" -> ((s, dir) =>
@@ -984,6 +1002,12 @@ object SparkEntry {
          |ORDER BY lang, predicted""".stripMargin,
     "doc_fingerprints" ->
       s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
+    "winnow_fingerprints" ->
+      s"""SELECT * FROM (${graft.ext.Winnow.fingerprintReportSql})
+         |ORDER BY doc_id""".stripMargin,
+    "winnow_matches" ->
+      s"""SELECT * FROM (${graft.ext.Winnow.matchesSql})
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "pack_plan" -> graft.ext.Curation.packPlanSql(
@@ -995,9 +1019,15 @@ object SparkEntry {
     "training_mix" -> graft.ext.Curation.trainingMixSql(),
     "corpus_drift" -> graft.ext.Curation.corpusDriftSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "source_overlap" ->
+      s"""SELECT * FROM (${graft.ext.Curation.sourceOverlapSql})
+         |ORDER BY source_a, source_b""".stripMargin,
     "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
+    "quality_classifier" ->
+      s"""SELECT * FROM (${TextAnalysis.qualityClassifierSql})
+         |ORDER BY doc_id""".stripMargin,
     "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),
     // the k-merge trainer, unrolled to chained CTEs (round 6: the last
     // meaningfully-checkable query moves from rows-only to full oracle)

@@ -327,6 +327,73 @@ object Curation {
        |ORDER BY joined.dim, value""".stripMargin
   }
 
+  /** Pairwise n-gram overlap between SOURCES — the cross-source
+    * contamination / lineage matrix (which feeds duplicate each other;
+    * the between-corpus twin of [[decontaminationReport]]'s
+    * corpus-vs-benchmark check). For every source pair: shared distinct
+    * word-5-gram hashes, both containment directions, and Jaccard.
+    *
+    * Scale shape: one scan explodes shingles to distinct
+    * `(source, gram)` rows — at most #sources rows per gram, so the
+    * gram-keyed self-join has BOUNDED fan-in (≤ #sources²) per key and
+    * cannot mega-bucket regardless of gram popularity; pair cardinality
+    * is #sources², tiny. Shuffles: the distinct, then the gram-keyed
+    * join — both carry the distinct-gram volume, not the corpus.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val grams = documents
+      .select(col("source"),
+        explode(graft.ext.TextAnalysis.shingles(col("text"))).as("g"))
+      .select(col("source"), Hashing.h32(col("g")).as("h"))
+      .distinct()
+      .persist() // scanned by per-source counts and both join sides
+    val perSource = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(perSource.as("pa"), col("source_a") === col("pa.source"))
+      .join(perSource.as("pb"), col("source_b") === col("pb.source"))
+      .select(col("source_a"), col("source_b"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"), col("inter"),
+        round(col("inter").cast("double") / col("pa.n"), 6)
+          .as("containment_a"),
+        round(col("inter").cast("double") / col("pb.n"), 6)
+          .as("containment_b"),
+        round(col("inter").cast("double")
+          / (col("pa.n") + col("pb.n") - col("inter")), 6).as("jaccard"))
+  }
+
+  def sourceOverlapSql: String = {
+    import graft.ext.TextAnalysis.shinglesSql
+    import Hashing.h32Sql
+    s"""WITH grams AS (
+       |  SELECT DISTINCT source, ${h32Sql("g")} AS h
+       |  FROM (
+       |    SELECT source,
+       |      unnest(${shinglesSql("string_split(text, ' ')")}) AS g
+       |    FROM documents)),
+       |per_source AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM grams GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM grams a JOIN grams b
+       |    ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, pa.n AS n_a, pb.n AS n_b, inter,
+       |  round(CAST(inter AS DOUBLE) / pa.n, 6) AS containment_a,
+       |  round(CAST(inter AS DOUBLE) / pb.n, 6) AS containment_b,
+       |  round(CAST(inter AS DOUBLE) / (pa.n + pb.n - inter), 6)
+       |    AS jaccard
+       |FROM inter
+       |JOIN per_source pa ON pa.source = source_a
+       |JOIN per_source pb ON pb.source = source_b""".stripMargin
+  }
+
   // ---- end-to-end training mix (the composed curation funnel) -------------
 
   /** Minimum composite quality (ppm, see [[TextAnalysis.qualityPpm]]) a

@@ -78,6 +78,74 @@ object TextAnalysis {
       + round(nDist * 300000.0 / nTok).cast("long")
       + lit(300000L) - round(nStop * 300000.0 / nTok).cast("long"))
 
+  /** Model-based quality classification — the "quality classifier" stage
+    * of a pretraining pipeline (the role fastText/linear classifiers play
+    * in LLaMA/CCNet-style curation), expressed as a LINEAR scorer over
+    * the per-doc statistics with fixed, documented weights. The decision
+    * value is an exact-integer margin in ppm (same single-division
+    * rounding discipline as [[qualityPpm]]) so both engines agree
+    * bit-for-bit; `keep` is `margin > 0`.
+    *
+    * Terms (all ppm-scaled; the length-credit cap sits BELOW the bias so
+    * length alone can never clear the bar — a long but zero-diversity
+    * spam doc is rejected):
+    *   + saturating doc-length credit  (2000/token, cap 250 000)
+    *   + lexical diversity             (TTR · 400 000)
+    *   + stopword-presence credit      (rate, cap 60 000 — the C4
+    *     "has function words" signal)
+    *   − avg-token-length deviation    (|len − 4.5 chars| / 10, cap 300 000)
+    *   − bias 300 000
+    *
+    * One map-side projection, no shuffle — the 100 TB shape of any
+    * per-doc scoring pass. A learned model would swap the literal
+    * weights for broadcast coefficients; the plan is identical.
+    */
+  def qualityClassifier(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = Lexicons.head._2
+    documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_dist"),
+        aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
+        size(filter(toks, t => t.isin(en: _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_tok").as("n_tokens"),
+        (least(col("n_tok") * 2000L, lit(250000L))
+          + round(col("n_dist") * 400000.0 / col("n_tok")).cast("long")
+          + least(round(col("n_stop") * 1000000.0 / col("n_tok"))
+              .cast("long"), lit(60000L))
+          - least(expr(
+              "abs(cast(round(sum_len * 1000000.0 / n_tok) as bigint)"
+                + " - 4500000) div 10"), lit(300000L))
+          - 300000L).as("margin_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("margin_ppm"), (col("margin_ppm") > 0L).as("keep"))
+  }
+
+  def qualityClassifierSql: String =
+    s"""SELECT doc_id, source, lang, n_tok AS n_tokens,
+       |  margin_ppm, margin_ppm > 0 AS keep
+       |FROM (
+       |  SELECT doc_id, source, lang, n_tok,
+       |    least(n_tok * 2000, 250000)
+       |      + CAST(round(n_dist * 400000.0 / n_tok) AS BIGINT)
+       |      + least(CAST(round(n_stop * 1000000.0 / n_tok) AS BIGINT),
+       |              60000)
+       |      - least(abs(CAST(round(sum_len * 1000000.0 / n_tok) AS BIGINT)
+       |                  - 4500000) // 10, 300000)
+       |      - 300000 AS margin_ppm
+       |  FROM (
+       |    SELECT doc_id, source, lang,
+       |      len(toks) AS n_tok,
+       |      len(list_distinct(toks)) AS n_dist,
+       |      CAST(list_sum([len(t) for t in toks]) AS BIGINT) AS sum_len,
+       |      len([t for t in toks
+       |           if list_contains(${sqlList(Lexicons.head._2)}, t)])
+       |        AS n_stop
+       |    FROM (SELECT *, string_split(text, ' ') AS toks
+       |          FROM documents)))""".stripMargin
+
   def textStatsSql: String =
     s"""SELECT doc_id, source, lang, n_chars, n_tokens, n_distinct,
        |  round(CAST(sum_token_len AS DOUBLE) / n_tokens, 6)

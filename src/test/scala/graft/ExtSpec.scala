@@ -778,6 +778,81 @@ class ExtSpec extends AnyFunSuite {
       .sameElements(r))
   }
 
+  test("winnow guarantee: a shared 20-token run collides; density bounds") {
+    import graft.ext.Winnow
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d = docsDF(Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta"),
+      (2L, s"one two three four five six $shared seven eight nine"),
+      (3L, "totally unrelated text about joins shuffles scans and codegen")))
+    val pairs = Winnow.matches(d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+    // density: every window selects one gram, one selection covers at
+    // most w windows -> n_fps >= ceil(windows/w); dedup keeps it well
+    // under 1. Also pinned: the ~2/(w+1) expected density from the paper
+    // holds loosely on real text.
+    val fp = Winnow.fingerprintReport(d).collect()
+    fp.foreach { r =>
+      val grams = r.getAs[Long]("n_grams")
+      val fps = r.getAs[Long]("n_fps")
+      val windows = math.max(grams - Winnow.WindowW + 1, 1L)
+      assert(fps >= (windows + Winnow.WindowW - 1) / Winnow.WindowW)
+      assert(fps <= windows)
+    }
+  }
+
+  test("winnow matches score exact duplicates at overlap 1.0") {
+    import graft.ext.Winnow
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docsDF(Seq((1L, t), (2L, t),
+      (3L, "different content entirely with no shared runs at all here")))
+    val m = Winnow.matches(d).collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[Long]("doc_a") == 1L)
+    assert(m.head.getAs[Long]("doc_b") == 2L)
+    assert(m.head.getAs[Double]("overlap_est") == 1.0)
+  }
+
+  test("quality classifier margin is the documented exact-integer form") {
+    // n_tok=8, n_dist=8, sum_len=16, n_stop=7:
+    //   16000 + 400000 + min(875000, 60000) - min(250000, 300000) - 300000
+    val d = docsDF(Seq((1L, "the of and is to in a x")))
+    val r = TextAnalysis.qualityClassifier(d).head()
+    assert(r.getAs[Long]("margin_ppm") == -74000L)
+    assert(!r.getAs[Boolean]("keep"))
+    // a longer, diverse doc clears the bar; a repetitive one scores lower
+    val pair = docsDF(Seq(
+      (1L, (1 to 200).map(i => s"word$i").mkString(" ")),
+      (2L, Seq.fill(200)("spam").mkString(" "))))
+    val byId = TextAnalysis.qualityClassifier(pair).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(byId(1L).getAs[Long]("margin_ppm")
+      > byId(2L).getAs[Long]("margin_ppm"))
+    assert(!byId(2L).getAs[Boolean]("keep"))
+  }
+
+  test("source overlap reports containment per source pair") {
+    import spark.implicits._
+    val t1 = "a b c d e f g h i j"
+    val d = Seq(
+      (1L, t1, "en", "srcA", t1.length.toLong),
+      (2L, t1, "en", "srcB", t1.length.toLong),
+      (3L, "k l m n o p q r s t", "en", "srcC", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.Curation.sourceOverlap(d).collect()
+    // only the (A,B) pair shares grams; C is disjoint -> absent
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("source_a") == "srcA")
+    assert(r.getAs[String]("source_b") == "srcB")
+    assert(r.getAs[Long]("inter") == 6L) // 10 tokens -> 6 distinct 5-grams
+    assert(r.getAs[Double]("containment_a") == 1.0)
+    assert(r.getAs[Double]("containment_b") == 1.0)
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

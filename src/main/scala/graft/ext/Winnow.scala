@@ -58,16 +58,18 @@ object Winnow {
     */
   private val PosShift = 4294967296L
 
-  /** Per-doc encoded winnow selections (distinct `pos * 2^32 + fp`) from
-    * a gram-hash array. `hs` MUST be a materialized ATTRIBUTE (projected
-    * in its own upstream select), never an inline expression: the
-    * per-window lambda references it w+2 times and higher-order
-    * functions evaluate interpreted (no codegen subexpression
-    * elimination), so an inline tree re-runs the whole shingle+hash
-    * pipeline once per reference per window — O(doc²) per doc
-    * (measured: 49 s vs <1 s over 5 000 docs at sf0.1). Catalyst's
+  /** EXPRESSION-FORM winnow selections from a gram-hash array — the
+    * reference twin of the native `winnow_select` expression (ExtSpec
+    * pins bit-equality). `hs` MUST be a materialized ATTRIBUTE
+    * (projected in its own upstream select), never an inline
+    * expression: the per-window lambda references it w+2 times and
+    * higher-order functions evaluate interpreted (no codegen
+    * subexpression elimination), so an inline tree re-runs the whole
+    * shingle+hash pipeline once per reference per window — O(doc²) per
+    * doc (measured: 49 s vs <1 s over 5 000 docs at sf0.1). Catalyst's
     * CollapseProject keeps the split: it refuses to inline a non-cheap
-    * alias consumed more than once.
+    * alias consumed more than once. The hot path uses the native
+    * O(n)-deque [[graft.functions.WinnowSelect]] instead.
     */
   def selectionsFromHashes(hs: Column, w: Int = WindowW): Column = {
     val starts = sequence(lit(1), greatest(size(hs) - (w - 1), lit(1)))
@@ -80,10 +82,10 @@ object Winnow {
     }))
   }
 
-  /** `(doc_id, n_grams, sel)` with the hash array materialized once per
-    * row (see [[selectionsFromHashes]]); the fixture scan is spread
-    * across cores first — the sf parquet is one split, and at production
-    * scale the input arrives already partitioned.
+  /** `(doc_id, n_grams, sel)` via the native `winnow_select` expression
+    * — one codegen'd projection; the fixture scan is spread across
+    * cores first (the sf parquet is one split; at production scale the
+    * input arrives already partitioned).
     */
   private def withSelections(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
@@ -91,9 +93,9 @@ object Winnow {
     documents
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"),
-        transform(shingles(col("text")), s => h32(s)).as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
-        selectionsFromHashes(col("hs")).as("sel"))
+        size(shingles(col("text"))).cast("long").as("n_grams"),
+        graft.functions.GraftFunctions
+          .winnowSelect(col("text"), ShingleK, WindowW).as("sel"))
   }
 
   /** DuckDB mirror of [[selectionsFromHashes]] over a `hs` BIGINT-list expression
@@ -150,8 +152,11 @@ object Winnow {
     */
   def matches(documents: DataFrame): DataFrame = {
     val fps = fpTable(documents).persist()
+    // (doc_id, fp) rows are distinct by construction (array_distinct
+    // before the explode), so doc-frequency is a plain count — no
+    // count-distinct Expand pass
     val keep = fps.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDocFreq)
     val kept = fps.join(keep, "fp")
     val perDoc = kept.groupBy("doc_id")

@@ -102,6 +102,11 @@ object GraftFunctions {
     (FunctionIdentifier("pq_dist_tables"),
       new ExpressionInfo(classOf[PqDistTables].getName, "pq_dist_tables"),
       (es: Seq[Expression]) => PqDistTables(es.head, es(1))),
+    (FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (es: Seq[Expression]) =>
+        WinnowSelect(es.head, es(1).eval().asInstanceOf[Int],
+          es(2).eval().asInstanceOf[Int])),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),
@@ -155,6 +160,12 @@ object GraftFunctions {
   /** `pq_dist_tables(v, codebooks)` as a Column; requires registration. */
   def pqDistTables(v: Column, codebooks: Column): Column =
     call_function("pq_dist_tables", v, codebooks)
+
+  /** `winnow_select(text, k, w)` as a Column; requires registration. */
+  def winnowSelect(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_select", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 
   /** `nfc_normalize(text)` as a Column; requires registration. */
   def nfcNormalize(text: Column): Column =

@@ -802,6 +802,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("native winnow_select ≡ expression-form selections, incl. ties") {
+    import graft.ext.{Winnow, Hashing, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    // ties (all-identical tokens → equal hashes) exercise the
+    // rightmost-min tie-break in both forms; the 3-token doc exercises
+    // the clamped single-window path (< w + k - 1 tokens)
+    val d = docsDF(Seq(
+      (1L, (1 to 40).map(i => s"tok${i % 13}").mkString(" ")),
+      (2L, Seq.fill(25)("same").mkString(" ")),
+      (3L, "just three tokens"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    val native = d.select(col("doc_id"), graft.functions.GraftFunctions
+      .winnowSelect(col("text"), TextAnalysis.ShingleK, Winnow.WindowW)
+      .as("sel"))
+    val exprForm = d
+      .select(col("doc_id"),
+        transform(TextAnalysis.shingles(col("text")),
+          s => Hashing.h32(s)).as("hs"))
+      .select(col("doc_id"),
+        Winnow.selectionsFromHashes(col("hs")).as("sel"))
+    val n = native.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val e = exprForm.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == e.keySet)
+    n.keySet.foreach(id => assert(n(id) == e(id), s"doc $id"))
+  }
+
   test("winnow matches score exact duplicates at overlap 1.0") {
     import graft.ext.Winnow
     val t = "the quick brown fox jumps over the lazy dog again and again"

@@ -457,6 +457,14 @@ object SparkEntry {
     // BpeSpec pins the algorithm on hand-computed fixtures)
     "bpe_merges" -> ((s, dir) =>
       graft.ext.Bpe.mergesTable(tables(s, dir).documents)),
+    // tokenization APPLY with the learned rules via the native
+    // bpe_apply expression (vocabulary-size-independent per-word cost);
+    // checksum pins the exact token strings cross-engine
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      graft.ext.Bpe.tokenizeReport(docs, graft.ext.Bpe.trainMerges(docs))
+        .orderBy("doc_id")
+    }),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -1032,6 +1040,7 @@ object SparkEntry {
     // the k-merge trainer, unrolled to chained CTEs (round 6: the last
     // meaningfully-checkable query moves from rows-only to full oracle)
     "bpe_merges" -> graft.ext.Bpe.mergesSql(),
+    "bpe_tokenize" -> graft.ext.Bpe.tokenizeReportSql(),
     "zorder_box_read" ->
       """WITH b AS (
         |  SELECT max(l_orderkey) AS xm, max(l_partkey) AS ym

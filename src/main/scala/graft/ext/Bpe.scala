@@ -180,8 +180,14 @@ object Bpe {
     * can never start mid-symbol) while consecutive pairs stay matchable
     * ("␟a␟a␟a␟a" → "␟aa␟aa", the paper's non-overlapping semantics).
     */
-  def mergesSql(k: Int = DefaultMerges): String = {
-    val S = "chr(31)"
+  private val Sep = "chr(31)"
+
+  /** The trainer's CTE chain (`wf`, `v0`, and per-iteration `p_i`/`t_i`/
+    * `v_{i+1}` — `t_i` is iteration i's single learned merge row),
+    * shared by [[mergesSql]] and [[tokenizeReportSql]].
+    */
+  private def trainerCtes(k: Int): String = {
+    val S = Sep
     val steps = (0 until k).map { i =>
       s"""p$i AS (
          |  SELECT l, r, pf,
@@ -199,24 +205,97 @@ object Bpe {
          |  SELECT replace(s, $S || l || $S || r, $S || l || r) AS s, freq
          |  FROM v$i, t$i)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until k).map { i =>
-      if (i == 0)
-        s"""SELECT ${i + 1} AS rank, l AS "left", r AS "right",
-           |    l || r AS merged, pf AS pair_freq FROM t$i""".stripMargin
-      else s"  UNION ALL SELECT ${i + 1}, l, r, l || r, pf FROM t$i"
-    }.mkString("\n")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w != '' GROUP BY 1),
        |v0 AS (
        |  SELECT $S || array_to_string(string_split(w, ''), $S) AS s, freq
        |  FROM wf),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  def mergesSql(k: Int = DefaultMerges): String = {
+    val union = (0 until k).map { i =>
+      if (i == 0)
+        s"""SELECT ${i + 1} AS rank, l AS "left", r AS "right",
+           |    l || r AS merged, pf AS pair_freq FROM t$i""".stripMargin
+      else s"  UNION ALL SELECT ${i + 1}, l, r, l || r, pf FROM t$i"
+    }.mkString("\n")
+    s"""WITH ${trainerCtes(k)},
        |merges AS (
        |$union)
        |SELECT rank, "left", "right", merged, pair_freq FROM merges
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Tokenize the corpus with learned rules via the NATIVE `bpe_apply`
+    * expression — the production-shape tokenization pass: one codegen'd
+    * projection per doc, per-word cost independent of vocabulary size
+    * (the expression-form [[tokenReport]] fold chain is the reference
+    * twin with the documented k ceiling; BpeSpec pins count equality).
+    * Exact-integer outputs: non-empty word count, BPE token count, and
+    * an order-independent h32 token checksum that pins the exact token
+    * STRINGS cross-engine, not just how many there are.
+    */
+  def tokenizeReport(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_words"),
+        graft.functions.GraftFunctions
+          .bpeApply(col("text"), merges.map(m => (m.left, m.right)))
+          .as("toks"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + Hashing.h32(t))
+          .as("token_checksum"))
+  }
+
+  /** Cross-engine oracle for [[tokenizeReport]]: re-trains the merge
+    * table via [[trainerCtes]] (so the oracle is self-contained), then
+    * applies the k merges to every word of every document with the same
+    * token-aligned `replace` chain the trainer uses on the vocabulary.
+    */
+  def tokenizeReportSql(k: Int = DefaultMerges): String = {
+    val S = Sep
+    val applies = (0 until k).map { i =>
+      s"""e${i + 1} AS (
+         |  SELECT doc_id,
+         |    replace(s, $S || t$i.l || $S || t$i.r, $S || t$i.l || t$i.r)
+         |      AS s
+         |  FROM e$i, t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${trainerCtes(k)},
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE w != ''),
+       |nw AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+       |  FROM dw GROUP BY doc_id),
+       |e0 AS (
+       |  SELECT doc_id,
+       |    $S || array_to_string(string_split(w, ''), $S) AS s
+       |  FROM dw),
+       |$applies,
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(substr(s, 2), $S)) AS t
+       |  FROM e$k),
+       |ts AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(sum(${Hashing.h32Sql("t")}) AS BIGINT) AS token_checksum
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(nw.n_words, 0) AS n_words,
+       |  coalesce(ts.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  coalesce(ts.token_checksum, 0) AS token_checksum
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN nw USING (doc_id)
+       |LEFT JOIN ts USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the FIRST iteration's pair statistics (top-n) —

@@ -102,6 +102,17 @@ object GraftFunctions {
     (FunctionIdentifier("pq_dist_tables"),
       new ExpressionInfo(classOf[PqDistTables].getName, "pq_dist_tables"),
       (es: Seq[Expression]) => PqDistTables(es.head, es(1))),
+    (FunctionIdentifier("bpe_apply"),
+      new ExpressionInfo(classOf[BpeApply].getName, "bpe_apply"),
+      (es: Seq[Expression]) => {
+        val arr = es(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pairs = (0 until arr.numElements()).map { i =>
+          val p = arr.getArray(i)
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+        BpeApply(es.head, pairs)
+      }),
     (FunctionIdentifier("winnow_select"),
       new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
       (es: Seq[Expression]) =>
@@ -160,6 +171,14 @@ object GraftFunctions {
   /** `pq_dist_tables(v, codebooks)` as a Column; requires registration. */
   def pqDistTables(v: Column, codebooks: Column): Column =
     call_function("pq_dist_tables", v, codebooks)
+
+  /** `bpe_apply(text, rules)` as a Column with the merge table embedded
+    * as a literal (evaluated once at plan build); requires registration.
+    */
+  def bpeApply(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_apply", text,
+      org.apache.spark.sql.functions.typedlit(
+        merges.map(m => Seq(m._1, m._2))))
 
   /** `winnow_select(text, k, w)` as a Column; requires registration. */
   def winnowSelect(text: Column, k: Int, w: Int): Column =

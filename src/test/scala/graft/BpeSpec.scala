@@ -64,6 +64,50 @@ class BpeSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_bpe_tokens") == 1L)
   }
 
+  test("native bpe_apply emits the hand-computed token sequences") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(Seq((1L, "low lower"), (2L, "low")))
+    val merges = Bpe.trainMerges(d, k = 2).map(m => (m.left, m.right))
+    val r = d.select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeApply(col("text"), merges)
+          .as("toks"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getSeq[String](1) == Seq("low", "low", "e", "r"))
+    assert(r(1).getSeq[String](1) == Seq("low"))
+    // left-to-right non-overlapping within a word, and a merge that
+    // fires in a symbol context created by an earlier rank
+    val d2 = docs(Seq((1L, "aaaaa xababy")))
+    val manual = Seq(("a", "a"), ("a", "b"), ("x", "ab"))
+    val r2 = d2.select(graft.functions.GraftFunctions
+      .bpeApply(col("text"), manual).as("toks")).head().getSeq[String](0)
+    assert(r2 == Seq("aa", "aa", "a", "xab", "ab", "y"))
+  }
+
+  test("native bpe_apply ≡ fold-twin token counts on learned rules") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables(spark, Sf0001).documents
+    val merges = Bpe.trainMerges(d, k = 8)
+    val native = Bpe.tokenizeReport(d, merges)
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val twin = Bpe.tokenReport(d, merges)
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(native.sameElements(twin))
+  }
+
+  test("bpe_apply fires a pair re-learned at a later rank") {
+    graft.functions.GraftFunctions.register(spark)
+    // duplicate pair (xy,z): at rank 1 no "xy" symbol exists yet, rank 2
+    // creates it, rank 3 re-fires the pair — a first-rank-only lookup
+    // table would return rank 1 (< cursor) and drop the merge
+    val d = docs(Seq((1L, "xyz")))
+    val rules = Seq(("xy", "z"), ("x", "y"), ("xy", "z"))
+    val toks = d.select(graft.functions.GraftFunctions
+      .bpeApply(col("text"), rules).as("t")).head().getSeq[String](0)
+    assert(toks == Seq("xyz"))
+  }
+
   test("top pairs on the fixture corpus are deterministically ranked") {
     val t = Bpe.topPairs(Tables(spark, Sf0001).documents, 10).collect()
     assert(t.length == 10)

@@ -398,6 +398,12 @@ object SparkEntry {
       graft.ext.Curation.packPlan(tables(s, dir).documents,
         streamCol = graft.ext.Curation.packStreamSharded())),
 
+    // corpus finalization: salted-hash shard assignment + within-shard
+    // shuffle order — the "global shuffle" without a global sort
+    "shard_plan" -> ((s, dir) =>
+      graft.ext.Shards.shardSummary(tables(s, dir).documents)
+        .orderBy("shard")),
+
     // sliding-window chunking: map-side explode, no shuffle — the
     // pretraining/RAG windowing step with exact-integer bounds.
     // (40, 8) instead of the (512, 64) production default so the
@@ -1022,6 +1028,9 @@ object SparkEntry {
       streamSql = graft.ext.Curation.packStreamShardedSql()),
     "chunk_plan" -> graft.ext.Curation.chunkPlanSql(
       maxTokens = 40L, overlap = 8L),
+    "shard_plan" ->
+      s"""SELECT * FROM (${graft.ext.Shards.shardSummarySql()})
+         |ORDER BY shard""".stripMargin,
     "dedup_incremental" ->
       Dedup.incrementalNearDupsSql(id => s"$id % 10 = 7"),
     "training_mix" -> graft.ext.Curation.trainingMixSql(),

@@ -881,6 +881,39 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("shards: deterministic, growth-stable, balanced, sorted on disk") {
+    import graft.ext.Shards
+    val docs = Tables(spark, Sf0001).documents
+    val a1 = Shards.assign(docs).select("doc_id", "shard", "order_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a2 = Shards.assign(docs).select("doc_id", "shard", "order_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a1 == a2) // reproducible
+    // growth stability: assignment depends only on doc_id, so a subset
+    // corpus assigns its docs identically
+    val sub = Shards.assign(docs.limit(50))
+      .select("doc_id", "shard", "order_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sub.subsetOf(a1))
+    // balance: 16 shards over the fixture corpus, no shard 3x the mean
+    val sizes = a1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.size == Shards.DefaultShards)
+    val mean = a1.size.toDouble / sizes.size
+    assert(sizes.values.max <= 3 * mean)
+    // written shards come back sorted by order_key within each shard
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Shards.writeShards(docs, dir)
+    val back = spark.read.parquet(dir)
+    import org.apache.spark.sql.functions.{col => c}
+    (0 until Shards.DefaultShards).foreach { sh =>
+      val keys = back.filter(c("shard") === sh)
+        .select("order_key").collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"shard $sh unsorted")
+    }
+    assert(back.count() == docs.count())
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -358,6 +358,50 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Winnow fingerprint extraction + match join at corpus size n —
+    * the containment-detection cost shape (SCALING.md).
+    */
+  def winnowProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.ext.Winnow
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[winnow] n=$n%-8d $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+    }
+    time("fingerprints") {
+      // read the aggregate VALUE — count() would let column pruning
+      // drop the fingerprint computation entirely
+      Winnow.fingerprintReport(docs)
+        .agg(sum(col("fp_checksum"))).head().getLong(0)
+      1L
+    }
+    time("matches") { Winnow.matches(docs).count() }
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  /** Native BPE tokenization throughput at corpus size n with a table
+    * trained once on a 100k-doc sample (SCALING.md).
+    */
+  def bpeTokProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val merges = graft.ext.Bpe.trainMerges(
+      synthDocs(spark, math.min(n, 100000L)), k = 32)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val toks = graft.ext.Bpe.tokenizeReport(docs, merges)
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    val tApply = (System.nanoTime() - t1) / 1e9
+    println(f"[bpetok] n=$n%-8d train(k=32)=$tTrain%7.2fs apply=$tApply%7.2fs" +
+      f" tokens=$toks (${toks / tApply / 1e6}%.1f M tok/s)")
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
@@ -365,8 +409,11 @@ object ScaleProbe {
     val pqMode = args.headOption.contains("pq")
     val ivfMode = args.headOption.contains("ivf")
     val spansMode = args.headOption.contains("spans")
+    val winnowMode = args.headOption.contains("winnow")
+    val bpeTokMode = args.headOption.contains("bpetok")
     val sizeArgs =
-      if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode)
+      if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
+          || winnowMode || bpeTokMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -407,6 +454,16 @@ object ScaleProbe {
     }
     if (spansMode) {
       sizes.foreach(spanProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (winnowMode) {
+      sizes.foreach(winnowProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (bpeTokMode) {
+      sizes.foreach(bpeTokProbe(spark, _))
       spark.stop()
       return
     }

@@ -152,6 +152,11 @@ object Winnow {
     */
   def matches(documents: DataFrame): DataFrame = {
     val fps = fpTable(documents).persist()
+    // EAGER materialization: keep/kept/per-doc branches all compile into
+    // one job, and concurrent first scans of a cold cache each recompute
+    // the fingerprint pipeline (measured 86 s vs ~40 s at 320 k docs);
+    // one bounded count populates the cache before the branches fan out
+    fps.count()
     // (doc_id, fp) rows are distinct by construction (array_distinct
     // before the explode), so doc-frequency is a plain count — no
     // count-distinct Expand pass

@@ -605,6 +605,11 @@ object SparkEntry {
     // → exact re-rank (the memory-compression scale path)
     "ann_topk_pq" -> ((s, dir) =>
       graft.ext.ProductQuant.topKPq(tables(s, dir).embeddings)),
+    // IVF-PQ: coarse cells prune the scan to nProbe cells per query,
+    // ADC over 16-byte codes orders the survivors, exact re-rank last
+    // (the FAISS-IVFPQ composition)
+    "ann_topk_ivfpq" -> ((s, dir) =>
+      graft.ext.ProductQuant.topKIvfPq(tables(s, dir).embeddings)),
 
     // GE unexpected-rows extraction: 5 failing rows per expectation
     "dq_failed_samples" -> ((s, dir) =>
@@ -1165,6 +1170,7 @@ object SparkEntry {
     // bit-for-bit — same build, same probes, same tie-breaks
     "ann_topk_ivf_served" -> Similarity.topKIvfHierSql,
     "ann_topk_pq" -> graft.ext.ProductQuant.topKPqSql,
+    "ann_topk_ivfpq" -> graft.ext.ProductQuant.topKIvfPqSql(),
     "dq_failed_samples" ->
       s"""$W, samples AS (
          |${DqSuite.failedSamplesSql(DqSuite.customersSuite)})

@@ -306,9 +306,13 @@ object ProductQuant {
   /** DuckDB mirror of the full PQ pipeline (training, encoding, ADC,
     * top-k, exact re-rank).
     */
-  def topKPqSql: String = {
+  /** Shared oracle fragments: unit vectors, codebook training, encoding,
+    * and per-query ADC tables (`raw` … `qdt`), used by both [[topKPqSql]]
+    * and [[topKIvfPqSql]].
+    */
+  private def pqCtes: String = {
     val M = NumSubspaces; val K = CodebookK; val S = SubDim
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS rv,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
@@ -367,13 +371,14 @@ object ProductQuant {
        |  FROM dl GROUP BY vec_id),
        |qdt AS (
        |  SELECT vec_id AS q_id, list(ds ORDER BY m) AS tabs
-       |  FROM dl WHERE vec_id < $NumQueries GROUP BY vec_id),
-       |scored AS (
-       |  SELECT q.q_id, c.vec_id,
-       |    round(list_sum([q.tabs[m][c.codes[m] + 1]
-       |                    for m in range(1, $M + 1)]), 6) AS approx_d2
-       |  FROM codes c JOIN qdt q ON c.vec_id != q.q_id),
-       |shortlist AS (
+       |  FROM dl WHERE vec_id < $NumQueries GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Shared oracle tail: shortlist → exact-cosine re-rank → top-k, over
+    * whatever `scored` CTE precedes it.
+    */
+  private def pqTail: String =
+    s"""shortlist AS (
        |  SELECT q_id, vec_id, approx_d2 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY approx_d2, vec_id) AS sl
@@ -394,5 +399,146 @@ object ProductQuant {
        |  FROM reranked)
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+
+  def topKPqSql: String = {
+    val M = NumSubspaces
+    s"""WITH ${pqCtes},
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    round(list_sum([q.tabs[m][c.codes[m] + 1]
+       |                    for m in range(1, $M + 1)]), 6) AS approx_d2
+       |  FROM codes c JOIN qdt q ON c.vec_id != q.q_id),
+       |$pqTail""".stripMargin
+  }
+
+  /** IVF-PQ — the composition billion-scale indexes actually run
+    * (Jégou et al. §V; FAISS `IVFPQ`): a coarse IVF quantizer over the
+    * UNIT vectors prunes each query to its nProbe nearest cells, and
+    * ADC over the PQ codes orders only the survivors, so per-query scan
+    * work is (nProbe/nlist)·N code lookups instead of N — while the
+    * scan still touches codes only (16 bytes/vector), never raw
+    * vectors. Exact-cosine re-rank of the bounded shortlist restores
+    * ranking precision (PQ's quantization noise cannot order close
+    * neighbors — the measured two-regime recall in SCALING.md).
+    *
+    * Coarse cells reuse [[Similarity.topKIvf]]'s machinery verbatim
+    * (seeded cells + one exact-fixed-point k-means pass + argmin
+    * aggregate assignment) applied to unit vectors. At production scale
+    * swap the flat cell ranking for [[Similarity.topKIvfHier]]'s
+    * coarse-then-fine probe ranking and persist (cell, codes) with
+    * [[Similarity.writeIvfIndex]]'s layout — the composition points are
+    * identical; the fixture query keeps the flat form so the SQL oracle
+    * stays one statement.
+    */
+  def topKIvfPq(embeddings: DataFrame,
+      cells: Int = Similarity.IvfCells,
+      nProbe: Int = Similarity.IvfProbes,
+      shortlistN: Int = Shortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cbs = trainCodebooks(embeddings)
+    val e = embeddings
+      .select(col("vec_id"), unitVec(col("embedding")).as("v"))
+      .withColumn("vn2", dot(col("v"), col("v")))
+    val cents0 = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        col("vn2").as("cn2"))
+    def cellD2(v: Column, vn2: Column, cv: Column, cn2: Column): Column =
+      vn2 - lit(2.0) * dot(v, cv) + cn2
+    def nearestCell(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("vn2"), col("cell"),
+          cellD2(col("v"), col("vn2"), col("cv"), col("cn2")).as("d2"))
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"), first(col("vn2")).as("vn2"),
+          min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    val refined = nearestCell(cents0)
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"),
+          (col("s").cast("double") / col("cnt") / 1e6).as("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    // the stored index: (vec_id, cell, codes) — 16 bytes + a cell id
+    val index = nearestCell(refined)
+      .select(col("vec_id"), col("cell"),
+        encodeExpr(col("v"), cbs).as("codes"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .join(broadcast(refined), lit(true))
+      .select(col("vec_id"), col("v"), col("cell"),
+        cellD2(col("v"), col("vn2"), col("cv"), col("cn2")).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"),
+        distTablesExpr(col("v"), cbs).as("tabs"), col("cell").as("p_cell"))
+    val scored = index.join(broadcast(probes),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
+    shortlistAndRerank(scored, embeddings, shortlistN)
+  }
+
+  /** DuckDB mirror of [[topKIvfPq]]: the PQ fragments plus the
+    * unit-vector IVF cell chain, with scoring restricted to each
+    * query's probed cells.
+    */
+  def topKIvfPqSql(cells: Int = Similarity.IvfCells,
+      nProbe: Int = Similarity.IvfProbes): String = {
+    val M = NumSubspaces
+    def d2(vExpr: String, vn2Expr: String, cvExpr: String,
+        cn2Expr: String): String =
+      s"""$vn2Expr
+         |        - 2.0 * list_sum([$vExpr[i] * $cvExpr[i]
+         |                          for i in range(1, len($vExpr) + 1)])
+         |        + $cn2Expr""".stripMargin
+    s"""WITH ${pqCtes},
+       |ev AS (
+       |  SELECT vec_id, v, list_sum([x * x for x in v]) AS vn2 FROM e),
+       |cents0 AS (
+       |  SELECT vec_id AS cell, v AS cv, vn2 AS cn2 FROM ev
+       |  WHERE vec_id < $cells),
+       |ranked0 AS (
+       |  SELECT ev.vec_id, ev.v, ev.vn2, cents0.cell,
+       |    row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+       |      ${d2("ev.v", "ev.vn2", "cents0.cv", "cents0.cn2")},
+       |      cents0.cell) AS rn
+       |  FROM ev CROSS JOIN cents0),
+       |refined0 AS (
+       |  SELECT cell, i,
+       |    CAST(sum(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS BIGINT)
+       |      AS s,
+       |    count(*) AS cnt
+       |  FROM (SELECT vec_id, v, cell FROM ranked0 WHERE rn = 1),
+       |    unnest(range(1, len(v) + 1)) AS u(i)
+       |  GROUP BY cell, i),
+       |refined1 AS (
+       |  SELECT cell,
+       |    list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS cv
+       |  FROM refined0 GROUP BY cell),
+       |refined AS (
+       |  SELECT cell, cv, list_sum([x * x for x in cv]) AS cn2
+       |  FROM refined1),
+       |rankedc AS (
+       |  SELECT ev.vec_id, ev.vn2, refined.cell,
+       |    row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+       |      ${d2("ev.v", "ev.vn2", "refined.cv", "refined.cn2")},
+       |      refined.cell) AS rn
+       |  FROM ev CROSS JOIN refined),
+       |cellof AS (SELECT vec_id, cell FROM rankedc WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, cell FROM rankedc
+       |  WHERE rn <= $nProbe AND vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    round(list_sum([q.tabs[m][c.codes[m] + 1]
+       |                    for m in range(1, $M + 1)]), 6) AS approx_d2
+       |  FROM codes c
+       |  JOIN cellof co ON co.vec_id = c.vec_id
+       |  JOIN qprobe p ON p.cell = co.cell
+       |  JOIN qdt q ON q.q_id = p.q_id AND c.vec_id != q.q_id),
+       |$pqTail""".stripMargin
   }
 }

@@ -396,6 +396,24 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
   }
 
+  test("IVF-PQ: cell-pruned ADC recall vs brute force and vs plain PQ") {
+    import graft.ext.ProductQuant
+    val e = Tables(spark, Sf0001).embeddings
+    val brute = Similarity.topKBruteForce(e)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = ProductQuant.topKIvfPq(e)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.size == Similarity.NumQueries * Similarity.TopK)
+    val recall = ivfpq.intersect(brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@${Similarity.TopK} vs brute force: $recall%.2f "
+      + s"(nProbe=${Similarity.IvfProbes}/${Similarity.IvfCells} cells)")
+    // the cell pruning can only lose candidates PQ would have scored;
+    // on the fixture the loss must stay bounded
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
   test("hierarchical IVF: full assignment coverage; recall vs brute force") {
     val e = Tables(spark, Sf0001).embeddings
     val n = e.count()

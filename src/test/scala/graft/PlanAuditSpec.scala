@@ -89,6 +89,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "top_tokens",           // scalar vocab-size attach
     "customer_value_ranks", // ≤k-row top-k × one-row total count
     "ann_topk_pq",          // codes × broadcast per-query ADC tables
+    "ann_topk_ivfpq",       // corpus × broadcast centroids (cell passes)
     "source_mix_weights",   // O(sources) rows × one-row total count
     "temperature_mix",      // O(sources) rows × one-row totals (×2)
     "doc_lm_score",         // positions × one-row vocab size

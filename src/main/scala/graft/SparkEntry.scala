@@ -224,6 +224,22 @@ object SparkEntry {
       Analytics.hourlyGapfill(tables(s, dir).events)
         .orderBy("hour_id")),
 
+    // ordered conversion funnel view → click → purchase (stage entry
+    // must follow the previous stage's first touch; exact-integer ppm)
+    "event_funnel" -> ((s, dir) =>
+      Analytics.eventFunnel(tables(s, dir).events).orderBy("stage")),
+
+    // weekly signup cohorts × activity-week offsets (integer week ids)
+    "cohort_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(tables(s, dir).events)
+        .orderBy("cohort_wk", "week_offset")),
+
+    // rolling z-score over the gap-filled hourly series; integer-sum
+    // moments so both engines derive identical doubles
+    "hourly_anomalies" -> ((s, dir) =>
+      Analytics.hourlyAnomalies(tables(s, dir).events)
+        .orderBy("hour_id")),
+
     // conjunctive term search served from the persisted postings index
     // (bucket-partitioned by token hash; reads only the terms' buckets)
     "term_search" -> ((s, dir) => {
@@ -375,6 +391,16 @@ object SparkEntry {
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
+    // DSIR importance weights: hashed-bigram log-likelihood ratio of the
+    // target slice vs the raw corpus, per document
+    "dsir_weights" -> ((s, dir) =>
+      graft.ext.Curation.dsirWeights(tables(s, dir).documents)
+        .orderBy("doc_id")),
+    // embedding-level benchmark decontamination (semantic complement of
+    // decontam_report): flagged corpus vectors + closest benchmark item
+    "semantic_decontam" -> ((s, dir) =>
+      graft.ext.Curation.semanticDecontam(tables(s, dir).embeddings)
+        .orderBy("vec_id")),
     "stratified_sample" -> ((s, dir) =>
       graft.ext.Curation.stratifiedSampleSummary(tables(s, dir).documents)),
     // the composed corpus→training-mix funnel (dedup → gates → sample)
@@ -1028,6 +1054,11 @@ object SparkEntry {
       s"""SELECT * FROM (${graft.ext.Winnow.matchesSql})
          |ORDER BY doc_a, doc_b""".stripMargin,
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
+    "dsir_weights" -> graft.ext.Curation.dsirWeightsSql(),
+    "semantic_decontam" -> graft.ext.Curation.semanticDecontamSql(),
+    "event_funnel" -> Analytics.eventFunnelSql,
+    "cohort_retention" -> Analytics.cohortRetentionSql,
+    "hourly_anomalies" -> Analytics.hourlyAnomaliesSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "pack_plan" -> graft.ext.Curation.packPlanSql(
       streamSql = graft.ext.Curation.packStreamShardedSql()),

@@ -927,4 +927,158 @@ object Curation {
        |  md5(${scrubPiiSql(msg)}) AS scrub_md5
        |FROM ce ORDER BY event_id""".stripMargin
   }
+
+  // ---- DSIR-style importance weights --------------------------------------
+
+  /** Hashed-feature buckets for [[dsirWeights]]. */
+  val DsirBuckets = 1024
+
+  /** Target slice for the fixture run: English documents. */
+  val DsirTargetLang = "en"
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) weights:
+    * score every document by how much more likely its hashed bigram
+    * features are under a TARGET distribution (here the `targetLang`
+    * slice) than under the RAW corpus —
+    * `w(doc) = mean over bigrams of ln p_target(b) − ln p_raw(b)`
+    * with add-one smoothing over `buckets` hashed feature buckets.
+    * High-weight documents are the ones to up-sample when composing a
+    * training mix that should look like the target.
+    *
+    * Scale shape: one corpus scan feeds the bigram stream; the feature
+    * table is `buckets` rows (BOTH distributions come out of the same
+    * single group-by via a conditional sum — not two passes) and
+    * broadcasts back onto the stream; totals are one scalar row. The
+    * per-doc score is a map-side-combinable sum. Cross-engine
+    * determinism: md5-derived bucket ids and 1e-9 fixed-point
+    * quantization of each position's log-ratio (the [[TextAnalysis.lmScore]]
+    * discipline) make the per-doc sum exact-integer and
+    * order-independent.
+    */
+  def dsirWeights(documents: DataFrame, buckets: Int = DsirBuckets,
+      targetLang: String = DsirTargetLang): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("t"))
+    val pos = toks.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .withColumn("b",
+        h32(concat_ws(" ", col("w1"), col("w2"))) % buckets)
+    val feat = pos.groupBy("b").agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = feat.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    pos
+      .join(broadcast(feat), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("qv", floor(
+        (log((col("ct") + 1).cast("double") / (col("tt") + buckets))
+          - log((col("cr") + 1).cast("double") / (col("tr") + buckets)))
+          * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum("qv").cast("double") / 1e9 / count(lit(1)), 6)
+          .as("dsir_weight"))
+  }
+
+  /** DuckDB mirror of [[dsirWeights]]. */
+  def dsirWeightsSql(buckets: Int = DsirBuckets,
+      targetLang: String = DsirTargetLang): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, lang,
+       |    ${h32Sql("p[1] || ' ' || p[2]")} % $buckets AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+       |          FROM documents))
+       |  WHERE p[1] != '' AND p[2] != ''),
+       |feat AS (
+       |  SELECT b,
+       |    sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS ct,
+       |    count(*) AS cr
+       |  FROM pos GROUP BY 1),
+       |totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM feat),
+       |q AS (
+       |  SELECT pos.doc_id,
+       |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (tt + $buckets))
+       |                - ln(CAST(cr + 1 AS DOUBLE) / (tr + $buckets)))
+       |               * 1000000000.0 + 0.5) AS BIGINT) AS qv
+       |  FROM pos JOIN feat USING (b) CROSS JOIN totals)
+       |SELECT doc_id, count(*) AS n_feats,
+       |  round(CAST(sum(qv) AS DOUBLE) / 1000000000.0 / count(*), 6)
+       |    AS dsir_weight
+       |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- semantic (embedding-level) decontamination -------------------------
+
+  /** Benchmark slice size for the fixture run of [[semanticDecontam]]. */
+  val SemBenchCount = 20
+
+  /** Cosine threshold for the fixture run — chosen above the fixture's
+    * cross-slice q99 (≈0.29) so only genuinely-close pairs flag.
+    */
+  val SemDecontamTau = 0.35
+
+  /** Embedding-level benchmark decontamination — the semantic complement
+    * of the n-gram [[decontaminationReport]]: flag corpus vectors whose
+    * cosine to ANY benchmark vector reaches `tau`, reporting each
+    * flagged vector's closest benchmark item (paraphrased contamination
+    * that shares no n-grams still lands near the benchmark in embedding
+    * space).
+    *
+    * Scale shape: the benchmark side is small by construction (an eval
+    * set) and broadcasts whole; scoring is map-side over the corpus scan
+    * — the corpus never shuffles. Only pairs at/above `tau` (the
+    * contaminated sliver) enter the per-vector top-1 shuffle, so the
+    * exchange is bounded by contamination volume, not corpus size.
+    */
+  def semanticDecontam(embeddings: DataFrame, nBench: Int = SemBenchCount,
+      tau: Double = SemDecontamTau): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Dedup.norm(col("v")))
+    val bench = e.filter(col("vec_id") < nBench)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"),
+        col("nrm").as("bn"))
+    val scored = e.filter(col("vec_id") >= nBench)
+      .join(broadcast(bench))
+      .select(col("vec_id"), col("label"), col("bench_id"),
+        round(Dedup.dot(col("bv"), col("v")) / (col("bn") * col("nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("bench_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("vec_id", "label", "bench_id", "cosine")
+  }
+
+  /** DuckDB mirror of [[semanticDecontam]]. */
+  def semanticDecontamSql(nBench: Int = SemBenchCount,
+      tau: Double = SemDecontamTau): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT c.vec_id, c.label, b.vec_id AS bench_id,
+       |    round(list_sum([CAST(b.embedding[i] AS DOUBLE)
+       |                    * CAST(c.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(b.embedding) + 1)])
+       |      / (b.nrm * c.nrm), 6) AS cosine
+       |  FROM e c JOIN e b ON b.vec_id < $nBench
+       |  WHERE c.vec_id >= $nBench),
+       |hits AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, bench_id) AS rk
+       |  FROM scored WHERE cosine >= $tau)
+       |SELECT vec_id, label, bench_id, cosine
+       |FROM hits WHERE rk = 1 ORDER BY vec_id""".stripMargin
 }

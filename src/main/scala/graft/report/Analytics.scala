@@ -119,10 +119,16 @@ object Analytics {
     * Integer hour ids (`unix_millis div 3600000`) keep both engines
     * exact. Empty input → empty output (null bounds explode to no rows).
     */
-  def hourlyGapfill(events: DataFrame): DataFrame = {
-    val counts = events
+  def hourlyGapfill(events: DataFrame): DataFrame =
+    gapfillSeries(events
       .select(expr("unix_millis(ts) div 3600000").as("hour_id"))
-      .groupBy("hour_id").agg(count(lit(1)).as("n"))
+      .groupBy("hour_id").agg(count(lit(1)).as("n")))
+
+  /** Gap-fill an already-aggregated `(hour_id, n)` counts frame (the
+    * reusable core of [[hourlyGapfill]] — [[graft.streaming.AnomalyMonitor]]
+    * feeds it the merged micro-batch count log).
+    */
+  def gapfillSeries(counts: DataFrame): DataFrame = {
     val spine = counts
       .agg(min("hour_id").as("lo"), max("hour_id").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("hour_id"))
@@ -328,4 +334,189 @@ object Analytics {
         col("asof_touch_type").as("touch_type"),
         (unix_millis(col("ts")) - unix_millis(col("asof_ts"))).as("gap_ms"))
   }
+
+  /** Ordered conversion funnel view → click → purchase. A stage counts a
+    * user only if it happened AT OR AFTER the user's entry into the
+    * previous stage (t_click ≥ first view, t_purchase ≥ first qualifying
+    * click) — plain per-type distinct counts would credit a purchase that
+    * preceded the first view.
+    *
+    * Scale shape: three filtered user-keyed min-aggregates; each stage
+    * joins the NEXT stage's filtered events against the per-user frontier
+    * of the previous stage (≤ one row per user — shrinks monotonically
+    * down the funnel). All joins are user-keyed equi-joins; the final
+    * counts are three 1-row aggregates cross-joined (broadcast, O(1)).
+    * Conversion ratios are exact-integer ppm, so the oracle compares
+    * bit-for-bit.
+    */
+  def eventFunnel(events: DataFrame): DataFrame = {
+    val s1 = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = events.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = events.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val u1 = s1.agg(count(lit(1)).as("u1"))
+    val u2 = s2.agg(count(lit(1)).as("u2"))
+    val u3 = s3.agg(count(lit(1)).as("u3"))
+    u1.crossJoin(broadcast(u2)).crossJoin(broadcast(u3))
+      .selectExpr(
+        """stack(3,
+          |  1, 'view',     u1, 1000000L,
+          |  2, 'click',    u2, u2 * 1000000L div u1,
+          |  3, 'purchase', u3, u3 * 1000000L div u2
+          |) AS (stage, stage_name, users, conv_ppm)""".stripMargin,
+        "u1")
+      .select(col("stage"), col("stage_name"), col("users"),
+        col("conv_ppm"),
+        expr("users * 1000000L div u1").as("funnel_ppm"))
+  }
+
+  /** DuckDB mirror of [[eventFunnel]]. */
+  val eventFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1),
+      |c AS (
+      |  SELECT (SELECT count(*) FROM s1) AS u1,
+      |         (SELECT count(*) FROM s2) AS u2,
+      |         (SELECT count(*) FROM s3) AS u3)
+      |SELECT stage, stage_name, users, conv_ppm,
+      |  users * 1000000 // u1 AS funnel_ppm
+      |FROM (
+      |  SELECT 1 AS stage, 'view' AS stage_name, u1 AS users,
+      |    1000000 AS conv_ppm, u1 FROM c
+      |  UNION ALL
+      |  SELECT 2, 'click', u2, u2 * 1000000 // u1, u1 FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', u3, u3 * 1000000 // u2, u1 FROM c)
+      |ORDER BY stage""".stripMargin
+
+  /** Weekly cohort retention: cohort = the week (unix epoch // 7 days) of
+    * the user's first `signup` event; a cohort member is active at offset
+    * k if they produced ANY event in cohort_week + k. Integer week ids
+    * (`unix_millis div 604_800_000`) keep both engines exact and avoid
+    * calendar/timezone semantics entirely.
+    *
+    * Scale shape: the activity stream collapses to distinct (user, week)
+    * map-side BEFORE the cohort join (bounded by users × weeks, not by
+    * events), the cohort frontier is one row per signed-up user, and the
+    * final aggregate is (cohorts × offsets)-bounded. All shuffles are
+    * user-keyed; nothing is ever globally sorted.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val wk = expr("unix_millis(ts) div 604800000")
+    val cohort = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(wk).as("cohort_wk"))
+    val active = events.select(col("user_id"), wk.as("wk")).distinct()
+    active.join(cohort, "user_id")
+      .filter(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** DuckDB mirror of [[cohortRetention]]. */
+  val cohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_wk
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+      |  FROM events)
+      |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+      |  count(*) AS active_users
+      |FROM active JOIN cohort USING (user_id)
+      |WHERE wk >= cohort_wk
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Rolling z-score anomaly detection over the gap-filled hourly event
+    * series: each hour is scored against the mean/stddev of the previous
+    * `lookback` hours. Built on [[hourlyGapfill]] so silent hours (n=0)
+    * participate in the statistics — a frame over the raw (sparse)
+    * hourly counts would skip exactly the hours an outage produces.
+    *
+    * Cross-engine determinism: the rolling frame aggregates INTEGER
+    * sums (Σn, Σn²) — exact in any order — and the mean/variance/z are
+    * derived from them with an identical expression tree in both
+    * engines, then rounded to 6 dp. (Window `stddev_samp` would hit each
+    * engine's own accumulation order — not reproducible.)
+    *
+    * Scale shape: the series is the O(hours) POST-aggregate frame
+    * (hourlyGapfill's one map-side-combinable count is the only pass
+    * over the corpus), so the single-partition ordered window is over
+    * bounded data — same posture as the gap-fill spine itself. Output
+    * keeps every fully-windowed hour with its score; `is_anomaly` flags
+    * |z| ≥ zThresh, comparing on the ROUNDED z so the boundary decision
+    * is identical in both engines.
+    */
+  def hourlyAnomalies(events: DataFrame, lookback: Int = 24,
+      zThresh: Double = 3.0): DataFrame =
+    scoreHourlySeries(hourlyGapfill(events), lookback, zThresh)
+
+  /** Rolling-z scoring over a gap-filled `(hour_id, hour_start_ms, n)`
+    * series (the reusable core of [[hourlyAnomalies]]).
+    */
+  def scoreHourlySeries(series: DataFrame, lookback: Int = 24,
+      zThresh: Double = 3.0): DataFrame = {
+    val w = Window.orderBy("hour_id").rowsBetween(-lookback, -1)
+    series
+      .withColumn("np", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("np") === lookback)
+      .withColumn("mean_n", col("s1").cast("double") / col("np"))
+      .withColumn("var_n",
+        (col("s2").cast("double") - col("s1").cast("double") * col("mean_n"))
+          / (col("np") - lit(1)))
+      .filter(col("var_n") > 0)
+      .withColumn("z", round(
+        (col("n").cast("double") - col("mean_n")) / sqrt(col("var_n")), 6))
+      .select(col("hour_id"), col("hour_start_ms"), col("n"),
+        round(col("mean_n"), 6).as("mean_n"), col("z"),
+        (abs(col("z")) >= zThresh).cast("int").as("is_anomaly"))
+  }
+
+  /** DuckDB mirror of [[hourlyAnomalies]]. */
+  def hourlyAnomaliesSql(lookback: Int = 24, zThresh: Double = 3.0): String =
+    s"""WITH c AS (
+       |  SELECT epoch_ms(ts) // 3600000 AS hour_id, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM b),
+       |series AS (
+       |  SELECT s.hour_id, s.hour_id * 3600000 AS hour_start_ms,
+       |    CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM spine s LEFT JOIN c USING (hour_id)),
+       |rolled AS (
+       |  SELECT *,
+       |    count(*) OVER w AS np,
+       |    sum(n) OVER w AS s1,
+       |    sum(n * n) OVER w AS s2
+       |  FROM series
+       |  WINDOW w AS (ORDER BY hour_id
+       |               ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)),
+       |derived AS (
+       |  SELECT *,
+       |    CAST(s1 AS DOUBLE) / np AS mean_n,
+       |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+       |       * (CAST(s1 AS DOUBLE) / np)) / (np - 1) AS var_n
+       |  FROM rolled WHERE np = $lookback)
+       |SELECT hour_id, hour_start_ms, n,
+       |  round(mean_n, 6) AS mean_n,
+       |  round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6) AS z,
+       |  CAST(abs(round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6))
+       |       >= $zThresh AS INT) AS is_anomaly
+       |FROM derived WHERE var_n > 0
+       |ORDER BY hour_id""".stripMargin
 }

@@ -132,4 +132,68 @@ class AnalyticsSpec extends AnyFunSuite {
     // empty input -> empty output, not a crash on null bounds
     assert(Analytics.hourlyGapfill(ev.filter(lit(false))).count() == 0)
   }
+
+  test("event_funnel only credits stages reached in order") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      // user 2: purchase BEFORE first view — view stage only
+      (2L, 0L, "purchase"), (2L, 10L, "view"),
+      // user 3: click before first view — click must not count
+      (3L, 5L, "click"), (3L, 10L, "view"),
+      // user 4: click ok, purchase precedes the qualifying click
+      (4L, 0L, "view"), (4L, 5L, "purchase"), (4L, 10L, "click"))
+      .toDF("user_id", "ms", "event_type")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_type"))
+    val r = Analytics.eventFunnel(ev).orderBy("stage").collect()
+      .map(x => (x.getAs[String]("stage_name"), x.getAs[Long]("users"),
+        x.getAs[Long]("conv_ppm"), x.getAs[Long]("funnel_ppm")))
+    assert(r.toSeq == Seq(
+      ("view", 4L, 1000000L, 1000000L),
+      ("click", 2L, 500000L, 500000L),
+      ("purchase", 1L, 500000L, 250000L)))
+  }
+
+  test("cohort_retention keys on signup week and skips non-signups") {
+    import spark.implicits._
+    val wkMs = 604800000L
+    val ev = Seq(
+      // users 1 and 2 sign up in week 0; only user 1 returns in week 1
+      (1L, 0L, "signup"), (2L, 1000L, "signup"),
+      (1L, wkMs + 5L, "view"),
+      // user 3 never signs up — must not appear in any cohort
+      (3L, 10L, "view"), (3L, wkMs + 10L, "view"))
+      .toDF("user_id", "ms", "event_type")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_type"))
+    val r = Analytics.cohortRetention(ev)
+      .orderBy("cohort_wk", "week_offset").collect()
+      .map(x => (x.getAs[Long]("cohort_wk"), x.getAs[Long]("week_offset"),
+        x.getAs[Long]("active_users")))
+    assert(r.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L)))
+  }
+
+  test("hourly_anomalies flags a spike against the trailing window") {
+    import spark.implicits._
+    // hours 0..7 alternate 1/2 events; hour 8 spikes to 40
+    val rows = (0 to 7).flatMap { h =>
+      (0 until (if (h % 2 == 0) 1 else 2)).map(i => h * 3600000L + i)
+    } ++ (0 until 40).map(i => 8 * 3600000L + i)
+    val ev = rows.toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts"),
+        lit("e").as("event_type"), lit(1L).as("user_id"))
+    val r = Analytics.hourlyAnomalies(ev, lookback = 4, zThresh = 3.0)
+      .orderBy("hour_id").collect()
+    // scoring starts once the window is full (hour 4) and every scored
+    // hour keeps a row; only the spike is flagged
+    assert(r.map(_.getAs[Long]("hour_id")).toSeq == Seq(4L, 5L, 6L, 7L, 8L))
+    val flagged = r.filter(_.getAs[Int]("is_anomaly") == 1)
+      .map(_.getAs[Long]("hour_id"))
+    assert(flagged.toSeq == Seq(8L))
+    val spike = r.last
+    assert(spike.getAs[Double]("mean_n") == 1.5)
+    assert(spike.getAs[Double]("z") > 10.0)
+  }
 }

@@ -411,4 +411,41 @@ class CurationSpec extends AnyFunSuite {
         col("m").rlike(Curation.EmailRe)).count()
     assert(leak == 0L)
   }
+
+  test("dsirWeights ranks target-like documents above off-target ones") {
+    // doc 1 is the target slice; doc 2 shares its bigram, doc 3 doesn't
+    val docs = docsDF(Seq(
+      (1L, "aa bb aa bb", "en"),
+      (2L, "aa bb", "xx"),
+      (3L, "cc dd cc dd", "xx")))
+    val r = Curation.dsirWeights(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_feats"), x.getAs[Double]("dsir_weight"))).toMap
+    assert(r(1L)._1 == 3L && r(2L)._1 == 1L && r(3L)._1 == 3L)
+    // the doc built from target-supported features must outscore the one
+    // whose features never occur in the target slice
+    assert(r(2L)._2 > r(3L)._2)
+    assert(r(1L)._2 > r(3L)._2)
+  }
+
+  test("semanticDecontam flags only corpus vectors near a benchmark item") {
+    import spark.implicits._
+    val emb = Seq(
+      // benchmark side (vec_id < 20)
+      (0L, 0, Array(1f, 0f, 0f, 0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0f, 0f)),
+      // corpus: exact copy of bench 0, exact copy of bench 1, orthogonal
+      (20L, 1, Array(1f, 0f, 0f, 0f)),
+      (21L, 1, Array(0.9f, 0.1f, 0f, 0f)),
+      (22L, 1, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = Curation.semanticDecontam(emb).orderBy("vec_id").collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("bench_id"),
+        x.getAs[Double]("cosine")))
+    // 22 is orthogonal to both benchmark vectors -> not flagged; the
+    // flagged rows carry their CLOSEST benchmark item
+    assert(r.map(_._1).toSeq == Seq(20L, 21L))
+    assert(r(0)._2 == 0L && r(0)._3 == 1.0)
+    assert(r(1)._2 == 1L && r(1)._3 == 1.0)
+  }
 }

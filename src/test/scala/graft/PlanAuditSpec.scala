@@ -57,7 +57,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "bm25_top_docs",        // one-row scalars + window over ≤topK rows
     "bm25_served",          // same shared ranking plan, index-fed
     "more_like_this",       // one-row attaches + window over ≤topK rows
-    "hourly_gapfill")       // one-row bounds agg → O(hours) spine
+    "hourly_gapfill",       // one-row bounds agg → O(hours) spine
+    "hourly_anomalies",     // rolling window over the O(hours) series
+    "event_funnel",         // three 1-row stage counts composed
+    "dsir_weights",         // one-row feature-total attach
+    "semantic_decontam")    // per-vector top-1 over the ≥τ sliver
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -96,7 +100,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "tfidf_top_docs",       // tf rows × one-row corpus size
     "bm25_top_docs",        // tf rows × one-row (N, avgdl) scalars
     "bm25_served",          // same shared ranking plan, index-fed
-    "more_like_this")       // tf rows × one-row corpus size / query norm
+    "more_like_this",       // tf rows × one-row corpus size / query norm
+    "event_funnel",         // 1-row stage counts × 1-row stage counts
+    "dsir_weights",         // positions × one-row smoothing totals
+    "semantic_decontam",    // corpus × broadcast benchmark slice
+    "hourly_anomalies")     // one-row bounds agg → O(hours) spine
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -731,4 +731,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).select("batch_id").distinct().count()
       == 3)
   }
+
+  test("anomaly monitor folds batches idempotently and alerts once per hour") {
+    import spark.implicits._
+    import graft.streaming.AnomalyMonitor
+    val countsDir = Files.createTempDirectory("anom").toString + "/counts"
+    val stats = new AnomalyMonitor.AnomalyStats
+    val rec = new graft.ops.PipelineRun.RecordingNotifier
+    def ev(ms: Seq[Long]) = ms.toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts"))
+
+    // batch 0: hours 0..7 alternate 1/2 events — a quiet baseline (hour
+    // 7 is the open hour, hours 4..6 score normal)
+    val base = (0 to 7).flatMap { h =>
+      (0 until (if (h % 2 == 0) 1 else 2)).map(i => h * 3600000L + i)
+    }
+    AnomalyMonitor.processBatch(ev(base), 0L, countsDir, stats,
+      Some(rec), lookback = 4)
+    assert(rec.sent.isEmpty)
+    assert(stats.lastCommitted == 0L)
+
+    // batch 1: hour 8 floods (40 events), hour 9 opens so 8 closes
+    val spike = (0 until 40).map(i => 8 * 3600000L + i) :+ 9 * 3600000L
+    AnomalyMonitor.processBatch(ev(spike), 1L, countsDir, stats,
+      Some(rec), lookback = 4)
+    assert(rec.sent.size == 1)
+    val (sev, msg) = rec.sent.head
+    assert(sev == "critical") // z far beyond 2× the threshold
+    assert(msg.contains("hour_id=8") && msg.contains("n=40"))
+
+    // same-driver replay: gated on the high-water mark — no re-fold, no
+    // duplicate alert
+    val n = spark.read.parquet(countsDir).count()
+    AnomalyMonitor.processBatch(ev(spike), 1L, countsDir, stats,
+      Some(rec), lookback = 4)
+    assert(rec.sent.size == 1)
+    assert(spark.read.parquet(countsDir).count() == n)
+
+    // recovery replay (fresh driver): batch 1 rewrites its own partition
+    // — the count log never double-counts
+    val fresh = new AnomalyMonitor.AnomalyStats
+    fresh.lastCommitted = 0L
+    AnomalyMonitor.processBatch(ev(spike), 1L, countsDir, fresh,
+      None, lookback = 4)
+    assert(spark.read.parquet(countsDir).count() == n)
+
+    // batch 2 adds a normal hour 9 tail + opens hour 10: hour 8 is
+    // already alerted-through, hour 9 is normal — silence
+    val tail = Seq(9 * 3600000L + 1, 10 * 3600000L)
+    AnomalyMonitor.processBatch(ev(tail), 2L, countsDir, stats,
+      Some(rec), lookback = 4)
+    assert(rec.sent.size == 1)
+    assert(stats.alertsSent == 1L)
+  }
 }

@@ -157,6 +157,12 @@ object SparkEntry {
       DqSuite.evaluate(Enrich.curated(tables(s, dir).events),
         DqSuite.customersSuite).orderBy("exp_idx")),
 
+    // one-pass column profile (SUMMARIZE-style): nulls / distincts /
+    // min / max per column, exact form for the oracle
+    "doc_profile" -> ((s, dir) =>
+      graft.dq.Profiler.profile(tables(s, dir).documents)
+        .orderBy("column_name")),
+
     // DQ field-alias layer (dq_rules.yml:74-83): the business-named
     // suite evaluated through the alias projection — result rows carry
     // business column names
@@ -829,6 +835,9 @@ object SparkEntry {
     "dq_suite_results" ->
       s"""$W, results AS (${DqSuite.resultsSql(DqSuite.customersSuite)})
          |SELECT * FROM results ORDER BY exp_idx""".stripMargin,
+
+    "doc_profile" -> graft.dq.Profiler.profileSql("documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
 
     "dq_alias_suite" ->
       s"""$W, cur_b AS (

@@ -118,4 +118,38 @@ class DqSpec extends AnyFunSuite {
     assert(dims == Set("completeness", "validity", "consistency",
       "timeliness", "uniqueness"))
   }
+
+  test("profiler counts nulls/distincts/bounds per column in one pass") {
+    import SparkTestSession.spark.implicits._
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "tag")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getAs[Long]("n_rows") == 4)
+    assert(p("id").getAs[Long]("n_nulls") == 0)
+    assert(p("id").getAs[Long]("n_distinct") == 4)
+    assert(p("id").getAs[String]("min_value") == "1")
+    assert(p("id").getAs[String]("max_value") == "4")
+    assert(p("tag").getAs[Long]("n_nulls") == 1)
+    assert(p("tag").getAs[Long]("n_distinct") == 2) // nulls not counted
+    assert(p("tag").getAs[String]("max_value") == "b")
+  }
+
+  test("approx profile tracks the exact one within HLL error") {
+    val docs = Tables(SparkTestSession.spark,
+      SparkTestSession.Sf0001).documents
+    val exact = Profiler.profile(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Profiler.profileApprox(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(2L, (n * 0.15).toLong),
+        s"column $c: exact=$n approx=${approx(c)}")
+    }
+    // the approx plan must stay Expand-free (map-side-combinable)
+    val plan = Profiler.profileApprox(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
 }

@@ -61,7 +61,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "hourly_anomalies",     // rolling window over the O(hours) series
     "event_funnel",         // three 1-row stage counts composed
     "dsir_weights",         // one-row feature-total attach
-    "semantic_decontam")    // per-vector top-1 over the ≥τ sliver
+    "semantic_decontam",    // per-vector top-1 over the ≥τ sliver
+    "doc_profile")          // one combined-agg row → O(columns) stack
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {

@@ -402,6 +402,34 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** DSIR weighting + semantic decontamination at corpus scale: dsir is
+    * one bigram scan + a bucket-table broadcast; semantic decontam is a
+    * 1000-vector benchmark broadcast against a corpus 10× smaller than
+    * `n` (the realistic shape: eval sets are tiny, corpora huge).
+    */
+  def curationProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val feats = graft.ext.Curation.dsirWeights(docs)
+      .agg(sum("n_feats")).head().getLong(0)
+    val tDsir = (System.nanoTime() - t0) / 1e9
+    println(f"[curation] n=$n%-8d dsir=$tDsir%7.2fs " +
+      f"bigrams=$feats (${feats / tDsir / 1e6}%.1f M feats/s)")
+    docs.unpersist()
+    val emb = synthEmbeddings(spark, math.max(n / 10, 2000)).persist()
+    val ne = emb.count()
+    val t1 = System.nanoTime()
+    val flagged = graft.ext.Curation
+      .semanticDecontam(emb, nBench = 1000, tau = 0.95).count()
+    val tSem = (System.nanoTime() - t1) / 1e9
+    println(f"[curation] vecs=$ne%-8d semantic_decontam(bench=1000)=" +
+      f"$tSem%7.2fs flagged=$flagged " +
+      f"(${(ne - 1000) * 1000 / tSem / 1e6}%.1f M pairs/s)")
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
@@ -411,9 +439,10 @@ object ScaleProbe {
     val spansMode = args.headOption.contains("spans")
     val winnowMode = args.headOption.contains("winnow")
     val bpeTokMode = args.headOption.contains("bpetok")
+    val curationMode = args.headOption.contains("curation")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
-          || winnowMode || bpeTokMode)
+          || winnowMode || bpeTokMode || curationMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -464,6 +493,11 @@ object ScaleProbe {
     }
     if (bpeTokMode) {
       sizes.foreach(bpeTokProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (curationMode) {
+      sizes.foreach(curationProbe(spark, _))
       spark.stop()
       return
     }

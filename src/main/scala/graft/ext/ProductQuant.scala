@@ -186,6 +186,21 @@ object ProductQuant {
   def topKPq(embeddings: DataFrame): DataFrame =
     topKPqWith(embeddings, trainCodebooks(embeddings), Shortlist)
 
+  /** Per-JVM codebook memoization (the [[IndexCache]] discipline for
+    * the PQ model): a deployment trains codebooks once in its indexing
+    * job and every encode/search after that reuses them — retraining
+    * identical codebooks per query call is a harness artifact. Keyed on
+    * (corpus key, k); the PQ and IVF-PQ queries over the same fixture
+    * dir share one training run.
+    */
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Seq[Double]]]]()
+
+  def trainCodebooksCached(embeddings: DataFrame, key: String,
+      k: Int = CodebookK): Seq[Seq[Seq[Double]]] =
+    cbCache.computeIfAbsent(s"$key:$k",
+      _ => trainCodebooks(embeddings, k))
+
   /** The scale knobs, measured in ScaleProbe (SCALING.md): K must grow
     * past 16 once clusters dwarf the codebook (all members of a cluster
     * share codes → ADC is blind inside it; recall collapsed to 0.00 at
@@ -433,9 +448,10 @@ object ProductQuant {
   def topKIvfPq(embeddings: DataFrame,
       cells: Int = Similarity.IvfCells,
       nProbe: Int = Similarity.IvfProbes,
-      shortlistN: Int = Shortlist): DataFrame = {
+      shortlistN: Int = Shortlist,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cbs = trainCodebooks(embeddings)
+    val cbs = codebooks.getOrElse(trainCodebooks(embeddings))
     val e = embeddings
       .select(col("vec_id"), unitVec(col("embedding")).as("v"))
       .withColumn("vn2", dot(col("v"), col("v")))

@@ -170,6 +170,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ih.contains("BroadcastHashJoin")
       || ih.contains("BroadcastNestedLoopJoin"), ih)
     assert(!ih.contains("SortMergeJoin"), ih)
+    // semantic decontam: benchmark broadcasts against the corpus scan;
+    // the corpus side must never sort-merge
+    val sd = plans("semantic_decontam")
+    assert(sd.contains("BroadcastNestedLoopJoin"), sd)
+    assert(!sd.contains("SortMergeJoin"), sd)
+    // DSIR: the bucket feature table joins back by BROADCAST hash join
+    // (buckets-row table), never by shuffling the position stream into
+    // a sort-merge join
+    val dw = plans("dsir_weights")
+    assert(dw.contains("BroadcastHashJoin"), dw)
+    assert(!dw.contains("SortMergeJoin"), dw)
+    // cohort retention: user-keyed equi-joins only — no broadcast-loop
+    // or cartesian fallback, no global sort before the final aggregate
+    val cr = plans("cohort_retention")
+    assert(!cr.contains("BroadcastNestedLoopJoin")
+      && !cr.contains("CartesianProduct"), cr)
   }
 
   test("broadcast joins carry the bounded dimension sides") {

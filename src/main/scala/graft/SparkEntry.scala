@@ -397,6 +397,34 @@ object SparkEntry {
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
+    // doc-level snapshot diff: added/removed/changed/unchanged between
+    // two derived snapshots (new side plants a text change on %5 docs)
+    "corpus_diff" -> ((s, dir) => {
+      val d = tables(s, dir).documents
+      val oldSnap = d.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ext.Curation.corpusDiff(oldSnap, newSnap)
+    }),
+    // fuzzy record linkage: deletion-neighborhood blocking (SymSpell
+    // family) between valid emails and a deterministically typo'd twin;
+    // the DuckDB oracle is the BRUTE-FORCE cross join, so a green row
+    // proves the blocking's guaranteed recall at distance <= 1
+    "fuzzy_linkage" -> ((s, dir) => {
+      val cur = Enrich.curated(tables(s, dir).events)
+        .filter(col("dq_email_valid"))
+      val clean = cur.select(col("email").as("key"))
+      val pos = (graft.ext.Hashing.h32(col("email"))
+        % length(col("email"))) + 1
+      val dirty = cur.select(
+        concat(col("email").substr(lit(1), (pos - 1).cast("int")),
+          lit("x"),
+          col("email").substr((pos + 1).cast("int"),
+            length(col("email")))).as("key"))
+      graft.operators.FuzzyLink.linkage(clean, dirty)
+        .orderBy("lk", "rk")
+    }),
     // DSIR importance weights: hashed-bigram log-likelihood ratio of the
     // target slice vs the raw corpus, per document. The bucket model
     // trains once per process (dsirModelCached); the query is the apply
@@ -1097,6 +1125,27 @@ object SparkEntry {
     "training_mix" -> graft.ext.Curation.trainingMixSql(),
     "corpus_drift" -> graft.ext.Curation.corpusDriftSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "corpus_diff" -> graft.ext.Curation.corpusDiffSql(
+      "doc_id % 10 != 0", "doc_id % 7 != 0",
+      "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END"),
+    // brute-force oracle: every (clean, typo'd) pair within distance 1
+    // over ALL pairs — equality with the blocked Spark plan proves the
+    // deletion-neighborhood blocking's complete recall
+    "fuzzy_linkage" ->
+      s"""$W, clean AS (
+         |  SELECT DISTINCT email FROM cur WHERE dq_email_valid),
+         |dirty AS (
+         |  SELECT DISTINCT substr(email, 1, p - 1) || 'x' ||
+         |    substr(email, p + 1, len(email)) AS rk
+         |  FROM (SELECT email,
+         |    CAST(${graft.ext.Hashing.h32Sql("email")} % len(email)
+         |      AS INT) + 1 AS p FROM clean))
+         |SELECT clean.email AS lk, dirty.rk,
+         |  levenshtein(clean.email, dirty.rk) AS dist
+         |FROM clean CROSS JOIN dirty
+         |WHERE clean.email != dirty.rk
+         |  AND levenshtein(clean.email, dirty.rk) <= 1
+         |ORDER BY lk, rk""".stripMargin,
     "source_overlap" ->
       s"""SELECT * FROM (${graft.ext.Curation.sourceOverlapSql})
          |ORDER BY source_a, source_b""".stripMargin,

@@ -282,6 +282,54 @@ object Curation {
       .orderBy("dim", "value")
   }
 
+  /** Doc-level snapshot diff — the content complement of the
+    * share-level [[corpusDrift]]: classify every doc_id across two
+    * snapshots as added / removed / changed / unchanged by comparing
+    * content hashes, and report per-status counts with an id-sum
+    * membership checksum (so the classification itself is verified, not
+    * just the totals).
+    *
+    * Scale shape: each snapshot contributes one map-side projection to
+    * (doc_id, md5); the only shuffle is the doc_id-keyed full outer
+    * join, and the output is 4 bounded rows. This is the
+    * crawl-over-crawl change-detection pass that decides how much
+    * downstream (dedup, re-embedding) work a new snapshot actually
+    * requires.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status", when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") === col("h_new"), "unchanged")
+        .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("status")
+  }
+
+  /** DuckDB mirror of [[corpusDiff]] over snapshot predicates + a text
+    * expression for the new side (e.g. a planted modification).
+    */
+  def corpusDiffSql(oldPred: String, newPred: String,
+      newTextExpr: String = "text"): String =
+    s"""WITH o AS (
+       |  SELECT doc_id, md5(text) AS h_old FROM documents
+       |  WHERE $oldPred),
+       |n AS (
+       |  SELECT doc_id, md5($newTextExpr) AS h_new FROM documents
+       |  WHERE $newPred),
+       |j AS (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN h_old = h_new THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       |SELECT status, count(*) AS n_docs, sum(doc_id) AS id_sum
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   /** DuckDB mirror of [[corpusDrift]] over snapshot predicates on
     * `documents` (e.g. `doc_id % 2 = 0`).
     */

@@ -412,6 +412,20 @@ class CurationSpec extends AnyFunSuite {
     assert(leak == 0L)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by content") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "two CHANGED"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val r = Curation.corpusDiff(oldSnap, newSnap).collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("id_sum"))).toMap
+    assert(r == Map(
+      "added" -> (1L, 4L), "removed" -> (1L, 1L),
+      "changed" -> (1L, 2L), "unchanged" -> (1L, 3L)))
+  }
+
   test("dsirWeights ranks target-like documents above off-target ones") {
     // doc 1 is the target slice; doc 2 shares its bigram, doc 3 doesn't
     val docs = docsDF(Seq(

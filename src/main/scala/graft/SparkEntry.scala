@@ -397,6 +397,13 @@ object SparkEntry {
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
+    // curriculum quartiles of the quality-classifier margin: exact
+    // percentile thresholds (one bounded agg), map-side assignment
+    "curriculum_plan" -> ((s, dir) =>
+      graft.ext.Curation.curriculumPlan(tables(s, dir).documents)),
+    // one-row corpus summary: volume, dup rate, breadth, quality rate
+    "dataset_card" -> ((s, dir) =>
+      graft.ext.Curation.datasetCard(tables(s, dir).documents)),
     // doc-level snapshot diff: added/removed/changed/unchanged between
     // two derived snapshots (new side plants a text change on %5 docs)
     "corpus_diff" -> ((s, dir) => {
@@ -1125,6 +1132,8 @@ object SparkEntry {
     "training_mix" -> graft.ext.Curation.trainingMixSql(),
     "corpus_drift" -> graft.ext.Curation.corpusDriftSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "curriculum_plan" -> graft.ext.Curation.curriculumPlanSql,
+    "dataset_card" -> graft.ext.Curation.datasetCardSql,
     "corpus_diff" -> graft.ext.Curation.corpusDiffSql(
       "doc_id % 10 != 0", "doc_id % 7 != 0",
       "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END"),

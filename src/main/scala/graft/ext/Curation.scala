@@ -976,6 +976,97 @@ object Curation {
        |FROM ce ORDER BY event_id""".stripMargin
   }
 
+  // ---- curriculum bucketing + dataset card --------------------------------
+
+  /** Curriculum plan: partition the corpus into quality quartiles of the
+    * linear classifier margin ([[TextAnalysis.qualityClassifier]]) — the
+    * ordering knob for difficulty-staged training (serve bucket 1 → 4 or
+    * the reverse). Thresholds come from ONE bounded aggregate (exact
+    * `percentile`, rounded to 6 dp in both engines so boundary
+    * assignment can never flip); assignment is then a pure map-side CASE
+    * against the 1-row broadcast — no sort, no window, no shuffle of the
+    * corpus beyond the final 4-row aggregate. At 100 TB swap the exact
+    * percentile for `percentile_approx` (the [[TextAnalysis.lengthQuantilesApprox]]
+    * twin discipline); the apply side is unchanged.
+    */
+  def curriculumPlan(documents: DataFrame): DataFrame = {
+    val scores = TextAnalysis.qualityClassifier(documents)
+    val th = scores.agg(
+      round(percentile(col("margin_ppm"), lit(0.25)), 6).as("q1"),
+      round(percentile(col("margin_ppm"), lit(0.5)), 6).as("q2"),
+      round(percentile(col("margin_ppm"), lit(0.75)), 6).as("q3"))
+    scores.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("margin_ppm") <= col("q1"), 1)
+          .when(col("margin_ppm") <= col("q2"), 2)
+          .when(col("margin_ppm") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("margin_ppm").as("margin_min"),
+        max("margin_ppm").as("margin_max"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[curriculumPlan]]. */
+  val curriculumPlanSql: String =
+    s"""WITH scores AS (${TextAnalysis.qualityClassifierSql}),
+       |th AS (
+       |  SELECT round(quantile_cont(margin_ppm, 0.25), 6) AS q1,
+       |         round(quantile_cont(margin_ppm, 0.5), 6) AS q2,
+       |         round(quantile_cont(margin_ppm, 0.75), 6) AS q3
+       |  FROM scores)
+       |SELECT CASE WHEN margin_ppm <= q1 THEN 1
+       |            WHEN margin_ppm <= q2 THEN 2
+       |            WHEN margin_ppm <= q3 THEN 3 ELSE 4 END AS bucket,
+       |  count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       |  min(margin_ppm) AS margin_min, max(margin_ppm) AS margin_max
+       |FROM scores CROSS JOIN th
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One-row dataset card: the corpus summary a training-mix decision
+    * reads — volume, content-uniqueness (exact-dup rate), language /
+    * source breadth, token volume, and the quality-gate pass rate. Two
+    * scans total (one wide aggregate over the raw table, one over the
+    * classifier projection), composed by 1-row broadcasts; every ratio
+    * is exact-integer ppm.
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val base = documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+    val q = TextAnalysis.qualityClassifier(documents).agg(
+      sum("n_tokens").as("n_tokens"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    base.crossJoin(broadcast(q))
+      .select(col("n_docs"), col("n_unique"),
+        expr("(n_docs - n_unique) * 1000000 div n_docs").as("dup_ppm"),
+        col("n_langs"), col("n_sources"), col("n_chars"),
+        col("n_tokens"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
+  }
+
+  /** DuckDB mirror of [[datasetCard]]. */
+  val datasetCardSql: String =
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_docs, sum(n_chars) AS n_chars,
+       |    count(DISTINCT lang) AS n_langs,
+       |    count(DISTINCT source) AS n_sources,
+       |    count(DISTINCT md5(text)) AS n_unique
+       |  FROM documents),
+       |q AS (
+       |  SELECT sum(n_tokens) AS n_tokens,
+       |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+       |  FROM (${TextAnalysis.qualityClassifierSql}))
+       |SELECT n_docs, n_unique,
+       |  (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm,
+       |  n_langs, n_sources, n_chars, n_tokens,
+       |  n_keep * 1000000 // n_docs AS keep_ppm
+       |FROM base CROSS JOIN q""".stripMargin
+
   // ---- DSIR-style importance weights --------------------------------------
 
   /** Hashed-feature buckets for [[dsirWeights]]. */

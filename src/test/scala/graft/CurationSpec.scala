@@ -412,6 +412,40 @@ class CurationSpec extends AnyFunSuite {
     assert(leak == 0L)
   }
 
+  test("curriculum quartiles partition the corpus with ordered margins") {
+    val docs = Tables(spark, Sf0001).documents
+    val n = docs.count()
+    val r = Curation.curriculumPlan(docs).collect()
+    assert(r.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4))
+    assert(r.map(_.getAs[Long]("n_docs")).sum == n)
+    // quartiles are within interpolation slack of n/4 each
+    r.foreach { b =>
+      assert(math.abs(b.getAs[Long]("n_docs") - n / 4) <= 3,
+        s"bucket ${b.getAs[Int]("bucket")}: ${b.getAs[Long]("n_docs")}")
+    }
+    // margin ranges are disjoint and ascending across buckets
+    val ranges = r.map(b => (b.getAs[Long]("margin_min"),
+      b.getAs[Long]("margin_max")))
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping buckets: $hi vs $lo")
+    }
+  }
+
+  test("dataset card ratios agree with their standalone parts") {
+    val docs = Tables(spark, Sf0001).documents
+    val card = Curation.datasetCard(docs).head()
+    assert(card.getAs[Long]("n_docs") == docs.count())
+    val uniq = docs.select(md5(col("text"))).distinct().count()
+    assert(card.getAs[Long]("n_unique") == uniq)
+    assert(card.getAs[Long]("dup_ppm") ==
+      (card.getAs[Long]("n_docs") - uniq) * 1000000L
+        / card.getAs[Long]("n_docs"))
+    val keep = graft.ext.TextAnalysis.qualityClassifier(docs)
+      .filter(col("keep")).count()
+    assert(card.getAs[Long]("keep_ppm") ==
+      keep * 1000000L / card.getAs[Long]("n_docs"))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by content") {
     import spark.implicits._
     val oldSnap = Seq((1L, "one"), (2L, "two"), (3L, "three"))

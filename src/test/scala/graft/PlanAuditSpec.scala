@@ -62,7 +62,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "event_funnel",         // three 1-row stage counts composed
     "dsir_weights",         // one-row feature-total attach
     "semantic_decontam",    // per-vector top-1 over the ≥τ sliver
-    "doc_profile")          // one combined-agg row → O(columns) stack
+    "doc_profile",          // one combined-agg row → O(columns) stack
+    "curriculum_plan",      // 1-row percentile thresholds → 4-row agg
+    "dataset_card")         // two 1-row aggregates composed
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -105,7 +107,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "event_funnel",         // 1-row stage counts × 1-row stage counts
     "dsir_weights",         // positions × one-row smoothing totals
     "semantic_decontam",    // corpus × broadcast benchmark slice
-    "hourly_anomalies")     // one-row bounds agg → O(hours) spine
+    "hourly_anomalies",     // one-row bounds agg → O(hours) spine
+    "curriculum_plan",      // corpus × 1-row threshold broadcast
+    "dataset_card")         // 1-row base × 1-row quality aggregate
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -430,6 +430,33 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Fuzzy-linkage throughput at n distinct keys: synthetic email-like
+    * strings, a typo'd twin for every 13th key. Fan-out is ~len
+    * deletion variants per key; the join carries variant-bucket
+    * candidates only (recall for distance ≤ 1 is structural, so the
+    * planted-pair count is exact).
+    */
+  def linkProbe(spark: SparkSession, n: Long): Unit = {
+    val base = spark.range(n).select(
+      concat(lit("user"), col("id").cast("string"), lit("@ex"),
+        pmod(col("id"), lit(97)).cast("string"), lit(".com")).as("key"),
+      col("id"))
+    val clean = base.select("key").persist()
+    // every 13th key gets a deterministic substitution typo mid-string
+    val dirty = base.filter(col("id") % 13 === 0)
+      .select(concat(col("key").substr(lit(1), lit(3)), lit("Q"),
+        col("key").substr(lit(5), length(col("key")))).as("key"))
+      .persist()
+    val (nc, nd) = (clean.count(), dirty.count())
+    val t0 = System.nanoTime()
+    val links = graft.operators.FuzzyLink.linkage(clean, dirty).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[link] clean=$nc%-8d dirty=$nd%-7d links=$links " +
+      f"time=$secs%6.1fs (${nc / secs / 1000}%.0f k keys/s)")
+    clean.unpersist(); dirty.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
@@ -440,9 +467,10 @@ object ScaleProbe {
     val winnowMode = args.headOption.contains("winnow")
     val bpeTokMode = args.headOption.contains("bpetok")
     val curationMode = args.headOption.contains("curation")
+    val linkMode = args.headOption.contains("link")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
-          || winnowMode || bpeTokMode || curationMode)
+          || winnowMode || bpeTokMode || curationMode || linkMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -498,6 +526,11 @@ object ScaleProbe {
     }
     if (curationMode) {
       sizes.foreach(curationProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (linkMode) {
+      sizes.foreach(linkProbe(spark, _))
       spark.stop()
       return
     }

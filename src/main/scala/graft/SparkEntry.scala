@@ -282,6 +282,14 @@ object SparkEntry {
       graft.ext.Search.moreLikeThis(tables(s, dir).documents, MltQueryDoc)
         .orderBy("rank")),
 
+    // Hybrid retrieval: lexical (TF-IDF cosine) + dense (embedding
+    // cosine) rankings fused by reciprocal-rank fusion, exact integers
+    "hybrid_mlt" -> ((s, dir) => {
+      val t = tables(s, dir)
+      graft.ext.Search.hybridMoreLikeThis(
+        t.documents, t.embeddings, MltQueryDoc).orderBy("rank")
+    }),
+
     // BM25 served from the persisted postings index + dl sidecar —
     // identical scoring plan to bm25_top_docs, so it shares its oracle
     "bm25_served" -> ((s, dir) => {
@@ -714,6 +722,13 @@ object SparkEntry {
     "customer_value_ranks" -> ((s, dir) =>
       Analytics.customerValueRanks(tables(s, dir))),
 
+    // Iterative graph centrality: 5-iteration fixed-point PageRank over
+    // the bipartite customer<->supplier purchase graph (exact integers)
+    "purchase_rank" -> ((s, dir) => {
+      val t = tables(s, dir)
+      graft.ext.GraphRank.purchaseRank(t.orders, t.lineitem)
+    }),
+
     // Pivot: incident type × severity matrix
     "incident_pivot" -> ((s, dir) =>
       Analytics.incidentPivot(Incidents.fromEvents(tables(s, dir).events))
@@ -1013,6 +1028,7 @@ object SparkEntry {
     "tfidf_top_docs" -> graft.ext.Search.tfIdfTopDocsSql(SearchTerms),
     "phrase_search" -> graft.ext.Search.searchPhraseSql(PhraseTerms),
     "more_like_this" -> graft.ext.Search.moreLikeThisSql(MltQueryDoc),
+    "hybrid_mlt" -> graft.ext.Search.hybridMoreLikeThisSql(MltQueryDoc),
     "bm25_served" -> graft.ext.Search.bm25TopDocsSql(SearchTerms),
     "bm25_top_docs" -> graft.ext.Search.bm25TopDocsSql(SearchTerms),
 
@@ -1302,6 +1318,8 @@ object SparkEntry {
         |FROM rev
         |WINDOW w AS (ORDER BY revenue DESC, o_custkey)
         |ORDER BY revenue DESC, o_custkey LIMIT 50""".stripMargin,
+
+    "purchase_rank" -> graft.ext.GraphRank.purchaseRankSql(),
 
     "incident_pivot" ->
       s"""WITH incidents AS (${Incidents.sqlCte})

@@ -445,4 +445,109 @@ object Search {
        |WHERE rank <= $topK
        |ORDER BY token, rank""".stripMargin
   }
+
+  // ---- hybrid retrieval: reciprocal-rank fusion ---------------------------
+
+  /** RRF constant (Cormack et al., SIGIR 2009: k=60). */
+  val RrfK = 60
+  /** Candidate pool depth fed into the fusion from each ranker. */
+  val RrfPool = 20
+  /** Fixed-point unit for the fused score: 1e9 div (k + rank) is exact
+    * integer arithmetic in both engines.
+    */
+  val RrfScale = 1000000000L
+
+  /** Hybrid more-like-this: fuse the lexical TF-IDF-cosine ranking
+    * ([[moreLikeThis]]) with the embedding-cosine ranking of the same
+    * query id via reciprocal-rank fusion. RRF needs only RANKS, so the
+    * two rankers never have to agree on a score scale — the fusion is
+    * exact integer fixed point (`RrfScale div (RrfK + rank)`), summed
+    * over the rankers that returned the doc.
+    *
+    * Scale: each ranker already bounds its output at [[RrfPool]] rows,
+    * so the fusion join is a ≤2·pool-row sort-merge — negligible next to
+    * the rankers themselves. On a cluster the two rankers run as
+    * independent stages (no barrier between them until the final join).
+    * Absent ranks surface as 0 (not null) so the output hashes stably.
+    */
+  def hybridMoreLikeThis(documents: DataFrame, embeddings: DataFrame,
+      queryDocId: Long, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val lex = moreLikeThis(documents, queryDocId, RrfPool)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Dedup.norm(col("v")))
+    val q = e.filter(col("vec_id") === queryDocId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vecScored = e.filter(col("vec_id") =!= queryDocId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Dedup.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+    val vecTop = vecScored
+      .orderBy(col("cosine").desc, col("doc_id")).limit(RrfPool)
+    val vec = vecTop.withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        (when(col("lex_rank").isNull, lit(0L))
+            .otherwise(expr(s"$RrfScale div ($RrfK + lex_rank)"))
+          + when(col("vec_rank").isNull, lit(0L))
+            .otherwise(expr(s"$RrfScale div ($RrfK + vec_rank)")))
+          .as("rrf_fp"))
+    val top = fused.orderBy(col("rrf_fp").desc, col("doc_id")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_fp").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_fp"))
+  }
+
+  /** DuckDB mirror of [[hybridMoreLikeThis]] — identical rankers
+    * (nested [[moreLikeThisSql]]; same 6-dp cosine), identical integer
+    * fusion and tie-breaks.
+    */
+  def hybridMoreLikeThisSql(queryDocId: Long, topK: Int = 10): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, rank AS lex_rank
+       |  FROM (${moreLikeThisSql(queryDocId, RrfPool)})),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |vscored AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
+       |                    * CAST(e.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(q.embedding) + 1)])
+       |      / (q.nrm * e.nrm), 6) AS cosine
+       |  FROM e JOIN e q ON q.vec_id = $queryDocId
+       |  WHERE e.vec_id != $queryDocId),
+       |vec AS (
+       |  SELECT doc_id, rank AS vec_rank FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      ORDER BY cosine DESC, doc_id) AS rank
+       |    FROM vscored)
+       |  WHERE rank <= $RrfPool),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(l.lex_rank, 0) AS lex_rank,
+       |    COALESCE(v.vec_rank, 0) AS vec_rank,
+       |    CAST(CASE WHEN l.lex_rank IS NULL THEN 0
+       |          ELSE $RrfScale // ($RrfK + l.lex_rank) END
+       |      + CASE WHEN v.vec_rank IS NULL THEN 0
+       |          ELSE $RrfScale // ($RrfK + v.vec_rank) END
+       |      AS BIGINT) AS rrf_fp
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+       |SELECT rank, doc_id, lex_rank, vec_rank, rrf_fp FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+       |    AS rank
+       |  FROM fused)
+       |WHERE rank <= $topK
+       |ORDER BY rank""".stripMargin
 }

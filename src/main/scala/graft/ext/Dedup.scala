@@ -141,10 +141,22 @@ object Dedup {
     * already catches upstream; measured bucket-size distributions are in
     * SCALING.md. `None` (the verified-query default) disables the cap.
     */
+  /** Materialize the LSH band table to parquet — the signature store a
+    * production pipeline writes at ingest (the batch twin of
+    * [[graft.streaming.DedupStream]]'s persistent band index): banding
+    * is the indexing job's cost; every dedup query after joins the
+    * stored (doc_id, band_idx, band_hash) rows. Pass the read-back
+    * frame as `bands` to [[minhashNearDups]] / [[minhashClusters]] /
+    * [[minhashSurvivors]] / [[incrementalNearDups]].
+    */
+  def writeBandIndex(documents: DataFrame, path: String): Unit =
+    bandTable(documents).write.mode("overwrite").parquet(path)
+
   def minhashNearDups(documents: DataFrame,
-      maxBandBucket: Option[Int] = None): DataFrame = {
+      maxBandBucket: Option[Int] = None,
+      bands: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val rawBands = bandTable(documents)
+    val rawBands = bands.getOrElse(bandTable(documents))
     val capped = maxBandBucket.fold(rawBands) { cap =>
       // count per bucket is map-side combinable; the join back is on the
       // same key the self-join uses, so no extra shuffle stage shape
@@ -246,8 +258,10 @@ object Dedup {
     *
     * Caller contract: `index` and `batch` doc_ids are disjoint.
     */
-  def incrementalNearDups(index: DataFrame, batch: DataFrame): DataFrame = {
-    val ib = bandTable(index).withColumnRenamed("doc_id", "index_doc")
+  def incrementalNearDups(index: DataFrame, batch: DataFrame,
+      indexBands: Option[DataFrame] = None): DataFrame = {
+    val ib = indexBands.getOrElse(bandTable(index))
+      .withColumnRenamed("doc_id", "index_doc")
     val bb = bandTable(batch).withColumnRenamed("doc_id", "batch_doc")
     val cand = ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
       .select("batch_doc", "index_doc").distinct()
@@ -319,12 +333,16 @@ object Dedup {
     * [[graft.ext.Curation.trainingMix]] both consume it, so a future
     * policy change cannot diverge between them.
     */
-  def minhashDropSet(documents: DataFrame): DataFrame =
-    minhashNearDups(documents).select(col("doc_b").as("doc_id")).distinct()
+  def minhashDropSet(documents: DataFrame,
+      bands: Option[DataFrame] = None): DataFrame =
+    minhashNearDups(documents, bands = bands)
+      .select(col("doc_b").as("doc_id")).distinct()
 
-  def minhashSurvivors(documents: DataFrame): DataFrame =
+  def minhashSurvivors(documents: DataFrame,
+      bands: Option[DataFrame] = None): DataFrame =
     documents
-      .join(broadcast(minhashDropSet(documents)), Seq("doc_id"), "left_anti")
+      .join(broadcast(minhashDropSet(documents, bands)),
+        Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_survivors"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
 
@@ -353,8 +371,10 @@ object Dedup {
     * doc_id in the cluster, n_docs).
     */
 
-  def minhashClusters(documents: DataFrame): DataFrame =
-    clusterPairs(minhashNearDups(documents).select("doc_a", "doc_b"))
+  def minhashClusters(documents: DataFrame,
+      bands: Option[DataFrame] = None): DataFrame =
+    clusterPairs(minhashNearDups(documents, bands = bands)
+      .select("doc_a", "doc_b"))
 
   /** Transitive clustering over ANY (doc_a, doc_b) near-dup pair frame —
     * the machinery behind [[minhashClusters]], also composed over

@@ -95,9 +95,30 @@ object GraphRank {
     * PageRank. Two-phase top-k (global TakeOrdered, then a ≤TopK-row
     * rank window) — no single-partition pass over the full node set.
     */
-  def purchaseRank(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  def purchaseRank(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    topKOf(pageRank(purchaseEdges(orders, lineitem)))
+
+  /** Materialize the rank table to parquet — the indexing-job leg of
+    * the "index once, serve many" discipline ([[IndexCache]]): the
+    * 5-iteration fixed point is the ingest job's cost; query serving is
+    * a read of the O(nodes) artifact. Written as a handful of files —
+    * the table is O(nodes), tiny next to the corpus it summarizes.
+    */
+  def writeRankIndex(orders: DataFrame, lineitem: DataFrame,
+      path: String): Unit =
+    pageRank(purchaseEdges(orders, lineitem))
+      .coalesce(4).write.mode("overwrite").parquet(path)
+
+  /** Serve [[purchaseRank]] from the persisted rank index — identical
+    * rows to the in-flight computation (shares its oracle); per-query
+    * cost is TakeOrdered over the O(nodes) artifact.
+    */
+  def purchaseRankServed(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    topKOf(spark.read.parquet(path))
+
+  private def topKOf(r: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = pageRank(purchaseEdges(orders, lineitem))
     val top = r.orderBy(col("r").desc, col("node")).limit(TopK)
     val w = Window.orderBy(col("r").desc, col("node"))
     top.withColumn("rank", row_number().over(w))

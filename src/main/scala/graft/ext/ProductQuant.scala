@@ -445,21 +445,24 @@ object ProductQuant {
     * identical; the fixture query keeps the flat form so the SQL oracle
     * stays one statement.
     */
-  def topKIvfPq(embeddings: DataFrame,
-      cells: Int = Similarity.IvfCells,
-      nProbe: Int = Similarity.IvfProbes,
-      shortlistN: Int = Shortlist,
-      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+  private def cellD2(v: Column, vn2: Column, cv: Column,
+      cn2: Column): Column =
+    vn2 - lit(2.0) * dot(v, cv) + cn2
+
+  /** The IVF-PQ build phase shared by the in-flight [[topKIvfPq]] and
+    * the persisted index ([[writeIvfPqIndex]]): refined IVF centroids
+    * `(cell, cv, cn2)` and the stored code table `(vec_id, cell,
+    * codes)` — 16 bytes + a cell id per corpus vector.
+    */
+  private def ivfPqParts(embeddings: DataFrame, cells: Int,
+      cbs: Seq[Seq[Seq[Double]]]): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cbs = codebooks.getOrElse(trainCodebooks(embeddings))
     val e = embeddings
       .select(col("vec_id"), unitVec(col("embedding")).as("v"))
       .withColumn("vn2", dot(col("v"), col("v")))
     val cents0 = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("v").as("cv"),
         col("vn2").as("cn2"))
-    def cellD2(v: Column, vn2: Column, cv: Column, cn2: Column): Column =
-      vn2 - lit(2.0) * dot(v, cv) + cn2
     def nearestCell(cents: DataFrame): DataFrame =
       e.join(broadcast(cents), lit(true))
         .select(col("vec_id"), col("v"), col("vn2"), col("cell"),
@@ -477,11 +480,18 @@ object ProductQuant {
           (col("s").cast("double") / col("cnt") / 1e6).as("c")))),
         s => s.getField("c")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    // the stored index: (vec_id, cell, codes) — 16 bytes + a cell id
     val index = nearestCell(refined)
       .select(col("vec_id"), col("cell"),
         encodeExpr(col("v"), cbs).as("codes"))
-    val probes = e.filter(col("vec_id") < NumQueries)
+    (refined, index)
+  }
+
+  /** Per-query probe table: each query's nProbe nearest refined cells
+    * with its ADC distance tables. Bounded at NumQueries · nProbe rows.
+    */
+  private def probesFor(queries: DataFrame, refined: DataFrame,
+      nProbe: Int, cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    queries
       .join(broadcast(refined), lit(true))
       .select(col("vec_id"), col("v"), col("cell"),
         cellD2(col("v"), col("vn2"), col("cv"), col("cn2")).as("d2"))
@@ -490,8 +500,93 @@ object ProductQuant {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("q_id"),
         distTablesExpr(col("v"), cbs).as("tabs"), col("cell").as("p_cell"))
+
+  def topKIvfPq(embeddings: DataFrame,
+      cells: Int = Similarity.IvfCells,
+      nProbe: Int = Similarity.IvfProbes,
+      shortlistN: Int = Shortlist,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cbs = codebooks.getOrElse(trainCodebooks(embeddings))
+    val (refined, index) = ivfPqParts(embeddings, cells, cbs)
+    val queries = embeddings.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), unitVec(col("embedding")).as("v"))
+      .withColumn("vn2", dot(col("v"), col("v")))
+    val probes = probesFor(queries, refined, nProbe, cbs)
     val scored = index.join(broadcast(probes),
         col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
+    shortlistAndRerank(scored, embeddings, shortlistN)
+  }
+
+  /** Materialize the IVF-PQ index (FAISS persists exactly these two
+    * artifacts): the code table hive-partitioned by cell — so a served
+    * query reads only its probed `cell=` directories — and the refined
+    * centroid sidecar. Building costs the two flat assignment passes
+    * and the encode; every query after is [[topKIvfPqServed]].
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String,
+      cells: Int = Similarity.IvfCells,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+    val cbs = codebooks.getOrElse(trainCodebooks(embeddings))
+    val (refined, index) = ivfPqParts(embeddings, cells, cbs)
+    // repartition BY CELL first (writeIvfIndex's one-file-per-cell
+    // lesson): without it every task emits a file into every cell= dir
+    index.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    refined.write.mode("overwrite").parquet(s"$path/cents")
+  }
+
+  /** [[topKIvfPq]] served from the persisted index — identical rows
+    * (same centroids, same codes; shares the oracle). Per-query cost:
+    * probe selection against the broadcast centroid sidecar, a
+    * partition-pruned scan of the probed cells' codes, ADC, and the
+    * exact re-rank of the bounded shortlist. The probed-cell set is a
+    * bounded collect (≤ NumQueries · nProbe values).
+    */
+  def topKIvfPqServed(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, path: String,
+      nProbe: Int = Similarity.IvfProbes,
+      shortlistN: Int = Shortlist,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cbs = codebooks.getOrElse(trainCodebooks(embeddings))
+    val refined = spark.read.parquet(s"$path/cents")
+    val queries = embeddings.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), unitVec(col("embedding")).as("v"))
+      .withColumn("vn2", dot(col("v"), col("v")))
+    val probes = probesFor(queries, refined, nProbe, cbs)
+    val probedCells = probes.select(col("p_cell").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val index = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells: _*))
+    val scored = index.join(broadcast(probes),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
+    shortlistAndRerank(scored, embeddings, shortlistN)
+  }
+
+  /** [[topKPqWith]] served from the same persisted code table (cell
+    * column ignored — plain PQ scans every code): the encode pass moves
+    * to the index build; the query pays the ADC scan + re-rank only.
+    */
+  def topKPqServed(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, path: String,
+      cbs: Seq[Seq[Seq[Double]]],
+      shortlistN: Int = Shortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes"))
+    // v projected as its own attribute first (the Winnow inline-HOF
+    // lesson: distTablesExpr references it M·K times)
+    val q = embeddings.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), unitVec(col("embedding")).as("v"))
+      .select(col("vec_id").as("q_id"),
+        distTablesExpr(col("v"), cbs).as("tabs"))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(adcSum(col("codes"), col("tabs")), 6).as("approx_d2"))
     shortlistAndRerank(scored, embeddings, shortlistN)

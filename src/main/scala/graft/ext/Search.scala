@@ -343,11 +343,32 @@ object Search {
     * cosine divides exact-integer sums in the oracle's op order.
     */
   def moreLikeThis(documents: DataFrame, queryDocId: Long,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10): DataFrame =
+    mltRank(docTokens(documents)
+        .select(col("doc_id"), col("token"), col("tf")),
+      documents.agg(count(lit(1)).as("n_docs")), queryDocId, topK)
+
+  /** [[moreLikeThis]] served from the persisted postings index + the
+    * doc-length sidecar (for n_docs) — identical rows (the index stores
+    * the same (doc_id, token, tf) the live path derives; shares the
+    * oracle). The tokenize + tf aggregation moves to the index build;
+    * the query pays the TF-IDF joins only. Unlike term/phrase search
+    * this reads every bucket — the query vector is a whole document,
+    * so no bucket pruning applies.
+    */
+  def moreLikeThisServed(spark: SparkSession, indexPath: String,
+      dlPath: String, queryDocId: Long, topK: Int = 10): DataFrame = {
+    val tf = readPostings(spark, indexPath)
+      .groupBy("doc_id", "token").agg(sum("tf").as("tf"))
+    val n = spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(dlPath)
+      .agg(count(lit(1)).as("n_docs"))
+    mltRank(tf, n, queryDocId, topK)
+  }
+
+  /** The TF-IDF-cosine ranking plan both MLT entry points share. */
+  private def mltRank(tf: DataFrame, n: DataFrame, queryDocId: Long,
+      topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docTokens(documents)
-      .select(col("doc_id"), col("token"), col("tf"))
-    val n = documents.agg(count(lit(1)).as("n_docs"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val tfw = tf.join(df, Seq("token")).crossJoin(broadcast(n))
       .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
@@ -471,10 +492,25 @@ object Search {
     * Absent ranks surface as 0 (not null) so the output hashes stably.
     */
   def hybridMoreLikeThis(documents: DataFrame, embeddings: DataFrame,
-      queryDocId: Long, topK: Int = 10): DataFrame = {
+      queryDocId: Long, topK: Int = 10): DataFrame =
+    hybridFuse(moreLikeThis(documents, queryDocId, RrfPool),
+      embeddings, queryDocId, topK)
+
+  /** [[hybridMoreLikeThis]] with the lexical leg served from the
+    * persisted postings index ([[moreLikeThisServed]]) — identical rows,
+    * shares the oracle; only the dense leg still scans the corpus.
+    */
+  def hybridMoreLikeThisServed(spark: SparkSession,
+      embeddings: DataFrame, indexPath: String, dlPath: String,
+      queryDocId: Long, topK: Int = 10): DataFrame =
+    hybridFuse(moreLikeThisServed(spark, indexPath, dlPath,
+      queryDocId, RrfPool), embeddings, queryDocId, topK)
+
+  private def hybridFuse(lexRanked: DataFrame, embeddings: DataFrame,
+      queryDocId: Long, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    val lex = moreLikeThis(documents, queryDocId, RrfPool)
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val lex = lexRanked
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))

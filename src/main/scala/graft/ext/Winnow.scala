@@ -157,6 +157,26 @@ object Winnow {
     // the fingerprint pipeline (measured 86 s vs ~40 s at 320 k docs);
     // one bounded count populates the cache before the branches fan out
     fps.count()
+    matchesFrom(fps)
+  }
+
+  /** Materialize the fingerprint value table to parquet — the MOSS
+    * fingerprint-database shape: extraction (shingle + hash + winnow)
+    * is the ingest job's cost, and match queries only ever join the
+    * stored (doc_id, fp) pairs. 8-byte rows at ~2/(w+1) of gram volume.
+    */
+  def writeFingerprintIndex(documents: DataFrame, path: String): Unit =
+    fpTable(documents).write.mode("overwrite").parquet(path)
+
+  /** [[matches]] served from the persisted fingerprint index —
+    * identical rows (shares the oracle); per-query cost is the match
+    * join alone, never the extraction pipeline.
+    */
+  def matchesServed(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    matchesFrom(spark.read.parquet(path))
+
+  private def matchesFrom(fps: DataFrame): DataFrame = {
     // (doc_id, fp) rows are distinct by construction (array_distinct
     // before the explode), so doc-frequency is a plain count — no
     // count-distinct Expand pass

@@ -46,6 +46,15 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("minhash LSH pairs the twins and verifies jaccard") {
+    // the stored band index serves the same pairs as live banding
+    val bpath = java.nio.file.Files.createTempDirectory("bands").toString
+    Dedup.writeBandIndex(twins, bpath)
+    val livePairs = Dedup.minhashNearDups(twins)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val servedPairs = Dedup.minhashNearDups(twins,
+        bands = Some(spark.read.parquet(bpath)))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(servedPairs == livePairs)
     val pairs = Dedup.minhashNearDups(twins)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L)))
@@ -412,6 +421,25 @@ class ExtSpec extends AnyFunSuite {
     // the cell pruning can only lose candidates PQ would have scored;
     // on the fixture the loss must stay bounded
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
+  test("persisted IVF-PQ index serves PQ and IVF-PQ identically to in-flight") {
+    import graft.ext.ProductQuant
+    val e = Tables(spark, Sf0001).embeddings
+    val cbs = ProductQuant.trainCodebooks(e)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    ProductQuant.writeIvfPqIndex(e, path, codebooks = Some(cbs))
+    val liveIvfPq = ProductQuant.topKIvfPq(e, codebooks = Some(cbs))
+      .collect().toSeq
+    val servedIvfPq = ProductQuant
+      .topKIvfPqServed(spark, e, path, codebooks = Some(cbs))
+      .collect().toSeq
+    assert(servedIvfPq == liveIvfPq)
+    val livePq = ProductQuant
+      .topKPqWith(e, cbs, ProductQuant.Shortlist).collect().toSeq
+    val servedPq = ProductQuant.topKPqServed(spark, e, path, cbs)
+      .collect().toSeq
+    assert(servedPq == livePq)
   }
 
   test("hierarchical IVF: full assignment coverage; recall vs brute force") {
@@ -806,6 +834,12 @@ class ExtSpec extends AnyFunSuite {
     val pairs = Winnow.matches(d)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L)))
+    // the persisted fingerprint database serves the same matches
+    val path = java.nio.file.Files.createTempDirectory("winnowfp").toString
+    Winnow.writeFingerprintIndex(d, path)
+    val served = Winnow.matchesServed(spark, path)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.toSet == pairs.toSet)
     // density: every window selects one gram, one selection covers at
     // most w windows -> n_fps >= ceil(windows/w); dedup keeps it well
     // under 1. Also pinned: the ~2/(w+1) expected density from the paper

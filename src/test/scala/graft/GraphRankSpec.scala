@@ -47,6 +47,17 @@ class GraphRankSpec extends AnyFunSuite {
     assert(hub > leaf)
   }
 
+  test("served rank index returns exactly the in-flight result") {
+    val t = Tables(spark, Sf0001)
+    val path = java.nio.file.Files.createTempDirectory("rankidx").toString
+    GraphRank.writeRankIndex(t.orders, t.lineitem, path)
+    val live = GraphRank.purchaseRank(t.orders, t.lineitem)
+      .collect().toSeq
+    val served = GraphRank.purchaseRankServed(spark, path)
+      .collect().toSeq
+    assert(served == live)
+  }
+
   test("purchase rank: top nodes are suppliers (in-degree magnets)") {
     val t = Tables(spark, Sf0001)
     val top = GraphRank.purchaseRank(t.orders, t.lineitem).collect()

@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "bm25_top_docs",        // one-row scalars + window over ≤topK rows
     "bm25_served",          // same shared ranking plan, index-fed
     "more_like_this",       // one-row attaches + window over ≤topK rows
+    "hybrid_mlt",           // windows over the ≤20-row ranker pools
     "hourly_gapfill",       // one-row bounds agg → O(hours) spine
     "hourly_anomalies",     // rolling window over the O(hours) series
     "event_funnel",         // three 1-row stage counts composed
@@ -104,6 +105,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "bm25_top_docs",        // tf rows × one-row (N, avgdl) scalars
     "bm25_served",          // same shared ranking plan, index-fed
     "more_like_this",       // tf rows × one-row corpus size / query norm
+    "hybrid_mlt",           // MLT attaches + corpus × 1-row query vector
     "event_funnel",         // 1-row stage counts × 1-row stage counts
     "dsir_weights",         // positions × one-row smoothing totals
     "semantic_decontam",    // corpus × broadcast benchmark slice
@@ -153,10 +155,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // a global sort of the full pair table
     val bp = plans("bpe_top_pairs")
     assert(bp.contains("TakeOrdered"), bp)
-    // PQ: the native codec expressions are IN the plan (the HOF
-    // formulation would show aggregate/zip_with lambda nodes instead)
+    // PQ: the native query-side codec expression is IN the plan (the
+    // HOF formulation would show aggregate/zip_with lambda nodes), and
+    // since round 6 the ENCODE must NOT be — codes come from the
+    // persisted index; re-encoding the corpus per query is a regression
     val pq = plans("ann_topk_pq")
-    assert(pq.contains("pq_encode") && pq.contains("pq_dist_tables"), pq)
+    assert(pq.contains("pq_dist_tables"), pq)
+    assert(!pq.contains("pq_encode"),
+      s"ann_topk_pq must serve stored codes, not re-encode:\n$pq")
   }
 
   test("round-6 query plans keep their intended shapes") {

@@ -37,6 +37,17 @@ class SearchSpec extends AnyFunSuite {
       assert(both.map(_.getLong(4)).max > single.map(_.getLong(4)).min)
   }
 
+  test("MLT served from the postings index equals the live tokenize path") {
+    val path = java.nio.file.Files.createTempDirectory("mltidx").toString
+    val dlp = java.nio.file.Files.createTempDirectory("mltdl").toString
+    Search.writePostingsIndex(docs, path)
+    Search.writeDocLengths(docs, dlp)
+    val live = Search.moreLikeThis(docs, 7L).collect().toSeq
+    val served = Search.moreLikeThisServed(spark, path, dlp, 7L)
+      .collect().toSeq
+    assert(served == live)
+  }
+
   test("conjunctive search over the postings index equals a full scan") {
     val path = java.nio.file.Files.createTempDirectory("postings").toString
     Search.writePostingsIndex(docs, path)

@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,12 +17,21 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     // two passes, report the per-query minimum: machine noise (the round
     // driver shares this box) swings single runs by 1.5x+
+    // Returns (seconds, ok). A query that throws must never be mistaken
+    // for a fast success: failures are flagged, surfaced in the JSON line,
+    // and fail the process exit code.
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String)
-          => org.apache.spark.sql.DataFrame): Double = {
+          => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // optional arg (dev only): comma-separated query-name filter
     val only = args.headOption.map(_.split(",").toSet)
@@ -33,13 +43,20 @@ object Bench {
     // behavior either way) — the min filters out scheduler/GC noise
     spark.catalog.clearCache()
     val pass2 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    // A query is only "timed" if both passes succeeded; any thrown pass
+    // marks it failed and its recorded time is -1 (never a sub-second win).
     val results = ordered.map { case (n, _) =>
-      n -> math.min(pass1(n), pass2(n))
+      val ok = pass1(n)._2 && pass2(n)._2
+      n -> (if (ok) math.min(pass1(n)._1, pass2(n)._1) else -1.0)
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val timed = results.collect { case (_, v) if v >= 0 => v }
+    val total = if (timed.nonEmpty) timed.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -19,18 +19,33 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in the fixture parquet, which Spark 4
-    * rejects by default. Read it as long nanos (runtime-settable legacy
-    * conf, so this works under any driver-created session) and convert to a
-    * µs TimestampType via integer division (`div`, not `/` — double math
-    * would lose precision on ~1.7e18 nanos).
+  /** `events.ts` has shipped in two fixture formats, so the loader branches
+    * on the loaded type rather than assuming one:
+    *
+    *   - current fixtures: plain TIMESTAMP(MICROS) without the UTC flag,
+    *     which Spark 4 loads as TIMESTAMP_NTZ. Cast to session-TZ
+    *     TimestampType — all callers (Verify/RunPipeline/Bench) pin the
+    *     session to UTC, so the naive instants line up 1:1 with DuckDB's
+    *     native-TIMESTAMP oracle arithmetic.
+    *   - legacy fixtures: TIMESTAMP(NANOS), which Spark 4 rejects unless
+    *     `nanosAsLong` is set (runtime-settable, so it works under any
+    *     driver-created session); the column then loads as LongType nanos
+    *     and is converted to µs via integer division (`div`, not `/` —
+    *     double math would lose precision on ~1.7e18 nanos).
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case TimestampType          => raw
+      case TimestampNTZType       => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType | IntegerType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other; expected timestamp or integral nanos")
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -417,13 +417,13 @@ object Curation {
   def sourceOverlapSql: String = {
     import graft.ext.TextAnalysis.shinglesSql
     import Hashing.h32Sql
-    s"""WITH grams AS (
+    s"""WITH grams AS MATERIALIZED (
        |  SELECT DISTINCT source, ${h32Sql("g")} AS h
        |  FROM (
        |    SELECT source,
        |      unnest(${shinglesSql("string_split(text, ' ')")}) AS g
        |    FROM documents)),
-       |per_source AS (
+       |per_source AS MATERIALIZED (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n
        |  FROM grams GROUP BY source),
        |inter AS (

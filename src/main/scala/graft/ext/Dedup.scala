@@ -207,20 +207,24 @@ object Dedup {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, md5($slice) AS band_hash FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""shd AS (
+    // MATERIALIZED throughout: `shd` feeds sigs/cnt/inter, and `sigs` is
+    // referenced once per band in the UNION ALL — DuckDB's default CTE
+    // inlining would re-run the shingle+minhash pipeline per reference.
+    // Evaluation-order hint only; rows are unchanged.
+    s"""shd AS MATERIALIZED (
        |  SELECT doc_id, ${h32Sql("shingle")} AS h
        |  FROM (SELECT doc_id, unnest(
        |          list_distinct(${shinglesSql("string_split(text, ' ')")}))
        |          AS shingle
        |        FROM documents)),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id,
        |    $sigExprs
        |  FROM shd
        |  GROUP BY doc_id),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  $bandSelects),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -481,8 +485,8 @@ object Dedup {
   }
 
   def minhashClustersSql: String =
-    s"""WITH RECURSIVE neardups AS ($minhashNearDupsSql),
-       |edges AS (
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM neardups
        |  UNION SELECT doc_b, doc_a FROM neardups
        |  UNION SELECT doc_a, doc_a FROM neardups
@@ -892,7 +896,7 @@ object Dedup {
   }
 
   def embeddingNearDupsAnnSql: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm,
@@ -934,11 +938,11 @@ object Dedup {
 
   def embeddingClustersSql(minCosine: Double = EmbClusterMinCosine)
       : String =
-    s"""WITH RECURSIVE anndups AS ($embeddingNearDupsAnnSql),
-       |nd AS (
+    s"""WITH RECURSIVE anndups AS MATERIALIZED ($embeddingNearDupsAnnSql),
+       |nd AS MATERIALIZED (
        |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM anndups
        |  WHERE cosine >= $minCosine),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM nd
        |  UNION SELECT doc_b, doc_a FROM nd
        |  UNION SELECT doc_a, doc_a FROM nd
@@ -1179,10 +1183,11 @@ object Dedup {
   def spanContainmentSql(n: Int = SpanTokens,
       minContainment: Double = 0.5, maxSpanBucket: Int = 50): String =
     s"""WITH ${spanGramsSql(n)},
-       |dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+       |dg AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM grams),
        |sz AS (SELECT gram FROM dg GROUP BY gram
        |       HAVING count(*) > 1 AND count(*) <= $maxSpanBucket),
-       |cap AS (SELECT dg.doc_id, dg.gram FROM dg JOIN sz USING (gram)),
+       |cap AS MATERIALIZED (
+       |  SELECT dg.doc_id, dg.gram FROM dg JOIN sz USING (gram)),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    count(*) AS shared_spans

@@ -206,14 +206,14 @@ object Winnow {
        |      [${h32Sql("s")} for s in
        |        ${shinglesSql("string_split(text, ' ')")}] AS hs
        |    FROM documents)),
-       |fps AS (
+       |fps AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, fp
        |  FROM (SELECT doc_id, unnest([e % $PosShift for e in sel]) AS fp
        |        FROM sel)),
        |keep AS (
        |  SELECT fp FROM fps GROUP BY fp
        |  HAVING count(DISTINCT doc_id) <= $MaxDocFreq),
-       |kept AS (SELECT fps.* FROM fps JOIN keep USING (fp)),
+       |kept AS MATERIALIZED (SELECT fps.* FROM fps JOIN keep USING (fp)),
        |per_doc AS (
        |  SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
        |pairs AS (

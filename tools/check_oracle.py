@@ -6,7 +6,7 @@ compares cell-by-cell with columns sorted by name.
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 """
-import json, math, os, sys
+import json, math, os, sys, time
 
 import duckdb
 
@@ -48,6 +48,7 @@ def main(out_dir, sf_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracles.items()):
+        t0 = time.time()
         qdir = f"{out_dir}/{name}"
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: no Verify output dir")
@@ -87,7 +88,7 @@ def main(out_dir, sf_dir):
             print(f"  oracle row: {wrows[r]}")
             failures += 1
         else:
-            print(f"OK   {name}: {len(grows)} rows")
+            print(f"OK   {name}: {len(grows)} rows ({time.time() - t0:.2f}s)")
     print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
     return 1 if failures else 0
 

@@ -42,6 +42,27 @@ object Multimodal {
     resized_width: Long, resized_height: Long,
     n_sampled_frames: Long, frame_hashes: String)
 
+  /** Pluggable decode seam: a production image/audio/video codec drops in
+    * by implementing this trait — the Spark plan (typed scan →
+    * one `mapPartitions`, no shuffle) is identical for every decoder.
+    *
+    * The iterator IS the per-partition batch: implementations allocate
+    * any native context (libjpeg/ffmpeg handle, ONNX session) at call
+    * time — once per partition, not per record — and stream records
+    * through it. Must be `Serializable` (shipped to executors).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodePartition(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
+  }
+
+  /** The default decoder: the deterministic stub (no codecs in this
+    * container) — the oracle-verified path.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decodePartition(records: Iterator[MediaRecord])
+        : Iterator[MediaFeatures] = records.map(decodeStub)
+  }
+
   /** Bytes of payload header fed to the fingerprint. */
   val HeaderBytes = 16
 
@@ -111,20 +132,21 @@ object Multimodal {
       frame_hashes = hashes.mkString(","))
   }
 
-  /** Partition-wise decode: the iterator is the batch; a real codec would
-    * allocate its native context once per partition here, then stream
-    * records through it.
+  /** Partition-wise decode through the pluggable [[MediaDecoder]] seam —
+    * the plan is one `mapPartitions` over the scan for any decoder.
     */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it => it.map(decodeStub) }
+    media.mapPartitions(decoder.decodePartition _)
   }
 
-  /** End-to-end: documents → binary payloads → stub decode → features. */
-  def features(documents: DataFrame): DataFrame = {
+  /** End-to-end: documents → binary payloads → decode → features. */
+  def features(documents: DataFrame,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = documents.sparkSession
-    extractFeatures(mediaRecords(documents)).toDF()
+    extractFeatures(mediaRecords(documents), decoder).toDF()
   }
 
   /** DuckDB oracle: reproduces the stub from `text` (payload == UTF-8

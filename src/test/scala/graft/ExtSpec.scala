@@ -824,6 +824,39 @@ class ExtSpec extends AnyFunSuite {
       .sameElements(r))
   }
 
+  test("multimodal decoder seam: a custom codec drops in without plan changes") {
+    import Multimodal.{MediaDecoder, MediaRecord, MediaFeatures}
+    // A stand-in "real codec": derives dimensions from the actual payload
+    // bytes (first two bytes), with a per-PARTITION context allocation —
+    // the shape a libjpeg/ffmpeg wrapper takes.
+    object HeaderCodec extends MediaDecoder {
+      override def decodePartition(records: Iterator[MediaRecord])
+          : Iterator[MediaFeatures] = {
+        // context allocated once per partition, before the stream
+        val ctx = new java.util.concurrent.atomic.AtomicLong(0)
+        records.map { r =>
+          ctx.incrementAndGet()
+          val w = 1L + (r.payload.headOption.getOrElse(0: Byte) & 0xff)
+          val h = 1L + (r.payload.drop(1).headOption.getOrElse(0: Byte) & 0xff)
+          MediaFeatures(r.doc_id, r.kind, r.n_bytes, "", r.n_bytes, w, h,
+            w, h, 0L, s"decoded_in_ctx_${ctx.get()}")
+        }
+      }
+    }
+    val custom = Multimodal.features(twins, HeaderCodec)
+    val rows = custom.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    // dimensions really came from payload bytes, not the stub hash
+    val t0 = twins.orderBy("doc_id").select("text").head().getString(0)
+    assert(rows(0).getAs[Long]("fake_width") == 1L + t0.head.toLong)
+    // same plan shape for both decoders: a single deserialize→map→serialize
+    // chain over the scan, no Exchange (decode never shuffles)
+    for (df <- Seq(custom, Multimodal.features(twins))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"decode plan must not shuffle:\n$plan")
+    }
+  }
+
   test("winnow guarantee: a shared 20-token run collides; density bounds") {
     import graft.ext.Winnow
     val shared = (1 to 20).map(i => s"shared$i").mkString(" ")

@@ -15,6 +15,21 @@ class PlanAuditSpec extends AnyFunSuite {
       name -> fn(spark, Sf0001).queryExecution.executedPlan.toString
     }
 
+  test("event-time predicates push through the NTZ-normalizing read path") {
+    // Tables.events casts the NTZ fixture column to session-TZ
+    // TimestampType; Catalyst must still fold an event-time predicate
+    // into an NTZ literal comparison and push it to the parquet scan —
+    // at 100 TB this is the difference between pruning row groups and
+    // reading the whole event log to filter in memory.
+    import org.apache.spark.sql.functions.col
+    val q = Tables(spark, Sf0001).events
+      .filter(col("ts") > java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scan.contains("GreaterThan(ts"),
+      s"ts predicate not pushed to parquet scan: $scan")
+  }
+
   test("no query plans a CartesianProduct") {
     // unbroadcast cross joins are O(n²) shuffle disasters at scale; the
     // intentional cross joins (ANN corpus × bounded centroids/queries,

@@ -457,6 +457,60 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Deterministic event stream shaped like the fixture `events` table:
+    * roughly time-ordered over 30 days, ~[[n]]/users events per user,
+    * the fixture's 5-value event_type domain, and the props JSON shape.
+    */
+  def synthEvents(spark: SparkSession, n: Long,
+      users: Long = 0L): DataFrame = {
+    val nUsers = if (users > 0) users else math.max(n / 64L, 16L)
+    val baseMicros = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val spanMicros = 30L * 86400L * 1000000L
+    val types = array(Seq("signup", "click", "error", "view", "purchase")
+      .map(lit): _*)
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(baseMicros)
+        + col("id") * lit(spanMicros / math.max(n, 1L))
+        + pmod(xxhash64(col("id")), lit(60000000L))).as("ts"),
+      pmod(col("id") * 2654435761L, lit(nUsers)).as("user_id"),
+      element_at(types,
+        (pmod(xxhash64(col("id"), lit(7)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      round(pmod(xxhash64(col("id"), lit(11)), lit(100000))
+        .cast("double") / 100.0, 2).as("value"),
+      concat(lit("{\"k\": "), pmod(col("id"), lit(100)).cast("string"),
+        lit("}")).as("props"))
+  }
+
+  /** The restored event surface at scale: enrich+DQ chain (map-side),
+    * the one-pass 15-expectation suite aggregate, sessionization (one
+    * user_id exchange), hourly tumbling windows, and the anomaly series.
+    * Linear wall-clock across sizes = the 100 TB posture holds.
+    */
+  def eventsProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.enrich.Enrich
+    import graft.report.Analytics
+    val events = synthEvents(spark, n).persist()
+    events.count() // materialize outside the timings
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale-events] n=$n%-9d $name%-18s " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+    }
+    val curated = Enrich.curated(events)
+    time("curated") { curated.count() }
+    time("dq_suite") {
+      graft.dq.DqSuite.evaluate(curated, graft.dq.DqSuite.customersSuite)
+        .count()
+    }
+    time("sessions") { Analytics.sessionsPerUser(events).count() }
+    time("hourly_counts") { Analytics.hourlyEventCounts(events).count() }
+    time("hourly_anomalies") { Analytics.hourlyAnomalies(events).count() }
+    events.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val lshMode = args.headOption.contains("lsh")
@@ -468,9 +522,11 @@ object ScaleProbe {
     val bpeTokMode = args.headOption.contains("bpetok")
     val curationMode = args.headOption.contains("curation")
     val linkMode = args.headOption.contains("link")
+    val eventsMode = args.headOption.contains("events")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
-          || winnowMode || bpeTokMode || curationMode || linkMode)
+          || winnowMode || bpeTokMode || curationMode || linkMode
+          || eventsMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -531,6 +587,11 @@ object ScaleProbe {
     }
     if (linkMode) {
       sizes.foreach(linkProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (eventsMode) {
+      sizes.foreach(eventsProbe(spark, _))
       spark.stop()
       return
     }

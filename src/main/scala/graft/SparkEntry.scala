@@ -794,6 +794,12 @@ object SparkEntry {
       Dedup.minhashClusters(tables(s, dir).documents,
           bands = Some(bandIndexFor(s, dir)))
         .orderBy("cluster_id")),
+    // soft dedup: per-doc 1/|cluster| sampling weight (down-weight, not
+    // drop — arXiv:2305.16264's alternative to the hard survivors cut)
+    "soft_dedup_weights" -> ((s, dir) =>
+      Dedup.softDedupWeights(tables(s, dir).documents,
+          bands = Some(bandIndexFor(s, dir)))
+        .orderBy("doc_id")),
 
     // A4 as rollup: incident counts with type subtotals + grand total
     "incident_rollup" -> ((s, dir) =>
@@ -1388,6 +1394,7 @@ object SparkEntry {
          |ORDER BY incident_type""".stripMargin,
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
+    "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),
 
     "dq_docs_suite" ->

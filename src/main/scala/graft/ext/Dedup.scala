@@ -386,7 +386,20 @@ object Dedup {
     * [[DriverClusterMaxPairs]], O(log diameter) pointer-jumping label
     * propagation above it.
     */
-  def clusterPairs(pairFrame: DataFrame): DataFrame = {
+  def clusterPairs(pairFrame: DataFrame): DataFrame =
+    clusterLabels(pairFrame)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-doc component labels `(doc_id, label)` for every doc appearing
+    * in the pair frame — label = the component's min doc_id (every
+    * member is in ≥1 pair, so every component has ≥2 members). The
+    * reusable core under [[clusterPairs]] and [[softDedupWeights]]:
+    * driver union-find below [[DriverClusterMaxPairs]], pointer-jumping
+    * label propagation above it.
+    */
+  def clusterLabels(pairFrame: DataFrame): DataFrame = {
     val spark = pairFrame.sparkSession
     import spark.implicits._
     val pairs = pairFrame.select(col("doc_a"), col("doc_b")).persist()
@@ -409,13 +422,15 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val members = parent.keySet ++ parent.values
-      val out = members.toSeq.map(d => (find(d), 1L))
-        .groupBy(_._1).view.mapValues(_.size.toLong).toSeq
-        .filter(_._2 >= 2)
-        .toDF("cluster_id", "n_docs")
+      val out = members.toSeq.map(d => (d, find(d)))
+        .toDF("doc_id", "label")
       pairs.unpersist()
       out
-    } else distributedClusters(pairs)._1
+    } else {
+      val out = distributedLabels(pairs)._1
+      pairs.unpersist()
+      out
+    }
   }
 
   /** Distributed connected components for pair graphs beyond driver
@@ -438,6 +453,18 @@ object Dedup {
     * Returns (clusters ≥2, rounds-to-converge).
     */
   private[graft] def distributedClusters(
+      pairs: DataFrame): (DataFrame, Int) = {
+    val (labels, rounds) = distributedLabels(pairs)
+    val clusters = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    (clusters, rounds)
+  }
+
+  /** The label-propagation core of [[distributedClusters]]: per-doc
+    * `(doc_id, label)` at the fixed point, plus rounds-to-converge.
+    */
+  private[graft] def distributedLabels(
       pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
@@ -478,11 +505,64 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    val clusters = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-    (clusters, rounds)
+    (labels, rounds)
   }
+
+  /** Soft dedup (the down-weighting alternative to dropping near-dups —
+    * "Scaling Data-Constrained Language Models", arXiv:2305.16264, and
+    * the SemDeDup family): every document keeps a training sampling
+    * weight of `1 / |its near-dup cluster|` (1.0 outside any cluster),
+    * so repeated content contributes one document's worth of expected
+    * gradient mass without a hard keep/drop cliff.
+    *
+    * Scale shape: the pair graph and labels are bounded by near-dup
+    * volume (tiny vs corpus); the per-doc attach is one left join of the
+    * corpus against the labeled members — broadcast-sized whenever the
+    * dup rate is sane, and AQE picks that up at runtime.
+    */
+  def softDedupWeights(documents: DataFrame,
+      bands: Option[DataFrame] = None): DataFrame = {
+    val labels = clusterLabels(
+      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b"))
+    val sized = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+    val members = labels.join(sized, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+    documents.select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
+  def softDedupWeightsSql: String =
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS MATERIALIZED (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a),
+       |sized AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM labels GROUP BY label)
+       |SELECT d.doc_id, l.label AS cluster_id,
+       |  coalesce(s.cluster_size, 1) AS cluster_size,
+       |  round(CAST(1.0 AS DOUBLE)
+       |    / coalesce(s.cluster_size, 1), 6) AS weight
+       |FROM documents d
+       |LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |LEFT JOIN sized s ON l.label = s.label
+       |ORDER BY d.doc_id""".stripMargin
 
   def minhashClustersSql: String =
     s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),

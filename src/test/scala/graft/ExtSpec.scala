@@ -112,6 +112,26 @@ class ExtSpec extends AnyFunSuite {
     assert(clusters.toSeq == Seq((1L, 3L))) // one cluster {1,2,3}
   }
 
+  test("soft dedup weights: 1/|cluster| inside, 1.0 outside") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val chain = docsDF(Seq(
+      (1L, s"$base left left left left"),
+      (2L, s"$base right right right right"),
+      (3L, base),
+      (9L, "totally unrelated text about completely other things here now")))
+    val w = Dedup.softDedupWeights(chain).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2), r.getDouble(3)))
+    // {1,2,3} cluster transitively via doc 3 -> each weighs 1/3; 9 is free
+    assert(w.toSeq == Seq(
+      (1L, Some(1L), 3L, 0.333333),
+      (2L, Some(1L), 3L, 0.333333),
+      (3L, Some(1L), 3L, 0.333333),
+      (9L, None, 1L, 1.0)))
+    // expected gradient mass of the cluster = one document's worth
+    assert(math.abs(w.filter(_._2.isDefined).map(_._4).sum - 1.0) < 1e-5)
+  }
+
   test("simhash pairs the twins within hamming radius") {
     val pairs = Dedup.simhashNearDups(twins)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))

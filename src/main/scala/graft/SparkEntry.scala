@@ -800,6 +800,12 @@ object SparkEntry {
       Dedup.softDedupWeights(tables(s, dir).documents,
           bands = Some(bandIndexFor(s, dir)))
         .orderBy("doc_id")),
+    // SemDeDup-family keep-best: highest-quality member survives each
+    // near-dup cluster (keep-first's arbitrary pick upgraded in-pass)
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestSurvivors(tables(s, dir).documents,
+          bands = Some(bandIndexFor(s, dir)))
+        .orderBy("doc_id")),
 
     // A4 as rollup: incident counts with type subtotals + grand total
     "incident_rollup" -> ((s, dir) =>
@@ -1395,6 +1401,7 @@ object SparkEntry {
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
+    "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),
 
     "dq_docs_suite" ->

@@ -537,6 +537,89 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Quality-aware survivor selection (the SemDeDup-family refinement of
+    * keep-first): within every near-dup cluster keep the member with the
+    * HIGHEST composite quality ([[TextAnalysis.qualityPpm]], exact
+    * integer ppm so both engines agree bit-for-bit; ties → min doc_id),
+    * drop the rest; docs outside any cluster keep. Keep-first discards
+    * an arbitrary member — keep-best discards the redundant copies AND
+    * upgrades the corpus quality profile in the same pass.
+    *
+    * Scale shape: scoring is one map-side projection over the corpus;
+    * the argmax runs only over labeled members (bounded by near-dup
+    * volume); the final attach is the same bounded left join as
+    * [[softDedupWeights]].
+    */
+  def keepBestSurvivors(documents: DataFrame,
+      bands: Option[DataFrame] = None): DataFrame = {
+    val labels = clusterLabels(
+      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b"))
+    val toks = split(col("text"), " ")
+    val en = TextAnalysis.Lexicons.head._2
+    val scored = documents.select(col("doc_id"),
+      TextAnalysis.qualityPpm(
+        size(toks).cast("long"),
+        size(array_distinct(toks)).cast("long"),
+        size(filter(toks, t => t.isin(en: _*))).cast("long"))
+        .as("quality_ppm"))
+    // lexicographic struct max = highest quality, then smallest doc_id
+    val best = scored.join(labels, "doc_id")
+      .groupBy("label")
+      .agg(max(struct(col("quality_ppm").as("q"),
+        (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("label"), (-col("b.nd")).as("best_doc"))
+    scored
+      .join(labels, Seq("doc_id"), "left")
+      .join(best, Seq("label"), "left")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("quality_ppm"),
+        (col("label").isNull || col("doc_id") === col("best_doc"))
+          .as("keep"))
+  }
+
+  def keepBestSurvivorsSql: String = {
+    val en = TextAnalysis.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS MATERIALIZED (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    least(len(toks) * 2000, 400000)
+       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
+       |          AS BIGINT)
+       |      + 300000
+       |      - CAST(round(len([t for t in toks
+       |                        if list_contains($en, t)])
+       |          * 300000.0 / len(toks)) AS BIGINT) AS quality_ppm
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |best AS (
+       |  SELECT label, doc_id AS best_doc FROM (
+       |    SELECT l.label, s.doc_id,
+       |      row_number() OVER (PARTITION BY l.label
+       |        ORDER BY s.quality_ppm DESC, s.doc_id) AS rn
+       |    FROM labels l JOIN scored s ON l.doc_id = s.doc_id)
+       |  WHERE rn = 1)
+       |SELECT s.doc_id, l.label AS cluster_id, s.quality_ppm,
+       |  (l.label IS NULL OR s.doc_id = b.best_doc) AS keep
+       |FROM scored s
+       |LEFT JOIN labels l ON s.doc_id = l.doc_id
+       |LEFT JOIN best b ON l.label = b.label
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def softDedupWeightsSql: String =
     s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
        |edges AS MATERIALIZED (

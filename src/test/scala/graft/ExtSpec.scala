@@ -132,6 +132,24 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(w.filter(_._2.isDefined).map(_._4).sum - 1.0) < 1e-5)
   }
 
+  test("keep-best survivors: the highest-quality cluster member wins") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    // doc 2 repeats a token (lower TTR -> lower qualityPpm than 1 and 3);
+    // doc 3 bridges 1 and 2 into one cluster
+    val chain = docsDF(Seq(
+      (1L, s"$base left right over under"),
+      (2L, s"$base left left left left"),
+      (3L, base),
+      (9L, "totally unrelated text about completely other things here now")))
+    val r = Dedup.keepBestSurvivors(chain).orderBy("doc_id").collect()
+      .map(row => (row.getLong(0), row.getBoolean(3))).toSeq
+    // doc 1 has the most distinct tokens -> highest quality -> survives;
+    // 2 and 3 drop; 9 is outside any cluster -> keeps
+    assert(r == Seq((1L, true), (2L, false), (3L, false), (9L, true)))
+    val q = Dedup.keepBestSurvivors(chain).orderBy("doc_id").collect()
+    assert(q(0).getLong(2) > q(1).getLong(2)) // 1 outscores the repeater
+  }
+
   test("simhash pairs the twins within hamming radius") {
     val pairs = Dedup.simhashNearDups(twins)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))

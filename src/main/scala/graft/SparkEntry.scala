@@ -371,6 +371,10 @@ object SparkEntry {
         .orderBy("lang", "predicted")),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(tables(s, dir).documents).orderBy("doc_id")),
+    // corpus-novelty: fraction of a doc's distinct 5-grams unique to it
+    "doc_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyReport(tables(s, dir).documents)
+        .orderBy("doc_id")),
     // winnowing (MOSS) local fingerprints: per-doc selection summary and
     // the fingerprint-join match report (partial-overlap detection)
     "winnow_fingerprints" -> ((s, dir) =>
@@ -1191,6 +1195,7 @@ object SparkEntry {
          |ORDER BY lang, predicted""".stripMargin,
     "doc_fingerprints" ->
       s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
+    "doc_novelty" -> TextAnalysis.noveltyReportSql,
     "winnow_fingerprints" ->
       s"""SELECT * FROM (${graft.ext.Winnow.fingerprintReportSql})
          |ORDER BY doc_id""".stripMargin,

@@ -528,6 +528,53 @@ object TextAnalysis {
        |     for i in range(1, greatest(len($toksExpr) - ${k - 1}, 1) + 1)]
        |""".stripMargin.trim
 
+  /** Per-doc corpus-novelty: what fraction of a document's distinct word
+    * 5-grams appear NOWHERE else in the corpus. The doc-level curation
+    * signal complementing span dedup — boilerplate-heavy docs score low
+    * (their grams repeat across the corpus), fresh content scores 1.0 —
+    * usable directly as a curriculum / sampling-priority key.
+    *
+    * Scale shape: one scan explodes to distinct `(doc_id, gram-hash)`
+    * rows; the document-frequency aggregate and the join back are both
+    * keyed on the 8-byte gram hash, so every shuffle carries the
+    * distinct-gram volume (the [[graft.ext.Curation.sourceOverlap]]
+    * class of cost), never corpus text.
+    */
+  def noveltyReport(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val grams = documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      .select(col("doc_id"), Hashing.h32(col("g")).as("h"))
+      .distinct()
+    val df = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    grams.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") > 1, 1)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        round(lit(1.0) - col("n_common").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
+  def noveltyReportSql: String =
+    s"""WITH grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${Hashing.h32Sql("g")} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(${shinglesSql("string_split(text, ' ')")}) AS g
+       |    FROM documents)),
+       |df AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS df
+       |  FROM grams GROUP BY h)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(CASE WHEN df > 1 THEN 1 END) AS BIGINT) AS n_common,
+       |  round(1.0 - CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE)
+       |    / count(*), 6) AS novelty
+       |FROM grams JOIN df USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-doc content fingerprints: whole-text md5 (exact identity) and the
     * minimum shingle hash (a 1-seed MinHash — a rolling-window content
     * fingerprint robust to suffix edits). All map-side.

@@ -837,6 +837,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r("src2") == (6L, 2L, 333333L))
   }
 
+  test("novelty: shared 5-gram runs lower the score, fresh text scores 1.0") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = docsDF(Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5"),
+      (2L, s"$shared b1 b2 b3 b4 b5"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10")))
+    val r = TextAnalysis.noveltyReport(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getDouble(3))).toMap
+    assert(r(3L) == 1.0) // no gram appears elsewhere
+    assert(r(1L) < 1.0 && r(2L) < 1.0) // the shared run is non-novel
+    // the 8-token shared prefix yields 4 shared 5-grams of doc 1's 9
+    assert(math.abs(r(1L) - (1.0 - 4.0 / 9.0)) < 1e-6)
+  }
+
   test("language ID picks the language with most lexicon hits") {
     val d = docsDF(Seq(
       (1L, "der hund und die katze ist hier"),

@@ -508,6 +508,11 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) =>
       graft.ext.Curation.piiScrubReport(
         CustomerEvents.synth(tables(s, dir).events))),
+    // checksum-gated CC redaction: regex candidates, Luhn discriminator,
+    // only validated numbers redacted (an invalid run is an order id)
+    "pii_cc_scrub" -> ((s, dir) =>
+      graft.ext.Curation.piiCcReport(
+        CustomerEvents.synth(tables(s, dir).events))),
     // sharded composite stream key (lang:shard): the window parallelizes
     // across |langs| × PackShards partitions — no per-lang serialization
     "pack_plan" -> ((s, dir) =>
@@ -1277,6 +1282,9 @@ object SparkEntry {
     "pii_scrub" ->
       s"""$W
          |${graft.ext.Curation.piiScrubReportSql}""".stripMargin,
+    "pii_cc_scrub" ->
+      s"""$W
+         |${graft.ext.Curation.piiCcReportSql}""".stripMargin,
     "dedup_exact" -> Dedup.exactSummarySql,
     "dedup_minhash_lsh" -> Dedup.minhashNearDupsSql,
     "dedup_simhash" -> Dedup.simhashNearDupsSql,

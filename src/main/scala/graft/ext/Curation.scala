@@ -919,6 +919,115 @@ object Curation {
     s"len(regexp_extract_all($expr, '$PhoneRe')) AS n_phone",
     s"len(regexp_extract_all($expr, '$SsnRe')) AS n_ssn")
 
+  // ---- checksum-validated PII: credit cards -------------------------------
+
+  /** 16-digit candidate run (the regex stage of CC detection — it
+    * deliberately over-matches; [[luhnValid]] is the discriminator).
+    */
+  val CcRe = "\\b\\d{16}\\b"
+
+  /** Luhn checksum validity of a digit-string column — the standard
+    * production gate separating real card numbers from arbitrary
+    * 16-digit runs (order IDs, tracking numbers) that a regex alone
+    * would redact. Pure codegen'd fold over the digit array: doubling
+    * every second digit from the right, −9 past 9, sum ≡ 0 (mod 10).
+    */
+  def luhnValid(s: Column): Column = {
+    val digits = split(s, "")
+    val n = length(s)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, j) => {
+      val d = element_at(digits, (n - j + 1).cast("int")).cast("long")
+      val dd = when(j % 2 === 0, d * 2).otherwise(d)
+      acc + when(dd > 9L, dd - 9L).otherwise(dd)
+    })
+    total % 10 === 0
+  }
+
+  /** DuckDB mirror of [[luhnValid]]. */
+  def luhnValidSql(expr: String): String =
+    s"""(list_sum([
+       |  CASE WHEN j % 2 = 0
+       |    THEN CASE WHEN 2 * CAST(($expr)[len($expr) - j + 1] AS INT) > 9
+       |      THEN 2 * CAST(($expr)[len($expr) - j + 1] AS INT) - 9
+       |      ELSE 2 * CAST(($expr)[len($expr) - j + 1] AS INT) END
+       |    ELSE CAST(($expr)[len($expr) - j + 1] AS INT) END
+       |  for j in range(1, len($expr) + 1)]) % 10 = 0)""".stripMargin
+
+  /** Deterministic 16-digit fixture number per event: even event_ids get
+    * a Luhn-VALID number (check digit computed), odd get the check digit
+    * +1 (guaranteed invalid) — so the validator's separation is provable
+    * row-by-row. The 15-digit base is event_id-derived.
+    */
+  def ccNumber(eid: Column): Column = {
+    val base15 = concat(lit("4"), lpad((eid * 37L % 100000000000000L)
+      .cast("string"), 14, "0"))
+    val digits = split(base15, "")
+    // Luhn sum over the would-be 16-digit number's positions 2..16 from
+    // the right = base15 with doubling at even right-positions
+    val s = aggregate(sequence(lit(2), lit(16)), lit(0L), (acc, j) => {
+      val d = element_at(digits, (lit(17) - j).cast("int")).cast("long")
+      val dd = when(j % 2 === 0, d * 2).otherwise(d)
+      acc + when(dd > 9L, dd - 9L).otherwise(dd)
+    })
+    val check = (lit(10L) - s % 10L) % 10L
+    concat(base15,
+      ((check + when(eid % 2 === 0, 0L).otherwise(1L)) % 10L)
+        .cast("string"))
+  }
+
+  /** DuckDB mirror of [[ccNumber]]. */
+  def ccNumberSql(eid: String): String = {
+    val base = s"'4' || lpad(CAST($eid * 37 % 100000000000000 AS VARCHAR), 14, '0')"
+    val sum =
+      s"""list_sum([
+         |  CASE WHEN j % 2 = 0
+         |    THEN CASE WHEN 2 * CAST(($base)[17 - j] AS INT) > 9
+         |      THEN 2 * CAST(($base)[17 - j] AS INT) - 9
+         |      ELSE 2 * CAST(($base)[17 - j] AS INT) END
+         |    ELSE CAST(($base)[17 - j] AS INT) END
+         |  for j in range(2, 17)])""".stripMargin
+    s"""($base) || CAST(((10 - ($sum) % 10) % 10
+       |  + CASE WHEN $eid % 2 = 0 THEN 0 ELSE 1 END) % 10 AS VARCHAR)
+       |""".stripMargin.trim
+  }
+
+  /** Checksum-gated CC redaction report: per event, the planted 16-digit
+    * number, its Luhn verdict, and the md5 of the message after
+    * redacting ONLY checksum-valid numbers — the production behavior
+    * (an invalid 16-digit run is an order id, not a card; blanket
+    * regex redaction destroys it for nothing).
+    */
+  def piiCcReport(ce: DataFrame): DataFrame = {
+    val msg = concat(lit("order ref for cust "),
+      coalesce(col("id"), lit("anon")), lit(" card "),
+      ccNumber(col("event_id")), lit(" thanks"))
+    val valid = luhnValid(ccNumber(col("event_id")))
+    ce.select(col("event_id"),
+      ccNumber(col("event_id")).as("cc_candidate"),
+      valid.as("luhn_valid"),
+      md5(when(valid, regexp_replace(msg, CcRe, "<CC>")).otherwise(msg))
+        .as("scrub_md5"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB mirror over the generator CTE `ce` (nested so the digit-fold
+    * comprehensions evaluate once per row, not once per reference).
+    */
+  val piiCcReportSql: String =
+    s"""SELECT event_id, cc_candidate, luhn_valid,
+       |  md5(CASE WHEN luhn_valid
+       |    THEN regexp_replace(msg, '$CcRe', '<CC>', 'g')
+       |    ELSE msg END) AS scrub_md5
+       |FROM (
+       |  SELECT event_id, cc_candidate,
+       |    ${luhnValidSql("cc_candidate")} AS luhn_valid,
+       |    'order ref for cust ' || coalesce(id, 'anon') ||
+       |    ' card ' || cc_candidate || ' thanks' AS msg
+       |  FROM (
+       |    SELECT event_id, id, ${ccNumberSql("event_id")} AS cc_candidate
+       |    FROM ce))
+       |ORDER BY event_id""".stripMargin
+
   /** Support-message fixture: a free-text column synthesized from the
     * customer-event fields (same role as the reference's anomaly
     * injectors — `data_generator.py` plants dirty values, this plants

@@ -21,6 +21,35 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- source mixing weights ----------------------------------------------
 
+  test("Luhn validates known card numbers and rejects off-by-one digits") {
+    import spark.implicits._
+    import graft.ext.Curation
+    // textbook Luhn vectors: the classic test PANs are valid; flipping
+    // the check digit must flip the verdict
+    val cases = Seq(
+      ("4539148803436467", true),  // standard Luhn-valid example
+      ("4539148803436468", false), // check digit +1
+      ("79927398713", true),       // the canonical Luhn example number
+      ("79927398710", false),
+      ("4111111111111111", true),  // classic test VISA
+      ("4111111111111112", false))
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), Curation.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s) }
+  }
+
+  test("ccNumber plants Luhn-valid numbers on even ids, invalid on odd") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val r = Seq(0L, 1L, 2L, 3L, 1000L, 1001L).toDF("event_id")
+      .select(col("event_id"),
+        Curation.luhnValid(Curation.ccNumber(col("event_id"))).as("v"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(r(0L) && r(2L) && r(1000L))
+    assert(!r(1L) && !r(3L) && !r(1001L))
+  }
+
   test("source mix weights: hand-computed shares and epochs") {
     import spark.implicits._
     // src0: 2 docs × 3 tokens, src2: 1 doc × 6 tokens → T = 12,

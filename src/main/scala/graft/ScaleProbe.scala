@@ -618,6 +618,9 @@ object ScaleProbe {
         Dedup.simhashNearDupsAdaptive(docs, Some(n)).count() }
       time("simhash60_near_dups") { Dedup.simhash60NearDups(docs).count() }
       time("exact_dedup") { Dedup.exactSummary(docs).count() }
+      time("novelty") { TextAnalysis.noveltyReport(docs).count() }
+      time("soft_dedup_weights") { Dedup.softDedupWeights(docs).count() }
+      time("keep_best") { Dedup.keepBestSurvivors(docs).count() }
       docs.unpersist()
       spark.catalog.clearCache()
     }

@@ -542,9 +542,13 @@ object TextAnalysis {
     */
   def noveltyReport(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    // xxhash64 gram keys: every shuffle carries (doc_id, long), never the
+    // 5-gram string (the span-dedup discipline, Dedup.scala:1166); the
+    // oracle aggregates raw gram strings — counts agree absent 64-bit
+    // collisions, which the probed corpora can't produce.
     val grams = documents
       .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
-      .select(col("doc_id"), Hashing.h32(col("g")).as("h"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
     val df = grams.groupBy("h").agg(count(lit(1)).as("df"))
     grams.join(df, "h")
@@ -558,7 +562,7 @@ object TextAnalysis {
 
   def noveltyReportSql: String =
     s"""WITH grams AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, ${Hashing.h32Sql("g")} AS h
+       |  SELECT DISTINCT doc_id, g AS h
        |  FROM (
        |    SELECT doc_id,
        |      unnest(${shinglesSql("string_split(text, ' ')")}) AS g

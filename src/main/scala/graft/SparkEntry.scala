@@ -375,6 +375,17 @@ object SparkEntry {
     "doc_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyReport(tables(s, dir).documents)
         .orderBy("doc_id")),
+    // incremental novelty: an ingest batch scored against the PERSISTED
+    // corpus gram index (corpus never rescanned; batch grams broadcast)
+    "novelty_incremental" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      val path = s"/tmp/graft_novidx_${new java.io.File(dir).getName}"
+      graft.ext.IndexCache.ensure(path)(TextAnalysis.writeGramIndex(
+        docs.filter(col("doc_id") % 10 =!= 7), path))
+      TextAnalysis.noveltyServed(s, path,
+          docs.filter(col("doc_id") % 10 === 7))
+        .orderBy("doc_id")
+    }),
     // winnowing (MOSS) local fingerprints: per-doc selection summary and
     // the fingerprint-join match report (partial-overlap detection)
     "winnow_fingerprints" -> ((s, dir) =>
@@ -1201,6 +1212,8 @@ object SparkEntry {
     "doc_fingerprints" ->
       s"""SELECT * FROM (${TextAnalysis.fingerprintsSql}) ORDER BY doc_id""",
     "doc_novelty" -> TextAnalysis.noveltyReportSql,
+    "novelty_incremental" ->
+      TextAnalysis.noveltyIncrementalSql(id => s"$id % 10 = 7"),
     "winnow_fingerprints" ->
       s"""SELECT * FROM (${graft.ext.Winnow.fingerprintReportSql})
          |ORDER BY doc_id""".stripMargin,

@@ -579,6 +579,87 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** The corpus gram index behind [[noveltyServed]]: distinct xxhash64
+    * 5-gram keys, one 8-byte column. In production this is maintained
+    * across ingests (union new batch grams per arrival); recomputed here.
+    */
+  def gramIndex(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(explode(shingles(col("text"))).as("g"))
+      .select(xxhash64(col("g")).as("h"))
+      .distinct()
+  }
+
+  /** Persist the gram index — ingest-time cost, like the winnow
+    * fingerprint database and the MinHash band index.
+    */
+  def writeGramIndex(documents: DataFrame, path: String): Unit =
+    gramIndex(documents).write.mode("overwrite").parquet(path)
+
+  /** Incremental novelty — the shape a production pipeline runs: score a
+    * (small) ingest batch against the (huge) stored corpus gram index
+    * WITHOUT rescanning the corpus. A batch gram is non-novel if the
+    * corpus has it, or ≥2 batch docs share it. The batch gram set is
+    * broadcast-sized, so the index-side probe is a broadcast semi-join
+    * over the index scan — the corpus index never shuffles, and
+    * per-ingest cost is O(|batch| + matching index keys).
+    */
+  def noveltyAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val bg = batch
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val bdf = bg.groupBy("h").agg(count(lit(1)).as("bdf"))
+    val hits = index.select(col("h"))
+      .join(broadcast(bg.select("h").distinct()), Seq("h"), "left_semi")
+      .select(col("h"), lit(true).as("in_index"))
+    bg.join(bdf, "h")
+      .join(hits, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("in_index").isNotNull || col("bdf") > 1, 1))
+          .as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        round(lit(1.0) - col("n_common").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
+  /** [[noveltyAgainst]] served from the persisted index. */
+  def noveltyServed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame): DataFrame =
+    noveltyAgainst(spark.read.parquet(indexPath), batch)
+
+  /** DuckDB mirror for a batch defined by `batchPred` over doc_id
+    * (index = the complement, derived from the same documents table).
+    */
+  def noveltyIncrementalSql(batchPred: String => String): String =
+    s"""WITH bg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(${shinglesSql("string_split(text, ' ')")}) AS g
+       |    FROM documents WHERE ${batchPred("doc_id")})),
+       |idx AS MATERIALIZED (
+       |  SELECT DISTINCT g
+       |  FROM (
+       |    SELECT unnest(${shinglesSql("string_split(text, ' ')")}) AS g
+       |    FROM documents WHERE NOT (${batchPred("doc_id")}))),
+       |bdf AS (SELECT g, count(*) AS bdf FROM bg GROUP BY g)
+       |SELECT bg.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(CASE WHEN idx.g IS NOT NULL OR bdf.bdf > 1 THEN 1 END)
+       |    AS BIGINT) AS n_common,
+       |  round(1.0 - CAST(count(CASE WHEN idx.g IS NOT NULL
+       |      OR bdf.bdf > 1 THEN 1 END) AS DOUBLE) / count(*), 6)
+       |    AS novelty
+       |FROM bg
+       |JOIN bdf USING (g)
+       |LEFT JOIN idx ON bg.g = idx.g
+       |GROUP BY bg.doc_id
+       |ORDER BY bg.doc_id""".stripMargin
+
   /** Per-doc content fingerprints: whole-text md5 (exact identity) and the
     * minimum shingle hash (a 1-seed MinHash — a rolling-window content
     * fingerprint robust to suffix edits). All map-side.

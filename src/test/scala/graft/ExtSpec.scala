@@ -851,6 +851,26 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - (1.0 - 4.0 / 9.0)) < 1e-6)
   }
 
+  test("incremental novelty scores a batch against the stored gram index") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val corpus = docsDF(Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    val batch = docsDF(Seq(
+      (10L, s"$shared x1 x2 x3 x4 x5"), // prefix known to the corpus
+      (11L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"), // fully fresh
+      (12L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (13L, "z1 z2 z3 z4 z5 z6 z7 z8"))) // batch-internal duplicate
+    val idx = TextAnalysis.gramIndex(corpus)
+    val r = TextAnalysis.noveltyAgainst(idx, batch).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getDouble(3))).toMap
+    assert(r(10L) < 1.0) // shared prefix is non-novel vs the index
+    assert(r(11L) == 1.0) // fresh content untouched by index or batch
+    assert(r(12L) == 0.0 && r(13L) == 0.0) // intra-batch dup: all common
+    // batch-vs-self consistency: 10's shared-gram count matches full-pass
+    assert(math.abs(r(10L) - (1.0 - 4.0 / 9.0)) < 1e-6)
+  }
+
   test("language ID picks the language with most lexicon hits") {
     val d = docsDF(Seq(
       (1L, "der hund und die katze ist hier"),

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.TextAnalysis
+
+/** Streaming novelty scoring: each micro-batch of documents is scored
+  * against the accumulated corpus gram index
+  * ([[graft.ext.TextAnalysis.noveltyAgainst]] semantics — non-novel if
+  * the corpus has the gram or ≥2 batch docs share it), per-doc reports
+  * land in a `batch_id`-partitioned sink, and the batch's distinct gram
+  * hashes extend the index — the streaming twin of
+  * [[graft.ext.TextAnalysis.noveltyServed]].
+  *
+  * The index stores one 8-byte xxhash64 per distinct gram (never text),
+  * the same at-scale footprint argument as [[DedupStream]]'s band index.
+  * Idempotence contract matches [[EventPipeline.processBatch]]: both
+  * writes are partitioned by `batch_id` with dynamic overwrite, a replay
+  * rewrites its own partitions, the index read excludes the batch's own
+  * partition (a crash between the two writes must not make the batch
+  * screen against its own first attempt), and accumulators move only
+  * after both writes commit.
+  */
+object NoveltyStream {
+
+  final class NoveltyStats(spark: org.apache.spark.sql.SparkSession)
+      extends Serializable {
+    val seen = spark.sparkContext.longAccumulator("novelty_seen")
+    val novel = spark.sparkContext.longAccumulator("novelty_fully_novel")
+    @volatile var lastCommitted: Long = -1L
+  }
+
+  /** One idempotent micro-batch score+extend (the foreachBatch body of
+    * [[start]], extracted so StreamingSpec can replay it).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, reportPath: String,
+      indexPath: String, stats: NoveltyStats): Unit =
+    if (batchId > stats.lastCommitted) {
+      val spark = batch.sparkSession
+      val cached = batch.persist()
+      try {
+        val nSeen = cached.count()
+        if (nSeen == 0) return
+        val index = try {
+          spark.read.parquet(indexPath)
+            .filter(col("batch_id") < batchId)
+            .select("h")
+        } catch {
+          // same absent-only recovery contract as DedupStream: any
+          // failure other than a missing/empty index dir must fail the
+          // batch so the checkpoint retries
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null
+                && (e.getCondition.contains("PATH_NOT_FOUND")
+                  || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+            TextAnalysis.gramIndex(cached.limit(0))
+        }
+        val report = TextAnalysis.noveltyAgainst(index, cached)
+          .withColumn("batch_id", lit(batchId))
+          .persist()
+        try {
+          val nNovel = report.filter(col("novelty") === 1.0).count()
+          report.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(reportPath)
+          TextAnalysis.gramIndex(cached)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(indexPath)
+          stats.seen.add(nSeen); stats.novel.add(nNovel)
+          stats.lastCommitted = batchId
+          ()
+        } finally { report.unpersist(); () }
+      } finally { cached.unpersist(); () }
+    }
+
+  /** Attach the novelty scorer to a documents stream. */
+  def start(stream: DataFrame, reportPath: String, indexPath: String,
+      checkpointDir: String, stats: NoveltyStats,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, reportPath, indexPath, stats)
+      }
+      .start()
+}

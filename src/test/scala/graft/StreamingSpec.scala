@@ -576,6 +576,51 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") =!= EmbedStream.NumTables).count() == 0)
   }
 
+  test("streaming novelty: batches score against the grown index; replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.NoveltyStream
+    val reportDir = Files.createTempDirectory("nov_report").toString
+    val indexDir = Files.createTempDirectory("nov_index").toString
+    val stats = new NoveltyStream.NoveltyStats(spark)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    // batch 0: empty index -> doc 1 fully novel; 2 and 3 share a prefix
+    NoveltyStream.processBatch(
+      docs((1L, "f1 f2 f3 f4 f5 f6 f7 f8"),
+        (2L, s"$boiler x1 x2 x3"), (3L, s"$boiler y1 y2 y3")),
+      0L, reportDir, indexDir, stats)
+    assert(stats.seen.value == 3 && stats.novel.value == 1)
+
+    // batch 1: the boilerplate is now INDEXED -> doc 4 scores below 1.0
+    // even though nothing in batch 1 repeats; doc 5 is fresh
+    val b1 = docs((4L, s"$boiler z1 z2 z3"),
+      (5L, "q1 q2 q3 q4 q5 q6 q7 q8"))
+    NoveltyStream.processBatch(b1, 1L, reportDir, indexDir, stats)
+    assert(stats.seen.value == 5 && stats.novel.value == 2)
+    val r1 = spark.read.parquet(reportDir).filter(col("batch_id") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Double]("novelty")).toMap
+    assert(r1(4L) < 1.0 && r1(5L) == 1.0)
+
+    // same-driver replay: skipped outright
+    NoveltyStream.processBatch(b1, 1L, reportDir, indexDir, stats)
+    assert(stats.seen.value == 5)
+
+    // recovery replay (fresh driver, partial state on disk): the batch
+    // must not screen against its own first attempt's index partition
+    val fresh = new NoveltyStream.NoveltyStats(spark)
+    fresh.lastCommitted = 0L
+    NoveltyStream.processBatch(b1, 1L, reportDir, indexDir, fresh)
+    val r1b = spark.read.parquet(reportDir).filter(col("batch_id") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Double]("novelty")).toMap
+    assert(r1b == r1) // overwritten in place, same verdicts
+    // index holds each batch's grams exactly once after the replay
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() == idx.dropDuplicates("h", "batch_id").count())
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

@@ -509,6 +509,11 @@ object SparkEntry {
       graft.ext.Curation.trainingMix(tables(s, dir).documents)),
     "dataset_split" -> ((s, dir) =>
       graft.ext.Curation.datasetSplitSummary(tables(s, dir).documents)),
+    // leakage-safe split: hash over the near-dup cluster label, so
+    // cluster-mates can never straddle train/val/test
+    "dataset_split_safe" -> ((s, dir) =>
+      graft.ext.Curation.leakageSafeSplitSummary(tables(s, dir).documents,
+        bands = Some(bandIndexFor(s, dir)))),
     // between-snapshots categorical drift (old/new = doc_id parity)
     "corpus_drift" -> ((s, dir) => {
       val docs = tables(s, dir).documents
@@ -1266,6 +1271,7 @@ object SparkEntry {
       s"""SELECT * FROM (${graft.ext.Curation.sourceOverlapSql})
          |ORDER BY source_a, source_b""".stripMargin,
     "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
+    "dataset_split_safe" -> graft.ext.Curation.leakageSafeSplitSummarySql,
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
     "quality_classifier" ->

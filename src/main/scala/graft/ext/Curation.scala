@@ -224,6 +224,71 @@ object Curation {
        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** Leakage-safe train/val/test split: the split hash is computed over
+    * the near-dup CLUSTER label (the doc's own id outside any cluster),
+    * so cluster-mates always land on the same side — the standard
+    * defense against eval contamination through near-duplicates that a
+    * plain per-doc hash split silently permits. By construction no
+    * cluster can span splits (pinned in CurationSpec); everything else
+    * matches [[datasetSplitSummary]]'s audit shape.
+    *
+    * Scale shape: labeling is bounded by near-dup volume; the split
+    * assignment is the same map-side hash CASE over `coalesce(label,
+    * doc_id)` after one bounded left join.
+    */
+  def leakageSafeSplitSummary(documents: DataFrame,
+      bands: Option[DataFrame] = None): DataFrame = {
+    val labels = graft.ext.Dedup.clusterLabels(
+      graft.ext.Dedup.minhashNearDups(documents, bands = bands)
+        .select("doc_a", "doc_b"))
+      .withColumnRenamed("label", "cluster_label")
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("lang"),
+        splitName(coalesce(col("cluster_label"), col("doc_id")))
+          .as("split"),
+        col("doc_id"), col("n_tokens"), col("cluster_label"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_label")).as("n_clustered"),
+        sum("n_tokens").as("n_tokens"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
+  def leakageSafeSplitSummarySql: String = {
+    val keyHash =
+      s"(${Hashing.h32Sql("'split|' || CAST(coalesce(l.label, doc_id) AS VARCHAR)")} % 1000000)"
+    s"""WITH RECURSIVE neardups AS MATERIALIZED
+       |  (${graft.ext.Dedup.minhashNearDupsSql}),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS MATERIALIZED (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a)
+       |SELECT lang,
+       |  CASE WHEN $keyHash < $TrainPpm THEN 'train'
+       |    WHEN $keyHash < $ValPpm THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(count(l.label) AS BIGINT) AS n_clustered,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM documents d
+       |LEFT JOIN labels l USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
   // ---- corpus drift ---------------------------------------------------------
 
   /** Drift flag threshold: a category whose corpus share moved by more

@@ -21,6 +21,35 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- source mixing weights ----------------------------------------------
 
+  test("leakage-safe split keeps near-dup cluster-mates on one side") {
+    import spark.implicits._
+    import graft.ext.{Curation, Dedup}
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    // {1,2,3} cluster transitively; 9 stands alone — build the per-doc
+    // split directly from the same key rule the summary aggregates
+    val chain = Seq(
+      (1L, s"$base left left left left", "en"),
+      (2L, s"$base right right right right", "en"),
+      (3L, base, "en"),
+      (9L, "totally unrelated text about completely other things here", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val labels = Dedup.clusterLabels(
+      Dedup.minhashNearDups(chain).select("doc_a", "doc_b"))
+    val assigned = chain.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Curation.splitName(coalesce(col("label"), col("doc_id")))
+          .as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the whole cluster shares doc 1's label -> one split for all three
+    assert(assigned(1L) == assigned(2L) && assigned(2L) == assigned(3L))
+    // and the summary's totals account for every doc exactly once
+    val sum = Curation.leakageSafeSplitSummary(chain)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(sum == 4L)
+  }
+
   test("Luhn validates known card numbers and rejects off-by-one digits") {
     import spark.implicits._
     import graft.ext.Curation

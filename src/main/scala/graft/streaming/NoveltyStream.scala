@@ -77,6 +77,38 @@ object NoveltyStream {
       } finally { cached.unpersist(); () }
     }
 
+  /** Compact the gram index: batches re-append grams the index already
+    * holds (the per-batch write cannot know), so after many ingests the
+    * index carries cross-partition duplicates — correctness is untouched
+    * (the probe is a semi-join) but scan cost grows past the distinct
+    * gram volume. Rewrites the index to one distinct-h partition under
+    * `batch_id = -1` (below every real batch id, so the
+    * `batch_id < currentBatch` read filter keeps working and replay
+    * exclusion is unaffected), with the [[graft.ops.Incidents.compactLog]]
+    * snapshot-to-temp + rename-swap discipline. Returns (rows before,
+    * rows after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long) = {
+    val index = spark.read.parquet(indexPath)
+    val before = index.count()
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + ".compacting")
+    index.select("h").distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(indexPath)
+    val old = new org.apache.hadoop.fs.Path(indexPath + ".pre-compaction")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
+    (before, after)
+  }
+
   /** Attach the novelty scorer to a documents stream. */
   def start(stream: DataFrame, reportPath: String, indexPath: String,
       checkpointDir: String, stats: NoveltyStats,

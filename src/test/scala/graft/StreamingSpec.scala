@@ -619,6 +619,19 @@ class StreamingSpec extends AnyFunSuite {
     // index holds each batch's grams exactly once after the replay
     val idx = spark.read.parquet(indexDir)
     assert(idx.count() == idx.dropDuplicates("h", "batch_id").count())
+
+    // compaction: cross-batch duplicate grams (the shared boilerplate)
+    // collapse to one row each; the compacted index is a valid log —
+    // later batches still score identically against it
+    val distinctGrams = idx.select("h").distinct().count() // pre-swap read
+    val (before, after) = NoveltyStream.compactIndex(spark, indexDir)
+    assert(after < before)
+    assert(after == distinctGrams)
+    val b2 = docs((6L, s"$boiler w1 w2 w3"))
+    NoveltyStream.processBatch(b2, 2L, reportDir, indexDir, stats)
+    val r2 = spark.read.parquet(reportDir).filter(col("batch_id") === 2)
+      .head()
+    assert(r2.getAs[Double]("novelty") < 1.0) // boilerplate still indexed
   }
 
   test("streaming dedup ingest: index screens batches; replay idempotent") {

@@ -237,10 +237,11 @@ object Curation {
     * doc_id)` after one bounded left join.
     */
   def leakageSafeSplitSummary(documents: DataFrame,
-      bands: Option[DataFrame] = None): DataFrame = {
-    val labels = graft.ext.Dedup.clusterLabels(
+      bands: Option[DataFrame] = None,
+      labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(graft.ext.Dedup.clusterLabels(
       graft.ext.Dedup.minhashNearDups(documents, bands = bands)
-        .select("doc_a", "doc_b"))
+        .select("doc_a", "doc_b")))
       .withColumnRenamed("label", "cluster_label")
     documents
       .select(col("doc_id"), col("lang"),

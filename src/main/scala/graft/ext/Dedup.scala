@@ -376,9 +376,19 @@ object Dedup {
     */
 
   def minhashClusters(documents: DataFrame,
-      bands: Option[DataFrame] = None): DataFrame =
-    clusterPairs(minhashNearDups(documents, bands = bands)
-      .select("doc_a", "doc_b"))
+      bands: Option[DataFrame] = None,
+      labels: Option[DataFrame] = None): DataFrame =
+    clustersFromLabels(labels.getOrElse(clusterLabels(
+      minhashNearDups(documents, bands = bands)
+        .select("doc_a", "doc_b"))))
+
+  /** Aggregate per-doc labels to (cluster_id, n_docs ≥ 2) — the terminal
+    * stage of [[clusterPairs]], callable directly on a stored label table.
+    */
+  def clustersFromLabels(labels: DataFrame): DataFrame =
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
 
   /** Transitive clustering over ANY (doc_a, doc_b) near-dup pair frame —
     * the machinery behind [[minhashClusters]], also composed over
@@ -387,10 +397,7 @@ object Dedup {
     * propagation above it.
     */
   def clusterPairs(pairFrame: DataFrame): DataFrame =
-    clusterLabels(pairFrame)
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+    clustersFromLabels(clusterLabels(pairFrame))
 
   /** Per-doc component labels `(doc_id, label)` for every doc appearing
     * in the pair frame — label = the component's min doc_id (every
@@ -521,9 +528,10 @@ object Dedup {
     * dup rate is sane, and AQE picks that up at runtime.
     */
   def softDedupWeights(documents: DataFrame,
-      bands: Option[DataFrame] = None): DataFrame = {
-    val labels = clusterLabels(
-      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b"))
+      bands: Option[DataFrame] = None,
+      labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(clusterLabels(
+      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b")))
     val sized = labels.groupBy("label")
       .agg(count(lit(1)).as("cluster_size"))
     val members = labels.join(sized, "label")
@@ -551,9 +559,10 @@ object Dedup {
     * [[softDedupWeights]].
     */
   def keepBestSurvivors(documents: DataFrame,
-      bands: Option[DataFrame] = None): DataFrame = {
-    val labels = clusterLabels(
-      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b"))
+      bands: Option[DataFrame] = None,
+      labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(clusterLabels(
+      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b")))
     val toks = split(col("text"), " ")
     val en = TextAnalysis.Lexicons.head._2
     val scored = documents.select(col("doc_id"),

@@ -8,12 +8,43 @@ package graft.ext
   * the writers' overwrite mode refreshes any stale on-disk state from a
   * previous process), concurrent callers block on the same key, and
   * later callers return immediately. A failed build is NOT memoized —
-  * the next caller retries.
+  * it is removed so the next caller retries, and blocked waiters of the
+  * failed attempt rethrow.
+  *
+  * The build runs OUTSIDE the map operation (latch handoff, not
+  * `computeIfAbsent(build)`): an index build may itself `ensure` a
+  * prerequisite index (cluster labels build on the band index), and
+  * ConcurrentHashMap forbids reentrant updates — whether a nested
+  * computeIfAbsent throws `Recursive update` depends on which hash bins
+  * the two keys land in, which made the old form fail only for specific
+  * path strings.
   */
 object IndexCache {
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private final class Entry {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var error: Throwable = null
+  }
 
-  def ensure(path: String)(build: => Unit): Unit =
-    built.computeIfAbsent(path, _ => { build; true })
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  @annotation.tailrec
+  def ensure(path: String)(build: => Unit): Unit = {
+    val fresh = new Entry
+    val prior = built.putIfAbsent(path, fresh)
+    if (prior == null) {
+      try build
+      catch {
+        case t: Throwable =>
+          fresh.error = t
+          built.remove(path, fresh)
+          fresh.latch.countDown()
+          throw t
+      }
+      fresh.latch.countDown()
+    } else {
+      prior.latch.await()
+      if (prior.error != null) ensure(path)(build) // failed attempt: retry
+    }
+  }
 }

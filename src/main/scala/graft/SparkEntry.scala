@@ -23,12 +23,21 @@ object SparkEntry {
 
   private def tables(spark: SparkSession, dir: String) = Tables(spark, dir)
 
+  /** Cache-dir key for a fixture dir: basename for readability plus a
+    * hash of the full canonical path, so two fixtures that share a
+    * basename never share persisted index artifacts on one host.
+    */
+  private def fixtureKey(dir: String): String = {
+    val f = new java.io.File(dir)
+    f"${f.getName}_${f.getCanonicalPath.hashCode & 0xffffffffL}%08x"
+  }
+
   /** Ensure the postings index + doc-length sidecar for `dir` exist
     * (built once per process — [[graft.ext.IndexCache]]) and return
     * their paths; shared by every index-served retrieval query.
     */
   private def postingsFor(s: SparkSession, dir: String): (String, String) = {
-    val sf = new java.io.File(dir).getName
+    val sf = fixtureKey(dir)
     val idx = s"/tmp/graft_postings_$sf"
     val dlp = s"/tmp/graft_doclen_$sf"
     graft.ext.IndexCache.ensure(idx)(
@@ -43,7 +52,7 @@ object SparkEntry {
     * shared by every banded-dedup query.
     */
   private def bandIndexFor(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_bands_${new java.io.File(dir).getName}"
+    val path = s"/tmp/graft_bands_${fixtureKey(dir)}"
     graft.ext.IndexCache.ensure(path)(
       Dedup.writeBandIndex(tables(s, dir).documents, path))
     s.read.parquet(path)
@@ -56,7 +65,7 @@ object SparkEntry {
     * generation + labeling per query.
     */
   private def clusterLabelsFor(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_labels_${new java.io.File(dir).getName}"
+    val path = s"/tmp/graft_labels_${fixtureKey(dir)}"
     graft.ext.IndexCache.ensure(path)(
       Dedup.clusterLabels(
         Dedup.minhashNearDups(tables(s, dir).documents,
@@ -292,7 +301,7 @@ object SparkEntry {
     // conjunctive term search served from the persisted postings index
     // (bucket-partitioned by token hash; reads only the terms' buckets)
     "term_search" -> ((s, dir) => {
-      val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_postings_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(
         graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path))
       graft.ext.Search.searchAll(s, path, SearchTerms).orderBy("doc_id")
@@ -308,7 +317,7 @@ object SparkEntry {
     // IndexCache "index once, serve many" discipline);
     // oracle = exact positional self-join
     "phrase_search" -> ((s, dir) => {
-      val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_postings_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(
         graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path))
       graft.ext.Search.searchPhrase(s, path, PhraseTerms).orderBy("doc_id")
@@ -396,7 +405,7 @@ object SparkEntry {
     // corpus gram index (corpus never rescanned; batch grams broadcast)
     "novelty_incremental" -> ((s, dir) => {
       val docs = tables(s, dir).documents
-      val path = s"/tmp/graft_novidx_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_novidx_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(TextAnalysis.writeGramIndex(
         docs.filter(col("doc_id") % 10 =!= 7), path))
       TextAnalysis.noveltyServed(s, path,
@@ -411,7 +420,7 @@ object SparkEntry {
     // match join served from the persisted fingerprint database (the
     // MOSS shape: extraction is ingest-time; queries join stored fps)
     "winnow_matches" -> ((s, dir) => {
-      val path = s"/tmp/graft_winnow_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_winnow_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(graft.ext.Winnow
         .writeFingerprintIndex(tables(s, dir).documents, path))
       graft.ext.Winnow.matchesServed(s, path).orderBy("doc_a", "doc_b")
@@ -650,7 +659,7 @@ object SparkEntry {
     // same box on the SOURCE table (lossless layout), and LayoutSpec
     // pins the files-pruned-vs-total evidence on the same written path
     "zorder_box_read" -> ((s, dir) => {
-      val path = s"/tmp/graft_zorder_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_zorder_${fixtureKey(dir)}"
       val cols = tables(s, dir).lineitem.select("l_orderkey", "l_partkey",
         "l_quantity", "l_extendedprice")
       graft.ext.IndexCache.ensure(path)(graft.ops.Layout.writeZOrdered(
@@ -754,7 +763,7 @@ object SparkEntry {
     // 1000-executor deployment runs. Same result as the in-flight
     // hierarchical path, so it shares that oracle.
     "ann_topk_ivf_served" -> ((s, dir) => {
-      val path = s"/tmp/graft_ivf_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(
         Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
       Similarity.topKIvfServed(s, path,
@@ -772,7 +781,7 @@ object SparkEntry {
     "ann_topk_pq" -> ((s, dir) => {
       val emb = tables(s, dir).embeddings
       val cbs = graft.ext.ProductQuant.trainCodebooksCached(emb, dir)
-      val path = s"/tmp/graft_ivfpq_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_ivfpq_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(
         graft.ext.ProductQuant.writeIvfPqIndex(emb, path,
           codebooks = Some(cbs)))
@@ -785,7 +794,7 @@ object SparkEntry {
     "ann_topk_ivfpq" -> ((s, dir) => {
       val emb = tables(s, dir).embeddings
       val cbs = graft.ext.ProductQuant.trainCodebooksCached(emb, dir)
-      val path = s"/tmp/graft_ivfpq_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_ivfpq_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(
         graft.ext.ProductQuant.writeIvfPqIndex(emb, path,
           codebooks = Some(cbs)))
@@ -820,7 +829,7 @@ object SparkEntry {
     // the O(nodes) artifact — same economics as bm25_served.
     "purchase_rank" -> ((s, dir) => {
       val t = tables(s, dir)
-      val path = s"/tmp/graft_rank_${new java.io.File(dir).getName}"
+      val path = s"/tmp/graft_rank_${fixtureKey(dir)}"
       graft.ext.IndexCache.ensure(path)(
         graft.ext.GraphRank.writeRankIndex(t.orders, t.lineitem, path))
       graft.ext.GraphRank.purchaseRankServed(s, path)

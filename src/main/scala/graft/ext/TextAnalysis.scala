@@ -612,8 +612,14 @@ object TextAnalysis {
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
     val bdf = bg.groupBy("h").agg(count(lit(1)).as("bdf"))
+    // The semi-join keeps index rows, and a streaming (uncompacted) index
+    // legitimately holds the same gram under several batch_id partitions —
+    // distinct before the probe join or each duplicate fans out the batch
+    // row and inflates n_common. The matched set is bounded by the batch
+    // gram count, so the distinct shuffle is broadcast-sized.
     val hits = index.select(col("h"))
       .join(broadcast(bg.select("h").distinct()), Seq("h"), "left_semi")
+      .distinct()
       .select(col("h"), lit(true).as("in_index"))
     bg.join(bdf, "h")
       .join(hits, Seq("h"), "left")

@@ -79,33 +79,49 @@ object NoveltyStream {
 
   /** Compact the gram index: batches re-append grams the index already
     * holds (the per-batch write cannot know), so after many ingests the
-    * index carries cross-partition duplicates — correctness is untouched
-    * (the probe is a semi-join) but scan cost grows past the distinct
-    * gram volume. Rewrites the index to one distinct-h partition under
-    * `batch_id = -1` (below every real batch id, so the
-    * `batch_id < currentBatch` read filter keeps working and replay
-    * exclusion is unaffected), with the [[graft.ops.Incidents.compactLog]]
-    * snapshot-to-temp + rename-swap discipline. Returns (rows before,
-    * rows after).
+    * index carries cross-partition duplicates — correctness-neutral
+    * (the scorer distincts the matched set before its probe join,
+    * [[graft.ext.TextAnalysis.noveltyAgainst]]) but scan cost grows past
+    * the distinct gram volume. Rewrites the index to one distinct-h
+    * partition under `batch_id = -1` (below every real batch id, so the
+    * `batch_id < currentBatch` read filter keeps working), staged to a
+    * temp dir and promoted via dynamic partition overwrite INTO the live
+    * path — unlike a rename-swap, the live path never stops existing, so
+    * a concurrent batch can never take the empty-index recovery branch
+    * and score against nothing. Any window where `batch_id=-1` coexists
+    * with not-yet-deleted batch partitions only exposes duplicates, which
+    * the scorer tolerates; a crash mid-compaction leaves the same state
+    * and the compaction is rerunnable. Replay caveat: folding committed
+    * batches into `batch_id=-1` means a later checkpoint replay of one of
+    * those batches would screen against its own grams — run compaction
+    * only with the stream stopped and its checkpoint fully committed.
+    * Returns (rows before, rows after).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) = {
+    import spark.implicits._
     val index = spark.read.parquet(indexPath)
     val before = index.count()
+    val batchIds = index.select("batch_id").distinct()
+      .as[Long].collect().filter(_ >= 0L)
     val tmp = new org.apache.hadoop.fs.Path(indexPath + ".compacting")
     index.select("h").distinct()
       .withColumn("batch_id", lit(-1L))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("batch_id").parquet(tmp.toString)
-    val after = spark.read.parquet(tmp.toString).count()
+    spark.read.parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(indexPath)
-    val old = new org.apache.hadoop.fs.Path(indexPath + ".pre-compaction")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"could not stage $live aside")
-    require(fs.rename(tmp, live), s"could not promote $tmp")
-    fs.delete(old, true)
+    batchIds.foreach { b =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$b"), true)
+      ()
+    }
+    fs.delete(tmp, true)
+    val after = spark.read.parquet(indexPath).count()
     (before, after)
   }
 

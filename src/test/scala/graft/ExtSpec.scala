@@ -871,6 +871,28 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r(10L) - (1.0 - 4.0 / 9.0)) < 1e-6)
   }
 
+  test("incremental novelty tolerates duplicate gram rows in the index") {
+    // an uncompacted streaming index holds the same gram under several
+    // batch_id partitions; each duplicate must match a batch gram at
+    // most once (regression: the probe join used to fan out per copy,
+    // inflating n_grams/n_common)
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val corpus = docsDF(Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    val batch = docsDF(Seq(
+      (10L, s"$shared x1 x2 x3 x4 x5"),
+      (11L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")))
+    val idx = TextAnalysis.gramIndex(corpus)
+    val tripled = idx.union(idx).union(idx)
+    val clean = TextAnalysis.noveltyAgainst(idx, batch).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(3)))
+    val dup = TextAnalysis.noveltyAgainst(tripled, batch).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(3)))
+    assert(dup.sameElements(clean))
+    assert(clean.find(_._1 == 10L).get._2 == 9L) // n_grams not inflated
+  }
+
   test("language ID picks the language with most lexicon hits") {
     val d = docsDF(Seq(
       (1L, "der hund und die katze ist hier"),

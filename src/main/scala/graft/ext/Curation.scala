@@ -393,7 +393,8 @@ object Curation {
        |         WHEN h_old = h_new THEN 'unchanged'
        |         ELSE 'changed' END AS status
        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
-       |SELECT status, count(*) AS n_docs, sum(doc_id) AS id_sum
+       |SELECT status, count(*) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM j GROUP BY status ORDER BY status""".stripMargin
 
   /** DuckDB mirror of [[corpusDrift]] over snapshot predicates on
@@ -844,7 +845,7 @@ object Curation {
        |SELECT source, n_docs, n_tokens,
        |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // t_total
        |    AS BIGINT) AS natural_ppm,
-       |  ($targetSourcePpmSql) AS target_ppm,
+       |  CAST(($targetSourcePpmSql) AS BIGINT) AS target_ppm,
        |  CAST(CAST(($targetSourcePpmSql) AS HUGEINT) * t_total // n_tokens
        |    AS BIGINT) AS epochs_ppm
        |FROM per, tot ORDER BY source""".stripMargin
@@ -1171,11 +1172,13 @@ object Curation {
       round(percentile(col("margin_ppm"), lit(0.5)), 6).as("q2"),
       round(percentile(col("margin_ppm"), lit(0.75)), 6).as("q3"))
     scores.crossJoin(broadcast(th))
+      // BIGINT bucket literals: the driver's compare hashes physical
+      // parquet types, and an INT32 bucket diverges from DuckDB's CASE
       .withColumn("bucket",
-        when(col("margin_ppm") <= col("q1"), 1)
-          .when(col("margin_ppm") <= col("q2"), 2)
-          .when(col("margin_ppm") <= col("q3"), 3)
-          .otherwise(4))
+        when(col("margin_ppm") <= col("q1"), 1L)
+          .when(col("margin_ppm") <= col("q2"), 2L)
+          .when(col("margin_ppm") <= col("q3"), 3L)
+          .otherwise(4L))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
         min("margin_ppm").as("margin_min"),
@@ -1191,11 +1194,13 @@ object Curation {
        |         round(quantile_cont(margin_ppm, 0.5), 6) AS q2,
        |         round(quantile_cont(margin_ppm, 0.75), 6) AS q3
        |  FROM scores)
-       |SELECT CASE WHEN margin_ppm <= q1 THEN 1
+       |SELECT CAST(CASE WHEN margin_ppm <= q1 THEN 1
        |            WHEN margin_ppm <= q2 THEN 2
-       |            WHEN margin_ppm <= q3 THEN 3 ELSE 4 END AS bucket,
-       |  count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-       |  min(margin_ppm) AS margin_min, max(margin_ppm) AS margin_max
+       |            WHEN margin_ppm <= q3 THEN 3 ELSE 4 END AS BIGINT)
+       |    AS bucket,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(min(margin_ppm) AS BIGINT) AS margin_min,
+       |  CAST(max(margin_ppm) AS BIGINT) AS margin_max
        |FROM scores CROSS JOIN th
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1227,14 +1232,15 @@ object Curation {
   /** DuckDB mirror of [[datasetCard]]. */
   val datasetCardSql: String =
     s"""WITH base AS (
-       |  SELECT count(*) AS n_docs, sum(n_chars) AS n_chars,
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |    count(DISTINCT lang) AS n_langs,
        |    count(DISTINCT source) AS n_sources,
        |    count(DISTINCT md5(text)) AS n_unique
        |  FROM documents),
        |q AS (
-       |  SELECT sum(n_tokens) AS n_tokens,
-       |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
        |  FROM (${TextAnalysis.qualityClassifierSql}))
        |SELECT n_docs, n_unique,
        |  (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm,

@@ -1035,7 +1035,7 @@ object Dedup {
           .as("cosine"))
     val w = Window.partitionBy("label")
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-    pairs.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopPairsPerLabel)
   }
 
@@ -1063,7 +1063,7 @@ object Dedup {
           .as("cosine"))
     val w = Window.partitionBy("bucket")
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-    pairs.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopPairsPerLabel)
   }
 
@@ -1082,7 +1082,8 @@ object Dedup {
        |      / (a.nrm * b.nrm), 6) AS cosine
        |  FROM e a JOIN e b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT bucket, vec_a, vec_b, cosine, rank FROM (
+       |SELECT CAST(bucket AS BIGINT) AS bucket, vec_a, vec_b, cosine,
+       |  rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY bucket
        |    ORDER BY cosine DESC, vec_a, vec_b) AS rank
        |  FROM pairs)

@@ -121,7 +121,7 @@ object GraphRank {
     import org.apache.spark.sql.expressions.Window
     val top = r.orderBy(col("r").desc, col("node")).limit(TopK)
     val w = Window.orderBy(col("r").desc, col("node"))
-    top.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"),
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),

@@ -312,7 +312,7 @@ object ProductQuant {
       .select(col("q_id"), col("vec_id"), col("approx_d2"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cosine"))
-      .withColumn("rank", row_number().over(wc))
+      .withColumn("rank", row_number().over(wc).cast("long"))
       .filter(col("rank") <= TopK)
       .select("q_id", "rank", "vec_id", "approx_d2", "cosine")
       .orderBy("q_id", "rank")

@@ -261,7 +261,7 @@ object Search {
     // never the full scored-doc table in one partition
     val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(topK)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("n_terms_hit"),
         col("score"))
   }
@@ -324,7 +324,7 @@ object Search {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     val w = Window.partitionBy("token")
       .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("token"), col("rank"), col("doc_id"), col("tf"),
         col("df"), col("score"))
@@ -396,7 +396,7 @@ object Search {
     // two-phase top-k: TakeOrdered global limit, rank window ≤topK rows
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topK)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("n_shared_terms"),
         col("score"))
   }
@@ -525,12 +525,12 @@ object Search {
     val vecTop = vecScored
       .orderBy(col("cosine").desc, col("doc_id")).limit(RrfPool)
     val vec = vecTop.withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("doc_id"))))
+        Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("vec_rank"))
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
         (when(col("lex_rank").isNull, lit(0L))
             .otherwise(expr(s"$RrfScale div ($RrfK + lex_rank)"))
           + when(col("vec_rank").isNull, lit(0L))
@@ -538,7 +538,7 @@ object Search {
           .as("rrf_fp"))
     val top = fused.orderBy(col("rrf_fp").desc, col("doc_id")).limit(topK)
     top.withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf_fp").desc, col("doc_id"))))
+        Window.orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("lex_rank"),
         col("vec_rank"), col("rrf_fp"))
   }

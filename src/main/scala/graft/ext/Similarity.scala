@@ -109,7 +109,7 @@ object Similarity {
           .as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
         col("cosine"))
@@ -181,7 +181,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy("q_id")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"),
         col("n_candidates"))
@@ -216,7 +216,7 @@ object Similarity {
     scored
       .withColumn("n_candidates",
         count(lit(1)).over(Window.partitionBy("q_id")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"),
         col("n_candidates"))
@@ -323,7 +323,7 @@ object Similarity {
           .as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
         col("cosine"))
@@ -471,7 +471,7 @@ object Similarity {
           .as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
         col("cosine"))

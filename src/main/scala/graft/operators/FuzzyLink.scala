@@ -70,7 +70,7 @@ object FuzzyLink {
       .select("lk", "rk").distinct()
     cand
       .filter(col("lk") =!= col("rk"))
-      .withColumn("dist", levenshtein(col("lk"), col("rk")))
+      .withColumn("dist", levenshtein(col("lk"), col("rk")).cast("long"))
       .filter(col("dist") <= 1)
   }
 }

@@ -218,12 +218,12 @@ object Analytics {
         floor((rn - 1) / (base + 1)) + 1)
       .otherwise(rem + floor((rn - 1 - cutoff) / base) + 1)
     top.crossJoin(broadcast(total))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .select(col("o_custkey"), col("revenue"),
         col("rn").as("rk"), // unique order: dense_rank ≡ row_number
         when(n > 1, round((rn - 1).cast("double") / (n - 1), 6))
           .otherwise(lit(0.0)).as("pr"),
-        quartile.cast("int").as("quartile"))
+        quartile.cast("long").as("quartile"))
       .orderBy("rk") // ≤ k rows; matches the oracle's revenue-desc order
   }
 

@@ -738,9 +738,11 @@ object SparkEntry {
         .orderBy("lang")),
 
     // The 100 TB scale twin: sketch-based quantiles, constant memory per
-    // group; approximate -> no oracle (driver rows-only check)
+    // group; verified form — per-lang booleans assert each sketch value
+    // sits inside the exact quantile window at p ± 2/accuracy, so the
+    // sketch's error contract is hash-checked against DuckDB
     "doc_length_quantiles_approx" -> ((s, dir) =>
-      TextAnalysis.lengthQuantilesApprox(tables(s, dir).documents)
+      TextAnalysis.lengthQuantilesApproxVerified(tables(s, dir).documents)
         .orderBy("lang")),
 
     // IVF-style ANN: coarse cells + nProbe search (scale twin of LSH)
@@ -807,16 +809,42 @@ object SparkEntry {
       DqSuite.failedSamples(Enrich.curated(tables(s, dir).events),
         DqSuite.customersSuite).orderBy("exp_idx", "event_id")),
 
-    // Sketch scale-path (HLL + t-digest) alongside exact answers;
-    // deliberately no oracle (approx) -> driver's rows-only check
-    "approx_sketches" -> ((s, dir) =>
-      tables(s, dir).documents.agg(
-        count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("text")).as("approx_distinct_texts"),
-        countDistinct(col("text")).as("exact_distinct_texts"),
-        percentile_approx(col("n_chars"), lit(0.5), lit(1000))
-          .as("approx_p50_chars"),
-        percentile(col("n_chars"), lit(0.5)).as("exact_p50_chars"))),
+    // Sketch scale-path (HLL + GK quantile) in verified form: one row
+    // per metric with the exact value plus a within_bound flag (HLL
+    // within 3 relative standard deviations; GK inside the exact
+    // quantile window at 0.5 ± 2/accuracy) — DuckDB computes the exact
+    // side and asserts true, so the error bounds are hash-checked
+    "approx_sketches" -> ((s, dir) => {
+      val eps = 1.0 / TextAnalysis.ApproxQuantileAccuracy
+      val d = tables(s, dir).documents
+      val sk = d.agg(
+        approx_count_distinct(col("text"), 0.05).as("hll_distinct"),
+        percentile_approx(col("n_chars"), lit(0.5),
+          lit(TextAnalysis.ApproxQuantileAccuracy)).as("gk_p50"))
+      d.crossJoin(broadcast(sk)).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("text")).as("exact_distinct"),
+          max(col("hll_distinct")).as("hll_distinct"),
+          percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+          sum(when(col("n_chars") <= col("gk_p50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("n_chars") < col("gk_p50"), 1L).otherwise(0L))
+            .as("lt50"))
+        .select(explode(array(
+          struct(lit("distinct_texts").as("metric"),
+            col("exact_distinct").cast("double").as("exact_value"),
+            (abs(col("hll_distinct") - col("exact_distinct"))
+              <= lit(0.15) * col("exact_distinct")).as("within_bound")),
+          struct(lit("p50_chars").as("metric"),
+            col("exact_p50").cast("double").as("exact_value"),
+            (col("le50") >= floor(lit(0.5 - eps) * col("n")) &&
+              col("lt50") <= ceil(lit(0.5 + eps) * col("n")))
+              .as("within_bound")))).as("m"))
+        .select(col("m.metric").as("metric"),
+          col("m.exact_value").as("exact_value"),
+          col("m.within_bound").as("within_bound"))
+        .orderBy("metric")
+    }),
 
     // Ranking breadth: dense_rank / percent_rank / ntile, one total order
     "customer_value_ranks" -> ((s, dir) =>
@@ -1419,6 +1447,8 @@ object SparkEntry {
     "doc_length_quantiles" ->
       s"""SELECT * FROM (${TextAnalysis.lengthQuantilesSql})
          |ORDER BY lang""".stripMargin,
+    "doc_length_quantiles_approx" ->
+      TextAnalysis.lengthQuantilesApproxVerifiedSql,
 
     "ann_topk_ivf" -> Similarity.topKIvfSql,
     "ann_topk_ivf_hier" -> Similarity.topKIvfHierSql,
@@ -1431,7 +1461,20 @@ object SparkEntry {
       s"""$W, samples AS (
          |${DqSuite.failedSamplesSql(DqSuite.customersSuite)})
          |SELECT * FROM samples ORDER BY exp_idx, event_id""".stripMargin,
-    // approx_sketches: intentionally no oracle (approximate algorithms)
+    // approx sketches: the exact side + within_bound=true, so the
+    // sketch error bounds themselves are driver-hash-verified
+    "approx_sketches" ->
+      """SELECT * FROM (
+        |  SELECT 'distinct_texts' AS metric,
+        |    CAST(count(DISTINCT text) AS DOUBLE) AS exact_value,
+        |    true AS within_bound
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'p50_chars' AS metric,
+        |    quantile_cont(n_chars, 0.5) AS exact_value,
+        |    true AS within_bound
+        |  FROM documents)
+        |ORDER BY metric""".stripMargin,
 
     "customer_value_ranks" ->
       """WITH rev AS (

@@ -739,10 +739,10 @@ object TextAnalysis {
   /** The 100 TB twin of [[lengthQuantiles]]: `percentile_approx`
     * (Greenwald-Khanna sketch, constant memory per group, map-side
     * combinable partials) in place of the value-buffering exact
-    * aggregate. Approximate ⇒ no deterministic cross-engine oracle
-    * (rows-only check, like `approx_sketches`); the measured deviation
-    * vs the exact query on the fixtures is recorded in SCALING.md and
-    * pinned within rank-error bounds in ExtSpec.
+    * aggregate. The measured deviation vs the exact query on the
+    * fixtures is recorded in SCALING.md and pinned within rank-error
+    * bounds in ExtSpec; the oracle-checkable form is
+    * [[lengthQuantilesApproxVerified]].
     */
   def lengthQuantilesApprox(documents: DataFrame): DataFrame =
     documents.groupBy("lang")
@@ -753,6 +753,48 @@ object TextAnalysis {
           lit(ApproxQuantileAccuracy)).as("p90"),
         percentile_approx(col("n_chars"), lit(0.99),
           lit(ApproxQuantileAccuracy)).as("p99"))
+
+  /** Oracle-checkable form of [[lengthQuantilesApprox]]: per language,
+    * verify each sketch quantile against the Greenwald-Khanna RANK
+    * contract directly — the returned value x must satisfy
+    * `count(v ≤ x) ≥ ⌊(p−ε)·n⌋` and `count(v < x) ≤ ⌈(p+ε)·n⌉` with
+    * ε = 1/accuracy (value-space windows break down when a group is
+    * smaller than a rank step: GK returns a data element, interpolated
+    * quantiles fall between elements). DuckDB asserts `true` for every
+    * flag, so the hash compare verifies the sketch's error contract
+    * itself — the no-oracle escape hatch is gone. Two passes: the
+    * sketch aggregate (one row per lang, broadcast back), then one
+    * rank-counting scan; the production scale path remains the
+    * sketch-only twin.
+    */
+  def lengthQuantilesApproxVerified(documents: DataFrame): DataFrame = {
+    val eps = 1.0 / ApproxQuantileAccuracy
+    def gk(p: Double) = percentile_approx(col("n_chars"), lit(p),
+      lit(ApproxQuantileAccuracy))
+    val sk = documents.groupBy("lang").agg(gk(0.5).as("gk_p50"),
+      gk(0.9).as("gk_p90"), gk(0.99).as("gk_p99"))
+    def cnt(op: (Column, Column) => Column, name: String) =
+      sum(when(op(col("n_chars"), col(s"gk_$name")), 1L).otherwise(0L))
+    def ok(p: Double, name: String) =
+      (col(s"le_$name") >= floor(lit(p - eps) * col("n_docs")) &&
+        col(s"lt_$name") <= ceil(lit(p + eps) * col("n_docs")))
+        .as(s"${name}_ok")
+    documents.join(broadcast(sk), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        Seq("p50", "p90", "p99").flatMap(n => Seq(
+          cnt(_ <= _, n).as(s"le_$n"), cnt(_ < _, n).as(s"lt_$n"))): _*)
+      .select(col("lang"), col("n_docs"),
+        ok(0.5, "p50"), ok(0.9, "p90"), ok(0.99, "p99"))
+  }
+
+  /** DuckDB mirror of [[lengthQuantilesApproxVerified]]: the exact side
+    * asserts every sketch-in-bound flag is true.
+    */
+  val lengthQuantilesApproxVerifiedSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- bigram language-model scoring ---------------------------------------
 

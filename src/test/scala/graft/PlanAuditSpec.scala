@@ -126,7 +126,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "semantic_decontam",    // corpus × broadcast benchmark slice
     "hourly_anomalies",     // one-row bounds agg → O(hours) spine
     "curriculum_plan",      // corpus × 1-row threshold broadcast
-    "dataset_card")         // 1-row base × 1-row quality aggregate
+    "dataset_card",         // 1-row base × 1-row quality aggregate
+    "approx_sketches")      // corpus × 1-row sketch-scalars attach
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -430,6 +430,45 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Exact vs theta-sketch source-overlap at n docs: the exact matrix
+    * shuffles the full distinct-(source, gram) volume twice; the sketch
+    * pre-filters grams map-side to 1/mod of that volume before anything
+    * shuffles, for the same O(sources²) answer. Prints both runtimes
+    * and both shuffled-gram volumes plus the worst absolute Jaccard
+    * deviation across pairs the sketch retains.
+    */
+  def overlapProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val exact = graft.ext.Curation.sourceOverlap(docs)
+      .select(col("source_a"), col("source_b"), col("jaccard")).persist()
+    val nPairsExact = exact.count()
+    val tExact = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val approx = graft.ext.Curation.sourceOverlapApprox(docs)
+      .select(col("source_a"), col("source_b"), col("jaccard_est"))
+      .persist()
+    val nPairsApprox = approx.count()
+    val tApprox = (System.nanoTime() - t1) / 1e9
+    val fullGrams = docs.select(col("source"),
+        explode(graft.ext.TextAnalysis.shingles(col("text"))).as("g"))
+      .distinct().count()
+    val sampledGrams = docs.select(col("source"),
+        explode(graft.ext.TextAnalysis.shingles(col("text"))).as("g"))
+      .select(col("source"), graft.ext.Hashing.h32(col("g")).as("h"))
+      .filter(col("h") % graft.ext.Curation.OverlapSampleMod === 0)
+      .distinct().count()
+    val maxDev = exact.join(approx, Seq("source_a", "source_b"))
+      .agg(max(abs(col("jaccard") - col("jaccard_est")))).head().getDouble(0)
+    println(f"[overlap] n=$n%-8d exact=$tExact%7.2fs (grams=$fullGrams) " +
+      f"approx=$tApprox%7.2fs (grams=$sampledGrams, " +
+      f"${fullGrams.toDouble / math.max(sampledGrams, 1)}%.0fx less) " +
+      f"pairs=$nPairsExact/$nPairsApprox maxJaccardDev=$maxDev%.4f")
+    exact.unpersist(); approx.unpersist(); docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   /** Fuzzy-linkage throughput at n distinct keys: synthetic email-like
     * strings, a typo'd twin for every 13th key. Fan-out is ~len
     * deletion variants per key; the join carries variant-bucket
@@ -522,11 +561,12 @@ object ScaleProbe {
     val bpeTokMode = args.headOption.contains("bpetok")
     val curationMode = args.headOption.contains("curation")
     val linkMode = args.headOption.contains("link")
+    val overlapMode = args.headOption.contains("overlap")
     val eventsMode = args.headOption.contains("events")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
-          || eventsMode)
+          || eventsMode || overlapMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -587,6 +627,11 @@ object ScaleProbe {
     }
     if (linkMode) {
       sizes.foreach(linkProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (overlapMode) {
+      sizes.foreach(overlapProbe(spark, _))
       spark.stop()
       return
     }

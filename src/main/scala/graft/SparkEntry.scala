@@ -618,6 +618,11 @@ object SparkEntry {
     "source_overlap" -> ((s, dir) =>
       graft.ext.Curation.sourceOverlap(tables(s, dir).documents)
         .orderBy("source_a", "source_b")),
+    // theta-sketch twin: deterministic 1/mod gram-hash sample cuts every
+    // shuffle to sketch volume before the pair join — the 100 TB path
+    "source_overlap_approx" -> ((s, dir) =>
+      graft.ext.Curation.sourceOverlapApprox(tables(s, dir).documents)
+        .orderBy("source_a", "source_b")),
     // Unicode canonicalization pass (native nfc_normalize expression):
     // md5 pins the exact canonical bytes cross-engine
     "text_normalized" -> ((s, dir) =>
@@ -1323,6 +1328,9 @@ object SparkEntry {
          |ORDER BY lk, rk""".stripMargin,
     "source_overlap" ->
       s"""SELECT * FROM (${graft.ext.Curation.sourceOverlapSql})
+         |ORDER BY source_a, source_b""".stripMargin,
+    "source_overlap_approx" ->
+      s"""SELECT * FROM (${graft.ext.Curation.sourceOverlapApproxSql()})
          |ORDER BY source_a, source_b""".stripMargin,
     "dataset_split" -> graft.ext.Curation.datasetSplitSummarySql,
     "dataset_split_safe" -> graft.ext.Curation.leakageSafeSplitSummarySql,

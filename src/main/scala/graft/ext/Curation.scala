@@ -509,6 +509,92 @@ object Curation {
        |JOIN per_source pb ON pb.source = source_b""".stripMargin
   }
 
+  /** Hash-sample modulus for [[sourceOverlapApprox]]: keep grams whose
+    * h32 is ≡ 0 (mod this), a deterministic 1/16 bottom-fraction sample
+    * — the fixed-threshold theta-sketch discipline. At 100 TB raise to
+    * 2^10..2^16 so each source's sketch stays ~10^5 rows regardless of
+    * corpus size.
+    */
+  val OverlapSampleMod = 16
+
+  /** Theta-sketch twin of [[sourceOverlap]] — the 100 TB path. The
+    * exact matrix's two shuffles carry the full distinct-(source, gram)
+    * volume for an O(sources²) answer; here a map-side hash filter
+    * (`h32 % mod = 0`, a uniform deterministic sample of the gram
+    * space) cuts every downstream stage to 1/mod of that volume before
+    * anything shuffles. Ratio estimators (containment, Jaccard) need no
+    * rescaling; set sizes scale back up by mod. Pairs whose shared
+    * grams all miss the sample drop out — overlap below the sketch's
+    * resolution reads as zero, the standard sketch trade. Everything is
+    * deterministic (no RNG), so the DuckDB oracle replicates the
+    * estimate bit-for-bit rather than settling for a rows-only check.
+    */
+  def sourceOverlapApprox(documents: DataFrame,
+      mod: Int = OverlapSampleMod): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val grams = documents
+      .select(col("source"),
+        explode(graft.ext.TextAnalysis.shingles(col("text"))).as("g"))
+      .select(col("source"), Hashing.h32(col("g")).as("h"))
+      .filter(col("h") % mod === 0)
+      .distinct()
+      .persist()
+    val perSource = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter_s"))
+      .join(perSource.as("pa"), col("source_a") === col("pa.source"))
+      .join(perSource.as("pb"), col("source_b") === col("pb.source"))
+      .select(col("source_a"), col("source_b"),
+        (col("pa.n") * mod).as("n_a_est"),
+        (col("pb.n") * mod).as("n_b_est"),
+        (col("inter_s") * mod).as("inter_est"),
+        round(col("inter_s").cast("double") / col("pa.n"), 6)
+          .as("containment_a_est"),
+        round(col("inter_s").cast("double") / col("pb.n"), 6)
+          .as("containment_b_est"),
+        round(col("inter_s").cast("double")
+            / (col("pa.n") + col("pb.n") - col("inter_s")), 6)
+          .as("jaccard_est"))
+  }
+
+  /** DuckDB mirror of [[sourceOverlapApprox]] — same deterministic
+    * sample, same estimators.
+    */
+  def sourceOverlapApproxSql(mod: Int = OverlapSampleMod): String = {
+    import graft.ext.TextAnalysis.shinglesSql
+    import Hashing.h32Sql
+    s"""WITH grams AS MATERIALIZED (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, ${h32Sql("g")} AS h
+       |    FROM (
+       |      SELECT source,
+       |        unnest(${shinglesSql("string_split(text, ' ')")}) AS g
+       |      FROM documents))
+       |  WHERE h % $mod = 0),
+       |per_source AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM grams GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS inter_s
+       |  FROM grams a JOIN grams b
+       |    ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b,
+       |  pa.n * $mod AS n_a_est, pb.n * $mod AS n_b_est,
+       |  inter_s * $mod AS inter_est,
+       |  round(CAST(inter_s AS DOUBLE) / pa.n, 6) AS containment_a_est,
+       |  round(CAST(inter_s AS DOUBLE) / pb.n, 6) AS containment_b_est,
+       |  round(CAST(inter_s AS DOUBLE) / (pa.n + pb.n - inter_s), 6)
+       |    AS jaccard_est
+       |FROM inter
+       |JOIN per_source pa ON pa.source = source_a
+       |JOIN per_source pb ON pb.source = source_b""".stripMargin
+  }
+
   // ---- end-to-end training mix (the composed curation funnel) -------------
 
   /** Minimum composite quality (ppm, see [[TextAnalysis.qualityPpm]]) a

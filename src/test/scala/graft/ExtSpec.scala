@@ -1060,6 +1060,34 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("source overlap theta sketch: mod=1 degenerates to exact; sample is a subset") {
+    val docs = Tables(spark, Sf0001).documents
+    // with no sampling the estimators must reproduce the exact matrix
+    val exact = graft.ext.Curation.sourceOverlap(docs)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    val unsampled = graft.ext.Curation.sourceOverlapApprox(docs, mod = 1)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(unsampled.sameElements(exact))
+    // at the default rate: pairs are a subset of the exact pair set and
+    // set-size estimates stay within 3x of truth (deterministic sample)
+    val exactPairs = exact.map(t => (t._1, t._2) -> t._3).toMap
+    val approx = graft.ext.Curation.sourceOverlapApprox(docs).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(exactPairs.contains(key), s"pair $key not in exact matrix")
+      val nEst = r.getLong(2)
+      val nTrue = exactPairs(key)
+      assert(nEst > nTrue / 3 && nEst < nTrue * 3, s"$key n_a est $nEst vs $nTrue")
+    }
+  }
+
   test("shards: deterministic, growth-stable, balanced, sorted on disk") {
     import graft.ext.Shards
     val docs = Tables(spark, Sf0001).documents

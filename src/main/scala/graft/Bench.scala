@@ -56,6 +56,42 @@ object Bench {
     val total = if (timed.nonEmpty) timed.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    // The driver's per-round artifact keeps only a tail of stdout, which
+    // truncates half the per-query numbers; persist the full result to a
+    // stable file too (slowest-first, with delta vs the previous run of
+    // this file when one exists).
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val prev: Map[String, Double] =
+      if (!outFile.exists()) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          outFile.toPath), "UTF-8")
+        """"name":"([^"]+)","sec":(-?[0-9.]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val slowest = results.sortBy { case (_, v) => -v }.map { case (n, v) =>
+      val delta = prev.get(n).filter(p => p > 0 && v > 0)
+        .map(p => f""","delta_pct":${(v - p) / p * 100}%.1f""")
+        .getOrElse("")
+      f"""    {"name":"$n","sec":$v%.4f$delta}"""
+    }.mkString(",\n")
+    val out =
+      s"""{
+         |  "metric": "total",
+         |  "value": $total,
+         |  "unit": "sec",
+         |  "sf": "$sfDir",
+         |  "failed": $failedJson,
+         |  "failed_count": ${failed.size},
+         |  "queries": $qs,
+         |  "slowest": [
+         |$slowest
+         |  ]
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(outFile.toPath, out.getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

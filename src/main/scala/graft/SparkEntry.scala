@@ -778,6 +778,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF centroid-drift monitor: appendToIvfIndex keeps centroids
+    // fixed, so drift must be WATCHED, not assumed away — compare a
+    // (deliberately shifted) batch's distance-to-assigned-centroid
+    // distribution against the index build's and flag rebuild when the
+    // batch p95 exceeds build p95 x1.5. Fully deterministic, so the
+    // oracle replicates the whole monitor including the flag.
+    "ann_index_drift" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
+      val batch = tables(s, dir).embeddings
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(0.25)).as("embedding"))
+      Similarity.ivfIndexDrift(s, path, batch)
+    }),
+
     // Product-quantization ANN: codebook train → byte codes → ADC scan
     // → exact re-rank (the memory-compression scale path)
     // PQ family: codebooks train ONCE per process (trainCodebooksCached
@@ -1463,6 +1481,8 @@ object SparkEntry {
     // the served path must reproduce the in-flight hierarchical result
     // bit-for-bit — same build, same probes, same tie-breaks
     "ann_topk_ivf_served" -> Similarity.topKIvfHierSql,
+    "ann_index_drift" ->
+      Similarity.ivfIndexDriftSql("vec_id % 7 = 3", 0.25),
     "ann_topk_pq" -> graft.ext.ProductQuant.topKPqSql,
     "ann_topk_ivfpq" -> graft.ext.ProductQuant.topKIvfPqSql(),
     "dq_failed_samples" ->

@@ -477,24 +477,24 @@ object Similarity {
         col("cosine"))
   }
 
-  /** DuckDB twin of [[topKIvfHier]] at the fixture parameters
-    * (cells = [[IvfCells]], nProbe = ivfProbesFor(cells),
-    * probeCoarse = [[IvfCoarseProbes]]). Same exact-integer coarse
-    * refinement, same (d2, cell) tie-breaks, same op order in every
-    * distance — row_number()=1 here ≡ min_by there because the ordering
-    * key is unique.
+  /** DuckDB squared-distance fragment shared by the hier-build CTEs. */
+  private def d2Sql(vecExpr: String, nrm2Expr: String, cvExpr: String,
+      cn2Expr: String): String =
+    s"""$nrm2Expr
+       |        - 2.0 * list_sum([CAST($vecExpr[i] AS DOUBLE)
+       |                          * CAST($cvExpr[i] AS DOUBLE)
+       |                          for i in range(1, len($vecExpr) + 1)])
+       |        + $cn2Expr""".stripMargin
+
+  /** The hierarchical-build CTE chain (through `assign`, which carries
+    * each vector's final fine-cell distance as `d2`) — shared by
+    * [[topKIvfHierSql]] and [[ivfIndexDriftSql]].
     */
-  def topKIvfHierSql: String = {
+  private def hierBuildCtesSql: String = {
     val nCoarse = ivfCoarseFor(IvfCells)
-    val nProbe = ivfProbesFor(IvfCells)
     def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
-        cn2Expr: String): String =
-      s"""$nrm2Expr
-         |        - 2.0 * list_sum([CAST($vecExpr[i] AS DOUBLE)
-         |                          * CAST($cvExpr[i] AS DOUBLE)
-         |                          for i in range(1, len($vecExpr) + 1)])
-         |        + $cn2Expr""".stripMargin
-    s"""WITH e AS (
+        cn2Expr: String): String = d2Sql(vecExpr, nrm2Expr, cvExpr, cn2Expr)
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
@@ -540,12 +540,28 @@ object Similarity {
        |  FROM crefined),
        |franked AS (
        |  SELECT a.vec_id, a.embedding, a.nrm, f.cell,
+       |    ${d2("a.embedding", "a.nrm * a.nrm", "f.fv", "f.fn2")} AS d2,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |      ${d2("a.embedding", "a.nrm * a.nrm", "f.fv", "f.fn2")},
        |      f.cell) AS rn
        |  FROM cassign a JOIN fcells f ON a.ccell = f.ccell),
        |assign AS (
-       |  SELECT vec_id, embedding, nrm, cell FROM franked WHERE rn = 1),
+       |  SELECT vec_id, embedding, nrm, cell, d2
+       |  FROM franked WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[topKIvfHier]] at the fixture parameters
+    * (cells = [[IvfCells]], nProbe = ivfProbesFor(cells),
+    * probeCoarse = [[IvfCoarseProbes]]). Same exact-integer coarse
+    * refinement, same (d2, cell) tie-breaks, same op order in every
+    * distance — row_number()=1 here ≡ min_by there because the ordering
+    * key is unique.
+    */
+  def topKIvfHierSql: String = {
+    val nProbe = ivfProbesFor(IvfCells)
+    def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
+        cn2Expr: String): String = d2Sql(vecExpr, nrm2Expr, cvExpr, cn2Expr)
+    s"""WITH $hierBuildCtesSql,
        |qcoarse AS (
        |  SELECT vec_id, embedding, nrm, ccell FROM cranked
        |  WHERE vec_id < $NumQueries AND rn <= $IvfCoarseProbes),
@@ -663,6 +679,130 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
       .parquet(s"$path/data")
+  }
+
+  /** p95 distance-ratio above which [[ivfIndexDrift]] recommends an
+    * index rebuild: centroids stay fixed on append, so a batch whose
+    * p95 distance-to-assigned-centroid exceeds the index-build p95 by
+    * this factor is landing in cells that no longer describe it.
+    */
+  val DriftRebuildRatio = 1.5
+
+  /** Centroid-drift monitor for the append-only IVF index:
+    * [[appendToIvfIndex]] assigns new batches against FIXED stored
+    * centroids, which silently degrades recall as the data distribution
+    * moves. Compare the batch's distance-to-assigned-centroid
+    * distribution (same two-level assignment as the append path)
+    * against the index-build distribution (recomputed from the stored
+    * assignment — one partition-local join against the broadcast
+    * centroid table), and flag a rebuild when the batch p95 exceeds
+    * the build p95 × [[DriftRebuildRatio]]. One bounded output row;
+    * distances are 1e-6 fixed-point quantized so every aggregate is
+    * order-independent and cross-engine exact.
+    */
+  def ivfIndexDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    def dist2(v: Column, nv: Column, fv: Column, fn2: Column): Column =
+      nv * nv - lit(2.0) * dot(v, fv) + fn2
+    def q(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
+    val idxD = readIndexData(spark, path)
+      .join(broadcast(fineCells.select(col("cell"), col("fv"),
+        col("fn2"))), Seq("cell"))
+      .select(q(dist2(col("v"), col("nrm"), col("fv"), col("fn2")))
+        .as("qd2"))
+    val e = batch.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Dedup.norm(col("v")))
+    val coarseCents = fineCells.filter(col("cell") < 0)
+      .select(col("ccell"), col("fv").as("cv"), col("fn2").as("cn2"))
+    val cAssign = e.join(broadcast(coarseCents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
+        dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
+    val batchD = cAssign.join(broadcast(fineCells), Seq("ccell"))
+      .select(col("vec_id"), col("cell"),
+        dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(q(col("m.d2")).as("qd2"))
+    def stats(d: DataFrame, side: String) = d.agg(
+      count(lit(1)).as(s"n_$side"),
+      round(sum("qd2").cast("double") / 1e6 / count(lit(1)), 6)
+        .as(s"mean_d2_$side"),
+      round(percentile(col("qd2"), lit(0.95)) / 1e6, 6)
+        .as(s"p95_d2_$side"))
+    stats(idxD, "index").crossJoin(broadcast(stats(batchD, "batch")))
+      .select(col("n_index"), col("mean_d2_index"), col("p95_d2_index"),
+        col("n_batch"), col("mean_d2_batch"), col("p95_d2_batch"),
+        round(col("p95_d2_batch") / col("p95_d2_index"), 6)
+          .as("drift_ratio"),
+        (col("p95_d2_batch")
+          > lit(DriftRebuildRatio) * col("p95_d2_index"))
+          .as("rebuild_recommended"))
+  }
+
+  /** DuckDB mirror of [[ivfIndexDrift]] over a batch defined by
+    * `batchPred` on the embeddings table with every component shifted
+    * by `shift` (the planted drift): rebuilds the same index centroids
+    * via the shared hier CTEs, replays the same two-level assignment,
+    * same quantization, same stats.
+    */
+  def ivfIndexDriftSql(batchPred: String, shift: Double): String = {
+    def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
+        cn2Expr: String): String = d2Sql(vecExpr, nrm2Expr, cvExpr, cn2Expr)
+    s"""WITH $hierBuildCtesSql,
+       |iq AS (
+       |  SELECT CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS qd2
+       |  FROM assign),
+       |b0 AS (
+       |  SELECT vec_id,
+       |    [CAST(x AS DOUBLE) + $shift for x in embedding] AS bv
+       |  FROM embeddings WHERE $batchPred),
+       |b1 AS (
+       |  SELECT vec_id, bv,
+       |    sqrt(list_sum([x * x for x in bv])) AS bnrm
+       |  FROM b0),
+       |bc AS (
+       |  SELECT b1.vec_id, bv, bnrm, crefined.ccell,
+       |    row_number() OVER (PARTITION BY b1.vec_id ORDER BY
+       |      ${d2("bv", "bnrm * bnrm", "cv", "cn2")},
+       |      crefined.ccell) AS rn
+       |  FROM b1 CROSS JOIN crefined),
+       |bf AS (
+       |  SELECT bca.vec_id,
+       |    ${d2("bca.bv", "bca.bnrm * bca.bnrm", "f.fv", "f.fn2")} AS d2,
+       |    row_number() OVER (PARTITION BY bca.vec_id ORDER BY
+       |      ${d2("bca.bv", "bca.bnrm * bca.bnrm", "f.fv", "f.fn2")},
+       |      f.cell) AS rn
+       |  FROM (SELECT * FROM bc WHERE rn = 1) bca JOIN fcells f
+       |    ON bca.ccell = f.ccell),
+       |bq AS (
+       |  SELECT CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS qd2
+       |  FROM bf WHERE rn = 1),
+       |istats AS (
+       |  SELECT count(*) AS n_index,
+       |    round(CAST(sum(qd2) AS DOUBLE) / 1000000.0 / count(*), 6)
+       |      AS mean_d2_index,
+       |    round(quantile_cont(qd2, 0.95) / 1000000.0, 6)
+       |      AS p95_d2_index
+       |  FROM iq),
+       |bstats AS (
+       |  SELECT count(*) AS n_batch,
+       |    round(CAST(sum(qd2) AS DOUBLE) / 1000000.0 / count(*), 6)
+       |      AS mean_d2_batch,
+       |    round(quantile_cont(qd2, 0.95) / 1000000.0, 6)
+       |      AS p95_d2_batch
+       |  FROM bq)
+       |SELECT n_index, mean_d2_index, p95_d2_index,
+       |  n_batch, mean_d2_batch, p95_d2_batch,
+       |  round(p95_d2_batch / p95_d2_index, 6) AS drift_ratio,
+       |  p95_d2_batch > $DriftRebuildRatio * p95_d2_index
+       |    AS rebuild_recommended
+       |FROM istats CROSS JOIN bstats""".stripMargin
   }
 
   /** The hierarchical build shared by [[topKIvfHier]] (in-flight) and

@@ -584,6 +584,31 @@ class ExtSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/data").count() == n1)
   }
 
+  test("IVF drift monitor: in-distribution batch passes, shifted batch flags rebuild") {
+    val e = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    Similarity.writeIvfIndex(e, path)
+    // a batch drawn from the indexed distribution (an unshifted slice):
+    // its distance profile matches the build's -> no rebuild
+    val inDist = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val ok = Similarity.ivfIndexDrift(spark, path, inDist).head()
+    assert(!ok.getAs[Boolean]("rebuild_recommended"))
+    assert(ok.getAs[Double]("drift_ratio") < Similarity.DriftRebuildRatio)
+    // the same slice shifted +1.0 per component: distances blow up by
+    // ~dim, the monitor must demand a rebuild
+    val shifted = inDist.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x + lit(1.0)).as("embedding"))
+    val bad = Similarity.ivfIndexDrift(spark, path, shifted).head()
+    assert(bad.getAs[Boolean]("rebuild_recommended"))
+    assert(bad.getAs[Double]("drift_ratio")
+      > ok.getAs[Double]("drift_ratio") * 10)
+    // build-side stats are batch-independent
+    assert(ok.getAs[Double]("p95_d2_index")
+      == bad.getAs[Double]("p95_d2_index"))
+  }
+
   test("adaptive IVF routes flat below the cell ceiling, hier above") {
     val e = Tables(spark, Sf0001).embeddings
     def rows(df: org.apache.spark.sql.DataFrame) = df

@@ -80,7 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "semantic_decontam",    // per-vector top-1 over the ≥τ sliver
     "doc_profile",          // one combined-agg row → O(columns) stack
     "curriculum_plan",      // 1-row percentile thresholds → 4-row agg
-    "dataset_card")         // two 1-row aggregates composed
+    "dataset_card",         // two 1-row aggregates composed
+    "ann_index_drift")      // two 1-row stat aggregates composed
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -127,7 +128,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "hourly_anomalies",     // one-row bounds agg → O(hours) spine
     "curriculum_plan",      // corpus × 1-row threshold broadcast
     "dataset_card",         // 1-row base × 1-row quality aggregate
-    "approx_sketches")      // corpus × 1-row sketch-scalars attach
+    "approx_sketches",      // corpus × 1-row sketch-scalars attach
+    "ann_index_drift")      // batch × broadcast centroids; 1-row stats
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -679,6 +679,13 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(tables(s, dir).documents).orderBy("doc_id")),
 
+    // REAL codec through the decode seam: deterministic tiny PNGs are
+    // encoded and decoded with javax.imageio (JDK codec, no deps);
+    // PNG is lossless, so the closed-form oracle pins the actual
+    // decode roundtrip — geometry, channel order, row order, values
+    "multimodal_image_stats" -> ((s, dir) =>
+      Multimodal.imageStats(tables(s, dir).documents).orderBy("doc_id")),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1401,6 +1408,7 @@ object SparkEntry {
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,
     "multimodal_features" ->
       s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id""",
+    "multimodal_image_stats" -> Multimodal.imageStatsSql,
 
     "session_window_stats" ->
       """WITH lagged AS (

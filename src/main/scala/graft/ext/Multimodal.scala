@@ -181,4 +181,149 @@ object Multimodal {
        |      % 840 AS fake_height
        |  FROM documents)""".stripMargin
   }
+
+  // ---- real codec path: javax.imageio PNG ---------------------------------
+
+  /** Generic decode seam for codecs with their own feature schema —
+    * same contract as [[MediaDecoder]] (iterator = the per-partition
+    * batch; allocate native context once per partition), typed output.
+    */
+  trait MediaCodec[T] extends Serializable {
+    def decodePartition(records: Iterator[MediaRecord]): Iterator[T]
+  }
+
+  /** Real-decode output: geometry + per-channel pixel sums + a
+    * position-and-channel-weighted checksum, so a decode that flips
+    * rows, swaps channels, or loses precision cannot match. `decoded`
+    * is false (all stats zero) for payloads the codec rejects —
+    * malformed media is reported, never silently dropped.
+    */
+  final case class ImageStats(
+    doc_id: Long, decoded: Boolean, width: Long, height: Long,
+    channels: Long, n_pixels: Long, sum_r: Long, sum_g: Long,
+    sum_b: Long, checksum: Long)
+
+  /** Deterministic tiny RGB image per doc_id: w = 8 + id % 9,
+    * h = 8 + id % 7, channel value at (x, y) =
+    * (id·31 + x·7 + y·13 + c·101) mod 256. Encoded through the REAL
+    * `javax.imageio` PNG writer — the bytes on the wire are a genuine
+    * PNG stream. Because PNG is lossless and the formula is closed-form,
+    * the DuckDB oracle can verify the real decode arithmetically
+    * without any codec.
+    */
+  def pngPayload(docId: Long): Array[Byte] = {
+    // ImageIO's default stream cache spills through temp FILES; these
+    // are in-memory byte arrays — per-record disk I/O would dominate
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def v(c: Int) = ((docId * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+        img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → real PNG payload records (one mapPartitions encode). */
+  def pngRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val p = pngPayload(id)
+      MediaRecord(id, p, "image/png", p.length.toLong)
+    })
+  }
+
+  /** The real codec behind the seam: `javax.imageio` PNG decode (no
+    * external deps — the JDK ships the codec). Streams records through
+    * one reader per partition; a payload ImageIO rejects yields a
+    * `decoded = false` row.
+    */
+  object PngStatsDecoder extends MediaCodec[ImageStats] {
+    private def failRow(id: Long) =
+      ImageStats(id, decoded = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    override def decodePartition(records: Iterator[MediaRecord])
+        : Iterator[ImageStats] = {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+      records.map { r =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) failRow(r.doc_id)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val wh = w.toLong * h
+          var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val vr = (rgb >> 16) & 0xff
+              val vg = (rgb >> 8) & 0xff
+              val vb = rgb & 0xff
+              sr += vr; sg += vg; sb += vb
+              val base = 1L + x + y.toLong * w
+              ck += vr * base + vg * (base + wh) + vb * (base + 2 * wh)
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.doc_id, decoded = true, w.toLong, h.toLong, 3L,
+            wh, sr, sg, sb, ck)
+        }
+      } catch { case _: Exception => failRow(r.doc_id) }
+      }
+    }
+  }
+
+  /** End-to-end real-codec path: documents → PNG encode → `javax.imageio`
+    * decode → pixel stats. Two chained mapPartitions, no shuffle —
+    * identical plan shape to the stub path, proving the seam holds for
+    * a genuine codec.
+    */
+  def imageStats(documents: DataFrame,
+      codec: MediaCodec[ImageStats] = PngStatsDecoder): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    pngRecords(documents).mapPartitions(codec.decodePartition _).toDF()
+  }
+
+  /** DuckDB oracle for [[imageStats]]: the closed-form pixel sums —
+    * matching forces the real PNG encode→decode roundtrip to be
+    * bit-exact (geometry, channel order, row order, values).
+    */
+  def imageStatsSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+      |    (doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS vr,
+      |    (doc_id * 31 + xs.x * 7 + ys.y * 13 + 101) % 256 AS vg,
+      |    (doc_id * 31 + xs.x * 7 + ys.y * 13 + 202) % 256 AS vb
+      |  FROM imgs, range(0, 17) xs(x), range(0, 15) ys(y)
+      |  WHERE xs.x < w AND ys.y < h)
+      |SELECT doc_id, true AS decoded, w AS width, h AS height,
+      |  CAST(3 AS BIGINT) AS channels, w * h AS n_pixels,
+      |  CAST(sum(vr) AS BIGINT) AS sum_r,
+      |  CAST(sum(vg) AS BIGINT) AS sum_g,
+      |  CAST(sum(vb) AS BIGINT) AS sum_b,
+      |  CAST(sum(vr * (1 + x + y * w)
+      |    + vg * (1 + x + y * w + w * h)
+      |    + vb * (1 + x + y * w + 2 * w * h)) AS BIGINT) AS checksum
+      |FROM px
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
 }

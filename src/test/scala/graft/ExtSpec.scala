@@ -976,6 +976,48 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
+    import spark.implicits._
+    import Multimodal.{MediaRecord, PngStatsDecoder}
+    // hand-built 2x1 PNG: red pixel (255,0,0) then blue pixel (0,0,255)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // PNG magic must be on the wire (it's a real stream, not a stub)
+    assert((png.take(4).map(_ & 0xff) sameElements Array(0x89, 0x50, 0x4e, 0x47)))
+    val recs = Seq(
+      MediaRecord(1L, png, "image/png", png.length.toLong),
+      MediaRecord(2L, "not a png".getBytes("UTF-8"), "image/png", 9L))
+    val out = PngStatsDecoder.decodePartition(recs.iterator).toSeq
+    val ok = out.find(_.doc_id == 1L).get
+    assert(ok.decoded && ok.width == 2 && ok.height == 1 && ok.n_pixels == 2)
+    assert(ok.sum_r == 255 && ok.sum_g == 0 && ok.sum_b == 255)
+    // checksum: red at (0,0) base=1 -> 255*1; blue at (1,0) base=2,
+    // +2*wh=4 -> 255*(2+4)=1530; total 1785
+    assert(ok.checksum == 255L * 1 + 255L * (2 + 2 * 2))
+    val bad = out.find(_.doc_id == 2L).get
+    assert(!bad.decoded && bad.width == 0 && bad.checksum == 0)
+
+    // end-to-end over the fixture: every synthesized PNG decodes, and
+    // the decoded geometry matches the generator's closed form
+    val stats = Multimodal.imageStats(Tables(spark, Sf0001).documents)
+      .collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Boolean]("decoded")))
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") == 8 + id % 9)
+      assert(r.getAs[Long]("height") == 8 + id % 7)
+    }
+    // the codec path keeps the stub path's no-shuffle plan shape
+    val plan = Multimodal.imageStats(Tables(spark, Sf0001).documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode plan must not shuffle:\n$plan")
+  }
+
   test("winnow guarantee: a shared 20-token run collides; density bounds") {
     import graft.ext.Winnow
     val shared = (1 to 20).map(i => s"shared$i").mkString(" ")

@@ -10,10 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private lazy val plans: Map[String, String] =
+  private lazy val physical
+      : Map[String, org.apache.spark.sql.execution.SparkPlan] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, Sf0001).queryExecution.executedPlan.toString
+      name -> fn(spark, Sf0001).queryExecution.executedPlan
     }
+
+  private lazy val plans: Map[String, String] =
+    physical.map { case (name, p) => name -> p.toString }
 
   test("event-time predicates push through the NTZ-normalizing read path") {
     // Tables.events casts the NTZ fixture column to session-TZ
@@ -214,6 +218,46 @@ class PlanAuditSpec extends AnyFunSuite {
     val cr = plans("cohort_retention")
     assert(!cr.contains("BroadcastNestedLoopJoin")
       && !cr.contains("CartesianProduct"), cr)
+  }
+
+  /** Exact per-query count of GLOBAL (partition-less) WindowExec nodes.
+    * Each one funnels its input to a single partition, so every
+    * allowlisted instance must sit over a bounded frame (a ≤k-row
+    * top-k merge, a 1-row scalar attach, an O(days/hours/sources)
+    * aggregate). Counts are pinned EXACTLY: a new global window — even
+    * in a query that already has benign ones — fails this test instead
+    * of hiding among the existing WindowExec warnings.
+    */
+  private def countGlobalWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      // AQE hides the real tree behind AdaptiveSparkPlanExec (no
+      // children) — descend into its input plan explicitly
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countGlobalWindows(a.inputPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => 1
+    }.sum
+
+  private lazy val globalWindowCounts: Map[String, Int] =
+    physical.view.mapValues(countGlobalWindows).filter(_._2 > 0).toMap
+
+  private val globalWindowAllowance: Map[String, Int] = Map(
+    "agent_daily_decisions" -> 2, // streak windows over O(days) rows
+    "bm25_served" -> 1,           // rank over the ≤topK merged pool
+    "bm25_top_docs" -> 1,         // rank over the ≤topK merged pool
+    "customer_value_ranks" -> 1,  // ranks over the ≤50-row top-k merge
+    "hourly_anomalies" -> 2,      // rolling stats over O(hours) series
+    "hybrid_mlt" -> 3,            // lex/vec/fused ranks, each ≤pool rows
+    "more_like_this" -> 1,        // rank over the ≤topK merged pool
+    "purchase_rank" -> 1,         // rank over the ≤TopK limited frame
+    "schema_drift_report" -> 1)   // ordinal over O(distinct keys) rows
+
+  test("global windows only where allowlisted, at pinned counts") {
+    assert(globalWindowCounts == globalWindowAllowance,
+      s"""global-window census changed.
+         |unexpected: ${(globalWindowCounts.toSet -- globalWindowAllowance.toSet).toSeq.sorted}
+         |missing:    ${(globalWindowAllowance.toSet -- globalWindowCounts.toSet).toSeq.sorted}""".stripMargin)
   }
 
   test("broadcast joins carry the bounded dimension sides") {

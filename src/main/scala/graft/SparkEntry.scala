@@ -27,7 +27,7 @@ object SparkEntry {
     * hash of the full canonical path, so two fixtures that share a
     * basename never share persisted index artifacts on one host.
     */
-  private def fixtureKey(dir: String): String = {
+  private[graft] def fixtureKey(dir: String): String = {
     val f = new java.io.File(dir)
     f"${f.getName}_${f.getCanonicalPath.hashCode & 0xffffffffL}%08x"
   }

@@ -64,14 +64,10 @@ object Search {
   def appendToPostingsIndex(documents: DataFrame, path: String,
       batchId: Long, buckets: Int = NumBuckets): Unit = {
     require(batchId > 0, "batch_id 0 is the base build")
-    docTokens(documents)
-      .withColumn("bucket", h32(col("token")) % buckets)
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket", "batch_id")
-      .parquet(path)
+    graft.streaming.BatchIndex.writePartition(
+      docTokens(documents)
+        .withColumn("bucket", h32(col("token")) % buckets),
+      batchId, path, bucketCol = Some("bucket"))
   }
 
   /** Bucket a term exactly like the index writer (non-negative h32). */

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE persisted-index write/serve contract shared by every
+  * incremental index in the engine — MinHash band index
+  * ([[DedupStream]]), sign-LSH vector index ([[EmbedStream]]), gram
+  * index ([[NoveltyStream]]), postings index
+  * ([[graft.ext.Search.appendToPostingsIndex]]/[[SearchStream]]).
+  * Before this object each implementation repeated the discipline by
+  * hand; the contract is:
+  *
+  *   1. '''batch_id-partitioned dynamic-overwrite writes'''
+  *      ([[writePartition]]): each micro-batch lands under its own
+  *      `batch_id=` partition with `partitionOverwriteMode=dynamic`, so
+  *      an at-least-once checkpoint replay rewrites exactly its own
+  *      partition and never duplicates rows — idempotence without a
+  *      transaction log.
+  *   2. '''replay-excluding reads''' ([[readBefore]]): a batch screens
+  *      against `batch_id < ownId` only, so a crash between "write
+  *      output" and "extend index" cannot make the replay collide with
+  *      its first attempt. Absent-only recovery: a missing/empty index
+  *      dir means "first batch" and yields the caller's typed empty
+  *      frame; ANY other read failure (corrupt footer, transient FS
+  *      error) propagates so the checkpoint retries instead of silently
+  *      screening against nothing.
+  *   3. '''compaction''' ([[compact]]): per-batch partitions accrete
+  *      duplicate rows (a batch cannot know what earlier batches
+  *      indexed) and small files; folding into a single distinct
+  *      partition under `batch_id = -1` (below every real id, so the
+  *      `batch_id < ownId` read keeps working) is staged to a temp dir
+  *      and promoted via dynamic partition overwrite INTO the live path
+  *      — the live path never stops existing, so a concurrent reader
+  *      can never take the empty-index recovery branch. A crash
+  *      mid-compaction leaves a duplicate-only (correctness-neutral)
+  *      state and the compaction is rerunnable. Replay caveat: folding
+  *      committed batches into `-1` means a later replay of one of them
+  *      would screen against its own rows — compact only with the
+  *      stream stopped and its checkpoint fully committed.
+  *
+  * At 100 TB the indexes stay hash-sized (bands/buckets/gram hashes,
+  * never payloads), writes touch only the current batch's partition,
+  * and compaction IO is proportional to the index, never the corpus.
+  */
+object BatchIndex {
+
+  /** Contract 1: land `rows` as `batchId`'s own partition of the index
+    * at `path`. `bucketCol` adds a leading hash-bucket partition level
+    * (the postings layout) and clusters the write so each bucket gets
+    * one file per batch.
+    */
+  def writePartition(rows: DataFrame, batchId: Long, path: String,
+      bucketCol: Option[String] = None): Unit = {
+    val withId = rows.withColumn("batch_id", lit(batchId))
+    val clustered =
+      bucketCol.fold(withId)(c => withId.repartition(col(c)))
+    clustered.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bucketCol.toSeq :+ "batch_id": _*)
+      .parquet(path)
+  }
+
+  /** Contract 2: the accumulated index as visible to `batchId` — every
+    * partition strictly before it (including a compacted `-1`),
+    * projected to `cols`. `empty` supplies the typed zero-row frame for
+    * the first-batch case; any non-absence failure propagates.
+    */
+  def readBefore(spark: SparkSession, path: String, batchId: Long,
+      cols: Seq[String], empty: => DataFrame): DataFrame =
+    try {
+      spark.read.parquet(path)
+        .filter(col("batch_id") < batchId)
+        .select(cols.map(col): _*)
+    } catch {
+      case e: AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        empty
+    }
+
+  /** Contract 3: fold every committed `batch_id >= 0` partition into
+    * one distinct-`cols` partition under `batch_id = -1`. Returns
+    * (rows before, rows after). Run only with the stream stopped (see
+    * object doc).
+    */
+  def compact(spark: SparkSession, path: String,
+      cols: Seq[String]): (Long, Long) = {
+    import spark.implicits._
+    val index = spark.read.parquet(path)
+    val before = index.count()
+    val batchIds = index.select("batch_id").distinct()
+      .as[Long].collect().filter(_ >= 0L)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
+    index.select(cols.map(col): _*).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id").parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    batchIds.foreach { b =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(path, s"batch_id=$b"), true)
+      ()
+    }
+    fs.delete(tmp, true)
+    val after = spark.read.parquet(path).count()
+    (before, after)
+  }
+}

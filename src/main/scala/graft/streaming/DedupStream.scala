@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -67,41 +67,20 @@ object DedupStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val index = try {
-          // exclude this batch's own partition: a replay after a crash
-          // between the two writes must not collide with its first
-          // attempt
-          spark.read.parquet(indexPath)
-            .filter(col("batch_id") < batchId)
-            .select("doc_id", "band_idx", "band_hash")
-        } catch {
-          // ONLY index-absent conditions (path missing, or an existing
-          // but still-empty directory) mean "first batch, empty index";
-          // any other failure (corrupt footer, transient FS error) must
-          // fail the batch so the checkpoint retries instead of silently
-          // screening against nothing and admitting duplicates forever
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition != null
-                && (e.getCondition.contains("PATH_NOT_FOUND")
-                  || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
-            Dedup.bandTable(cached.limit(0))
-        }
+        val index = BatchIndex.readBefore(spark, indexPath, batchId,
+          Seq("doc_id", "band_idx", "band_hash"),
+          Dedup.bandTable(cached.limit(0)))
         val bands = Dedup.bandTable(cached).persist()
         try {
           val drops = dropSet(bands, index).persist()
           val survivors = cached
             .join(broadcast(drops), Seq("doc_id"), "left_anti")
-            .withColumn("batch_id", lit(batchId))
             .persist()
           val nKept = survivors.count()
-          survivors.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(corpusPath)
-          bands.join(broadcast(drops), Seq("doc_id"), "left_anti")
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(indexPath)
+          BatchIndex.writePartition(survivors, batchId, corpusPath)
+          BatchIndex.writePartition(
+            bands.join(broadcast(drops), Seq("doc_id"), "left_anti"),
+            batchId, indexPath)
           stats.seen.add(nSeen); stats.kept.add(nKept)
           stats.lastCommitted = batchId
           drops.unpersist(); survivors.unpersist()
@@ -109,6 +88,16 @@ object DedupStream {
         } finally { bands.unpersist(); () }
       } finally { cached.unpersist(); () }
     }
+
+  /** Fold the band index's per-batch partitions into one distinct
+    * partition ([[BatchIndex.compact]] contract — stream stopped only).
+    * Bands are unique per doc so this is small-file folding, not
+    * duplicate removal.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long) =
+    BatchIndex.compact(spark, indexPath,
+      Seq("doc_id", "band_idx", "band_hash"))
 
   /** Attach the dedup ingest to a documents stream. */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -106,33 +106,20 @@ object EmbedStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val index = try {
-          spark.read.parquet(indexPath)
-            .filter(col("batch_id") < batchId)
-            .select("vec_id", "table_idx", "bucket")
-        } catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition != null
-                && (e.getCondition.contains("PATH_NOT_FOUND")
-                  || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
-            bucketTable(cached.limit(0))
-        }
+        val index = BatchIndex.readBefore(spark, indexPath, batchId,
+          Seq("vec_id", "table_idx", "bucket"),
+          bucketTable(cached.limit(0)))
         val buckets = bucketTable(cached).persist()
         try {
           val drops = dropSet(buckets, index).persist()
           val survivors = cached
             .join(broadcast(drops), Seq("vec_id"), "left_anti")
-            .withColumn("batch_id", lit(batchId))
             .persist()
           val nKept = survivors.count()
-          survivors.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(corpusPath)
-          buckets.join(broadcast(drops), Seq("vec_id"), "left_anti")
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(indexPath)
+          BatchIndex.writePartition(survivors, batchId, corpusPath)
+          BatchIndex.writePartition(
+            buckets.join(broadcast(drops), Seq("vec_id"), "left_anti"),
+            batchId, indexPath)
           stats.seen.add(nSeen); stats.kept.add(nKept)
           stats.lastCommitted = batchId
           drops.unpersist(); survivors.unpersist()
@@ -140,6 +127,14 @@ object EmbedStream {
         } finally { buckets.unpersist(); () }
       } finally { cached.unpersist(); () }
     }
+
+  /** Fold the LSH index's per-batch partitions into one distinct
+    * partition ([[BatchIndex.compact]] contract — stream stopped only).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long) =
+    BatchIndex.compact(spark, indexPath,
+      Seq("vec_id", "table_idx", "bucket"))
 
   /** Attach the embedding ingest to a vector stream. */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,

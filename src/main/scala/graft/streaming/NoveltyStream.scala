@@ -43,20 +43,8 @@ object NoveltyStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val index = try {
-          spark.read.parquet(indexPath)
-            .filter(col("batch_id") < batchId)
-            .select("h")
-        } catch {
-          // same absent-only recovery contract as DedupStream: any
-          // failure other than a missing/empty index dir must fail the
-          // batch so the checkpoint retries
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition != null
-                && (e.getCondition.contains("PATH_NOT_FOUND")
-                  || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
-            TextAnalysis.gramIndex(cached.limit(0))
-        }
+        val index = BatchIndex.readBefore(spark, indexPath, batchId,
+          Seq("h"), TextAnalysis.gramIndex(cached.limit(0)))
         val report = TextAnalysis.noveltyAgainst(index, cached)
           .withColumn("batch_id", lit(batchId))
           .persist()
@@ -65,11 +53,8 @@ object NoveltyStream {
           report.write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(reportPath)
-          TextAnalysis.gramIndex(cached)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(indexPath)
+          BatchIndex.writePartition(
+            TextAnalysis.gramIndex(cached), batchId, indexPath)
           stats.seen.add(nSeen); stats.novel.add(nNovel)
           stats.lastCommitted = batchId
           ()
@@ -82,48 +67,15 @@ object NoveltyStream {
     * index carries cross-partition duplicates — correctness-neutral
     * (the scorer distincts the matched set before its probe join,
     * [[graft.ext.TextAnalysis.noveltyAgainst]]) but scan cost grows past
-    * the distinct gram volume. Rewrites the index to one distinct-h
-    * partition under `batch_id = -1` (below every real batch id, so the
-    * `batch_id < currentBatch` read filter keeps working), staged to a
-    * temp dir and promoted via dynamic partition overwrite INTO the live
-    * path — unlike a rename-swap, the live path never stops existing, so
-    * a concurrent batch can never take the empty-index recovery branch
-    * and score against nothing. Any window where `batch_id=-1` coexists
-    * with not-yet-deleted batch partitions only exposes duplicates, which
-    * the scorer tolerates; a crash mid-compaction leaves the same state
-    * and the compaction is rerunnable. Replay caveat: folding committed
-    * batches into `batch_id=-1` means a later checkpoint replay of one of
-    * those batches would screen against its own grams — run compaction
-    * only with the stream stopped and its checkpoint fully committed.
-    * Returns (rows before, rows after).
+    * the distinct gram volume. Delegates to [[BatchIndex.compact]] —
+    * distinct-`h` fold into `batch_id = -1`, promoted via dynamic
+    * overwrite so the live path never stops existing; run only with the
+    * stream stopped (see the contract doc there). Returns
+    * (rows before, rows after).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): (Long, Long) = {
-    import spark.implicits._
-    val index = spark.read.parquet(indexPath)
-    val before = index.count()
-    val batchIds = index.select("batch_id").distinct()
-      .as[Long].collect().filter(_ >= 0L)
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + ".compacting")
-    index.select("h").distinct()
-      .withColumn("batch_id", lit(-1L))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("batch_id").parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(indexPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    batchIds.foreach { b =>
-      fs.delete(
-        new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$b"), true)
-      ()
-    }
-    fs.delete(tmp, true)
-    val after = spark.read.parquet(indexPath).count()
-    (before, after)
-  }
+      indexPath: String): (Long, Long) =
+    BatchIndex.compact(spark, indexPath, Seq("h"))
 
   /** Attach the novelty scorer to a documents stream. */
   def start(stream: DataFrame, reportPath: String, indexPath: String,

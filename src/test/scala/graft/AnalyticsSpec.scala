@@ -96,20 +96,20 @@ class AnalyticsSpec extends AnyFunSuite {
   test("customer_value_ranks: two-phase top-k equals the global window") {
     import org.apache.spark.sql.expressions.Window
     val got = Analytics.customerValueRanks(t).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
-        r.getDouble(3), r.getInt(4)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
     // the naive formulation the scale-safe one replaced
     val rev = t.orders.groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("revenue"))
     val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
     val want = rev.select(col("o_custkey"), col("revenue"),
-        dense_rank().over(w).as("rk"),
+        dense_rank().over(w).cast("long").as("rk"),
         round(percent_rank().over(w), 6).as("pr"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"))
       .orderBy(col("revenue").desc, col("o_custkey")).limit(50)
       .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
-        r.getDouble(3), r.getInt(4)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
     assert(got.sameElements(want))
     // plan: distributed top-k merge, not a full-data global sort; the
     // only window input is the k-row limited side

@@ -474,12 +474,12 @@ class CurationSpec extends AnyFunSuite {
     val docs = Tables(spark, Sf0001).documents
     val n = docs.count()
     val r = Curation.curriculumPlan(docs).collect()
-    assert(r.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4))
+    assert(r.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(r.map(_.getAs[Long]("n_docs")).sum == n)
     // quartiles are within interpolation slack of n/4 each
     r.foreach { b =>
       assert(math.abs(b.getAs[Long]("n_docs") - n / 4) <= 3,
-        s"bucket ${b.getAs[Int]("bucket")}: ${b.getAs[Long]("n_docs")}")
+        s"bucket ${b.getAs[Long]("bucket")}: ${b.getAs[Long]("n_docs")}")
     }
     // margin ranges are disjoint and ascending across buckets
     val ranges = r.map(b => (b.getAs[Long]("margin_min"),

@@ -28,10 +28,11 @@ class FuzzyLinkSpec extends AnyFunSuite {
       "boreals",   // deletion
       "gxmmx"))    // distance 2 from gamma -> must NOT link
     val got = FuzzyLink.linkage(clean, dirty).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set(
-      ("alpha", "alpxa", 1), ("alpha", "xlpha", 1), ("alpha", "alphax", 1),
-      ("borealis", "aborealis", 1), ("borealis", "boreals", 1)))
+      ("alpha", "alpxa", 1L), ("alpha", "xlpha", 1L),
+      ("alpha", "alphax", 1L),
+      ("borealis", "aborealis", 1L), ("borealis", "boreals", 1L)))
   }
 
   test("hub variants above the df cap block nothing") {

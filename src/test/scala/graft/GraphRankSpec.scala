@@ -62,7 +62,7 @@ class GraphRankSpec extends AnyFunSuite {
     val t = Tables(spark, Sf0001)
     val top = GraphRank.purchaseRank(t.orders, t.lineitem).collect()
     assert(top.length == GraphRank.TopK)
-    assert(top.map(_.getInt(0)).toSeq == (1 to GraphRank.TopK))
+    assert(top.map(_.getLong(0)).toSeq == (1L to GraphRank.TopK))
     // suppliers aggregate rank from many customers; with ~15x fewer
     // suppliers than customers the head of the ranking must be suppliers
     assert(top.take(5).forall(_.getString(1) == "supplier"))

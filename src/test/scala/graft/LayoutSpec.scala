@@ -75,7 +75,7 @@ class LayoutSpec extends AnyFunSuite {
     val li = Tables(spark, sf).lineitem
     val mx = li.agg(max("l_orderkey"), max("l_partkey")).head()
     val (xm, ym) = (mx.getLong(0), mx.getLong(1))
-    val path = s"/tmp/graft_zorder_${new java.io.File(sf).getName}"
+    val path = s"/tmp/graft_zorder_${SparkEntry.fixtureKey(sf)}"
     val boxes = spark.read.parquet(path)
       .groupBy(input_file_name().as("f"))
       .agg(min("l_orderkey").as("lox"), max("l_orderkey").as("hix"),

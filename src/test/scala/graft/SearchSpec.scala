@@ -20,9 +20,9 @@ class SearchSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty && rows.length <= 10)
     rows.foreach { r =>
-      val (lex, vec, fp) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      val (lex, vec, fp) = (r.getLong(2), r.getLong(3), r.getLong(4))
       assert(lex > 0 || vec > 0) // every fused doc came from a ranker
-      def part(rk: Int) =
+      def part(rk: Long) =
         if (rk == 0) 0L else Search.RrfScale / (Search.RrfK + rk)
       assert(fp == part(lex) + part(vec))
     }
@@ -31,8 +31,8 @@ class SearchSpec extends AnyFunSuite {
     assert(key == key.sorted)
     // a doc present in BOTH pools must outrank one with the same single
     // rank in only one pool: fusion is strictly additive
-    val both = rows.filter(r => r.getInt(2) > 0 && r.getInt(3) > 0)
-    val single = rows.filter(r => r.getInt(2) == 0 || r.getInt(3) == 0)
+    val both = rows.filter(r => r.getLong(2) > 0 && r.getLong(3) > 0)
+    val single = rows.filter(r => r.getLong(2) == 0 || r.getLong(3) == 0)
     if (both.nonEmpty && single.nonEmpty)
       assert(both.map(_.getLong(4)).max > single.map(_.getLong(4)).min)
   }
@@ -128,7 +128,7 @@ class SearchSpec extends AnyFunSuite {
       (2L, "window table"),
       (3L, "table value")).toDF("doc_id", "text")
     val got = Search.bm25TopDocs(corpus, Seq("spark", "window"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.head._2 == 0L && got.head._3 == 2L,
       "the doc carrying both terms must rank first")
     assert(got.length == 3) // doc 3 hits nothing
@@ -143,10 +143,10 @@ class SearchSpec extends AnyFunSuite {
       (2L, "join window"),
       (3L, "window window table")).toDF("doc_id", "text")
     val got = Search.tfIdfTopDocs(corpus, Seq("spark", "window"), topK = 2)
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5)))
     val spark1 = got.filter(_._1 == "spark")
-    assert(spark1.map(x => (x._2, x._3)).toSeq == Seq((1, 0L), (2, 1L)),
+    assert(spark1.map(x => (x._2, x._3)).toSeq == Seq((1L, 0L), (2L, 1L)),
       "tf 3 beats tf 1 at equal df")
     // df(spark)=2 of 4 docs -> idf ln(2); doc 0 score = 3 ln 2
     assert(math.abs(spark1.head._6 - math.round(
@@ -189,7 +189,7 @@ class SearchSpec extends AnyFunSuite {
       (4L, "durian elderberry")).toDF("doc_id", "text")
     val got = Search.moreLikeThis(corpus, queryDocId = 1L)
       .collect().map(r =>
-        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // doc 4 shares nothing -> absent; the query doc itself is excluded
     assert(got.map(_._2).toSeq == Seq(2L, 3L))
     assert(got.map(_._3).toSeq == Seq(2L, 1L)) // shared-term counts

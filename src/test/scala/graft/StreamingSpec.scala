@@ -680,6 +680,21 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 5L)) // overwritten, not doubled
     assert(spark.read.parquet(indexDir).select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+
+    // BatchIndex compaction: per-batch partitions fold into batch_id=-1
+    // and the compacted index still screens later batches
+    val (cBefore, cAfter) =
+      graft.streaming.DedupStream.compactIndex(spark, indexDir)
+    assert(cAfter == cBefore) // bands unique per doc: pure folding
+    assert(spark.read.parquet(indexDir).select("batch_id").distinct()
+      .collect().map(_.getAs[Number]("batch_id").longValue()).toSet
+      == Set(-1L))
+    val b2 = docs((6L, varied + " one"),
+      (7L, "a closing paragraph sharing no vocabulary with the corpus"))
+    graft.streaming.DedupStream.processBatch(b2, 2L, corpusDir, indexDir,
+      stats)
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 5L, 7L))
   }
 
   test("streaming DQ monitor: replay is idempotent; aliases resolve business names") {

@@ -530,6 +530,10 @@ object SparkEntry {
         .orderBy("vec_id")),
     "stratified_sample" -> ((s, dir) =>
       graft.ext.Curation.stratifiedSampleSummary(tables(s, dir).documents)),
+    // C4/RefinedWeb-style domain cap: at most N docs per source,
+    // longest-first; audit pins kept membership via id-sum checksum
+    "source_cap" -> ((s, dir) =>
+      graft.ext.Curation.sourceCapSummary(tables(s, dir).documents)),
     // the composed corpus→training-mix funnel (dedup → gates → sample)
     "training_mix" -> ((s, dir) =>
       graft.ext.Curation.trainingMix(tables(s, dir).documents)),
@@ -1316,6 +1320,7 @@ object SparkEntry {
     "cohort_retention" -> Analytics.cohortRetentionSql,
     "hourly_anomalies" -> Analytics.hourlyAnomaliesSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
+    "source_cap" -> graft.ext.Curation.sourceCapSummarySql,
     "pack_plan" -> graft.ext.Curation.packPlanSql(
       streamSql = graft.ext.Curation.packStreamShardedSql()),
     "chunk_plan" -> graft.ext.Curation.chunkPlanSql(

@@ -176,6 +176,78 @@ object Curation {
        |    AS DOUBLE) / count(*), 2) AS achieved_ppm
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- per-source frequency capping ----------------------------------------
+
+  /** Fixture cap for [[sourceCap]]: 10 of the 25 docs each fixture
+    * source carries, so kept and dropped sets are both non-trivial at
+    * every sf.
+    */
+  val SourceCap = 10
+
+  /** Domain/source frequency cap (the C4/RefinedWeb "domain cap"
+    * recipe — public literature): keep at most `cap` documents per
+    * source, preferring longer documents (the cheap quality proxy the
+    * fixture carries), `doc_id` as the deterministic tie-break.
+    *
+    * Scale shape: the rank-filter compiles to a `WindowGroupLimit` —
+    * Catalyst (Spark 3.5+ `InferWindowGroupLimit`) prunes each input
+    * partition to its own top-`cap` per source BEFORE the exchange, so
+    * the shuffle carries O(sources × cap × partitions) rows, never the
+    * corpus: a hot domain with millions of pages ships `cap` rows per
+    * upstream partition, not millions. CapSpec pins the node's presence
+    * in the physical plan.
+    */
+  def sourceCap(documents: DataFrame, cap: Int = SourceCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+  }
+
+  /** Per-source audit of the cap: totals, kept/dropped counts, and a
+    * kept-id-sum checksum pinning the exact kept MEMBERSHIP (not just
+    * its size) cross-engine. Needs every row's rank (totals included),
+    * so unlike [[sourceCap]] this audit pass cannot use the group-limit
+    * pushdown — one windowed scan + one map-side-combinable aggregate
+    * over O(sources) groups.
+    */
+  def sourceCapSummary(documents: DataFrame,
+      cap: Int = SourceCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = col("rn") <= cap
+    documents
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rn"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(kept, 1)).as("n_kept"),
+        coalesce(sum(when(kept, col("doc_id"))), lit(0L))
+          .as("kept_id_sum"),
+        min(when(kept, col("n_chars"))).as("min_kept_chars"))
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[sourceCapSummary]]. */
+  val sourceCapSummarySql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, count(*) AS n_total,
+       |  count(CASE WHEN rn <= $SourceCap THEN 1 END) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN rn <= $SourceCap THEN doc_id END), 0)
+       |    AS BIGINT) AS kept_id_sum,
+       |  CAST(min(CASE WHEN rn <= $SourceCap THEN n_chars END) AS BIGINT)
+       |    AS min_kept_chars,
+       |  count(*) - count(CASE WHEN rn <= $SourceCap THEN 1 END)
+       |    AS n_dropped
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   // ---- dataset splitting ----------------------------------------------------
 
   /** Split fractions in ppm: 98% train / 1% val / 1% test (fixture

@@ -169,10 +169,24 @@ object PipelineRun {
       val r = cached.agg(count(lit(1)),
         count(when(col("is_late_arrival"), 1)),
         count(when(!col("dq_passed"), 1)),
-        count(when(col("schema_drift_detected"), 1))).head()
+        count(when(col("schema_drift_detected"), 1)),
+        max(unix_millis(col("event_timestamp")))).head()
       val report = RunReport(r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))
       writeRunReport(report, s"$opsDir/run_report.json")
+
+      // stage: monitor source — the DAG writes kafka_monitoring.json
+      // with hardcoded status/partitions/lag (pipeline_dag.py:93-123);
+      // here health derives from the batch in view: volume and
+      // event-time staleness ARE what topic lag means once rows land
+      val latestMs = if (r.isNullAt(4)) 0L else r.getLong(4)
+      writeJson(s"$opsDir/kafka_monitoring.json", Seq(
+        "topic" -> "customers",
+        "status" -> (if (report.totalRecords == 0L) "empty" else "healthy"),
+        "n_records" -> report.totalRecords,
+        "latest_event_ms" -> latestMs,
+        "staleness_ms" ->
+          (if (latestMs == 0L) -1L else now.toEpochMilli - latestMs)))
 
       // stage: data quality — GE-style suite over the curated frame
       val suite = DqSuite.evaluate(cached, DqSuite.customersSuite)

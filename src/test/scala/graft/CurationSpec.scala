@@ -554,4 +554,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r(0)._2 == 0L && r(0)._3 == 1.0)
     assert(r(1)._2 == 1L && r(1)._3 == 1.0)
   }
+
+  test("source cap keeps the longest cap docs per source, pushed as a group limit") {
+    import spark.implicits._
+    // src a: 4 docs, cap 2 must keep the two longest; tie at 30 chars
+    // broken by doc_id; src b: under the cap, everything survives
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "b", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Curation.sourceCap(docs, cap = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L))
+    // the rank-filter must compile to a WindowGroupLimit (partial
+    // per-partition top-k BEFORE the shuffle) — the 100 TB shape
+    val plan = Curation.sourceCap(docs, cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+
+    val sum = Curation.sourceCapSummary(docs, cap = 2).collect()
+    val bySrc = sum.map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySrc("a").getAs[Long]("n_kept") == 2L
+      && bySrc("a").getAs[Long]("n_dropped") == 2L
+      && bySrc("a").getAs[Long]("kept_id_sum") == 5L
+      && bySrc("a").getAs[Long]("min_kept_chars") == 30L)
+    assert(bySrc("b").getAs[Long]("n_kept") == 1L
+      && bySrc("b").getAs[Long]("n_dropped") == 0L)
+  }
 }

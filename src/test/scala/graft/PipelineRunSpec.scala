@@ -35,8 +35,13 @@ class PipelineRunSpec extends AnyFunSuite {
       trigger)
 
     // artifacts written per the DAG file contract
-    Seq("run_report.json", "ge_results.json", "agent_decision.json")
+    Seq("run_report.json", "ge_results.json", "agent_decision.json",
+        "kafka_monitoring.json")
       .foreach(f => assert(Files.exists(Paths.get(s"$opsDir/$f")), f))
+    // monitor stage derives health from the batch, not a hardcoded stub
+    val mon = Files.readString(Paths.get(s"$opsDir/kafka_monitoring.json"))
+    assert(mon.contains("\"status\": \"healthy\"")
+      && mon.contains(s""""n_records": ${outcome.report.totalRecords}"""))
     // report numbers agree with a direct aggregate
     assert(outcome.report.totalRecords == curated.count())
     // fixture has injected DQ failures > 5% -> escalation path, notified

@@ -500,6 +500,35 @@ object ScaleProbe {
     * roughly time-ordered over 30 days, ~[[n]]/users events per user,
     * the fixture's 5-value event_type domain, and the props JSON shape.
     */
+  /** Source-cap probe: the same rank-filter with Catalyst's
+    * WindowGroupLimit pushdown disabled vs enabled. Disabled, every row
+    * shuffles to its source's reducer (20 hot keys carry the corpus);
+    * enabled, each input partition pre-prunes to its own top-cap per
+    * source, so the exchange carries O(sources × cap × partitions).
+    */
+  def capProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    spark.conf.set(key, -1)
+    val (r1, t1) = timed(graft.ext.Curation.sourceCap(docs).count())
+    spark.conf.set(key, 1000) // Spark default
+    val (r2, t2) = timed(graft.ext.Curation.sourceCap(docs).count())
+    require(r1 == r2, s"pushdown changed the result: $r1 vs $r2")
+    val plan = graft.ext.Curation.sourceCap(docs)
+      .queryExecution.executedPlan.toString
+    require(plan.contains("WindowGroupLimit"), "expected group-limit node")
+    println(f"capProbe n=$n%d kept=$r2%d " +
+      f"noPushdown=$t1%.2fs windowGroupLimit=$t2%.2fs")
+    docs.unpersist()
+    ()
+  }
+
   def synthEvents(spark: SparkSession, n: Long,
       users: Long = 0L): DataFrame = {
     val nUsers = if (users > 0) users else math.max(n / 64L, 16L)
@@ -552,6 +581,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
+    val capMode = args.headOption.contains("cap")
     val lshMode = args.headOption.contains("lsh")
     val joinsMode = args.headOption.contains("joins")
     val pqMode = args.headOption.contains("pq")
@@ -566,7 +596,7 @@ object ScaleProbe {
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
-          || eventsMode || overlapMode)
+          || eventsMode || overlapMode || capMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -622,6 +652,11 @@ object ScaleProbe {
     }
     if (curationMode) {
       sizes.foreach(curationProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (capMode) {
+      sizes.foreach(capProbe(spark, _))
       spark.stop()
       return
     }

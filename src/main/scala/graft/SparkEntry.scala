@@ -478,6 +478,12 @@ object SparkEntry {
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
+    // lexical near-dup decontamination: banded MinHash candidates vs
+    // the broadcast benchmark bands, verified Jaccard; the oracle is
+    // brute-force all-pairs, so a green row proves banding recall
+    "fuzzy_decontam" -> ((s, dir) =>
+      graft.ext.Curation.fuzzyDecontam(tables(s, dir).documents)
+        .orderBy("doc_id", "bench_id")),
     // curriculum quartiles of the quality-classifier margin: exact
     // percentile thresholds (one bounded agg), map-side assignment
     "curriculum_plan" -> ((s, dir) =>
@@ -1314,6 +1320,7 @@ object SparkEntry {
       s"""SELECT * FROM (${graft.ext.Winnow.matchesSql})
          |ORDER BY doc_a, doc_b""".stripMargin,
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
+    "fuzzy_decontam" -> graft.ext.Curation.fuzzyDecontamSql(),
     "dsir_weights" -> graft.ext.Curation.dsirWeightsSql(),
     "semantic_decontam" -> graft.ext.Curation.semanticDecontamSql(),
     "event_funnel" -> Analytics.eventFunnelSql,

@@ -108,6 +108,90 @@ object Curation {
        |HAVING count(bench.h) > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Lexical NEAR-duplicate benchmark decontamination — the third
+    * decontamination mode beside exact n-gram overlap
+    * ([[decontaminationReport]]) and embedding similarity
+    * ([[semanticDecontam]]): flag corpus docs whose shingle-set Jaccard
+    * against any benchmark doc clears [[Dedup.JaccardThreshold]] — a
+    * light rewrite of an eval item (exact-overlap misses it once every
+    * 5-gram is perturbed; embeddings need a vector table) still leaks.
+    *
+    * Scale shape: candidates come from MinHash band collisions like
+    * [[Dedup.minhashNearDups]], but cross-sided — the BENCHMARK's band
+    * table (eval sets ≪ corpus) is broadcast against the corpus banding
+    * scan, so there is no corpus self-join and no corpus-side shuffle
+    * until the candidate-scoped verification; exact Jaccard touches
+    * only docs that collided. The DuckDB oracle is the brute-force
+    * all-pairs intersection, so a green row proves the banding's recall
+    * at the threshold (the [[graft.operators.FuzzyLink]] discipline).
+    */
+  def fuzzyDecontam(documents: DataFrame,
+      benchmarkMod: Int = BenchmarkMod): DataFrame =
+    fuzzyDecontamAgainst(
+      documents.filter(col("doc_id") % benchmarkMod =!= 0),
+      documents.filter(col("doc_id") % benchmarkMod === 0))
+
+  /** Production-shaped form: explicit corpus vs (small) benchmark. */
+  def fuzzyDecontamAgainst(corpus: DataFrame,
+      bench: DataFrame): DataFrame = {
+    val benchBands = Dedup.bandTable(bench)
+      .withColumnRenamed("doc_id", "bench_id")
+    val cand = Dedup.bandTable(corpus)
+      .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+      .persist() // scopes verification AND joins into it
+    val candCorpus = cand.select("doc_id").distinct()
+    val shC = Dedup.shingleTable(
+      corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi"))
+      .persist()
+    val shB = Dedup.shingleTable(bench)
+    val cntC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_doc"))
+    val cntB = shB.groupBy("doc_id").agg(count(lit(1)).as("n_bench"))
+      .withColumnRenamed("doc_id", "bench_id")
+    cand
+      .join(shC, Seq("doc_id"))
+      .join(shB.withColumnRenamed("doc_id", "bench_id"),
+        Seq("bench_id", "h"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter"))
+      .join(cntC, Seq("doc_id"))
+      .join(cntB, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("inter"),
+        col("n_doc"), col("n_bench"),
+        round(col("inter").cast("double")
+          / (col("n_doc") + col("n_bench") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+  }
+
+  /** DuckDB mirror of [[fuzzyDecontam]] — brute-force all-pairs exact
+    * Jaccard (recall oracle for the banding).
+    */
+  def fuzzyDecontamSql(benchmarkMod: Int = BenchmarkMod): String =
+    s"""WITH shd AS MATERIALIZED (
+       |  SELECT doc_id, ${h32Sql("s")} AS h
+       |  FROM (SELECT doc_id, unnest(
+       |          list_distinct(${shinglesSql("string_split(text, ' ')")}))
+       |          AS s
+       |        FROM documents)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+       |    count(*) AS inter
+       |  FROM shd c JOIN shd b ON c.h = b.h
+       |  WHERE c.doc_id % $benchmarkMod != 0
+       |    AND b.doc_id % $benchmarkMod = 0
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_id, i.bench_id, i.inter,
+       |  cc.n AS n_doc, cb.n AS n_bench,
+       |  round(CAST(i.inter AS DOUBLE) / (cc.n + cb.n - i.inter), 6)
+       |    AS jaccard
+       |FROM inter i
+       |JOIN cnt cc ON cc.doc_id = i.doc_id
+       |JOIN cnt cb ON cb.doc_id = i.bench_id
+       |WHERE round(CAST(i.inter AS DOUBLE) / (cc.n + cb.n - i.inter), 6)
+       |  >= ${Dedup.JaccardThreshold}
+       |ORDER BY i.doc_id, i.bench_id""".stripMargin
+
   // ---- stratified sampling -------------------------------------------------
 
   /** Per-stratum sampling rates in parts-per-million (the data-mix spec):

@@ -555,6 +555,27 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1)._2 == 1L && r(1)._3 == 1.0)
   }
 
+  test("fuzzy decontam flags a light benchmark rewrite exact overlap misses") {
+    import spark.implicits._
+    val benchText = (1 to 40).map(i => s"w$i").mkString(" ")
+    // one word changed: 5 of 36 shingles perturbed -> set Jaccard
+    // 31/41 ~ 0.76 clears the 0.5 threshold; exact overlap alone would
+    // report partial contamination, fuzzy names the benchmark DOC
+    val rewrite = (1 to 40).map(i => if (i == 38) "zz" else s"w$i")
+      .mkString(" ")
+    val far = (1 to 40).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (0L, benchText),  // benchmark (doc_id % 50 == 0)
+      (1L, rewrite),    // near-dup of the benchmark -> must flag
+      (2L, far))        // unrelated -> must not flag
+      .toDF("doc_id", "text")
+    val r = Curation.fuzzyDecontam(docs).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(r.head.getAs[Long]("bench_id") == 0L)
+    assert(r.head.getAs[Double]("jaccard") >= graft.ext.Dedup.JaccardThreshold
+      && r.head.getAs[Double]("jaccard") < 1.0)
+  }
+
   test("source cap keeps the longest cap docs per source, pushed as a group limit") {
     import spark.implicits._
     // src a: 4 docs, cap 2 must keep the two longest; tie at 30 chars

@@ -481,9 +481,19 @@ object SparkEntry {
     // lexical near-dup decontamination: banded MinHash candidates vs
     // the broadcast benchmark bands, verified Jaccard; the oracle is
     // brute-force all-pairs, so a green row proves banding recall
-    "fuzzy_decontam" -> ((s, dir) =>
-      graft.ext.Curation.fuzzyDecontam(tables(s, dir).documents)
-        .orderBy("doc_id", "bench_id")),
+    "fuzzy_decontam" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      val mod = graft.ext.Curation.BenchmarkMod
+      // both band sides serve from the persisted ingest-time band
+      // index — candidate generation reads no document text
+      val bands = bandIndexFor(s, dir)
+      graft.ext.Curation.fuzzyDecontamAgainst(
+          docs.filter(col("doc_id") % mod =!= 0),
+          docs.filter(col("doc_id") % mod === 0),
+          corpusBands = Some(bands.filter(col("doc_id") % mod =!= 0)),
+          benchBands = Some(bands.filter(col("doc_id") % mod === 0)))
+        .orderBy("doc_id", "bench_id")
+    }),
     // curriculum quartiles of the quality-classifier margin: exact
     // percentile thresholds (one bounded agg), map-side assignment
     "curriculum_plan" -> ((s, dir) =>

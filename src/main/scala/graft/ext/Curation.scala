@@ -131,13 +131,20 @@ object Curation {
       documents.filter(col("doc_id") % benchmarkMod =!= 0),
       documents.filter(col("doc_id") % benchmarkMod === 0))
 
-  /** Production-shaped form: explicit corpus vs (small) benchmark. */
-  def fuzzyDecontamAgainst(corpus: DataFrame,
-      bench: DataFrame): DataFrame = {
-    val benchBands = Dedup.bandTable(bench)
+  /** Production-shaped form: explicit corpus vs (small) benchmark.
+    * `corpusBands`/`benchBands` serve the banding from a persisted
+    * ingest-time band index ([[Dedup.writeBandIndex]]) instead of
+    * recomputing signatures — with both supplied, candidate generation
+    * touches no document text at all; only the candidate-scoped
+    * verification reads the corpus.
+    */
+  def fuzzyDecontamAgainst(corpus: DataFrame, bench: DataFrame,
+      corpusBands: Option[DataFrame] = None,
+      benchBands: Option[DataFrame] = None): DataFrame = {
+    val bb = benchBands.getOrElse(Dedup.bandTable(bench))
       .withColumnRenamed("doc_id", "bench_id")
-    val cand = Dedup.bandTable(corpus)
-      .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+    val cand = corpusBands.getOrElse(Dedup.bandTable(corpus))
+      .join(broadcast(bb), Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("bench_id")).distinct()
       .persist() // scopes verification AND joins into it
     val candCorpus = cand.select("doc_id").distinct()

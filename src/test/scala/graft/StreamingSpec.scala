@@ -574,6 +574,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx.count() == 4L * EmbedStream.NumTables)
     assert(idx.groupBy("vec_id").count()
       .filter(col("count") =!= EmbedStream.NumTables).count() == 0)
+
+    // compaction folds per-batch partitions into batch_id=-1 and the
+    // compacted index still screens: a near-copy of vector 1 is dropped
+    val (cb, ca) = EmbedStream.compactIndex(spark, indexDir)
+    assert(ca == cb) // (vec_id, table, bucket) rows are already unique
+    EmbedStream.processBatch(
+      Seq((20L, perturb(b)), (21L, vec())).toDF("vec_id", "embedding")
+        .withColumn("label", lit(0)),
+      2L, corpusDir, indexDir, stats)
+    val kept2 = spark.read.parquet(corpusDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(0L, 1L, 2L, 11L, 21L))
   }
 
   test("streaming novelty: batches score against the grown index; replay idempotent") {

@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FuzzyLink
+
+/** Generative properties for the pure algorithmic kernels, checked
+  * against independent naive reference implementations — the guarantees
+  * the operators' docs claim, exercised over random inputs rather than
+  * hand-picked fixtures:
+  *
+  *   - winnowing (SWA 2003): the O(n) monotonic-deque selection equals
+  *     a naive O(n·w) rightmost-min-per-window scan, and every window
+  *     is covered by a selection;
+  *   - Luhn: the codegen column validates every correctly-checked PAN
+  *     and rejects every single-digit substitution (the error class the
+  *     checksum guarantees to catch);
+  *   - deletion-neighborhood blocking (FastSS): every random
+  *     single-edit pair is linked — recall by construction, not by
+  *     fixture luck.
+  *
+  * Spark-evaluated properties batch all generated cases into ONE job
+  * (per-case jobs would be minutes of scheduler overhead for no extra
+  * coverage).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val PosShift = 4294967296L
+
+  // ---- winnowing ----------------------------------------------------------
+
+  /** Naive reference: rightmost minimum of every length-w window (one
+    * clamped window when n <= w), first-appearance distinct encoding.
+    */
+  private def naiveSelections(hs: Array[Long], w: Int): Seq[Long] = {
+    val n = hs.length
+    val sel = scala.collection.mutable.LinkedHashSet[Long]()
+    if (n == 0) return Nil
+    if (n <= w) {
+      var best = Long.MaxValue
+      var pos = 0
+      var j = 0
+      while (j < n) {
+        if (hs(j) <= best) { best = hs(j); pos = j }
+        j += 1
+      }
+      sel += (pos + 1).toLong * PosShift + best
+    } else {
+      var s = 0
+      while (s <= n - w) {
+        var best = Long.MaxValue
+        var pos = s
+        var j = s
+        while (j < s + w) {
+          if (hs(j) <= best) { best = hs(j); pos = j }
+          j += 1
+        }
+        sel += (pos + 1).toLong * PosShift + hs(pos)
+        s += 1
+      }
+    }
+    sel.toSeq
+  }
+
+  test("property: winnow deque equals the naive window scan and covers every window") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocabulary on purpose: repeated words give repeated gram
+    // hashes, exercising the rightmost-min tie handling
+    val genText = for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield ws.mkString(" ")
+    val params = Gen.Parameters.default
+    (0 until 200).foreach { i =>
+      val text = genText.pureApply(params, Seed(i.toLong))
+      val k = 1 + i % 3
+      val w = Seq(1, 2, 4, 7)(i % 4)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val got = graft.functions.WinnowUtil.selections(u, k, w)
+        .toLongArray().toSeq
+      val grams = graft.functions.ShingleUtil.shingles(u, k)
+      val hs = Array.tabulate(grams.numElements())(j =>
+        graft.functions.SimHashUtil.h32(grams.getUTF8String(j).toString))
+      assert(got == naiveSelections(hs, w),
+        s"seed $i k=$k w=$w text='$text'")
+      // SWA coverage: every window of w gram hashes holds a selection
+      val positions = got.map(v => (v / PosShift).toInt - 1).toSet
+      if (hs.length > w)
+        (0 to hs.length - w).foreach { s =>
+          assert(positions.exists(p => p >= s && p < s + w),
+            s"window at $s uncovered, seed $i")
+        }
+    }
+  }
+
+  // ---- Luhn ---------------------------------------------------------------
+
+  private def luhnRef(s: String): Boolean = {
+    val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'
+      val dd = if (i % 2 == 1) d * 2 else d
+      if (dd > 9) dd - 9 else dd
+    }.sum
+    sum % 10 == 0
+  }
+
+  test("property: Luhn column accepts checked PANs, rejects any single-digit substitution") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      base <- Gen.listOfN(15, Gen.chooseNum(0, 9))
+      pos <- Gen.chooseNum(0, 15)
+      delta <- Gen.chooseNum(1, 9)
+    } yield (base, pos, delta)
+    val params = Gen.Parameters.default
+    val rows = (0 until 300).flatMap { i =>
+      val (base, pos, delta) = gen.pureApply(params, Seed(i.toLong))
+      val b = base.mkString
+      // compute the check digit making the PAN valid
+      val check = (0 to 9).find(d => luhnRef(b + d)).get
+      val valid = b + check
+      assert(luhnRef(valid)) // the reference agrees with itself
+      // single-digit substitution: Luhn guarantees detection
+      val corrupted = valid.updated(pos,
+        (((valid(pos) - '0') + delta) % 10 + '0').toChar)
+      Seq((valid, true), (corrupted, false))
+    }
+    val got = rows.toDF("num", "expected")
+      .withColumn("got", graft.ext.Curation.luhnValid(col("num")))
+      .filter(col("got") =!= col("expected"))
+      .count()
+    assert(got == 0L)
+  }
+
+  // ---- deletion-neighborhood blocking ------------------------------------
+
+  test("property: every random single-edit pair is linked (FastSS recall)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genCase = for {
+      len <- Gen.chooseNum(3, 12)
+      s <- Gen.listOfN(len, Gen.alphaLowerChar).map(_.mkString)
+      op <- Gen.oneOf("sub", "ins", "del")
+      pos <- Gen.chooseNum(0, len - 1)
+      c <- Gen.alphaLowerChar
+    } yield {
+      val d = op match {
+        case "sub" => s.updated(pos, if (s(pos) == c) 'z' else c)
+        case "ins" => s.substring(0, pos) + c + s.substring(pos)
+        case "del" => s.substring(0, pos) + s.substring(pos + 1)
+      }
+      (s, d)
+    }
+    val params = Gen.Parameters.default
+    val cases = (0 until 300).map(i =>
+      genCase.pureApply(params, Seed(i.toLong)))
+      .filter { case (s, d) => s != d }
+      .distinct
+    val clean = cases.map(_._1).distinct.toDF("key")
+    val dirty = cases.map(_._2).distinct.toDF("key")
+    val got = FuzzyLink.linkage(clean, dirty).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val missing = cases.toSet.diff(got)
+    assert(missing.isEmpty,
+      s"blocking missed ${missing.size} distance-1 pairs: " +
+        missing.take(5).mkString(", "))
+  }
+}

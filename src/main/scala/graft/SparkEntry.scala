@@ -550,6 +550,15 @@ object SparkEntry {
     // longest-first; audit pins kept membership via id-sum checksum
     "source_cap" -> ((s, dir) =>
       graft.ext.Curation.sourceCapSummary(tables(s, dir).documents)),
+    // exactly-k hash-ordered uniform sample (TakeOrdered, no global
+    // sort); emits the k members so the driver pins exact membership
+    "sample_exact_k" -> ((s, dir) =>
+      graft.ext.Curation.sampleExactK(tables(s, dir).documents)
+        .orderBy("doc_id")),
+    // Heaps-law vocabulary growth over corpus-order slices: one token
+    // scan, per-token first-appearance bucket, O(buckets) cum-sum
+    "vocab_growth" -> ((s, dir) =>
+      graft.ext.Curation.vocabGrowth(tables(s, dir).documents)),
     // the composed corpus→training-mix funnel (dedup → gates → sample)
     "training_mix" -> ((s, dir) =>
       graft.ext.Curation.trainingMix(tables(s, dir).documents)),
@@ -1338,6 +1347,8 @@ object SparkEntry {
     "hourly_anomalies" -> Analytics.hourlyAnomaliesSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "source_cap" -> graft.ext.Curation.sourceCapSummarySql,
+    "sample_exact_k" -> graft.ext.Curation.sampleExactKSql(),
+    "vocab_growth" -> graft.ext.Curation.vocabGrowthSql(),
     "pack_plan" -> graft.ext.Curation.packPlanSql(
       streamSql = graft.ext.Curation.packStreamShardedSql()),
     "chunk_plan" -> graft.ext.Curation.chunkPlanSql(

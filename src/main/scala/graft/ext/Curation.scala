@@ -339,6 +339,121 @@ object Curation {
        |    AS n_dropped
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- exact-size uniform sampling -----------------------------------------
+
+  /** Fixture size for [[sampleExactK]]. */
+  val ExactK = 100
+
+  /** Exactly-k uniform sample: the k documents with the smallest salted
+    * doc_id hash (doc_id tie-break on 32-bit collisions). Rate-based
+    * sampling ([[stratifiedSample]]) can only hit a target COUNT in
+    * expectation; training pipelines often need exactly k ("take 100k
+    * eval docs"), reproducibly.
+    *
+    * Scale shape: `orderBy(hash).limit(k)` compiles to
+    * `TakeOrderedAndProject` — a per-partition top-k fed into one
+    * driver-side k-row merge, NOT a global sort (no range exchange of
+    * the corpus; CapSpec-style plan pin in CurationSpec). Membership is
+    * hash-determined, so it is stable across runs, partitionings, and
+    * engines — and like [[splitHash]], a doc's membership never changes
+    * when OTHER docs arrive unless it is displaced at the k boundary.
+    */
+  def sampleExactK(documents: DataFrame, k: Int = ExactK): DataFrame =
+    documents
+      .select(col("doc_id"),
+        h32(concat(lit("exact|"), col("doc_id").cast("string")))
+          .as("hv"))
+      .orderBy(col("hv"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("hv"))
+
+  /** DuckDB mirror of [[sampleExactK]] (rows re-sorted by doc_id for a
+    * deterministic driver compare).
+    */
+  def sampleExactKSql(k: Int = ExactK): String =
+    s"""SELECT doc_id, hv FROM (
+       |  SELECT doc_id,
+       |    ${h32Sql("'exact|' || CAST(doc_id AS VARCHAR)")} AS hv
+       |  FROM documents
+       |  ORDER BY hv, doc_id LIMIT $k)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- vocabulary growth (Heaps' law) --------------------------------------
+
+  /** Corpus-order buckets for [[vocabGrowth]]. */
+  val GrowthBuckets = 10
+
+  /** Vocabulary-growth curve: cumulative token volume vs cumulative
+    * DISTINCT vocabulary across `buckets` equal corpus-order slices
+    * (doc_id order — the fixture's proxy for ingest order). The
+    * standard Heaps-law diagnostic: a corpus whose vocabulary stops
+    * growing is saturating (duplication, template text); one growing
+    * linearly is noise/IDs. Each token's contribution to the distinct
+    * count lands in the bucket of its FIRST appearance.
+    *
+    * Scale shape: one token scan; per-token `min(bucket)` is a
+    * map-side-combinable aggregate on the token key (the corpus's only
+    * shuffle), then O(buckets) rows cum-sum in a single-partition
+    * window over a 10-row frame. No distinct-per-prefix rescans — the
+    * naive "count distinct tokens in every prefix" is buckets × corpus.
+    */
+  def vocabGrowth(documents: DataFrame,
+      buckets: Int = GrowthBuckets): DataFrame = {
+    val spark = documents.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val toks = documents
+      .crossJoin(broadcast(nDocs))
+      .select(
+        least(floor(col("doc_id") * buckets / col("n_docs")),
+          lit(buckets - 1)).cast("long").as("bucket"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val perBucketTokens = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy("token")
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucketTokens
+      .join(firstSeen, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_tokens", "n_new_types"))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        sum("n_tokens").over(w).as("cum_tokens"),
+        sum("n_new_types").over(w).as("cum_types"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[vocabGrowth]]. */
+  def vocabGrowthSql(buckets: Int = GrowthBuckets): String =
+    s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT least(CAST(floor(doc_id * $buckets / n_docs) AS BIGINT),
+       |      ${buckets - 1}) AS bucket,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents, nd),
+       |tf AS (SELECT bucket, token FROM toks WHERE token != ''),
+       |per_bucket AS (
+       |  SELECT bucket, count(*) AS n_tokens FROM tf GROUP BY bucket),
+       |first_seen AS (
+       |  SELECT bucket, count(*) AS n_new_types FROM (
+       |    SELECT token, min(bucket) AS bucket FROM tf GROUP BY token)
+       |  GROUP BY bucket)
+       |SELECT coalesce(p.bucket, f.bucket) AS bucket,
+       |  coalesce(p.n_tokens, 0) AS n_tokens,
+       |  coalesce(f.n_new_types, 0) AS n_new_types,
+       |  sum(coalesce(p.n_tokens, 0)) OVER (
+       |    ORDER BY coalesce(p.bucket, f.bucket)
+       |    ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |  sum(coalesce(f.n_new_types, 0)) OVER (
+       |    ORDER BY coalesce(p.bucket, f.bucket)
+       |    ROWS UNBOUNDED PRECEDING) AS cum_types
+       |FROM per_bucket p FULL OUTER JOIN first_seen f
+       |  ON p.bucket = f.bucket
+       |ORDER BY bucket""".stripMargin
+
   // ---- dataset splitting ----------------------------------------------------
 
   /** Split fractions in ppm: 98% train / 1% val / 1% test (fixture

@@ -555,6 +555,40 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1)._2 == 1L && r(1)._3 == 1.0)
   }
 
+  test("exact-k sample: stable membership, k rows, top-k plan (no global sort)") {
+    import spark.implicits._
+    val docs = (0L until 500L).toDF("doc_id")
+    val s1 = Curation.sampleExactK(docs, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 50)
+    // growth stability: doubling the corpus only displaces members at
+    // the k boundary — survivors of the old corpus that remain in the
+    // new sample keep their membership (hash-determined, not positional)
+    val s2 = Curation.sampleExactK((0L until 1000L).toDF("doc_id"), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert((s2 -- s1).forall(_ >= 500L)) // only NEW docs enter
+    assert((s1 -- s2).size == (s2 -- s1).size) // one-for-one displacement
+    assert((s2 & s1).nonEmpty)
+    // plan: distributed top-k merge, never a range-partitioned sort
+    val plan = Curation.sampleExactK(docs, k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("vocab growth: hand-built corpus with a known first-appearance curve") {
+    import spark.implicits._
+    // 4 docs, 2 buckets: types a,b,c appear in bucket 0; d only in 1
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "a d"), (3L, "d d b"))
+      .toDF("doc_id", "text")
+    val r = Curation.vocabGrowth(docs, buckets = 2).collect()
+    assert(r.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L))
+    assert(r.map(_.getAs[Long]("n_tokens")).toSeq == Seq(5L, 5L))
+    assert(r.map(_.getAs[Long]("n_new_types")).toSeq == Seq(3L, 1L))
+    assert(r.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 10L))
+    assert(r.map(_.getAs[Long]("cum_types")).toSeq == Seq(3L, 4L))
+  }
+
   test("fuzzy decontam flags a light benchmark rewrite exact overlap misses") {
     import spark.implicits._
     val benchText = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -85,7 +85,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "doc_profile",          // one combined-agg row → O(columns) stack
     "curriculum_plan",      // 1-row percentile thresholds → 4-row agg
     "dataset_card",         // two 1-row aggregates composed
-    "ann_index_drift")      // two 1-row stat aggregates composed
+    "ann_index_drift",      // two 1-row stat aggregates composed
+    "vocab_growth")         // cum-sum window over O(buckets) rows
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -133,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "curriculum_plan",      // corpus × 1-row threshold broadcast
     "dataset_card",         // 1-row base × 1-row quality aggregate
     "approx_sketches",      // corpus × 1-row sketch-scalars attach
-    "ann_index_drift")      // batch × broadcast centroids; 1-row stats
+    "ann_index_drift",      // batch × broadcast centroids; 1-row stats
+    "vocab_growth")         // corpus × one-row doc-count attach
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {
@@ -251,7 +253,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "hybrid_mlt" -> 3,            // lex/vec/fused ranks, each ≤pool rows
     "more_like_this" -> 1,        // rank over the ≤topK merged pool
     "purchase_rank" -> 1,         // rank over the ≤TopK limited frame
-    "schema_drift_report" -> 1)   // ordinal over O(distinct keys) rows
+    "schema_drift_report" -> 1,   // ordinal over O(distinct keys) rows
+    "vocab_growth" -> 1)          // cum-sum over O(buckets) rows
 
   test("global windows only where allowlisted, at pinned counts") {
     assert(globalWindowCounts == globalWindowAllowance,

@@ -588,6 +588,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept2 == Set(0L, 1L, 2L, 11L, 21L))
   }
 
+  test("streaming source quota: cap enforced across batches via keyed state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.QuotaStream
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("quotackpt").toString
+    val adm = QuotaStream.admissions(
+      mem.toDF().toDF("doc_id", "source"), cap = 2)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Boolean)]()
+    def drain(): Unit = {
+      val q = adm.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[QuotaStream.Admission],
+           _: Long) =>
+            val rows = b.collect().map(a => (a.doc_id, a.admitted))
+            buf.synchronized { buf ++= rows; () }
+        }
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    mem.addData((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"))
+    drain()
+    mem.addData((4L, "a"), (11L, "b"), (12L, "b"), (13L, "b"))
+    drain()
+    val admitted = buf.filter(_._2).map(_._1).toSet
+    // source a: first two of batch 1 fill the quota — 3 (same batch)
+    // and 4 (NEXT batch, via carried state) are rejected; source b:
+    // 10 + 11 admitted, 12/13 rejected
+    assert(admitted == Set(1L, 2L, 10L, 11L))
+    assert(buf.size == 8)
+    // batch-mode equivalence: one big batch admits the same set when
+    // arrival order matches doc_id order
+    val all = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"),
+      (4L, "a"), (11L, "b"), (12L, "b"), (13L, "b"))
+      .toDF("doc_id", "source")
+    val batchAdmitted = QuotaStream.admissions(all, cap = 2)
+      .collect().filter(_.admitted).map(_.doc_id).toSet
+    assert(batchAdmitted == admitted)
+  }
+
   test("streaming novelty: batches score against the grown index; replay idempotent") {
     import spark.implicits._
     import graft.streaming.NoveltyStream

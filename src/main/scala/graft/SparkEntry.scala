@@ -559,6 +559,15 @@ object SparkEntry {
     // scan, per-token first-appearance bucket, O(buckets) cum-sum
     "vocab_growth" -> ((s, dir) =>
       graft.ext.Curation.vocabGrowth(tables(s, dir).documents)),
+    // CCNet/RefinedWeb site-template boilerplate: per-source audit of
+    // grams present in >= 20% of the source's docs (source-SCOPED df,
+    // unlike corpus-wide span dedup)
+    "boilerplate_report" -> ((s, dir) =>
+      graft.ext.Boilerplate.report(tables(s, dir).documents)),
+    // the scrub's exact token accounting: template-gram intervals
+    // merged per doc via gaps-and-islands
+    "boilerplate_scrub" -> ((s, dir) =>
+      graft.ext.Boilerplate.scrub(tables(s, dir).documents)),
     // the composed corpus→training-mix funnel (dedup → gates → sample)
     "training_mix" -> ((s, dir) =>
       graft.ext.Curation.trainingMix(tables(s, dir).documents)),
@@ -1349,6 +1358,8 @@ object SparkEntry {
     "source_cap" -> graft.ext.Curation.sourceCapSummarySql,
     "sample_exact_k" -> graft.ext.Curation.sampleExactKSql(),
     "vocab_growth" -> graft.ext.Curation.vocabGrowthSql(),
+    "boilerplate_report" -> graft.ext.Boilerplate.reportSql(),
+    "boilerplate_scrub" -> graft.ext.Boilerplate.scrubSql(),
     "pack_plan" -> graft.ext.Curation.packPlanSql(
       streamSql = graft.ext.Curation.packStreamShardedSql()),
     "chunk_plan" -> graft.ext.Curation.chunkPlanSql(

@@ -636,4 +636,49 @@ class CurationSpec extends AnyFunSuite {
     assert(bySrc("b").getAs[Long]("n_kept") == 1L
       && bySrc("b").getAs[Long]("n_dropped") == 0L)
   }
+
+  test("boilerplate: source-scoped template grams found and scrubbed") {
+    import spark.implicits._
+    import graft.ext.Boilerplate
+    // source a: 4 of 5 docs open with the same 3-token template ("terms
+    // of service" -> bigrams "terms of" + "of service" hit df 4/5);
+    // source b: same template text exists in only 1 of 4 docs, below
+    // both the 20% ppm floor? (1/4 = 25% >= 20% but df 1 < minDf 3) —
+    // the absolute floor keeps tiny overlaps out
+    val tpl = "terms of service"
+    val docs = Seq(
+      (1L, s"$tpl alpha beta gamma", "a"),
+      (2L, s"$tpl delta epsilon zeta", "a"),
+      (3L, s"$tpl eta theta iota", "a"),
+      (4L, s"$tpl kappa lambda mu", "a"),
+      (5L, "nu xi omicron pi rho sigma", "a"),
+      (10L, s"$tpl tau upsilon phi", "b"),
+      (11L, "chi psi omega one two three", "b"),
+      (12L, "four five six seven eight nine", "b"),
+      (13L, "ten eleven twelve thirteen fourteen fifteen", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val rep = Boilerplate.report(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // exactly the two template bigrams clear df>=3 AND >=20% in a
+    assert(rep("a").getAs[Long]("n_template_grams") == 2L)
+    assert(rep("a").getAs[Long]("max_df") == 4L)
+    assert(rep("b").getAs[Long]("n_template_grams") == 0L)
+    val scrub = Boilerplate.scrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1-4: bigrams at pos 0 and 1 merge into one [0,2] island ->
+    // 3 tokens removed of 6; doc 5 and all of source b untouched
+    (1L to 4L).foreach { id =>
+      assert(scrub(id).getAs[Long]("tokens_removed") == 3L, id)
+      assert(scrub(id).getAs[Long]("tokens_kept") == 3L, id)
+    }
+    assert(scrub(5L).getAs[Long]("tokens_removed") == 0L)
+    assert(scrub(10L).getAs[Long]("tokens_removed") == 0L)
+    // scrub is idempotent in spirit: a corpus with no template grams
+    // reports zero removals everywhere
+    val clean = docs.filter(col("source") === "b")
+    assert(Boilerplate.scrub(clean).agg(sum("tokens_removed"))
+      .head().getLong(0) == 0L)
+  }
 }

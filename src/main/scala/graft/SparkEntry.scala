@@ -555,6 +555,16 @@ object SparkEntry {
     "sample_exact_k" -> ((s, dir) =>
       graft.ext.Curation.sampleExactK(tables(s, dir).documents)
         .orderBy("doc_id")),
+    // Efraimidis-Spirakis weighted k-sample without replacement: key
+    // ln(u)/n_chars quantized to 1e-9 fixed-point, TakeOrdered top-k
+    "weighted_sample_k" -> ((s, dir) =>
+      graft.ext.Curation.weightedSampleK(tables(s, dir).documents)
+        .orderBy("doc_id")),
+    // Misra-Gries heavy hitters: per-partition k-counter sketch merged
+    // by summation; the driver verifies the capture + error-bound
+    // THEOREMS per symbol (estimates stay out of the compare)
+    "heavy_hitters" -> ((s, dir) =>
+      graft.ext.HeavyHitters.report(tables(s, dir).documents)),
     // Heaps-law vocabulary growth over corpus-order slices: one token
     // scan, per-token first-appearance bucket, O(buckets) cum-sum
     "vocab_growth" -> ((s, dir) =>
@@ -1357,6 +1367,8 @@ object SparkEntry {
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "source_cap" -> graft.ext.Curation.sourceCapSummarySql,
     "sample_exact_k" -> graft.ext.Curation.sampleExactKSql(),
+    "weighted_sample_k" -> graft.ext.Curation.weightedSampleKSql(),
+    "heavy_hitters" -> graft.ext.HeavyHitters.reportSql(),
     "vocab_growth" -> graft.ext.Curation.vocabGrowthSql(),
     "boilerplate_report" -> graft.ext.Boilerplate.reportSql(),
     "boilerplate_scrub" -> graft.ext.Boilerplate.scrubSql(),

@@ -378,6 +378,56 @@ object Curation {
        |  ORDER BY hv, doc_id LIMIT $k)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- weighted sampling without replacement -------------------------------
+
+  /** Sample size for [[weightedSampleK]]. */
+  val WeightedK = 100
+
+  /** Exactly-k WEIGHTED sample without replacement — Efraimidis &
+    * Spirakis (2006, public literature): each document draws a
+    * deterministic uniform u and competes by key ln(u)/w; the k largest
+    * keys are a weight-proportional sample without replacement. Weight
+    * here is `n_chars` (the token-budget proxy), so a doc's inclusion
+    * probability tracks its share of the training-token budget — the
+    * selection rule a mix planner actually wants ("sample k docs
+    * proportional to length"), where [[sampleExactK]] treats a tweet
+    * and a book as equals.
+    *
+    * Determinism: u = (h32(salt|doc_id) + 1) / 2^32 is an exact dyadic
+    * double, identical in both engines; the key is quantized to 1e-9
+    * fixed-point BEFORE ranking (the [[TextAnalysis.lmScore]]
+    * discipline) with `doc_id` breaking quantized ties, so the ranking
+    * is a cross-engine total order. Scale shape: the key is one
+    * map-side expression; `orderBy.limit(k)` compiles to
+    * `TakeOrderedAndProject` (per-partition top-k + one k-row driver
+    * merge, no range exchange — the [[sampleExactK]] plan, pinned in
+    * CurationSpec).
+    */
+  def weightedSampleK(documents: DataFrame,
+      k: Int = WeightedK): DataFrame = {
+    val u = (h32(concat(lit("wgt|"), col("doc_id").cast("string"))) + 1L)
+      .cast("double") / 4294967296.0
+    val key = floor(log(u) / greatest(col("n_chars"), lit(1L))
+      * 1e9 + 0.5).cast("long")
+    documents
+      .select(col("doc_id"), col("n_chars"), key.as("key_q"))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[weightedSampleK]] (rows re-sorted by doc_id for
+    * the driver compare).
+    */
+  def weightedSampleKSql(k: Int = WeightedK): String =
+    s"""SELECT doc_id, n_chars, key_q FROM (
+       |  SELECT doc_id, n_chars,
+       |    CAST(floor(ln((${h32Sql("'wgt|' || CAST(doc_id AS VARCHAR)")}
+       |        + 1) / 4294967296.0)
+       |      / greatest(n_chars, 1) * 1e9 + 0.5) AS BIGINT) AS key_q
+       |  FROM documents
+       |  ORDER BY key_q DESC, doc_id LIMIT $k)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- vocabulary growth (Heaps' law) --------------------------------------
 
   /** Corpus-order buckets for [[vocabGrowth]]. */

@@ -637,6 +637,33 @@ class CurationSpec extends AnyFunSuite {
       && bySrc("b").getAs[Long]("n_dropped") == 0L)
   }
 
+  test("weighted k-sample favors heavy docs, deterministic, top-k plan") {
+    import spark.implicits._
+    // 200 light docs (10 chars) + 200 heavy (1000 chars): a weighted
+    // 40-sample must lean heavily toward the heavy half
+    val docs = (0L until 400L).map(i =>
+        (i, if (i < 200) 10L else 1000L))
+      .toDF("doc_id", "n_chars")
+    val s1 = Curation.weightedSampleK(docs, k = 40).collect()
+    assert(s1.length == 40)
+    val heavy = s1.count(_.getAs[Long]("n_chars") == 1000L)
+    assert(heavy > 30, s"expected heavy-doc dominance, got $heavy/40")
+    // deterministic: same membership on re-run
+    val s2 = Curation.weightedSampleK(docs, k = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == s1.map(_.getLong(0)).toSet)
+    // a doc whose weight dwarfs everything is effectively certain:
+    // ln(u)/w quantizes to the maximal key 0
+    val withGiant = docs.union(Seq((9999L, 100000000L))
+      .toDF("doc_id", "n_chars"))
+    assert(Curation.weightedSampleK(withGiant, k = 40)
+      .collect().exists(_.getLong(0) == 9999L))
+    // per-partition top-k + driver merge, no global range sort
+    val plan = Curation.weightedSampleK(docs, k = 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("boilerplate: source-scoped template grams found and scrubbed") {
     import spark.implicits._
     import graft.ext.Boilerplate

@@ -1188,6 +1188,43 @@ class ExtSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
   }
 
+  test("Misra-Gries: bounds and capture hold under decrement pressure") {
+    import spark.implicits._
+    import graft.ext.HeavyHitters
+    // adversarial stream: one true heavy hitter among a long uniform
+    // tail, k=2 counters, several partitions — decrements MUST fire
+    val stream = (Seq.fill(300)("hot")
+      ++ (0 until 260).map(i => s"t${i % 26}"))
+    val syms = spark.createDataset(
+      new scala.util.Random(42).shuffle(stream)).repartition(5)
+    val est = HeavyHitters.mergedCounters(syms, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capture theorem: exact(hot)=300 > N/(k+1)=560/3 -> must survive
+    assert(est.contains("hot"))
+    // error bound on every surviving counter: est <= exact,
+    // exact - est <= N/(k+1)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    est.foreach { case (s, e) =>
+      assert(e <= exact(s), s"$s overestimated")
+      assert(exact(s) - e <= 560 / 3, s"$s out of bound")
+    }
+    // and the sketch is genuinely lossy here: with 27 symbols in 2
+    // counters, most of the tail cannot survive
+    assert(est.size < 27)
+
+    // the fixture-shaped report: every theorem row true, the planted
+    // skew flagged must_capture
+    val docs = Seq(
+      (1L, "sun sea sand sky salt song table row", "en", "s", 8L),
+      (2L, "sun sea sand sky salt song value part", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = HeavyHitters.report(docs, k = 2).collect()
+    assert(rep.forall(_.getAs[Boolean]("bound_ok")))
+    val s = rep.find(_.getAs[String]("symbol") == "s").get
+    assert(s.getAs[Long]("exact_n") == 12L
+      && s.getAs[Boolean]("must_capture"))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -698,6 +698,11 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, dir) =>
       Similarity.topKBruteForce(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
+    // margin-based bitext mining (Artetxe & Schwenk): best cross-side
+    // neighbor accepted when its cosine stands out of BOTH local
+    // neighborhoods; label parity stands in for the language split
+    "bitext_margin_pairs" -> ((s, dir) =>
+      Similarity.bitextMarginPairs(tables(s, dir).embeddings)),
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.topKLsh(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
@@ -1460,6 +1465,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
+    "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,
     "multimodal_features" ->

@@ -958,4 +958,131 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  // ---- margin-based bitext mining -----------------------------------------
+
+  /** Neighborhood size for the margin denominator. */
+  val MarginK = 4
+
+  /** Accept threshold on the margin ratio, in ppm (the 1.05 of the
+    * public mining literature).
+    */
+  val MarginThresholdPpm = 1050000L
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019;
+    * CCMatrix-family — public literature): for each query vector on
+    * side A, its best side-B neighbor is accepted when the pair's
+    * cosine stands OUT of both local neighborhoods —
+    * `margin = cos(x,y) / ((avgK(x→B) + avgK(y→A)) / 2)` — which
+    * suppresses hub vectors that are everybody's nearest neighbor. The
+    * fixture's two "languages" are the label parity split; a real
+    * mining run swaps in the lang column.
+    *
+    * Scale shape: the served-ANN usage — a BOUNDED query batch
+    * broadcast against a corpus-side scan (forward), then the ≤
+    * |batch| distinct candidates broadcast back against the other side
+    * (backward). Two map-side scored scans + two per-query bounded
+    * top-k windows; only (batch × k) rows ever shuffle. Corpus-scale
+    * all-pairs mining plugs the candidate generation into the IVF
+    * index ([[topKIvfServed]]) instead of the flat scan — the margin
+    * arithmetic is unchanged.
+    *
+    * Determinism: cosines quantize to 1e-6 fixed point BEFORE ranking
+    * (ties broken by vec_id), every downstream sum/ratio is exact
+    * integer math, and non-positive best-cosines are dropped (never
+    * translation candidates; also keeps the integer division on the
+    * nonnegative range where Spark's `div` and DuckDB's `//` agree).
+    */
+  def bitextMarginPairs(embeddings: DataFrame, k: Int = MarginK,
+      thresholdPpm: Long = MarginThresholdPpm): DataFrame = {
+    val e = withNorm(embeddings)
+    val aSide = e.filter(col("label") % 2 === 0)
+    val bSide = e.filter(col("label") % 2 === 1)
+    val q = aSide.filter(col("vec_id") < 2 * NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cosQ = (l: Column, r: Column, ln: Column, rn: Column) =>
+      floor(dot(l, r) / (ln * rn) * 1e6 + 0.5).cast("long")
+    val fwd = bSide.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("b_id"),
+        cosQ(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_q"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("cos_q").desc, col("b_id"))
+    val fwdAgg = fwd.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .groupBy("q_id")
+      .agg(sum("cos_q").as("sum_f"),
+        max(when(col("rank") === 1, col("b_id"))).as("cand_id"),
+        max(when(col("rank") === 1, col("cos_q"))).as("cand_cos"))
+      .filter(col("cand_cos") > 0)
+    val cands = fwdAgg.select(col("cand_id")).distinct()
+      .join(bSide.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+    val back = aSide.join(broadcast(cands), col("vec_id") =!= col("cand_id"))
+      .select(col("cand_id"), col("vec_id").as("a_id"),
+        cosQ(col("cv"), col("v"), col("cn"), col("nrm")).as("cos_q"))
+    val wb = Window.partitionBy("cand_id")
+      .orderBy(col("cos_q").desc, col("a_id"))
+    val backAgg = back.withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= k)
+      .groupBy("cand_id").agg(sum("cos_q").as("sum_b"))
+    fwdAgg.join(backAgg, Seq("cand_id"))
+      .withColumn("margin_ppm",
+        expr(s"cand_cos * ${2L * k} * 1000000 " +
+          "div greatest(sum_f + sum_b, 1)"))
+      .select(col("q_id"), col("cand_id"), col("cand_cos"),
+        col("margin_ppm"),
+        (col("margin_ppm") >= thresholdPpm).as("accepted"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB mirror of [[bitextMarginPairs]]. */
+  def bitextMarginPairsSql(k: Int = MarginK,
+      thresholdPpm: Long = MarginThresholdPpm): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |fwd AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+       |    CAST(floor(list_sum([CAST(q.embedding[i] AS DOUBLE)
+       |                    * CAST(b.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(q.embedding) + 1)])
+       |      / (q.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS cos_q
+       |  FROM e q JOIN e b ON b.label % 2 = 1
+       |  WHERE q.label % 2 = 0 AND q.vec_id < ${2 * NumQueries}),
+       |fwdtop AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_q DESC, b_id) AS rank
+       |  FROM fwd),
+       |fwdagg AS (
+       |  SELECT q_id, CAST(sum(cos_q) AS BIGINT) AS sum_f,
+       |    max(CASE WHEN rank = 1 THEN b_id END) AS cand_id,
+       |    CAST(max(CASE WHEN rank = 1 THEN cos_q END) AS BIGINT)
+       |      AS cand_cos
+       |  FROM fwdtop WHERE rank <= $k GROUP BY q_id
+       |  HAVING max(CASE WHEN rank = 1 THEN cos_q END) > 0),
+       |back AS (
+       |  SELECT c.cand_id, a.vec_id AS a_id,
+       |    CAST(floor(list_sum([CAST(c.embedding[i] AS DOUBLE)
+       |                    * CAST(a.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(c.embedding) + 1)])
+       |      / (c.nrm * a.nrm) * 1e6 + 0.5) AS BIGINT) AS cos_q
+       |  FROM (SELECT DISTINCT f.cand_id, e.embedding, e.nrm
+       |        FROM fwdagg f JOIN e ON e.vec_id = f.cand_id) c
+       |  JOIN e a ON a.label % 2 = 0),
+       |backagg AS (
+       |  SELECT cand_id, CAST(sum(cos_q) AS BIGINT) AS sum_b
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY cand_id
+       |          ORDER BY cos_q DESC, a_id) AS rank
+       |        FROM back)
+       |  WHERE rank <= $k GROUP BY cand_id)
+       |SELECT q_id, f.cand_id, cand_cos,
+       |  cand_cos * ${2L * k} * 1000000
+       |    // greatest(sum_f + sum_b, 1) AS margin_ppm,
+       |  cand_cos * ${2L * k} * 1000000
+       |    // greatest(sum_f + sum_b, 1) >= $thresholdPpm AS accepted
+       |FROM fwdagg f JOIN backagg b ON f.cand_id = b.cand_id
+       |ORDER BY q_id""".stripMargin
 }

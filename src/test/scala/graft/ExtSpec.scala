@@ -1225,6 +1225,39 @@ class ExtSpec extends AnyFunSuite {
       && s.getAs[Boolean]("must_capture"))
   }
 
+  test("bitext margin mining accepts standout pairs, rejects hubs") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    def embs(rows: Seq[(Long, Array[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    // planted pair: A-query (1,0) has a near-identical B twin while the
+    // rest of B is spread out -> its cosine stands out of both
+    // neighborhoods -> accepted
+    val planted = embs(Seq(
+      (0L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (4L, Array(-1f, 0f), 0),
+      (6L, Array(0f, -1f), 0),
+      (1L, Array(1f, 0.1f), 1),
+      (3L, Array(0.5f, 0.5f), 1),
+      (5L, Array(-0.5f, 0.5f), 1),
+      (7L, Array(0.5f, -0.5f), 1)))
+    val p = Similarity.bitextMarginPairs(planted).collect()
+      .map(r => r.getAs[Long]("q_id") -> r).toMap
+    assert(p(0L).getAs[Long]("cand_id") == 1L)
+    assert(p(0L).getAs[Boolean]("accepted"),
+      s"margin=${p(0L).getAs[Long]("margin_ppm")}")
+    // hub corpus: every vector points the same way, so the best
+    // neighbor never stands out of its neighborhood -> margin ~ 1.0,
+    // everything rejected (the hub-suppression property the plain
+    // cosine threshold lacks)
+    val hub = embs((0L until 8L).map(i =>
+      (i, Array(1f, i * 0.001f), (i % 2).toInt)))
+    val h = Similarity.bitextMarginPairs(hub).collect()
+    assert(h.nonEmpty && h.forall(!_.getAs[Boolean]("accepted")),
+      h.map(r => r.getAs[Long]("margin_ppm")).mkString(","))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -86,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "curriculum_plan",      // 1-row percentile thresholds → 4-row agg
     "dataset_card",         // two 1-row aggregates composed
     "ann_index_drift",      // two 1-row stat aggregates composed
-    "vocab_growth")         // cum-sum window over O(buckets) rows
+    "vocab_growth",         // cum-sum window over O(buckets) rows
+    "heavy_hitters")        // one-row stream-total attach over O(symbols)
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -135,7 +136,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "dataset_card",         // 1-row base × 1-row quality aggregate
     "approx_sketches",      // corpus × 1-row sketch-scalars attach
     "ann_index_drift",      // batch × broadcast centroids; 1-row stats
-    "vocab_growth")         // corpus × one-row doc-count attach
+    "vocab_growth",         // corpus × one-row doc-count attach
+    "heavy_hitters",        // O(symbols) exact rows × 1-row total
+    "bitext_margin_pairs")  // corpus × broadcast bounded query/cand batch
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -632,6 +632,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAdmitted == admitted)
   }
 
+  test("streaming sessionization: gap splits, timeout flush, batch equivalence") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.SessionStream
+    val gapMs = 60000L
+    // base offset: an event AT the initial watermark (epoch 0) would be
+    // discarded as late before the stateful operator sees it
+    val base = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ckpt = Files.createTempDirectory("sessckpt").toString
+    val src = mem.toDF().toDF("user_id", "ts", "value")
+    val out = SessionStream.sessions(src, gapMs)
+    val buf = scala.collection.mutable.ArrayBuffer[SessionStream.Session]()
+    def drain(): Unit = {
+      val q = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[SessionStream.Session],
+           _: Long) =>
+            val rows = b.collect()
+            buf.synchronized { buf ++= rows; () }
+        }
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    // batch 1: two users, everything open
+    mem.addData((1L, ts(0L), 1.0), (1L, ts(30000L), 2.0),
+      (2L, ts(10000L), 5.0))
+    drain()
+    // batch 2: u1 jumps past the gap (closes session 1); u2 extends
+    mem.addData((1L, ts(200000L), 3.0), (2L, ts(50000L), 7.0))
+    drain()
+    // sentinels advance the watermark so idle sessions flush by TIMEOUT
+    mem.addData((99L, ts(1000000L), 0.0))
+    drain()
+    mem.addData((99L, ts(2000000L), 0.0))
+    drain()
+    val got = buf.filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.session_start_ms - base,
+        s.session_end_ms - base, s.n_events, s.total_value)).toSet
+    assert(got == Set(
+      (1L, 0L, 90000L, 2L, 3.0),        // closed by the 200s successor
+      (1L, 200000L, 260000L, 1L, 3.0),  // flushed by timeout
+      (2L, 10000L, 110000L, 2L, 12.0)), // extended cross-batch, timeout
+      got.toString)
+    // the emitted sessions are exactly the batch session_window answer
+    // over the same (non-sentinel) events
+    val batchEvents = Seq(
+      (1L, ts(0L), 1.0), (1L, ts(30000L), 2.0), (2L, ts(10000L), 5.0),
+      (1L, ts(200000L), 3.0), (2L, ts(50000L), 7.0))
+      .toDF("user_id", "ts", "value")
+    val batch = graft.report.Analytics.sessionWindows(batchEvents, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000 - base,
+        r.getLong(2) / 1000 - base, r.getLong(3), r.getDouble(4))).toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+    // batch-mode run of the SAME function emits only successor-closed
+    // sessions (open state discards — what a stream would not yet emit)
+    val batchMode = SessionStream.sessions(batchEvents, gapMs).collect()
+      .map(s => (s.user_id, s.session_start_ms - base)).toSet
+    assert(batchMode == Set((1L, 0L)))
+  }
+
   test("streaming novelty: batches score against the grown index; replay idempotent") {
     import spark.implicits._
     import graft.streaming.NoveltyStream

@@ -638,6 +638,10 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionReport(tables(s, dir).documents)
         .orderBy("doc_id")),
+    // token-distribution Shannon entropy (nats) + scale-free ratio:
+    // the information-theoretic repetitiveness gate signal
+    "token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(tables(s, dir).documents)),
     // bigram-LM cross-entropy per doc (CCNet-style quality signal);
     // fixed-point per-position quantization keeps the sum exact
     "doc_lm_score" -> ((s, dir) =>
@@ -1445,6 +1449,7 @@ object SparkEntry {
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,
+    "token_entropy" -> TextAnalysis.tokenEntropySql,
     "doc_lm_score" -> TextAnalysis.lmScoreSql,
     "pii_scrub" ->
       s"""$W

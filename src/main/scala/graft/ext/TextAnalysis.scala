@@ -276,6 +276,71 @@ object TextAnalysis {
        |    AS repetition_flag
        |FROM base JOIN tops ON base.doc_id = tops.doc_id""".stripMargin
 
+  /** Per-doc token-distribution Shannon entropy (nats) — the
+    * information-theoretic repetitiveness signal complementing
+    * [[repetitionReport]]'s rule thresholds: a doc cycling a tiny
+    * vocabulary scores near 0, diverse text approaches ln(n_types);
+    * `entropy_ratio` (entropy / ln(n_types)) is the scale-free form a
+    * quality gate thresholds on. Used (in char/token form) by the
+    * public Gopher/CCNet filter recipes.
+    *
+    * Scale shape: one token scan → per-(doc, token) count (the
+    * corpus's only shuffle, map-side combinable on an 8-byte doc key +
+    * token) → per-doc sum. Cross-engine determinism: each token's
+    * contribution `(c/n)·ln(n/c)` is quantized to 1e-9 fixed point
+    * with an identical expression tree in both engines (the
+    * [[lmScore]] discipline), so the per-doc sum is exact-integer.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+    counts.join(perDoc, "doc_id")
+      .withColumn("qv", floor(
+        col("c").cast("double")
+          * log(col("n_tokens").cast("double") / col("c"))
+          / col("n_tokens") * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"), max("n_types").as("n_types"),
+        round(sum("qv").cast("double") / 1e9, 6).as("entropy_nats"))
+      .withColumn("entropy_ratio",
+        when(col("n_types") > 1,
+          round(col("entropy_nats")
+            / log(col("n_types").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[tokenEntropy]]. */
+  val tokenEntropySql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |  WHERE t != '' GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_types
+       |  FROM counts GROUP BY 1),
+       |q AS (
+       |  SELECT counts.doc_id,
+       |    CAST(floor(CAST(c AS DOUBLE)
+       |      * ln(CAST(n_tokens AS DOUBLE) / c)
+       |      / n_tokens * 1e9 + 0.5) AS BIGINT) AS qv
+       |  FROM counts JOIN perdoc ON counts.doc_id = perdoc.doc_id)
+       |SELECT q.doc_id, p.n_tokens, p.n_types,
+       |  round(CAST(sum(qv) AS DOUBLE) / 1e9, 6) AS entropy_nats,
+       |  CASE WHEN p.n_types > 1
+       |    THEN round(round(CAST(sum(qv) AS DOUBLE) / 1e9, 6)
+       |      / ln(CAST(p.n_types AS DOUBLE)), 6)
+       |    ELSE 0.0 END AS entropy_ratio
+       |FROM q JOIN perdoc p ON q.doc_id = p.doc_id
+       |GROUP BY q.doc_id, p.n_tokens, p.n_types
+       |ORDER BY q.doc_id""".stripMargin
+
   // ---- heuristic quality-filter rule table (Gopher/C4-style) --------------
 
   /** The named doc-level filter rules of a pretraining quality gate —

@@ -1225,6 +1225,28 @@ class ExtSpec extends AnyFunSuite {
       && s.getAs[Boolean]("must_capture"))
   }
 
+  test("token entropy matches hand-computed distributions") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "a a a a"),    // degenerate: entropy 0
+      (2L, "a b a b"),    // uniform over 2 types: ln 2
+      (3L, "a a a b"))    // 0.75·ln(4/3) + 0.25·ln 4
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val r = TextAnalysis.tokenEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("entropy_nats") == 0.0
+      && r(1L).getAs[Double]("entropy_ratio") == 0.0)
+    assert(r(2L).getAs[Double]("entropy_nats") == round6(math.log(2))
+      && r(2L).getAs[Double]("entropy_ratio") == 1.0)
+    val h3 = 0.75 * math.log(4.0 / 3) + 0.25 * math.log(4.0)
+    assert(math.abs(r(3L).getAs[Double]("entropy_nats") - h3) < 2e-6)
+    assert(math.abs(r(3L).getAs[Double]("entropy_ratio")
+      - h3 / math.log(2)) < 2e-6)
+  }
+
   test("bitext margin mining accepts standout pairs, rejects hubs") {
     import spark.implicits._
     import graft.ext.Similarity

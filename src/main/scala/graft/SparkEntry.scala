@@ -801,6 +801,11 @@ object SparkEntry {
     "top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(tables(s, dir).documents)),
 
+    // Top adjacent-bigram collocations by PMI (multiword-expression
+    // mining); exact integer counts, micro-quantized PMI
+    "pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(tables(s, dir).documents)),
+
     // Exact interpolated doc-length quantiles per language
     "doc_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(tables(s, dir).documents)
@@ -1545,6 +1550,7 @@ object SparkEntry {
 
     "dedup_survivors" -> Dedup.minhashSurvivorsSql,
     "top_tokens" -> TextAnalysis.topTokensSql(),
+    "pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
     "doc_length_quantiles" ->
       s"""SELECT * FROM (${TextAnalysis.lengthQuantilesSql})
          |ORDER BY lang""".stripMargin,

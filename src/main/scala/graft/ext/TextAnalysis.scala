@@ -778,6 +778,88 @@ object TextAnalysis {
        |      FROM documents)
        |GROUP BY tok ORDER BY n DESC, tok LIMIT $k""".stripMargin
 
+  /** Collocation pairs below this corpus count are too noisy for PMI
+    * (the classic sparse-count pathology: a hapax pair scores maximal
+    * PMI); the standard mitigation is a minimum pair frequency.
+    */
+  val PmiMinPairCount = 5L
+
+  /** Top-K adjacent-bigram collocations by pointwise mutual information
+    * — the corpus-linguistics staple for surfacing multiword expressions
+    * ("new york") that tokenizer and phrase-mining stages should treat
+    * as units. PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with P over
+    * adjacent-pair and unigram frequencies.
+    *
+    * Scale shape: two map-side explodes (unigrams; zipped adjacent
+    * pairs) feed two map-side-combinable counts; the pair table joins
+    * the vocabulary table twice on the word key (vocabulary-sized
+    * shuffles, orders smaller than the corpus); corpus totals attach as
+    * a broadcast 1-row scalar; final top-K is TakeOrdered (K·partitions
+    * rows sorted, never a global sort). Cross-engine determinism: PMI is
+    * computed once per surviving pair from exact integer counts with an
+    * identical double expression tree in both engines, quantized to
+    * integer micros.
+    */
+  def pmiCollocations(documents: DataFrame, k: Int = 100): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = documents
+      .select(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))).as("l"),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("r"))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("p"))
+      .select(col("p.l").as("a"), col("p.r").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val uni = documents
+      .select(explode(toks).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bigAll = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    // totals read the two (small) aggregated tables, not the corpus
+    val scalars = broadcast(
+      uni.agg(sum("c").cast("long").as("n"))
+        .crossJoin(bigAll.agg(sum("cab").cast("long").as("bt"))))
+    bigAll.filter(col("cab") >= PmiMinPairCount)
+      .join(uni.select(col("w").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(scalars)
+      .withColumn("pmi_micros", expr(
+        "CAST(floor(ln((CAST(cab AS DOUBLE) * n * n)"
+          + " / (CAST(bt AS DOUBLE) * ca * cb)) * 1e6 + 0.5) AS BIGINT)"))
+      .select(col("a"), col("b"), col("cab").as("n_pair"),
+        col("ca").as("n_a"), col("cb").as("n_b"), col("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[pmiCollocations]] (identical PMI expression
+    * tree; `t[:-2]`/`t[2:]` slices zip into adjacent pairs).
+    */
+  def pmiCollocationsSql(k: Int = 100): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT string_split(text, ' ') AS t FROM documents),
+       |pairs AS MATERIALIZED (
+       |  SELECT p[1] AS a, p[2] AS b
+       |  FROM (SELECT unnest(list_zip(t[:-2], t[2:])) AS p FROM toks)
+       |  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+       |    AND p[1] != '' AND p[2] != ''),
+       |uni AS MATERIALIZED (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks)
+       |  WHERE w != '' GROUP BY 1),
+       |bigall AS MATERIALIZED (
+       |  SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+       |scalars AS (
+       |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n,
+       |    (SELECT CAST(sum(cab) AS BIGINT) FROM bigall) AS bt)
+       |SELECT g.a, g.b, cab AS n_pair, ua.c AS n_a, ub.c AS n_b,
+       |  CAST(floor(ln((CAST(cab AS DOUBLE) * n * n)
+       |    / (CAST(bt AS DOUBLE) * ua.c * ub.c)) * 1e6 + 0.5) AS BIGINT)
+       |    AS pmi_micros
+       |FROM bigall g
+       |JOIN uni ua ON g.a = ua.w
+       |JOIN uni ub ON g.b = ub.w
+       |CROSS JOIN scalars
+       |WHERE cab >= $PmiMinPairCount
+       |ORDER BY pmi_micros DESC, g.a, g.b LIMIT $k""".stripMargin
+
   /** Exact interpolated length quantiles per language — `percentile`
     * (exact, Spark ≥3.5) matches DuckDB's `quantile_cont` definition, so
     * the oracle is exact. Exactness costs memory: the aggregate buffers

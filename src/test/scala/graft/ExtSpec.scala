@@ -1247,6 +1247,37 @@ class ExtSpec extends AnyFunSuite {
       - h3 / math.log(2)) < 2e-6)
   }
 
+  test("pmi collocations rank a fixed phrase above independent pairs") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // "new york" always adjacent (PMI high); "the cat"/"the dog"
+    // co-occur with a promiscuous "the" (PMI low); pairs under the
+    // min-count floor must not appear.
+    val docs = (Seq.fill(6)("new york") ++
+      Seq.fill(5)("the cat") ++ Seq.fill(5)("the dog") ++
+      Seq("rare pair"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val r = TextAnalysis.pmiCollocations(docs).collect()
+    val byPair = r.map(x =>
+      (x.getAs[String]("a"), x.getAs[String]("b")) -> x).toMap
+    assert(!byPair.contains(("rare", "pair")))  // below min count
+    val n = 34.0   // total tokens
+    val bt = 17.0  // total adjacent pairs
+    def pmiMicros(cab: Long, ca: Long, cb: Long): Long =
+      math.floor(math.log(cab * n * n / (bt * ca * cb)) * 1e6 + 0.5).toLong
+    assert(byPair(("new", "york")).getAs[Long]("pmi_micros")
+      == pmiMicros(6, 6, 6))
+    assert(byPair(("the", "cat")).getAs[Long]("pmi_micros")
+      == pmiMicros(5, 10, 5))
+    assert(byPair(("new", "york")).getAs[Long]("pmi_micros")
+      > byPair(("the", "cat")).getAs[Long]("pmi_micros"))
+    // deterministic ordering: pmi desc, then (a, b)
+    assert(r.head.getAs[String]("a") == "new")
+  }
+
   test("bitext margin mining accepts standout pairs, rejects hubs") {
     import spark.implicits._
     import graft.ext.Similarity

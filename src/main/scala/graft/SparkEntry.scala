@@ -475,6 +475,12 @@ object SparkEntry {
       Dedup.embeddingClusters(tables(s, dir).embeddings)
         .orderBy("cluster_id")),
 
+    // Exact one-pass covariance of the embedding coordinates (upper
+    // triangle); map-side pair products, d²-keyed hash agg, inputs to
+    // whitening/PCA (EmbedStats.pcaTopComponent runs on its output)
+    "embedding_covariance" -> ((s, dir) =>
+      graft.ext.EmbedStats.covariance(tables(s, dir).embeddings)),
+
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
@@ -658,6 +664,10 @@ object SparkEntry {
     "quality_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(tables(s, dir).documents)
         .orderBy("doc_id")),
+    // Per-language percent-rank calibration of the quality margin;
+    // window over distinct scores only, docs rank via broadcast join
+    "quality_calibrated" -> ((s, dir) =>
+      TextAnalysis.qualityCalibrated(tables(s, dir).documents)),
     // Data-mixing weights: per-source natural vs target token shares
     // and the repeat-epochs to hit the target mix (exact-integer ppm)
     "source_mix_weights" -> ((s, dir) =>
@@ -1434,6 +1444,7 @@ object SparkEntry {
     "quality_classifier" ->
       s"""SELECT * FROM (${TextAnalysis.qualityClassifierSql})
          |ORDER BY doc_id""".stripMargin,
+    "quality_calibrated" -> TextAnalysis.qualityCalibratedSql,
     "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),
     // the k-merge trainer, unrolled to chained CTEs (round 6: the last
     // meaningfully-checkable query moves from rows-only to full oracle)
@@ -1613,6 +1624,7 @@ object SparkEntry {
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),
+    "embedding_covariance" -> graft.ext.EmbedStats.covarianceSql,
 
     "dq_docs_suite" ->
       s"""WITH cur AS (SELECT * FROM documents),

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Second-moment statistics over the embedding corpus: exact one-pass
+  * covariance (upper triangle) and a deterministic power-iteration PCA
+  * on the resulting d×d matrix — the inputs to embedding whitening and
+  * SemDeDup-style curation, and the drift companion to
+  * [[Similarity.ivfIndexDrift]].
+  *
+  * Scale shape: the corpus is touched once; each vector emits its
+  * d(d+1)/2 upper-triangle products map-side (two chained codegen'd
+  * posexplodes, no join) into a hash aggregate with only d(d+1)/2 keys,
+  * so the shuffle carries d(d+1)/2 rows per partition regardless of
+  * corpus size. The d-row mean table broadcasts. PCA then runs on the
+  * driver over the d×d result — linear algebra on a 64×64 matrix is
+  * driver-sized by construction.
+  *
+  * Cross-engine determinism: coordinates quantize to 1e-4 fixed point,
+  * so every sum is an exact integer; the final mean/cov doubles are one
+  * identical expression tree in both engines. Long sums hold to ~1e9
+  * vectors at this quantization; beyond that widen the accumulator to
+  * DECIMAL(38,0) in both engines.
+  */
+object EmbedStats {
+
+  /** Upper-triangle covariance of the embedding coordinates.
+    * Output: (i, j, n, mean_i, mean_j, cov) with 1-based i ≤ j.
+    */
+  def covariance(embeddings: DataFrame): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1e4 + 0.5).cast("long"))
+    val base = embeddings.select(q.as("qa"))
+    val moms = base
+      .select(posexplode(col("qa")).as(Seq("i0", "xi")))
+      .groupBy((col("i0") + 1).as("i"))
+      .agg(sum("xi").as("si"), count(lit(1)).as("n"))
+    val prods = base
+      .select(col("qa"), posexplode(col("qa")).as(Seq("i0", "xi")))
+      .select(col("xi"), (col("i0") + 1).as("i"),
+        posexplode(slice(col("qa"), col("i0") + 1,
+          size(col("qa")) - col("i0"))).as(Seq("j0", "xj")))
+      .select(col("i"), (col("i") + col("j0")).as("j"),
+        (col("xi") * col("xj")).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sij"))
+    prods
+      .join(broadcast(moms), Seq("i"))
+      .join(broadcast(moms.select(col("i").as("j"),
+        col("si").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        expr("round(CAST(si AS DOUBLE) / n / 1e4, 6)").as("mean_i"),
+        expr("round(CAST(sj AS DOUBLE) / n / 1e4, 6)").as("mean_j"),
+        expr("round((CAST(sij AS DOUBLE) / n"
+          + " - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))"
+          + " / 1e8, 6)").as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB mirror of [[covariance]] (same fixed-point quantization and
+    * final expression tree; generate_series unnests index positions).
+    */
+  val covarianceSql: String =
+    """WITH pos AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |q AS MATERIALIZED (
+      |  SELECT vec_id, embedding, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+      |      AS xi
+      |  FROM pos),
+      |moms AS MATERIALIZED (
+      |  SELECT i, CAST(sum(xi) AS BIGINT) AS si, count(*) AS n
+      |  FROM q GROUP BY 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT i, unnest(generate_series(i, len(embedding))) AS j,
+      |    xi, embedding
+      |  FROM q),
+      |prods AS MATERIALIZED (
+      |  SELECT i, j,
+      |    CAST(sum(xi * CAST(floor(CAST(embedding[j] AS DOUBLE) * 1e4
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS sij
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT p.i, p.j, m1.n,
+      |  round(CAST(m1.si AS DOUBLE) / m1.n / 1e4, 6) AS mean_i,
+      |  round(CAST(m2.si AS DOUBLE) / m2.n / 1e4, 6) AS mean_j,
+      |  round((CAST(sij AS DOUBLE) / m1.n
+      |    - (CAST(m1.si AS DOUBLE) / m1.n) * (CAST(m2.si AS DOUBLE) / m2.n))
+      |    / 1e8, 6) AS cov
+      |FROM prods p
+      |JOIN moms m1 ON p.i = m1.i
+      |JOIN moms m2 ON p.j = m2.i
+      |ORDER BY p.i, p.j""".stripMargin
+
+  /** Dominant eigenpair of the covariance by fixed-count power
+    * iteration (deterministic: all-ones start, no early stop) over the
+    * driver-sized d×d matrix from [[covariance]]. Returns
+    * (eigenvalue, eigenvector, varianceExplained).
+    */
+  def pcaTopComponent(cov: DataFrame, iters: Int = 200)
+      : (Double, Array[Double], Double) = {
+    val rows = cov.select("i", "j", "cov").collect()
+    val d = rows.map(_.getAs[Int]("j")).max
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getAs[Int]("i") - 1, r.getAs[Int]("j") - 1,
+        r.getAs[Double]("cov"))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * v(j)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      if (lambda > 0) v = w.map(_ / lambda)
+    }
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    (lambda, v, if (trace > 0) lambda / trace else 0.0)
+  }
+}

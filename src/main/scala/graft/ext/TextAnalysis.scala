@@ -146,6 +146,66 @@ object TextAnalysis {
        |    FROM (SELECT *, string_split(text, ' ') AS toks
        |          FROM documents)))""".stripMargin
 
+  /** Keep-threshold for [[qualityCalibrated]]: drop the per-language
+    * bottom quintile (cross-language fairness — a raw global threshold
+    * would mass-drop whichever language the classifier scores lower).
+    */
+  val CalibrationKeepQuantile = 0.2
+
+  /** Per-language quantile calibration of the quality margin — the
+    * standard fix for a quality classifier whose raw scores are not
+    * comparable across languages: each doc gets its percent-rank within
+    * its language, and the keep gate thresholds the rank, not the raw
+    * margin.
+    *
+    * Scale shape: percent_rank over billions of docs per language would
+    * be a single-partition-per-language window, so the window here runs
+    * over the DISTINCT (lang, margin) table instead (bounded by the ppm
+    * score range, corpus-size-independent) and docs pick up their rank
+    * via a broadcast join — semantically identical to per-doc
+    * `percent_rank()` (ties share the min-rank), which is exactly what
+    * the DuckDB oracle computes per doc. Ranks are exact rationals
+    * evaluated with one double division in both engines.
+    */
+  def qualityCalibrated(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityClassifier(documents)
+      .select(col("doc_id"), col("lang"), col("margin_ppm"))
+    val byLang = Window.partitionBy("lang").orderBy("margin_ppm")
+    val ranks = scored.groupBy("lang", "margin_ppm")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum("cnt").over(
+        byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang",
+        sum("cnt").over(Window.partitionBy("lang")))
+      .withColumn("pct_rank",
+        when(col("n_lang") > 1,
+          round(col("below").cast("double")
+            / (col("n_lang") - 1), 6)).otherwise(lit(0.0)))
+    scored
+      .join(broadcast(ranks.select("lang", "margin_ppm", "pct_rank")),
+        Seq("lang", "margin_ppm"))
+      .withColumn("keep_calibrated",
+        col("pct_rank") >= CalibrationKeepQuantile)
+      .select("doc_id", "lang", "margin_ppm", "pct_rank",
+        "keep_calibrated")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[qualityCalibrated]] — the textbook per-doc
+    * `percent_rank()` form (min-rank ties ≡ the distinct-score rewrite).
+    */
+  def qualityCalibratedSql: String =
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT doc_id, lang, margin_ppm FROM ($qualityClassifierSql))
+       |SELECT doc_id, lang, margin_ppm,
+       |  round(percent_rank() OVER (
+       |    PARTITION BY lang ORDER BY margin_ppm), 6) AS pct_rank,
+       |  round(percent_rank() OVER (
+       |    PARTITION BY lang ORDER BY margin_ppm), 6)
+       |    >= $CalibrationKeepQuantile AS keep_calibrated
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   def textStatsSql: String =
     s"""SELECT doc_id, source, lang, n_chars, n_tokens, n_distinct,
        |  round(CAST(sum_token_len AS DOUBLE) / n_tokens, 6)

@@ -1247,6 +1247,65 @@ class ExtSpec extends AnyFunSuite {
       - h3 / math.log(2)) < 2e-6)
   }
 
+  test("embedding covariance matches hand computation; PCA finds the axis") {
+    import spark.implicits._
+    import graft.ext.EmbedStats
+    // points spread along the (1,1,0) diagonal with a small orthogonal
+    // wiggle: cov must be symmetric-PSD with dominant axis ~ (1,1,0)/√2
+    val vecs = Seq(
+      Array(1.0f, 1.0f, 0.1f), Array(2.0f, 2.0f, -0.1f),
+      Array(3.0f, 3.0f, -0.1f), Array(4.0f, 4.0f, 0.1f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val cov = EmbedStats.covariance(vecs)
+    val rows = cov.collect().map(r =>
+      (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r).toMap
+    assert(rows.size == 6)  // upper triangle of d=3
+    // hand values: var(x)=var(y)=1.25, cov(x,y)=1.25, var(z)=0.01
+    assert(math.abs(rows((1, 1)).getAs[Double]("cov") - 1.25) < 1e-4)
+    assert(math.abs(rows((1, 2)).getAs[Double]("cov") - 1.25) < 1e-4)
+    assert(math.abs(rows((3, 3)).getAs[Double]("cov") - 0.01) < 1e-4)
+    assert(math.abs(rows((1, 3)).getAs[Double]("cov")) < 1e-4)
+    assert(rows((2, 2)).getAs[Double]("mean_j") == 2.5)
+    val (lambda, v, explained) = EmbedStats.pcaTopComponent(cov)
+    assert(math.abs(lambda - 2.5) < 1e-3)          // 2·1.25
+    assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-3
+      && math.abs(v(0) - v(1)) < 1e-6 && math.abs(v(2)) < 1e-2)
+    assert(explained > 0.99 * 2.5 / 2.51 && explained <= 1.0)
+  }
+
+  test("quality calibration ranks within language and keeps top quintile") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // two languages with deliberately different raw-margin scales; the
+    // calibrated rank must be computed within each language
+    val docs = Seq(
+      (1L, "the of and is to in a the of and", "en"),
+      (2L, "the the the the the the the the the the", "en"),
+      (3L, "x", "en"),
+      (4L, "der und ist zu das die ein der und ist", "de"),
+      (5L, "q", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val r = TextAnalysis.qualityCalibrated(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // ranks are per-language: each lang's worst doc sits at 0.0
+    val en = Seq(1L, 2L, 3L).map(i => r(i).getAs[Double]("pct_rank"))
+    assert(en.min == 0.0 && en.max == 1.0)
+    assert(Seq(4L, 5L).map(i => r(i).getAs[Double]("pct_rank"))
+      .sorted == Seq(0.0, 1.0))
+    // bottom-quintile drop: rank 0.0 docs are dropped, rest kept
+    assert(r.values.forall(x =>
+      x.getAs[Boolean]("keep_calibrated")
+        == (x.getAs[Double]("pct_rank") >= 0.2)))
+    // tie semantics: equal margins share the min-rank percent
+    val m = r.values.groupBy(x => (x.getAs[String]("lang"),
+      x.getAs[Long]("margin_ppm")))
+    m.values.foreach(g => assert(
+      g.map(_.getAs[Double]("pct_rank")).toSet.size == 1))
+  }
+
   test("pmi collocations rank a fixed phrase above independent pairs") {
     import spark.implicits._
     import graft.ext.TextAnalysis

@@ -87,7 +87,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dataset_card",         // two 1-row aggregates composed
     "ann_index_drift",      // two 1-row stat aggregates composed
     "vocab_growth",         // cum-sum window over O(buckets) rows
-    "heavy_hitters")        // one-row stream-total attach over O(symbols)
+    "heavy_hitters",        // one-row stream-total attach over O(symbols)
+    "pmi_collocations")     // one-row corpus-totals attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -138,7 +139,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_index_drift",      // batch × broadcast centroids; 1-row stats
     "vocab_growth",         // corpus × one-row doc-count attach
     "heavy_hitters",        // O(symbols) exact rows × 1-row total
-    "bitext_margin_pairs")  // corpus × broadcast bounded query/cand batch
+    "bitext_margin_pairs",  // corpus × broadcast bounded query/cand batch
+    "pmi_collocations")     // pair counts × 1-row (N, B) totals
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -712,6 +712,11 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, dir) =>
       Similarity.topKBruteForce(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
+    // contrastive hard-negative mining: per-anchor cross-label top-N
+    // inside the hard cosine band (triplet-set curation)
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(tables(s, dir).embeddings)
+        .orderBy("q_id", "rank")),
     // margin-based bitext mining (Artetxe & Schwenk): best cross-side
     // neighbor accepted when its cosine stands out of BOTH local
     // neighborhoods; label parity stands in for the language split
@@ -815,6 +820,10 @@ object SparkEntry {
     // mining); exact integer counts, micro-quantized PMI
     "pmi_collocations" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(tables(s, dir).documents)),
+
+    // Per-source robust (median/MAD) doc-length outlier flags
+    "doc_length_outliers" -> ((s, dir) =>
+      TextAnalysis.lengthOutliers(tables(s, dir).documents)),
 
     // Exact interpolated doc-length quantiles per language
     "doc_length_quantiles" -> ((s, dir) =>
@@ -1486,6 +1495,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsSql,
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
+    "hard_negatives" -> Similarity.hardNegativesSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,
@@ -1562,6 +1572,7 @@ object SparkEntry {
     "dedup_survivors" -> Dedup.minhashSurvivorsSql,
     "top_tokens" -> TextAnalysis.topTokensSql(),
     "pmi_collocations" -> TextAnalysis.pmiCollocationsSql(),
+    "doc_length_outliers" -> TextAnalysis.lengthOutliersSql,
     "doc_length_quantiles" ->
       s"""SELECT * FROM (${TextAnalysis.lengthQuantilesSql})
          |ORDER BY lang""".stripMargin,

@@ -136,6 +136,77 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---- contrastive hard-negative mining -----------------------------------
+
+  /** Cosine band for a "hard" negative: similar enough to be
+    * informative for contrastive training, dissimilar enough (and
+    * cross-label) to be a presumed true negative. Candidates at or
+    * above the high edge are near-duplicate/positive territory
+    * (Dedup.EmbDupCos region); below the low edge they are easy
+    * negatives the loss learns nothing from.
+    */
+  val NegBandLo = 0.35
+  val NegBandHi = 0.75
+
+  /** Negatives mined per anchor. */
+  val NegPerAnchor = 5
+
+  /** Contrastive hard-negative mining: for each anchor vector, the
+    * top-N cross-label candidates inside the hard cosine band —
+    * the curation step that builds triplet/contrastive training sets
+    * for embedding models (the mining recipe popularized by the
+    * sentence-embedding and dense-retrieval lines of work).
+    *
+    * Plan shape = [[topKBruteForce]]: the bounded anchor set
+    * broadcasts, scoring is map-side over one corpus scan, and only
+    * band-surviving rows (≤ corpus, typically a thin slice) enter the
+    * per-anchor top-N window. Mining for EVERY doc at 100 TB composes
+    * the served ANN index instead: `topKIvfServedFor` with k ≫ N, then
+    * this same band filter + rank — ANN recall in the band's upper
+    * region is what matters, and the drift monitor guards the index.
+    */
+  def hardNegatives(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= NegBandLo && col("cosine") < NegBandHi)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= NegPerAnchor)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        col("cosine"))
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id, e.label,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
+       |                    * CAST(e.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(q.embedding) + 1)])
+       |      / (q.nrm * e.nrm), 6) AS cosine
+       |  FROM e q JOIN e ON e.vec_id != q.vec_id
+       |    AND e.label != q.label
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, rank, vec_id, label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |  WHERE cosine >= $NegBandLo AND cosine < $NegBandHi)
+       |WHERE rank <= $NegPerAnchor
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---- random-hyperplane LSH ----------------------------------------------
 
   /** Embedding dimensionality of the fixture corpus. */

@@ -940,6 +940,53 @@ object TextAnalysis {
       |  quantile_cont(n_chars, 0.99) AS p99
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Modified z-score threshold for [[lengthOutliers]]: the standard
+    * |x − med| > 3·1.4826·MAD robust gate (1.4826 normalizes MAD to σ
+    * under normality). Robust where mean/stddev gates break: a few
+    * pathological giant docs cannot drag the threshold.
+    */
+  val OutlierMadK = 3.0
+
+  /** Per-source robust doc-length outlier flags via median/MAD — the
+    * curation gate for pathological document sizes that survives the
+    * very outliers it hunts. Two per-source aggregations over the
+    * corpus (median, then median absolute deviation against the
+    * broadcast medians) and a broadcast join back for the per-doc flag.
+    * Exact `percentile` matches DuckDB `quantile_cont` bit-for-bit; at
+    * 100 TB swap both passes to `percentile_approx` (the
+    * [[lengthQuantilesApprox]] discipline) — MAD tolerates rank error
+    * by design.
+    */
+  def lengthOutliers(documents: DataFrame): DataFrame = {
+    val med = documents.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val stats = documents.join(broadcast(med), Seq("source"))
+      .groupBy("source")
+      .agg(max("med").as("med"),
+        percentile(abs(col("n_chars") - col("med")), lit(0.5)).as("mad"))
+    documents.join(broadcast(stats), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"),
+        (abs(col("n_chars") - col("med"))
+          > lit(OutlierMadK) * lit(1.4826) * col("mad")).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  def lengthOutliersSql: String =
+    s"""WITH med AS MATERIALIZED (
+       |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+       |  FROM documents GROUP BY 1),
+       |stats AS MATERIALIZED (
+       |  SELECT d.source, max(m.med) AS med,
+       |    quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+       |  FROM documents d JOIN med m ON d.source = m.source
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.source, d.n_chars, s.med, s.mad,
+       |  abs(d.n_chars - s.med) > $OutlierMadK * 1.4826 * s.mad
+       |    AS is_outlier
+       |FROM documents d JOIN stats s ON d.source = s.source
+       |ORDER BY d.doc_id""".stripMargin
+
   /** `percentile_approx` accuracy knob: error ≤ 1/accuracy of the rank. */
   val ApproxQuantileAccuracy = 10000
 

@@ -1247,6 +1247,56 @@ class ExtSpec extends AnyFunSuite {
       - h3 / math.log(2)) < 2e-6)
   }
 
+  test("length outliers: MAD gate survives the outlier it hunts") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // source A: lengths tightly at ~100 plus one 10_000-char monster;
+    // the monster must flag, the 100s must not, and the threshold must
+    // not have been dragged by the monster (robustness). Source B is
+    // uniform — no flags even though its scale differs from A.
+    val docs = ((1L to 9L).map(i => (i, "x", 100L + i % 3)) ++
+      Seq((10L, "x", 10000L)) ++
+      (11L to 15L).map(i => (i, "y", 5000L)))
+      .map { case (i, s, n) => (i, "t", "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.lengthOutliers(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(10L).getAs[Boolean]("is_outlier"))
+    assert((1L to 9L).forall(i => !r(i).getAs[Boolean]("is_outlier")))
+    assert((11L to 15L).forall(i => !r(i).getAs[Boolean]("is_outlier")))
+    // per-source stats: B's MAD is 0 and its med is its own scale
+    assert(r(11L).getAs[Double]("med") == 5000.0
+      && r(11L).getAs[Double]("mad") == 0.0)
+  }
+
+  test("hard negatives: in-band cross-label only, ranked hardest-first") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val d = 4
+    def v(xs: Double*): Array[Float] = {
+      val a = xs.toArray.map(_.toFloat)
+      a ++ Array.fill(d - a.length)(0.0f)
+    }
+    val c = 0.5   // in-band cosine vs anchor (1,0,..): between 0.35/0.75
+    val s = math.sqrt(1 - c * c)
+    // anchor id 0 label 0; candidates: near-dup (cos .99), in-band
+    // cross-label (cos .5), in-band SAME-label (excluded), easy
+    // negative (cos 0), in-band slightly-harder (cos .6)
+    val vecs = Seq(
+      (0L, v(1.0), 0),
+      (100L, v(0.99, math.sqrt(1 - 0.99 * 0.99)), 1),  // above band
+      (101L, v(c, s), 1),                               // in band
+      (102L, v(c, s), 0),                               // same label
+      (103L, v(0.0, 1.0), 1),                           // below band
+      (104L, v(0.6, math.sqrt(1 - 0.36)), 2))           // in band, harder
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(vecs)
+      .filter(col("q_id") === 0L).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq == Seq(104L, 101L))
+    assert(r.map(_.getAs[Double]("cosine")).toSeq == Seq(0.6, 0.5))
+    assert(r.forall(_.getAs[Int]("label") != 0))
+  }
+
   test("embedding covariance matches hand computation; PCA finds the axis") {
     import spark.implicits._
     import graft.ext.EmbedStats

@@ -140,7 +140,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "vocab_growth",         // corpus × one-row doc-count attach
     "heavy_hitters",        // O(symbols) exact rows × 1-row total
     "bitext_margin_pairs",  // corpus × broadcast bounded query/cand batch
-    "pmi_collocations")     // pair counts × 1-row (N, B) totals
+    "pmi_collocations",     // pair counts × 1-row (N, B) totals
+    "hard_negatives")       // corpus × broadcast bounded anchor set
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -268,6 +268,17 @@ object SparkEntry {
       Analytics.sessionsPerUser(tables(s, dir).events)
         .orderBy("user_id")),
 
+    // log-to-corpus: ordered per-session event-type sequences (the
+    // behavioral-LM training-text construction from raw logs)
+    "session_texts" -> ((s, dir) =>
+      Analytics.sessionTexts(tables(s, dir).events)),
+
+    // shuffle-key skew diagnostics over the sessionization key: top
+    // keys, exact ppm share, skew multiple, salting recommendation
+    "key_skew_report" -> ((s, dir) =>
+      graft.ops.Diagnostics.keySkewReport(tables(s, dir).events,
+        "user_id")),
+
     // Tumbling event-time windows (batch twin of streaming T-ops)
     "hourly_event_counts" -> ((s, dir) =>
       Analytics.hourlyEventCounts(tables(s, dir).events)
@@ -1281,6 +1292,9 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "session_texts" -> Analytics.sessionTextsSql(),
+    "key_skew_report" ->
+      graft.ops.Diagnostics.keySkewReportSql("events", "user_id"),
     "hourly_gapfill" -> Analytics.hourlyGapfillSql,
     "term_search" -> graft.ext.Search.searchAllSql(SearchTerms),
     "tfidf_top_docs" -> graft.ext.Search.tfIdfTopDocsSql(SearchTerms),

@@ -101,6 +101,64 @@ object Analytics {
         count(lit(1)).as("n_events"))
   }
 
+  /** Log-to-corpus: each 30-min-gap session becomes one ordered
+    * event-type sequence string — the standard construction of
+    * behavioral training corpora (session2vec / next-event LMs) from
+    * raw event logs.
+    *
+    * Same single user_id exchange as [[sessionsPerUser]] (lag +
+    * running-sum windows and the final group share the partitioning).
+    * `collect_list` order is not deterministic in Spark, so the
+    * sequence sorts a (ts, event_id, event_type) struct array before
+    * joining — bit-stable across retries/partitionings, and exactly
+    * DuckDB's `string_agg(... ORDER BY ts, event_id)`. Per-session
+    * state is session-length-bounded; a hyperactive key at 100 TB gets
+    * the same secondary date-bound guard as sessionization.
+    */
+  def sessionTexts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+             > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
+          .as("duration_s"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("seq"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  def sessionTextsSql(gapMinutes: Int = 30): String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_ts
+       |  FROM events),
+       |flags AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |    OR CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT)
+       |       - CAST(floor(epoch_ms(prev_ts) / 1000.0) AS BIGINT)
+       |       > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged),
+       |sess AS (
+       |  SELECT *, CAST(sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+       |    AS session_idx
+       |  FROM flags)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  CAST(floor(epoch_ms(max(ts)) / 1000.0) AS BIGINT)
+       |    - CAST(floor(epoch_ms(min(ts)) / 1000.0) AS BIGINT)
+       |    AS duration_s,
+       |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Tumbling 1-hour event-time windows (batch twin of the streaming T-ops;
     * epoch-aligned so DuckDB date_trunc('hour') is the exact oracle).
     */

@@ -79,6 +79,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(endUs - startUs == (10 * 60 + 30 * 60) * 1000000L)
   }
 
+  test("session_texts builds ordered sequences split at the gap") {
+    import spark.implicits._
+    // rows deliberately out of order; two sessions for user 1 split at
+    // the 30-min gap; equal-ts tiebreak falls to event_id
+    val events = Seq(
+      (3L, 1L, "2024-01-01 00:10:00", "click"),
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:00:00", "view2"),   // same ts as id 1
+      (4L, 1L, "2024-01-01 01:00:00", "purchase"), // +50m: new session
+      (5L, 2L, "2024-01-01 00:00:00", "view"))
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val r = Analytics.sessionTexts(events).collect()
+    assert(r.length == 3)
+    val u1 = r.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1(0).getAs[String]("seq") == "view view2 click")
+    assert(u1(0).getAs[Long]("duration_s") == 600L)
+    assert(u1(1).getAs[String]("seq") == "purchase"
+      && u1(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("key skew report flags only the hot key") {
+    import spark.implicits._
+    // 99 uniform keys × 10 rows + one hot key: at 100 rows the hot key
+    // is 9.2× the mean (under the 10× bar — no flag); at 4000 rows it
+    // is 80× (flag). Only the hot key may ever flag.
+    val mk = (hot: Int) => ((1 to 99).flatMap(k =>
+      Seq.fill(10)(k.toLong)) ++ Seq.fill(hot)(999L))
+      .toDF("user_id")
+    val calm = graft.ops.Diagnostics.keySkewReport(mk(100), "user_id")
+      .collect()
+    val hot = calm.find(_.getAs[Long]("key") == 999L).get
+    assert(hot.getAs[Long]("n") == 100L
+      && hot.getAs[Long]("share_ppm") == 100L * 1000000L / 1090L)
+    assert(calm.forall(!_.getAs[Boolean]("salt_recommended")))
+    val spiky = graft.ops.Diagnostics.keySkewReport(mk(4000), "user_id")
+      .collect()
+    assert(spiky.find(_.getAs[Long]("key") == 999L).get
+      .getAs[Boolean]("salt_recommended"))
+    assert(spiky.count(_.getAs[Boolean]("salt_recommended")) == 1)
+  }
+
   test("sliding windows place every event in exactly two windows") {
     val total = t.events.count()
     val windowed = Analytics.slidingWindowCounts(t.events)

@@ -88,7 +88,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_index_drift",      // two 1-row stat aggregates composed
     "vocab_growth",         // cum-sum window over O(buckets) rows
     "heavy_hitters",        // one-row stream-total attach over O(symbols)
-    "pmi_collocations")     // one-row corpus-totals attach
+    "pmi_collocations",     // one-row corpus-totals attach
+    "key_skew_report")      // one-row key-totals attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -141,7 +142,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "heavy_hitters",        // O(symbols) exact rows × 1-row total
     "bitext_margin_pairs",  // corpus × broadcast bounded query/cand batch
     "pmi_collocations",     // pair counts × 1-row (N, B) totals
-    "hard_negatives")       // corpus × broadcast bounded anchor set
+    "hard_negatives",       // corpus × broadcast bounded anchor set
+    "key_skew_report")      // key counts × 1-row totals attach
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -390,6 +390,14 @@ object SparkEntry {
       Analytics.ordersByLateShipment(tables(s, dir))
         .orderBy("flow", "o_orderstatus")),
 
+    // implicit-feedback negative sampling: deterministic-hash draws
+    // anti-joined against the purchase interaction set, first-k kept
+    "neg_sampling" -> ((s, dir) => {
+      val t = tables(s, dir)
+      graft.ext.NegSampling.negativeSamples(
+        t.customer, t.orders, t.lineitem, t.part)
+    }),
+
     // A4 as cube: incident counts by severity × status with totals
     "incident_cube" -> ((s, dir) =>
       Incidents.fromEvents(tables(s, dir).events)
@@ -728,6 +736,10 @@ object SparkEntry {
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(tables(s, dir).embeddings)
         .orderBy("q_id", "rank")),
+    // kNN label-agreement audit (confident-learning-style label-noise
+    // detection): per-anchor neighborhood consensus + suspect flag
+    "label_noise_knn" -> ((s, dir) =>
+      Similarity.labelNoiseKnn(tables(s, dir).embeddings)),
     // margin-based bitext mining (Artetxe & Schwenk): best cross-side
     // neighbor accepted when its cosine stands out of BOTH local
     // neighborhoods; label parity stands in for the language split
@@ -1363,6 +1375,7 @@ object SparkEntry {
          |  count(*) AS n
          |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "neg_sampling" -> graft.ext.NegSampling.negativeSamplesSql,
     "orders_semi_anti" ->
       """SELECT 'with_late' AS flow, o_orderstatus, count(*) AS n
         |FROM orders WHERE EXISTS (
@@ -1510,6 +1523,7 @@ object SparkEntry {
     "dedup_embedding_ann" -> Dedup.embeddingNearDupsAnnSql,
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
     "hard_negatives" -> Similarity.hardNegativesSql,
+    "label_noise_knn" -> Similarity.labelNoiseKnnSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,

@@ -207,6 +207,77 @@ object Similarity {
        |WHERE rank <= $NegPerAnchor
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---- kNN label-agreement (label-noise detection) ------------------------
+
+  /** An anchor whose k nearest neighbors agree with its label below
+    * this ppm fraction is flagged as a suspected label error — the
+    * neighborhood-consensus heuristic at the core of the
+    * confident-learning / deep-kNN label-auditing family.
+    */
+  val LabelAgreeMinPpm = 400000L
+
+  /** kNN label-agreement audit: for each anchor, the fraction of its
+    * k=[[TopK]] cosine neighbors sharing its label, and the suspect
+    * flag when consensus falls below [[LabelAgreeMinPpm]]. Plan shape =
+    * [[topKBruteForce]] (bounded anchors broadcast, map-side scoring,
+    * per-anchor top-k window) + an O(anchors) consensus roll-up;
+    * ratios are exact-integer ppm. Auditing EVERY label at 100 TB
+    * rides the served ANN index (`topKIvfServedFor`) exactly like
+    * [[hardNegatives]].
+    */
+  def labelNoiseKnn(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .groupBy(col("q_id"), col("q_label").as("label"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_ppm", expr("n_agree * 1000000 div k"))
+      .withColumn("suspect", col("agree_ppm") < LabelAgreeMinPpm)
+      .orderBy("q_id")
+  }
+
+  def labelNoiseKnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    e.vec_id, e.label,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
+       |                    * CAST(e.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(q.embedding) + 1)])
+       |      / (q.nrm * e.nrm), 6) AS cosine
+       |  FROM e q JOIN e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $TopK)
+       |SELECT q_id, q_label AS label, count(*) AS k,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // count(*) AS agree_ppm,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // count(*) < $LabelAgreeMinPpm
+       |    AS suspect
+       |FROM topk GROUP BY q_id, q_label ORDER BY q_id""".stripMargin
+
   // ---- random-hyperplane LSH ----------------------------------------------
 
   /** Embedding dimensionality of the fixture corpus. */

@@ -1297,6 +1297,58 @@ class ExtSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("label") != 0))
   }
 
+  test("negative sampling avoids interactions, deterministic first-k") {
+    import spark.implicits._
+    import graft.ext.NegSampling
+    val customer = Seq(1L, 2L).toDF("c_custkey")
+    val part = (1L to 50L).toDF("p_partkey")
+    val orders = Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+    // customer 1 interacted with every odd part; customer 2 with none
+    val lineitem = (1L to 49L by 2)
+      .map(p => (10L, p)).toDF("l_orderkey", "l_partkey")
+    val r1 = NegSampling.negativeSamples(customer, orders,
+      lineitem, part).collect()
+    val bought = (1L to 49L by 2).toSet
+    val u1 = r1.filter(_.getAs[Long]("c_custkey") == 1L)
+    assert(u1.nonEmpty
+      && u1.forall(x => !bought(x.getAs[Long]("p_partkey"))))
+    assert(r1.filter(_.getAs[Long]("c_custkey") == 2L)
+      .map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(r1.forall(x => { val p = x.getAs[Long]("p_partkey")
+      p >= 1L && p <= 50L }))
+    // reproducible: a second run draws the identical sample
+    val r2 = NegSampling.negativeSamples(customer, orders,
+      lineitem, part).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("label noise knn: low consensus flags, clean cluster passes") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    def v(xs: Double*): Array[Float] =
+      (xs.toArray.map(_.toFloat) ++ Array.fill(4)(0.0f)).take(4)
+    // anchor 0 (label 0) sits in a cluster labeled 1 → 1/5 agreement,
+    // suspect; anchor 1 (label 2) sits among label-2 peers → clean
+    val clusterA = Seq(
+      (100L, v(1.0, 0.01), 1), (101L, v(1.0, 0.02), 1),
+      (102L, v(1.0, 0.03), 1), (103L, v(1.0, 0.04), 0),
+      (104L, v(1.0, 0.05), 1))
+    val clusterB = Seq(
+      (200L, v(0.01, 1.0), 2), (201L, v(0.02, 1.0), 2),
+      (202L, v(0.03, 1.0), 2), (203L, v(0.04, 1.0), 2),
+      (204L, v(0.05, 1.0), 2))
+    val vecs = (Seq((0L, v(1.0), 0), (1L, v(0.0, 1.0), 2))
+      ++ clusterA ++ clusterB)
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelNoiseKnn(vecs).collect()
+      .map(x => x.getAs[Long]("q_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_agree") == 1L
+      && r(0L).getAs[Long]("agree_ppm") == 200000L
+      && r(0L).getAs[Boolean]("suspect"))
+    assert(r(1L).getAs[Long]("n_agree") == 5L
+      && !r(1L).getAs[Boolean]("suspect"))
+  }
+
   test("embedding covariance matches hand computation; PCA finds the axis") {
     import spark.implicits._
     import graft.ext.EmbedStats

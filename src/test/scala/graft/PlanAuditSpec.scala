@@ -89,7 +89,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "vocab_growth",         // cum-sum window over O(buckets) rows
     "heavy_hitters",        // one-row stream-total attach over O(symbols)
     "pmi_collocations",     // one-row corpus-totals attach
-    "key_skew_report")      // one-row key-totals attach
+    "key_skew_report",      // one-row key-totals attach
+    "neg_sampling")         // one-row catalog-size attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -143,7 +144,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "bitext_margin_pairs",  // corpus × broadcast bounded query/cand batch
     "pmi_collocations",     // pair counts × 1-row (N, B) totals
     "hard_negatives",       // corpus × broadcast bounded anchor set
-    "key_skew_report")      // key counts × 1-row totals attach
+    "label_noise_knn",      // corpus × broadcast bounded anchor set
+    "key_skew_report",      // key counts × 1-row totals attach
+    "neg_sampling")         // users × 1-row catalog-size attach
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

@@ -781,6 +781,11 @@ object SparkEntry {
     "multimodal_image_stats" -> ((s, dir) =>
       Multimodal.imageStats(tables(s, dir).documents).orderBy("doc_id")),
 
+    // real audio codec behind the same seam: genuine RIFF/WAVE PCM16
+    // bytes decoded by javax.sound.sampled, closed-form oracle
+    "multimodal_audio_stats" -> ((s, dir) =>
+      Multimodal.audioStats(tables(s, dir).documents).orderBy("doc_id")),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1530,6 +1535,7 @@ object SparkEntry {
     "multimodal_features" ->
       s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id""",
     "multimodal_image_stats" -> Multimodal.imageStatsSql,
+    "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->
       """WITH lagged AS (

@@ -300,6 +300,139 @@ object Multimodal {
     pngRecords(documents).mapPartitions(codec.decodePartition _).toDF()
   }
 
+  // ---- real codec path: javax.sound.sampled WAV ---------------------------
+
+  /** Real audio-decode output: format geometry + amplitude sums + a
+    * frame-and-channel-weighted checksum (a decode that drops frames,
+    * swaps channels, or mis-parses endianness cannot match). `decoded`
+    * false for payloads the codec rejects.
+    */
+  final case class AudioStats(
+    doc_id: Long, decoded: Boolean, sample_rate: Long, channels: Long,
+    n_frames: Long, sum_amp: Long, sum_sq: Long, checksum: Long)
+
+  /** Audio fixture sample rate (Hz). */
+  val WavRate = 8000
+
+  /** Deterministic tiny PCM16 WAV per doc_id: frames = 64 + id % 129,
+    * channels = 1 + id % 2, sample(i, c) =
+    * ((id·37 + i·11 + c·1009) mod 4001) − 2000. The RIFF/WAVE
+    * container is written byte-for-byte (44-byte canonical header +
+    * little-endian PCM16) — genuine WAV bytes on the wire; PCM is
+    * lossless and the formula closed-form, so the DuckDB oracle
+    * verifies the REAL `javax.sound.sampled` decode arithmetically.
+    */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val frames = (64 + docId % 129).toInt
+    val channels = (1 + docId % 2).toInt
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                     // PCM
+      .putShort(channels.toShort)
+      .putInt(WavRate)
+      .putInt(WavRate * channels * 2)          // byte rate
+      .putShort((channels * 2).toShort)        // block align
+      .putShort(16.toShort)                    // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        bb.putShort(
+          (((docId * 37 + i * 11 + c * 1009) % 4001) - 2000).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** documents → real WAV payload records. */
+  def wavRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val p = wavPayload(id)
+      MediaRecord(id, p, "audio/wav", p.length.toLong)
+    })
+  }
+
+  /** The real audio codec behind the seam: `javax.sound.sampled` WAV
+    * parse (JDK ships it — no external deps). One decode context per
+    * partition; rejected payloads yield `decoded = false` rows.
+    */
+  object WavStatsDecoder extends MediaCodec[AudioStats] {
+    private def failRow(id: Long) =
+      AudioStats(id, decoded = false, 0L, 0L, 0L, 0L, 0L, 0L)
+    override def decodePartition(records: Iterator[MediaRecord])
+        : Iterator[AudioStats] = records.map { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian) failRow(r.doc_id)
+        else {
+          val ch = f.getChannels
+          val frames = in.getFrameLength
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L; var sq = 0L; var ck = 0L
+          var i = 0L
+          while (i < frames) {
+            var c = 0
+            while (c < ch) {
+              val s = bb.getShort().toLong
+              sum += s; sq += s * s
+              ck += s * (1L + i + c * frames)
+              c += 1
+            }
+            i += 1
+          }
+          AudioStats(r.doc_id, decoded = true,
+            f.getSampleRate.toLong, ch.toLong, frames, sum, sq, ck)
+        }
+      } catch { case _: Exception => failRow(r.doc_id) }
+    }
+  }
+
+  /** End-to-end real-audio path: documents → WAV encode →
+    * `javax.sound.sampled` decode → amplitude stats. Same
+    * two-mapPartitions no-shuffle plan as [[imageStats]].
+    */
+  def audioStats(documents: DataFrame,
+      codec: MediaCodec[AudioStats] = WavStatsDecoder): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    wavRecords(documents).mapPartitions(codec.decodePartition _).toDF()
+  }
+
+  /** DuckDB oracle for [[audioStats]]: closed-form amplitude sums over
+    * the (frame, channel) grid — matching forces the real WAV
+    * encode→decode roundtrip to be bit-exact.
+    */
+  def audioStatsSql: String =
+    s"""WITH wavs AS (
+       |  SELECT doc_id, 64 + doc_id % 129 AS nf, 1 + doc_id % 2 AS nc
+       |  FROM documents),
+       |smp AS (
+       |  SELECT doc_id, nf, nc, fi.i AS i, ci.c AS c,
+       |    (doc_id * 37 + fi.i * 11 + ci.c * 1009) % 4001 - 2000 AS s
+       |  FROM wavs, range(0, 193) fi(i), range(0, 2) ci(c)
+       |  WHERE fi.i < nf AND ci.c < nc)
+       |SELECT doc_id, true AS decoded,
+       |  CAST($WavRate AS BIGINT) AS sample_rate, nc AS channels,
+       |  nf AS n_frames,
+       |  CAST(sum(s) AS BIGINT) AS sum_amp,
+       |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       |  CAST(sum(s * (1 + i + c * nf)) AS BIGINT) AS checksum
+       |FROM smp GROUP BY doc_id, nf, nc
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for [[imageStats]]: the closed-form pixel sums —
     * matching forces the real PNG encode→decode roundtrip to be
     * bit-exact (geometry, channel order, row order, values).

@@ -1297,6 +1297,47 @@ class ExtSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("label") != 0))
   }
 
+  test("real WAV codec: hand-built audio decodes to exact sample stats") {
+    import Multimodal.{MediaRecord, WavStatsDecoder}
+    // hand-built mono WAV: 3 samples 100, -200, 300 at 8 kHz
+    val bb = java.nio.ByteBuffer.allocate(44 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 6)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(6)
+      .putShort(100).putShort(-200).putShort(300)
+    val wav = bb.array()
+    val recs = Seq(
+      MediaRecord(1L, wav, "audio/wav", wav.length.toLong),
+      MediaRecord(2L, "not audio".getBytes("UTF-8"), "audio/wav", 9L))
+    val out = WavStatsDecoder.decodePartition(recs.iterator).toSeq
+    val ok = out.find(_.doc_id == 1L).get
+    assert(ok.decoded && ok.sample_rate == 8000L && ok.channels == 1L
+      && ok.n_frames == 3L)
+    assert(ok.sum_amp == 200L && ok.sum_sq == 100L * 100 + 200L * 200
+      + 300L * 300)
+    // checksum: 100·1 + (−200)·2 + 300·3 = 600
+    assert(ok.checksum == 600L)
+    assert(!out.find(_.doc_id == 2L).get.decoded)
+
+    // end-to-end over the fixture: every synthesized WAV decodes with
+    // the generator's closed-form geometry, and the plan never shuffles
+    val stats = Multimodal.audioStats(Tables(spark, Sf0001).documents)
+      .collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Boolean]("decoded")))
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_frames") == 64 + id % 129)
+      assert(r.getAs[Long]("channels") == 1 + id % 2)
+    }
+    val plan = Multimodal.audioStats(Tables(spark, Sf0001).documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode plan must not shuffle:\n$plan")
+  }
+
   test("negative sampling avoids interactions, deterministic first-k") {
     import spark.implicits._
     import graft.ext.NegSampling

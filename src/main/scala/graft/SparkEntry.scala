@@ -279,6 +279,16 @@ object SparkEntry {
       graft.ops.Diagnostics.keySkewReport(tables(s, dir).events,
         "user_id")),
 
+    // seq2seq pair construction: (prefix context, next event) per
+    // session position — dialog/next-action dataset from logs
+    "dialog_pairs" -> ((s, dir) =>
+      Analytics.dialogPairs(tables(s, dir).events)),
+
+    // feature-store freshness weighting: exact 2^-Δdays decayed
+    // engagement per (user, event type), shift arithmetic only
+    "decayed_engagement" -> ((s, dir) =>
+      Analytics.decayedEngagement(tables(s, dir).events)),
+
     // Tumbling event-time windows (batch twin of streaming T-ops)
     "hourly_event_counts" -> ((s, dir) =>
       Analytics.hourlyEventCounts(tables(s, dir).events)
@@ -1310,6 +1320,8 @@ object SparkEntry {
         |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "session_texts" -> Analytics.sessionTextsSql(),
+    "dialog_pairs" -> Analytics.dialogPairsSql(),
+    "decayed_engagement" -> Analytics.decayedEngagementSql,
     "key_skew_report" ->
       graft.ops.Diagnostics.keySkewReportSql("events", "user_id"),
     "hourly_gapfill" -> Analytics.hourlyGapfillSql,

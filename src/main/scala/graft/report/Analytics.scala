@@ -115,7 +115,12 @@ object Analytics {
     * state is session-length-bounded; a hyperactive key at 100 TB gets
     * the same secondary date-bound guard as sessionization.
     */
-  def sessionTexts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** Events + `session_idx` (30-min-gap session numbering per user) —
+    * the shared sessionized frame under [[sessionTexts]] and
+    * [[dialogPairs]]. One user_id exchange; both windows share it.
+    */
+  private def withSessionIdx(events: DataFrame, gapMinutes: Int)
+      : DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
@@ -124,6 +129,10 @@ object Analytics {
           || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
              > gapMinutes * 60L, 1L).otherwise(0L))
       .withColumn("session_idx", sum("new_session").over(byUser))
+  }
+
+  def sessionTexts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    withSessionIdx(events, gapMinutes)
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
@@ -158,6 +167,94 @@ object Analytics {
        |    AS duration_s,
        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Seq2seq pair construction over sessions: every event after the
+    * first becomes a (context = space-joined prefix, response = next
+    * event type) training pair — the standard next-action /
+    * dialog-style dataset built from the same sessionized frame as
+    * [[sessionTexts]]. The prefix is a running window aggregate inside
+    * the (user, session) frame, so it shares the single user_id
+    * exchange; per-row state is prefix-length-bounded.
+    */
+  def dialogPairs(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts", "event_id")
+    withSessionIdx(events, gapMinutes)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("context", concat_ws(" ",
+        collect_list("event_type").over(
+          w.rowsBetween(Window.unboundedPreceding, -1))))
+      .filter(col("pos") > 1)
+      .select(col("user_id"), col("session_idx"), col("pos"),
+        col("context"), col("event_type").as("response"))
+      .orderBy("user_id", "session_idx", "pos")
+  }
+
+  def dialogPairsSql(gapMinutes: Int = 30): String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_ts
+       |  FROM events),
+       |flags AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |    OR CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT)
+       |       - CAST(floor(epoch_ms(prev_ts) / 1000.0) AS BIGINT)
+       |       > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged),
+       |sess AS (
+       |  SELECT *, CAST(sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+       |    AS session_idx
+       |  FROM flags),
+       |pairs AS (
+       |  SELECT user_id, session_idx,
+       |    CAST(row_number() OVER (PARTITION BY user_id, session_idx
+       |      ORDER BY ts, event_id) AS BIGINT) AS pos,
+       |    string_agg(event_type, ' ') OVER (
+       |      PARTITION BY user_id, session_idx ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS context,
+       |    event_type AS response
+       |  FROM sess)
+       |SELECT * FROM pairs WHERE pos > 1
+       |ORDER BY user_id, session_idx, pos""".stripMargin
+
+  /** Half-life-per-day decayed engagement counts per (user, event
+    * type) — the feature-store freshness weighting for ranking /
+    * personalization training features. Weights are EXACT integers
+    * (`1e6 div 2^Δdays`, shift arithmetic — no floating-point pow, so
+    * the cross-engine hash is exact); the as-of day is data-derived
+    * (max event day) and attaches as a 1-row broadcast. One
+    * map-side-combinable aggregation; weight underflows to 0 past 20
+    * days, bounding the effective horizon.
+    */
+  def decayedEngagement(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), col("event_type"),
+      expr("unix_millis(ts) div 86400000").as("day"))
+    val asOf = broadcast(days.agg(max("day").as("as_of_day")))
+    days.crossJoin(asOf)
+      .withColumn("w", expr("1000000 div shiftleft(1, "
+        + "cast(least(as_of_day - day, 20) as int))"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("w").as("decayed_micros"),
+        min(expr("as_of_day - day")).as("days_since_last"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def decayedEngagementSql: String =
+    """WITH days AS MATERIALIZED (
+      |  SELECT user_id, event_type,
+      |    epoch_ms(ts) // 86400000 AS day
+      |  FROM events),
+      |anchor AS (SELECT max(day) AS as_of_day FROM days)
+      |SELECT user_id, event_type, count(*) AS n_events,
+      |  CAST(sum(1000000 // (1 << least(as_of_day - day, 20)))
+      |    AS BIGINT) AS decayed_micros,
+      |  CAST(min(as_of_day - day) AS BIGINT) AS days_since_last
+      |FROM days CROSS JOIN anchor
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Tumbling 1-hour event-time windows (batch twin of the streaming T-ops;
     * epoch-aligned so DuckDB date_trunc('hour') is the exact oracle).

@@ -101,6 +101,45 @@ class AnalyticsSpec extends AnyFunSuite {
       && u1(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("dialog pairs: prefix contexts within sessions only") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:05:00", "click"),
+      (3L, 1L, "2024-01-01 00:10:00", "purchase"),
+      (4L, 1L, "2024-01-01 01:00:00", "view"),   // new session: no pair
+      (5L, 2L, "2024-01-01 00:00:00", "view"))   // 1-event session
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val r = Analytics.dialogPairs(events).collect()
+    assert(r.length == 2)  // only user 1 session 1 positions 2 and 3
+    assert(r(0).getAs[String]("context") == "view"
+      && r(0).getAs[String]("response") == "click")
+    assert(r(1).getAs[String]("context") == "view click"
+      && r(1).getAs[String]("response") == "purchase")
+  }
+
+  test("decayed engagement halves per day with exact integers") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "2024-01-10 12:00:00", "view"),  // as-of day
+      (2L, 1L, "2024-01-09 12:00:00", "view"),  // 1 day back
+      (3L, 1L, "2024-01-07 12:00:00", "view"),  // 3 days back
+      (4L, 2L, "2023-12-01 00:00:00", "click")) // 40 days: underflow
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val r = Analytics.decayedEngagement(events).collect()
+      .map(x => (x.getAs[Long]("user_id"),
+        x.getAs[String]("event_type")) -> x).toMap
+    // 1e6 + 5e5 + 125e3 exactly
+    assert(r((1L, "view")).getAs[Long]("decayed_micros") == 1625000L)
+    assert(r((1L, "view")).getAs[Long]("days_since_last") == 0L)
+    assert(r((2L, "click")).getAs[Long]("decayed_micros") == 0L)
+    assert(r((2L, "click")).getAs[Long]("days_since_last") == 40L)
+  }
+
   test("key skew report flags only the hot key") {
     import spark.implicits._
     // 99 uniform keys × 10 rows + one hot key: at 100 rows the hot key

@@ -90,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "heavy_hitters",        // one-row stream-total attach over O(symbols)
     "pmi_collocations",     // one-row corpus-totals attach
     "key_skew_report",      // one-row key-totals attach
-    "neg_sampling")         // one-row catalog-size attach
+    "neg_sampling",         // one-row catalog-size attach
+    "decayed_engagement")   // one-row as-of-day attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -146,7 +147,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "hard_negatives",       // corpus × broadcast bounded anchor set
     "label_noise_knn",      // corpus × broadcast bounded anchor set
     "key_skew_report",      // key counts × 1-row totals attach
-    "neg_sampling")         // users × 1-row catalog-size attach
+    "neg_sampling",         // users × 1-row catalog-size attach
+    "decayed_engagement")   // day rows × 1-row as-of-day attach
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

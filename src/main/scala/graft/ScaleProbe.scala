@@ -579,6 +579,56 @@ object ScaleProbe {
     events.unpersist()
   }
 
+  /** Corpus-statistics probe (round 9): PMI collocations, token
+    * entropy, covariance, and the log-derived ops at growing n —
+    * verifies wall-clock follows the scan (the shuffles are
+    * vocabulary-/d²-/key-shaped, not corpus-shaped). Run with
+    * `sbt "runMain graft.ScaleProbe stats 200000 800000"`.
+    */
+  def statsProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale-stats] n=$n%-9d $name%-22s " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+    }
+    time("pmi_collocations") {
+      graft.ext.TextAnalysis.pmiCollocations(docs).count()
+    }
+    time("token_entropy") {
+      graft.ext.TextAnalysis.tokenEntropy(docs).count()
+    }
+    time("quality_calibrated") {
+      graft.ext.TextAnalysis.qualityCalibrated(docs).count()
+    }
+    time("length_outliers") {
+      graft.ext.TextAnalysis.lengthOutliers(docs).count()
+    }
+    val emb = synthEmbeddings(spark, n / 4).persist()
+    emb.count()
+    time("embed_covariance") {
+      graft.ext.EmbedStats.covariance(emb).count()
+    }
+    emb.unpersist()
+    // dense per-user stream (~2000 events/user over 30 days ≈ 21-min
+    // mean gap) so sessions actually span multiple events
+    val events = synthEvents(spark, n, math.max(n / 2000L, 4L)).persist()
+    events.count()
+    time("session_texts") {
+      graft.report.Analytics.sessionTexts(events).count()
+    }
+    time("dialog_pairs") {
+      graft.report.Analytics.dialogPairs(events).count()
+    }
+    time("decayed_engagement") {
+      graft.report.Analytics.decayedEngagement(events).count()
+    }
+    events.unpersist()
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val capMode = args.headOption.contains("cap")
@@ -593,10 +643,11 @@ object ScaleProbe {
     val linkMode = args.headOption.contains("link")
     val overlapMode = args.headOption.contains("overlap")
     val eventsMode = args.headOption.contains("events")
+    val statsMode = args.headOption.contains("stats")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
-          || eventsMode || overlapMode || capMode)
+          || eventsMode || overlapMode || capMode || statsMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -667,6 +718,11 @@ object ScaleProbe {
     }
     if (overlapMode) {
       sizes.foreach(overlapProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (statsMode) {
+      sizes.foreach(statsProbe(spark, _))
       spark.stop()
       return
     }

@@ -289,6 +289,16 @@ object SparkEntry {
     "decayed_engagement" -> ((s, dir) =>
       Analytics.decayedEngagement(tables(s, dir).events)),
 
+    // persisted mergeable HLL index: per-day sketches unioned over a
+    // pruned day window; estimate + accounting checked against exact
+    "hll_window_served" -> ((s, dir) => {
+      val path = s"/tmp/graft_hll_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.SketchIndex.writeHllIndex(tables(s, dir).events, path))
+      graft.ext.SketchIndex.hllWindowVerified(
+        s, tables(s, dir).events, path)
+    }),
+
     // Tumbling event-time windows (batch twin of streaming T-ops)
     "hourly_event_counts" -> ((s, dir) =>
       Analytics.hourlyEventCounts(tables(s, dir).events)
@@ -1322,6 +1332,7 @@ object SparkEntry {
     "session_texts" -> Analytics.sessionTextsSql(),
     "dialog_pairs" -> Analytics.dialogPairsSql(),
     "decayed_engagement" -> Analytics.decayedEngagementSql,
+    "hll_window_served" -> graft.ext.SketchIndex.hllWindowVerifiedSql,
     "key_skew_report" ->
       graft.ops.Diagnostics.keySkewReportSql("events", "user_id"),
     "hourly_gapfill" -> Analytics.hourlyGapfillSql,

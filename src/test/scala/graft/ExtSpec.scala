@@ -1297,6 +1297,43 @@ class ExtSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("label") != 0))
   }
 
+  test("hll sketch index: pruned union serving + idempotent day upsert") {
+    import spark.implicits._
+    import graft.ext.SketchIndex
+    def ev(rows: Seq[(Long, Long, Long)]) = rows  // (event_id, day, user)
+      .map { case (e, d, u) => (e, d * 86400000L, u) }
+      .toDF("event_id", "ms", "user_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("event_type", lit("click"))
+    val base = ev((1L to 30L).map(i => (i, 100L + i % 3, i % 7)))
+    val path = java.nio.file.Files
+      .createTempDirectory("hllidx").toString + "/idx"
+    SketchIndex.writeHllIndex(base, path)
+    // day-window serving: days 100-101 hold users {1..6,0} anyway —
+    // compare sketch estimate vs exact per window
+    def served(f: Long, t: Long) =
+      SketchIndex.distinctUsersOverRange(spark, path, f, t).collect()
+    val all = served(100L, 102L)
+    assert(all.length == 1
+      && all(0).getAs[Long]("est_distinct") == 7L)
+    // pruning: only the in-range day partitions are read
+    val files = spark.read.parquet(path)
+      .filter(col("day") >= 100L && col("day") <= 101L)
+      .select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("day=100") || f.contains("day=101")))
+    // idempotent upsert: replay day 101 with DIFFERENT users; only
+    // that day's sketch changes
+    SketchIndex.upsertDays(
+      ev((1L to 5L).map(i => (100 + i, 101L, 100L + i))), path)
+    val after = served(101L, 101L)
+    assert(after(0).getAs[Long]("est_distinct") == 5L)
+    // day 102 (i % 3 == 2 → users cover all residues mod 7) untouched
+    val untouched = served(102L, 102L)
+    assert(untouched(0).getAs[Long]("est_distinct") == 7L)
+  }
+
   test("real WAV codec: hand-built audio decodes to exact sample stats") {
     import Multimodal.{MediaRecord, WavStatsDecoder}
     // hand-built mono WAV: 3 samples 100, -200, 300 at 8 kHz

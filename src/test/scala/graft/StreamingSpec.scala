@@ -756,6 +756,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("novelty") < 1.0) // boilerplate still indexed
   }
 
+  test("streaming hll sketch ingest: day merge across batches; replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.SketchStream
+    import graft.ext.SketchIndex
+    val indexDir = Files.createTempDirectory("hll_stream").toString
+    val stats = new SketchStream.SketchStats(spark)
+    def ev(rows: (Long, Long, Long)*) = rows.toSeq  // (id, day, user)
+      .toDF("event_id", "day0", "user_id")
+      .withColumn("ts", timestamp_millis(col("day0") * 86400000L))
+      .withColumn("event_type", lit("click"))
+      .drop("day0")
+    def est(f: Long, t: Long): Long =
+      SketchIndex.distinctUsersOverRange(spark, indexDir, f, t)
+        .head().getAs[Long]("est_distinct")
+
+    // batch 0: day 100 users {1,2}; batch 1 ADDS day-100 user {3} —
+    // the day must merge across batch partitions, not overwrite
+    SketchStream.processBatch(ev((1L, 100L, 1L), (2L, 100L, 2L)),
+      0L, indexDir, stats)
+    val b1 = ev((3L, 100L, 3L), (4L, 101L, 9L))
+    SketchStream.processBatch(b1, 1L, indexDir, stats)
+    assert(est(100L, 100L) == 3L && est(100L, 101L) == 4L)
+    assert(stats.events.value == 4L)
+
+    // same-driver replay: skipped
+    SketchStream.processBatch(b1, 1L, indexDir, stats)
+    assert(stats.events.value == 4L)
+    // recovery replay (fresh driver): overwrites ONLY its own files —
+    // estimates and accounting unchanged
+    val fresh = new SketchStream.SketchStats(spark)
+    fresh.lastCommitted = 0L
+    SketchStream.processBatch(b1, 1L, indexDir, fresh)
+    assert(est(100L, 101L) == 4L)
+    val acct = SketchIndex.distinctUsersOverRange(spark, indexDir,
+      100L, 101L).head().getAs[Long]("n_events")
+    assert(acct == 4L)
+
+    // compact folds batch rows per day; answers identical after
+    SketchStream.compact(spark, indexDir)
+    assert(est(100L, 100L) == 3L && est(100L, 101L) == 4L)
+    val rowsPerDay = spark.read.parquet(indexDir)
+      .groupBy("day").count().collect()
+      .map(_.getAs[Long]("count")).toSet
+    assert(rowsPerDay == Set(1L))
+    // post-compact ingest still lands and serves
+    SketchStream.processBatch(ev((5L, 101L, 10L)), 2L, indexDir, stats)
+    assert(est(101L, 101L) == 2L)
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

@@ -520,6 +520,11 @@ object SparkEntry {
     "embedding_covariance" -> ((s, dir) =>
       graft.ext.EmbedStats.covariance(tables(s, dir).embeddings)),
 
+    // JL random projection 64→16 (deterministic md5-derived planes);
+    // map-side linear compression ahead of ANN/clustering
+    "embedding_project" -> ((s, dir) =>
+      graft.ext.EmbedStats.jlProject(tables(s, dir).embeddings)),
+
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
@@ -1693,6 +1698,7 @@ object SparkEntry {
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),
     "embedding_covariance" -> graft.ext.EmbedStats.covarianceSql,
+    "embedding_project" -> graft.ext.EmbedStats.jlProjectSql,
 
     "dq_docs_suite" ->
       s"""WITH cur AS (SELECT * FROM documents),

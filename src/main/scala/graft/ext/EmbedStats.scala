@@ -93,6 +93,57 @@ object EmbedStats {
       |JOIN moms m2 ON p.j = m2.i
       |ORDER BY p.i, p.j""".stripMargin
 
+  /** JL target dimensionality. */
+  val JlDim = 16
+
+  /** Deterministic projection-matrix entry in [−1, 1): md5-derived like
+    * the LSH hyperplanes, so both engines carry identical literals and
+    * no RNG state exists anywhere.
+    */
+  def jlPlaneInt(j: Int, d: Int): Long = Hashing.jvmH32(s"jl:$j:$d")
+  private def jlEntry(j: Int, d: Int): Double =
+    jlPlaneInt(j, d) / 2147483648.0 - 1.0
+
+  /** Johnson–Lindenstrauss random projection 64 → [[JlDim]] dims — the
+    * cheap linear compression ahead of ANN/clustering when PQ is too
+    * heavy: norms (hence distances) are preserved in expectation with
+    * distortion ~√(2/k). Entries are uniform[−1,1) literals (variance
+    * 1/3), so the unbiased scale is √(3/k). Pure map-side projection —
+    * one codegen'd dot per output dim, no shuffle; output long-form
+    * (vec_id, j, p) for the exact-hash oracle.
+    */
+  def jlProject(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = col("embedding").cast("array<double>")
+    val projCols = array((0 until JlDim).map { j =>
+      val plane = array((0 until 64).map(d => lit(jlEntry(j, d))): _*)
+      round(Dedup.dot(v, plane) * expr("sqrt(3.0 / 16)"), 6)
+    }: _*)
+    embeddings
+      .select(col("vec_id"), posexplode(projCols).as(Seq("j", "p")))
+      .orderBy("vec_id", "j")
+  }
+
+  /** DuckDB mirror of [[jlProject]]: the same md5-derived plane
+    * literals inlined (Double.toString round-trips exactly), identical
+    * left-to-right multiply-accumulate and scale.
+    */
+  def jlProjectSql: String = {
+    val rows = (0 until JlDim).map { j =>
+      val plane = (0 until 64)
+        .map(d => jlEntry(j, d).toString).mkString(", ")
+      s"SELECT $j AS j, [$plane] AS plane"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH planes AS MATERIALIZED (
+       |  $rows)
+       |SELECT vec_id, j,
+       |  round(list_sum([CAST(embedding[i] AS DOUBLE) * plane[i]
+       |                  for i in range(1, 65)])
+       |    * sqrt(3.0 / 16), 6) AS p
+       |FROM embeddings CROSS JOIN planes
+       |ORDER BY vec_id, j""".stripMargin
+  }
+
   /** Dominant eigenpair of the covariance by fixed-count power
     * iteration (deterministic: all-ones start, no early stop) over the
     * driver-sized d×d matrix from [[covariance]]. Returns

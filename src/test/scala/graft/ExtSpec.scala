@@ -1297,6 +1297,32 @@ class ExtSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Int]("label") != 0))
   }
 
+  test("jl projection preserves norms in expectation") {
+    import spark.implicits._
+    import graft.ext.EmbedStats
+    // deterministic unit-ish vectors; JL with k=16 keeps each norm
+    // within loose per-vector bounds and the MEAN ratio near 1
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.tabulate(64)(d =>
+        (((id * 31 + d * 17) % 200) / 100.0f - 1.0f)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    graft.functions.GraftFunctions.register(spark)
+    val orig = vecs.select(col("vec_id"),
+      graft.ext.Dedup.dot(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val proj = EmbedStats.jlProject(vecs).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => { val p = r.getAs[Double]("p"); p * p }).sum }
+    assert(proj.size == 40 && proj.values.forall(_ > 0))
+    val ratios = proj.map { case (id, n2) => n2 / orig(id) }
+    ratios.foreach(r => assert(r > 0.1 && r < 3.0,
+      s"per-vector distortion out of bounds: $r"))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio $mean")
+  }
+
   test("hll sketch index: pruned union serving + idempotent day upsert") {
     import spark.implicits._
     import graft.ext.SketchIndex

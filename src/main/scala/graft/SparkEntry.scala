@@ -765,6 +765,15 @@ object SparkEntry {
     // detection): per-anchor neighborhood consensus + suspect flag
     "label_noise_knn" -> ((s, dir) =>
       Similarity.labelNoiseKnn(tables(s, dir).embeddings)),
+    // the 100 TB mining path: hard negatives from the persisted IVF
+    // index (pruned probed-cell read), same band/label gates
+    "hard_negatives_served" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
+      Similarity.hardNegativesServed(s, path,
+        tables(s, dir).embeddings)
+    }),
     // margin-based bitext mining (Artetxe & Schwenk): best cross-side
     // neighbor accepted when its cosine stands out of BOTH local
     // neighborhoods; label parity stands in for the language split
@@ -1557,6 +1566,7 @@ object SparkEntry {
     "ann_topk_brute" -> Similarity.topKBruteForceSql,
     "hard_negatives" -> Similarity.hardNegativesSql,
     "label_noise_knn" -> Similarity.labelNoiseKnnSql,
+    "hard_negatives_served" -> Similarity.hardNegativesServedSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,

@@ -207,6 +207,93 @@ object Similarity {
        |WHERE rank <= $NegPerAnchor
        |ORDER BY q_id, rank""".stripMargin
 
+  /** The 100 TB form of [[hardNegatives]]: candidates come from the
+    * persisted IVF index (partition-pruned probed-cell read — the
+    * corpus is never brute-forced), then the same band + cross-label
+    * gates and per-anchor rank run over the candidate slice. Labels
+    * attach only to band survivors (a bounded per-anchor set), so the
+    * corpus-table join touches candidate rows, not the corpus. Recall
+    * follows the served-ANN curve: mid-band candidates in unprobed
+    * cells are missed, the standard mine-from-ANN trade (raise nProbe
+    * to widen).
+    */
+  def hardNegativesServed(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame,
+      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    val data = readIndexData(spark, path)
+    val q = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
+    val probed = probes.select("p_cell").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val qLabels = broadcast(labels.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+    val cands = data.filter(col("cell").isin(probed: _*))
+      .join(broadcast(probes),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= NegBandLo && col("cosine") < NegBandHi)
+      .join(labels, Seq("vec_id"))
+      .join(qLabels, Seq("q_id"))
+      .filter(col("label") =!= col("q_label"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= NegPerAnchor)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB mirror of [[hardNegativesServed]]: replays the hierarchical
+    * IVF build + probe CTE chain (the [[topKIvfHierSql]] machinery),
+    * then applies the identical band/label gates.
+    */
+  def hardNegativesServedSql: String = {
+    val nProbe = ivfProbesFor(IvfCells)
+    def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
+        cn2Expr: String): String = d2Sql(vecExpr, nrm2Expr, cvExpr, cn2Expr)
+    s"""WITH $hierBuildCtesSql,
+       |qcoarse AS (
+       |  SELECT vec_id, embedding, nrm, ccell FROM cranked
+       |  WHERE vec_id < $NumQueries AND rn <= $IvfCoarseProbes),
+       |qranked AS (
+       |  SELECT qc.vec_id, qc.embedding, qc.nrm, f.cell,
+       |    row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+       |      ${d2("qc.embedding", "qc.nrm * qc.nrm", "f.fv", "f.fn2")},
+       |      f.cell) AS rn
+       |  FROM qcoarse qc JOIN fcells f ON qc.ccell = f.ccell),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, cell
+       |  FROM qranked WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
+       |                    * CAST(a.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(p.qv) + 1)])
+       |      / (p.qn * a.nrm), 6) AS cosine
+       |  FROM assign a JOIN probes p
+       |    ON a.cell = p.cell AND a.vec_id != p.q_id),
+       |banded AS (
+       |  SELECT s.q_id, s.vec_id, s.cosine, e.label
+       |  FROM scored s
+       |  JOIN embeddings e ON s.vec_id = e.vec_id
+       |  JOIN embeddings qe ON s.q_id = qe.vec_id
+       |  WHERE s.cosine >= $NegBandLo AND s.cosine < $NegBandHi
+       |    AND e.label != qe.label)
+       |SELECT q_id, rank, vec_id, label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM banded)
+       |WHERE rank <= $NegPerAnchor
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- kNN label-agreement (label-noise detection) ------------------------
 
   /** An anchor whose k nearest neighbors agree with its label below

@@ -1426,6 +1426,36 @@ class ExtSpec extends AnyFunSuite {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
 
+  test("served hard negatives are a valid subset of the exact pool") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("hn_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path)
+    val served = Similarity.hardNegativesServed(spark, path, emb)
+      .collect()
+    // every served row satisfies the band and cross-label contract
+    served.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= Similarity.NegBandLo && c < Similarity.NegBandHi)
+    }
+    // cross-label contract: no served negative shares its anchor's
+    // label (check against the raw table)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    served.foreach(r => assert(
+      labelOf(r.getAs[Long]("vec_id")) != labelOf(r.getAs[Long]("q_id"))))
+    // the served ranking must overlap the exact brute-force top-N
+    // (probed cells hold part of the hard band on the fixture)
+    val exactPairs = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val servedPairs = served
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    assert(servedPairs.nonEmpty
+      && servedPairs.count(exactPairs.contains) > 0,
+      s"served mined ${served.length} rows with zero overlap vs exact")
+  }
+
   test("label noise knn: low consensus flags, clean cluster passes") {
     import spark.implicits._
     import graft.ext.Similarity

@@ -145,6 +145,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "bitext_margin_pairs",  // corpus × broadcast bounded query/cand batch
     "pmi_collocations",     // pair counts × 1-row (N, B) totals
     "hard_negatives",       // corpus × broadcast bounded anchor set
+    "hard_negatives_served",// probed cells × broadcast probe set
     "label_noise_knn",      // corpus × broadcast bounded anchor set
     "key_skew_report",      // key counts × 1-row totals attach
     "neg_sampling",         // users × 1-row catalog-size attach

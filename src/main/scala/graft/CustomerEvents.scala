@@ -73,8 +73,8 @@ object CustomerEvents {
       .when(eid % 20 === 0, -(lit(1L) + eid % 24) * 3600000L)
       .otherwise(lit(0L))
 
-    val version = when(eid % 200 === 0, 3)
-      .when(eid % 100 === 0, 2).otherwise(1)
+    val version = when(eid % 200 === 0, 3L)
+      .when(eid % 100 === 0, 2L).otherwise(1L)
 
     events.select(
       eid.as("event_id"),
@@ -133,8 +133,8 @@ object CustomerEvents {
                           WHEN event_id % 20 = 0
                             THEN -(1 + event_id % 24) * 3600000
                           ELSE 0 END AS event_ts,
-      CASE WHEN event_id % 200 = 0 THEN 3
-           WHEN event_id % 100 = 0 THEN 2 ELSE 1 END AS version,
+      CAST(CASE WHEN event_id % 200 = 0 THEN 3
+           WHEN event_id % 100 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
       CASE WHEN event_id % 100 = 0 THEN (user_id % 2 = 0)
            ELSE NULL END AS marketing_opt_in,
       CASE WHEN event_id % 200 = 0 THEN

@@ -16,7 +16,7 @@ final case class CustomerEvent(
   event_id: Long, processing_timestamp: Timestamp,
   id: Option[String], name: Option[String], email: Option[String],
   signup_ts: Long, country: Option[String], plan: Option[String],
-  event_ts: Long, version: Int,
+  event_ts: Long, version: Long,
   marketing_opt_in: Option[Boolean], customer_segment: Option[String])
 
 /** Library facade: session setup (native functions), fixture table

@@ -133,14 +133,18 @@ object SparkEntry {
         .select(col("event_id"),
           avroDecodeCe(avroEncodeCe(struct(
             col("id"), col("name"), col("email"), col("signup_ts"),
-            col("country"), col("plan"), col("event_ts"), col("version"),
+            col("country"), col("plan"), col("event_ts"),
+            // Avro wire carries version as int (the producer's schema);
+            // the curated surface is BIGINT-canonical, so cast at the
+            // encode boundary and back out at the decode boundary
+            col("version").cast("int").as("version"),
             col("marketing_opt_in"), col("customer_segment")))).as("ev"))
         .select(col("event_id"), col("ev.id").as("id"),
           col("ev.name").as("name"), col("ev.email").as("email"),
           col("ev.signup_ts").as("signup_ts"),
           col("ev.country").as("country"), col("ev.plan").as("plan"),
           col("ev.event_ts").as("event_ts"),
-          col("ev.version").as("version"),
+          col("ev.version").cast("long").as("version"),
           col("ev.marketing_opt_in").as("marketing_opt_in"),
           col("ev.customer_segment").as("customer_segment"))
         .orderBy("event_id")

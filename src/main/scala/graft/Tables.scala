@@ -48,5 +48,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
   def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  /** `label` ships as INT32 in the fixture; canonicalize to BIGINT at
+    * the load boundary so every downstream query output carries the
+    * suite's single integer type (SchemaCanonSpec) — the oracle mirrors
+    * cast at their own scan sites.
+    */
+  def embeddings: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    t("embeddings").withColumn("label", col("label").cast("long"))
+  }
 }

@@ -149,8 +149,8 @@ object Bpe {
     val spark = documents.sparkSession
     import spark.implicits._
     trainMergesCached(documents, key, k).toDF()
-      .select(col("rank"), col("left"), col("right"), col("merged"),
-        col("pair_freq"))
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("merged"), col("pair_freq"))
       .orderBy("rank")
   }
 
@@ -162,8 +162,8 @@ object Bpe {
     val spark = documents.sparkSession
     import spark.implicits._
     trainMerges(documents, k).toDF()
-      .select(col("rank"), col("left"), col("right"), col("merged"),
-        col("pair_freq"))
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("merged"), col("pair_freq"))
       .orderBy("rank")
   }
 
@@ -248,7 +248,7 @@ object Bpe {
   def mergesSql(k: Int = DefaultMerges): String = {
     val union = (0 until k).map { i =>
       if (i == 0)
-        s"""SELECT ${i + 1} AS rank, l AS "left", r AS "right",
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS rank, l AS "left", r AS "right",
            |    l || r AS merged, pf AS pair_freq FROM t$i""".stripMargin
       else s"  UNION ALL SELECT ${i + 1}, l, r, l || r, pf FROM t$i"
     }.mkString("\n")

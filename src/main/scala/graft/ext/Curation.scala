@@ -494,12 +494,12 @@ object Curation {
        |SELECT coalesce(p.bucket, f.bucket) AS bucket,
        |  coalesce(p.n_tokens, 0) AS n_tokens,
        |  coalesce(f.n_new_types, 0) AS n_new_types,
-       |  sum(coalesce(p.n_tokens, 0)) OVER (
+       |  CAST(sum(coalesce(p.n_tokens, 0)) OVER (
        |    ORDER BY coalesce(p.bucket, f.bucket)
-       |    ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-       |  sum(coalesce(f.n_new_types, 0)) OVER (
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(coalesce(f.n_new_types, 0)) OVER (
        |    ORDER BY coalesce(p.bucket, f.bucket)
-       |    ROWS UNBOUNDED PRECEDING) AS cum_types
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
        |FROM per_bucket p FULL OUTER JOIN first_seen f
        |  ON p.bucket = f.bucket
        |ORDER BY bucket""".stripMargin
@@ -1851,7 +1851,7 @@ object Curation {
   def semanticDecontamSql(nBench: Int = SemBenchCount,
       tau: Double = SemDecontamTau): String =
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),

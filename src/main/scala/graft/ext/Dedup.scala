@@ -1496,7 +1496,7 @@ object Dedup {
 
   def embeddingNearDupsSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),

@@ -48,7 +48,8 @@ object EmbedStats {
       .join(broadcast(moms), Seq("i"))
       .join(broadcast(moms.select(col("i").as("j"),
         col("si").as("sj"))), Seq("j"))
-      .select(col("i"), col("j"), col("n"),
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
         expr("round(CAST(si AS DOUBLE) / n / 1e4, 6)").as("mean_i"),
         expr("round(CAST(sj AS DOUBLE) / n / 1e4, 6)").as("mean_j"),
         expr("round((CAST(sij AS DOUBLE) / n"
@@ -83,11 +84,11 @@ object EmbedStats {
       |      + 0.5) AS BIGINT)) AS BIGINT) AS sij
       |  FROM pairs GROUP BY 1, 2)
       |SELECT p.i, p.j, m1.n,
-      |  round(CAST(m1.si AS DOUBLE) / m1.n / 1e4, 6) AS mean_i,
-      |  round(CAST(m2.si AS DOUBLE) / m2.n / 1e4, 6) AS mean_j,
+      |  round(CAST(m1.si AS DOUBLE) / m1.n / 1e4, 6) + 0 AS mean_i,
+      |  round(CAST(m2.si AS DOUBLE) / m2.n / 1e4, 6) + 0 AS mean_j,
       |  round((CAST(sij AS DOUBLE) / m1.n
       |    - (CAST(m1.si AS DOUBLE) / m1.n) * (CAST(m2.si AS DOUBLE) / m2.n))
-      |    / 1e8, 6) AS cov
+      |    / 1e8, 6) + 0 AS cov
       |FROM prods p
       |JOIN moms m1 ON p.i = m1.i
       |JOIN moms m2 ON p.j = m2.i
@@ -121,6 +122,7 @@ object EmbedStats {
     }: _*)
     embeddings
       .select(col("vec_id"), posexplode(projCols).as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
       .orderBy("vec_id", "j")
   }
 
@@ -132,7 +134,7 @@ object EmbedStats {
     val rows = (0 until JlDim).map { j =>
       val plane = (0 until 64)
         .map(d => jlEntry(j, d).toString).mkString(", ")
-      s"SELECT $j AS j, [$plane] AS plane"
+      s"SELECT CAST($j AS BIGINT) AS j, [$plane] AS plane"
     }.mkString("\n  UNION ALL ")
     s"""WITH planes AS MATERIALIZED (
        |  $rows)
@@ -151,12 +153,13 @@ object EmbedStats {
     */
   def pcaTopComponent(cov: DataFrame, iters: Int = 200)
       : (Double, Array[Double], Double) = {
-    val rows = cov.select("i", "j", "cov").collect()
-    val d = rows.map(_.getAs[Int]("j")).max
+    val rows = cov.selectExpr("CAST(i AS LONG) AS i", "CAST(j AS LONG) AS j",
+      "cov").collect()
+    val d = rows.map(_.getAs[Long]("j")).max.toInt
     val m = Array.ofDim[Double](d, d)
     rows.foreach { r =>
-      val (i, j, c) = (r.getAs[Int]("i") - 1, r.getAs[Int]("j") - 1,
-        r.getAs[Double]("cov"))
+      val (i, j, c) = (r.getAs[Long]("i").toInt - 1,
+        r.getAs[Long]("j").toInt - 1, r.getAs[Double]("cov"))
       m(i)(j) = c; m(j)(i) = c
     }
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))

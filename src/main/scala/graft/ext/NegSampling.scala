@@ -41,7 +41,7 @@ object NegSampling {
     val cands = customer.select(col("c_custkey"))
       .crossJoin(nParts)
       .select(col("c_custkey"), col("n_parts"),
-        explode(sequence(lit(1), lit(NegDraws))).as("seq"))
+        explode(sequence(lit(1L), lit(NegDraws.toLong))).as("seq"))
       .select(col("c_custkey"), col("seq"),
         (h32(concat(lit("neg|"), col("c_custkey").cast("string"),
           lit("|"), col("seq").cast("string"))) % col("n_parts") + 1L)

@@ -117,7 +117,7 @@ object Similarity {
 
   def topKBruteForceSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),
@@ -186,7 +186,7 @@ object Similarity {
 
   def hardNegativesSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),
@@ -280,7 +280,8 @@ object Similarity {
        |  FROM assign a JOIN probes p
        |    ON a.cell = p.cell AND a.vec_id != p.q_id),
        |banded AS (
-       |  SELECT s.q_id, s.vec_id, s.cosine, e.label
+       |  SELECT s.q_id, s.vec_id, s.cosine,
+       |    CAST(e.label AS BIGINT) AS label
        |  FROM scored s
        |  JOIN embeddings e ON s.vec_id = e.vec_id
        |  JOIN embeddings qe ON s.q_id = qe.vec_id
@@ -336,7 +337,7 @@ object Similarity {
 
   def labelNoiseKnnSql: String =
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),
@@ -1269,7 +1270,7 @@ object Similarity {
   def bitextMarginPairsSql(k: Int = MarginK,
       thresholdPpm: Long = MarginThresholdPpm): String =
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
        |                   for x in embedding])) AS nrm
        |  FROM embeddings),

@@ -519,9 +519,9 @@ object Analytics {
     u1.crossJoin(broadcast(u2)).crossJoin(broadcast(u3))
       .selectExpr(
         """stack(3,
-          |  1, 'view',     u1, 1000000L,
-          |  2, 'click',    u2, u2 * 1000000L div u1,
-          |  3, 'purchase', u3, u3 * 1000000L div u2
+          |  1L, 'view',     u1, 1000000L,
+          |  2L, 'click',    u2, u2 * 1000000L div u1,
+          |  3L, 'purchase', u3, u3 * 1000000L div u2
           |) AS (stage, stage_name, users, conv_ppm)""".stripMargin,
         "u1")
       .select(col("stage"), col("stage_name"), col("users"),
@@ -549,8 +549,8 @@ object Analytics {
       |SELECT stage, stage_name, users, conv_ppm,
       |  users * 1000000 // u1 AS funnel_ppm
       |FROM (
-      |  SELECT 1 AS stage, 'view' AS stage_name, u1 AS users,
-      |    1000000 AS conv_ppm, u1 FROM c
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |    u1 AS users, CAST(1000000 AS BIGINT) AS conv_ppm, u1 FROM c
       |  UNION ALL
       |  SELECT 2, 'click', u2, u2 * 1000000 // u1, u1 FROM c
       |  UNION ALL
@@ -639,7 +639,7 @@ object Analytics {
         (col("n").cast("double") - col("mean_n")) / sqrt(col("var_n")), 6))
       .select(col("hour_id"), col("hour_start_ms"), col("n"),
         round(col("mean_n"), 6).as("mean_n"), col("z"),
-        (abs(col("z")) >= zThresh).cast("int").as("is_anomaly"))
+        (abs(col("z")) >= zThresh).cast("long").as("is_anomaly"))
   }
 
   /** DuckDB mirror of [[hourlyAnomalies]]. */
@@ -671,7 +671,7 @@ object Analytics {
        |  round(mean_n, 6) AS mean_n,
        |  round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6) AS z,
        |  CAST(abs(round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6))
-       |       >= $zThresh AS INT) AS is_anomaly
+       |       >= $zThresh AS BIGINT) AS is_anomaly
        |FROM derived WHERE var_n > 0
        |ORDER BY hour_id""".stripMargin
 }

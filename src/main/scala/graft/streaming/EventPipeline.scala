@@ -45,7 +45,7 @@ object EventPipeline {
     StructField("country", StringType, nullable = true),
     StructField("plan", StringType, nullable = true),
     StructField("event_ts", LongType, nullable = true),
-    StructField("version", IntegerType, nullable = true),
+    StructField("version", LongType, nullable = true),
     StructField("marketing_opt_in", BooleanType, nullable = true),
     StructField("customer_segment", StringType, nullable = true)))
 
@@ -103,6 +103,9 @@ object EventPipeline {
       .select(meta :+ graft.functions.GraftFunctions
         .avroDecodeCe(col("value").cast("binary")).as("data"): _*)
       .select(col("data.*") +: present.map(c => col(s"kafka_$c")): _*)
+      // Avro wire carries version as int; the curated surface is
+      // BIGINT-canonical, so both parse paths emit the same schema
+      .withColumn("version", col("version").cast("long"))
   }
 
   /** P1-P7 + Q1-Q5 over a (possibly streaming) parsed frame. Streaming

@@ -271,7 +271,7 @@ class AnalyticsSpec extends AnyFunSuite {
     // scoring starts once the window is full (hour 4) and every scored
     // hour keeps a row; only the spike is flagged
     assert(r.map(_.getAs[Long]("hour_id")).toSeq == Seq(4L, 5L, 6L, 7L, 8L))
-    val flagged = r.filter(_.getAs[Int]("is_anomaly") == 1)
+    val flagged = r.filter(_.getAs[Long]("is_anomaly") == 1L)
       .map(_.getAs[Long]("hour_id"))
     assert(flagged.toSeq == Seq(8L))
     val spike = r.last

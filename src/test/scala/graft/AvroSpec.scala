@@ -174,8 +174,11 @@ class AvroSpec extends AnyFunSuite {
         && col("plan").isin(CustomerEventAvro.PlanSymbols: _*))
     val fields = Seq("id", "name", "email", "signup_ts", "country", "plan",
       "event_ts", "version", "marketing_opt_in", "customer_segment")
+    // canonical surface carries version as BIGINT; the Avro wire wants int
+    val wireCols = fields.map(f =>
+      if (f == "version") col(f).cast("int").as("version") else col(f))
     val decoded = ce.select(col("event_id"),
-      avroDecodeCe(avroEncodeCe(struct(fields.map(col): _*))).as("ev"))
+      avroDecodeCe(avroEncodeCe(struct(wireCols: _*))).as("ev"))
     val diff = ce.join(decoded, "event_id")
       .filter(fields.map(f => !(col(f) <=> col(s"ev.$f"))).reduce(_ || _))
     assert(ce.count() > 0)

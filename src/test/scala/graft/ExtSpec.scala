@@ -1442,7 +1442,7 @@ class ExtSpec extends AnyFunSuite {
     // cross-label contract: no served negative shares its anchor's
     // label (check against the raw table)
     val labelOf = emb.select("vec_id", "label").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("label")).toMap
     served.foreach(r => assert(
       labelOf(r.getAs[Long]("vec_id")) != labelOf(r.getAs[Long]("q_id"))))
     // the served ranking must overlap the exact brute-force top-N
@@ -1491,18 +1491,18 @@ class ExtSpec extends AnyFunSuite {
     val vecs = Seq(
       Array(1.0f, 1.0f, 0.1f), Array(2.0f, 2.0f, -0.1f),
       Array(3.0f, 3.0f, -0.1f), Array(4.0f, 4.0f, 0.1f))
-      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0L) }
       .toDF("vec_id", "embedding", "label")
     val cov = EmbedStats.covariance(vecs)
     val rows = cov.collect().map(r =>
-      (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r).toMap
+      (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
     assert(rows.size == 6)  // upper triangle of d=3
     // hand values: var(x)=var(y)=1.25, cov(x,y)=1.25, var(z)=0.01
-    assert(math.abs(rows((1, 1)).getAs[Double]("cov") - 1.25) < 1e-4)
-    assert(math.abs(rows((1, 2)).getAs[Double]("cov") - 1.25) < 1e-4)
-    assert(math.abs(rows((3, 3)).getAs[Double]("cov") - 0.01) < 1e-4)
-    assert(math.abs(rows((1, 3)).getAs[Double]("cov")) < 1e-4)
-    assert(rows((2, 2)).getAs[Double]("mean_j") == 2.5)
+    assert(math.abs(rows((1L, 1L)).getAs[Double]("cov") - 1.25) < 1e-4)
+    assert(math.abs(rows((1L, 2L)).getAs[Double]("cov") - 1.25) < 1e-4)
+    assert(math.abs(rows((3L, 3L)).getAs[Double]("cov") - 0.01) < 1e-4)
+    assert(math.abs(rows((1L, 3L)).getAs[Double]("cov")) < 1e-4)
+    assert(rows((2L, 2L)).getAs[Double]("mean_j") == 2.5)
     val (lambda, v, explained) = EmbedStats.pcaTopComponent(cov)
     assert(math.abs(lambda - 2.5) < 1e-3)          // 2·1.25
     assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-3

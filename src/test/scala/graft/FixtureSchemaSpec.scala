@@ -73,7 +73,7 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(fields(t.embeddings) == Seq(
       "vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType, containsNull = true),
-      "label" -> IntegerType))
+      "label" -> LongType)) // INT32 on disk, canonicalized at load
   }
 
   test("events ts values are sane instants under the UTC session") {

@@ -74,9 +74,9 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   test("drift report counts rows per wire version") {
     val parsed = CustomerEvents.synth(Tables(spark, Sf0001).events)
     val rep = driftReport(parsed).collect()
-    assert(rep.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3))
+    assert(rep.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
     assert(rep.map(_.getAs[Long]("n")).sum == parsed.count())
-    assert(rep.find(_.getAs[Int]("version") == 2).get
+    assert(rep.find(_.getAs[Long]("version") == 2L).get
       .getAs[String]("missing_vs_v3") == "customer_segment")
   }
 

@@ -274,8 +274,11 @@ class StreamingSpec extends AnyFunSuite {
       .limit(200)
     val fields = Seq("id", "name", "email", "signup_ts", "country", "plan",
       "event_ts", "version", "marketing_opt_in", "customer_segment")
+    // canonical surface carries version as BIGINT; the Avro wire wants int
+    val wireCols = fields.map(f =>
+      if (f == "version") col(f).cast("int").as("version") else col(f))
     val avroRaw = ce.select(
-      avroEncodeCe(struct(fields.map(col): _*)).as("value"))
+      avroEncodeCe(struct(wireCols: _*)).as("value"))
     val jsonRaw = ce.select(to_json(struct(fields.map(col): _*)).as("value"))
     val asOf = CustomerEvents.asOfCol
     val fromAvro = EventPipeline.curate(EventPipeline.parseAvro(avroRaw), asOf)

@@ -4,9 +4,17 @@ part of the shipped library): reads Verify.scala output (parquet per query
 + oracle_sql.json), runs each oracle in DuckDB against the sf tables, and
 compares cell-by-cell with columns sorted by name.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Stricter than value-tolerance on purpose — the driver's hasher is exact:
+  * floats compare BITWISE (so -0.0 vs 0.0 and last-ULP rounding
+    divergence fail here exactly like they fail in the driver);
+  * physical column types must match between the Spark parquet and the
+    DuckDB oracle result (INTEGER vs BIGINT, HUGEINT/DECIMAL window
+    sums, FLOAT vs DOUBLE all fail — the round-8/9 local-green/
+    driver-red class).
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [name ...]
 """
-import json, math, os, sys, time
+import json, math, os, struct, sys, time
 
 import duckdb
 
@@ -14,38 +22,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
 def eq(a, b):
-    a, b = norm(a), norm(b)
     if a is None or b is None:
         return a is b
     if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isinf(fa) or math.isinf(fb):
-            return fa == fb
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False  # int-vs-float physical mismatch
+        if math.isnan(a) and math.isnan(b):
+            return True
+        # bitwise: catches -0.0 vs 0.0 and 1-ULP round() divergence
+        return struct.pack(">d", a) == struct.pack(">d", b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
     return a == b
 
 
-def main(out_dir, sf_dir):
+def type_names(rel):
+    return [str(t) for t in rel.types]
+
+
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for name, sql in sorted(oracles.items()):
         t0 = time.time()
@@ -56,9 +60,11 @@ def main(out_dir, sf_dir):
             continue
         try:
             got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-            gcols, grows = got.columns, got.fetchall()
+            gcols, gtypes = got.columns, type_names(got)
+            grows = got.fetchall()
             want = con.sql(sql)
-            wcols, wrows = want.columns, want.fetchall()
+            wcols, wtypes = want.columns, type_names(want)
+            wrows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
@@ -69,6 +75,14 @@ def main(out_dir, sf_dir):
             continue
         gi = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(gcols))]
         wi = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(wcols))]
+        # physical-type compare, aligned by (lowercased) column name
+        tbad = [(gcols[i], gtypes[i], wtypes[j]) for i, j in zip(gi, wi)
+                if gtypes[i] != wtypes[j]]
+        if tbad:
+            for c, gt, wt in tbad:
+                print(f"FAIL {name}: column {c} type spark={gt} oracle={wt}")
+            failures += 1
+            continue
         if len(grows) != len(wrows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
             failures += 1
@@ -94,4 +108,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) or None))

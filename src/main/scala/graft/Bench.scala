@@ -20,9 +20,21 @@ object Bench {
     // Returns (seconds, ok). A query that throws must never be mistaken
     // for a fast success: failures are flagged, surfaced in the JSON line,
     // and fail the process exit code.
+    // SPARK_GRAFT_BENCH_ISOLATE=1: per-query clearCache+GC, a diagnostic
+    // for attributing a regression to the query itself vs suite-neighbor
+    // pressure. NOT the default: measured at sf0.1/local[32] it makes the
+    // median query 22% slower (cross-query cache reuse is the library's
+    // natural serving shape, and a forced full GC shrinks the heap the
+    // next query must re-grow) — isolated numbers are comparable to each
+    // other, not to suite numbers.
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String)
           => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      // Optional isolation mode: clear caches + GC before each timing
+      // (outside the timed section) to decouple a query's number from
+      // its suite neighbors' leftover footprint.
+      if (isolate) { spark.catalog.clearCache(); System.gc() }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -39,9 +51,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     // pass 2 replicates pass 1's cold-start semantics (drop persisted
-    // frames first; intra-pass cache reuse is the library's natural
-    // behavior either way) — the min filters out scheduler/GC noise
-    spark.catalog.clearCache()
+    // frames first; in isolation mode once() already clears per query)
+    // — the min filters out scheduler/GC noise
+    if (!isolate) spark.catalog.clearCache()
     val pass2 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     // A query is only "timed" if both passes succeeded; any thrown pass
     // marks it failed and its recorded time is -1 (never a sub-second win).

@@ -778,6 +778,15 @@ object SparkEntry {
       Similarity.hardNegativesServed(s, path,
         tables(s, dir).embeddings)
     }),
+    // the 100 TB audit path: label-noise consensus over neighborhoods
+    // served from the same persisted IVF index (pruned probed-cell read)
+    "label_noise_knn_served" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
+      Similarity.labelNoiseKnnServed(s, path,
+        tables(s, dir).embeddings)
+    }),
     // margin-based bitext mining (Artetxe & Schwenk): best cross-side
     // neighbor accepted when its cosine stands out of BOTH local
     // neighborhoods; label parity stands in for the language split
@@ -1571,6 +1580,7 @@ object SparkEntry {
     "hard_negatives" -> Similarity.hardNegativesSql,
     "label_noise_knn" -> Similarity.labelNoiseKnnSql,
     "hard_negatives_served" -> Similarity.hardNegativesServedSql,
+    "label_noise_knn_served" -> Similarity.labelNoiseKnnServedSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,

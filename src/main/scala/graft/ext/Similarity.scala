@@ -366,6 +366,104 @@ object Similarity {
        |    AS suspect
        |FROM topk GROUP BY q_id, q_label ORDER BY q_id""".stripMargin
 
+  /** The 100 TB form of [[labelNoiseKnn]]: neighbor candidates come from
+    * the persisted IVF index exactly as in [[hardNegativesServed]]
+    * (partition-pruned probed-cell read — the corpus is never
+    * brute-forced per anchor), then the identical consensus/suspect
+    * gates run over each anchor's served top-k. Labels attach AFTER the
+    * per-anchor rank (≤ k rows per anchor), so the label-table join is
+    * bounded by anchors × k, not candidates. Audit semantics under ANN:
+    * `k` is the served neighborhood size (≤ exact k when probing missed
+    * cells) and consensus is measured over the neighbors the index
+    * would actually serve — the quantity a production audit monitors.
+    */
+  def labelNoiseKnnServed(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame,
+      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    val data = readIndexData(spark, path)
+    val q = data.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
+    val probed = probes.select("p_cell").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val qLabels = broadcast(labels.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    data.filter(col("cell").isin(probed: _*))
+      .join(broadcast(probes),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .join(labels, Seq("vec_id"))
+      .join(qLabels, Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label").as("label"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_ppm", expr("n_agree * 1000000 div k"))
+      .withColumn("suspect", col("agree_ppm") < LabelAgreeMinPpm)
+      .orderBy("q_id")
+  }
+
+  /** DuckDB mirror of [[labelNoiseKnnServed]]: replays the hierarchical
+    * IVF build + probe CTE chain (the [[topKIvfHierSql]] machinery),
+    * then the identical top-k, label attach, and consensus gates.
+    */
+  def labelNoiseKnnServedSql: String = {
+    val nProbe = ivfProbesFor(IvfCells)
+    def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
+        cn2Expr: String): String = d2Sql(vecExpr, nrm2Expr, cvExpr, cn2Expr)
+    s"""WITH $hierBuildCtesSql,
+       |qcoarse AS (
+       |  SELECT vec_id, embedding, nrm, ccell FROM cranked
+       |  WHERE vec_id < $NumQueries AND rn <= $IvfCoarseProbes),
+       |qranked AS (
+       |  SELECT qc.vec_id, qc.embedding, qc.nrm, f.cell,
+       |    row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+       |      ${d2("qc.embedding", "qc.nrm * qc.nrm", "f.fv", "f.fn2")},
+       |      f.cell) AS rn
+       |  FROM qcoarse qc JOIN fcells f ON qc.ccell = f.ccell),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, cell
+       |  FROM qranked WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
+       |                    * CAST(a.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(p.qv) + 1)])
+       |      / (p.qn * a.nrm), 6) AS cosine
+       |  FROM assign a JOIN probes p
+       |    ON a.cell = p.cell AND a.vec_id != p.q_id),
+       |topk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $TopK),
+       |lab AS (
+       |  SELECT t.q_id, CAST(qe.label AS BIGINT) AS q_label,
+       |    CAST(ne.label AS BIGINT) AS label
+       |  FROM topk t
+       |  JOIN embeddings ne ON t.vec_id = ne.vec_id
+       |  JOIN embeddings qe ON t.q_id = qe.vec_id)
+       |SELECT q_id, q_label AS label, count(*) AS k,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // count(*) AS agree_ppm,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // count(*) < $LabelAgreeMinPpm
+       |    AS suspect
+       |FROM lab GROUP BY q_id, q_label ORDER BY q_id""".stripMargin
+  }
+
   // ---- random-hyperplane LSH ----------------------------------------------
 
   /** Embedding dimensionality of the fixture corpus. */

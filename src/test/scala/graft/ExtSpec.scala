@@ -1456,6 +1456,40 @@ class ExtSpec extends AnyFunSuite {
       s"served mined ${served.length} rows with zero overlap vs exact")
   }
 
+  test("served label-noise audit covers the exact anchor set with sane consensus") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("ln_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path)
+    val served = Similarity.labelNoiseKnnServed(spark, path, emb).collect()
+    val exact = Similarity.labelNoiseKnn(emb).collect()
+    // identical anchor set and anchor labels (from the raw table)
+    assert(served.map(_.getAs[Long]("q_id")).toSeq
+      == exact.map(_.getAs[Long]("q_id")).toSeq)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("label")).toMap
+    served.foreach(r => assert(
+      r.getAs[Long]("label") == labelOf(r.getAs[Long]("q_id"))))
+    // neighborhood size: bounded by k, non-empty for every anchor
+    served.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(k > 0 && k <= Similarity.TopK)
+      val agree = r.getAs[Long]("agree_ppm")
+      assert(agree >= 0L && agree <= 1000000L)
+    }
+    // the served consensus must track the exact audit: suspect flags
+    // agree on a majority of anchors (probing misses can flip edge
+    // cases, but an index serving unrelated neighborhoods would not
+    // reproduce the consensus structure)
+    val exactSuspect = exact
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Boolean]("suspect")).toMap
+    val agreeCnt = served.count(r =>
+      exactSuspect(r.getAs[Long]("q_id")) == r.getAs[Boolean]("suspect"))
+    assert(agreeCnt * 2 >= served.length,
+      s"served suspect flags agree on only $agreeCnt/${served.length}")
+  }
+
   test("label noise knn: low consensus flags, clean cluster passes") {
     import spark.implicits._
     import graft.ext.Similarity

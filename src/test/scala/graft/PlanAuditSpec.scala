@@ -147,6 +147,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "hard_negatives",       // corpus × broadcast bounded anchor set
     "hard_negatives_served",// probed cells × broadcast probe set
     "label_noise_knn",      // corpus × broadcast bounded anchor set
+    "label_noise_knn_served", // probed cells × broadcast probe set
     "key_skew_report",      // key counts × 1-row totals attach
     "neg_sampling",         // users × 1-row catalog-size attach
     "decayed_engagement")   // day rows × 1-row as-of-day attach

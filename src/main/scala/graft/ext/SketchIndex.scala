@@ -24,7 +24,21 @@ object SketchIndex {
     */
   val LgK = 12
 
-  private def dayOf = expr("unix_millis(ts) div 86400000")
+  /** Epoch-day key as a true FLOOR division (subtract the positive
+    * modulus first, then exact integer division): Spark's `div`
+    * truncates toward zero, DuckDB's `//` floors, so raw `div` would
+    * silently shift pre-epoch timestamps (negative millis) one day
+    * late vs every oracle. Shared by the batch build, the streaming
+    * ingest and the engagement-decay day math.
+    */
+  def dayCol(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ms = unix_millis(ts)
+    // ms - pmod(ms, d) is exactly divisible by d and |day| < 2^53, so
+    // the double division is exact and the cast is lossless
+    ((ms - pmod(ms, lit(86400000L))) / lit(86400000L)).cast("long")
+  }
+
+  private def dayOf = dayCol(col("ts"))
 
   private def sketchRows(events: DataFrame): DataFrame =
     events.select(dayOf.as("day"), col("event_type"), col("user_id"))
@@ -32,33 +46,69 @@ object SketchIndex {
       .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("sketch"),
         count(lit(1)).as("n_events"))
 
-  /** Full build: one corpus scan → day-partitioned sketch table. */
-  def writeHllIndex(events: DataFrame, path: String): Unit = {
-    val spark = events.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  /** Full build: one corpus scan → day-partitioned sketch table.
+    * STATIC overwrite on purpose: a full build is a full replace, so
+    * day partitions of a previous build whose days vanished from the
+    * corpus must not survive to serve stale sketches (dynamic mode
+    * would leave them).
+    */
+  def writeHllIndex(events: DataFrame, path: String): Unit =
     sketchRows(events)
-      .write.mode("overwrite").partitionBy("day").parquet(path)
-  }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("day").parquet(path)
 
   /** Incremental ingest: re-sketch ONLY the days present in `batch`
     * (dynamic partition overwrite — replaying a day is idempotent,
-    * untouched days keep their files).
+    * untouched days keep their files). Per-write option; nothing
+    * session-global leaks to other writers.
     */
-  def upsertDays(batch: DataFrame, path: String): Unit = {
-    val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def upsertDays(batch: DataFrame, path: String): Unit =
     sketchRows(batch)
-      .write.mode("overwrite").partitionBy("day").parquet(path)
-  }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+
+  /** Compaction-crash screen for a streamed (batch_id-partitioned)
+    * sketch frame: fold rows (`batch_id = -1`) carry `folded_through`
+    * — the highest batch id their compaction merged — and any batch
+    * row AT OR BELOW its day's folded_through is a superseded
+    * duplicate, visible only in the window between a compaction's
+    * promote and its per-partition deletes. The HLL estimate would
+    * survive such duplicates by union idempotence, but `sum(n_events)`
+    * would double-count; batches ingested AFTER the compaction have
+    * higher ids and pass the screen. Output always carries a
+    * `folded_through` column (null for batch rows and legacy folds).
+    */
+  def screenFolded(idx: DataFrame): DataFrame =
+    if (!idx.columns.contains("batch_id"))
+      idx.withColumn("folded_through", lit(null).cast("long"))
+    else {
+      val withFt =
+        if (idx.columns.contains("folded_through")) idx
+        else idx.withColumn("folded_through", lit(null).cast("long"))
+      val perDay = withFt.filter(col("batch_id") === -1L)
+        .groupBy(col("day").as("screen_day"))
+        .agg(max("folded_through").as("screen_through"))
+      withFt.join(broadcast(perDay),
+          col("day") === col("screen_day"), "left")
+        .filter(col("batch_id") === -1L
+          || col("screen_through").isNull
+          || col("batch_id") > col("screen_through"))
+        .drop("screen_day", "screen_through")
+    }
 
   /** Served read: distinct-user estimate per event_type over
     * [fromDay, toDay] by unioning the stored sketches. The day filter
     * prunes to the window's partitions; nothing event-sized is read.
+    * Streamed indexes pass through [[screenFolded]] so accounting
+    * stays exact across a crashed compaction.
     */
   def distinctUsersOverRange(spark: SparkSession, path: String,
       fromDay: Long, toDay: Long): DataFrame =
-    spark.read.parquet(path)
-      .filter(col("day") >= fromDay && col("day") <= toDay)
+    screenFolded(
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col("day") >= fromDay && col("day") <= toDay))
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("est_distinct"),

@@ -231,7 +231,10 @@ object Analytics {
     */
   def decayedEngagement(events: DataFrame): DataFrame = {
     val days = events.select(col("user_id"), col("event_type"),
-      expr("unix_millis(ts) div 86400000").as("day"))
+      // floor-division day key (shared SketchIndex.dayCol): Spark's
+      // `div` truncates toward zero and would disagree with the
+      // oracle's flooring `//` on pre-epoch timestamps
+      graft.ext.SketchIndex.dayCol(col("ts")).as("day"))
     val asOf = broadcast(days.agg(max("day").as("as_of_day")))
     days.crossJoin(asOf)
       .withColumn("w", expr("1000000 div shiftleft(1, "

@@ -81,31 +81,58 @@ object BatchIndex {
     }
 
   /** Contract 3: fold every committed `batch_id >= 0` partition into
-    * one distinct-`cols` partition under `batch_id = -1`. Returns
-    * (rows before, rows after). Run only with the stream stopped (see
-    * object doc).
+    * one `batch_id = -1` partition (per bucket when `bucketCol` is
+    * set). `fold` is the merge semantics — distinct rows by default,
+    * an aggregation for mergeable-sketch indexes. Returns (rows
+    * before, rows after). Run only with the stream stopped (see
+    * object doc). Crash window: the `-1` rows promote before the old
+    * partitions delete, so a crash can leave BOTH visible — row-level
+    * duplicates are correctness-neutral for distinct-fold indexes,
+    * but an index whose serving SUMS across rows must screen batch
+    * rows out of folded buckets at read time (the SketchIndex
+    * discipline) or rerun the compaction before serving accounting.
     */
-  def compact(spark: SparkSession, path: String,
-      cols: Seq[String]): (Long, Long) = {
+  def compact(spark: SparkSession, path: String, cols: Seq[String],
+      bucketCol: Option[String] = None,
+      fold: Option[DataFrame => DataFrame] = None): (Long, Long) = {
     import spark.implicits._
-    val index = spark.read.parquet(path)
+    val parts = bucketCol.toSeq :+ "batch_id"
+    // mergeSchema: a custom fold may have added columns (e.g. the
+    // sketch index's folded_through) that plain per-file inference
+    // would drop when the first-listed file predates them
+    val index = spark.read.option("mergeSchema", "true").parquet(path)
     val before = index.count()
-    val batchIds = index.select("batch_id").distinct()
-      .as[Long].collect().filter(_ >= 0L)
+    val liveDirs: Seq[String] = {
+      val live = index.filter(col("batch_id") >= 0L)
+      bucketCol match {
+        case Some(bc) =>
+          live.select(col(bc).cast("string"), col("batch_id").cast("string"))
+            .distinct().as[(String, String)].collect().toSeq
+            .map { case (b, i) => s"$bc=$b/batch_id=$i" }
+        case None =>
+          live.select(col("batch_id").cast("string")).distinct()
+            .as[String].collect().toSeq.map(i => s"batch_id=$i")
+      }
+    }
     val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
-    index.select(cols.map(col): _*).distinct()
+    // default fold: distinct rows over the index columns; a custom fold
+    // sees the FULL frame (incl. batch_id) for merge semantics that
+    // need it (aggregating sketch registers, recording folded_through)
+    val folded = fold.getOrElse((df: DataFrame) =>
+      df.select((bucketCol.toSeq ++ cols).distinct.map(col): _*)
+        .distinct())(index)
+    folded
       .withColumn("batch_id", lit(-1L))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("batch_id").parquet(tmp.toString)
+      .partitionBy(parts: _*).parquet(tmp.toString)
     spark.read.parquet(tmp.toString)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(path)
+      .partitionBy(parts: _*).parquet(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    batchIds.foreach { b =>
-      fs.delete(
-        new org.apache.hadoop.fs.Path(path, s"batch_id=$b"), true)
+    liveDirs.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
       ()
     }
     fs.delete(tmp, true)

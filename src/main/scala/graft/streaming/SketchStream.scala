@@ -29,62 +29,55 @@ object SketchStream {
   }
 
   private def sketchRows(batch: DataFrame): DataFrame =
-    batch.select(expr("unix_millis(ts) div 86400000").as("day"),
+    batch.select(graft.ext.SketchIndex.dayCol(col("ts")).as("day"),
       col("event_type"), col("user_id"))
       .groupBy("day", "event_type")
       .agg(hll_sketch_agg(col("user_id"),
         lit(graft.ext.SketchIndex.LgK)).as("sketch"),
         count(lit(1)).as("n_events"))
 
-  /** One idempotent micro-batch ingest (extracted for replay specs). */
+  /** One idempotent micro-batch ingest (extracted for replay specs):
+    * [[BatchIndex.writePartition]] with the day bucket level — the
+    * write dynamic-overwrites ONLY this batch's own (day, batch_id)
+    * partitions (per-write option, nothing session-global).
+    */
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
       stats: SketchStats): Unit =
     if (batchId > stats.lastCommitted) {
-      val spark = batch.sparkSession
-      spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val rows = sketchRows(batch)
-        .withColumn("batch_id", lit(batchId)).persist()
+      val rows = sketchRows(batch).persist()
       try {
         stats.events.add(
           rows.agg(sum("n_events")).head().getLong(0))
-        rows.write.mode("overwrite")
-          .partitionBy("day", "batch_id").parquet(indexPath)
+        BatchIndex.writePartition(rows, batchId, indexPath, Some("day"))
         stats.lastCommitted = batchId
       } finally { rows.unpersist(); () }
     }
 
   /** Fold the per-batch rows into one row per (day, event_type) —
-    * stream stopped only. Union is lossless for HLL registers, so
-    * served answers are identical before and after.
+    * stream stopped only. [[BatchIndex.compact]] with the day bucket
+    * level and HLL-union fold semantics (union is lossless for HLL
+    * registers, so served estimates are identical before and after;
+    * exact `n_events` accounting across the compaction crash window is
+    * guarded at serve time — [[graft.ext.SketchIndex
+    * .distinctUsersOverRange]] ignores batch rows for any day that
+    * already carries a folded row).
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
-    import spark.implicits._
-    val index = spark.read.parquet(indexPath)
-    val live = index.select(col("day"), col("batch_id"))
-      .distinct().as[(Long, Long)].collect().filter(_._2 >= 0L)
-    // tmp-then-overwrite (the BatchIndex.compact discipline): the live
-    // path always has every day partition; no missing-index window
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + ".compacting")
-    index.groupBy("day", "event_type")
-      .agg(hll_union_agg(col("sketch")).as("sketch"),
-        sum("n_events").as("n_events"))
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("day", "batch_id")
-      .parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day", "batch_id").parquet(indexPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    live.foreach { case (d, b) =>
-      fs.delete(new org.apache.hadoop.fs.Path(indexPath,
-        s"day=$d/batch_id=$b"), true)
-      ()
-    }
-    fs.delete(tmp, true)
+    BatchIndex.compact(spark, indexPath,
+      Seq("day", "event_type", "sketch", "n_events"), Some("day"),
+      Some { idx =>
+        // screen first so re-running a CRASHED compaction (fold rows +
+        // their superseded batch rows both on disk) cannot double-count
+        // n_events into the new fold; record the highest batch id each
+        // (day, type) fold merged so serving can apply the same screen
+        graft.ext.SketchIndex.screenFolded(idx)
+          .groupBy("day", "event_type")
+          .agg(hll_union_agg(col("sketch")).as("sketch"),
+            sum("n_events").as("n_events"),
+            max(greatest(coalesce(col("folded_through"), lit(-1L)),
+              col("batch_id"))).as("folded_through"))
+      })
     ()
   }
 

@@ -806,6 +806,25 @@ class StreamingSpec extends AnyFunSuite {
     // post-compact ingest still lands and serves
     SketchStream.processBatch(ev((5L, 101L, 10L)), 2L, indexDir, stats)
     assert(est(101L, 101L) == 2L)
+
+    // compaction crash window: re-land batch 1's partitions exactly as
+    // a compaction that died between its promote and its deletes would
+    // leave them (fold rows carry folded_through = 1, so these rows are
+    // superseded duplicates). The HLL estimate survives by union
+    // idempotence; the serve-time screen must keep sum(n_events) exact
+    val crashed = new SketchStream.SketchStats(spark)
+    crashed.lastCommitted = 0L
+    SketchStream.processBatch(b1, 1L, indexDir, crashed)
+    assert(est(100L, 101L) == 5L) // users {1,2,3} + {9,10}
+    def acctAll(): Long = SketchIndex
+      .distinctUsersOverRange(spark, indexDir, 100L, 101L)
+      .agg(org.apache.spark.sql.functions.sum("n_events"))
+      .head().getLong(0)
+    assert(acctAll() == 5L, "crashed-compaction leftovers double-counted")
+    // re-running the compaction folds cleanly over the crashed state
+    SketchStream.compact(spark, indexDir)
+    assert(est(100L, 100L) == 3L && est(100L, 101L) == 5L)
+    assert(acctAll() == 5L)
   }
 
   test("streaming dedup ingest: index screens batches; replay idempotent") {

@@ -46,6 +46,12 @@ object NegSampling {
         (h32(concat(lit("neg|"), col("c_custkey").cast("string"),
           lit("|"), col("seq").cast("string"))) % col("n_parts") + 1L)
           .as("p_partkey"))
+      // two draws can hash to the same item; dedup on (user, item)
+      // keeping the earliest draw so the first-k negatives are k
+      // DISTINCT items (the over-generation bound assumes distinct
+      // draws). Keyed like the anti-join below, so the join reuses
+      // this exchange's partitioning — no extra shuffle.
+      .groupBy("c_custkey", "p_partkey").agg(min("seq").as("seq"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("c_custkey").orderBy("seq")
     cands
@@ -68,13 +74,16 @@ object NegSampling {
        |    l_partkey AS p_partkey
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |cands AS MATERIALIZED (
-       |  SELECT c_custkey, seq,
-       |    ${h32Sql("'neg|' || CAST(c_custkey AS VARCHAR) || '|' " +
-            "|| CAST(seq AS VARCHAR)")} % n_parts + 1 AS p_partkey
-       |  FROM customer
-       |  CROSS JOIN np
-       |  CROSS JOIN (SELECT unnest(generate_series(1, $NegDraws))
-       |              AS seq)),
+       |  SELECT c_custkey, p_partkey, min(seq) AS seq
+       |  FROM (
+       |    SELECT c_custkey, seq,
+       |      ${h32Sql("'neg|' || CAST(c_custkey AS VARCHAR) || '|' " +
+              "|| CAST(seq AS VARCHAR)")} % n_parts + 1 AS p_partkey
+       |    FROM customer
+       |    CROSS JOIN np
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $NegDraws))
+       |                AS seq))
+       |  GROUP BY 1, 2),
        |kept AS (
        |  SELECT c.*, row_number() OVER (PARTITION BY c_custkey
        |    ORDER BY seq) AS rank

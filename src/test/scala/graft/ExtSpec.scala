@@ -1420,6 +1420,12 @@ class ExtSpec extends AnyFunSuite {
       .map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(r1.forall(x => { val p = x.getAs[Long]("p_partkey")
       p >= 1L && p <= 50L }))
+    // the k negatives per user are k DISTINCT items (colliding hash
+    // draws dedup before the first-k rank)
+    r1.groupBy(_.getAs[Long]("c_custkey")).foreach { case (_, rows) =>
+      val items = rows.map(_.getAs[Long]("p_partkey"))
+      assert(items.distinct.length == items.length)
+    }
     // reproducible: a second run draws the identical sample
     val r2 = NegSampling.negativeSamples(customer, orders,
       lineitem, part).collect()

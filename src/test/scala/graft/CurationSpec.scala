@@ -708,4 +708,27 @@ class CurationSpec extends AnyFunSuite {
     assert(Boilerplate.scrub(clean).agg(sum("tokens_removed"))
       .head().getLong(0) == 0L)
   }
+
+  test("RunCuration full funnel: artifacts land, counts monotone, rerun deterministic") {
+    val out = java.nio.file.Files
+      .createTempDirectory("curation_run").toString
+    val s1 = RunCuration.run(spark, Sf0001, out)
+    // the funnel only ever removes documents
+    assert(s1.raw >= s1.gated && s1.gated >= s1.deduped
+      && s1.deduped >= s1.sampled && s1.sampled > 0)
+    // every audit artifact landed non-empty, corpus split-partitioned
+    for (a <- Seq("corpus", "quality_report", "split_summary",
+        "pack_plan", "bpe_merges"))
+      assert(spark.read.parquet(s"$out/$a").count() > 0, a)
+    assert(spark.read.parquet(s"$out/corpus").columns.contains("split"))
+    // hash-derived gates + deterministic dedup: a rerun is bit-stable
+    val s2 = RunCuration.run(spark, Sf0001, out)
+    assert(s1.copy(shuffleWriteBytes = 0L)
+      == s2.copy(shuffleWriteBytes = 0L))
+    // the corpus never reshuffles: the run's total shuffle-write volume
+    // is derived-statistics-sized (bands/report rows), not corpus-sized
+    val corpusBytes = new java.io.File(Sf0001, "documents.parquet").length
+    assert(s1.shuffleWriteBytes < corpusBytes,
+      s"funnel shuffled ${s1.shuffleWriteBytes}B >= corpus $corpusBytes B")
+  }
 }

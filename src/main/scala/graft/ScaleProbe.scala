@@ -629,6 +629,144 @@ object ScaleProbe {
     docs.unpersist()
   }
 
+  /** Total input-file bytes read by `f`, via a stage listener (the
+    * probe corpora are `spark.range`-synthesized, so file input == the
+    * persisted index — the quantity the served contract bounds).
+    */
+  private def fileBytesRead(spark: SparkSession)(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        acc.addAndGet(s.stageInfo.taskMetrics.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      val deadline = System.nanoTime() + 10e9.toLong
+      var last = -1L
+      while (last != acc.get() && System.nanoTime() < deadline) {
+        last = acc.get(); Thread.sleep(200L)
+      }
+      acc.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def dirStats(p: String): (Long, Long) = { // (bytes, parquet files)
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().map(walk).foldLeft((0L, 0L)) {
+          case ((b1, n1), (b2, n2)) => (b1 + b2, n1 + n2) }
+      else if (f.getName.endsWith(".parquet")) (f.length(), 1L)
+      else (0L, 0L)
+    walk(new java.io.File(p))
+  }
+
+  /** Served-path probe: build each persisted index once at size n, then
+    * pin that a SERVED query's read volume is index-slice-proportional
+    * — probed cells / in-window days / term buckets — never
+    * corpus-proportional. `sbt "runMain graft.ScaleProbe served 5120000"`.
+    */
+  def servedProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // ---- IVF: hard negatives + label-noise audit served from cells --
+    val emb = synthEmbeddings(spark, n).persist()
+    emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val nProbe = Similarity.ivfProbesFor(cells)
+    val ivfPath = s"/tmp/graft_scaleprobe_served_ivf_$n"
+    val buildS = timed(Similarity.writeIvfIndex(emb, ivfPath, cells))
+    val (ivfBytes, ivfFiles) = dirStats(ivfPath)
+    // unpersist BEFORE measuring: inputMetrics counts cache-block
+    // reads too, and the synthesized corpus recomputes from range()
+    // with zero file input — so the measured bytes are index-only
+    emb.unpersist(blocking = true)
+    var hnS = 0.0
+    val hnRead = fileBytesRead(spark) {
+      hnS = timed {
+        Similarity.hardNegativesServed(spark, ivfPath, emb, nProbe)
+          .count(); ()
+      }
+    }
+    var lnS = 0.0
+    val lnRead = fileBytesRead(spark) {
+      lnS = timed {
+        Similarity.labelNoiseKnnServed(spark, ivfPath, emb, nProbe)
+          .count(); ()
+      }
+    }
+    println(f"[served] n=$n%-8d ivf build=$buildS%7.1fs " +
+      f"index=${ivfBytes / 1e6}%8.1fMB/$ivfFiles%d files | " +
+      f"hard_neg serve=$hnS%6.2fs read=${hnRead / 1e6}%7.1fMB " +
+      f"(${100.0 * hnRead / ivfBytes}%4.1f%% of index) | " +
+      f"label_noise serve=$lnS%6.2fs read=${lnRead / 1e6}%7.1fMB " +
+      f"(${100.0 * lnRead / ivfBytes}%4.1f%% of index)")
+
+    // ---- HLL sketch index: 10-day window over a 30-day corpus -------
+    val events = synthEvents(spark, n).persist()
+    events.count()
+    val hllPath = s"/tmp/graft_scaleprobe_served_hll_$n"
+    val hllBuildS = timed(
+      graft.ext.SketchIndex.writeHllIndex(events, hllPath))
+    val (hllBytes, hllFiles) = dirStats(hllPath)
+    val day0 = events
+      .agg(min(graft.ext.SketchIndex.dayCol(col("ts")))).head().getLong(0)
+    var hllS = 0.0
+    val hllRead = fileBytesRead(spark) {
+      hllS = timed {
+        graft.ext.SketchIndex.distinctUsersOverRange(
+          spark, hllPath, day0 + 10, day0 + 19).count(); ()
+      }
+    }
+    val hllFilesRead = spark.read.parquet(hllPath)
+      .filter(col("day") >= day0 + 10 && col("day") <= day0 + 19)
+      .select(input_file_name()).distinct().count()
+    println(f"[served] n=$n%-8d hll build=$hllBuildS%7.1fs " +
+      f"index=${hllBytes / 1e6}%8.1fMB/$hllFiles%d files | " +
+      f"serve=$hllS%6.2fs read=${hllRead / 1e6}%7.1fMB " +
+      f"files_read=$hllFilesRead/$hllFiles (10 of 30 days)")
+    events.unpersist()
+
+    // ---- BM25 postings: 3 terms of a bucketed postings index --------
+    val nDocs = math.max(n / 4L, 100000L)
+    val docs = synthDocs(spark, nDocs).persist()
+    docs.count()
+    val terms = Seq("w1", "w7", "w13")
+    val bmPath = s"/tmp/graft_scaleprobe_served_bm25_$nDocs"
+    val dlPath = s"$bmPath.dl"
+    val bmBuildS = timed {
+      graft.ext.Search.writePostingsIndex(docs, bmPath)
+      graft.ext.Search.writeDocLengths(docs, dlPath)
+    }
+    val (bmBytes, bmFiles) = dirStats(bmPath)
+    val (dlBytes, _) = dirStats(dlPath)
+    var bmS = 0.0
+    val bmRead = fileBytesRead(spark) {
+      bmS = timed {
+        graft.ext.Search.bm25Served(spark, bmPath, dlPath, terms)
+          .count(); ()
+      }
+    }
+    val termBuckets = terms.map(graft.ext.Search.bucketOf(_)).distinct
+    val bmFilesRead = spark.read.parquet(bmPath)
+      .filter(col("bucket").isin(termBuckets: _*))
+      .select(input_file_name()).distinct().count()
+    println(f"[served] ndocs=$nDocs%-7d bm25 build=$bmBuildS%7.1fs " +
+      f"postings=${bmBytes / 1e6}%8.1fMB/$bmFiles%d files " +
+      f"dl=${dlBytes / 1e6}%.1fMB | serve=$bmS%6.2fs " +
+      f"read=${bmRead / 1e6}%7.1fMB " +
+      f"postings_files_read=$bmFilesRead/$bmFiles " +
+      f"(${termBuckets.size} of ${graft.ext.Search.NumBuckets} buckets)")
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val capMode = args.headOption.contains("cap")
@@ -644,10 +782,12 @@ object ScaleProbe {
     val overlapMode = args.headOption.contains("overlap")
     val eventsMode = args.headOption.contains("events")
     val statsMode = args.headOption.contains("stats")
+    val servedMode = args.headOption.contains("served")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
-          || eventsMode || overlapMode || capMode || statsMode)
+          || eventsMode || overlapMode || capMode || statsMode
+          || servedMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -723,6 +863,11 @@ object ScaleProbe {
     }
     if (statsMode) {
       sizes.foreach(statsProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (servedMode) {
+      sizes.foreach(servedProbe(spark, _))
       spark.stop()
       return
     }

@@ -223,8 +223,15 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fineCells = spark.read.parquet(s"$path/centroids")
     val data = readIndexData(spark, path)
-    val q = data.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm"))
+    // Anchor vectors come from the CORPUS table, not the index: the
+    // index is cell-partitioned, so a by-id lookup there is a full
+    // index scan, while the corpus scan pushes vec_id < N down to
+    // parquet row-group pruning. withNorm here is the exact expression
+    // the index writer stored, so v/nrm are bit-identical. Eagerly
+    // materialized (bounded rows) so the lookup runs once, not once
+    // per downstream action (probes collect + broadcast + final job).
+    val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
@@ -383,8 +390,10 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fineCells = spark.read.parquet(s"$path/centroids")
     val data = readIndexData(spark, path)
-    val q = data.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm"))
+    // corpus-side anchor lookup + eager materialization — see
+    // [[hardNegativesServed]]
+    val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
@@ -1195,9 +1204,14 @@ object Similarity {
       probeCoarse: Int = IvfCoarseProbes): DataFrame = {
     // fixture contract: queries are the NumQueries lowest vec_ids,
     // looked up in the index itself (a production caller brings its own
-    // query vectors — see [[topKIvfServedFor]], which skips this scan)
+    // query vectors — see [[topKIvfServedFor]], which skips this scan).
+    // localCheckpoint (eager): the by-id lookup is a full index scan
+    // (cell-partitioned data has no vec_id pruning), and the bounded
+    // result feeds several downstream actions (probes collect, probes
+    // broadcast, final count) — without materialization each one would
+    // re-run the scan (measured 4x index reads at 1.28 M vectors)
     val q = readIndexData(spark, path).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
     topKIvfServedFor(q, path, nProbe, probeCoarse)
   }
 

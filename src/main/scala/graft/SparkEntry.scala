@@ -528,6 +528,13 @@ object SparkEntry {
     // map-side linear compression ahead of ANN/clustering
     "embedding_project" -> ((s, dir) =>
       graft.ext.EmbedStats.jlProject(tables(s, dir).embeddings)),
+    // class-balance audit: per-label share + deviation from uniform
+    "label_balance" -> ((s, dir) =>
+      graft.ext.EmbedStats.labelBalance(tables(s, dir).embeddings)),
+    // padded-batch efficiency: power-of-two length buckets with the
+    // exact padding waste a fixed-length batcher would pay
+    "batch_padding_report" -> ((s, dir) =>
+      graft.ext.Curation.paddingReport(tables(s, dir).documents)),
 
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
@@ -777,6 +784,16 @@ object SparkEntry {
         Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
       Similarity.hardNegativesServed(s, path,
         tables(s, dir).embeddings)
+    }),
+    // retrieval eval: served hier-IVF top-k vs brute-force ground truth
+    // as exact-ppm recall@k / MRR — the index-quality monitor next to
+    // ann_index_drift
+    "ann_recall_report" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
+      Similarity.annRecallReport(s, path, tables(s, dir).embeddings,
+        Similarity.ivfProbesFor(Similarity.IvfCells))
     }),
     // the 100 TB audit path: label-noise consensus over neighborhoods
     // served from the same persisted IVF index (pruned probed-cell read)
@@ -1581,6 +1598,7 @@ object SparkEntry {
     "label_noise_knn" -> Similarity.labelNoiseKnnSql,
     "hard_negatives_served" -> Similarity.hardNegativesServedSql,
     "label_noise_knn_served" -> Similarity.labelNoiseKnnServedSql,
+    "ann_recall_report" -> Similarity.annRecallReportSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,
@@ -1723,6 +1741,8 @@ object SparkEntry {
     "embedding_clusters" -> Dedup.embeddingClustersSql(),
     "embedding_covariance" -> graft.ext.EmbedStats.covarianceSql,
     "embedding_project" -> graft.ext.EmbedStats.jlProjectSql,
+    "label_balance" -> graft.ext.EmbedStats.labelBalanceSql,
+    "batch_padding_report" -> graft.ext.Curation.paddingReportSql,
 
     "dq_docs_suite" ->
       s"""WITH cur AS (SELECT * FROM documents),

@@ -1119,6 +1119,55 @@ object Curation {
        |  CAST(sum(n_tokens) AS BIGINT) * 1000000 // $budget AS fill_ppm
        |FROM t GROUP BY 1, 2 ORDER BY stream, seq_id""".stripMargin
 
+  /** Length buckets for [[paddingReport]] (powers of two — the common
+    * padded-batch layout).
+    */
+  val PadBuckets: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L,
+    1024L, 2048L)
+
+  /** Length-bucketed batching audit — the padding-efficiency planner a
+    * training loader runs before choosing bucket boundaries: each doc
+    * rounds up to its power-of-two token bucket, and the report gives
+    * per-bucket doc/token mass plus the exact padding waste a
+    * fixed-length batcher would pay (ppm of padded volume). The bucket
+    * ladder is a literal CASE chain, not float log2 — bit-identical in
+    * both engines and immune to pow-boundary rounding.
+    *
+    * Scale shape: map-side bucket assignment + one combinable
+    * aggregate over |buckets| keys. No joins, no windows.
+    */
+  def paddingReport(documents: DataFrame): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    val bucket = PadBuckets.foldRight(lit(PadBuckets.last * 2): Column) {
+      (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    documents.select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .withColumn("padded_tokens", expr("n_docs * bucket"))
+      .withColumn("waste_ppm",
+        expr("(padded_tokens - sum_tokens) * 1000000 div padded_tokens"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[paddingReport]]. */
+  def paddingReportSql: String = {
+    val caseSql = PadBuckets.map(b => s"WHEN n <= $b THEN $b")
+      .mkString(" ")
+    s"""WITH t AS (
+       |  SELECT len(string_split(text, ' ')) AS n FROM documents),
+       |b AS (
+       |  SELECT CAST(CASE $caseSql ELSE ${PadBuckets.last * 2} END
+       |    AS BIGINT) AS bucket, n
+       |  FROM t)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+       |  count(*) * bucket AS padded_tokens,
+       |  (count(*) * bucket - CAST(sum(n) AS BIGINT)) * 1000000
+       |    // (count(*) * bucket) AS waste_ppm
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // ---- document chunking ---------------------------------------------------
 
   /** Chunk window size and overlap in tokens (fixture values; the

@@ -146,6 +146,39 @@ object EmbedStats {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  /** Label-distribution audit over the embedding corpus — the
+    * class-balance check a supervised/contrastive training set gets
+    * before sampling weights are chosen: per-label count, corpus share
+    * (exact ppm), and the signed deviation from a uniform split. One
+    * combinable aggregate plus a 1-row broadcast totals attach.
+    */
+  def labelBalance(embeddings: DataFrame): DataFrame = {
+    val tot = broadcast(embeddings.agg(
+      count(lit(1)).as("n_total"),
+      countDistinct(col("label")).as("n_labels")))
+    embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+      .crossJoin(tot)
+      .select(col("label"), col("n"),
+        expr("n * 1000000 div n_total").as("share_ppm"),
+        expr("n * 1000000 div n_total - 1000000 div n_labels")
+          .as("uniform_delta_ppm"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[labelBalance]] (each division is on positive
+    * operands, so truncating `div` ≡ flooring `//`; the subtraction
+    * happens after).
+    */
+  val labelBalanceSql: String =
+    """WITH tot AS (SELECT count(*) AS n_total,
+      |    count(DISTINCT label) AS n_labels FROM embeddings)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |  count(*) * 1000000 // n_total AS share_ppm,
+      |  count(*) * 1000000 // n_total - 1000000 // n_labels
+      |    AS uniform_delta_ppm
+      |FROM embeddings CROSS JOIN tot
+      |GROUP BY label, n_total, n_labels ORDER BY label""".stripMargin
+
   /** Dominant eigenpair of the covariance by fixed-count power
     * iteration (deterministic: all-ones start, no early stop) over the
     * driver-sized d×d matrix from [[covariance]]. Returns

@@ -1238,6 +1238,72 @@ object Similarity {
       probes)
   }
 
+  /** Served-index quality report — the retrieval-eval component an ANN
+    * deployment monitors next to [[ivfIndexDrift]]: per query, the
+    * served hier-IVF top-k against the exact brute-force ground truth
+    * as recall@k and the reciprocal rank of the TRUE nearest neighbor,
+    * all exact-integer ppm. The brute side is bounded (the fixture's
+    * [[NumQueries]] anchors — production samples its eval anchors the
+    * same way), so ground truth costs one broadcast corpus scan and the
+    * served side reads only probed cells; nothing here is corpus ×
+    * corpus.
+    */
+  def annRecallReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame,
+      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
+    val brute = topKBruteForce(embeddings)
+      .select(col("q_id"), col("rank").as("b_rank"), col("vec_id"))
+    val srv = topKIvfServed(spark, path, nProbe)
+      .select(col("q_id"), col("rank").as("s_rank"), col("vec_id"))
+    val kc = srv.groupBy("q_id").agg(count(lit(1)).as("k_served"))
+    brute.join(srv, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k_brute"),
+        sum(when(col("s_rank").isNotNull, 1L).otherwise(0L))
+          .as("n_overlap"),
+        min(when(col("b_rank") === 1L, col("s_rank")))
+          .as("nn_rank_raw"))
+      .join(kc, Seq("q_id"), "left")
+      .select(col("q_id"), col("k_brute"),
+        coalesce(col("k_served"), lit(0L)).as("k_served"),
+        col("n_overlap"),
+        expr("n_overlap * 1000000 div k_brute").as("recall_ppm"),
+        coalesce(col("nn_rank_raw"), lit(0L)).as("nn_served_rank"),
+        when(col("nn_rank_raw").isNull, lit(0L))
+          .otherwise(expr("1000000 div nn_rank_raw")).as("mrr_ppm"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB mirror of [[annRecallReport]]: the brute and hier-IVF
+    * oracles compose as nested CTEs, then the identical join + ppm
+    * arithmetic.
+    */
+  def annRecallReportSql: String =
+    s"""WITH brute AS MATERIALIZED (
+       |$topKBruteForceSql
+       |), srv AS MATERIALIZED (
+       |$topKIvfHierSql
+       |), joined AS (
+       |  SELECT b.q_id, b.rank AS b_rank, b.vec_id, s.rank AS s_rank
+       |  FROM brute b LEFT JOIN srv s
+       |    ON b.q_id = s.q_id AND b.vec_id = s.vec_id),
+       |agg AS (
+       |  SELECT q_id, count(*) AS k_brute,
+       |    CAST(sum(CASE WHEN s_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_overlap,
+       |    min(CASE WHEN b_rank = 1 THEN s_rank END) AS nn_rank_raw
+       |  FROM joined GROUP BY q_id),
+       |kc AS (SELECT q_id, count(*) AS k_served FROM srv GROUP BY q_id)
+       |SELECT a.q_id, a.k_brute,
+       |  CAST(coalesce(kc.k_served, 0) AS BIGINT) AS k_served,
+       |  a.n_overlap,
+       |  a.n_overlap * 1000000 // a.k_brute AS recall_ppm,
+       |  CAST(coalesce(a.nn_rank_raw, 0) AS BIGINT) AS nn_served_rank,
+       |  CAST(CASE WHEN a.nn_rank_raw IS NULL THEN 0
+       |       ELSE 1000000 // a.nn_rank_raw END AS BIGINT) AS mrr_ppm
+       |FROM agg a LEFT JOIN kc ON a.q_id = kc.q_id
+       |ORDER BY a.q_id""".stripMargin
+
   /** Read the index data files with the partition column restored to
     * the index's long type (dir inference yields INT).
     */

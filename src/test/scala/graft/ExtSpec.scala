@@ -1462,6 +1462,53 @@ class ExtSpec extends AnyFunSuite {
       s"served mined ${served.length} rows with zero overlap vs exact")
   }
 
+  test("label balance: exact ppm shares and uniform deltas") {
+    import spark.implicits._
+    val emb = Seq((0L, 0L), (1L, 0L), (2L, 1L))
+      .toDF("vec_id", "label")
+    val r = graft.ext.EmbedStats.labelBalance(emb).collect()
+    assert(r.map(x => (x.getAs[Long]("label"), x.getAs[Long]("n"),
+      x.getAs[Long]("share_ppm"), x.getAs[Long]("uniform_delta_ppm")))
+      .toSeq == Seq((0L, 2L, 666666L, 166666L),
+        (1L, 1L, 333333L, -166667L)))
+  }
+
+  test("padding report: power-of-two buckets with exact waste ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(17)("w").mkString(" ")),
+      (3L, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Curation.paddingReport(docs).collect()
+    assert(r.map(x => (x.getAs[Long]("bucket"), x.getAs[Long]("n_docs"),
+      x.getAs[Long]("padded_tokens"), x.getAs[Long]("waste_ppm")))
+      .toSeq == Seq((16L, 1L, 16L, 375000L), (32L, 1L, 32L, 468750L),
+        (128L, 1L, 128L, 218750L)))
+  }
+
+  test("ann recall report: full anchor coverage, sane ppm ranges") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("arr_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path)
+    val r = Similarity.annRecallReport(spark, path, emb,
+      Similarity.ivfProbesFor(Similarity.IvfCells)).collect()
+    assert(r.length == Similarity.NumQueries)
+    r.foreach { x =>
+      assert(x.getAs[Long]("k_brute") == Similarity.TopK)
+      val rec = x.getAs[Long]("recall_ppm")
+      assert(rec >= 0L && rec <= 1000000L)
+      val mrr = x.getAs[Long]("mrr_ppm")
+      assert(mrr >= 0L && mrr <= 1000000L)
+      assert(x.getAs[Long]("n_overlap") <= x.getAs[Long]("k_served"))
+    }
+    // the fixture index serves a useful neighborhood: mean recall > 0.5
+    val mean = r.map(_.getAs[Long]("recall_ppm")).sum / r.length
+    assert(mean > 500000L, s"mean recall_ppm $mean")
+  }
+
   test("served label-noise audit covers the exact anchor set with sane consensus") {
     import graft.ext.Similarity
     val emb = Tables(spark, Sf0001).embeddings

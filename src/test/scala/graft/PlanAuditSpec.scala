@@ -91,7 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pmi_collocations",     // one-row corpus-totals attach
     "key_skew_report",      // one-row key-totals attach
     "neg_sampling",         // one-row catalog-size attach
-    "decayed_engagement")   // one-row as-of-day attach
+    "decayed_engagement",   // one-row as-of-day attach
+    "label_balance")        // one-row corpus-totals attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -150,7 +151,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "label_noise_knn_served", // probed cells × broadcast probe set
     "key_skew_report",      // key counts × 1-row totals attach
     "neg_sampling",         // users × 1-row catalog-size attach
-    "decayed_engagement")   // day rows × 1-row as-of-day attach
+    "decayed_engagement",   // day rows × 1-row as-of-day attach
+    "label_balance",        // label counts × 1-row totals attach
+    "ann_recall_report")    // brute side: corpus × broadcast anchors
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

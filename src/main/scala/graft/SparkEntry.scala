@@ -762,6 +762,13 @@ object SparkEntry {
           graft.ext.Bpe.trainMergesCached(docs, dir))
         .orderBy("doc_id")
     }),
+    // per-language tokenizer fertility (BPE tokens per word, chars per
+    // token) — the multilingual vocab-budget diagnostic
+    "tokenizer_fertility" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      graft.ext.Bpe.fertilityReport(docs,
+        graft.ext.Bpe.trainMergesCached(docs, dir))
+    }),
 
     // ---- ext: similarity search (north-star) ------------------------------
     "ann_topk_brute" -> ((s, dir) =>
@@ -784,6 +791,16 @@ object SparkEntry {
         Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
       Similarity.hardNegativesServed(s, path,
         tables(s, dir).embeddings)
+    }),
+    // filtered vector search: ANN top-k under a metadata predicate
+    // (same-label-as-anchor), evaluated on the label STORED IN the
+    // index rows — zero corpus joins
+    "ann_topk_filtered" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
+      Similarity.topKIvfFiltered(s, path, tables(s, dir).embeddings,
+        Similarity.ivfProbesFor(Similarity.IvfCells))
     }),
     // retrieval eval: served hier-IVF top-k vs brute-force ground truth
     // as exact-ppm recall@k / MRR — the index-quality monitor next to
@@ -1076,6 +1093,12 @@ object SparkEntry {
       Dedup.minhashClusters(tables(s, dir).documents,
           labels = Some(clusterLabelsFor(s, dir)))
         .orderBy("cluster_id")),
+    // dedup provenance: per survivor, the sorted doc_ids the
+    // keep-lowest policy dropped in its favor (the audit artifact a
+    // curated corpus ships with); bounded by duplicate volume
+    "dedup_manifest" -> ((s, dir) =>
+      Dedup.dedupManifest(tables(s, dir).documents,
+        labels = Some(clusterLabelsFor(s, dir)))),
     // soft dedup: per-doc 1/|cluster| sampling weight (down-weight, not
     // drop — arXiv:2305.16264's alternative to the hard survivors cut)
     "soft_dedup_weights" -> ((s, dir) =>
@@ -1558,6 +1581,7 @@ object SparkEntry {
     // meaningfully-checkable query moves from rows-only to full oracle)
     "bpe_merges" -> graft.ext.Bpe.mergesSql(),
     "bpe_tokenize" -> graft.ext.Bpe.tokenizeReportSql(),
+    "tokenizer_fertility" -> graft.ext.Bpe.fertilityReportSql(),
     "zorder_box_read" ->
       """WITH b AS (
         |  SELECT max(l_orderkey) AS xm, max(l_partkey) AS ym
@@ -1599,6 +1623,7 @@ object SparkEntry {
     "hard_negatives_served" -> Similarity.hardNegativesServedSql,
     "label_noise_knn_served" -> Similarity.labelNoiseKnnServedSql,
     "ann_recall_report" -> Similarity.annRecallReportSql,
+    "ann_topk_filtered" -> Similarity.topKIvfFilteredSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
     "ann_topk_lsh_multiprobe" -> Similarity.topKLshMultiProbeSql,
@@ -1736,6 +1761,7 @@ object SparkEntry {
          |ORDER BY incident_type""".stripMargin,
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
+    "dedup_manifest" -> Dedup.dedupManifestSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),

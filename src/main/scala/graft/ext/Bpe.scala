@@ -330,6 +330,57 @@ object Bpe {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility per language — the tokenizer-fit diagnostic a
+    * multilingual corpus gets before training: BPE tokens per
+    * whitespace word (fertility) and source characters per BPE token,
+    * both exact-integer ppm. A language whose fertility is far above
+    * the corpus norm is being shredded by the merge table (its scripts
+    * or morphology are under-represented in the training sample) — the
+    * signal that drives per-language vocab budgeting. Pure map-side
+    * tokenization (native bpe_apply) + one |langs|-key aggregate.
+    */
+  def fertilityReport(documents: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("lang"), col("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_words"),
+        size(graft.functions.GraftFunctions
+          .bpeApply(col("text"), merges.map(m => (m.left, m.right))))
+          .cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe").as("n_bpe_tokens"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 div n_bpe_tokens"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[fertilityReport]]: the self-contained
+    * [[tokenizeReportSql]] (trainer + apply chain) nested as a CTE,
+    * rolled up per language.
+    */
+  def fertilityReportSql(k: Int = DefaultMerges): String =
+    s"""WITH rep AS MATERIALIZED (
+       |${tokenizeReportSql(k)}
+       |)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(rep.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(rep.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(rep.n_bpe_tokens) AS BIGINT) * 1000000
+       |    // CAST(sum(rep.n_words) AS BIGINT) AS fertility_ppm,
+       |  CAST(sum(d.n_chars) AS BIGINT) * 1000000
+       |    // CAST(sum(rep.n_bpe_tokens) AS BIGINT)
+       |    AS chars_per_token_ppm
+       |FROM rep JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** DuckDB mirror of the FIRST iteration's pair statistics (top-n) —
     * the one-step oracle that pins the weighted-pair-counting core of the
     * trainer cross-engine; the iterative remainder is spec-pinned.

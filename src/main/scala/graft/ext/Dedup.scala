@@ -675,6 +675,50 @@ object Dedup {
        |FROM labels GROUP BY label HAVING count(*) >= 2
        |ORDER BY cluster_id""".stripMargin
 
+  /** Dedup provenance manifest — the audit artifact a curated corpus
+    * ships with: per surviving document, the sorted list of near-dup
+    * doc_ids the keep-lowest policy dropped in its favor. Rows exist
+    * only for survivors that actually displaced something, so the
+    * manifest is bounded by the duplicate volume, not the corpus.
+    * Composes [[clusterLabels]] (driver union-find / pointer-jumping
+    * above the cap) over the verified MinHash pair graph.
+    */
+  def dedupManifest(documents: DataFrame,
+      bands: Option[DataFrame] = None,
+      labels: Option[DataFrame] = None): DataFrame =
+    labels.getOrElse(clusterLabels(
+        minhashNearDups(documents, bands = bands)
+          .select("doc_a", "doc_b")))
+      .filter(col("doc_id") =!= col("label"))
+      .groupBy(col("label").as("survivor"))
+      .agg(count(lit(1)).as("n_dropped"),
+        sort_array(collect_list(col("doc_id"))).as("dropped"))
+      .orderBy("survivor")
+
+  /** DuckDB mirror of [[dedupManifest]] (the recursive
+    * connected-components labels, then the survivor roll-up).
+    */
+  def dedupManifestSql: String =
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a)
+       |SELECT label AS survivor,
+       |  CAST(count(*) AS BIGINT) AS n_dropped,
+       |  list_sort(list(doc_id)) AS dropped
+       |FROM labels WHERE doc_id != label
+       |GROUP BY label ORDER BY survivor""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word

@@ -231,21 +231,22 @@ object Similarity {
     // materialized (bounded rows) so the lookup runs once, not once
     // per downstream action (probes collect + broadcast + final job).
     val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      .localCheckpoint()
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val qLabels = broadcast(labels.filter(col("vec_id") < NumQueries)
+    val qLabels = broadcast(q
       .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+    // candidate labels come from the INDEX (metadata stored with the
+    // vectors), so no corpus-sized label join exists anywhere here
     val cands = data.filter(col("cell").isin(probed: _*))
       .join(broadcast(probes),
         col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"), col("label"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cosine"))
       .filter(col("cosine") >= NegBandLo && col("cosine") < NegBandHi)
-      .join(labels, Seq("vec_id"))
       .join(qLabels, Seq("q_id"))
       .filter(col("label") =!= col("q_label"))
     val w = Window.partitionBy("q_id")
@@ -391,26 +392,25 @@ object Similarity {
     val fineCells = spark.read.parquet(s"$path/centroids")
     val data = readIndexData(spark, path)
     // corpus-side anchor lookup + eager materialization — see
-    // [[hardNegativesServed]]
+    // [[hardNegativesServed]]; candidate labels come from the index
     val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      .localCheckpoint()
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val qLabels = broadcast(labels.filter(col("vec_id") < NumQueries)
+    val qLabels = broadcast(q
       .select(col("vec_id").as("q_id"), col("label").as("q_label")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     data.filter(col("cell").isin(probed: _*))
       .join(broadcast(probes),
         col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"), col("label"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .join(labels, Seq("vec_id"))
       .join(qLabels, Seq("q_id"))
       .groupBy(col("q_id"), col("q_label").as("label"))
       .agg(count(lit(1)).as("k"),
@@ -471,6 +471,90 @@ object Similarity {
        |    AS BIGINT) * 1000000 // count(*) < $LabelAgreeMinPpm
        |    AS suspect
        |FROM lab GROUP BY q_id, q_label ORDER BY q_id""".stripMargin
+  }
+
+  /** Filtered vector search — ANN top-k under a metadata predicate
+    * (here: same label as the anchor, the "search within a category"
+    * shape every production vector store exposes). The predicate
+    * evaluates on the label STORED IN the index rows (metadata travels
+    * with the vectors), so filtering costs zero joins against the
+    * corpus: probed-cell read → predicate → per-anchor top-k. The
+    * standard ANN-filtering caveat applies — the filter shrinks each
+    * probed cell's candidate pool, so selective predicates want a
+    * higher nProbe (same knob as recall).
+    */
+  def topKIvfFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame,
+      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val fineCells = spark.read.parquet(s"$path/centroids")
+    val data = readIndexData(spark, path)
+    val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
+    val probed = probes.select("p_cell").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val qLabels = broadcast(q
+      .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    data.filter(col("cell").isin(probed: _*))
+      .join(broadcast(probes),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .join(qLabels, Seq("q_id"))
+      .filter(col("label") === col("q_label"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB mirror of [[topKIvfFiltered]]: the hier-IVF CTE chain, the
+    * label-equality gate, then the identical per-anchor rank.
+    */
+  def topKIvfFilteredSql: String = {
+    val nProbe = ivfProbesFor(IvfCells)
+    def d2(vecExpr: String, nrm2Expr: String, cvExpr: String,
+        cn2Expr: String): String = d2Sql(vecExpr, nrm2Expr, cvExpr, cn2Expr)
+    s"""WITH $hierBuildCtesSql,
+       |qcoarse AS (
+       |  SELECT vec_id, embedding, nrm, ccell FROM cranked
+       |  WHERE vec_id < $NumQueries AND rn <= $IvfCoarseProbes),
+       |qranked AS (
+       |  SELECT qc.vec_id, qc.embedding, qc.nrm, f.cell,
+       |    row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+       |      ${d2("qc.embedding", "qc.nrm * qc.nrm", "f.fv", "f.fn2")},
+       |      f.cell) AS rn
+       |  FROM qcoarse qc JOIN fcells f ON qc.ccell = f.ccell),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, cell
+       |  FROM qranked WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
+       |                    * CAST(a.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(p.qv) + 1)])
+       |      / (p.qn * a.nrm), 6) AS cosine
+       |  FROM assign a JOIN probes p
+       |    ON a.cell = p.cell AND a.vec_id != p.q_id),
+       |lab AS (
+       |  SELECT s.q_id, s.vec_id, s.cosine,
+       |    CAST(ne.label AS BIGINT) AS label
+       |  FROM scored s
+       |  JOIN embeddings ne ON s.vec_id = ne.vec_id
+       |  JOIN embeddings qe ON s.q_id = qe.vec_id
+       |  WHERE ne.label = qe.label)
+       |SELECT q_id, rank, vec_id, label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM lab)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   // ---- random-hyperplane LSH ----------------------------------------------
@@ -999,16 +1083,20 @@ object Similarity {
     val coarseCents = fineCells.filter(col("cell") < 0)
       .select(col("ccell"), col("fv").as("cv"), col("fn2").as("cn2"))
     val cAssign = e.join(broadcast(coarseCents), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("ccell"),
         dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
       .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+      .agg(first(col("label")).as("label"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
     val assign = cAssign.join(broadcast(fineCells), Seq("ccell"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cell"),
         dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
       .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+      .agg(first(col("label")).as("label"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     assign.withColumn("batch_id", lit(batchId))
       .repartition(col("cell")) // ~one file per touched cell, not tasks×cells
@@ -1155,13 +1243,18 @@ object Similarity {
     val coarse0 = e.filter(col("vec_id") < nCoarse)
       .select(col("vec_id").as("ccell"), col("v").as("cv"),
         (col("nrm") * col("nrm")).as("cn2"))
+    // label rides along into the stored assignment (metadata-with-
+    // vectors, the filtered-search prerequisite): per vec_id it is
+    // constant, so first() is deterministic
     def scoreC(side: DataFrame, cents: DataFrame): DataFrame = side
       .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"), col("ccell"),
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("ccell"),
         dist2(col("v"), col("nrm"), col("cv"), col("cn2")).as("d2"))
     def nearestCoarse(side: DataFrame, cents: DataFrame): DataFrame =
       scoreC(side, cents).groupBy("vec_id")
-        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        .agg(first(col("label")).as("label"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
           min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
     val coarseRefined = nearestCoarse(e, coarse0)
       .select(col("ccell"), posexplode(col("v")).as(Seq("i", "x")))
@@ -1181,10 +1274,12 @@ object Similarity {
         (-col("ccell") - 1).as("cell"), col("cv").as("fv"),
         col("cn2").as("fn2")))
     val assign = coarseAssign.join(broadcast(fineCells), Seq("ccell"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cell"),
         dist2(col("v"), col("nrm"), col("fv"), col("fn2")).as("d2"))
       .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+      .agg(first(col("label")).as("label"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     Map("assign" -> assign, "fineCells" -> fineCells,
       "coarseRefined" -> coarseRefined)

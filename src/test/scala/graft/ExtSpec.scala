@@ -1509,6 +1509,78 @@ class ExtSpec extends AnyFunSuite {
     assert(mean > 500000L, s"mean recall_ppm $mean")
   }
 
+  test("dedup manifest: survivors own their dropped lists, min-id policy") {
+    import spark.implicits._
+    // planted label table: component {1,2,3}, component {5,6}, and a
+    // self-labeled singleton 9 that must NOT appear in the manifest
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("doc_id", "label")
+    val m = graft.ext.Dedup.dedupManifest(
+      spark.emptyDataFrame, labels = Some(labels)).collect()
+    assert(m.map(x => (x.getAs[Long]("survivor"),
+      x.getAs[Long]("n_dropped"),
+      x.getAs[Seq[Long]]("dropped"))).toSeq
+      == Seq((1L, 2L, Seq(2L, 3L)), (5L, 1L, Seq(6L))))
+  }
+
+  test("tokenizer fertility: per-lang roll-up of the tokenize report") {
+    val docs = Tables(spark, Sf0001).documents
+    val merges = graft.ext.Bpe.trainMergesCached(docs, Sf0001)
+    val fert = graft.ext.Bpe.fertilityReport(docs, merges).collect()
+    assert(fert.nonEmpty)
+    // exact agreement with the per-doc report rolled up by lang
+    val rep = graft.ext.Bpe.tokenizeReport(docs, merges)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("w"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens").as("t"))
+      .collect().map(x => x.getAs[String]("lang")
+        -> (x.getAs[Long]("w"), x.getAs[Long]("t"))).toMap
+    fert.foreach { x =>
+      val (w, t) = rep(x.getAs[String]("lang"))
+      assert(x.getAs[Long]("n_words") == w)
+      assert(x.getAs[Long]("n_bpe_tokens") == t)
+      // merges never cross spaces: words <= bpe tokens, fertility >= 1
+      assert(t >= w && x.getAs[Long]("fertility_ppm") >= 1000000L)
+    }
+  }
+
+  test("filtered ANN: every hit shares its anchor's label, ranks contiguous") {
+    import graft.ext.Similarity
+    val emb = Tables(spark, Sf0001).embeddings
+    val path = java.nio.file.Files
+      .createTempDirectory("flt_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path)
+    val r = Similarity.topKIvfFiltered(spark, path, emb,
+      Similarity.ivfProbesFor(Similarity.IvfCells)).collect()
+    assert(r.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("label")).toMap
+    r.foreach { x =>
+      assert(x.getAs[Long]("label") == labelOf(x.getAs[Long]("q_id")))
+      assert(x.getAs[Long]("label") == labelOf(x.getAs[Long]("vec_id")))
+    }
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq
+        == (1L to byRank.length).toSeq)
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the filter is the ONLY difference vs the unfiltered served path:
+    // filtered hits are exactly the same-label slice of a served run
+    // with the same probes, re-ranked
+    val unfiltered = Similarity.topKIvfServed(spark, path,
+      Similarity.ivfProbesFor(Similarity.IvfCells)).collect()
+      .filter(x => labelOf(x.getAs[Long]("vec_id"))
+        == labelOf(x.getAs[Long]("q_id")))
+      .map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("vec_id"))).toSet
+    val filtered = r
+      .map(x => (x.getAs[Long]("q_id"), x.getAs[Long]("vec_id"))).toSet
+    assert(unfiltered.subsetOf(filtered),
+      "same-label hits of the unfiltered top-k must all appear")
+  }
+
   test("served label-noise audit covers the exact anchor set with sane consensus") {
     import graft.ext.Similarity
     val emb = Tables(spark, Sf0001).embeddings

@@ -153,7 +153,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "neg_sampling",         // users × 1-row catalog-size attach
     "decayed_engagement",   // day rows × 1-row as-of-day attach
     "label_balance",        // label counts × 1-row totals attach
-    "ann_recall_report")    // brute side: corpus × broadcast anchors
+    "ann_recall_report",    // brute side: corpus × broadcast anchors
+    "ann_topk_filtered")    // anchors × broadcast centroid tables
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {

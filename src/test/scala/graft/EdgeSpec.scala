@@ -145,6 +145,14 @@ class EdgeSpec extends AnyFunSuite {
     assert(Search.moreLikeThis(one, 99L).count() == 0)
   }
 
+  test("round-10 operators are total on empty inputs") {
+    assert(graft.ext.Curation.paddingReport(emptyDocs).count() == 0)
+    assert(graft.ext.EmbedStats.labelBalance(emptyEmb).count() == 0)
+    assert(graft.ext.Dedup.dedupManifest(emptyDocs).count() == 0)
+    assert(graft.ext.Bpe.fertilityReport(emptyDocs,
+      Seq(graft.ext.Bpe.Merge(1, "a", "b", "ab", 0L))).count() == 0)
+  }
+
   test("round-5b operators degrade gracefully on degenerate inputs") {
     import spark.implicits._
     import graft.ext.{Bpe, Curation, ProductQuant}

@@ -827,6 +827,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(acctAll() == 5L)
   }
 
+  test("streaming heavy hitters: mergeable MG counters, bounds hold, replay idempotent") {
+    import spark.implicits._
+    import graft.streaming.HeavyHitterStream
+    val indexDir = Files.createTempDirectory("hh_stream").toString
+    val stats = new HeavyHitterStream.HhStats(spark)
+    def docs(texts: String*) = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val b0 = docs("a a a b c", "a b d e f")
+    val b1 = docs("a a g h i j", "b b b c k l m")
+    HeavyHitterStream.processBatch(b0, 0L, indexDir, stats)
+    HeavyHitterStream.processBatch(b1, 1L, indexDir, stats)
+    def served(): Map[String, Long] = HeavyHitterStream
+      .servedCounters(spark, indexDir).collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("est")).toMap
+    val est = served()
+    // exact stream counts and the MG theorems over the summed merge
+    val exact = (b0.union(b1)).select(
+      explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getAs[String]("t") -> r.getAs[Long]("count")).toMap
+    val n = exact.values.sum
+    val k = graft.ext.HeavyHitters.Counters
+    est.foreach { case (sym, e) =>
+      assert(e <= exact(sym), s"$sym over-estimated")
+      assert((exact(sym) - e) * (k + 1) <= n, s"$sym bound broken")
+    }
+    // guaranteed capture: any symbol above the N/(k+1) line survives
+    exact.collect { case (sym, c) if c * (k + 1) > n =>
+      assert(est.contains(sym), s"heavy hitter $sym lost")
+    }
+    // same-driver replay: skipped; recovery replay rewrites only its
+    // own partition — served counters unchanged
+    val fresh = new HeavyHitterStream.HhStats(spark)
+    fresh.lastCommitted = 0L
+    HeavyHitterStream.processBatch(b1, 1L, indexDir, fresh)
+    assert(served() == est)
+    // compaction is an exact fold: answers identical, one row/symbol
+    HeavyHitterStream.compact(spark, indexDir)
+    assert(served() == est)
+    assert(spark.read.parquet(indexDir).groupBy("symbol").count()
+      .filter(col("count") > 1).count() == 0)
+    // post-compact ingest still merges
+    HeavyHitterStream.processBatch(docs("z z z z"), 2L, indexDir, stats)
+    assert(served()("z") == 4L)
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

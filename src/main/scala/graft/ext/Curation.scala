@@ -1909,7 +1909,7 @@ object Curation {
        |    round(list_sum([CAST(b.embedding[i] AS DOUBLE)
        |                    * CAST(c.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(b.embedding) + 1)])
-       |      / (b.nrm * c.nrm), 6) AS cosine
+       |      / (b.nrm * c.nrm), 6) + 0 AS cosine
        |  FROM e c JOIN e b ON b.vec_id < $nBench
        |  WHERE c.vec_id >= $nBench),
        |hits AS (

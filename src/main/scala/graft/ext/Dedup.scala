@@ -1123,7 +1123,7 @@ object Dedup {
        |    round(list_sum([CAST(a.embedding[i] AS DOUBLE)
        |                    * CAST(b.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(a.embedding) + 1)])
-       |      / (a.nrm * b.nrm), 6) AS cosine
+       |      / (a.nrm * b.nrm), 6) + 0 AS cosine
        |  FROM e a JOIN e b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT CAST(bucket AS BIGINT) AS bucket, vec_a, vec_b, cosine,
@@ -1549,7 +1549,7 @@ object Dedup {
        |    round(list_sum([CAST(a.embedding[i] AS DOUBLE)
        |                    * CAST(b.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(a.embedding) + 1)])
-       |      / (a.nrm * b.nrm), 6) AS cosine
+       |      / (a.nrm * b.nrm), 6) + 0 AS cosine
        |  FROM e a JOIN e b
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT label, vec_a, vec_b, cosine, rank FROM (

@@ -141,7 +141,7 @@ object EmbedStats {
        |SELECT vec_id, j,
        |  round(list_sum([CAST(embedding[i] AS DOUBLE) * plane[i]
        |                  for i in range(1, 65)])
-       |    * sqrt(3.0 / 16), 6) AS p
+       |    * sqrt(3.0 / 16), 6) + 0 AS p
        |FROM embeddings CROSS JOIN planes
        |ORDER BY vec_id, j""".stripMargin
   }

@@ -404,7 +404,7 @@ object ProductQuant {
        |  SELECT w.q_id, w.vec_id, w.approx_d2,
        |    round(list_sum([q.v[i] * c.v[i]
        |                    for i in range(1, len(q.v) + 1)])
-       |      / (q.nrm * c.nrm), 6) AS cosine
+       |      / (q.nrm * c.nrm), 6) + 0 AS cosine
        |  FROM shortlist w
        |  JOIN en c ON c.vec_id = w.vec_id
        |  JOIN en q ON q.vec_id = w.q_id)

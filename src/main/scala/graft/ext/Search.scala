@@ -557,7 +557,7 @@ object Search {
        |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
        |                    * CAST(e.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(q.embedding) + 1)])
-       |      / (q.nrm * e.nrm), 6) AS cosine
+       |      / (q.nrm * e.nrm), 6) + 0 AS cosine
        |  FROM e JOIN e q ON q.vec_id = $queryDocId
        |  WHERE e.vec_id != $queryDocId),
        |vec AS (

@@ -126,7 +126,7 @@ object Similarity {
        |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
        |                    * CAST(e.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(q.embedding) + 1)])
-       |      / (q.nrm * e.nrm), 6) AS cosine
+       |      / (q.nrm * e.nrm), 6) + 0 AS cosine
        |  FROM e q JOIN e ON e.vec_id != q.vec_id
        |  WHERE q.vec_id < $NumQueries)
        |SELECT q_id, rank, vec_id, label, cosine FROM (
@@ -195,7 +195,7 @@ object Similarity {
        |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
        |                    * CAST(e.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(q.embedding) + 1)])
-       |      / (q.nrm * e.nrm), 6) AS cosine
+       |      / (q.nrm * e.nrm), 6) + 0 AS cosine
        |  FROM e q JOIN e ON e.vec_id != q.vec_id
        |    AND e.label != q.label
        |  WHERE q.vec_id < $NumQueries)
@@ -284,7 +284,7 @@ object Similarity {
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
        |                    * CAST(a.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(p.qv) + 1)])
-       |      / (p.qn * a.nrm), 6) AS cosine
+       |      / (p.qn * a.nrm), 6) + 0 AS cosine
        |  FROM assign a JOIN probes p
        |    ON a.cell = p.cell AND a.vec_id != p.q_id),
        |banded AS (
@@ -355,7 +355,7 @@ object Similarity {
        |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
        |                    * CAST(e.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(q.embedding) + 1)])
-       |      / (q.nrm * e.nrm), 6) AS cosine
+       |      / (q.nrm * e.nrm), 6) + 0 AS cosine
        |  FROM e q JOIN e ON e.vec_id != q.vec_id
        |  WHERE q.vec_id < $NumQueries),
        |topk AS (
@@ -447,7 +447,7 @@ object Similarity {
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
        |                    * CAST(a.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(p.qv) + 1)])
-       |      / (p.qn * a.nrm), 6) AS cosine
+       |      / (p.qn * a.nrm), 6) + 0 AS cosine
        |  FROM assign a JOIN probes p
        |    ON a.cell = p.cell AND a.vec_id != p.q_id),
        |topk AS (
@@ -539,7 +539,7 @@ object Similarity {
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
        |                    * CAST(a.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(p.qv) + 1)])
-       |      / (p.qn * a.nrm), 6) AS cosine
+       |      / (p.qn * a.nrm), 6) + 0 AS cosine
        |  FROM assign a JOIN probes p
        |    ON a.cell = p.cell AND a.vec_id != p.q_id),
        |lab AS (
@@ -660,7 +660,7 @@ object Similarity {
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
        |                    * CAST(e.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(p.qv) + 1)])
-       |      / (p.qn * e.nrm), 6) AS cosine
+       |      / (p.qn * e.nrm), 6) + 0 AS cosine
        |  FROM e JOIN probes p
        |    ON e.bucket = p.p_bucket AND e.vec_id != p.q_id)
        |SELECT q_id, rank, vec_id, cosine, n_candidates FROM (
@@ -803,7 +803,7 @@ object Similarity {
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
        |                    * CAST(a.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(p.qv) + 1)])
-       |      / (p.qn * a.nrm), 6) AS cosine
+       |      / (p.qn * a.nrm), 6) + 0 AS cosine
        |  FROM assign a JOIN probes p
        |    ON a.cell = p.cell AND a.vec_id != p.q_id)
        |SELECT q_id, rank, vec_id, cell, cosine FROM (
@@ -1000,7 +1000,7 @@ object Similarity {
        |    round(list_sum([CAST(p.qv[i] AS DOUBLE)
        |                    * CAST(a.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(p.qv) + 1)])
-       |      / (p.qn * a.nrm), 6) AS cosine
+       |      / (p.qn * a.nrm), 6) + 0 AS cosine
        |  FROM assign a JOIN probes p
        |    ON a.cell = p.cell AND a.vec_id != p.q_id)
        |SELECT q_id, rank, vec_id, cell, cosine FROM (
@@ -1449,7 +1449,7 @@ object Similarity {
        |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
        |                    * CAST(e.embedding[i] AS DOUBLE)
        |                    for i in range(1, len(q.embedding) + 1)])
-       |      / (q.nrm * e.nrm), 6) AS cosine
+       |      / (q.nrm * e.nrm), 6) + 0 AS cosine
        |  FROM e q JOIN e ON e.bucket = q.bucket AND e.vec_id != q.vec_id
        |  WHERE q.vec_id < $NumQueries)
        |SELECT q_id, rank, vec_id, cosine, n_candidates FROM (

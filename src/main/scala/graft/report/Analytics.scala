@@ -672,7 +672,7 @@ object Analytics {
        |  FROM rolled WHERE np = $lookback)
        |SELECT hour_id, hour_start_ms, n,
        |  round(mean_n, 6) AS mean_n,
-       |  round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6) AS z,
+       |  round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6) + 0 AS z,
        |  CAST(abs(round((CAST(n AS DOUBLE) - mean_n) / sqrt(var_n), 6))
        |       >= $zThresh AS BIGINT) AS is_anomaly
        |FROM derived WHERE var_n > 0

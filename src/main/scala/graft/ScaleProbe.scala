@@ -701,12 +701,21 @@ object ScaleProbe {
           .count(); ()
       }
     }
+    var flS = 0.0
+    val flRead = fileBytesRead(spark) {
+      flS = timed {
+        Similarity.topKIvfFiltered(spark, ivfPath, emb, nProbe)
+          .count(); ()
+      }
+    }
     println(f"[served] n=$n%-8d ivf build=$buildS%7.1fs " +
       f"index=${ivfBytes / 1e6}%8.1fMB/$ivfFiles%d files | " +
       f"hard_neg serve=$hnS%6.2fs read=${hnRead / 1e6}%7.1fMB " +
       f"(${100.0 * hnRead / ivfBytes}%4.1f%% of index) | " +
       f"label_noise serve=$lnS%6.2fs read=${lnRead / 1e6}%7.1fMB " +
-      f"(${100.0 * lnRead / ivfBytes}%4.1f%% of index)")
+      f"(${100.0 * lnRead / ivfBytes}%4.1f%% of index) | " +
+      f"filtered serve=$flS%6.2fs read=${flRead / 1e6}%7.1fMB " +
+      f"(${100.0 * flRead / ivfBytes}%4.1f%% of index)")
 
     // ---- HLL sketch index: 10-day window over a 30-day corpus -------
     val events = synthEvents(spark, n).persist()

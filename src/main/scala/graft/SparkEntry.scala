@@ -626,6 +626,28 @@ object SparkEntry {
     // THEOREMS per symbol (estimates stay out of the compare)
     "heavy_hitters" -> ((s, dir) =>
       graft.ext.HeavyHitters.report(tables(s, dir).documents)),
+    // streamed-index twin: two doc_id-parity micro-batches land their
+    // MG counters as BatchIndex partitions; serving sums them and the
+    // same capture/error theorems are verified per symbol
+    "heavy_hitters_served" -> ((s, dir) => {
+      val docs = tables(s, dir).documents
+      val path = s"/tmp/graft_hh_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path) {
+        // fresh build: per-batch dynamic overwrite only replaces its
+        // OWN partitions, so clear any stale prior-process state first
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmrf)
+          f.delete(); ()
+        }
+        rmrf(new java.io.File(path))
+        val stats = new graft.streaming.HeavyHitterStream.HhStats(s)
+        graft.streaming.HeavyHitterStream.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, path, stats)
+        graft.streaming.HeavyHitterStream.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 1L, path, stats)
+      }
+      graft.ext.HeavyHitters.servedReport(docs, path)
+    }),
     // Heaps-law vocabulary growth over corpus-order slices: one token
     // scan, per-token first-appearance bucket, O(buckets) cum-sum
     "vocab_growth" -> ((s, dir) =>
@@ -1524,6 +1546,7 @@ object SparkEntry {
     "sample_exact_k" -> graft.ext.Curation.sampleExactKSql(),
     "weighted_sample_k" -> graft.ext.Curation.weightedSampleKSql(),
     "heavy_hitters" -> graft.ext.HeavyHitters.reportSql(),
+    "heavy_hitters_served" -> graft.ext.HeavyHitters.reportSql(),
     "vocab_growth" -> graft.ext.Curation.vocabGrowthSql(),
     "boilerplate_report" -> graft.ext.Boilerplate.reportSql(),
     "boilerplate_scrub" -> graft.ext.Boilerplate.scrubSql(),

@@ -108,6 +108,36 @@ object HeavyHitters {
       .orderBy(col("exact_n").desc, col("symbol"))
   }
 
+  /** The streamed-index twin of [[report]]: estimates come from
+    * SUMMING the per-batch Misra–Gries counters persisted by
+    * [[graft.streaming.HeavyHitterStream]] (mergeable summaries), and
+    * the same two theorems are checked against the exact stream
+    * counts. `indexPath` must already hold the batch partitions; the
+    * exact side re-scans the documents only to verify the bounds —
+    * production serves [[graft.streaming.HeavyHitterStream
+    * .servedCounters]] alone.
+    */
+  def servedReport(documents: DataFrame, indexPath: String,
+      k: Int = Counters): DataFrame = {
+    val spark = documents.sparkSession
+    val exact = symbolStream(documents).toDF("symbol").groupBy("symbol")
+      .agg(count(lit(1)).as("exact_n"))
+    val total = exact.agg(sum("exact_n").as("n_total"))
+    val est = graft.streaming.HeavyHitterStream
+      .servedCounters(spark, indexPath)
+    exact
+      .join(est, Seq("symbol"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("symbol"), col("exact_n"),
+        (col("exact_n") * (k + 1) > col("n_total")).as("must_capture"),
+        when(col("est").isNotNull,
+          col("est") <= col("exact_n")
+            && (col("exact_n") - col("est")) * (k + 1) <= col("n_total"))
+          .otherwise(col("exact_n") * (k + 1) <= col("n_total"))
+          .as("bound_ok"))
+      .orderBy(col("exact_n").desc, col("symbol"))
+  }
+
   /** DuckDB mirror of [[report]]: the exact side plus literal `true`
     * for the theorem column (the [[graft.SparkEntry]] `approx_sketches`
     * error-bound-oracle pattern).

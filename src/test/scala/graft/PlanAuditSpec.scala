@@ -88,6 +88,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_index_drift",      // two 1-row stat aggregates composed
     "vocab_growth",         // cum-sum window over O(buckets) rows
     "heavy_hitters",        // one-row stream-total attach over O(symbols)
+    "heavy_hitters_served", // same shape, index-fed estimates
     "pmi_collocations",     // one-row corpus-totals attach
     "key_skew_report",      // one-row key-totals attach
     "neg_sampling",         // one-row catalog-size attach
@@ -143,6 +144,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_index_drift",      // batch × broadcast centroids; 1-row stats
     "vocab_growth",         // corpus × one-row doc-count attach
     "heavy_hitters",        // O(symbols) exact rows × 1-row total
+    "heavy_hitters_served", // same shape, index-fed estimates
     "bitext_margin_pairs",  // corpus × broadcast bounded query/cand batch
     "pmi_collocations",     // pair counts × 1-row (N, B) totals
     "hard_negatives",       // corpus × broadcast bounded anchor set

@@ -170,4 +170,71 @@ class PropertySpec extends AnyFunSuite {
       s"blocking missed ${missing.size} distance-1 pairs: " +
         missing.take(5).mkString(", "))
   }
+
+  // ---- round-10 report invariants over random corpora ---------------------
+
+  test("padding report: conservation and waste bounds on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(3000))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = graft.ext.Curation.paddingReport(docs).collect()
+    // every doc lands in exactly one bucket; token mass is conserved
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 400L)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum
+      == docs.selectExpr("sum(size(split(text, ' ')))")
+        .head().getLong(0))
+    rows.foreach { r =>
+      val w = r.getAs[Long]("waste_ppm")
+      assert(w >= 0L && w < 1000000L)
+      assert(r.getAs[Long]("sum_tokens") <= r.getAs[Long]("padded_tokens"))
+      // rounding up to the NEXT power of two never pads beyond 2x
+      // (minus the sub-16 bucket where short docs can waste more)
+      if (r.getAs[Long]("bucket") > 16L)
+        assert(w < 500000L, s"bucket ${r.getAs[Long]("bucket")}: $w")
+    }
+  }
+
+  test("label balance: shares sum to ~1e6, deltas sum to ~0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 500).map(i => (i.toLong, rnd.nextInt(13).toLong))
+      .toDF("vec_id", "label")
+    val rows = graft.ext.EmbedStats.labelBalance(emb).collect()
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    val nLabels = rows.length
+    // floor-division shares under-shoot by < 1 ppm each
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - nLabels)
+    val deltas = rows.map(_.getAs[Long]("uniform_delta_ppm"))
+    assert(math.abs(deltas.sum) <= 2L * nLabels)
+  }
+
+  test("MG counters: bounds hold under adversarial partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // Zipf-ish stream over 30 symbols
+    val syms = (0 until 5000).map { _ =>
+      ('a' + math.min(rnd.nextInt(1 + rnd.nextInt(30)),
+        25)).toChar.toString
+    }
+    val k = graft.ext.HeavyHitters.Counters
+    for (parts <- Seq(1, 3, 13)) {
+      val ds = spark.createDataset(syms)(
+        org.apache.spark.sql.Encoders.STRING).repartition(parts)
+        .as[String]
+      val est = graft.ext.HeavyHitters.mergedCounters(ds, k).collect()
+        .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("est")).toMap
+      val exact = syms.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = syms.size.toLong
+      est.foreach { case (sym, e) =>
+        assert(e <= exact(sym), s"parts=$parts $sym over-estimate")
+        assert((exact(sym) - e) * (k + 1) <= n, s"parts=$parts $sym bound")
+      }
+      exact.foreach { case (sym, c) =>
+        if (c * (k + 1) > n)
+          assert(est.contains(sym), s"parts=$parts lost heavy hitter $sym")
+      }
+    }
+  }
 }

@@ -531,6 +531,11 @@ object SparkEntry {
     // class-balance audit: per-label share + deviation from uniform
     "label_balance" -> ((s, dir) =>
       graft.ext.EmbedStats.labelBalance(tables(s, dir).embeddings)),
+    // feature-hashing document embeddings: the model-free bridge from
+    // corpus text into the vector stack (unit hashed-BoW vectors in
+    // the embeddings-table shape), one map-side fold per doc
+    "doc_hash_embedding" -> ((s, dir) =>
+      graft.ext.EmbedStats.hashEmbeddings(tables(s, dir).documents)),
     // padded-batch efficiency: power-of-two length buckets with the
     // exact padding waste a fixed-length batcher would pay
     "batch_padding_report" -> ((s, dir) =>
@@ -1791,6 +1796,7 @@ object SparkEntry {
     "embedding_covariance" -> graft.ext.EmbedStats.covarianceSql,
     "embedding_project" -> graft.ext.EmbedStats.jlProjectSql,
     "label_balance" -> graft.ext.EmbedStats.labelBalanceSql,
+    "doc_hash_embedding" -> graft.ext.EmbedStats.hashEmbeddingsSql,
     "batch_padding_report" -> graft.ext.Curation.paddingReportSql,
 
     "dq_docs_suite" ->

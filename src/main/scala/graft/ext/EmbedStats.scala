@@ -179,6 +179,90 @@ object EmbedStats {
       |FROM embeddings CROSS JOIN tot
       |GROUP BY label, n_total, n_labels ORDER BY label""".stripMargin
 
+  /** Hash-embedding dimensionality. */
+  val HashDim = 64
+
+  /** Hash-projected document embeddings (the feature-hashing trick,
+    * Weinberger et al. 2009 — public literature): each token hashes to
+    * one of [[HashDim]] buckets with an md5-derived ±1 sign, bucket
+    * sums L2-normalize into a dense unit vector. The model-free bridge
+    * from raw text into the vector stack — cosine over these vectors
+    * is hashed bag-of-words similarity, and the output schema matches
+    * the `embeddings` table shape, so the ANN / dedup / covariance /
+    * JL operators compose directly on corpus text with no model in
+    * the loop.
+    *
+    * Scale shape: entirely map-side — the per-doc bucket fold runs as
+    * one codegen'd `aggregate` over the token array (no explode, no
+    * shuffle). Cross-engine determinism: bucket sums are exact
+    * integers (signs ±1), the normalize is one identical double
+    * expression, and a zero vector (all signs cancel) emits 0.0s
+    * rather than NaN.
+    */
+  def hashEmbeddings(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val acc0 = array_repeat(lit(0L), HashDim)
+    val folded = aggregate(toks, acc0, (acc, t) => {
+      val b = (Hashing.h32(concat(lit("hemb|"), t)) % HashDim)
+        .cast("int")
+      val sgn = when(
+        Hashing.h32(concat(lit("hsign|"), t)) % 2 === 0, 1L)
+        .otherwise(-1L)
+      transform(acc, (x, i) => x + when(i === b, sgn).otherwise(0L))
+    })
+    documents
+      .select(col("doc_id"), folded.as("raw"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+      .select(col("doc_id"),
+        when(col("nrm") === 0.0, array_repeat(lit(0.0), HashDim))
+          .otherwise(transform(col("raw"),
+            x => round(x.cast("double") / col("nrm"), 6)))
+          .as("embedding"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[hashEmbeddings]]: bucket sums via group-by
+    * (exact integers ≡ the Spark fold), dense 0-filled vector via a
+    * generate_series spine, identical normalize; `+ 0` scrubs the
+    * -0.0 DuckDB round() can produce on negative components.
+    */
+  def hashEmbeddingsSql: String = {
+    val b = Hashing.h32Sql("'hemb|' || t")
+    val sg = Hashing.h32Sql("'hsign|' || t")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, $b % $HashDim AS bkt,
+       |    CASE WHEN $sg % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM toks WHERE t != ''),
+       |sums AS MATERIALIZED (
+       |  SELECT doc_id, bkt, CAST(sum(s) AS BIGINT) AS v
+       |  FROM tf GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT d.doc_id, i.i AS bkt
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${HashDim - 1}))
+       |              AS i) i),
+       |dense AS (
+       |  SELECT sp.doc_id, sp.bkt, coalesce(su.v, 0) AS v
+       |  FROM spine sp LEFT JOIN sums su
+       |    ON sp.doc_id = su.doc_id AND sp.bkt = su.bkt),
+       |vecs AS (
+       |  SELECT doc_id,
+       |    list(CAST(v AS DOUBLE) ORDER BY bkt) AS raw,
+       |    sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+       |  FROM dense GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN nrm = 0 THEN [CAST(0.0 AS DOUBLE)
+       |                          for x in raw]
+       |       ELSE [round(x / nrm, 6) + 0 for x in raw] END
+       |    AS embedding
+       |FROM vecs ORDER BY doc_id""".stripMargin
+  }
+
   /** Dominant eigenpair of the covariance by fixed-count power
     * iteration (deterministic: all-ones start, no early stop) over the
     * driver-sized d×d matrix from [[covariance]]. Returns

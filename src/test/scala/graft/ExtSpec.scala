@@ -1509,6 +1509,35 @@ class ExtSpec extends AnyFunSuite {
     assert(mean > 500000L, s"mean recall_ppm $mean")
   }
 
+  test("hash embeddings: unit vectors, similarity ordering, ANN composition") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon theta"),
+      (2L, "zebra yak xylophone walrus vulture tapir"))
+      .toDF("doc_id", "text")
+    val e = graft.ext.EmbedStats.hashEmbeddings(d).collect()
+      .map(r => r.getAs[Long]("doc_id")
+        -> r.getSeq[Double](r.fieldIndex("embedding")).toVector).toMap
+    e.values.foreach { v =>
+      assert(v.length == graft.ext.EmbedStats.HashDim)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"norm $n")
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // shared-token docs are closer than disjoint-token docs
+    assert(cos(e(0L), e(1L)) > cos(e(0L), e(2L)) + 0.3)
+    // the output shape composes directly with the ANN stack
+    val asEmb = graft.ext.EmbedStats.hashEmbeddings(d)
+      .select(col("doc_id").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("label", lit(0L))
+    val nn = graft.ext.Similarity.topKBruteForce(asEmb)
+      .filter(col("q_id") === 0L && col("rank") === 1L).head()
+    assert(nn.getAs[Long]("vec_id") == 1L)
+  }
+
   test("dedup manifest: survivors own their dropped lists, min-id policy") {
     import spark.implicits._
     // planted label table: component {1,2,3}, component {5,6}, and a

@@ -1120,6 +1120,10 @@ object SparkEntry {
       Dedup.minhashClusters(tables(s, dir).documents,
           labels = Some(clusterLabelsFor(s, dir)))
         .orderBy("cluster_id")),
+    // order-invariant near-dup: hashed bag-of-words cosine over LSH
+    // blocks — catches reordered duplicates that shingle methods miss
+    "dedup_bow_cosine" -> ((s, dir) =>
+      Dedup.bowNearDups(tables(s, dir).documents)),
     // dedup provenance: per survivor, the sorted doc_ids the
     // keep-lowest policy dropped in its favor (the audit artifact a
     // curated corpus ships with); bounded by duplicate volume
@@ -1790,6 +1794,7 @@ object SparkEntry {
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
     "dedup_manifest" -> Dedup.dedupManifestSql,
+    "dedup_bow_cosine" -> Dedup.bowNearDupsSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),

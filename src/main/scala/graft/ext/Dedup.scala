@@ -1091,12 +1091,40 @@ object Dedup {
     * plane count grows with the corpus. Same output shape: top
     * [[TopPairsPerLabel]] pairs per block by cosine.
     */
-  def embeddingNearDupsAnn(embeddings: DataFrame): DataFrame = {
+  /** Sub-shard count for [[embeddingNearDupsAnn]]'s oversized-block
+    * guard, and the block size that triggers it.
+    */
+  val BlockShards = 8
+  val MaxAnnBlock = 256
+
+  def embeddingNearDupsAnn(embeddings: DataFrame,
+      maxBlock: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val e = embeddings.select(col("vec_id"),
+    val e0 = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", Similarity.bucketExpr(col("v")))
+    // optional skew guard (maxBlock > 0): a bucket beyond maxBlock is
+    // a quadratic bomb (natural text CLUSTERS in BoW space — measured
+    // 968 of 5000 docs in one sign bucket), so oversized blocks
+    // sub-shard by a stable vec_id hash and pairs form within shards
+    // only — the capped-fan-in discipline, mirrored in the oracle.
+    // Bucket ids stay integral: bucket*shards(+shard | +0).
+    val sharded =
+      if (maxBlock <= 0) e0
+      else {
+        val sizes = e0.groupBy("bucket")
+          .agg(count(lit(1)).as("bkt_n"))
+        e0.join(broadcast(sizes), Seq("bucket"))
+          .withColumn("bucket",
+            col("bucket") * BlockShards
+              + when(col("bkt_n") > maxBlock,
+                  Hashing.h32(concat(lit("bowshard|"),
+                    col("vec_id").cast("string"))) % BlockShards)
+                .otherwise(0L))
+          .drop("bkt_n")
+      }
+    val e = sharded
       .persist() // both self-join sides read it; computed once
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket")
@@ -1112,12 +1140,43 @@ object Dedup {
   }
 
   def embeddingNearDupsAnnSql: String =
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-       |                   for x in embedding])) AS nrm,
-       |    ${Similarity.bucketSql()} AS bucket
-       |  FROM embeddings),
+    embeddingNearDupsAnnSqlFrom("embeddings")
+
+  /** The [[embeddingNearDupsAnnSql]] body against any (vec_id,
+    * embedding) source, with optional leading CTEs and the optional
+    * oversized-block sub-shard guard — lets composed oracles (e.g.
+    * [[bowNearDupsSql]]) feed derived vector tables through the
+    * identical bucket-block + rank machinery.
+    */
+  private[ext] def embeddingNearDupsAnnSqlFrom(source: String,
+      extraCtes: String = "", maxBlock: Int = 0): String = {
+    val eCte =
+      if (maxBlock <= 0)
+        s"""e AS MATERIALIZED (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+           |                   for x in embedding])) AS nrm,
+           |    ${Similarity.bucketSql()} AS bucket
+           |  FROM $source)""".stripMargin
+      else
+        s"""e0 AS MATERIALIZED (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+           |                   for x in embedding])) AS nrm,
+           |    ${Similarity.bucketSql()} AS bucket
+           |  FROM $source),
+           |sizes AS (
+           |  SELECT bucket, count(*) AS bkt_n FROM e0 GROUP BY 1),
+           |e AS MATERIALIZED (
+           |  SELECT vec_id, embedding, nrm,
+           |    bucket * $BlockShards
+           |      + CASE WHEN bkt_n > $maxBlock
+           |          THEN ${Hashing.h32Sql(
+                        "'bowshard|' || CAST(vec_id AS VARCHAR)")}
+           |            % $BlockShards
+           |          ELSE 0 END AS bucket
+           |  FROM e0 JOIN sizes USING (bucket))""".stripMargin
+    s"""WITH $extraCtes$eCte,
        |pairs AS (
        |  SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    round(list_sum([CAST(a.embedding[i] AS DOUBLE)
@@ -1133,6 +1192,41 @@ object Dedup {
        |  FROM pairs)
        |WHERE rank <= $TopPairsPerLabel
        |ORDER BY bucket, rank""".stripMargin
+  }
+
+  /** Order-invariant near-dup detection over hashed bag-of-words
+    * embeddings — the third text-dedup angle next to shingle MinHash
+    * and SimHash: shingle methods are word-ORDER-sensitive, so a
+    * shuffled/reordered duplicate (list reshuffles, template field
+    * reordering) evades them while its hashed-BoW cosine stays ~1.
+    * Composes [[graft.ext.EmbedStats.hashEmbeddings]] (map-side unit
+    * vectors from raw text) into the LSH-bucket-blocked pair machinery
+    * of [[embeddingNearDupsAnn]] — same shape, same scale posture
+    * (bucketed blocks, top pairs per block, never all-pairs).
+    */
+  def bowNearDups(documents: DataFrame): DataFrame =
+    embeddingNearDupsAnn(
+      graft.ext.EmbedStats.hashEmbeddings(documents)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        // eager materialization: downstream computes nrm + 8 plane
+        // dots from `embedding`; left as an expression column each
+        // would re-evaluate the whole hashing fold (measured 1.5 s →
+        // 32 s at sf0.1). A production pipeline stores the hashed
+        // vectors once and indexes from the stored table anyway.
+        .localCheckpoint(),
+      maxBlock = MaxAnnBlock)
+
+  /** DuckDB mirror of [[bowNearDups]]: the hashed-embedding CTE feeds
+    * the identical bucket-block + rank chain.
+    */
+  def bowNearDupsSql: String =
+    embeddingNearDupsAnnSqlFrom(
+      "(SELECT doc_id AS vec_id, embedding FROM hemb) AS src",
+      s"""hemb AS MATERIALIZED (
+         |${graft.ext.EmbedStats.hashEmbeddingsSql}
+         |),
+         |""".stripMargin,
+      maxBlock = MaxAnnBlock)
 
   /** Cosine floor for embedding clustering (fixture value: the synthetic
     * embeddings top out at cosine ≈ 0.44 between distinct vectors, so

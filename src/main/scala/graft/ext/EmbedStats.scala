@@ -202,14 +202,20 @@ object EmbedStats {
   def hashEmbeddings(documents: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val acc0 = array_repeat(lit(0L), HashDim)
-    val folded = aggregate(toks, acc0, (acc, t) => {
-      val b = (Hashing.h32(concat(lit("hemb|"), t)) % HashDim)
-        .cast("int")
-      val sgn = when(
-        Hashing.h32(concat(lit("hsign|"), t)) % 2 === 0, 1L)
-        .otherwise(-1L)
-      transform(acc, (x, i) => x + when(i === b, sgn).otherwise(0L))
-    })
+    // hash each token ONCE into (bucket, sign) BEFORE the fold:
+    // codegen does not subexpression-eliminate a lambda-bound hash
+    // inside the 64-wide accumulator transform, so hashing in the fold
+    // body costs 2·dim md5s per token instead of 2 (measured 30 s →
+    // 1.5 s on the sf0.1 corpus)
+    val hashed = transform(toks, t => struct(
+      (Hashing.h32(concat(lit("hemb|"), t)) % HashDim)
+        .cast("int").as("b"),
+      when(Hashing.h32(concat(lit("hsign|"), t)) % 2 === 0, 1L)
+        .otherwise(-1L).as("s")))
+    val folded = aggregate(hashed, acc0, (acc, h) =>
+      transform(acc, (x, i) =>
+        x + when(i === h.getField("b"), h.getField("s"))
+          .otherwise(0L)))
     documents
       .select(col("doc_id"), folded.as("raw"))
       .withColumn("nrm",

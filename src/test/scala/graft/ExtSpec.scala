@@ -1538,6 +1538,29 @@ class ExtSpec extends AnyFunSuite {
     assert(nn.getAs[Long]("vec_id") == 1L)
   }
 
+  test("BoW near-dup catches reordered duplicates that shingles miss") {
+    import spark.implicits._
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo").split(" ")
+    val d = Seq(
+      (0L, base.mkString(" ")),
+      (1L, base.reverse.mkString(" ")), // same multiset, reversed order
+      (2L, "zulu yankee xray whiskey victor uniform tango sierra " +
+        "completely different words everywhere here now today ok fine"))
+      .toDF("doc_id", "text")
+    // identical token multiset -> identical hashed vector -> cosine 1.0
+    val bow = graft.ext.Dedup.bowNearDups(d).collect()
+    val pair = bow.find(r => r.getAs[Long]("vec_a") == 0L
+      && r.getAs[Long]("vec_b") == 1L)
+    assert(pair.isDefined, "reordered duplicate not caught by BoW")
+    assert(math.abs(pair.get.getAs[Double]("cosine") - 1.0) < 1e-6)
+    // the shingle-based screen is order-sensitive and misses it
+    val mh = graft.ext.Dedup.minhashNearDups(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!mh.contains((0L, 1L)),
+      "expected the shingle screen to miss the reordered twin")
+  }
+
   test("dedup manifest: survivors own their dropped lists, min-id policy") {
     import spark.implicits._
     // planted label table: component {1,2,3}, component {5,6}, and a

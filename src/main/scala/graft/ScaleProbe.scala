@@ -776,6 +776,21 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** BoW near-dup cost at corpus size n — the oversized-block shard
+    * guard under the worst case (word-salad docs over a 30-word vocab
+    * cluster HARD in BoW space, so sign buckets are few and huge).
+    * `sbt "runMain graft.ScaleProbe bow 320000 1280000"`.
+    */
+  def bowProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthDocs(spark, n).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val rows = Dedup.bowNearDups(docs).count()
+    println(f"[bow] n=$n%-8d bow_near_dups ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val capMode = args.headOption.contains("cap")
@@ -792,11 +807,12 @@ object ScaleProbe {
     val eventsMode = args.headOption.contains("events")
     val statsMode = args.headOption.contains("stats")
     val servedMode = args.headOption.contains("served")
+    val bowMode = args.headOption.contains("bow")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
-          || servedMode)
+          || servedMode || bowMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -877,6 +893,11 @@ object ScaleProbe {
     }
     if (servedMode) {
       sizes.foreach(servedProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (bowMode) {
+      sizes.foreach(bowProbe(spark, _))
       spark.stop()
       return
     }

@@ -1091,11 +1091,12 @@ object Dedup {
     * plane count grows with the corpus. Same output shape: top
     * [[TopPairsPerLabel]] pairs per block by cosine.
     */
-  /** Sub-shard count for [[embeddingNearDupsAnn]]'s oversized-block
-    * guard, and the block size that triggers it.
+  /** Target block size for [[embeddingNearDupsAnn]]'s oversized-block
+    * guard, and the bucket-id stride that keeps sharded ids integral
+    * (shard counts stay far below it).
     */
-  val BlockShards = 8
   val MaxAnnBlock = 256
+  val BlockStride = 1048576L
 
   def embeddingNearDupsAnn(embeddings: DataFrame,
       maxBlock: Int = 0): DataFrame = {
@@ -1106,10 +1107,13 @@ object Dedup {
       .withColumn("bucket", Similarity.bucketExpr(col("v")))
     // optional skew guard (maxBlock > 0): a bucket beyond maxBlock is
     // a quadratic bomb (natural text CLUSTERS in BoW space — measured
-    // 968 of 5000 docs in one sign bucket), so oversized blocks
-    // sub-shard by a stable vec_id hash and pairs form within shards
-    // only — the capped-fan-in discipline, mirrored in the oracle.
-    // Bucket ids stay integral: bucket*shards(+shard | +0).
+    // 968 of 5000 docs in one sign bucket), so an oversized block
+    // sub-shards by a stable vec_id hash into ceil(size/maxBlock)
+    // shards and pairs form within shards only — expected shard size
+    // ≈ maxBlock, so TOTAL pair volume is ≤ n·maxBlock/2: linear in
+    // the corpus no matter how degenerately the vectors cluster. The
+    // capped-fan-in discipline, mirrored exactly in the oracle; bucket
+    // ids stay integral via the [[BlockStride]] stride.
     val sharded =
       if (maxBlock <= 0) e0
       else {
@@ -1117,11 +1121,10 @@ object Dedup {
           .agg(count(lit(1)).as("bkt_n"))
         e0.join(broadcast(sizes), Seq("bucket"))
           .withColumn("bucket",
-            col("bucket") * BlockShards
-              + when(col("bkt_n") > maxBlock,
-                  Hashing.h32(concat(lit("bowshard|"),
-                    col("vec_id").cast("string"))) % BlockShards)
-                .otherwise(0L))
+            col("bucket") * BlockStride
+              + Hashing.h32(concat(lit("bowshard|"),
+                  col("vec_id").cast("string")))
+                % expr(s"(bkt_n + ${maxBlock - 1}) div $maxBlock"))
           .drop("bkt_n")
       }
     val e = sharded
@@ -1169,12 +1172,11 @@ object Dedup {
            |  SELECT bucket, count(*) AS bkt_n FROM e0 GROUP BY 1),
            |e AS MATERIALIZED (
            |  SELECT vec_id, embedding, nrm,
-           |    bucket * $BlockShards
-           |      + CASE WHEN bkt_n > $maxBlock
-           |          THEN ${Hashing.h32Sql(
-                        "'bowshard|' || CAST(vec_id AS VARCHAR)")}
-           |            % $BlockShards
-           |          ELSE 0 END AS bucket
+           |    bucket * $BlockStride
+           |      + ${Hashing.h32Sql(
+                    "'bowshard|' || CAST(vec_id AS VARCHAR)")}
+           |        % ((bkt_n + ${maxBlock - 1}) // $maxBlock)
+           |        AS bucket
            |  FROM e0 JOIN sizes USING (bucket))""".stripMargin
     s"""WITH $extraCtes$eCte,
        |pairs AS (

@@ -200,13 +200,27 @@ object EmbedStats {
     * rather than NaN.
     */
   def hashEmbeddings(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // native bow_hash_embed: the HOF fold form (per-token (bucket,
+    // sign) structs aggregated into a dim-long accumulator) allocates
+    // a fresh array per token — the expression does the identical
+    // arithmetic in one imperative pass (ExtSpec pins bit-equality
+    // against the HOF reference)
+    documents
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .bowHashEmbed(col("text"), HashDim).as("embedding"))
+      .orderBy("doc_id")
+  }
+
+  /** The higher-order-function reference form of [[hashEmbeddings]] —
+    * kept as the in-engine equivalence witness the native expression
+    * is pinned against (ExtSpec), exactly like the SimHash/MinHash
+    * aggregate-bundle references.
+    */
+  def hashEmbeddingsHof(documents: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val acc0 = array_repeat(lit(0L), HashDim)
-    // hash each token ONCE into (bucket, sign) BEFORE the fold:
-    // codegen does not subexpression-eliminate a lambda-bound hash
-    // inside the 64-wide accumulator transform, so hashing in the fold
-    // body costs 2·dim md5s per token instead of 2 (measured 30 s →
-    // 1.5 s on the sf0.1 corpus)
     val hashed = transform(toks, t => struct(
       (Hashing.h32(concat(lit("hemb|"), t)) % HashDim)
         .cast("int").as("b"),

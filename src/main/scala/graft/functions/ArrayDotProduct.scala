@@ -118,6 +118,10 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         WinnowSelect(es.head, es(1).eval().asInstanceOf[Int],
           es(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("bow_hash_embed"),
+      new ExpressionInfo(classOf[BowHashEmbed].getName, "bow_hash_embed"),
+      (es: Seq[Expression]) =>
+        BowHashEmbed(es.head, es(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),
@@ -163,6 +167,11 @@ object GraftFunctions {
   def minhashSigs(text: Column, k: Int): Column =
     call_function("minhash_sigs", text,
       org.apache.spark.sql.functions.lit(k))
+
+  /** `bow_hash_embed(text, dim)` as a Column; requires registration. */
+  def bowHashEmbed(text: Column, dim: Int): Column =
+    call_function("bow_hash_embed", text,
+      org.apache.spark.sql.functions.lit(dim))
 
   /** `pq_encode(v, codebooks)` as a Column; requires registration. */
   def pqEncode(v: Column, codebooks: Column): Column =

@@ -1538,6 +1538,24 @@ class ExtSpec extends AnyFunSuite {
     assert(nn.getAs[Long]("vec_id") == 1L)
   }
 
+  test("native bow_hash_embed is bit-identical to the HOF reference") {
+    val docs = Tables(spark, Sf0001).documents
+    val native = graft.ext.EmbedStats.hashEmbeddings(docs).collect()
+    val hof = graft.ext.EmbedStats.hashEmbeddingsHof(docs).collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (a, b) =>
+      assert(a.getAs[Long]("doc_id") == b.getAs[Long]("doc_id"))
+      val va = a.getSeq[Double](a.fieldIndex("embedding"))
+      val vb = b.getSeq[Double](b.fieldIndex("embedding"))
+      assert(va.length == vb.length)
+      va.zip(vb).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x)
+          == java.lang.Double.doubleToRawLongBits(y),
+          s"doc ${a.getAs[Long]("doc_id")}: $x vs $y")
+      }
+    }
+  }
+
   test("BoW near-dup catches reordered duplicates that shingles miss") {
     import spark.implicits._
     val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +

@@ -532,10 +532,12 @@ object SparkEntry {
     "label_balance" -> ((s, dir) =>
       graft.ext.EmbedStats.labelBalance(tables(s, dir).embeddings)),
     // feature-hashing document embeddings: the model-free bridge from
-    // corpus text into the vector stack (unit hashed-BoW vectors in
-    // the embeddings-table shape), one map-side fold per doc
+    // corpus text into the vector stack (hashed-BoW unit vectors),
+    // verified in long form (doc_id, dim, value) — scalar columns are
+    // the only shape a row-sorting comparator canonicalizes; the
+    // array-shaped hashEmbeddings stays the library API
     "doc_hash_embedding" -> ((s, dir) =>
-      graft.ext.EmbedStats.hashEmbeddings(tables(s, dir).documents)),
+      graft.ext.EmbedStats.hashEmbeddingsLong(tables(s, dir).documents)),
     // padded-batch efficiency: power-of-two length buckets with the
     // exact padding waste a fixed-length batcher would pay
     "batch_padding_report" -> ((s, dir) =>
@@ -1128,7 +1130,7 @@ object SparkEntry {
     // keep-lowest policy dropped in its favor (the audit artifact a
     // curated corpus ships with); bounded by duplicate volume
     "dedup_manifest" -> ((s, dir) =>
-      Dedup.dedupManifest(tables(s, dir).documents,
+      Dedup.dedupManifestFlat(tables(s, dir).documents,
         labels = Some(clusterLabelsFor(s, dir)))),
     // soft dedup: per-doc 1/|cluster| sampling weight (down-weight, not
     // drop — arXiv:2305.16264's alternative to the hard survivors cut)
@@ -1793,7 +1795,7 @@ object SparkEntry {
          |ORDER BY incident_type""".stripMargin,
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
-    "dedup_manifest" -> Dedup.dedupManifestSql,
+    "dedup_manifest" -> Dedup.dedupManifestFlatSql,
     "dedup_bow_cosine" -> Dedup.bowNearDupsSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
@@ -1801,7 +1803,7 @@ object SparkEntry {
     "embedding_covariance" -> graft.ext.EmbedStats.covarianceSql,
     "embedding_project" -> graft.ext.EmbedStats.jlProjectSql,
     "label_balance" -> graft.ext.EmbedStats.labelBalanceSql,
-    "doc_hash_embedding" -> graft.ext.EmbedStats.hashEmbeddingsSql,
+    "doc_hash_embedding" -> graft.ext.EmbedStats.hashEmbeddingsLongSql,
     "batch_padding_report" -> graft.ext.Curation.paddingReportSql,
 
     "dq_docs_suite" ->

@@ -1131,14 +1131,20 @@ object Curation {
     * per-bucket doc/token mass plus the exact padding waste a
     * fixed-length batcher would pay (ppm of padded volume). The bucket
     * ladder is a literal CASE chain, not float log2 — bit-identical in
-    * both engines and immune to pow-boundary rounding.
+    * both engines and immune to pow-boundary rounding. A doc longer
+    * than the overflow bucket (2·last) claims its own length as the
+    * bucket — a batcher would give it a dedicated sequence — so
+    * padded_tokens ≥ sum_tokens holds at every document length and
+    * waste_ppm can never go negative.
     *
     * Scale shape: map-side bucket assignment + one combinable
-    * aggregate over |buckets| keys. No joins, no windows.
+    * aggregate over |buckets| keys (+1 per overlong doc length). No
+    * joins, no windows.
     */
   def paddingReport(documents: DataFrame): DataFrame = {
     val n = size(split(col("text"), " ")).cast("long")
-    val bucket = PadBuckets.foldRight(lit(PadBuckets.last * 2): Column) {
+    val bucket = PadBuckets.foldRight(
+        greatest(lit(PadBuckets.last * 2), n): Column) {
       (b, acc) => when(n <= b, lit(b)).otherwise(acc)
     }
     documents.select(n.as("n_tokens"), bucket.as("bucket"))
@@ -1157,7 +1163,8 @@ object Curation {
     s"""WITH t AS (
        |  SELECT len(string_split(text, ' ')) AS n FROM documents),
        |b AS (
-       |  SELECT CAST(CASE $caseSql ELSE ${PadBuckets.last * 2} END
+       |  SELECT CAST(CASE $caseSql
+       |    ELSE greatest(${PadBuckets.last * 2}, n) END
        |    AS BIGINT) AS bucket, n
        |  FROM t)
        |SELECT bucket, count(*) AS n_docs,

@@ -719,6 +719,47 @@ object Dedup {
        |FROM labels WHERE doc_id != label
        |GROUP BY label ORDER BY survivor""".stripMargin
 
+  /** [[dedupManifest]] reshaped for the verified surface: the dropped
+    * doc_ids join into one comma-separated STRING (numeric sort first,
+    * so "10" never precedes "9"). The array form stays the library API;
+    * this flat form exists because scalar columns are the only shape a
+    * row-sorting cross-engine comparator can canonicalize — the same
+    * move [[graft.ext.EmbedStats.jlProject]] makes for embeddings.
+    */
+  def dedupManifestFlat(documents: DataFrame,
+      bands: Option[DataFrame] = None,
+      labels: Option[DataFrame] = None): DataFrame =
+    dedupManifest(documents, bands, labels)
+      .select(col("survivor"), col("n_dropped"),
+        array_join(transform(col("dropped"), _.cast("string")), ",")
+          .as("dropped_ids"))
+
+  /** DuckDB mirror of [[dedupManifestFlat]] — numeric list_sort before
+    * the string join, matching the Spark side's sort_array-then-cast.
+    */
+  def dedupManifestFlatSql: String =
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a)
+       |SELECT label AS survivor,
+       |  CAST(count(*) AS BIGINT) AS n_dropped,
+       |  list_aggr([CAST(x AS VARCHAR) for x in
+       |             list_sort(list(doc_id))], 'string_agg', ',')
+       |    AS dropped_ids
+       |FROM labels WHERE doc_id != label
+       |GROUP BY label ORDER BY survivor""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word

@@ -243,17 +243,36 @@ object EmbedStats {
       .orderBy("doc_id")
   }
 
-  /** DuckDB mirror of [[hashEmbeddings]]: bucket sums via group-by
-    * (exact integers ≡ the Spark fold), dense 0-filled vector via a
-    * generate_series spine, identical normalize; `+ 0` scrubs the
-    * -0.0 DuckDB round() can produce on negative components.
+  /** [[hashEmbeddings]] in long form for the verified surface:
+    * `(doc_id, dim BIGINT, value DOUBLE)` via posexplode — the exact
+    * reshape [[jlProject]] uses, because scalar columns are the only
+    * shape a row-sorting cross-engine comparator can canonicalize.
+    * A NULL-text doc's embedding is NULL, and posexplode of NULL
+    * emits no rows, so such docs are absent here (the array form
+    * keeps them as a NULL-embedding row).
     */
-  def hashEmbeddingsSql: String = {
+  def hashEmbeddingsLong(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .bowHashEmbed(col("text"), HashDim)))
+      .select(col("doc_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+      .orderBy("doc_id", "dim")
+  }
+
+  /** Shared CTE prefix of the two hash-embedding mirrors: per-doc
+    * per-bucket signed sums densified over a generate_series spine
+    * (NULL-text docs excluded — they carry no tokens and the Spark
+    * native expression is null-propagating), plus the per-doc L2 norm.
+    */
+  private def hashEmbeddingsCtes: String = {
     val b = Hashing.h32Sql("'hemb|' || t")
     val sg = Hashing.h32Sql("'hsign|' || t")
-    s"""WITH toks AS MATERIALIZED (
+    s"""toks AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |tf AS MATERIALIZED (
        |  SELECT doc_id, $b % $HashDim AS bkt,
        |    CASE WHEN $sg % 2 = 0 THEN 1 ELSE -1 END AS s
@@ -263,25 +282,58 @@ object EmbedStats {
        |  FROM tf GROUP BY 1, 2),
        |spine AS (
        |  SELECT d.doc_id, i.i AS bkt
-       |  FROM (SELECT doc_id FROM documents) d
+       |  FROM (SELECT doc_id FROM documents
+       |        WHERE text IS NOT NULL) d
        |  CROSS JOIN (SELECT unnest(generate_series(0, ${HashDim - 1}))
        |              AS i) i),
        |dense AS (
        |  SELECT sp.doc_id, sp.bkt, coalesce(su.v, 0) AS v
        |  FROM spine sp LEFT JOIN sums su
        |    ON sp.doc_id = su.doc_id AND sp.bkt = su.bkt),
-       |vecs AS (
+       |norms AS (
        |  SELECT doc_id,
-       |    list(CAST(v AS DOUBLE) ORDER BY bkt) AS raw,
        |    sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-       |  FROM dense GROUP BY doc_id)
-       |SELECT doc_id,
-       |  CASE WHEN nrm = 0 THEN [CAST(0.0 AS DOUBLE)
-       |                          for x in raw]
-       |       ELSE [round(x / nrm, 6) + 0 for x in raw] END
-       |    AS embedding
-       |FROM vecs ORDER BY doc_id""".stripMargin
+       |  FROM dense GROUP BY doc_id)""".stripMargin
   }
+
+  /** DuckDB mirror of [[hashEmbeddings]]: bucket sums via group-by
+    * (exact integers ≡ the Spark fold), dense 0-filled vector via a
+    * generate_series spine, identical normalize; `+ 0` scrubs the
+    * -0.0 DuckDB round() can produce on negative components. A
+    * NULL-text doc gets a NULL embedding via the trailing left join,
+    * matching the Spark expression's null propagation.
+    */
+  def hashEmbeddingsSql: String =
+    s"""WITH $hashEmbeddingsCtes,
+       |vecs AS (
+       |  SELECT de.doc_id,
+       |    list(CAST(de.v AS DOUBLE) ORDER BY de.bkt) AS raw,
+       |    any_value(no.nrm) AS nrm
+       |  FROM dense de JOIN norms no ON de.doc_id = no.doc_id
+       |  GROUP BY de.doc_id),
+       |emb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nrm = 0 THEN [CAST(0.0 AS DOUBLE)
+       |                            for x in raw]
+       |         ELSE [round(x / nrm, 6) + 0 for x in raw] END
+       |      AS embedding
+       |  FROM vecs)
+       |SELECT d.doc_id, e.embedding
+       |FROM documents d LEFT JOIN emb e ON d.doc_id = e.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[hashEmbeddingsLong]] — the dense rows serve
+    * directly (no list() needed); NULL-text docs are absent from the
+    * spine, matching posexplode-of-NULL on the Spark side.
+    */
+  def hashEmbeddingsLongSql: String =
+    s"""WITH $hashEmbeddingsCtes
+       |SELECT de.doc_id, CAST(de.bkt AS BIGINT) AS dim,
+       |  CASE WHEN no.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(CAST(de.v AS DOUBLE) / no.nrm, 6) + 0 END
+       |    AS value
+       |FROM dense de JOIN norms no ON de.doc_id = no.doc_id
+       |ORDER BY de.doc_id, dim""".stripMargin
 
   /** Dominant eigenpair of the covariance by fixed-count power
     * iteration (deterministic: all-ones start, no early stop) over the

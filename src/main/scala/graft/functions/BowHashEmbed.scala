@@ -57,19 +57,47 @@ case class BowHashEmbed(child: Expression, dim: Int)
 
 object BowHashUtil {
 
-  /** Unit hashed-BoW vector of `text` over `dim` buckets. */
+  // One MessageDigest per thread: getInstance("MD5") per call is a
+  // provider lookup + allocation, and this loop runs twice per token
+  // of the whole corpus. digest() leaves the instance reset.
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val EmbPrefix = "hemb|".getBytes("UTF-8")
+  private val SignPrefix = "hsign|".getBytes("UTF-8")
+
+  /** First 4 md5 bytes of (prefix ++ buf[off, off+len)) as an unsigned
+    * 32-bit value — ≡ [[graft.ext.Hashing.jvmH32]] of the concatenated
+    * string, because UTF-8 concatenation is byte concatenation.
+    */
+  private def h32(md: java.security.MessageDigest, prefix: Array[Byte],
+      buf: Array[Byte], off: Int, len: Int): Long = {
+    md.update(prefix)
+    md.update(buf, off, len)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Unit hashed-BoW vector of `text` over `dim` buckets. Tokenizes
+    * the raw UTF-8 bytes on 0x20 (a space byte never occurs inside a
+    * multi-byte UTF-8 sequence, so this ≡ the string split) — no
+    * per-token String/substring/concat allocation in the hot loop.
+    */
   def embed(text: UTF8String, dim: Int): GenericArrayData = {
-    val s = text.toString
+    val bytes = text.getBytes
+    val md = md5.get()
     val acc = new Array[Long](dim)
-    val n = s.length
+    val n = bytes.length
     var start = 0
     var i = 0
     while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
+      if (i == n || bytes(i) == ' '.toByte) {
         if (i > start) {
-          val t = s.substring(start, i)
-          val b = (graft.ext.Hashing.jvmH32("hemb|" + t) % dim).toInt
-          if (graft.ext.Hashing.jvmH32("hsign|" + t) % 2 == 0)
+          val b = (h32(md, EmbPrefix, bytes, start, i - start) % dim).toInt
+          if (h32(md, SignPrefix, bytes, start, i - start) % 2 == 0)
             acc(b) += 1L
           else acc(b) -= 1L
         }

@@ -43,22 +43,59 @@ object HeavyHitterStream {
       stats.lastCommitted = batchId
     }
 
+  /** Screen batch rows a fold already merged — the [[BatchIndex
+    * .compact]] crash window leaves the promoted `batch_id = -1` fold
+    * AND its superseded batch partitions both visible, and this index
+    * SERVES BY SUMMING, so without a screen that window over-counts
+    * (breaking the "est ≤ exact, never over" MG guarantee) and a
+    * re-run compaction would double-count permanently. Same
+    * discipline as [[graft.ext.SketchIndex.screenFolded]], global
+    * keyed (this index has no bucket level): fold rows record
+    * `folded_through` = the highest batch id they merged, and any
+    * batch row at or below that id is invisible.
+    */
+  private def screenFolded(idx: DataFrame): DataFrame =
+    if (!idx.columns.contains("batch_id"))
+      idx.withColumn("folded_through", lit(null).cast("long"))
+    else {
+      val withFt =
+        if (idx.columns.contains("folded_through")) idx
+        else idx.withColumn("folded_through", lit(null).cast("long"))
+      val through = withFt.filter(col("batch_id") === -1L)
+        .agg(max("folded_through").as("screen_through"))
+      withFt.crossJoin(broadcast(through))
+        .filter(col("batch_id") === -1L
+          || col("screen_through").isNull
+          || col("batch_id") > col("screen_through"))
+        .drop("screen_through")
+    }
+
   /** Served merged counters over everything ingested so far: one
-    * narrow index read, counters summed per symbol. Estimates carry
-    * the summed-MG guarantees (see object doc); they are
-    * under-estimates, never over.
+    * narrow index read, counters summed per symbol (batch rows a fold
+    * already merged are screened out first — see [[screenFolded]]).
+    * Estimates carry the summed-MG guarantees (see object doc); they
+    * are under-estimates, never over.
     */
   def servedCounters(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(indexPath)
+    screenFolded(
+      spark.read.option("mergeSchema", "true").parquet(indexPath))
       .groupBy("symbol").agg(sum("est").as("est"))
 
   /** Fold per-batch counter rows to one row per symbol — stream
     * stopped only. Counter summation is the exact merge, so served
-    * answers are identical before and after.
+    * answers are identical before and after. The fold screens first
+    * (re-running a crashed compaction must not re-merge rows the old
+    * fold already counted) and records `folded_through` so serving
+    * can apply the same screen.
     */
   def compact(spark: SparkSession, indexPath: String): Unit = {
     BatchIndex.compact(spark, indexPath, Seq("symbol", "est"),
-      fold = Some(_.groupBy("symbol").agg(sum("est").as("est"))))
+      fold = Some { idx =>
+        screenFolded(idx)
+          .groupBy("symbol").agg(sum("est").as("est"),
+            max(greatest(coalesce(col("folded_through"), lit(-1L)),
+              col("batch_id"))).as("folded_through"))
+      })
     ()
   }
 

@@ -1593,6 +1593,45 @@ class ExtSpec extends AnyFunSuite {
       == Seq((1L, 2L, Seq(2L, 3L)), (5L, 1L, Seq(6L))))
   }
 
+  test("flat manifest: string-joined dropped ids, numeric order kept") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L), (10L, 1L)).toDF("doc_id", "label")
+    val m = graft.ext.Dedup.dedupManifestFlat(
+      spark.emptyDataFrame, labels = Some(labels)).collect()
+    // "10" after "3": numeric sort happens before the string join
+    assert(m.map(x => (x.getAs[Long]("survivor"),
+      x.getAs[Long]("n_dropped"), x.getAs[String]("dropped_ids"))).toSeq
+      == Seq((1L, 3L, "2,3,10"), (5L, 1L, "6")))
+  }
+
+  test("long-form hash embeddings match posexplode of the array form") {
+    import spark.implicits._
+    val d = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon"),
+      (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val long = graft.ext.EmbedStats.hashEmbeddingsLong(d).collect()
+    // NULL-text doc 2 is absent (posexplode of NULL), empty doc 3 is
+    // present as an all-zeros vector
+    assert(long.map(_.getAs[Long]("doc_id")).distinct.toSet
+      == Set(0L, 1L, 3L))
+    assert(long.length == 3 * graft.ext.EmbedStats.HashDim)
+    val viaArray = graft.ext.EmbedStats.hashEmbeddings(d)
+      .filter(col("embedding").isNotNull)
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos").toLong)
+        -> r.getAs[Double]("col")).toMap
+    long.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[Long]("dim"))
+      assert(java.lang.Double.doubleToRawLongBits(viaArray(k))
+        == java.lang.Double.doubleToRawLongBits(r.getAs[Double]("value")))
+    }
+    // and the array form keeps the NULL-text doc as a NULL row
+    val arr = graft.ext.EmbedStats.hashEmbeddings(d).collect()
+    assert(arr.length == 4 && arr.count(_.isNullAt(1)) == 1)
+  }
+
   test("tokenizer fertility: per-lang roll-up of the tokenize report") {
     val docs = Tables(spark, Sf0001).documents
     val merges = graft.ext.Bpe.trainMergesCached(docs, Sf0001)

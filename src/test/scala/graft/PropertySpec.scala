@@ -176,9 +176,13 @@ class PropertySpec extends AnyFunSuite {
   test("padding report: conservation and waste bounds on random docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
+    // lengths deliberately past 2 * PadBuckets.last (= 4096): overlong
+    // docs claim their own length as the bucket, so waste stays >= 0
     val docs = (0 until 400).map { i =>
-      (i.toLong, Seq.fill(1 + rnd.nextInt(3000))("w").mkString(" "))
+      (i.toLong, Seq.fill(1 + rnd.nextInt(6000))("w").mkString(" "))
     }.toDF("doc_id", "text")
+    assert(docs.selectExpr("max(size(split(text, ' ')))")
+      .head().getInt(0) > 4096, "fixture must exercise the overflow arm")
     val rows = graft.ext.Curation.paddingReport(docs).collect()
     // every doc lands in exactly one bucket; token mass is conserved
     assert(rows.map(_.getAs[Long]("n_docs")).sum == 400L)

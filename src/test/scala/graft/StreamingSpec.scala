@@ -871,6 +871,27 @@ class StreamingSpec extends AnyFunSuite {
     // post-compact ingest still merges
     HeavyHitterStream.processBatch(docs("z z z z"), 2L, indexDir, stats)
     assert(served()("z") == 4L)
+    // compaction crash window: re-land batch 1's partition exactly as
+    // a compaction that died between its promote and its deletes would
+    // leave it (the fold row carries folded_through = 1, so these rows
+    // are superseded duplicates). This index SERVES BY SUMMING, so
+    // without the serve-time screen est would exceed exact — the MG
+    // "never over" guarantee is the thing under test
+    val withZ = est + ("z" -> 4L)
+    val crashed = new HeavyHitterStream.HhStats(spark)
+    crashed.lastCommitted = 0L
+    HeavyHitterStream.processBatch(b1, 1L, indexDir, crashed)
+    assert(served() == withZ,
+      "crashed-compaction leftovers double-counted in serving")
+    // re-running the compaction folds cleanly over the crashed state
+    // (the fold screens first, so the old fold row + its superseded
+    // batch rows merge without double-counting, and folded_through
+    // advances past the newest merged batch)
+    HeavyHitterStream.compact(spark, indexDir)
+    assert(served() == withZ,
+      "re-run compaction double-counted superseded batch rows")
+    assert(spark.read.parquet(indexDir).groupBy("symbol").count()
+      .filter(col("count") > 1).count() == 0)
   }
 
   test("streaming dedup ingest: index screens batches; replay idempotent") {

@@ -10,13 +10,28 @@ Stricter than value-tolerance on purpose — the driver's hasher is exact:
   * physical column types must match between the Spark parquet and the
     DuckDB oracle result (INTEGER vs BIGINT, HUGEINT/DECIMAL window
     sums, FLOAT vs DOUBLE all fail — the round-8/9 local-green/
-    driver-red class).
+    driver-red class);
+  * rows are re-sorted with pandas sort_values over all columns before
+    comparing, exactly like the driver — so a column pandas cannot
+    hash (numpy arrays, the round-10 local-green/driver-red class)
+    crashes HERE first, and any ORDER BY divergence is forgiven the
+    same way the driver forgives it.
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [name ...]
 """
 import json, math, os, struct, sys, time
 
 import duckdb
+
+
+def driver_sort_order(df, cols):
+    """Replicate the driver's pandas re-sort: sort_values over all
+    columns (name order) and return the resulting row order. Raises
+    TypeError on unsortable columns (e.g. arrays), as the driver does.
+    """
+    if df.empty:
+        return list(df.index)
+    return list(df.sort_values(by=cols, kind="mergesort").index)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -62,9 +77,11 @@ def main(out_dir, sf_dir, only=None):
             got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
             gcols, gtypes = got.columns, type_names(got)
             grows = got.fetchall()
+            gdf = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
             want = con.sql(sql)
             wcols, wtypes = want.columns, type_names(want)
             wrows = want.fetchall()
+            wdf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
@@ -85,6 +102,17 @@ def main(out_dir, sf_dir, only=None):
             continue
         if len(grows) != len(wrows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
+            failures += 1
+            continue
+        # driver-style pandas re-sort over all columns (name order);
+        # crashes on unsortable columns exactly like the driver
+        try:
+            grows = [grows[k] for k in
+                     driver_sort_order(gdf, [gcols[i] for i in gi])]
+            wrows = [wrows[k] for k in
+                     driver_sort_order(wdf, [wcols[j] for j in wi])]
+        except TypeError as e:
+            print(f"FAIL {name}: driver row-sort crash: {e}")
             failures += 1
             continue
         bad = None

@@ -35,15 +35,26 @@ object Bench {
       // (outside the timed section) to decouple a query's number from
       // its suite neighbors' leftover footprint.
       if (isolate) { spark.catalog.clearCache(); System.gc() }
-      val t0 = System.nanoTime()
+      // Scratch scope: the query's own persisted/checkpointed scratch
+      // frames release AFTER its clock stops (the timer is read inside
+      // the scope), so a heavy query cleans up its executor-memory
+      // footprint itself instead of taxing its suite neighbors — and
+      // the median query keeps its warm caches (unlike isolate mode).
+      var sec = 0.0
       val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
+        try {
+          graft.ext.Scratch.scoped {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            sec = (System.nanoTime() - t0) / 1e9
+          }
+          true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      (sec, ok)
     }
     // optional arg (dev only): comma-separated query-name filter
     val only = args.headOption.map(_.split(",").toSet)

@@ -665,6 +665,55 @@ object ScaleProbe {
     walk(new java.io.File(p))
   }
 
+  /** Filtered-recall vs selectivity probe — the known weak spot of
+    * every IVF-filtered design: a selective metadata predicate thins
+    * each probed cell's candidate pool, so filtered recall can fall
+    * off a cliff while unfiltered recall at the same nProbe stays
+    * high. Labels here are hash-assigned INDEPENDENT of the cluster
+    * geometry (the hard case — a geometry-aligned label would hide
+    * the loss), and selectivity sweeps 1/4 → 1/256 by label count.
+    * Reports mean recall@5 (ppm) of [[Similarity.annRecallFiltered]]
+    * against the same-predicate exact scan, next to the unfiltered
+    * [[Similarity.annRecallReport]] at the identical index + nProbe.
+    * `sbt "runMain graft.ScaleProbe recallf 5120000"`.
+    */
+  def filteredRecallProbe(spark: SparkSession, n: Long): Unit = {
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(4, 16, 64, 256).foreach { nLabels =>
+      val emb = synthEmbeddings(spark, n)
+        .withColumn("label", concat(lit("l"),
+          pmod(xxhash64(col("vec_id"), lit(7)), lit(nLabels))
+            .cast("string")))
+        .persist()
+      emb.count()
+      val cells = Similarity.ivfCellsFor(n)
+      val nProbe = Similarity.ivfProbesFor(cells)
+      val path = s"/tmp/graft_scaleprobe_recallf_${n}_$nLabels"
+      val buildS = timed(Similarity.writeIvfIndex(emb, path, cells))
+      var fRows: Array[org.apache.spark.sql.Row] = Array.empty
+      val fS = timed {
+        fRows = Similarity.annRecallFiltered(spark, path, emb, nProbe)
+          .collect()
+      }
+      var uRows: Array[org.apache.spark.sql.Row] = Array.empty
+      val uS = timed {
+        uRows = Similarity.annRecallReport(spark, path, emb, nProbe)
+          .collect()
+      }
+      def mean(rows: Array[org.apache.spark.sql.Row], c: String): Long =
+        if (rows.isEmpty) 0L else rows.map(_.getAs[Long](c)).sum / rows.length
+      println(f"[recallf] n=$n%-8d labels=$nLabels%-4d " +
+        f"selectivity=${1000000 / nLabels}%6d ppm build=$buildS%6.1fs | " +
+        f"filtered recall=${mean(fRows, "recall_ppm")}%7d ppm " +
+        f"mrr=${mean(fRows, "mrr_ppm")}%7d ppm (${fS}%5.1fs) | " +
+        f"unfiltered recall=${mean(uRows, "recall_ppm")}%7d ppm " +
+        f"(${uS}%5.1fs)")
+      emb.unpersist(blocking = true)
+    }
+  }
+
   /** Served-path probe: build each persisted index once at size n, then
     * pin that a SERVED query's read volume is index-slice-proportional
     * — probed cells / in-window days / term buckets — never
@@ -808,11 +857,12 @@ object ScaleProbe {
     val statsMode = args.headOption.contains("stats")
     val servedMode = args.headOption.contains("served")
     val bowMode = args.headOption.contains("bow")
+    val recallfMode = args.headOption.contains("recallf")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
-          || servedMode || bowMode)
+          || servedMode || bowMode || recallfMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -898,6 +948,11 @@ object ScaleProbe {
     }
     if (bowMode) {
       sizes.foreach(bowProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (recallfMode) {
+      sizes.foreach(filteredRecallProbe(spark, _))
       spark.stop()
       return
     }

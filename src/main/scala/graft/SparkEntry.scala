@@ -841,6 +841,17 @@ object SparkEntry {
       Similarity.annRecallReport(s, path, tables(s, dir).embeddings,
         Similarity.ivfProbesFor(Similarity.IvfCells))
     }),
+    // filtered-search retrieval eval: recall@k / MRR of the
+    // metadata-filtered IVF search against the same-predicate exact
+    // scan — isolates the probing loss a selective filter adds (the
+    // known weak spot of IVF filtering; selectivity sweep in ScaleProbe)
+    "ann_recall_filtered" -> ((s, dir) => {
+      val path = s"/tmp/graft_ivf_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        Similarity.writeIvfIndex(tables(s, dir).embeddings, path))
+      Similarity.annRecallFiltered(s, path, tables(s, dir).embeddings,
+        Similarity.ivfProbesFor(Similarity.IvfCells))
+    }),
     // the 100 TB audit path: label-noise consensus over neighborhoods
     // served from the same persisted IVF index (pruned probed-cell read)
     "label_noise_knn_served" -> ((s, dir) => {
@@ -1132,6 +1143,12 @@ object SparkEntry {
     "dedup_manifest" -> ((s, dir) =>
       Dedup.dedupManifestFlat(tables(s, dir).documents,
         labels = Some(clusterLabelsFor(s, dir)))),
+    // dedup provenance under the KEEP-BEST policy: the manifest
+    // mirrors whichever survivor rule a pipeline ships — here the
+    // quality-aware keepBestSurvivors cut
+    "dedup_manifest_best" -> ((s, dir) =>
+      Dedup.dedupManifestBest(tables(s, dir).documents,
+        labelsOpt = Some(clusterLabelsFor(s, dir)))),
     // soft dedup: per-doc 1/|cluster| sampling weight (down-weight, not
     // drop — arXiv:2305.16264's alternative to the hard survivors cut)
     "soft_dedup_weights" -> ((s, dir) =>
@@ -1657,6 +1674,7 @@ object SparkEntry {
     "hard_negatives_served" -> Similarity.hardNegativesServedSql,
     "label_noise_knn_served" -> Similarity.labelNoiseKnnServedSql,
     "ann_recall_report" -> Similarity.annRecallReportSql,
+    "ann_recall_filtered" -> Similarity.annRecallFilteredSql,
     "ann_topk_filtered" -> Similarity.topKIvfFilteredSql,
     "bitext_margin_pairs" -> Similarity.bitextMarginPairsSql(),
     "ann_topk_lsh" -> Similarity.topKLshSql,
@@ -1796,6 +1814,7 @@ object SparkEntry {
 
     "dedup_clusters" -> Dedup.minhashClustersSql,
     "dedup_manifest" -> Dedup.dedupManifestFlatSql,
+    "dedup_manifest_best" -> Dedup.dedupManifestBestSql,
     "dedup_bow_cosine" -> Dedup.bowNearDupsSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,

@@ -41,8 +41,13 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         scala.concurrent.Future {
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          // Scratch scope: each query releases its own persisted /
+          // checkpointed scratch after its write lands, so 150+
+          // concurrent queries don't accrete dead storage memory
+          try graft.ext.Scratch.scoped {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             errors.put(name,

@@ -143,14 +143,14 @@ object Curation {
       benchBands: Option[DataFrame] = None): DataFrame = {
     val bb = benchBands.getOrElse(Dedup.bandTable(bench))
       .withColumnRenamed("doc_id", "bench_id")
-    val cand = corpusBands.getOrElse(Dedup.bandTable(corpus))
+    val cand = Scratch.track(corpusBands.getOrElse(Dedup.bandTable(corpus))
       .join(broadcast(bb), Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("bench_id")).distinct()
-      .persist() // scopes verification AND joins into it
+      .persist()) // scopes verification AND joins into it
     val candCorpus = cand.select("doc_id").distinct()
-    val shC = Dedup.shingleTable(
+    val shC = Scratch.track(Dedup.shingleTable(
       corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi"))
-      .persist()
+      .persist())
     val shB = Dedup.shingleTable(bench)
     val cntC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_doc"))
     val cntB = shB.groupBy("doc_id").agg(count(lit(1)).as("n_bench"))
@@ -791,6 +791,7 @@ object Curation {
       .select(col("source"), Hashing.h32(col("g")).as("h"))
       .distinct()
       .persist() // scanned by per-source counts and both join sides
+      .transform(Scratch.track(_))
     val perSource = grams.groupBy("source").agg(count(lit(1)).as("n"))
     grams.as("a").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -867,6 +868,7 @@ object Curation {
       .filter(col("h") % mod === 0)
       .distinct()
       .persist()
+      .transform(Scratch.track(_))
     val perSource = grams.groupBy("source").agg(count(lit(1)).as("n"))
     grams.as("a").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))

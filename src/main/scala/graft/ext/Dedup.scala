@@ -166,19 +166,19 @@ object Dedup {
         .select("band_idx", "band_hash")
       rawBands.join(sizes, Seq("band_idx", "band_hash"))
     }
-    val banded = capped.persist()
-    val cand = banded.as("a").join(banded.as("b"),
+    val banded = Scratch.track(capped.persist())
+    val cand = Scratch.track(banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist() // scopes verification AND joins into it
+      .persist()) // scopes verification AND joins into it
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingleTable(
+    val sh = Scratch.track(shingleTable(
       documents.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
-      .persist() // both verification sides + counts; candidates only
+      .persist()) // both verification sides + counts; candidates only
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -267,16 +267,17 @@ object Dedup {
     val ib = indexBands.getOrElse(bandTable(index))
       .withColumnRenamed("doc_id", "index_doc")
     val bb = bandTable(batch).withColumnRenamed("doc_id", "batch_doc")
-    val cand = ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
-      .select("batch_doc", "index_doc").distinct()
-      .persist()
+    val cand = Scratch.track(
+      ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
+        .select("batch_doc", "index_doc").distinct()
+        .persist())
     val candB = cand.select(col("batch_doc").as("doc_id")).distinct()
     val candI = cand.select(col("index_doc").as("doc_id")).distinct()
-    val sh = shingleTable(
+    val sh = Scratch.track(shingleTable(
         batch.join(broadcast(candB), Seq("doc_id"), "left_semi"))
       .unionByName(shingleTable(
         index.join(broadcast(candI), Seq("doc_id"), "left_semi")))
-      .persist() // disjoint ids by contract; candidates only
+      .persist()) // disjoint ids by contract; candidates only
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("batch_doc") === col("sa.doc_id"))
@@ -512,7 +513,9 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    (labels, rounds)
+    // the final fixed-point checkpoint outlives this call; its release
+    // is the enclosing query's job (no-op outside a harness scope)
+    (Scratch.track(labels), rounds)
   }
 
   /** Soft dedup (the down-weighting alternative to dropping near-dups —
@@ -760,6 +763,80 @@ object Dedup {
        |FROM labels WHERE doc_id != label
        |GROUP BY label ORDER BY survivor""".stripMargin
 
+  /** [[dedupManifestFlat]] under the KEEP-BEST policy — the manifest
+    * must describe whichever cut a pipeline actually ships, and
+    * [[keepBestSurvivors]] (the SemDeDup-family quality-aware rule) is
+    * the other shipped policy: per cluster the highest-quality doc
+    * survives and the manifest row lists everyone it displaced. Same
+    * flat verified shape as [[dedupManifestFlat]]; ExtSpec pins that
+    * the survivors here are exactly keepBestSurvivors' kept docs in
+    * ≥2-doc clusters.
+    */
+  def dedupManifestBest(documents: DataFrame,
+      bands: Option[DataFrame] = None,
+      labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val kb = keepBestSurvivors(documents, bands, labelsOpt)
+      .filter(col("cluster_id").isNotNull)
+    val best = kb.filter(col("keep"))
+      .select(col("cluster_id"), col("doc_id").as("survivor"))
+    kb.filter(!col("keep"))
+      .join(best, "cluster_id")
+      .groupBy("survivor")
+      .agg(count(lit(1)).as("n_dropped"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("dropped_ids"))
+      .orderBy("survivor")
+  }
+
+  /** DuckDB mirror of [[dedupManifestBest]] — the keep-best CTE chain
+    * (cluster labels + quality scores + per-cluster best), then the
+    * survivor roll-up of everyone the best doc displaced.
+    */
+  def dedupManifestBestSql: String = {
+    val en = TextAnalysis.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS MATERIALIZED (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    least(len(toks) * 2000, 400000)
+       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
+       |          AS BIGINT)
+       |      + 300000
+       |      - CAST(round(len([t for t in toks
+       |                        if list_contains($en, t)])
+       |          * 300000.0 / len(toks)) AS BIGINT) AS quality_ppm
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |best AS (
+       |  SELECT label, doc_id AS best_doc FROM (
+       |    SELECT l.label, s.doc_id,
+       |      row_number() OVER (PARTITION BY l.label
+       |        ORDER BY s.quality_ppm DESC, s.doc_id) AS rn
+       |    FROM labels l JOIN scored s ON l.doc_id = s.doc_id)
+       |  WHERE rn = 1)
+       |SELECT b.best_doc AS survivor,
+       |  CAST(count(*) AS BIGINT) AS n_dropped,
+       |  list_aggr([CAST(x AS VARCHAR) for x in
+       |             list_sort(list(l.doc_id))], 'string_agg', ',')
+       |    AS dropped_ids
+       |FROM labels l JOIN best b ON l.label = b.label
+       |WHERE l.doc_id != b.best_doc
+       |GROUP BY b.best_doc ORDER BY survivor""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash width in bits. 24 = 4 blocks × 6 bits; features are word
@@ -846,12 +923,12 @@ object Dedup {
       struct(lit(k).as("key_idx"),
         (blk(b1) * (1 << BlockBits) + blk(b2)).as("key_val"))
     }
-    val keyed = simhash(documents)
+    val keyed = Scratch.track(simhash(documents)
       .select(col("doc_id"), col("simhash"),
         explode(array(keyStructs: _*)).as("key"))
       .select(col("doc_id"), col("simhash"),
         col("key.key_idx").as("key_idx"), col("key.key_val").as("key_val"))
-      .persist() // both self-join sides read it; computed once
+      .persist()) // both self-join sides read it; computed once
     keyed.as("a").join(keyed.as("b"),
         col("a.key_idx") === col("b.key_idx")
           && col("a.key_val") === col("b.key_val")
@@ -935,11 +1012,12 @@ object Dedup {
         shiftright(col("simhash"), b * SimHash60BlockBits)
           .bitwiseAND((1 << SimHash60BlockBits) - 1).as("key_val"))
     }
-    val keyed = s.select(col("doc_id"), col("simhash"),
+    val keyed = Scratch.track(
+      s.select(col("doc_id"), col("simhash"),
         explode(array(keyStructs: _*)).as("key"))
       .select(col("doc_id"), col("simhash"),
         col("key.key_idx").as("key_idx"), col("key.key_val").as("key_val"))
-      .persist()
+      .persist())
     keyed.as("a").join(keyed.as("b"),
         col("a.key_idx") === col("b.key_idx")
           && col("a.key_val") === col("b.key_val")
@@ -1016,7 +1094,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     // the two canopy keys ARE MinHash rows 0 and 1 ([[CanopySeeds]]) —
     // map-side native signature, no explode/aggregate
-    val canopies = documents.select(col("doc_id"),
+    val canopies = Scratch.track(documents.select(col("doc_id"),
         graft.functions.GraftFunctions
           .minhashSigs(col("text"), CanopySeeds.max + 1).as("sig"))
       .select(col("doc_id"), explode(array(
@@ -1024,15 +1102,15 @@ object Dedup {
         struct(lit(1).as("k"), col("sig")(CanopySeeds(1)).as("v"))))
         .as("key"))
       .select(col("doc_id"), col("key.k").as("k"), col("key.v").as("v"))
-      .persist() // both self-join sides read it; computed once
+      .persist()) // both self-join sides read it; computed once
     val cand = canopies.as("x").join(canopies.as("y"),
         col("x.k") === col("y.k") && col("x.v") === col("y.v")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val g = documents.select(col("doc_id"),
+    val g = Scratch.track(documents.select(col("doc_id"),
       array_distinct(shingles(col("text"), 2)).as("grams"))
-      .persist() // read by both verification sides
+      .persist()) // read by both verification sides
     cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(g.as("gb"), col("doc_b") === col("gb.doc_id"))
@@ -1168,8 +1246,8 @@ object Dedup {
                 % expr(s"(bkt_n + ${maxBlock - 1}) div $maxBlock"))
           .drop("bkt_n")
       }
-    val e = sharded
-      .persist() // both self-join sides read it; computed once
+    val e = Scratch.track(sharded
+      .persist()) // both self-join sides read it; computed once
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -1249,14 +1327,16 @@ object Dedup {
     */
   def bowNearDups(documents: DataFrame): DataFrame =
     embeddingNearDupsAnn(
-      graft.ext.EmbedStats.hashEmbeddings(documents)
+      Scratch.track(graft.ext.EmbedStats.hashEmbeddings(documents)
         .select(col("doc_id").as("vec_id"), col("embedding"))
         // eager materialization: downstream computes nrm + 8 plane
         // dots from `embedding`; left as an expression column each
         // would re-evaluate the whole hashing fold (measured 1.5 s →
         // 32 s at sf0.1). A production pipeline stores the hashed
         // vectors once and indexes from the stored table anyway.
-        .localCheckpoint(),
+        // Scratch-tracked: the checkpoint RDD is this query's own
+        // scratch, released when its harness scope closes.
+        .localCheckpoint()),
       maxBlock = MaxAnnBlock)
 
   /** DuckDB mirror of [[bowNearDups]]: the hashed-embedding CTE feeds

@@ -88,7 +88,9 @@ object GraphRank {
         .localCheckpoint(true)
     }
     en.unpersist(); nodes.unpersist()
-    r
+    // the final fixed-point checkpoint outlives this call; release is
+    // the enclosing query's job (no-op outside a harness scope)
+    Scratch.track(r)
   }
 
   /** Verified query: top-[[TopK]] purchase-graph nodes by fixed-point

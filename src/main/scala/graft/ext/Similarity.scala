@@ -230,9 +230,10 @@ object Similarity {
     // the index writer stored, so v/nrm are bit-identical. Eagerly
     // materialized (bounded rows) so the lookup runs once, not once
     // per downstream action (probes collect + broadcast + final job).
-    val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
+    val q = graft.ext.Scratch.track(
+      withNorm(embeddings).filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-      .localCheckpoint()
+      .localCheckpoint())
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
@@ -393,9 +394,10 @@ object Similarity {
     val data = readIndexData(spark, path)
     // corpus-side anchor lookup + eager materialization — see
     // [[hardNegativesServed]]; candidate labels come from the index
-    val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
+    val q = graft.ext.Scratch.track(
+      withNorm(embeddings).filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-      .localCheckpoint()
+      .localCheckpoint())
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
@@ -489,9 +491,10 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fineCells = spark.read.parquet(s"$path/centroids")
     val data = readIndexData(spark, path)
-    val q = withNorm(embeddings).filter(col("vec_id") < NumQueries)
+    val q = graft.ext.Scratch.track(
+      withNorm(embeddings).filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-      .localCheckpoint()
+      .localCheckpoint())
     val probes = rankProbes(q, fineCells, nProbe, IvfCoarseProbes)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
@@ -1305,8 +1308,9 @@ object Similarity {
     // result feeds several downstream actions (probes collect, probes
     // broadcast, final count) — without materialization each one would
     // re-run the scan (measured 4x index reads at 1.28 M vectors)
-    val q = readIndexData(spark, path).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val q = graft.ext.Scratch.track(
+      readIndexData(spark, path).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint())
     topKIvfServedFor(q, path, nProbe, probeCoarse)
   }
 
@@ -1345,10 +1349,20 @@ object Similarity {
     */
   def annRecallReport(spark: org.apache.spark.sql.SparkSession,
       path: String, embeddings: DataFrame,
-      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
-    val brute = topKBruteForce(embeddings)
+      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame =
+    recallFrom(
+      topKBruteForce(embeddings),
+      topKIvfServed(spark, path, nProbe))
+
+  /** The per-query recall@k / MRR roll-up shared by the plain and
+    * filtered recall reports: `brute` is the exact ground truth,
+    * `srv` the served answer, both (q_id, rank, vec_id)-shaped.
+    */
+  private def recallFrom(brute0: DataFrame, srv0: DataFrame)
+      : DataFrame = {
+    val brute = brute0
       .select(col("q_id"), col("rank").as("b_rank"), col("vec_id"))
-    val srv = topKIvfServed(spark, path, nProbe)
+    val srv = srv0
       .select(col("q_id"), col("rank").as("s_rank"), col("vec_id"))
     val kc = srv.groupBy("q_id").agg(count(lit(1)).as("k_served"))
     brute.join(srv, Seq("q_id", "vec_id"), "left")
@@ -1369,6 +1383,46 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Exact same-label cosine top-k per anchor — the ground truth for
+    * [[annRecallFiltered]]: the brute scan applies the identical
+    * metadata predicate the filtered index search serves, so the two
+    * sides rank the same candidate universe.
+    */
+  def topKBruteForceFiltered(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        col("cosine"))
+  }
+
+  /** Recall/MRR monitoring for FILTERED search ([[topKIvfFiltered]])
+    * — the known weak spot of every IVF-filtered design: a selective
+    * predicate thins each probed cell's candidate pool, so filtered
+    * recall can sit well below unfiltered recall at the same nProbe.
+    * Ground truth is [[topKBruteForceFiltered]] (same predicate,
+    * exact scan), so recall_ppm here isolates exactly the probing
+    * loss under the filter. The selectivity sweep lives in ScaleProbe
+    * ("filtered-recall vs selectivity"); this is the per-deployment
+    * monitored row.
+    */
+  def annRecallFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame,
+      nProbe: Int = ivfProbesFor(IvfCells)): DataFrame =
+    recallFrom(
+      topKBruteForceFiltered(embeddings),
+      topKIvfFiltered(spark, path, embeddings, nProbe))
+
   /** DuckDB mirror of [[annRecallReport]]: the brute and hier-IVF
     * oracles compose as nested CTEs, then the identical join + ppm
     * arithmetic.
@@ -1378,7 +1432,13 @@ object Similarity {
        |$topKBruteForceSql
        |), srv AS MATERIALIZED (
        |$topKIvfHierSql
-       |), joined AS (
+       |), $recallTailSql""".stripMargin
+
+  /** Shared SQL tail of the recall reports — expects CTEs `brute` and
+    * `srv`, both (q_id, rank, vec_id)-shaped.
+    */
+  private def recallTailSql: String =
+    s"""joined AS (
        |  SELECT b.q_id, b.rank AS b_rank, b.vec_id, s.rank AS s_rank
        |  FROM brute b LEFT JOIN srv s
        |    ON b.q_id = s.q_id AND b.vec_id = s.vec_id),
@@ -1398,6 +1458,40 @@ object Similarity {
        |       ELSE 1000000 // a.nn_rank_raw END AS BIGINT) AS mrr_ppm
        |FROM agg a LEFT JOIN kc ON a.q_id = kc.q_id
        |ORDER BY a.q_id""".stripMargin
+
+  /** DuckDB mirror of [[topKBruteForceFiltered]]: the brute CTE with
+    * the same-label gate in the scoring join.
+    */
+  def topKBruteForceFilteredSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+       |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |                   for x in embedding])) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id, e.label,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)
+       |                    * CAST(e.embedding[i] AS DOUBLE)
+       |                    for i in range(1, len(q.embedding) + 1)])
+       |      / (q.nrm * e.nrm), 6) + 0 AS cosine
+       |  FROM e q JOIN e ON e.vec_id != q.vec_id AND e.label = q.label
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, rank, vec_id, label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB mirror of [[annRecallFiltered]]: filtered brute + filtered
+    * IVF CTEs into the shared recall tail.
+    */
+  def annRecallFilteredSql: String =
+    s"""WITH brute AS MATERIALIZED (
+       |$topKBruteForceFilteredSql
+       |), srv AS MATERIALIZED (
+       |$topKIvfFilteredSql
+       |), $recallTailSql""".stripMargin
 
   /** Read the index data files with the partition column restored to
     * the index's long type (dir inference yields INT).

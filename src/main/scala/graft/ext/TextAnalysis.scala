@@ -173,9 +173,9 @@ object TextAnalysis {
     // output; persist so the corpus is scored ONCE (the broadcast-side
     // job materializes the cache, the probe reuses it) — at 100 TB two
     // full classifier scans is the difference between one pass and two.
-    val scored = qualityClassifier(documents)
+    val scored = Scratch.track(qualityClassifier(documents)
       .select(col("doc_id"), col("lang"), col("margin_ppm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val byLang = Window.partitionBy("lang").orderBy("margin_ppm")
     val ranks = scored.groupBy("lang", "margin_ppm")
       .agg(count(lit(1)).as("cnt"))

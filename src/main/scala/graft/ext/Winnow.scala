@@ -151,7 +151,7 @@ object Winnow {
     * like [[Dedup]] span containment).
     */
   def matches(documents: DataFrame): DataFrame = {
-    val fps = fpTable(documents).persist()
+    val fps = Scratch.track(fpTable(documents).persist())
     // EAGER materialization: keep/kept/per-doc branches all compile into
     // one job, and concurrent first scans of a cold cache each recompute
     // the fingerprint pipeline (measured 86 s vs ~40 s at 320 k docs);

@@ -1593,6 +1593,30 @@ class ExtSpec extends AnyFunSuite {
       == Seq((1L, 2L, Seq(2L, 3L)), (5L, 1L, Seq(6L))))
   }
 
+  test("keep-best manifest: survivors ARE keepBestSurvivors' kept docs") {
+    val docs = Tables(spark, Sf0001).documents
+    val m = graft.ext.Dedup.dedupManifestBest(docs).collect()
+    assert(m.nonEmpty, "fixture has planted near-dups; manifest empty")
+    val kb = graft.ext.Dedup.keepBestSurvivors(docs).collect()
+    val clusterSizes = kb.filter(!_.isNullAt(1))
+      .groupBy(_.getAs[Long]("cluster_id")).view.mapValues(_.length).toMap
+    // survivors of the manifest == kept docs of >=2-doc clusters
+    val expectSurvivors = kb
+      .filter(r => !r.isNullAt(1) && r.getAs[Boolean]("keep")
+        && clusterSizes(r.getAs[Long]("cluster_id")) >= 2)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(m.map(_.getAs[Long]("survivor")).toSet == expectSurvivors)
+    // each manifest row lists exactly its cluster minus the survivor,
+    // and dropped docs are exactly the keep=false docs
+    val dropped = m.flatMap(_.getAs[String]("dropped_ids").split(",")
+      .map(_.toLong)).toSet
+    val expectDropped = kb.filter(r => !r.isNullAt(1)
+      && !r.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(dropped == expectDropped)
+    m.foreach(r => assert(r.getAs[Long]("n_dropped")
+      == r.getAs[String]("dropped_ids").split(",").length.toLong))
+  }
+
   test("flat manifest: string-joined dropped ids, numeric order kept") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),

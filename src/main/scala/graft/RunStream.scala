@@ -18,53 +18,28 @@ import graft.streaming.EventPipeline
   * rest is unchanged.
   */
 object RunStream {
-  def main(args: Array[String]): Unit = {
-    val seconds = args.headOption.map(_.toInt).getOrElse(15)
-    val outDir = args.lift(1).getOrElse("/tmp/graft_stream")
-    val rowsPerSecond = args.lift(2).getOrElse("200")
-    val wire = args.lift(3).getOrElse("json")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond).load()
+  /** End-of-run funnel counters for [[runFull]]: per-stream row
+    * accounting, peak streaming-state memory, and aggregate
+    * shuffle-write volume (the number that decides whether a stage
+    * would reshuffle a 100 TB/day stream or only its derived
+    * summaries).
+    */
+  final case class FullSummary(events: Long, late: Long, dqFailed: Long,
+      mainRows: Long, quarantineRows: Long,
+      docsSeen: Long, docsKept: Long, corpusRows: Long,
+      dedupIndexRows: Long, hhSymbols: Long, hllDays: Long,
+      stateBytesMax: Long, shuffleWriteBytes: Long, wallSec: Double)
 
-    // `dedup` mode: document stream with a planted 10% duplicate rate
-    // (every value ≡ 7 (mod 10) repeats the text of value − 7) through
-    // the incremental near-dup ingest — measures sustained docs/s of
-    // graft.streaming.DedupStream on this box (recorded in SCALING.md)
-    if (wire == "dedup") {
-      val seed = when(col("value") % 10 === 7, col("value") - 7)
-        .otherwise(col("value"))
-      val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
-      val words = transform(sequence(lit(1), lit(40) + pmod(seed, lit(30))),
-        i => element_at(vocab,
-          (pmod(xxhash64(seed, i), lit(30)) + 1).cast("int")))
-      val docs = rate.select(col("value").as("doc_id"),
-        array_join(words, " ").as("text"))
-      val stats = new graft.streaming.DedupStream.DedupStats(spark)
-      val q = graft.streaming.DedupStream.start(docs,
-        s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
-        Trigger.ProcessingTime("5 seconds"))
-      EventPipeline.runBounded(q, seconds * 1000L)
-      val kept = spark.read.parquet(s"$outDir/corpus").count()
-      println(s"[stream-dedup] seen=${stats.seen.value} " +
-        s"kept=${stats.kept.value} sink=$kept " +
-        f"keptRate=${stats.kept.value.toDouble / math.max(stats.seen.value, 1)}%.4f " +
-        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
-      spark.stop()
-      return
-    }
-
+  /** Synthetic CustomerEvent payload struct over a rate source (the
+    * reference's anomaly mix via the same residue arithmetic as
+    * [[CustomerEvents]]) — shared by the single-pipeline demo and the
+    * full composition run.
+    */
+  private def eventStruct: org.apache.spark.sql.Column = {
     val uid = col("value") % 1000
     val nowMs = unix_millis(col("timestamp"))
-    val event = struct(
+    struct(
       concat(lit("cust_"), uid.cast("string")).as("id"),
       concat(lit("user_"), uid.cast("string")).as("name"),
       when(col("value") % 53 === 0, "invalid-email")
@@ -82,12 +57,202 @@ object RunStream {
       when(col("value") % 100 === 0, 2).otherwise(1).as("version"),
       lit(null).cast("boolean").as("marketing_opt_in"),
       lit(null).cast("string").as("customer_segment"))
+  }
+
+  /** Word-salad document stream with a planted ~10% duplicate rate
+    * (every value ≡ 7 (mod 10) repeats the text of value − 7) —
+    * shared by the dedup demo and the full composition run.
+    */
+  private def docStream(rate: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val seed = when(col("value") % 10 === 7, col("value") - 7)
+      .otherwise(col("value"))
+    val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
+    val words = transform(sequence(lit(1), lit(40) + pmod(seed, lit(30))),
+      i => element_at(vocab,
+        (pmod(xxhash64(seed, i), lit(30)) + 1).cast("int")))
+    rate.select(col("value").as("doc_id"),
+      array_join(words, " ").as("text"))
+  }
+
+  /** The COMPOSED streaming surface end to end, spec-drivable (the
+    * CLI `full` mode only adds session setup and printing): four
+    * concurrent bounded streams over rate sources —
+    *
+    *   1. CustomerEvent JSON → parse → curate → dual sink
+    *      (main + quarantine parquet),
+    *   2. event stream → [[graft.streaming.SketchStream]] HLL index
+    *      ingest (distinct-users-per-day serving index),
+    *   3. document stream → [[graft.streaming.DedupStream]]
+    *      (incremental near-dup screen + corpus + band index),
+    *   4. the same document stream → [[graft.streaming
+    *      .HeavyHitterStream]] (mergeable Misra–Gries counters)
+    *
+    * — then reports the funnel counters, sink/index row counts, peak
+    * state-store memory across all four queries, and total
+    * shuffle-write bytes. At 100 TB/day each leg keeps the contract
+    * already pinned per-stream: per-batch work is batch-sized, index
+    * growth is summary-sized, and nothing re-reads the corpus.
+    */
+  def runFull(spark: SparkSession, outDir: String, seconds: Int,
+      rowsPerSecond: Int): FullSummary = {
+    import graft.streaming.{DedupStream, HeavyHitterStream, SketchStream}
+    graft.functions.GraftFunctions.register(spark)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        shuffleWrite.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      def rateSource() = spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load()
+      val trigger = Trigger.ProcessingTime("5 seconds")
+
+      val ceStats = new EventPipeline.RunStats(spark)
+      val qCe = EventPipeline.startDualSink(
+        EventPipeline.curate(EventPipeline.parse(
+          rateSource().select(to_json(eventStruct).as("value")))),
+        s"$outDir/main", s"$outDir/quarantine", s"$outDir/ckpt_ce",
+        ceStats, trigger)
+
+      val evTypes = array(lit("view"), lit("click"), lit("purchase"),
+        lit("error"), lit("login"))
+      val skStats = new SketchStream.SketchStats(spark)
+      val qSk = SketchStream.start(
+        rateSource().select(col("timestamp").as("ts"),
+          element_at(evTypes, (col("value") % 5 + 1).cast("int"))
+            .as("event_type"),
+          concat(lit("u"), (col("value") % 97).cast("string"))
+            .as("user_id")),
+        s"$outDir/hll_index", s"$outDir/ckpt_hll", skStats, trigger)
+
+      val ddStats = new DedupStream.DedupStats(spark)
+      val qDd = DedupStream.start(docStream(rateSource()),
+        s"$outDir/corpus", s"$outDir/dd_index", s"$outDir/ckpt_dd",
+        ddStats, trigger)
+
+      // skewed symbol stream for the heavy-hitter leg: the word-salad
+      // docs are near-uniform over their vocabulary, which is exactly
+      // the distribution Misra–Gries (correctly) reports nothing for —
+      // a hot symbol ("h", 3/18 of the mass) gives the run a
+      // guaranteed survivor to assert on (symbols are first chars,
+      // the HeavyHitters fixture contract)
+      val skew = array((Seq.fill(3)("h") ++ Seq.fill(2)("w")
+        ++ "abcdefgijklmn".map(_.toString)).map(lit(_)): _*)
+      val hhStats = new HeavyHitterStream.HhStats(spark)
+      val qHh = HeavyHitterStream.start(
+        rateSource().select(col("value").as("doc_id"),
+          element_at(skew,
+            (pmod(xxhash64(col("value")), lit(18)) + 1).cast("int"))
+            .as("text")),
+        s"$outDir/hh_index", s"$outDir/ckpt_hh", hhStats, trigger)
+
+      val queries = Seq(qCe, qSk, qDd, qHh)
+      Thread.sleep(seconds * 1000L)
+      queries.foreach(q => if (q.isActive) q.stop())
+      queries.foreach(_.awaitTermination())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val stateMax = queries.flatMap(_.recentProgress)
+        .map(p => p.stateOperators.map(_.memoryUsedBytes).sum)
+        .foldLeft(0L)(math.max)
+      // count COMMITTED batches only: stop() can cancel an in-flight
+      // foreachBatch between its sink write and its stats update (the
+      // documented at-least-once window a checkpoint replay rewrites),
+      // so an unfiltered count could exceed the accumulators
+      def rows(p: String, committed: Long = Long.MaxValue): Long =
+        try {
+          val df = spark.read.parquet(p)
+          (if (df.columns.contains("batch_id"))
+             df.filter(col("batch_id") <= committed)
+           else df).count()
+        } catch { case _: Throwable => 0L }
+      FullSummary(
+        events = ceStats.total.value, late = ceStats.late.value,
+        dqFailed = ceStats.dqFailed.value,
+        mainRows = rows(s"$outDir/main"),
+        quarantineRows = rows(s"$outDir/quarantine"),
+        docsSeen = ddStats.seen.value, docsKept = ddStats.kept.value,
+        corpusRows = rows(s"$outDir/corpus", ddStats.lastCommitted),
+        dedupIndexRows = rows(s"$outDir/dd_index", ddStats.lastCommitted),
+        hhSymbols =
+          HeavyHitterStream.servedCounters(spark, s"$outDir/hh_index")
+            .count(),
+        hllDays = rows(s"$outDir/hll_index"),
+        stateBytesMax = stateMax,
+        shuffleWriteBytes = shuffleWrite.get(), wallSec = wall)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val seconds = args.headOption.map(_.toInt).getOrElse(15)
+    val outDir = args.lift(1).getOrElse("/tmp/graft_stream")
+    val rowsPerSecond = args.lift(2).getOrElse("200")
+    val wire = args.lift(3).getOrElse("json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+    // `full` mode: the composed surface — curate→dual-sink plus all
+    // three index-ingest streams concurrently; counters + state/shuffle
+    // accounting recorded in SCALING.md ("RunStream full composition")
+    if (wire == "full") {
+      val s = runFull(spark, outDir, seconds, rowsPerSecond.toInt)
+      println(s"[stream-full] events=${s.events} late=${s.late} " +
+        s"dqFailed=${s.dqFailed} main=${s.mainRows} " +
+        s"quarantine=${s.quarantineRows} | docs seen=${s.docsSeen} " +
+        s"kept=${s.docsKept} corpus=${s.corpusRows} " +
+        s"ddIndex=${s.dedupIndexRows} | hhSymbols=${s.hhSymbols} " +
+        s"hllRows=${s.hllDays} | " +
+        f"state=${s.stateBytesMax / 1e6}%.1fMB " +
+        f"shuffleWrite=${s.shuffleWriteBytes / 1e6}%.1fMB " +
+        f"wall=${s.wallSec}%.1fs " +
+        f"eventsPerSec=${s.events / math.max(s.wallSec, 1e-9)}%.0f")
+      spark.stop()
+      return
+    }
+
+    // `dedup` mode: document stream with a planted 10% duplicate rate
+    // (every value ≡ 7 (mod 10) repeats the text of value − 7) through
+    // the incremental near-dup ingest — measures sustained docs/s of
+    // graft.streaming.DedupStream on this box (recorded in SCALING.md)
+    if (wire == "dedup") {
+      val docs = docStream(rate)
+      val stats = new graft.streaming.DedupStream.DedupStats(spark)
+      val q = graft.streaming.DedupStream.start(docs,
+        s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
+        Trigger.ProcessingTime("5 seconds"))
+      EventPipeline.runBounded(q, seconds * 1000L)
+      val kept = spark.read.parquet(s"$outDir/corpus").count()
+      println(s"[stream-dedup] seen=${stats.seen.value} " +
+        s"kept=${stats.kept.value} sink=$kept " +
+        f"keptRate=${stats.kept.value.toDouble / math.max(stats.seen.value, 1)}%.4f " +
+        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
+      spark.stop()
+      return
+    }
 
     graft.functions.GraftFunctions.register(spark)
     val parsed = wire match {
       case "avro" => EventPipeline.parseAvro(rate.select(
-        graft.functions.GraftFunctions.avroEncodeCe(event).as("value")))
-      case _ => EventPipeline.parse(rate.select(to_json(event).as("value")))
+        graft.functions.GraftFunctions.avroEncodeCe(eventStruct)
+          .as("value")))
+      case _ => EventPipeline.parse(
+        rate.select(to_json(eventStruct).as("value")))
     }
     val stats = new EventPipeline.RunStats(spark)
     val query = EventPipeline.startDualSink(

@@ -46,8 +46,12 @@ object SketchStream {
     if (batchId > stats.lastCommitted) {
       val rows = sketchRows(batch).persist()
       try {
+        // coalesce: sum over an EMPTY batch is NULL (a rate source's
+        // batch 0 has no rows), and the write must still commit so
+        // lastCommitted advances
         stats.events.add(
-          rows.agg(sum("n_events")).head().getLong(0))
+          rows.agg(coalesce(sum("n_events"), lit(0L)))
+            .head().getLong(0))
         BatchIndex.writePartition(rows, batchId, indexPath, Some("day"))
         stats.lastCommitted = batchId
       } finally { rows.unpersist(); () }

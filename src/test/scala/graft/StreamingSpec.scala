@@ -894,6 +894,33 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("RunStream full composition: four streams land consistent artifacts") {
+    val out = Files.createTempDirectory("runfull").toString
+    val s = RunStream.runFull(spark, out, seconds = 12,
+      rowsPerSecond = 500)
+    // curate leg: every event lands exactly once, in main XOR quarantine
+    assert(s.events > 0, "no events flowed")
+    assert(s.mainRows + s.quarantineRows == s.events,
+      s"dual sink lost/duplicated rows: $s")
+    assert(s.dqFailed == s.quarantineRows, s"quarantine != dq failures: $s")
+    // dedup leg: planted ~10% dup rate -> survivors strictly fewer,
+    // corpus matches the committed kept count, 4 band rows per survivor
+    assert(s.docsSeen > 0 && s.docsKept < s.docsSeen, s.toString)
+    assert(s.corpusRows == s.docsKept, s"corpus != kept: $s")
+    assert(s.dedupIndexRows == 4 * s.corpusRows,
+      s"band index != 4 rows/doc: $s")
+    // heavy-hitter leg: the planted hot symbol ("h", ~1/6 of the mass)
+    // must survive the merged Misra-Gries counters and rank first
+    val hh = graft.streaming.HeavyHitterStream
+      .servedCounters(spark, s"$out/hh_index").collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("est")).toMap
+    assert(hh.contains("h"), s"hot symbol lost from MG counters: $hh")
+    assert(hh("h") > 0 && hh("h") >= hh.values.max,
+      s"hot symbol not the top counter: $hh")
+    // sketch leg: the HLL index carries rows and serves an estimate
+    assert(s.hllDays > 0, "HLL index empty")
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

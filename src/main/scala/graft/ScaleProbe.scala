@@ -840,6 +840,50 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Natural-clustering corpus for the BoW probe: `topics` disjoint
+    * sub-vocabularies, each doc ~60–100 words drawn from its topic's
+    * vocab with a Zipf-ish skew (min of two uniforms → frequent words
+    * dominate), near-dups planted like [[synthDocs]]. Same-topic docs
+    * share their frequent words, so hashed-BoW vectors cluster BY
+    * TOPIC — the realistic middle ground between the fixture corpus
+    * and the degenerate word salad.
+    */
+  def synthNaturalDocs(spark: SparkSession, n: Long,
+      topics: Int = 200, topicVocab: Int = 120): DataFrame = {
+    val seed = when(col("id") % 17 === 1, col("id") - 1).otherwise(col("id"))
+    val topic = pmod(xxhash64(seed, lit(11)), lit(topics))
+    val words = transform(sequence(lit(1), lit(60) + pmod(seed, lit(40))),
+      i => {
+        val rank = least(
+          pmod(xxhash64(seed, i, lit(1)), lit(topicVocab)),
+          pmod(xxhash64(seed, i, lit(2)), lit(topicVocab)))
+        concat(lit("t"), topic.cast("string"),
+          lit("w"), rank.cast("string"))
+      })
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(array_join(words, " "),
+        when(col("id") % 17 === 1, concat(lit(" tail"), col("id")))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** BoW near-dup cost on the NATURAL-clustering corpus — the
+    * word-salad probe is the degenerate case (a handful of giant
+    * buckets); this one pins that topic-shaped clustering (hundreds of
+    * mid-sized hot buckets) stays linear another 4× up.
+    * `sbt "runMain graft.ScaleProbe bownat 1280000 5120000"`.
+    */
+  def bowNaturalProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = synthNaturalDocs(spark, n).persist()
+    docs.count()
+    val t0 = System.nanoTime()
+    val rows = Dedup.bowNearDups(docs).count()
+    println(f"[bownat] n=$n%-8d bow_near_dups " +
+      f"${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val annMode = args.headOption.contains("ann")
     val capMode = args.headOption.contains("cap")
@@ -857,12 +901,13 @@ object ScaleProbe {
     val statsMode = args.headOption.contains("stats")
     val servedMode = args.headOption.contains("served")
     val bowMode = args.headOption.contains("bow")
+    val bowNatMode = args.headOption.contains("bownat")
     val recallfMode = args.headOption.contains("recallf")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
-          || servedMode || bowMode || recallfMode)
+          || servedMode || bowMode || bowNatMode || recallfMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -948,6 +993,11 @@ object ScaleProbe {
     }
     if (bowMode) {
       sizes.foreach(bowProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (bowNatMode) {
+      sizes.foreach(bowNaturalProbe(spark, _))
       spark.stop()
       return
     }

@@ -156,6 +156,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "decayed_engagement",   // day rows × 1-row as-of-day attach
     "label_balance",        // label counts × 1-row totals attach
     "ann_recall_report",    // brute side: corpus × broadcast anchors
+    "ann_recall_filtered",  // filtered brute side: same bounded anchors
     "ann_topk_filtered")    // anchors × broadcast centroid tables
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {

@@ -28,6 +28,9 @@ object Bench {
     // next query must re-grow) — isolated numbers are comparable to each
     // other, not to suite numbers.
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    // SPARK_GRAFT_NO_SCRATCH=1: diagnostic — skip the per-query scratch
+    // release to measure what cross-query cache reuse is worth
+    val noScratch = sys.env.get("SPARK_GRAFT_NO_SCRATCH").contains("1")
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String)
           => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
@@ -41,13 +44,15 @@ object Bench {
       // footprint itself instead of taxing its suite neighbors — and
       // the median query keeps its warm caches (unlike isolate mode).
       var sec = 0.0
+      def timedOnce(): Unit = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        sec = (System.nanoTime() - t0) / 1e9
+      }
       val ok =
         try {
-          graft.ext.Scratch.scoped {
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            sec = (System.nanoTime() - t0) / 1e9
-          }
+          if (noScratch) timedOnce()
+          else graft.ext.Scratch.scoped(timedOnce())
           true
         } catch {
           case e: Throwable =>

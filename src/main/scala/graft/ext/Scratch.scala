@@ -7,18 +7,24 @@ import org.apache.spark.sql.Dataset
   * needed while their own query materializes.
   *
   * Why: a 150+-query harness run executes queries back to back in one
-  * JVM, and every operator-internal `persist()`/`localCheckpoint()`
-  * that outlives its action accretes executor storage memory; later
-  * queries then pay the evicted-cache / GC bill of their heavier
-  * alphabetical neighbors (the round-9/10 heavy-neighbor bench
-  * artifact). The harness-global alternative — clearCache + GC around
-  * every query — was measured 22% WORSE for the median query, because
-  * it also drops the deliberate cross-query state (disk-backed indexes
-  * are unaffected, but heap re-growth and lost page cache are not).
-  * So cleanup is the HEAVY QUERY'S OWN JOB: operators register their
-  * scratch frames with [[track]], and the harness wraps each query in
-  * [[scoped]], releasing exactly that query's leftovers after its
-  * timing/write completes.
+  * JVM, and a heavy query's `localCheckpoint` can leave hundreds of MB
+  * of blocks that NOTHING later can ever reuse — a checkpoint
+  * truncates lineage into a fresh LogicalRDD leaf, which Spark's
+  * CacheManager can never plan-match from another query's plan. Later
+  * queries then pay the eviction/GC bill of dead weight (the
+  * round-9/10 heavy-neighbor bench artifact). The harness-global
+  * alternative — clearCache + GC around every query — was measured
+  * 22% WORSE for the median query; and releasing EVERYTHING a query
+  * persisted was measured (round 11 A/B, sf0.1) to cost the suite
+  * ~10 s of legitimate cross-query reuse, because plain `persist`ed
+  * fragments (band tables, shingle tables) ARE plan-matched by
+  * sibling queries' identical plan fragments and reused.
+  *
+  * So the policy is split by reuse value: [[scoped]] releases ONLY
+  * checkpoint-backed frames (zero reuse value, often the largest
+  * blocks); plain persists stay cached — Spark's LRU storage eviction
+  * self-manages them under pressure, and CacheManager reuse keeps the
+  * dedup family's shared fragments warm across the suite.
   *
   * Without an active scope (library use, streaming, specs) [[track]]
   * is a no-op — callers outside a harness keep full control of frame
@@ -29,8 +35,10 @@ import org.apache.spark.sql.Dataset
   *
   * At 100 TB the same discipline matters more, not less: an executor
   * fleet serving a query mix cannot afford N queries' worth of dead
-  * cached partitions, and "who releases this" must be answerable per
-  * frame — here the answer is always "the query that made it".
+  * pinned checkpoint blocks, and "who releases this" must be
+  * answerable per frame — for a checkpoint the answer is always "the
+  * query that made it"; for a shared cacheable fragment it is the
+  * cache's eviction policy.
   */
 object Scratch {
 
@@ -49,17 +57,23 @@ object Scratch {
     df
   }
 
-  /** Best-effort release: unpersist the frame's own cached plan and,
-    * when it is a localCheckpoint (a LogicalRDD leaf), the backing
-    * RDD's blocks (Dataset.unpersist alone does not reach those).
+  /** Best-effort release — CHECKPOINT-BACKED frames only: unpersist
+    * the LogicalRDD leaf's backing RDD blocks (Dataset.unpersist
+    * alone does not reach those) plus the frame's own cache entry.
+    * A frame with no LogicalRDD leaf is a plain persist — left
+    * cached on purpose (see object doc: plan-matched reuse beats
+    * eager release, measured).
     */
   private def release(df: Dataset[_]): Unit =
     try {
-      df.queryExecution.analyzed.collectFirst {
+      val backing = df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
-      df.unpersist(blocking = false)
-      ()
+      }
+      backing.foreach { rdd =>
+        rdd.unpersist(blocking = false)
+        df.unpersist(blocking = false)
+        ()
+      }
     } catch { case _: Throwable => () }
 
   /** Run `body` with a fresh tracking scope; release every frame the

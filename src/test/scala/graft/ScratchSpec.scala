@@ -7,35 +7,40 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Scratch
 
 /** The harness-side scratch-release contract: inside a scope, tracked
-  * persists and localCheckpoints free their blocks when the scope
-  * closes; outside a scope, track is a no-op and the caller keeps the
-  * frame's lifetime.
+  * localCheckpoints free their backing blocks when the scope closes
+  * (nothing can ever plan-match a checkpoint's fresh RDD leaf, so
+  * those blocks are pure dead weight); tracked plain persists stay
+  * cached on purpose — Spark's CacheManager plan-matches identical
+  * fragments across sibling queries, and releasing them was measured
+  * (round-11 A/B) to cost the suite ~10 s of legitimate reuse.
+  * Outside a scope, track is a no-op.
   */
 class ScratchSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("scoped releases tracked persists and checkpoint RDDs") {
+  test("scoped releases tracked checkpoints, keeps tracked persists") {
     import spark.implicits._
     var persisted: org.apache.spark.sql.DataFrame = null
     var checkpointed: org.apache.spark.sql.DataFrame = null
     val result = Scratch.scoped {
       persisted = Scratch.track(
-        (1 to 100).toDF("x").persist())
+        (100 to 199).toDF("x").persist())
       checkpointed = Scratch.track(
-        (1 to 100).toDF("x").localCheckpoint())
-      // both live inside the scope: the persist is marked, the
-      // checkpoint's backing RDD holds its blocks
+        (200 to 299).toDF("x").localCheckpoint())
       assert(persisted.storageLevel != StorageLevel.NONE)
       persisted.count() + checkpointed.count()
     }
     assert(result == 200L)
-    assert(persisted.storageLevel == StorageLevel.NONE,
-      "tracked persist survived its scope")
+    // the checkpoint's backing RDD is released with the scope...
     val backing = checkpointed.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.get
     assert(backing.getStorageLevel == StorageLevel.NONE,
       "tracked checkpoint RDD survived its scope")
+    // ...while the plain persist stays cached for plan-matched reuse
+    assert(persisted.storageLevel != StorageLevel.NONE,
+      "tracked plain persist must stay cached (reuse beats release)")
+    persisted.unpersist()
   }
 
   test("track without a scope is a no-op; nested scopes are isolated") {
@@ -43,32 +48,37 @@ class ScratchSpec extends AnyFunSuite {
     // distinct data per frame: Spark's CacheManager dedups cache
     // entries by plan, so identical frames would share one entry and
     // fake a cross-release
-    val free = Scratch.track((1 to 7).toDF("x").persist())
-    assert(free.storageLevel != StorageLevel.NONE,
+    val free = Scratch.track((1 to 7).toDF("x").localCheckpoint())
+    def backingLevel(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.get.getStorageLevel
+    assert(backingLevel(free) != StorageLevel.NONE,
       "track outside any scope must not schedule a release")
-    free.unpersist()
     // outer-scope frames survive an inner scope's cleanup
     Scratch.scoped {
-      val outer = Scratch.track((8 to 19).toDF("x").persist())
+      val outer = Scratch.track((8 to 19).toDF("x").localCheckpoint())
       Scratch.scoped {
-        Scratch.track((20 to 31).toDF("y").persist()).count()
+        Scratch.track((20 to 31).toDF("y").localCheckpoint()).count()
       }
-      assert(outer.storageLevel != StorageLevel.NONE,
+      assert(backingLevel(outer) != StorageLevel.NONE,
         "inner scope released an outer scope's frame")
     }
   }
 
-  test("bench heavy path leaves no cached scratch behind its scope") {
-    // the round-10 heavy neighbor: bowNearDups persists a shard table
-    // and checkpoints the hashed-embedding vectors; inside a harness
-    // scope both must be gone when the query's run ends
+  test("bench heavy path leaves no checkpoint blocks behind its scope") {
+    // the round-10 heavy neighbor: bowNearDups checkpoints the hashed
+    // embedding vectors (the big dead-weight block); inside a harness
+    // scope it must be gone when the query's run ends, while the
+    // plan-matchable shard persist may stay for sibling reuse
     val docs = Tables(spark, Sf0001).documents
-    val before = spark.sparkContext.getPersistentRDDs.keySet
     Scratch.scoped {
       assert(graft.ext.Dedup.bowNearDups(docs).count() > 0)
     }
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty,
-      s"bowNearDups left ${leaked.size} cached RDDs after its scope")
+    val leakedCheckpoints = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toDebugString.contains("LocalCheckpoint"))
+    assert(leakedCheckpoints.isEmpty,
+      s"bowNearDups left ${leakedCheckpoints.size} checkpointed RDDs " +
+        "after its scope")
   }
 }

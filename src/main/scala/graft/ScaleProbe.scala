@@ -710,6 +710,22 @@ object ScaleProbe {
         f"mrr=${mean(fRows, "mrr_ppm")}%7d ppm (${fS}%5.1fs) | " +
         f"unfiltered recall=${mean(uRows, "recall_ppm")}%7d ppm " +
         f"(${uS}%5.1fs)")
+      // nProbe ladder at this selectivity: the recall-vs-work knob a
+      // deployment turns when the filter thins its candidate pools —
+      // reuses the index just built
+      if (nLabels == 64) {
+        val defProbe = Similarity.ivfProbesFor(cells)
+        Seq(1, 2, 4, defProbe).distinct.foreach { np =>
+          var rows: Array[org.apache.spark.sql.Row] = Array.empty
+          val s = timed {
+            rows = Similarity.annRecallFiltered(spark, path, emb, np)
+              .collect()
+          }
+          println(f"[recallf] n=$n%-8d labels=$nLabels%-4d nProbe=$np%-4d" +
+            f" filtered recall=${mean(rows, "recall_ppm")}%7d ppm " +
+            f"mrr=${mean(rows, "mrr_ppm")}%7d ppm (${s}%5.1fs)")
+        }
+      }
       emb.unpersist(blocking = true)
     }
   }

@@ -153,6 +153,12 @@ class EdgeSpec extends AnyFunSuite {
       Seq(graft.ext.Bpe.Merge(1, "a", "b", "ab", 0L))).count() == 0)
   }
 
+  test("round-11 operators are total on empty inputs") {
+    assert(graft.ext.Dedup.dedupManifestFlat(emptyDocs).count() == 0)
+    assert(graft.ext.Dedup.dedupManifestBest(emptyDocs).count() == 0)
+    assert(graft.ext.EmbedStats.hashEmbeddingsLong(emptyDocs).count() == 0)
+  }
+
   test("round-5b operators degrade gracefully on degenerate inputs") {
     import spark.implicits._
     import graft.ext.{Bpe, Curation, ProductQuant}

@@ -78,8 +78,16 @@ class EnrichSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle and runs on sf0.001") {
+    // strict BOTH ways: a query without an oracle silently downgrades
+    // to a rows-only check in the driver, and an oracle without a
+    // query is dead SQL nobody verifies
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"""queries/oracle key mismatch.
+         |query without oracle: ${
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted}
+         |oracle without query: ${
+        (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}""".stripMargin)
     SparkEntry.queries.foreach { case (name, fn) =>
-      assert(SparkEntry.oracleSql.contains(name) || true)
       assert(fn(spark, Sf0001).count() >= 0, name)
     }
   }

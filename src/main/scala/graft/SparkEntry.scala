@@ -759,6 +759,11 @@ object SparkEntry {
     // Temperature-scaled sampling weights (p^tau / sum p^tau, tau=0.7)
     "temperature_mix" -> ((s, dir) =>
       graft.ext.Curation.temperatureMixWeights(tables(s, dir).documents)),
+    // data-constrained epoch allocation: integer water-fill of a
+    // 3.5x-corpus token budget — full rounds for everyone, the
+    // remainder one extra epoch at a time in quality order
+    "epoch_plan" -> ((s, dir) =>
+      graft.ext.Curation.epochPlan(tables(s, dir).documents)),
     // cross-source n-gram contamination matrix (containment + Jaccard
     // per source pair; bounded-fan-in gram join)
     "source_overlap" -> ((s, dir) =>
@@ -1161,6 +1166,11 @@ object SparkEntry {
       Dedup.keepBestSurvivors(tables(s, dir).documents,
           labelsOpt = Some(clusterLabelsFor(s, dir)))
         .orderBy("doc_id")),
+    // source-priority survivor policy: cross-source duplicates keep
+    // the preferred-source copy (licensing/provenance tiers)
+    "dedup_keep_priority" -> ((s, dir) =>
+      Dedup.keepPrioritySurvivors(tables(s, dir).documents,
+        labelsOpt = Some(clusterLabelsFor(s, dir)))),
 
     // A4 as rollup: incident counts with type subtotals + grand total
     "incident_rollup" -> ((s, dir) =>
@@ -1645,6 +1655,7 @@ object SparkEntry {
     "text_normalized" -> graft.ext.Curation.normalizedReportSql,
     "source_mix_weights" -> graft.ext.Curation.sourceMixWeightsSql,
     "temperature_mix" -> graft.ext.Curation.temperatureMixWeightsSql(),
+    "epoch_plan" -> graft.ext.Curation.epochPlanSql(),
     "doc_repetition" ->
       s"""SELECT * FROM (${TextAnalysis.repetitionReportSql()})
          |ORDER BY doc_id""".stripMargin,
@@ -1818,6 +1829,7 @@ object SparkEntry {
     "dedup_bow_cosine" -> Dedup.bowNearDupsSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,
+    "dedup_keep_priority" -> Dedup.keepPrioritySurvivorsSql,
     "embedding_clusters" -> Dedup.embeddingClustersSql(),
     "embedding_covariance" -> graft.ext.EmbedStats.covarianceSql,
     "embedding_project" -> graft.ext.EmbedStats.jlProjectSql,

@@ -1372,6 +1372,122 @@ object Curation {
        |  round(CAST(w_fp AS DOUBLE) / w_total, 6) AS temp_share
        |FROM p, d ORDER BY source""".stripMargin
 
+  /** Epoch cap for [[epochPlan]] — past ~4 epochs repeated data adds
+    * negligible value ("Scaling Data-Constrained Language Models",
+    * arXiv:2305.16264, public literature), so 5 is a generous ceiling.
+    */
+  val EpochCap = 5L
+
+  /** Token-budget epoch planner — the data-constrained allocation a
+    * training run makes when the token budget EXCEEDS the deduped
+    * corpus: how many epochs (repeats) of each source to take. The
+    * rule is exact-integer water-filling by rounds:
+    *
+    *   1. every source gets `budget div total_tokens` full rounds
+    *      (capped at [[EpochCap]]);
+    *   2. the remaining budget hands ONE extra epoch to sources in
+    *      quality order (mean per-doc [[TextAnalysis.qualityPpm]],
+    *      ties on source name) while each source's tokens still fit
+    *      the running remainder — higher-quality data gets repeated
+    *      first, the standard up-sampling bias.
+    *
+    * All arithmetic is integer (div / prefix sums), so both engines
+    * agree bit-for-bit. Default budget = 3.5× corpus tokens (7/2 —
+    * a realistic over-budget ratio that exercises both arms).
+    *
+    * Scale shape: one corpus scan into an O(sources) aggregate; the
+    * planning windows run over source-count rows (bounded, like
+    * `vocab_growth`'s cum-sum). Output: per source, its tokens,
+    * quality, epochs, and planned token contribution.
+    */
+  def epochPlan(documents: DataFrame,
+      budgetNum: Long = 7L, budgetDen: Long = 2L,
+      cap: Long = EpochCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val en = TextAnalysis.Lexicons.head._2
+    val perDoc = documents.select(col("source"),
+      size(toks).cast("long").as("nt"),
+      TextAnalysis.qualityPpm(
+        size(toks).cast("long"),
+        size(array_distinct(toks)).cast("long"),
+        size(filter(toks, t => t.isin(en: _*))).cast("long"))
+        .as("q"))
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        expr("sum(q) div count(1)").as("quality_ppm"))
+    val tot = broadcast(perSrc.agg(
+      sum("n_tokens").as("t_total"),
+      expr(s"sum(n_tokens) * $budgetNum div $budgetDen").as("budget")))
+    val base = perSrc.crossJoin(tot)
+      .withColumn("full_rounds",
+        least(expr("budget div t_total"), lit(cap)))
+      .withColumn("rem",
+        when(col("full_rounds") < cap,
+          expr("budget - full_rounds * t_total")).otherwise(lit(0L)))
+    // quality-ordered prefix sum over O(sources) rows: a source takes
+    // the extra epoch while the cumulative extra tokens fit the
+    // remainder (bounded global window — the vocab_growth shape)
+    val w = Window.orderBy(col("quality_ppm").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("epochs",
+        col("full_rounds")
+          + when(col("cum") <= col("rem"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("quality_ppm"), col("epochs"),
+        (col("epochs") * col("n_tokens")).as("planned_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[epochPlan]]. */
+  def epochPlanSql(budgetNum: Long = 7L, budgetDen: Long = 2L,
+      cap: Long = EpochCap): String = {
+    val en = TextAnalysis.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH perdoc AS (
+       |  SELECT source, CAST(len(toks) AS BIGINT) AS nt,
+       |    least(len(toks) * 2000, 400000)
+       |      + CAST(round(len(list_distinct(toks)) * 300000.0
+       |          / len(toks)) AS BIGINT)
+       |      + 300000
+       |      - CAST(round(len([t for t in toks
+       |                        if list_contains($en, t)])
+       |          * 300000.0 / len(toks)) AS BIGINT) AS q
+       |  FROM (SELECT source, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q) // count(*) AS BIGINT) AS quality_ppm
+       |  FROM perdoc GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+       |    CAST(sum(n_tokens) * $budgetNum // $budgetDen AS BIGINT)
+       |      AS budget
+       |  FROM per),
+       |base AS (
+       |  SELECT per.*, t_total, budget,
+       |    least(budget // t_total, $cap) AS full_rounds,
+       |    CASE WHEN budget // t_total < $cap
+       |      THEN budget - (budget // t_total) * t_total
+       |      ELSE 0 END AS rem
+       |  FROM per, tot),
+       |cums AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER (
+       |      ORDER BY quality_ppm DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum
+       |  FROM base)
+       |SELECT source, n_docs, n_tokens, quality_ppm,
+       |  CAST(full_rounds + CASE WHEN cum <= rem THEN 1 ELSE 0 END
+       |    AS BIGINT) AS epochs,
+       |  CAST((full_rounds + CASE WHEN cum <= rem THEN 1 ELSE 0 END)
+       |    * n_tokens AS BIGINT) AS planned_tokens
+       |FROM cums ORDER BY source""".stripMargin
+  }
+
   // ---- text canonicalization ----------------------------------------------
 
   /** Canonical text form: Unicode NFC (native [[graft.functions

@@ -763,6 +763,72 @@ object Dedup {
        |FROM labels WHERE doc_id != label
        |GROUP BY label ORDER BY survivor""".stripMargin
 
+  /** Source-priority dedup cut — the third survivor policy next to
+    * keep-lowest ([[dedupManifest]]) and keep-best-quality
+    * ([[keepBestSurvivors]]): when near-duplicates span SOURCES, keep
+    * the copy from the preferred source (licensing tiers, provenance
+    * trust — the policy a real corpus merge runs, because the same
+    * text under a permissive license beats its restricted twin).
+    * Priority here is the source ordering itself (lexicographic —
+    * callers with an explicit tier table rename tiers into the sort
+    * key); ties break on lowest doc_id. Per doc: cluster, source,
+    * keep flag. Singletons always keep.
+    *
+    * Scale shape: identical to keep-best — labels are bounded by
+    * duplicate volume, the survivor pick is one combinable
+    * `min(struct(source, doc_id))` per cluster, and the corpus-side
+    * attach is a broadcast-sized left join.
+    */
+  def keepPrioritySurvivors(documents: DataFrame,
+      bands: Option[DataFrame] = None,
+      labelsOpt: Option[DataFrame] = None): DataFrame = {
+    val labels = labelsOpt.getOrElse(clusterLabels(
+      minhashNearDups(documents, bands = bands).select("doc_a", "doc_b")))
+    val src = documents.select(col("doc_id"), col("source"))
+    // lexicographic struct min = preferred source, then smallest doc_id
+    val best = src.join(labels, Seq("doc_id"))
+      .groupBy("label")
+      .agg(min(struct(col("source"), col("doc_id"))).as("b"))
+      .select(col("label"), col("b.doc_id").as("best_doc"))
+    src
+      .join(labels, Seq("doc_id"), "left")
+      .join(best, Seq("label"), "left")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("source"),
+        (col("label").isNull || col("doc_id") === col("best_doc"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[keepPrioritySurvivors]]. */
+  def keepPrioritySurvivorsSql: String =
+    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM neardups
+       |  UNION SELECT doc_b, doc_a FROM neardups
+       |  UNION SELECT doc_a, doc_a FROM neardups
+       |  UNION SELECT doc_b, doc_b FROM neardups),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS MATERIALIZED (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a),
+       |best AS (
+       |  SELECT label, doc_id AS best_doc FROM (
+       |    SELECT l.label, d.doc_id,
+       |      row_number() OVER (PARTITION BY l.label
+       |        ORDER BY d.source, d.doc_id) AS rn
+       |    FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, l.label AS cluster_id, d.source,
+       |  (l.label IS NULL OR d.doc_id = b.best_doc) AS keep
+       |FROM documents d
+       |LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |LEFT JOIN best b ON l.label = b.label
+       |ORDER BY d.doc_id""".stripMargin
+
   /** [[dedupManifestFlat]] under the KEEP-BEST policy — the manifest
     * must describe whichever cut a pipeline actually ships, and
     * [[keepBestSurvivors]] (the SemDeDup-family quality-aware rule) is

@@ -1593,6 +1593,80 @@ class ExtSpec extends AnyFunSuite {
       == Seq((1L, 2L, Seq(2L, 3L)), (5L, 1L, Seq(6L))))
   }
 
+  test("keep-priority: cross-source twins keep the preferred source") {
+    import spark.implicits._
+    // twins 1/2 span sources; priority = lexicographic source order,
+    // so the src_a copy must survive regardless of doc_id order
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again x",
+        "src_b"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again y",
+        "src_a"),
+      (3L, "completely different words about spark shuffles joins scans",
+        "src_a"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Dedup.keepPrioritySurvivors(d).collect()
+      .map(x => x.getAs[Long]("doc_id")
+        -> (x.getAs[Boolean]("keep"), x.getAs[String]("source"))).toMap
+    assert(r(2L)._1, "preferred-source twin dropped")
+    assert(!r(1L)._1, "dispreferred-source twin kept")
+    assert(r(3L)._1, "singleton dropped")
+    // invariant on the fixture corpus: exactly one keeper per cluster
+    val docs = Tables(spark, Sf0001).documents
+    val full = Dedup.keepPrioritySurvivors(docs).collect()
+    full.filter(!_.isNullAt(1)).groupBy(_.getAs[Long]("cluster_id"))
+      .foreach { case (c, rows) =>
+        assert(rows.count(_.getAs[Boolean]("keep")) == 1, s"cluster $c")
+        // the keeper carries the cluster's lexicographically least
+        // (source, doc_id)
+        val best = rows.map(x =>
+          (x.getAs[String]("source"), x.getAs[Long]("doc_id"))).min
+        val kept = rows.find(_.getAs[Boolean]("keep")).get
+        assert((kept.getAs[String]("source"),
+          kept.getAs[Long]("doc_id")) == best)
+      }
+  }
+
+  test("epoch plan: integer water-fill respects budget, cap, quality order") {
+    val docs = Tables(spark, Sf0001).documents
+    val plan = graft.ext.Curation.epochPlan(docs).collect()
+    assert(plan.nonEmpty)
+    val tTotal = plan.map(_.getAs[Long]("n_tokens")).sum
+    val budget = tTotal * 7L / 2L
+    val planned = plan.map(_.getAs[Long]("planned_tokens")).sum
+    val fullRounds = math.min(budget / tTotal, graft.ext.Curation.EpochCap)
+    // budget never exceeded; every source gets its full rounds; no one
+    // exceeds full rounds + 1 or the cap
+    assert(planned <= budget, s"planned $planned > budget $budget")
+    plan.foreach { r =>
+      val e = r.getAs[Long]("epochs")
+      assert(e >= fullRounds && e <= fullRounds + 1
+        && e <= graft.ext.Curation.EpochCap, r.toString)
+      assert(r.getAs[Long]("planned_tokens")
+        == e * r.getAs[Long]("n_tokens"))
+    }
+    // extras are exactly the maximal PREFIX of the quality ordering
+    // (quality desc, source asc) whose cumulative tokens fit the
+    // post-full-rounds remainder
+    def key(r: org.apache.spark.sql.Row) =
+      (-r.getAs[Long]("quality_ppm"), r.getAs[String]("source"))
+    val ordered = plan.sortBy(key)
+    val flags = ordered.map(_.getAs[Long]("epochs") == fullRounds + 1)
+    assert(!flags.dropWhile(identity).contains(true),
+      "extra epochs are not a prefix of the quality ordering")
+    val rem = budget - fullRounds * tTotal
+    val nExtra = flags.takeWhile(identity).length
+    val prefixToks =
+      ordered.take(nExtra).map(_.getAs[Long]("n_tokens")).sum
+    assert(prefixToks <= rem, "extra prefix exceeds the remainder")
+    if (nExtra < ordered.length)
+      assert(prefixToks
+        + ordered(nExtra).getAs[Long]("n_tokens") > rem,
+        "planner stopped although the next source still fit")
+  }
+
   test("keep-best manifest: survivors ARE keepBestSurvivors' kept docs") {
     val docs = Tables(spark, Sf0001).documents
     val m = graft.ext.Dedup.dedupManifestBest(docs).collect()

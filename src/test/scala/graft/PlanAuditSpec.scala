@@ -93,7 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "key_skew_report",      // one-row key-totals attach
     "neg_sampling",         // one-row catalog-size attach
     "decayed_engagement",   // one-row as-of-day attach
-    "label_balance")        // one-row corpus-totals attach
+    "label_balance",        // one-row corpus-totals attach
+    "epoch_plan")           // O(sources) plan + 1-row budget attach
 
   test("single-partition exchanges only over bounded data") {
     val offenders = plans.collect {
@@ -157,7 +158,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "label_balance",        // label counts × 1-row totals attach
     "ann_recall_report",    // brute side: corpus × broadcast anchors
     "ann_recall_filtered",  // filtered brute side: same bounded anchors
-    "ann_topk_filtered")    // anchors × broadcast centroid tables
+    "ann_topk_filtered",    // anchors × broadcast centroid tables
+    "epoch_plan")           // O(sources) rows × 1-row budget broadcast
 
   test("BroadcastNestedLoopJoin only over bounded broadcast sides") {
     val offenders = plans.collect {
@@ -276,7 +278,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "more_like_this" -> 1,        // rank over the ≤topK merged pool
     "purchase_rank" -> 1,         // rank over the ≤TopK limited frame
     "schema_drift_report" -> 1,   // ordinal over O(distinct keys) rows
-    "vocab_growth" -> 1)          // cum-sum over O(buckets) rows
+    "vocab_growth" -> 1,          // cum-sum over O(buckets) rows
+    "epoch_plan" -> 1)            // prefix-sum over O(sources) rows
 
   test("global windows only where allowlisted, at pinned counts") {
     assert(globalWindowCounts == globalWindowAllowance,

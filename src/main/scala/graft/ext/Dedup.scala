@@ -592,20 +592,7 @@ object Dedup {
   def keepBestSurvivorsSql: String = {
     val en = TextAnalysis.Lexicons.head._2
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM neardups
-       |  UNION SELECT doc_b, doc_a FROM neardups
-       |  UNION SELECT doc_a, doc_a FROM neardups
-       |  UNION SELECT doc_b, doc_b FROM neardups),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS MATERIALIZED (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a),
+    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
        |scored AS MATERIALIZED (
        |  SELECT doc_id,
        |    least(len(toks) * 2000, 400000)
@@ -633,20 +620,7 @@ object Dedup {
   }
 
   def softDedupWeightsSql: String =
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM neardups
-       |  UNION SELECT doc_b, doc_a FROM neardups
-       |  UNION SELECT doc_a, doc_a FROM neardups
-       |  UNION SELECT doc_b, doc_b FROM neardups),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS MATERIALIZED (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a),
+    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
        |sized AS (
        |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM labels GROUP BY label)
@@ -659,8 +633,17 @@ object Dedup {
        |LEFT JOIN sized s ON l.label = s.label
        |ORDER BY d.doc_id""".stripMargin
 
-  def minhashClustersSql: String =
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
+  /** The recursive connected-components CTE chain every cluster-level
+    * oracle shares: verified MinHash pairs -> symmetric+reflexive edge
+    * closure -> transitive reachability -> min-id labels. One
+    * definition so the seven label-consuming oracles cannot drift
+    * apart; `materializedLabels` marks the labels CTE MATERIALIZED for
+    * oracles that reference it more than once (DuckDB re-inlines per
+    * reference otherwise — the bpe_merges 309s lesson).
+    */
+  private def labelsCtesSql(materializedLabels: Boolean = false): String = {
+    val mat = if (materializedLabels) " MATERIALIZED" else ""
+    s"""neardups AS MATERIALIZED ($minhashNearDupsSql),
        |edges AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM neardups
        |  UNION SELECT doc_b, doc_a FROM neardups
@@ -671,9 +654,13 @@ object Dedup {
        |  UNION
        |  SELECT r.doc_a, e.doc_b
        |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS (
+       |labels AS$mat (
        |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a)
+       |  FROM reach GROUP BY doc_a)""".stripMargin
+  }
+
+  def minhashClustersSql: String =
+    s"""WITH RECURSIVE ${labelsCtesSql()}
        |SELECT label AS cluster_id, count(*) AS n_docs
        |FROM labels GROUP BY label HAVING count(*) >= 2
        |ORDER BY cluster_id""".stripMargin
@@ -702,20 +689,7 @@ object Dedup {
     * connected-components labels, then the survivor roll-up).
     */
   def dedupManifestSql: String =
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM neardups
-       |  UNION SELECT doc_b, doc_a FROM neardups
-       |  UNION SELECT doc_a, doc_a FROM neardups
-       |  UNION SELECT doc_b, doc_b FROM neardups),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a)
+    s"""WITH RECURSIVE ${labelsCtesSql()}
        |SELECT label AS survivor,
        |  CAST(count(*) AS BIGINT) AS n_dropped,
        |  list_sort(list(doc_id)) AS dropped
@@ -741,20 +715,7 @@ object Dedup {
     * the string join, matching the Spark side's sort_array-then-cast.
     */
   def dedupManifestFlatSql: String =
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM neardups
-       |  UNION SELECT doc_b, doc_a FROM neardups
-       |  UNION SELECT doc_a, doc_a FROM neardups
-       |  UNION SELECT doc_b, doc_b FROM neardups),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a)
+    s"""WITH RECURSIVE ${labelsCtesSql()}
        |SELECT label AS survivor,
        |  CAST(count(*) AS BIGINT) AS n_dropped,
        |  list_aggr([CAST(x AS VARCHAR) for x in
@@ -801,20 +762,7 @@ object Dedup {
 
   /** DuckDB mirror of [[keepPrioritySurvivors]]. */
   def keepPrioritySurvivorsSql: String =
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM neardups
-       |  UNION SELECT doc_b, doc_a FROM neardups
-       |  UNION SELECT doc_a, doc_a FROM neardups
-       |  UNION SELECT doc_b, doc_b FROM neardups),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS MATERIALIZED (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a),
+    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
        |best AS (
        |  SELECT label, doc_id AS best_doc FROM (
        |    SELECT l.label, d.doc_id,
@@ -861,20 +809,7 @@ object Dedup {
   def dedupManifestBestSql: String = {
     val en = TextAnalysis.Lexicons.head._2
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH RECURSIVE neardups AS MATERIALIZED ($minhashNearDupsSql),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM neardups
-       |  UNION SELECT doc_b, doc_a FROM neardups
-       |  UNION SELECT doc_a, doc_a FROM neardups
-       |  UNION SELECT doc_b, doc_b FROM neardups),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS MATERIALIZED (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a),
+    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
        |scored AS MATERIALIZED (
        |  SELECT doc_id,
        |    least(len(toks) * 2000, 400000)

@@ -1154,6 +1154,11 @@ object SparkEntry {
     "dedup_manifest_best" -> ((s, dir) =>
       Dedup.dedupManifestBest(tables(s, dir).documents,
         labelsOpt = Some(clusterLabelsFor(s, dir)))),
+    // dedup provenance under the SOURCE-PRIORITY policy — the third
+    // cell of the manifest x survivor-policy matrix
+    "dedup_manifest_priority" -> ((s, dir) =>
+      Dedup.dedupManifestPriority(tables(s, dir).documents,
+        labelsOpt = Some(clusterLabelsFor(s, dir)))),
     // soft dedup: per-doc 1/|cluster| sampling weight (down-weight, not
     // drop — arXiv:2305.16264's alternative to the hard survivors cut)
     "soft_dedup_weights" -> ((s, dir) =>
@@ -1826,6 +1831,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.minhashClustersSql,
     "dedup_manifest" -> Dedup.dedupManifestFlatSql,
     "dedup_manifest_best" -> Dedup.dedupManifestBestSql,
+    "dedup_manifest_priority" -> Dedup.dedupManifestPrioritySql,
     "dedup_bow_cosine" -> Dedup.bowNearDupsSql,
     "soft_dedup_weights" -> Dedup.softDedupWeightsSql,
     "dedup_keep_best" -> Dedup.keepBestSurvivorsSql,

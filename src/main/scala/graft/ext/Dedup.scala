@@ -788,12 +788,29 @@ object Dedup {
     */
   def dedupManifestBest(documents: DataFrame,
       bands: Option[DataFrame] = None,
-      labelsOpt: Option[DataFrame] = None): DataFrame = {
-    val kb = keepBestSurvivors(documents, bands, labelsOpt)
-      .filter(col("cluster_id").isNotNull)
-    val best = kb.filter(col("keep"))
+      labelsOpt: Option[DataFrame] = None): DataFrame =
+    manifestOf(keepBestSurvivors(documents, bands, labelsOpt))
+
+  /** [[dedupManifestFlat]] under the SOURCE-PRIORITY policy
+    * ([[keepPrioritySurvivors]]) — completes the manifest × policy
+    * matrix: whichever survivor rule a pipeline ships (min-id,
+    * quality, source tier), its audit manifest has the same flat
+    * verified shape.
+    */
+  def dedupManifestPriority(documents: DataFrame,
+      bands: Option[DataFrame] = None,
+      labelsOpt: Option[DataFrame] = None): DataFrame =
+    manifestOf(keepPrioritySurvivors(documents, bands, labelsOpt))
+
+  /** Roll any (doc_id, cluster_id, keep) survivor frame into the flat
+    * manifest shape: per displacing survivor, count + numeric-sorted
+    * comma-joined dropped ids.
+    */
+  private def manifestOf(cut: DataFrame): DataFrame = {
+    val members = cut.filter(col("cluster_id").isNotNull)
+    val best = members.filter(col("keep"))
       .select(col("cluster_id"), col("doc_id").as("survivor"))
-    kb.filter(!col("keep"))
+    members.filter(!col("keep"))
       .join(best, "cluster_id")
       .groupBy("survivor")
       .agg(count(lit(1)).as("n_dropped"),
@@ -837,6 +854,27 @@ object Dedup {
        |WHERE l.doc_id != b.best_doc
        |GROUP BY b.best_doc ORDER BY survivor""".stripMargin
   }
+
+  /** DuckDB mirror of [[dedupManifestPriority]] — the source-priority
+    * best CTE, then the shared survivor roll-up.
+    */
+  def dedupManifestPrioritySql: String =
+    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
+       |best AS (
+       |  SELECT label, doc_id AS best_doc FROM (
+       |    SELECT l.label, d.doc_id,
+       |      row_number() OVER (PARTITION BY l.label
+       |        ORDER BY d.source, d.doc_id) AS rn
+       |    FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+       |  WHERE rn = 1)
+       |SELECT b.best_doc AS survivor,
+       |  CAST(count(*) AS BIGINT) AS n_dropped,
+       |  list_aggr([CAST(x AS VARCHAR) for x in
+       |             list_sort(list(l.doc_id))], 'string_agg', ',')
+       |    AS dropped_ids
+       |FROM labels l JOIN best b ON l.label = b.label
+       |WHERE l.doc_id != b.best_doc
+       |GROUP BY b.best_doc ORDER BY survivor""".stripMargin
 
   // ---- SimHash ------------------------------------------------------------
 

@@ -1691,6 +1691,24 @@ class ExtSpec extends AnyFunSuite {
       == r.getAs[String]("dropped_ids").split(",").length.toLong))
   }
 
+  test("priority manifest: survivors ARE keepPrioritySurvivors' kept docs") {
+    val docs = Tables(spark, Sf0001).documents
+    val m = graft.ext.Dedup.dedupManifestPriority(docs).collect()
+    assert(m.nonEmpty)
+    val kp = graft.ext.Dedup.keepPrioritySurvivors(docs).collect()
+    val sizes = kp.filter(!_.isNullAt(1))
+      .groupBy(_.getAs[Long]("cluster_id")).view.mapValues(_.length).toMap
+    val expectSurvivors = kp
+      .filter(r => !r.isNullAt(1) && r.getAs[Boolean]("keep")
+        && sizes(r.getAs[Long]("cluster_id")) >= 2)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(m.map(_.getAs[Long]("survivor")).toSet == expectSurvivors)
+    val dropped = m.flatMap(_.getAs[String]("dropped_ids").split(",")
+      .map(_.toLong)).toSet
+    assert(dropped == kp.filter(r => !r.isNullAt(1)
+      && !r.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("flat manifest: string-joined dropped ids, numeric order kept") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),

@@ -72,11 +72,15 @@ class ScratchSpec extends AnyFunSuite {
     // scope it must be gone when the query's run ends, while the
     // plan-matchable shard persist may stay for sibling reuse
     val docs = Tables(spark, Sf0001).documents
+    // diff against a before-snapshot: the shared test session carries
+    // other suites' (legitimately unscoped) leftovers
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Scratch.scoped {
       assert(graft.ext.Dedup.bowNearDups(docs).count() > 0)
     }
-    val leakedCheckpoints = spark.sparkContext.getPersistentRDDs.values
-      .filter(_.toDebugString.contains("LocalCheckpoint"))
+    val leakedCheckpoints =
+      (spark.sparkContext.getPersistentRDDs -- before).values
+        .filter(_.toDebugString.contains("LocalCheckpoint"))
     assert(leakedCheckpoints.isEmpty,
       s"bowNearDups left ${leakedCheckpoints.size} checkpointed RDDs " +
         "after its scope")

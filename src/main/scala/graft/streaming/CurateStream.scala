@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.{Curation, TextAnalysis}
+
+/** Streaming corpus curation — the ingest-time composition of the
+  * batch funnel ([[graft.RunCuration]]) for a document stream:
+  *
+  *   canonicalize (NFC + whitespace + case, [[Curation.normalizeText]])
+  *   → named-rule quality gate ([[TextAnalysis.qualityFilter]])
+  *   → incremental near-dup screen + corpus + band index
+  *     ([[DedupStream.processBatch]], the BatchIndex discipline)
+  *
+  * Each stage is the SAME operator the verified queries pin; this
+  * object only sequences them per micro-batch, so a streaming corpus
+  * and a batch-curated corpus apply identical semantics. Idempotence
+  * and replay safety are inherited from [[DedupStream]] (batch_id
+  * dynamic-overwrite writes, replay-excluding index reads); the
+  * normalize+gate prefix is stateless, so replaying it is free.
+  *
+  * At 100 TB/day: normalize and gate are pure map-side codegen over
+  * the batch, the near-dup screen joins batch bands against the
+  * accumulated index (batch-sized work), and the corpus/index writes
+  * touch only this batch's partitions.
+  */
+object CurateStream {
+
+  final class CurateStats(spark: org.apache.spark.sql.SparkSession)
+      extends Serializable {
+    /** Raw docs entering the funnel. */
+    val seen = spark.sparkContext.longAccumulator("curate_seen")
+    /** Delegated dedup-stage stats; its `seen` is the gate's survivor
+      * count, its `kept` the corpus-bound survivor count.
+      */
+    val dedup = new DedupStream.DedupStats(spark)
+  }
+
+  /** One idempotent micro-batch: canonicalize, gate, then delegate to
+    * the dedup ingest (which re-checks the replay guard itself).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String, stats: CurateStats): Unit =
+    if (batchId > stats.dedup.lastCommitted) {
+      graft.functions.GraftFunctions.register(batch.sparkSession)
+      val canon = batch
+        .withColumn("text", Curation.normalizeText(col("text")))
+        .persist()
+      try {
+        stats.seen.add(canon.count())
+        DedupStream.processBatch(TextAnalysis.qualityFilter(canon),
+          batchId, corpusPath, indexPath, stats.dedup)
+      } finally { canon.unpersist(); () }
+    }
+
+  /** Attach the curation ingest to a documents stream. */
+  def start(stream: DataFrame, corpusPath: String, indexPath: String,
+      checkpointDir: String, stats: CurateStats,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, corpusPath, indexPath, stats)
+      }
+      .start()
+}

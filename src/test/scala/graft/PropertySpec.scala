@@ -200,6 +200,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("epoch plan: water-fill invariants hold on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // random source sizes (docs AND doc lengths vary independently) and
+    // several budget ratios, incl. one past the epoch cap
+    Seq((3L, 1L), (7L, 2L), (11L, 2L), (13L, 1L)).foreach {
+      case (num, den) =>
+        val docs = (0 until 300).map { i =>
+          (i.toLong,
+            Seq.fill(5 + rnd.nextInt(120))(s"w${rnd.nextInt(40)}")
+              .mkString(" "),
+            s"s${rnd.nextInt(9)}")
+        }.toDF("doc_id", "text", "source")
+        val plan = graft.ext.Curation
+          .epochPlan(docs, budgetNum = num, budgetDen = den).collect()
+        val tTotal = plan.map(_.getAs[Long]("n_tokens")).sum
+        val budget = tTotal * num / den
+        val cap = graft.ext.Curation.EpochCap
+        val fullRounds = math.min(budget / tTotal, cap)
+        assert(plan.map(_.getAs[Long]("planned_tokens")).sum <= budget)
+        plan.foreach { r =>
+          val e = r.getAs[Long]("epochs")
+          assert(e >= fullRounds && e <= math.min(fullRounds + 1, cap),
+            s"$num/$den: $r")
+        }
+        // extras form the maximal fitting prefix in quality order
+        val ordered = plan.sortBy(r =>
+          (-r.getAs[Long]("quality_ppm"), r.getAs[String]("source")))
+        val flags = ordered.map(_.getAs[Long]("epochs") > fullRounds)
+        assert(!flags.dropWhile(identity).contains(true), s"$num/$den")
+        if (fullRounds < cap) {
+          val rem = budget - fullRounds * tTotal
+          val nExtra = flags.takeWhile(identity).length
+          val prefix =
+            ordered.take(nExtra).map(_.getAs[Long]("n_tokens")).sum
+          assert(prefix <= rem)
+          if (nExtra < ordered.length)
+            assert(prefix
+              + ordered(nExtra).getAs[Long]("n_tokens") > rem)
+        } else assert(!flags.contains(true), "extras above the cap")
+    }
+  }
+
   test("label balance: shares sum to ~1e6, deltas sum to ~0") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -921,6 +921,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.hllDays > 0, "HLL index empty")
   }
 
+  test("streaming curation: normalize + gate + dedup compose per batch") {
+    import spark.implicits._
+    val corpusDir = Files.createTempDirectory("cur_corpus").toString
+    val indexDir = Files.createTempDirectory("cur_index").toString
+    val stats = new graft.streaming.CurateStream.CurateStats(spark)
+    // >=20 diverse letter-only tokens pass every gate rule; the NFC/
+    // case/whitespace canonicalization must run BEFORE dedup so the
+    // case-mangled twin collides with its original
+    // word lengths sit inside the gate's 4.0-5.2 mean band (the same
+    // text the curation-gate test pins as passing)
+    val good = "the quick brown fox jumps over azure lazy dog and then " +
+      "runs far away into green fields of tall grass today"
+    val b0 = Seq(
+      (1L, good + " alpha"),
+      (2L, "too short to pass"), // min_tokens gate drops it
+      (3L, ("  " + good + " alpha ").toUpperCase)) // twin after canon
+      .toDF("doc_id", "text")
+    graft.streaming.CurateStream.processBatch(
+      b0, 0L, corpusDir, indexDir, stats)
+    assert(stats.seen.value == 3, "raw count")
+    assert(stats.dedup.seen.value == 2, "gate must drop the short doc")
+    assert(stats.dedup.kept.value == 1,
+      "canonicalization must expose the case-mangled twin to dedup")
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.count() == 1
+      && corpus.head().getAs[Long]("doc_id") == 1L)
+    // corpus text is stored CANONICAL
+    assert(corpus.head().getAs[String]("text") == good + " alpha")
+    // replay from a fresh driver rewrites only its own partition
+    val fresh = new graft.streaming.CurateStream.CurateStats(spark)
+    graft.streaming.CurateStream.processBatch(
+      b0, 0L, corpusDir, indexDir, fresh)
+    assert(spark.read.parquet(corpusDir).count() == 1)
+    // next batch screens against the index: another twin arrives, dies;
+    // an unrelated gate-passing doc (no shared 5-shingles) survives
+    val other = "the quick birds watch green apples and sweet pears " +
+      "while many other foxes stroll past nearby trees today okay fine"
+    graft.streaming.CurateStream.processBatch(
+      Seq((9L, good + " alpha"), (10L, other)).toDF("doc_id", "text"),
+      1L, corpusDir, indexDir, stats)
+    assert(spark.read.parquet(corpusDir).count() == 2,
+      "cross-batch twin not screened or fresh doc lost")
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

@@ -176,8 +176,9 @@ object RunStream {
       FullSummary(
         events = ceStats.total.value, late = ceStats.late.value,
         dqFailed = ceStats.dqFailed.value,
-        mainRows = rows(s"$outDir/main"),
-        quarantineRows = rows(s"$outDir/quarantine"),
+        mainRows = rows(s"$outDir/main", ceStats.lastCommitted),
+        quarantineRows =
+          rows(s"$outDir/quarantine", ceStats.lastCommitted),
         docsSeen = ddStats.seen.value, docsKept = ddStats.kept.value,
         corpusRows = rows(s"$outDir/corpus", ddStats.lastCommitted),
         dedupIndexRows = rows(s"$outDir/dd_index", ddStats.lastCommitted),

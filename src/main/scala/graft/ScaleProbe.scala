@@ -712,19 +712,23 @@ object ScaleProbe {
         f"(${uS}%5.1fs)")
       // nProbe ladder at this selectivity: the recall-vs-work knob a
       // deployment turns when the filter thins its candidate pools —
-      // reuses the index just built
+      // reuses the index just built, and the exact ground truth (the
+      // dominant corpus scan, nProbe-independent) computes ONCE
       if (nLabels == 64) {
         val defProbe = Similarity.ivfProbesFor(cells)
+        val brute = Similarity.topKBruteForceFiltered(emb)
+          .localCheckpoint()
         Seq(1, 2, 4, defProbe).distinct.foreach { np =>
           var rows: Array[org.apache.spark.sql.Row] = Array.empty
           val s = timed {
-            rows = Similarity.annRecallFiltered(spark, path, emb, np)
-              .collect()
+            rows = Similarity.recallFrom(brute,
+              Similarity.topKIvfFiltered(spark, path, emb, np)).collect()
           }
           println(f"[recallf] n=$n%-8d labels=$nLabels%-4d nProbe=$np%-4d" +
             f" filtered recall=${mean(rows, "recall_ppm")}%7d ppm " +
             f"mrr=${mean(rows, "mrr_ppm")}%7d ppm (${s}%5.1fs)")
         }
+        brute.unpersist()
       }
       emb.unpersist(blocking = true)
     }

@@ -994,8 +994,6 @@ object Curation {
 
   /** DuckDB mirror of [[trainingMix]]. */
   def trainingMixSql(qualityMinPpm: Long = QualityMinPpm): String = {
-    val en = TextAnalysis.Lexicons.head._2
-      .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH neardups AS (${Dedup.minhashNearDupsSql}),
        |drops AS (SELECT DISTINCT doc_b AS doc_id FROM neardups),
        |rep AS (SELECT doc_id, repetition_flag
@@ -1003,13 +1001,7 @@ object Curation {
        |q AS (
        |  SELECT doc_id,
        |    len(toks) AS n_tokens,
-       |    least(len(toks) * 2000, 400000)
-       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
-       |          AS BIGINT)
-       |      + 300000
-       |      - CAST(round(len([t for t in toks
-       |                        if list_contains($en, t)])
-       |          * 300000.0 / len(toks)) AS BIGINT) AS q_ppm
+       |    ${graft.ext.TextAnalysis.qualityPpmSqlExpr} AS q_ppm
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
        |        FROM documents)),
        |s AS (SELECT doc_id, $sampleHashSql AS hv, $targetPpmSql AS tppm
@@ -1444,17 +1436,9 @@ object Curation {
   /** DuckDB mirror of [[epochPlan]]. */
   def epochPlanSql(budgetNum: Long = 7L, budgetDen: Long = 2L,
       cap: Long = EpochCap): String = {
-    val en = TextAnalysis.Lexicons.head._2
-      .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH perdoc AS (
        |  SELECT source, CAST(len(toks) AS BIGINT) AS nt,
-       |    least(len(toks) * 2000, 400000)
-       |      + CAST(round(len(list_distinct(toks)) * 300000.0
-       |          / len(toks)) AS BIGINT)
-       |      + 300000
-       |      - CAST(round(len([t for t in toks
-       |                        if list_contains($en, t)])
-       |          * 300000.0 / len(toks)) AS BIGINT) AS q
+       |    ${graft.ext.TextAnalysis.qualityPpmSqlExpr} AS q
        |  FROM (SELECT source, string_split(text, ' ') AS toks
        |        FROM documents)),
        |per AS (

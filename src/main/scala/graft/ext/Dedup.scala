@@ -590,18 +590,10 @@ object Dedup {
   }
 
   def keepBestSurvivorsSql: String = {
-    val en = TextAnalysis.Lexicons.head._2
-      .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
        |scored AS MATERIALIZED (
        |  SELECT doc_id,
-       |    least(len(toks) * 2000, 400000)
-       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
-       |          AS BIGINT)
-       |      + 300000
-       |      - CAST(round(len([t for t in toks
-       |                        if list_contains($en, t)])
-       |          * 300000.0 / len(toks)) AS BIGINT) AS quality_ppm
+       |    ${graft.ext.TextAnalysis.qualityPpmSqlExpr} AS quality_ppm
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
        |        FROM documents)),
        |best AS (
@@ -824,18 +816,10 @@ object Dedup {
     * survivor roll-up of everyone the best doc displaced.
     */
   def dedupManifestBestSql: String = {
-    val en = TextAnalysis.Lexicons.head._2
-      .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
        |scored AS MATERIALIZED (
        |  SELECT doc_id,
-       |    least(len(toks) * 2000, 400000)
-       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
-       |          AS BIGINT)
-       |      + 300000
-       |      - CAST(round(len([t for t in toks
-       |                        if list_contains($en, t)])
-       |          * 300000.0 / len(toks)) AS BIGINT) AS quality_ppm
+       |    ${graft.ext.TextAnalysis.qualityPpmSqlExpr} AS quality_ppm
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
        |        FROM documents)),
        |best AS (

@@ -57,22 +57,26 @@ object Scratch {
     df
   }
 
-  /** Best-effort release — CHECKPOINT-BACKED frames only: unpersist
-    * the LogicalRDD leaf's backing RDD blocks (Dataset.unpersist
-    * alone does not reach those) plus the frame's own cache entry.
-    * A frame with no LogicalRDD leaf is a plain persist — left
-    * cached on purpose (see object doc: plan-matched reuse beats
-    * eager release, measured).
+  /** Best-effort release — frames that ARE a checkpoint only (the
+    * analyzed plan's ROOT is the LogicalRDD leaf): unpersist the
+    * backing RDD blocks (Dataset.unpersist alone does not reach
+    * those) plus the frame's own cache entry. Any other tracked frame
+    * is a plain persist — left cached on purpose (see object doc:
+    * plan-matched reuse beats eager release, measured). Root-only
+    * matters: a persist DERIVED from a checkpoint carries the
+    * checkpoint's LogicalRDD as a leaf, and releasing by leaf-search
+    * would both drop the persist (against policy) and, worse, destroy
+    * a possibly SHARED checkpoint's unrecoverable blocks out from
+    * under other readers.
     */
   private def release(df: Dataset[_]): Unit =
     try {
-      val backing = df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-      backing.foreach { rdd =>
-        rdd.unpersist(blocking = false)
-        df.unpersist(blocking = false)
-        ()
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+          df.unpersist(blocking = false)
+          ()
+        case _ => ()
       }
     } catch { case _: Throwable => () }
 

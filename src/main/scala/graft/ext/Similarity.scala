@@ -1358,7 +1358,7 @@ object Similarity {
     * filtered recall reports: `brute` is the exact ground truth,
     * `srv` the served answer, both (q_id, rank, vec_id)-shaped.
     */
-  private def recallFrom(brute0: DataFrame, srv0: DataFrame)
+  private[graft] def recallFrom(brute0: DataFrame, srv0: DataFrame)
       : DataFrame = {
     val brute = brute0
       .select(col("q_id"), col("rank").as("b_rank"), col("vec_id"))

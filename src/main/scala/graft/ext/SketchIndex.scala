@@ -70,32 +70,47 @@ object SketchIndex {
       .partitionBy("day").parquet(path)
 
   /** Compaction-crash screen for a streamed (batch_id-partitioned)
-    * sketch frame: fold rows (`batch_id = -1`) carry `folded_through`
+    * summary frame: fold rows (`batch_id = -1`) carry `folded_through`
     * — the highest batch id their compaction merged — and any batch
-    * row AT OR BELOW its day's folded_through is a superseded
+    * row AT OR BELOW its key's folded_through is a superseded
     * duplicate, visible only in the window between a compaction's
     * promote and its per-partition deletes. The HLL estimate would
-    * survive such duplicates by union idempotence, but `sum(n_events)`
+    * survive such duplicates by union idempotence, but a SUM-serving
+    * index (the sketch's `n_events`, the heavy hitters' counters)
     * would double-count; batches ingested AFTER the compaction have
     * higher ids and pass the screen. Output always carries a
     * `folded_through` column (null for batch rows and legacy folds).
+    *
+    * `keyCols` is the fold's bucket key — `day` for this index, empty
+    * for a globally-folded index ([[graft.streaming
+    * .HeavyHitterStream]]); one definition of the screen, so the
+    * subtle folded_through semantics cannot drift between consumers.
     */
-  def screenFolded(idx: DataFrame): DataFrame =
+  def screenFolded(idx: DataFrame,
+      keyCols: Seq[String] = Seq("day")): DataFrame =
     if (!idx.columns.contains("batch_id"))
       idx.withColumn("folded_through", lit(null).cast("long"))
     else {
       val withFt =
         if (idx.columns.contains("folded_through")) idx
         else idx.withColumn("folded_through", lit(null).cast("long"))
-      val perDay = withFt.filter(col("batch_id") === -1L)
-        .groupBy(col("day").as("screen_day"))
-        .agg(max("folded_through").as("screen_through"))
-      withFt.join(broadcast(perDay),
-          col("day") === col("screen_day"), "left")
+      val folds = withFt.filter(col("batch_id") === -1L)
+      val screened =
+        if (keyCols.isEmpty)
+          withFt.crossJoin(broadcast(
+            folds.agg(max("folded_through").as("screen_through"))))
+        else
+          withFt.join(broadcast(folds
+              .groupBy(keyCols.map(c => col(c).as(s"screen_$c")): _*)
+              .agg(max("folded_through").as("screen_through"))),
+            keyCols.map(c => col(c) === col(s"screen_$c"))
+              .reduce(_ && _),
+            "left")
+      screened
         .filter(col("batch_id") === -1L
           || col("screen_through").isNull
           || col("batch_id") > col("screen_through"))
-        .drop("screen_day", "screen_through")
+        .drop(keyCols.map(c => s"screen_$c") :+ "screen_through": _*)
     }
 
   /** Served read: distinct-user estimate per event_type over

@@ -431,6 +431,22 @@ object TextAnalysis {
     "stopword_floor" -> (col("n_stop_distinct") < 2),
     "ttr_floor" -> (col("n_distinct") * 2 < col("n_tokens")))
 
+  /** [[qualityPpm]] as a DuckDB expression over a `toks` list column —
+    * ONE definition for the four scoring oracles (keep-best cut, its
+    * manifest, the training mix, the epoch planner), so the
+    * bit-exactness-critical formula cannot drift between them.
+    */
+  def qualityPpmSqlExpr: String = {
+    val en = Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""least(len(toks) * 2000, 400000)
+       |      + CAST(round(len(list_distinct(toks)) * 300000.0 / len(toks))
+       |          AS BIGINT)
+       |      + 300000
+       |      - CAST(round(len([t for t in toks
+       |                        if list_contains($en, t)])
+       |          * 300000.0 / len(toks)) AS BIGINT)""".stripMargin
+  }
+
   /** The same predicates in DuckDB SQL over the features CTE. */
   val FilterRulesSql: Seq[(String, String)] = Seq(
     "min_tokens" -> s"n_tokens < $MinTokens",

@@ -49,9 +49,16 @@ object CurateStream {
         .withColumn("text", Curation.normalizeText(col("text")))
         .persist()
       try {
-        stats.seen.add(canon.count())
+        val nRaw = canon.count()
         DedupStream.processBatch(TextAnalysis.qualityFilter(canon),
           batchId, corpusPath, indexPath, stats.dedup)
+        // counters advance only AFTER the delegate returns (the
+        // commit-then-count discipline every stream here follows): a
+        // failing batch throws out of the line above, so a same-driver
+        // retry can never double-count seen. An all-gated batch
+        // returns without committing (nothing to write) — still
+        // exactly one seen.add, since no exception means no retry.
+        stats.seen.add(nRaw)
       } finally { canon.unpersist(); () }
     }
 

@@ -48,27 +48,12 @@ object HeavyHitterStream {
     * AND its superseded batch partitions both visible, and this index
     * SERVES BY SUMMING, so without a screen that window over-counts
     * (breaking the "est ≤ exact, never over" MG guarantee) and a
-    * re-run compaction would double-count permanently. Same
-    * discipline as [[graft.ext.SketchIndex.screenFolded]], global
-    * keyed (this index has no bucket level): fold rows record
-    * `folded_through` = the highest batch id they merged, and any
-    * batch row at or below that id is invisible.
+    * re-run compaction would double-count permanently. The shared
+    * [[graft.ext.SketchIndex.screenFolded]] discipline with an empty
+    * key (this index folds globally, no bucket level).
     */
   private def screenFolded(idx: DataFrame): DataFrame =
-    if (!idx.columns.contains("batch_id"))
-      idx.withColumn("folded_through", lit(null).cast("long"))
-    else {
-      val withFt =
-        if (idx.columns.contains("folded_through")) idx
-        else idx.withColumn("folded_through", lit(null).cast("long"))
-      val through = withFt.filter(col("batch_id") === -1L)
-        .agg(max("folded_through").as("screen_through"))
-      withFt.crossJoin(broadcast(through))
-        .filter(col("batch_id") === -1L
-          || col("screen_through").isNull
-          || col("batch_id") > col("screen_through"))
-        .drop("screen_through")
-    }
+    graft.ext.SketchIndex.screenFolded(idx, keyCols = Seq.empty)
 
   /** Served merged counters over everything ingested so far: one
     * narrow index read, counters summed per symbol (batch rows a fold

@@ -78,9 +78,13 @@ class ScratchSpec extends AnyFunSuite {
     Scratch.scoped {
       assert(graft.ext.Dedup.bowNearDups(docs).count() > 0)
     }
+    // a CHECKPOINT RDD's own creation site is the localCheckpoint call
+    // (a derived persist merely mentions the checkpoint in its lineage
+    // — that one is allowed to stay, per the split release policy)
     val leakedCheckpoints =
       (spark.sparkContext.getPersistentRDDs -- before).values
-        .filter(_.toDebugString.contains("LocalCheckpoint"))
+        .filter(_.toDebugString.linesIterator.next()
+          .contains("localCheckpoint"))
     assert(leakedCheckpoints.isEmpty,
       s"bowNearDups left ${leakedCheckpoints.size} checkpointed RDDs " +
         "after its scope")

@@ -74,14 +74,19 @@ def main(out_dir, sf_dir, only=None):
             failures += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-            gcols, gtypes = got.columns, type_names(got)
-            grows = got.fetchall()
-            gdf = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
-            want = con.sql(sql)
-            wcols, wtypes = want.columns, type_names(want)
-            wrows = want.fetchall()
-            wdf = con.sql(sql).df()
+            # ONE execution per side: rows and the pandas sort frame
+            # both derive from the same Arrow table, so the sort
+            # permutation is valid for the rows it reorders (a second
+            # execution could return ties in a different order) and
+            # heavyweight oracles run once, not twice
+            def run(rel):
+                cols, types = rel.columns, type_names(rel)
+                tab = rel.arrow()
+                rows = [tuple(d[c] for c in cols) for d in tab.to_pylist()]
+                return cols, types, rows, tab.to_pandas()
+            gcols, gtypes, grows, gdf = run(
+                con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
+            wcols, wtypes, wrows, wdf = run(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
@@ -111,7 +116,11 @@ def main(out_dir, sf_dir, only=None):
                      driver_sort_order(gdf, [gcols[i] for i in gi])]
             wrows = [wrows[k] for k in
                      driver_sort_order(wdf, [wcols[j] for j in wi])]
-        except TypeError as e:
+        except (TypeError, ValueError) as e:
+            # TypeError: multi-column sort over unhashable arrays;
+            # ValueError: single-column sort over numpy arrays — both
+            # are the driver's crash class and must FAIL this query
+            # only, not abort the whole gate
             print(f"FAIL {name}: driver row-sort crash: {e}")
             failures += 1
             continue

@@ -75,6 +75,33 @@ object RunStream {
       array_join(words, " ").as("text"))
   }
 
+  /** Gate-passing document stream for the curation demo: letter-only
+    * vocabulary (half 4-letter, half 5-letter words → mean word
+    * length ~4.5, inside the quality gate's 4.0–5.2 band), a "the
+    * and" prefix satisfying the distinct-stopword floor, 30–41
+    * tokens over a 60-word vocabulary (TTR comfortably above the
+    * floor), and the same planted ~10% duplicate rate as
+    * [[docStream]] — so the stream exercises the GATE-PASS path while
+    * the dedup leg still has twins to drop.
+    */
+  private def curatedDocStream(rate: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val seed = when(col("value") % 10 === 7, col("value") - 7)
+      .otherwise(col("value"))
+    val vocabWords = (0 until 60).map { i =>
+      val c1 = ('a' + i % 26).toChar
+      val c2 = ('a' + (i * 7 + 3) % 26).toChar
+      val c3 = ('a' + i / 26).toChar
+      if (i % 2 == 0) s"$c1$c2${c3}t" else s"$c1$c2${c3}ts"
+    }
+    val vocab = array(vocabWords.map(lit(_)): _*)
+    val words = transform(sequence(lit(1), lit(28) + pmod(seed, lit(12))),
+      i => element_at(vocab,
+        (pmod(xxhash64(seed, i), lit(60)) + 1).cast("int")))
+    rate.select(col("value").as("doc_id"),
+      concat(lit("the and "), array_join(words, " ")).as("text"))
+  }
+
   /** The COMPOSED streaming surface end to end, spec-drivable (the
     * CLI `full` mode only adds session setup and printing): four
     * concurrent bounded streams over rate sources —
@@ -223,6 +250,26 @@ object RunStream {
         f"shuffleWrite=${s.shuffleWriteBytes / 1e6}%.1fMB " +
         f"wall=${s.wallSec}%.1fs " +
         f"eventsPerSec=${s.events / math.max(s.wallSec, 1e-9)}%.0f")
+      spark.stop()
+      return
+    }
+
+    // `curate` mode: the full streaming curation funnel
+    // (normalize → quality gate → incremental near-dup → corpus+index)
+    // over gate-passing synthetic docs with planted duplicates —
+    // measures sustained curated docs/s (recorded in SCALING.md)
+    if (wire == "curate") {
+      val stats = new graft.streaming.CurateStream.CurateStats(spark)
+      val q = graft.streaming.CurateStream.start(curatedDocStream(rate),
+        s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
+        Trigger.ProcessingTime("5 seconds"))
+      EventPipeline.runBounded(q, seconds * 1000L)
+      val kept = spark.read.parquet(s"$outDir/corpus")
+        .filter(col("batch_id") <= stats.dedup.lastCommitted).count()
+      println(s"[stream-curate] seen=${stats.seen.value} " +
+        s"gated=${stats.dedup.seen.value} kept=${stats.dedup.kept.value} " +
+        s"sink=$kept " +
+        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
       spark.stop()
       return
     }

@@ -200,6 +200,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("keep-priority survivors equal a naive per-cluster min on random labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    // random cluster labels + random sources, fed via labelsOpt so the
+    // test isolates the POLICY from the pair generation
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"text $i", s"src${rnd.nextInt(7)}"))
+    val labels = docs.collect {
+      case (id, _, _) if rnd.nextInt(3) == 0 =>
+        (id, (rnd.nextInt(40) * 10).toLong) // ~1/3 of docs clustered
+    }
+    val docsDf = docs.toDF("doc_id", "text", "source")
+    val labelsDf = labels.toDF("doc_id", "label")
+    val got = graft.ext.Dedup.keepPrioritySurvivors(
+      docsDf, labelsOpt = Some(labelsDf)).collect()
+      .map(r => r.getAs[Long]("doc_id")
+        -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("keep"))).toMap
+    // naive reference: per cluster, lexicographic (source, doc_id) min
+    val srcOf = docs.map(d => d._1 -> d._3).toMap
+    val byCluster = labels.groupBy(_._2)
+    val expectKeep = byCluster.values.flatMap { members =>
+      val ids = members.map(_._1)
+      val best = ids.map(id => (srcOf(id), id)).min._2
+      ids.map(id => id -> (id == best))
+    }.toMap
+    docs.foreach { case (id, _, _) =>
+      val (cluster, keep) = got(id)
+      labels.find(_._1 == id) match {
+        case Some((_, l)) =>
+          assert(cluster.contains(l) && keep == expectKeep(id),
+            s"doc $id cluster $l")
+        case None =>
+          assert(cluster.isEmpty && keep, s"unclustered doc $id must keep")
+      }
+    }
+  }
+
   test("epoch plan: water-fill invariants hold on random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

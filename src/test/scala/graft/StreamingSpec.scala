@@ -1026,6 +1026,35 @@ class StreamingSpec extends AnyFunSuite {
       stats)
     assert(spark.read.parquet(corpusDir).select("doc_id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 5L, 7L))
+
+    // compaction crash window: preserve batch 2's partition across a
+    // second compaction, then restore it — exactly the state a
+    // compaction leaves when it dies between its promote and its
+    // per-partition deletes (fold rows AND their superseded batch rows
+    // both visible). This index serves by DISTINCT band lookup (not by
+    // summing), so the duplicates must be decision-neutral: the next
+    // batch's screen drops the same twins and keeps the same fresh
+    // docs as against a clean index
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val b2Dir = new org.apache.hadoop.fs.Path(indexDir, "batch_id=2")
+    val saved = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("saved_b2").toString, "batch_id=2")
+    org.apache.hadoop.fs.FileUtil.copy(fs, b2Dir, fs, saved, false,
+      spark.sparkContext.hadoopConfiguration)
+    graft.streaming.DedupStream.compactIndex(spark, indexDir)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, b2Dir, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.read.parquet(indexDir).select("batch_id").distinct()
+      .collect().map(_.getAs[Number]("batch_id").longValue()).toSet
+      == Set(-1L, 2L), "crash-window state not reproduced")
+    graft.streaming.DedupStream.processBatch(
+      docs((8L, varied + " one"), // twin of indexed doc 1 again
+        (9L, "fresh closing words appearing nowhere else in this stream")),
+      3L, corpusDir, indexDir, stats)
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 5L, 7L, 9L),
+      "duplicate index rows from a crashed compaction changed decisions")
   }
 
   test("streaming DQ monitor: replay is idempotent; aliases resolve business names") {

@@ -698,6 +698,12 @@ object SparkEntry {
     "pack_plan" -> ((s, dir) =>
       graft.ext.Curation.packPlan(tables(s, dir).documents,
         streamCol = graft.ext.Curation.packStreamSharded())),
+    // per-doc pack provenance: which sequence each document landed in
+    // and at which token offset (the attribution direction pack_plan's
+    // per-sequence audit can't answer)
+    "pack_assignments" -> ((s, dir) =>
+      graft.ext.Curation.packAssignments(tables(s, dir).documents,
+        streamCol = graft.ext.Curation.packStreamSharded())),
 
     // corpus finalization: salted-hash shard assignment + within-shard
     // shuffle order — the "global shuffle" without a global sort
@@ -1594,6 +1600,8 @@ object SparkEntry {
     "boilerplate_report" -> graft.ext.Boilerplate.reportSql(),
     "boilerplate_scrub" -> graft.ext.Boilerplate.scrubSql(),
     "pack_plan" -> graft.ext.Curation.packPlanSql(
+      streamSql = graft.ext.Curation.packStreamShardedSql()),
+    "pack_assignments" -> graft.ext.Curation.packAssignmentsSql(
       streamSql = graft.ext.Curation.packStreamShardedSql()),
     "chunk_plan" -> graft.ext.Curation.chunkPlanSql(
       maxTokens = 40L, overlap = 8L),

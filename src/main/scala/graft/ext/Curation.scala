@@ -1055,7 +1055,20 @@ object Curation {
     * span shards) and makes the plan embarrassingly parallel.
     */
   def packPlan(documents: DataFrame, budget: Long = SeqBudget,
-      streamCol: Column = col("lang")): DataFrame = {
+      streamCol: Column = col("lang")): DataFrame =
+    packCums(documents, budget, streamCol)
+      .groupBy("stream", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ppm", expr(s"n_tokens * 1000000 div ${budget}L"))
+      .orderBy("stream", "seq_id")
+
+  /** Shared prefix of the packing operators: per doc, its stream key,
+    * token count, running stream total, and sequence assignment.
+    */
+  private def packCums(documents: DataFrame, budget: Long,
+      streamCol: Column): DataFrame = {
     require(budget > 0, "sequence token budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stream")).orderBy(col("doc_id"))
@@ -1065,13 +1078,43 @@ object Curation {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("seq_id", expr(s"(cum - n_tokens) div ${budget}L"))
-      .groupBy("stream", "seq_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .withColumn("fill_ppm", expr(s"n_tokens * 1000000 div ${budget}L"))
-      .orderBy("stream", "seq_id")
   }
+
+  /** Per-document pack assignment — the sample→sequence PROVENANCE a
+    * training run keeps next to [[packPlan]]'s per-sequence audit:
+    * which sequence each document landed in and at which token offset
+    * (`seq_offset` = tokens already in the sequence when this doc
+    * starts). With it, any training example attributes back to its
+    * source documents and any document locates its training positions
+    * — the two directions a contamination or memorization
+    * investigation walks. Same window arithmetic as [[packPlan]], so
+    * the two artifacts can never disagree.
+    */
+  def packAssignments(documents: DataFrame, budget: Long = SeqBudget,
+      streamCol: Column = col("lang")): DataFrame =
+    packCums(documents, budget, streamCol)
+      .select(col("doc_id"), col("stream"), col("seq_id"),
+        expr(s"cum - n_tokens - seq_id * ${budget}L").as("seq_offset"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of [[packAssignments]]. */
+  def packAssignmentsSql(budget: Long = SeqBudget,
+      streamSql: String = "lang"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $streamSql AS stream,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    sum(len(string_split(text, ' '))) OVER (
+       |      PARTITION BY $streamSql ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents)
+       |SELECT doc_id, stream,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS seq_id,
+       |  CAST(cum - n_tokens
+       |    - ((cum - n_tokens) // $budget) * $budget AS BIGINT)
+       |    AS seq_offset,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Shard count per lang for the sharded packing stream (fixture
     * value; production sizes this to executor count × a few).

@@ -1593,6 +1593,33 @@ class ExtSpec extends AnyFunSuite {
       == Seq((1L, 2L, Seq(2L, 3L)), (5L, 1L, Seq(6L))))
   }
 
+  test("pack assignments: grouping them reproduces the pack plan exactly") {
+    val docs = Tables(spark, Sf0001).documents
+    val assigns = graft.ext.Curation.packAssignments(docs).collect()
+    assert(assigns.length == docs.count())
+    // offsets are in-budget and advance by token count within a sequence
+    val budget = graft.ext.Curation.SeqBudget
+    assigns.foreach { r =>
+      val off = r.getAs[Long]("seq_offset")
+      assert(off >= 0 && off < budget, r.toString)
+    }
+    // rolling the per-doc assignments up reproduces the per-sequence
+    // audit bit-for-bit (the two artifacts share one window, but this
+    // pins the contract against refactors separating them)
+    val fromAssigns = assigns
+      .groupBy(r => (r.getAs[String]("stream"), r.getAs[Long]("seq_id")))
+      .map { case ((st, sq), rows) =>
+        (st, sq, rows.length.toLong, rows.map(_.getAs[Long]("n_tokens")).sum,
+          rows.map(_.getAs[Long]("doc_id")).min,
+          rows.map(_.getAs[Long]("doc_id")).max)
+      }.toSet
+    val plan = graft.ext.Curation.packPlan(docs).collect()
+      .map(r => (r.getAs[String]("stream"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toSet
+    assert(fromAssigns == plan)
+  }
+
   test("keep-priority: cross-source twins keep the preferred source") {
     import spark.implicits._
     // twins 1/2 span sources; priority = lexicographic source order,

@@ -59,21 +59,34 @@ object RunStream {
       lit(null).cast("string").as("customer_segment"))
   }
 
-  /** Word-salad document stream with a planted ~10% duplicate rate
-    * (every value ≡ 7 (mod 10) repeats the text of value − 7) —
+  /** Shared synthetic-document skeleton: every value ≡ 7 (mod 10)
+    * reuses the seed of value − 7, planting a ~10% duplicate rate the
+    * dedup legs are asserted against; text is `minLen + (seed mod
+    * lenSpread)` words hash-drawn from the caller's vocabulary. The
+    * duplicate-planting rule lives ONLY here so the demo streams
+    * can't diverge from the SCALING.md contract.
+    */
+  private def plantedDupStream(rate: org.apache.spark.sql.DataFrame,
+      vocabWords: Seq[String], prefix: String, minLen: Int,
+      lenSpread: Int): org.apache.spark.sql.DataFrame = {
+    val seed = when(col("value") % 10 === 7, col("value") - 7)
+      .otherwise(col("value"))
+    val vocab = array(vocabWords.map(lit(_)): _*)
+    val n = vocabWords.size
+    val words = transform(
+      sequence(lit(1), lit(minLen) + pmod(seed, lit(lenSpread))),
+      i => element_at(vocab,
+        (pmod(xxhash64(seed, i), lit(n)) + 1).cast("int")))
+    rate.select(col("value").as("doc_id"),
+      concat(lit(prefix), array_join(words, " ")).as("text"))
+  }
+
+  /** Word-salad document stream with the planted ~10% duplicate rate —
     * shared by the dedup demo and the full composition run.
     */
   private def docStream(rate: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val seed = when(col("value") % 10 === 7, col("value") - 7)
-      .otherwise(col("value"))
-    val vocab = array((0 until 30).map(i => lit(s"w$i")): _*)
-    val words = transform(sequence(lit(1), lit(40) + pmod(seed, lit(30))),
-      i => element_at(vocab,
-        (pmod(xxhash64(seed, i), lit(30)) + 1).cast("int")))
-    rate.select(col("value").as("doc_id"),
-      array_join(words, " ").as("text"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    plantedDupStream(rate, (0 until 30).map(i => s"w$i"), "", 40, 30)
 
   /** Gate-passing document stream for the curation demo: letter-only
     * vocabulary (half 4-letter, half 5-letter words → mean word
@@ -86,21 +99,31 @@ object RunStream {
     */
   private def curatedDocStream(rate: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val seed = when(col("value") % 10 === 7, col("value") - 7)
-      .otherwise(col("value"))
     val vocabWords = (0 until 60).map { i =>
       val c1 = ('a' + i % 26).toChar
       val c2 = ('a' + (i * 7 + 3) % 26).toChar
       val c3 = ('a' + i / 26).toChar
       if (i % 2 == 0) s"$c1$c2${c3}t" else s"$c1$c2${c3}ts"
     }
-    val vocab = array(vocabWords.map(lit(_)): _*)
-    val words = transform(sequence(lit(1), lit(28) + pmod(seed, lit(12))),
-      i => element_at(vocab,
-        (pmod(xxhash64(seed, i), lit(60)) + 1).cast("int")))
-    rate.select(col("value").as("doc_id"),
-      concat(lit("the and "), array_join(words, " ")).as("text"))
+    plantedDupStream(rate, vocabWords, "the and ", 28, 12)
   }
+
+  /** Rows a bounded run actually committed to a parquet sink. Counts
+    * COMMITTED batches only: stop() can cancel an in-flight
+    * foreachBatch between its sink write and its stats update (the
+    * documented at-least-once window a checkpoint replay rewrites), so
+    * an unfiltered count could exceed the accumulators — and a run
+    * shorter than its first trigger has no sink at all, which must
+    * read as 0, not PATH_NOT_FOUND.
+    */
+  private def committedRows(spark: SparkSession, p: String,
+      committed: Long = Long.MaxValue): Long =
+    try {
+      val df = spark.read.parquet(p)
+      (if (df.columns.contains("batch_id"))
+         df.filter(col("batch_id") <= committed)
+       else df).count()
+    } catch { case _: Throwable => 0L }
 
   /** The COMPOSED streaming surface end to end, spec-drivable (the
     * CLI `full` mode only adds session setup and printing): four
@@ -189,17 +212,8 @@ object RunStream {
       val stateMax = queries.flatMap(_.recentProgress)
         .map(p => p.stateOperators.map(_.memoryUsedBytes).sum)
         .foldLeft(0L)(math.max)
-      // count COMMITTED batches only: stop() can cancel an in-flight
-      // foreachBatch between its sink write and its stats update (the
-      // documented at-least-once window a checkpoint replay rewrites),
-      // so an unfiltered count could exceed the accumulators
       def rows(p: String, committed: Long = Long.MaxValue): Long =
-        try {
-          val df = spark.read.parquet(p)
-          (if (df.columns.contains("batch_id"))
-             df.filter(col("batch_id") <= committed)
-           else df).count()
-        } catch { case _: Throwable => 0L }
+        committedRows(spark, p, committed)
       FullSummary(
         events = ceStats.total.value, late = ceStats.late.value,
         dqFailed = ceStats.dqFailed.value,
@@ -260,12 +274,15 @@ object RunStream {
     // measures sustained curated docs/s (recorded in SCALING.md)
     if (wire == "curate") {
       val stats = new graft.streaming.CurateStream.CurateStats(spark)
+      // mode-scoped paths: sharing dedup mode's literal ckpt/corpus/index
+      // on the same outDir would resume the OTHER mode's checkpoint and
+      // count its corpus rows (runFull suffixes per leg for this reason)
       val q = graft.streaming.CurateStream.start(curatedDocStream(rate),
-        s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
-        Trigger.ProcessingTime("5 seconds"))
+        s"$outDir/corpus_cu", s"$outDir/index_cu", s"$outDir/ckpt_cu",
+        stats, Trigger.ProcessingTime("5 seconds"))
       EventPipeline.runBounded(q, seconds * 1000L)
-      val kept = spark.read.parquet(s"$outDir/corpus")
-        .filter(col("batch_id") <= stats.dedup.lastCommitted).count()
+      val kept = committedRows(spark, s"$outDir/corpus_cu",
+        stats.dedup.lastCommitted)
       println(s"[stream-curate] seen=${stats.seen.value} " +
         s"gated=${stats.dedup.seen.value} kept=${stats.dedup.kept.value} " +
         s"sink=$kept " +
@@ -285,7 +302,8 @@ object RunStream {
         s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
         Trigger.ProcessingTime("5 seconds"))
       EventPipeline.runBounded(q, seconds * 1000L)
-      val kept = spark.read.parquet(s"$outDir/corpus").count()
+      val kept = committedRows(spark, s"$outDir/corpus",
+        stats.lastCommitted)
       println(s"[stream-dedup] seen=${stats.seen.value} " +
         s"kept=${stats.kept.value} sink=$kept " +
         f"keptRate=${stats.kept.value.toDouble / math.max(stats.seen.value, 1)}%.4f " +
@@ -312,8 +330,10 @@ object RunStream {
     println(s"[stream] total=${stats.total.value} late=${stats.late.value} " +
       s"dqFailed=${stats.dqFailed.value} drifted=${stats.drifted.value} " +
       f"lateRate=${stats.lateRate}%.4f dqFailureRate=${stats.dqFailureRate}%.4f")
-    val written = spark.read.parquet(s"$outDir/main").count()
-    val quarantined = spark.read.parquet(s"$outDir/quarantine").count()
+    val written = committedRows(spark, s"$outDir/main",
+      stats.lastCommitted)
+    val quarantined = committedRows(spark, s"$outDir/quarantine",
+      stats.lastCommitted)
     println(s"[stream] sink rows: main=$written quarantine=$quarantined")
     spark.stop()
   }

@@ -887,6 +887,48 @@ object ScaleProbe {
           .otherwise(lit(""))).as("text"))
   }
 
+  /** Takedown purge cost on the persisted IVF index at n vectors:
+    * build once, then purge three DISJOINT spread-out id sets
+    * (k = 10 / 100 / 1000 — residue classes of stride n/k, so each
+    * round removes exactly k live vectors). The claim under test:
+    * purge IO is affected-partition-proportional (≤ min(k, cells)
+    * of partsTotal), never index-proportional — the rewrite ratio and
+    * the purge/build wall ratio are the printed evidence.
+    * `sbt "runMain graft.ScaleProbe takedown 1280000 5120000"`.
+    */
+  def takedownProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.ext.Takedown
+    val emb = synthEmbeddings(spark, n).persist()
+    emb.count()
+    val cells = Similarity.ivfCellsFor(n)
+    val path = s"/tmp/graft_scaleprobe_td_$n"
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildS = timed(Similarity.writeIvfIndex(emb, path, cells))
+    println(f"[scale-takedown] n=$n%-8d cells=$cells build=$buildS%7.2fs")
+    Seq(10L, 100L, 1000L).zipWithIndex.foreach { case (k, r) =>
+      // odd stride: a multiple of the synthetic cluster modulus (32)
+      // would pick ids of ONE cluster and touch a handful of cells —
+      // a legal takedown list is cluster-arbitrary, the harder case
+      val stride = math.max(1L, n / k) | 1L
+      val ids = spark.range(k)
+        .select(pmod(col("id") * stride + r, lit(n)).as("vec_id"))
+      var stats: Takedown.PurgeStats = null
+      val purgeS = timed {
+        stats = Takedown.purgeIndex(spark, s"$path/data", "vec_id", ids,
+          Seq("cell", "batch_id"))
+      }
+      val touched = stats.partsRewritten + stats.partsDeleted
+      val ratio = touched.toDouble / stats.partsTotal
+      println(f"[scale-takedown] n=$n%-8d k=$k%-5d purge=$purgeS%6.2fs " +
+        f"removed=${stats.rowsRemoved} parts=$touched/${stats.partsTotal} " +
+        f"(ratio $ratio%.3f, purge/build ${purgeS / buildS}%.2fx)")
+    }
+    emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   /** BoW near-dup cost on the NATURAL-clustering corpus — the
     * word-salad probe is the degenerate case (a handful of giant
     * buckets); this one pins that topic-shaped clustering (hundreds of
@@ -923,11 +965,13 @@ object ScaleProbe {
     val bowMode = args.headOption.contains("bow")
     val bowNatMode = args.headOption.contains("bownat")
     val recallfMode = args.headOption.contains("recallf")
+    val takedownMode = args.headOption.contains("takedown")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
-          || servedMode || bowMode || bowNatMode || recallfMode)
+          || servedMode || bowMode || bowNatMode || recallfMode
+          || takedownMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1018,6 +1062,11 @@ object ScaleProbe {
     }
     if (bowNatMode) {
       sizes.foreach(bowNaturalProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (takedownMode) {
+      sizes.foreach(takedownProbe(spark, _))
       spark.stop()
       return
     }

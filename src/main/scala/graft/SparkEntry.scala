@@ -618,6 +618,11 @@ object SparkEntry {
     // longest-first; audit pins kept membership via id-sum checksum
     "source_cap" -> ((s, dir) =>
       graft.ext.Curation.sourceCapSummary(tables(s, dir).documents)),
+    // takedown (right-to-be-forgotten) audit: removal counts +
+    // removed-id checksum per source; index-purge machinery pinned in
+    // TakedownSpec (purge ≡ rebuild on every persisted index)
+    "takedown_audit" -> ((s, dir) =>
+      graft.ext.Takedown.takedownAudit(tables(s, dir).documents)),
     // exactly-k hash-ordered uniform sample (TakeOrdered, no global
     // sort); emits the k members so the driver pins exact membership
     "sample_exact_k" -> ((s, dir) =>
@@ -659,6 +664,10 @@ object SparkEntry {
     // scan, per-token first-appearance bucket, O(buckets) cum-sum
     "vocab_growth" -> ((s, dir) =>
       graft.ext.Curation.vocabGrowth(tables(s, dir).documents)),
+    // Zipf power-law fit per source (ln-freq on ln-rank least squares,
+    // 1e-9 fixed-point terms): distributional health next to Heaps
+    "zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(tables(s, dir).documents)),
     // CCNet/RefinedWeb site-template boilerplate: per-source audit of
     // grams present in >= 20% of the source's docs (source-SCOPED df,
     // unlike corpus-wide span dedup)
@@ -1592,11 +1601,13 @@ object SparkEntry {
     "hourly_anomalies" -> Analytics.hourlyAnomaliesSql(),
     "stratified_sample" -> graft.ext.Curation.stratifiedSampleSummarySql,
     "source_cap" -> graft.ext.Curation.sourceCapSummarySql,
+    "takedown_audit" -> graft.ext.Takedown.takedownAuditSql,
     "sample_exact_k" -> graft.ext.Curation.sampleExactKSql(),
     "weighted_sample_k" -> graft.ext.Curation.weightedSampleKSql(),
     "heavy_hitters" -> graft.ext.HeavyHitters.reportSql(),
     "heavy_hitters_served" -> graft.ext.HeavyHitters.reportSql(),
     "vocab_growth" -> graft.ext.Curation.vocabGrowthSql(),
+    "zipf_fit" -> TextAnalysis.zipfFitSql,
     "boilerplate_report" -> graft.ext.Boilerplate.reportSql(),
     "boilerplate_scrub" -> graft.ext.Boilerplate.scrubSql(),
     "pack_plan" -> graft.ext.Curation.packPlanSql(

@@ -1,0 +1,238 @@
+package graft.ext
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Takedown propagation — remove a document set from the corpus AND
+  * from every persisted serving artifact derived from it (IVF vector
+  * index, postings index, MinHash band index, doc-length sidecar),
+  * without rebuilding any of them.
+  *
+  * Why this is an operator and not a one-off script: a training-data
+  * pipeline that serves ANN / BM25 / dedup screens from persisted
+  * indexes has COPIES of (parts of) every document in those indexes. A
+  * legal takedown (opt-out, DMCA, right-to-be-forgotten) is only
+  * complete when the derived artifacts stop returning the document —
+  * filtering the corpus alone leaves the index serving ghosts.
+  * (Reference scope: the reference engine persists no derived indexes,
+  * so this surface is north-star; its closest relative is the
+  * quarantine/replay path, reference `spark/jobs/ingest_transform.py`.)
+  *
+  * Scale contract (the reason this isn't "read index, anti-join,
+  * rewrite"): indexes here are hive-partitioned (cell / bucket /
+  * batch_id — see [[graft.streaming.BatchIndex]],
+  * [[Similarity.writeIvfIndex]], [[Search.writePostingsIndex]]), and a
+  * takedown list is legal-process-sized (thousands), touching a small
+  * fraction of partitions. [[purgeIndex]] therefore:
+  *
+  *   1. finds the affected partitions with one column-pruned scan
+  *      (id column + partition columns only, broadcast semi-join
+  *      against the takedown set);
+  *   2. rewrites ONLY those partitions (partition-pruned read →
+  *      anti-join → staged write promoted by dynamic partition
+  *      overwrite, the [[graft.streaming.BatchIndex.compact]]
+  *      discipline — the live path never stops existing);
+  *   3. deletes the affected partitions whose rows were ALL removed
+  *      (dynamic overwrite cannot touch a partition it writes no rows
+  *      for).
+  *
+  * Crash windows: the staged write promotes before the fully-emptied
+  * dirs delete, so a crash can leave a purged-id partition visible —
+  * the purge is RERUNNABLE to convergence (a re-run re-detects the
+  * leftover rows; a completed purge re-runs as a no-op), and
+  * [[leftoverCount]] is the audit that proves convergence. Run with
+  * writers stopped, like compaction.
+  */
+object Takedown {
+
+  /** Outcome of one [[purgeIndex]] run: rows physically removed, the
+    * index's total partition count, and how many partitions were
+    * rewritten in place vs deleted outright. `partsRewritten +
+    * partsDeleted` over `partsTotal` is the IO-pruning ratio the
+    * 100 TB story rests on.
+    */
+  final case class PurgeStats(rowsRemoved: Long, partsTotal: Long,
+      partsRewritten: Long, partsDeleted: Long)
+
+  /** The corpus-side purge: `df` minus rows whose `idCol` is in `ids`.
+    * Broadcast anti-join — the corpus never shuffles; takedown lists
+    * are broadcast-sized by nature.
+    */
+  def purged(df: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    df.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
+  /** Docs of the takedown set still reachable through `df` — the
+    * convergence audit (0 = takedown complete on this artifact).
+    */
+  def leftoverCount(df: DataFrame, ids: DataFrame, idCol: String): Long =
+    df.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_semi").count()
+
+  /** Purge a hive-partitioned index at `path` of every row whose
+    * `idCol` ∈ `ids`, rewriting only the partitions that contain one.
+    * `partCols` is the index's partition-column list in directory
+    * order (e.g. `Seq("cell", "batch_id")` for the IVF index,
+    * `Seq("bucket", "batch_id")` for postings, `Seq("batch_id")` for
+    * the band index). Numeric partition values only (every graft index
+    * qualifies) — hive-escaping of string partition dirs is out of
+    * scope.
+    */
+  def purgeIndex(spark: SparkSession, path: String, idCol: String,
+      ids: DataFrame, partCols: Seq[String]): PurgeStats = {
+    val idSet = broadcast(ids.select(col(idCol)).distinct())
+    val index =
+      try spark.read.parquet(path)
+      catch {
+        case e: AnalysisException
+            if e.getCondition != null
+              && (e.getCondition.contains("PATH_NOT_FOUND")
+                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          return PurgeStats(0L, 0L, 0L, 0L)
+      }
+    val partKey = partCols.map(col)
+    // partition values are directory metadata: both counts below read
+    // no row data beyond the pruned id column
+    val partsTotal = index.select(partKey: _*).distinct().count()
+    val affected: Seq[Row] = index.join(idSet, Seq(idCol))
+      .select(partKey: _*).distinct().collect().toIndexedSeq
+    if (affected.isEmpty) return PurgeStats(0L, partsTotal, 0L, 0L)
+
+    // per-column isin prunes the scan to a cartesian superset of the
+    // affected partitions (partition filters, no data read); the
+    // broadcast key-join restores exactness without an O(parts)
+    // expression tree
+    val prune = partCols.zipWithIndex.map { case (c, i) =>
+      col(c).isin(affected.map(_.get(i)).distinct: _*)
+    }.reduce(_ && _)
+    import scala.jdk.CollectionConverters._
+    val keySchema = index.select(partKey: _*).schema
+    val keysDf = broadcast(
+      spark.createDataFrame(affected.asJava, keySchema))
+    val slice = index.filter(prune).join(keysDf, partCols)
+      .select(index.columns.map(col).toIndexedSeq: _*)
+    val removed = slice.join(idSet, Seq(idCol), "left_semi").count()
+    val survivors = slice.join(idSet, Seq(idCol), "left_anti")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".purging")
+    // stage survivors, promote into the live path (dynamic overwrite
+    // replaces exactly the partitions present in the staged data), then
+    // read the staged dir's partition listing to learn which affected
+    // partitions still exist
+    survivors.repartition(partKey: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(tmp.toString)
+    val staged =
+      try Some(spark.read.parquet(tmp.toString))
+      catch {
+        case e: AnalysisException
+            if e.getCondition != null
+              && e.getCondition.contains("UNABLE_TO_INFER_SCHEMA") =>
+          None // every affected partition emptied: nothing staged
+      }
+    staged.foreach {
+      _.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*).parquet(path)
+    }
+    val survivingKeys: Set[Seq[String]] = staged match {
+      case None => Set.empty
+      case Some(df) => df.select(partKey: _*).distinct().collect()
+        .map(r => partCols.indices.map(i => s"${r.get(i)}")).toSet
+    }
+    fs.delete(tmp, true)
+    val emptied = affected
+      .map(r => partCols.indices.map(i => s"${r.get(i)}"))
+      .filterNot(survivingKeys.contains)
+    val root = new org.apache.hadoop.fs.Path(path)
+    emptied.foreach { vals =>
+      val dir = partCols.zip(vals).map { case (c, v) => s"$c=$v" }
+        .mkString("/")
+      val leaf = new org.apache.hadoop.fs.Path(path, dir)
+      fs.delete(leaf, true)
+      // prune now-empty ancestor partition dirs (deleting the last
+      // batch_id= leaf must not leave a stale empty cell= shell)
+      var p = leaf.getParent
+      while (p != null && p.toString != root.toString
+          && fs.exists(p) && fs.listStatus(p).isEmpty) {
+        fs.delete(p, false)
+        p = p.getParent
+      }
+    }
+    PurgeStats(removed, partsTotal,
+      (affected.size - emptied.size).toLong, emptied.size.toLong)
+  }
+
+  /** Purge an UNPARTITIONED sidecar table (e.g. the BM25 doc-length
+    * table, [[Search.writeDocLengths]]): snapshot-to-temp + swap, the
+    * [[graft.ops.Incidents.compactLog]] discipline. Sidecars are
+    * narrow summary tables; a full rewrite is their partition-pruned
+    * equivalent. Returns rows removed.
+    */
+  def purgeParquet(spark: SparkSession, path: String, idCol: String,
+      ids: DataFrame): Long = {
+    val idSet = broadcast(ids.select(col(idCol)).distinct())
+    val t = spark.read.parquet(path)
+    val removed = t.join(idSet, Seq(idCol), "left_semi").count()
+    if (removed == 0L) return 0L
+    val tmp = path + ".purging"
+    t.join(idSet, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    removed
+  }
+
+  /** The fixture takedown predicate for the verified audit: a
+    * deterministic pseudo-arbitrary ~2.4% slice (doc_id ≡ 7 mod 41),
+    * expressible identically in both engines. A real deployment passes
+    * its legal list; the audit shape is unchanged.
+    */
+  def isTakedown(docId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(docId, lit(41L)) === lit(7L)
+
+  /** The takedown set as a one-column frame (for [[purged]]/
+    * [[purgeIndex]] composition and the specs).
+    */
+  def takedownSet(documents: DataFrame): DataFrame =
+    documents.filter(isTakedown(col("doc_id"))).select("doc_id")
+
+  /** Verified audit row per source: corpus size, rows the takedown
+    * removes, the removed-id checksum (pins exact removal MEMBERSHIP
+    * cross-engine, not just counts), and the post-purge count.
+    *
+    * ONE corpus scan, all conditional aggregates (map-side
+    * combinable); `n_after` is definitionally `n_docs - n_removed`,
+    * emitted so the driver's oracle pins the complement arithmetic
+    * too. That `n_after` equals what [[purged]] actually produces is
+    * pinned in TakedownSpec (running the anti-join here would scan the
+    * corpus twice for an audit — the quality_calibrated lesson).
+    */
+  def takedownAudit(documents: DataFrame): DataFrame = {
+    val t = isTakedown(col("doc_id"))
+    documents.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(t, 1)).as("n_removed"),
+        coalesce(sum(when(t, col("doc_id"))), lit(0L))
+          .as("removed_id_sum"),
+        count(when(!t, 1)).as("n_after"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[takedownAudit]] (doc_id is non-negative, so
+    * `%` ≡ pmod).
+    */
+  val takedownAuditSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(CASE WHEN doc_id % 41 = 7 THEN 1 END) AS n_removed,
+      |  CAST(coalesce(sum(CASE WHEN doc_id % 41 = 7 THEN doc_id END), 0)
+      |    AS BIGINT) AS removed_id_sum,
+      |  count(CASE WHEN doc_id % 41 != 7 THEN 1 END) AS n_after
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+}

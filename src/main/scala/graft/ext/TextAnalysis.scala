@@ -406,6 +406,114 @@ object TextAnalysis {
        |GROUP BY q.doc_id, p.n_tokens, p.n_types
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Zipf power-law fit per source: least-squares slope of
+    * ln(frequency) on ln(rank) over the source's token frequency table
+    * (rank = frequency desc, token asc — the deterministic tie-break),
+    * with the fit's r². Natural text slopes toward −1 (Zipf 1949);
+    * a corpus whose slope drifts is boilerplate-heavy (flat head) or
+    * template-spam (cliff tail) — the distributional health check next
+    * to [[vocabCoverage]] and Heaps-law `vocab_growth`.
+    *
+    * Scale shape: one token explode → per-(source, token) count
+    * (map-side combinable) → a per-source window over the VOCABULARY
+    * (never the token stream) → one O(sources) aggregate. Determinism:
+    * each ln() coordinate and each cross-term is 1e-9 fixed-point
+    * quantized per row (the [[tokenEntropy]] discipline), so the sums
+    * are order-independent BIGINTs and the final slope/r² divisions
+    * see bit-identical inputs in both engines; the n·Σ products are
+    * computed in DOUBLE from those exact integers (BIGINT·BIGINT would
+    * overflow at ~1e5 types).
+    */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def fx(c: Column): Column = floor(c * 1e9 + 0.5).cast("long")
+    val counts = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(desc("c"), col("t"))
+    val q = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("source"), col("c"),
+        fx(log(col("rank").cast("double"))).as("qx"),
+        fx(log(col("c").cast("double"))).as("qy"))
+    val x = col("qx").cast("double") / 1e9
+    val y = col("qy").cast("double") / 1e9
+    val agg = q
+      .select(col("source"), col("c"), col("qx"), col("qy"),
+        fx(x * y).as("qxy"), fx(x * x).as("qxx"), fx(y * y).as("qyy"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        sum("qx").as("sqx"), sum("qy").as("sqy"), sum("qxy").as("sqxy"),
+        sum("qxx").as("sqxx"), sum("qyy").as("sqyy"))
+    def s(cn: String): Column = col(cn).cast("double") / 1e9
+    val n = col("n_types").cast("double")
+    val num = n * s("sqxy") - s("sqx") * s("sqy")
+    val denx = n * s("sqxx") - s("sqx") * s("sqx")
+    val deny = n * s("sqyy") - s("sqy") * s("sqy")
+    agg.select(col("source"), col("n_types"), col("n_tokens"),
+        when(denx > 0, round(num / denx, 6)).as("zipf_slope"),
+        when(denx > 0 && deny > 0, round(num * num / (denx * deny), 6))
+          .as("fit_r2"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[zipfFit]] — the identical quantize/overflow
+    * discipline, term for term.
+    */
+  val zipfFitSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, t, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |  WHERE t != '' GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source, c, row_number()
+       |      OVER (PARTITION BY source ORDER BY c DESC, t) AS rank
+       |  FROM counts),
+       |q AS (
+       |  SELECT source, c,
+       |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |      AS qx,
+       |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |      AS qy
+       |  FROM ranked),
+       |terms AS (
+       |  SELECT source, c, qx, qy,
+       |    CAST(floor((CAST(qx AS DOUBLE) / 1e9) * (CAST(qy AS DOUBLE)
+       |      / 1e9) * 1e9 + 0.5) AS BIGINT) AS qxy,
+       |    CAST(floor((CAST(qx AS DOUBLE) / 1e9) * (CAST(qx AS DOUBLE)
+       |      / 1e9) * 1e9 + 0.5) AS BIGINT) AS qxx,
+       |    CAST(floor((CAST(qy AS DOUBLE) / 1e9) * (CAST(qy AS DOUBLE)
+       |      / 1e9) * 1e9 + 0.5) AS BIGINT) AS qyy
+       |  FROM q),
+       |agg AS (
+       |  SELECT source, count(*) AS n_types,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(qx) AS BIGINT) AS sqx, CAST(sum(qy) AS BIGINT) AS sqy,
+       |    CAST(sum(qxy) AS BIGINT) AS sqxy,
+       |    CAST(sum(qxx) AS BIGINT) AS sqxx,
+       |    CAST(sum(qyy) AS BIGINT) AS sqyy
+       |  FROM terms GROUP BY 1),
+       |fit AS (
+       |  SELECT source, n_types, n_tokens,
+       |    CAST(n_types AS DOUBLE) * (CAST(sqxy AS DOUBLE) / 1e9)
+       |      - (CAST(sqx AS DOUBLE) / 1e9) * (CAST(sqy AS DOUBLE) / 1e9)
+       |      AS num,
+       |    CAST(n_types AS DOUBLE) * (CAST(sqxx AS DOUBLE) / 1e9)
+       |      - (CAST(sqx AS DOUBLE) / 1e9) * (CAST(sqx AS DOUBLE) / 1e9)
+       |      AS denx,
+       |    CAST(n_types AS DOUBLE) * (CAST(sqyy AS DOUBLE) / 1e9)
+       |      - (CAST(sqy AS DOUBLE) / 1e9) * (CAST(sqy AS DOUBLE) / 1e9)
+       |      AS deny
+       |  FROM agg)
+       |SELECT source, n_types, n_tokens,
+       |  CASE WHEN denx > 0 THEN round(num / denx, 6) + 0 END
+       |    AS zipf_slope,
+       |  CASE WHEN denx > 0 AND deny > 0
+       |    THEN round(num * num / (denx * deny), 6) + 0 END AS fit_r2
+       |FROM fit ORDER BY source""".stripMargin
+
   // ---- heuristic quality-filter rule table (Gopher/C4-style) --------------
 
   /** The named doc-level filter rules of a pretraining quality gate —

@@ -1247,6 +1247,47 @@ class ExtSpec extends AnyFunSuite {
       - h3 / math.log(2)) < 2e-6)
   }
 
+  test("zipf fit: power law slopes to -1, uniform flattens, degenerate is NULL") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // source "p": token wi repeated floor(24/i) times, i=1..8 — an
+    // exact-ish Zipf table; "u": every count 1 (flat: slope 0, r2
+    // undefined); "s": one type (denx 0: both NULL)
+    val pText = (1 to 8).flatMap(i => Seq.fill(24 / i)(s"w$i"))
+      .mkString(" ")
+    val docs = Seq((1L, "p", pText), (2L, "u", "a b c d e"),
+      (3L, "s", "only"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val r = TextAnalysis.zipfFit(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // plain-double least squares as the reference (quantization error
+    // is ~1e-9 per term, far under the tolerance)
+    val cs = (1 to 8).map(24 / _).sortBy(-_)
+    val xs = cs.indices.map(i => math.log(i + 1.0))
+    val ys = cs.map(c => math.log(c.toDouble))
+    val n = cs.size
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy
+    val denx = n * xs.map(a => a * a).sum - sx * sx
+    val deny = n * ys.map(b => b * b).sum - sy * sy
+    val p = r("p")
+    assert(p.getAs[Long]("n_types") == 8L
+      && p.getAs[Long]("n_tokens") == cs.sum.toLong)
+    assert(math.abs(p.getAs[Double]("zipf_slope") - num / denx) < 1e-5)
+    assert(math.abs(p.getAs[Double]("fit_r2")
+      - num * num / (denx * deny)) < 1e-5)
+    assert(p.getAs[Double]("zipf_slope") < -0.8
+      && p.getAs[Double]("fit_r2") > 0.9)
+    val u = r("u")
+    assert(u.getAs[Double]("zipf_slope") == 0.0, "flat counts: slope 0")
+    assert(u.isNullAt(u.fieldIndex("fit_r2")), "flat counts: r2 undefined")
+    val s = r("s")
+    assert(s.isNullAt(s.fieldIndex("zipf_slope"))
+      && s.isNullAt(s.fieldIndex("fit_r2")), "one type: no fit")
+  }
+
   test("length outliers: MAD gate survives the outlier it hunts") {
     import spark.implicits._
     import graft.ext.TextAnalysis

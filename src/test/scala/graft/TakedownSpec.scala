@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Search, Similarity, Takedown}
+
+/** Takedown propagation: purging a doc set from every persisted
+  * serving artifact is (a) complete — nothing serves a purged id,
+  * (b) equivalent to a rebuild from the purged corpus, (c) physically
+  * pruned — untouched partitions keep their exact files, and
+  * (d) rerunnable to a no-op.
+  */
+class TakedownSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables(spark, Sf0001).documents
+  private lazy val emb = Tables(spark, Sf0001).embeddings
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def listFiles(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+  }
+
+  test("IVF index purge: complete, pruned, idempotent") {
+    val path = tmpDir("tdivf")
+    Similarity.writeIvfIndex(emb, path)
+    val dataPath = s"$path/data"
+    val before = spark.read.parquet(dataPath)
+    val ids = emb.filter(col("vec_id") % 13 === 5
+        && col("vec_id") >= Similarity.NumQueries) // keep query anchors
+      .select(col("vec_id"))
+    val nIds = ids.count()
+    val beforeIds = before.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // an unaffected cell partition must keep its exact files
+    val idSet = ids.collect().map(_.getLong(0)).toSet
+    val untouchedCell = before.groupBy("cell")
+      .agg(max(when(col("vec_id").isin(idSet.toSeq: _*), 1)
+        .otherwise(0)).as("hit"))
+      .filter(col("hit") === 0).select("cell").head()
+      .get(0).toString.toLong // partition col reads back as INT
+    val untouchedDir = s"$dataPath/cell=$untouchedCell/batch_id=0"
+    val filesBefore = listFiles(untouchedDir)
+    assert(filesBefore.nonEmpty)
+
+    val stats = Takedown.purgeIndex(spark, dataPath, "vec_id", ids,
+      Seq("cell", "batch_id"))
+    assert(stats.rowsRemoved == nIds)
+    assert(stats.partsRewritten + stats.partsDeleted <= stats.partsTotal)
+    val after = spark.read.parquet(dataPath)
+    assert(after.select("vec_id").collect().map(_.getLong(0)).toSet
+      == beforeIds -- idSet)
+    assert(Takedown.leftoverCount(after, ids, "vec_id") == 0L)
+    assert(listFiles(untouchedDir) == filesBefore,
+      "unaffected partition must not be rewritten")
+    // serving the purged index returns no purged id
+    val served = Similarity.topKIvfServed(spark, path,
+      Similarity.ivfProbesFor(Similarity.IvfCells))
+    assert(served.filter(col("vec_id").isin(idSet.toSeq: _*)).count()
+      == 0L, "served top-k must never return a purged vector")
+    // rerun converges to a no-op
+    val again = Takedown.purgeIndex(spark, dataPath, "vec_id", ids,
+      Seq("cell", "batch_id"))
+    assert(again == Takedown.PurgeStats(0L, stats.partsTotal
+      - stats.partsDeleted, 0L, 0L))
+  }
+
+  test("IVF purge deletes a fully-emptied partition directory") {
+    val path = tmpDir("tdivffull")
+    Similarity.writeIvfIndex(emb, path)
+    val dataPath = s"$path/data"
+    val before = spark.read.parquet(dataPath)
+    // purge EVERY vector of one cell -> its dir must vanish
+    val victim = before.groupBy("cell").count()
+      .orderBy("count", "cell").head()
+      .get(0).toString.toLong // partition col reads back as INT
+    val ids = before.filter(col("cell") === victim).select("vec_id")
+    val nOthers = before.filter(col("cell") =!= victim).count()
+    val stats = Takedown.purgeIndex(spark, dataPath, "vec_id", ids,
+      Seq("cell", "batch_id"))
+    assert(stats.partsDeleted >= 1L)
+    assert(!new java.io.File(s"$dataPath/cell=$victim").exists(),
+      "fully-purged partition dir must be deleted, not left stale")
+    val after = spark.read.parquet(dataPath)
+    assert(after.count() == nOthers)
+    assert(after.filter(col("cell") === victim).count() == 0L)
+  }
+
+  test("postings + sidecar purge: served BM25 ≡ in-flight on the purged corpus") {
+    val idx = tmpDir("tdpost")
+    val dlp = tmpDir("tddl")
+    Search.writePostingsIndex(docs, idx)
+    Search.writeDocLengths(docs, dlp)
+    val ids = Takedown.takedownSet(docs)
+    val idSet = ids.collect().map(_.getLong(0)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("rank", "doc_id", "score", "n_terms_hit")
+      .orderBy("rank").collect().toSeq
+    val preServed = rows(Search.bm25Served(spark, idx, dlp,
+      SparkEntry.SearchTerms))
+
+    val stats = Takedown.purgeIndex(spark, idx, "doc_id", ids,
+      Seq("bucket", "batch_id"))
+    assert(stats.rowsRemoved > 0L)
+    val dlRemoved = Takedown.purgeParquet(spark, dlp, "doc_id", ids)
+    assert(dlRemoved == ids.count())
+    assert(Takedown.leftoverCount(
+      spark.read.parquet(idx), ids, "doc_id") == 0L)
+    // purge ≡ rebuild: serving the purged index equals the in-flight
+    // ranking over the purged corpus (df/N/avgdl all re-derive), and
+    // differs from the pre-purge ranking if any takedown doc scored
+    val purgedDocs = Takedown.purged(docs, ids, "doc_id")
+    val served = rows(Search.bm25Served(spark, idx, dlp,
+      SparkEntry.SearchTerms))
+    assert(served == rows(
+      Search.bm25TopDocs(purgedDocs, SparkEntry.SearchTerms)))
+    assert(served.forall(r => !idSet.contains(r.getLong(1))))
+    if (preServed.exists(r => idSet.contains(r.getLong(1))))
+      assert(served != preServed)
+  }
+
+  test("band-index sidecar purge readmits a takedown twin") {
+    val path = tmpDir("tdband")
+    Dedup.writeBandIndex(docs, path)
+    val ids = Takedown.takedownSet(docs)
+    val nBefore = spark.read.parquet(path).count()
+    val removed = Takedown.purgeParquet(spark, path, "doc_id", ids)
+    assert(removed > 0L)
+    val bands = spark.read.parquet(path)
+    assert(bands.count() == nBefore - removed)
+    assert(Takedown.leftoverCount(bands, ids, "doc_id") == 0L)
+    // right-to-be-forgotten implies READMISSION: a new doc with a
+    // purged doc's exact text must no longer collide with it in the
+    // band index (the screen has genuinely forgotten the content)
+    val ghost = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text")).head()
+    val twin = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(java.lang.Long.valueOf(9000000L),
+        ghost.getString(1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val purgedDocs = Takedown.purged(docs, ids, "doc_id")
+    val hits = Dedup.incrementalNearDups(purgedDocs, twin, Some(bands))
+    assert(!hits.collect()
+        .exists(_.getAs[Long]("index_doc") == ghost.getLong(0)),
+      "purged doc must not resurface as a dedup match")
+  }
+
+  test("takedown audit equals what purged() actually produces") {
+    val ids = Takedown.takedownSet(docs)
+    val audit = Takedown.takedownAudit(docs).collect()
+    val afterCounts = Takedown.purged(docs, ids, "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    audit.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(4),
+        s"$src: n_after must be n_docs - n_removed")
+      assert(r.getLong(4) == afterCounts.getOrElse(src, 0L),
+        s"$src: audit n_after must match the real purge")
+    }
+    assert(Takedown.leftoverCount(
+      Takedown.purged(docs, ids, "doc_id"), ids, "doc_id") == 0L)
+    assert(audit.map(_.getLong(2)).sum == ids.count())
+  }
+}

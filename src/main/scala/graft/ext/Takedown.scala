@@ -42,6 +42,19 @@ import org.apache.spark.sql.functions._
   * leftover rows; a completed purge re-runs as a no-op), and
   * [[leftoverCount]] is the audit that proves convergence. Run with
   * writers stopped, like compaction.
+  *
+  * Aggregate-only artifacts, for completeness of the takedown story:
+  * the HLL registers ([[graft.streaming.SketchStream]]) and
+  * Misra–Gries counters ([[graft.streaming.HeavyHitterStream]]) hold
+  * only hashed identifiers / bare symbols, never document content, so
+  * they are not takedown TARGETS; where a deployment's policy counts
+  * aggregates anyway, they are not row-purgeable (a sketch cannot
+  * subtract one contributor) and must be rebuilt from the purged
+  * corpus. The IVF `centroids` table is a k-means aggregate of the
+  * same kind — a purged vector's trace in a centroid persists until
+  * the next rebuild ([[Similarity.ivfIndexDrift]]'s rebuild cadence),
+  * standard IVF practice; the vector itself leaves `data/` here and
+  * can never be SERVED again.
   */
 object Takedown {
 

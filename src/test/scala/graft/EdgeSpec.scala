@@ -157,6 +157,15 @@ class EdgeSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.dedupManifestFlat(emptyDocs).count() == 0)
     assert(graft.ext.Dedup.dedupManifestBest(emptyDocs).count() == 0)
     assert(graft.ext.EmbedStats.hashEmbeddingsLong(emptyDocs).count() == 0)
+    assert(TextAnalysis.zipfFit(emptyDocs).count() == 0)
+    assert(graft.ext.Takedown.takedownAudit(emptyDocs).count() == 0)
+    val noIds = emptyDocs.select(col("doc_id"))
+    assert(graft.ext.Takedown.purged(emptyDocs, noIds, "doc_id")
+      .count() == 0)
+    // purging a nonexistent index path is a zero-stat no-op, not a crash
+    assert(graft.ext.Takedown.purgeIndex(spark,
+      "/tmp/graft_no_such_index", "doc_id", noIds, Seq("batch_id"))
+      == graft.ext.Takedown.PurgeStats(0L, 0L, 0L, 0L))
   }
 
   test("round-5b operators degrade gracefully on degenerate inputs") {

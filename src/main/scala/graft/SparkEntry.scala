@@ -927,6 +927,12 @@ object SparkEntry {
     "multimodal_audio_stats" -> ((s, dir) =>
       Multimodal.audioStats(tables(s, dir).documents).orderBy("doc_id")),
 
+    // perceptual image near-dup: aHash over REAL javax.imageio-decoded
+    // pixels, 4x16-bit band join (lossless at Hamming<=3), planted
+    // perceptual twins; oracle recomputes every pixel arithmetically
+    "image_near_dups" -> ((s, dir) =>
+      Multimodal.imageNearDups(tables(s, dir).documents)),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1717,6 +1723,7 @@ object SparkEntry {
     "multimodal_features" ->
       s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id""",
     "multimodal_image_stats" -> Multimodal.imageStatsSql,
+    "image_near_dups" -> Multimodal.imageNearDupsSql,
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

@@ -437,6 +437,223 @@ object Multimodal {
     * matching forces the real PNG encode→decode roundtrip to be
     * bit-exact (geometry, channel order, row order, values).
     */
+  // ---- perceptual image near-dup: aHash over REAL decoded pixels ----------
+
+  /** aHash geometry: 8×8 grayscale (the classic average-hash grid),
+    * already at target size so no resample step hides decode defects;
+    * the 64 bits pack into TWO unsigned 32-bit halves because a
+    * BIGINT `1 << 63` overflows differently across engines.
+    */
+  val AHashSide = 8
+
+  /** Hamming radius for [[imageNearDups]]: with 4 disjoint 16-bit
+    * bands, any pair within distance 3 shares at least one exact band
+    * (pigeonhole) — the banding is LOSSLESS at this radius.
+    */
+  val AHashMaxHamming = 3L
+
+  final case class ImageAHash(
+    doc_id: Long, decoded: Boolean, ahash_lo: Long, ahash_hi: Long)
+
+  /** Deterministic 8×8 RGB PNG per doc with PLANTED perceptual twins:
+    * the pixel source is `h32("img|seed|x|y")` split into channel
+    * bytes, where ids ≡ 7 (mod 10) reuse the seed of id − 7 and get
+    * one channel of one pixel nudged +3 (mod 256) — a perceptual
+    * near-duplicate, not a byte-duplicate. Encoded through the REAL
+    * `javax.imageio` PNG writer; h32 is the cross-engine md5-prefix
+    * hash, so the DuckDB oracle reproduces every pixel arithmetically.
+    */
+  def pngHashPayload(docId: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      AHashSide, AHashSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val seed = if (docId % 10 == 7) docId - 7 else docId
+    var y = 0
+    while (y < AHashSide) {
+      var x = 0
+      while (x < AHashSide) {
+        val hv = Hashing.jvmH32(s"img|$seed|$x|$y")
+        var r = (hv % 256).toInt
+        val g = ((hv / 256) % 256).toInt
+        val b = ((hv / 65536) % 256).toInt
+        if (docId % 10 == 7 && x == 0 && y == 0) r = (r + 3) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → twin-planted PNG records (one mapPartitions encode). */
+  def pngHashRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val p = pngHashPayload(id)
+      MediaRecord(id, p, "image/png", p.length.toLong)
+    })
+  }
+
+  /** Average-hash through the real decode: gray = (r+g+b) div 3 per
+    * pixel, bit(x,y) = 64·gray > Σgray (strict, cross-multiplied — no
+    * float mean), packed row-major into (lo: bits 0–31, hi: 32–63).
+    * Rejected payloads yield `decoded = false`, never a silent drop.
+    */
+  object PngAHashDecoder extends MediaCodec[ImageAHash] {
+    override def decodePartition(records: Iterator[MediaRecord])
+        : Iterator[ImageAHash] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      records.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null || img.getWidth != AHashSide
+              || img.getHeight != AHashSide)
+            ImageAHash(r.doc_id, decoded = false, 0L, 0L)
+          else {
+            val gray = new Array[Long](AHashSide * AHashSide)
+            var sum = 0L
+            var y = 0
+            while (y < AHashSide) {
+              var x = 0
+              while (x < AHashSide) {
+                val rgb = img.getRGB(x, y)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                  + (rgb & 0xff)) / 3
+                gray(y * AHashSide + x) = g.toLong
+                sum += g
+                x += 1
+              }
+              y += 1
+            }
+            var lo = 0L; var hi = 0L
+            var i = 0
+            while (i < 64) {
+              if (gray(i) * 64 > sum) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            ImageAHash(r.doc_id, decoded = true, lo, hi)
+          }
+        } catch {
+          case _: Exception => ImageAHash(r.doc_id, decoded = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Per-doc perceptual hashes via the real codec path (encode →
+    * `javax.imageio` decode → aHash; two chained mapPartitions, no
+    * shuffle).
+    */
+  def imageAHashes(documents: DataFrame,
+      codec: MediaCodec[ImageAHash] = PngAHashDecoder): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    pngHashRecords(documents).mapPartitions(codec.decodePartition _).toDF()
+  }
+
+  /** Perceptual image near-dup: aHash pairs within Hamming
+    * [[AHashMaxHamming]], found by a 4×16-bit band self-join (lossless
+    * at this radius, see [[AHashMaxHamming]]) — the SimHash discipline
+    * applied to decoded pixels. Never all-pairs: the only shuffle is
+    * the band-bucket join, bucket population n/2¹⁶ per band at n docs
+    * (unrelated hashes are uniform — accidental 16-bit collisions get
+    * screened by the exact Hamming check).
+    */
+  def imageNearDups(documents: DataFrame,
+      codec: MediaCodec[ImageAHash] = PngAHashDecoder): DataFrame = {
+    val hashes = imageAHashes(documents, codec).filter(col("decoded"))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"))
+    val bands = hashes.select(col("doc_id"), col("ahash_lo"),
+      col("ahash_hi"), explode(array(
+        struct(lit(0L).as("band_idx"),
+          col("ahash_lo").bitwiseAND(lit(65535L)).as("band_val")),
+        struct(lit(1L).as("band_idx"),
+          shiftright(col("ahash_lo"), 16).as("band_val")),
+        struct(lit(2L).as("band_idx"),
+          col("ahash_hi").bitwiseAND(lit(65535L)).as("band_val")),
+        struct(lit(3L).as("band_idx"),
+          shiftright(col("ahash_hi"), 16).as("band_val")))).as("b"))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("ahash_lo").as("lo_a"),
+      col("ahash_hi").as("hi_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("ahash_lo").as("lo_b"),
+      col("ahash_hi").as("hi_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+      .distinct() // a pair can collide in several bands
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
+          + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+      .filter(col("hamming") <= AHashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of [[imageNearDups]] — every pixel, the aHash
+    * packing, and the band join reproduced arithmetically from the
+    * closed form (PNG is lossless, so the real decode must agree).
+    */
+  def imageNearDupsSql: String = {
+    val h = Hashing.h32Sql(
+      "'img|' || seed || '|' || xs.x || '|' || ys.y")
+    s"""WITH px AS (
+       |  SELECT d.doc_id, xs.x, ys.y,
+       |    CASE WHEN d.doc_id % 10 = 7 AND xs.x = 0 AND ys.y = 0
+       |      THEN (hv % 256 + 3) % 256 ELSE hv % 256 END AS vr,
+       |    (hv // 256) % 256 AS vg, (hv // 65536) % 256 AS vb
+       |  FROM (SELECT doc_id,
+       |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+       |            ELSE doc_id END AS seed
+       |        FROM documents) d,
+       |    range(0, 8) xs(x), range(0, 8) ys(y),
+       |    LATERAL (SELECT $h AS hv) hh),
+       |gray AS (
+       |  SELECT doc_id, ys_y * 8 + xs_x AS idx, g FROM (
+       |    SELECT doc_id, x AS xs_x, y AS ys_y,
+       |      (vr + vg + vb) // 3 AS g FROM px)),
+       |stats AS (
+       |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS s
+       |  FROM gray GROUP BY 1),
+       |hsh AS (
+       |  SELECT gray.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN 64 * g > s AND idx < 32
+       |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT) AS lo,
+       |    CAST(coalesce(sum(CASE WHEN 64 * g > s AND idx >= 32
+       |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
+       |      AS hi
+       |  FROM gray JOIN stats ON gray.doc_id = stats.doc_id
+       |  GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, lo, hi, 0 AS band_idx, lo % 65536 AS band_val
+       |    FROM hsh
+       |  UNION ALL SELECT doc_id, lo, hi, 1, lo // 65536 FROM hsh
+       |  UNION ALL SELECT doc_id, lo, hi, 2, hi % 65536 FROM hsh
+       |  UNION ALL SELECT doc_id, lo, hi, 3, hi // 65536 FROM hsh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |      AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+       |    AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+       |  <= $AHashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def imageStatsSql: String =
     """WITH imgs AS (
       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -976,6 +976,63 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("image near-dup: pairs are exactly the planted perceptual twins") {
+    val docs = Tables(spark, Sf0001).documents
+    val pairs = Multimodal.imageNearDups(docs).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twins = ids.filter(i => i % 10 == 7 && ids.contains(i - 7))
+      .map(i => (i - 7, i))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == twins,
+      "band join + Hamming gate must find every twin and nothing else")
+    assert(pairs.forall(_.getLong(2) <= Multimodal.AHashMaxHamming))
+    // the +3-on-one-channel nudge is perceptual, not byte-identity:
+    // payload bytes differ even when the aHash agrees
+    val t = twins.head
+    assert(!java.util.Arrays.equals(Multimodal.pngHashPayload(t._1),
+      Multimodal.pngHashPayload(t._2)))
+  }
+
+  test("aHash real decode equals the closed form; malformed payload excluded") {
+    import spark.implicits._
+    import Multimodal.{ImageAHash, MediaCodec, MediaRecord}
+    // closed-form twin of the decoder, straight from the generator hash
+    def refAHash(docId: Long): (Long, Long) = {
+      val seed = if (docId % 10 == 7) docId - 7 else docId
+      val gray = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val hv = graft.ext.Hashing.jvmH32(s"img|$seed|$x|$y")
+        var r = hv % 256
+        if (docId % 10 == 7 && x == 0 && y == 0) r = (r + 3) % 256
+        (r + (hv / 256) % 256 + (hv / 65536) % 256) / 3
+      }
+      val sum = gray.sum
+      gray.zipWithIndex.foldLeft((0L, 0L)) { case ((lo, hi), (g, i)) =>
+        if (g * 64 > sum)
+          if (i < 32) (lo | (1L << i), hi) else (lo, hi | (1L << (i - 32)))
+        else (lo, hi)
+      }
+    }
+    val out = Multimodal.PngAHashDecoder.decodePartition(
+      Seq(3L, 17L).map { id =>
+        val p = Multimodal.pngHashPayload(id)
+        MediaRecord(id, p, "image/png", p.length.toLong)
+      }.iterator).toSeq
+    out.foreach { h =>
+      val (lo, hi) = refAHash(h.doc_id)
+      assert(h.decoded && h.ahash_lo == lo && h.ahash_hi == hi,
+        s"real-decode aHash must equal the closed form for ${h.doc_id}")
+    }
+    // a codec that rejects everything: rows flagged, near-dup excludes
+    object RejectAll extends MediaCodec[ImageAHash] {
+      override def decodePartition(rs: Iterator[MediaRecord]) =
+        rs.map(r => ImageAHash(r.doc_id, decoded = false, 0L, 0L))
+    }
+    val docs = Seq((7L, "t"), (0L, "t")).toDF("doc_id", "text")
+    assert(Multimodal.imageAHashes(docs).filter(!col("decoded"))
+      .count() == 0, "fixture payloads must all decode")
+    assert(Multimodal.imageNearDups(docs, RejectAll).count() == 0,
+      "undecodable payloads must not pair")
+  }
+
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
     import spark.implicits._
     import Multimodal.{MediaRecord, PngStatsDecoder}

@@ -929,6 +929,23 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Perceptual image near-dup cost at n docs: the planted-twin PNG
+    * corpus (ids ≡ 7 mod 10 are perceptual twins of id − 7) through
+    * encode → real javax.imageio decode → aHash → band join. The
+    * decode is embarrassingly parallel (two chained mapPartitions, no
+    * shuffle); the only shuffle is the 4-band bucket join at n/2¹⁶
+    * docs per bucket — wall should track n near-linearly.
+    * `sbt "runMain graft.ScaleProbe imagedup 80000 320000"`.
+    */
+  def imageDupProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ext.Multimodal.imageNearDups(docs).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-imagedup] n=$n%-8d pairs=$pairs " +
+      f"wall=$wall%7.2fs (${n / wall}%.0f docs/s encode+decode+join)")
+  }
+
   /** BoW near-dup cost on the NATURAL-clustering corpus — the
     * word-salad probe is the degenerate case (a handful of giant
     * buckets); this one pins that topic-shaped clustering (hundreds of
@@ -966,12 +983,13 @@ object ScaleProbe {
     val bowNatMode = args.headOption.contains("bownat")
     val recallfMode = args.headOption.contains("recallf")
     val takedownMode = args.headOption.contains("takedown")
+    val imageDupMode = args.headOption.contains("imagedup")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
           || servedMode || bowMode || bowNatMode || recallfMode
-          || takedownMode)
+          || takedownMode || imageDupMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1067,6 +1085,11 @@ object ScaleProbe {
     }
     if (takedownMode) {
       sizes.foreach(takedownProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (imageDupMode) {
+      sizes.foreach(imageDupProbe(spark, _))
       spark.stop()
       return
     }

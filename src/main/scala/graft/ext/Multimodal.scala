@@ -567,8 +567,14 @@ object Multimodal {
     */
   def imageNearDups(documents: DataFrame,
       codec: MediaCodec[ImageAHash] = PngAHashDecoder): DataFrame = {
-    val hashes = imageAHashes(documents, codec).filter(col("decoded"))
-      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"))
+    // persist the hash table: the band self-join's two sides rename
+    // columns BEFORE their exchanges, so without a materialization
+    // barrier the encode+decode subtree would run once PER SIDE —
+    // the hashes are 3 longs/doc, the decode is the expensive part
+    val hashes = Scratch.track(
+      imageAHashes(documents, codec).filter(col("decoded"))
+        .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"))
+        .persist())
     val bands = hashes.select(col("doc_id"), col("ahash_lo"),
       col("ahash_hi"), explode(array(
         struct(lit(0L).as("band_idx"),

@@ -933,6 +933,11 @@ object SparkEntry {
     "image_near_dups" -> ((s, dir) =>
       Multimodal.imageNearDups(tables(s, dir).documents)),
 
+    // perceptual audio near-dup: circular energy-delta fingerprint
+    // over REAL javax.sound-decoded PCM16, same shared band screen
+    "audio_near_dups" -> ((s, dir) =>
+      Multimodal.audioNearDups(tables(s, dir).documents)),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1724,6 +1729,7 @@ object SparkEntry {
       s"""SELECT * FROM (${Multimodal.featuresSql}) ORDER BY doc_id""",
     "multimodal_image_stats" -> Multimodal.imageStatsSql,
     "image_near_dups" -> Multimodal.imageNearDupsSql,
+    "audio_near_dups" -> Multimodal.audioNearDupsSql,
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

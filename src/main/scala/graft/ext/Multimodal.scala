@@ -557,42 +557,42 @@ object Multimodal {
     pngHashRecords(documents).mapPartitions(codec.decodePartition _).toDF()
   }
 
-  /** Perceptual image near-dup: aHash pairs within Hamming
-    * [[AHashMaxHamming]], found by a 4×16-bit band self-join (lossless
-    * at this radius, see [[AHashMaxHamming]]) — the SimHash discipline
-    * applied to decoded pixels. Never all-pairs: the only shuffle is
-    * the band-bucket join, bucket population n/2¹⁶ per band at n docs
-    * (unrelated hashes are uniform — accidental 16-bit collisions get
-    * screened by the exact Hamming check).
+  /** The ONE 64-bit-fingerprint near-dup screen shared by the image
+    * and audio paths: pairs within Hamming `maxHamming`, found by a
+    * 4×16-bit band self-join (pigeonhole-lossless for maxHamming ≤ 3)
+    * — the SimHash discipline applied to media fingerprints. Never
+    * all-pairs: the only shuffle is the band-bucket join, bucket
+    * population n/2¹⁶ per band at n docs (unrelated fingerprints are
+    * uniform — accidental 16-bit collisions get screened by the exact
+    * Hamming check). Expects `(doc_id, fp_lo, fp_hi)` with the 64
+    * bits split into two unsigned 32-bit halves.
     */
-  def imageNearDups(documents: DataFrame,
-      codec: MediaCodec[ImageAHash] = PngAHashDecoder): DataFrame = {
-    // persist the hash table: the band self-join's two sides rename
-    // columns BEFORE their exchanges, so without a materialization
-    // barrier the encode+decode subtree would run once PER SIDE —
-    // the hashes are 3 longs/doc, the decode is the expensive part
-    val hashes = Scratch.track(
-      imageAHashes(documents, codec).filter(col("decoded"))
-        .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"))
-        .persist())
-    val bands = hashes.select(col("doc_id"), col("ahash_lo"),
-      col("ahash_hi"), explode(array(
+  private[ext] def bandedHamming64(fingerprints: DataFrame,
+      maxHamming: Long): DataFrame = {
+    // persist the fingerprint table: the band self-join's two sides
+    // rename columns BEFORE their exchanges, so without a
+    // materialization barrier the decode subtree would run once PER
+    // SIDE — fingerprints are 3 longs/doc, decode is the expensive part
+    val hashes = Scratch.track(fingerprints
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi")).persist())
+    val bands = hashes.select(col("doc_id"), col("fp_lo"),
+      col("fp_hi"), explode(array(
         struct(lit(0L).as("band_idx"),
-          col("ahash_lo").bitwiseAND(lit(65535L)).as("band_val")),
+          col("fp_lo").bitwiseAND(lit(65535L)).as("band_val")),
         struct(lit(1L).as("band_idx"),
-          shiftright(col("ahash_lo"), 16).as("band_val")),
+          shiftright(col("fp_lo"), 16).as("band_val")),
         struct(lit(2L).as("band_idx"),
-          col("ahash_hi").bitwiseAND(lit(65535L)).as("band_val")),
+          col("fp_hi").bitwiseAND(lit(65535L)).as("band_val")),
         struct(lit(3L).as("band_idx"),
-          shiftright(col("ahash_hi"), 16).as("band_val")))).as("b"))
-      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+          shiftright(col("fp_hi"), 16).as("band_val")))).as("b"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     val a = bands.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_a"), col("ahash_lo").as("lo_a"),
-      col("ahash_hi").as("hi_a"))
+      col("doc_id").as("doc_a"), col("fp_lo").as("lo_a"),
+      col("fp_hi").as("hi_a"))
     val b = bands.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_b"), col("ahash_lo").as("lo_b"),
-      col("ahash_hi").as("hi_b"))
+      col("doc_id").as("doc_b"), col("fp_lo").as("lo_b"),
+      col("fp_hi").as("hi_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
@@ -600,45 +600,18 @@ object Multimodal {
       .withColumn("hamming",
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
           + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
-      .filter(col("hamming") <= AHashMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** DuckDB mirror of [[imageNearDups]] — every pixel, the aHash
-    * packing, and the band join reproduced arithmetically from the
-    * closed form (PNG is lossless, so the real decode must agree).
+  /** DuckDB twin of [[bandedHamming64]]: given CTEs ending in
+    * `hsh(doc_id, lo, hi)`, appends the identical band join + Hamming
+    * screen. ONE definition for both media oracles.
     */
-  def imageNearDupsSql: String = {
-    val h = Hashing.h32Sql(
-      "'img|' || seed || '|' || xs.x || '|' || ys.y")
-    s"""WITH px AS (
-       |  SELECT d.doc_id, xs.x, ys.y,
-       |    CASE WHEN d.doc_id % 10 = 7 AND xs.x = 0 AND ys.y = 0
-       |      THEN (hv % 256 + 3) % 256 ELSE hv % 256 END AS vr,
-       |    (hv // 256) % 256 AS vg, (hv // 65536) % 256 AS vb
-       |  FROM (SELECT doc_id,
-       |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
-       |            ELSE doc_id END AS seed
-       |        FROM documents) d,
-       |    range(0, 8) xs(x), range(0, 8) ys(y),
-       |    LATERAL (SELECT $h AS hv) hh),
-       |gray AS (
-       |  SELECT doc_id, ys_y * 8 + xs_x AS idx, g FROM (
-       |    SELECT doc_id, x AS xs_x, y AS ys_y,
-       |      (vr + vg + vb) // 3 AS g FROM px)),
-       |stats AS (
-       |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS s
-       |  FROM gray GROUP BY 1),
-       |hsh AS (
-       |  SELECT gray.doc_id,
-       |    CAST(coalesce(sum(CASE WHEN 64 * g > s AND idx < 32
-       |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT) AS lo,
-       |    CAST(coalesce(sum(CASE WHEN 64 * g > s AND idx >= 32
-       |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
-       |      AS hi
-       |  FROM gray JOIN stats ON gray.doc_id = stats.doc_id
-       |  GROUP BY 1),
+  private[ext] def bandedHamming64Sql(hshCtes: String,
+      maxHamming: Long): String =
+    s"""WITH $hshCtes,
        |bands AS (
        |  SELECT doc_id, lo, hi, 0 AS band_idx, lo % 65536 AS band_val
        |    FROM hsh
@@ -656,8 +629,213 @@ object Multimodal {
        |    AS BIGINT) AS hamming
        |FROM cand
        |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
-       |  <= $AHashMaxHamming
+       |  <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Perceptual image near-dup — see [[bandedHamming64]] for the
+    * screen's shape and guarantees.
+    */
+  def imageNearDups(documents: DataFrame,
+      codec: MediaCodec[ImageAHash] = PngAHashDecoder): DataFrame =
+    bandedHamming64(
+      imageAHashes(documents, codec).filter(col("decoded"))
+        .select(col("doc_id"), col("ahash_lo").as("fp_lo"),
+          col("ahash_hi").as("fp_hi")),
+      AHashMaxHamming)
+
+  /** DuckDB mirror of [[imageNearDups]] — every pixel, the aHash
+    * packing, and the band join reproduced arithmetically from the
+    * closed form (PNG is lossless, so the real decode must agree).
+    */
+  def imageNearDupsSql: String = {
+    val h = Hashing.h32Sql(
+      "'img|' || seed || '|' || xs.x || '|' || ys.y")
+    bandedHamming64Sql(
+      s"""px AS (
+         |  SELECT d.doc_id, xs.x, ys.y,
+         |    CASE WHEN d.doc_id % 10 = 7 AND xs.x = 0 AND ys.y = 0
+         |      THEN (hv % 256 + 3) % 256 ELSE hv % 256 END AS vr,
+         |    (hv // 256) % 256 AS vg, (hv // 65536) % 256 AS vb
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+         |            ELSE doc_id END AS seed
+         |        FROM documents) d,
+         |    range(0, 8) xs(x), range(0, 8) ys(y),
+         |    LATERAL (SELECT $h AS hv) hh),
+         |gray AS (
+         |  SELECT doc_id, ys_y * 8 + xs_x AS idx, g FROM (
+         |    SELECT doc_id, x AS xs_x, y AS ys_y,
+         |      (vr + vg + vb) // 3 AS g FROM px)),
+         |stats AS (
+         |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS s
+         |  FROM gray GROUP BY 1),
+         |hsh AS (
+         |  SELECT gray.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN 64 * g > s AND idx < 32
+         |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT) AS lo,
+         |    CAST(coalesce(sum(CASE WHEN 64 * g > s AND idx >= 32
+         |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
+         |      AS hi
+         |  FROM gray JOIN stats ON gray.doc_id = stats.doc_id
+         |  GROUP BY 1)""".stripMargin,
+      AHashMaxHamming)
+  }
+
+  // ---- perceptual audio near-dup: energy-delta fingerprint ----------------
+
+  /** Audio fingerprint geometry: 256 mono PCM16 frames → 64 windows of
+    * 4 frames; bit w = energy(w) > energy((w+1) mod 64) — the circular
+    * energy-delta fingerprint (a Chromaprint/Shazam-family shape with
+    * the spectral stage simplified to window energy, keeping the
+    * arithmetic closed-form for the cross-engine oracle).
+    */
+  val AFpFrames = 256
+  val AFpWindow = 4
+
+  final case class AudioFp(
+    doc_id: Long, decoded: Boolean, fp_lo: Long, fp_hi: Long)
+
+  /** Deterministic mono PCM16 WAV per doc with PLANTED perceptual
+    * twins: sample(i) = (h32("aud|seed|i") mod 4001) − 2000, ids ≡ 7
+    * (mod 10) reuse the seed of id − 7 with sample 0 nudged +7 (mod
+    * the same range) — byte-different, fingerprint-near. The RIFF
+    * container is written byte-for-byte like [[wavPayload]].
+    */
+  def wavFpPayload(docId: Long): Array[Byte] = {
+    val dataLen = AFpFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                     // PCM
+      .putShort(1.toShort)                     // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2)                     // byte rate
+      .putShort(2.toShort)                     // block align
+      .putShort(16.toShort)                    // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val seed = if (docId % 10 == 7) docId - 7 else docId
+    var i = 0
+    while (i < AFpFrames) {
+      val hv = Hashing.jvmH32(s"aud|$seed|$i")
+      val s =
+        if (docId % 10 == 7 && i == 0) ((hv % 4001 + 7) % 4001) - 2000
+        else (hv % 4001) - 2000
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** documents → twin-planted WAV records (one mapPartitions encode). */
+  def wavFpRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val p = wavFpPayload(id)
+      MediaRecord(id, p, "audio/wav", p.length.toLong)
+    })
+  }
+
+  /** Energy-delta fingerprint through the real `javax.sound.sampled`
+    * decode: window energies as exact Σs², circular strict-> bits,
+    * packed like the image aHash. Rejected or wrong-geometry payloads
+    * yield `decoded = false`.
+    */
+  object WavFpDecoder extends MediaCodec[AudioFp] {
+    private def fail(id: Long) = AudioFp(id, decoded = false, 0L, 0L)
+    override def decodePartition(records: Iterator[MediaRecord])
+        : Iterator[AudioFp] = records.map { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian
+            || f.getChannels != 1 || in.getFrameLength != AFpFrames)
+          fail(r.doc_id)
+        else {
+          val bb = java.nio.ByteBuffer.wrap(in.readAllBytes())
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nW = AFpFrames / AFpWindow
+          val e = new Array[Long](nW)
+          var i = 0
+          while (i < AFpFrames) {
+            val s = bb.getShort().toLong
+            e(i / AFpWindow) += s * s
+            i += 1
+          }
+          var lo = 0L; var hi = 0L
+          var w = 0
+          while (w < nW) {
+            if (e(w) > e((w + 1) % nW)) {
+              if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+            }
+            w += 1
+          }
+          AudioFp(r.doc_id, decoded = true, lo, hi)
+        }
+      } catch { case _: Exception => fail(r.doc_id) }
+    }
+  }
+
+  /** Per-doc audio fingerprints via the real codec path. */
+  def audioFingerprints(documents: DataFrame,
+      codec: MediaCodec[AudioFp] = WavFpDecoder): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    wavFpRecords(documents).mapPartitions(codec.decodePartition _).toDF()
+  }
+
+  /** Perceptual audio near-dup — the [[bandedHamming64]] screen over
+    * [[audioFingerprints]]; a one-sample nudge moves one window's
+    * energy, which flips at most the two bits that window feeds
+    * (circular neighbors), comfortably inside [[AHashMaxHamming]].
+    */
+  def audioNearDups(documents: DataFrame,
+      codec: MediaCodec[AudioFp] = WavFpDecoder): DataFrame =
+    bandedHamming64(
+      audioFingerprints(documents, codec).filter(col("decoded"))
+        .select(col("doc_id"), col("fp_lo"), col("fp_hi")),
+      AHashMaxHamming)
+
+  /** DuckDB mirror of [[audioNearDups]] — samples, window energies,
+    * circular delta bits, and the shared band screen, all arithmetic.
+    */
+  def audioNearDupsSql: String = {
+    val h = Hashing.h32Sql("'aud|' || seed || '|' || i.i")
+    bandedHamming64Sql(
+      s"""samples AS (
+         |  SELECT d.doc_id, i.i,
+         |    CASE WHEN d.doc_id % 10 = 7 AND i.i = 0
+         |      THEN ((hv % 4001 + 7) % 4001) - 2000
+         |      ELSE (hv % 4001) - 2000 END AS s
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+         |            ELSE doc_id END AS seed
+         |        FROM documents) d,
+         |    range(0, $AFpFrames) i(i),
+         |    LATERAL (SELECT $h AS hv) hh),
+         |energies AS (
+         |  SELECT doc_id, i // $AFpWindow AS w,
+         |    CAST(sum(s * s) AS BIGINT) AS e
+         |  FROM samples GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT a.doc_id, a.w AS idx
+         |  FROM energies a JOIN energies b
+         |    ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % 64
+         |  WHERE a.e > b.e),
+         |hsh AS (
+         |  SELECT e.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN idx < 32
+         |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT) AS lo,
+         |    CAST(coalesce(sum(CASE WHEN idx >= 32
+         |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
+         |      AS hi
+         |  FROM (SELECT DISTINCT doc_id FROM energies) e
+         |    LEFT JOIN bits ON e.doc_id = bits.doc_id
+         |  GROUP BY 1)""".stripMargin,
+      AHashMaxHamming)
   }
 
   def imageStatsSql: String =

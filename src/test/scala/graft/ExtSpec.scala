@@ -1033,6 +1033,53 @@ class ExtSpec extends AnyFunSuite {
       "undecodable payloads must not pair")
   }
 
+  test("audio near-dup: pairs are exactly the planted twins; decode equals closed form") {
+    import Multimodal.MediaRecord
+    val docs = Tables(spark, Sf0001).documents
+    val pairs = Multimodal.audioNearDups(docs).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twins = ids.filter(i => i % 10 == 7 && ids.contains(i - 7))
+      .map(i => (i - 7, i))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == twins)
+    assert(pairs.forall(_.getLong(2) <= Multimodal.AHashMaxHamming))
+    // payload bytes differ even when the fingerprint pairs
+    val t = twins.head
+    assert(!java.util.Arrays.equals(Multimodal.wavFpPayload(t._1),
+      Multimodal.wavFpPayload(t._2)))
+    // real-decode fingerprint == closed form from the generator hash
+    def refFp(docId: Long): (Long, Long) = {
+      val seed = if (docId % 10 == 7) docId - 7 else docId
+      val s = (0 until Multimodal.AFpFrames).map { i =>
+        val hv = graft.ext.Hashing.jvmH32(s"aud|$seed|$i")
+        if (docId % 10 == 7 && i == 0) ((hv % 4001 + 7) % 4001) - 2000
+        else (hv % 4001) - 2000
+      }
+      val e = s.grouped(Multimodal.AFpWindow)
+        .map(_.map(v => v * v).sum).toIndexedSeq
+      (0 until 64).foldLeft((0L, 0L)) { case ((lo, hi), w) =>
+        if (e(w) > e((w + 1) % 64))
+          if (w < 32) (lo | (1L << w), hi) else (lo, hi | (1L << (w - 32)))
+        else (lo, hi)
+      }
+    }
+    val out = Multimodal.WavFpDecoder.decodePartition(
+      Seq(4L, 27L).map { id =>
+        val p = Multimodal.wavFpPayload(id)
+        MediaRecord(id, p, "audio/wav", p.length.toLong)
+      }.iterator).toSeq
+    out.foreach { h =>
+      val (lo, hi) = refFp(h.doc_id)
+      assert(h.decoded && h.fp_lo == lo && h.fp_hi == hi,
+        s"real-decode fingerprint must equal closed form for ${h.doc_id}")
+    }
+    // wrong geometry (stats fixture wav: stereo/variable frames) is
+    // flagged, not mis-fingerprinted
+    val alien = Multimodal.wavPayload(6L)
+    val rej = Multimodal.WavFpDecoder.decodePartition(Iterator(
+      MediaRecord(6L, alien, "audio/wav", alien.length.toLong))).toSeq
+    assert(rej.exists(r => r.doc_id == 6L && !r.decoded))
+  }
+
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
     import spark.implicits._
     import Multimodal.{MediaRecord, PngStatsDecoder}

@@ -944,6 +944,9 @@ object ScaleProbe {
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[scale-imagedup] n=$n%-8d pairs=$pairs " +
       f"wall=$wall%7.2fs (${n / wall}%.0f docs/s encode+decode+join)")
+    // release this size's persisted fingerprint table (Scratch.track is
+    // scope-gated and no scope is active here) — heavy-neighbor hygiene
+    spark.catalog.clearCache()
   }
 
   /** BoW near-dup cost on the NATURAL-clustering corpus — the

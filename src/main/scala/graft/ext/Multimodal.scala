@@ -2,7 +2,7 @@ package graft.ext
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: media payloads
@@ -458,7 +458,9 @@ object Multimodal {
   /** Deterministic 8×8 RGB PNG per doc with PLANTED perceptual twins:
     * the pixel source is `h32("img|seed|x|y")` split into channel
     * bytes, where ids ≡ 7 (mod 10) reuse the seed of id − 7 and get
-    * one channel of one pixel nudged +3 (mod 256) — a perceptual
+    * one channel of one pixel nudged ±3 WITHOUT mod-wrap (253–255
+    * step down; a wrap would be an ~84-step gray jump that can shift
+    * the aHash mean past the Hamming radius) — a perceptual
     * near-duplicate, not a byte-duplicate. Encoded through the REAL
     * `javax.imageio` PNG writer; h32 is the cross-engine md5-prefix
     * hash, so the DuckDB oracle reproduces every pixel arithmetically.
@@ -476,7 +478,8 @@ object Multimodal {
         var r = (hv % 256).toInt
         val g = ((hv / 256) % 256).toInt
         val b = ((hv / 65536) % 256).toInt
-        if (docId % 10 == 7 && x == 0 && y == 0) r = (r + 3) % 256
+        if (docId % 10 == 7 && x == 0 && y == 0)
+          r = if (r >= 253) r - 3 else r + 3
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -567,15 +570,12 @@ object Multimodal {
     * Hamming check). Expects `(doc_id, fp_lo, fp_hi)` with the 64
     * bits split into two unsigned 32-bit halves.
     */
-  private[ext] def bandedHamming64(fingerprints: DataFrame,
-      maxHamming: Long): DataFrame = {
-    // persist the fingerprint table: the band self-join's two sides
-    // rename columns BEFORE their exchanges, so without a
-    // materialization barrier the decode subtree would run once PER
-    // SIDE — fingerprints are 3 longs/doc, decode is the expensive part
-    val hashes = Scratch.track(fingerprints
-      .select(col("doc_id"), col("fp_lo"), col("fp_hi")).persist())
-    val bands = hashes.select(col("doc_id"), col("fp_lo"),
+  /** The 4×16-bit band table of a `(doc_id, fp_lo, fp_hi)` frame —
+    * shared by the batch screen and [[graft.streaming
+    * .MediaDedupStream]]'s persisted index rows.
+    */
+  def fpBands(fingerprints: DataFrame): DataFrame =
+    fingerprints.select(col("doc_id"), col("fp_lo"),
       col("fp_hi"), explode(array(
         struct(lit(0L).as("band_idx"),
           col("fp_lo").bitwiseAND(lit(65535L)).as("band_val")),
@@ -587,6 +587,22 @@ object Multimodal {
           shiftright(col("fp_hi"), 16).as("band_val")))).as("b"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+
+  /** Exact 64-bit Hamming distance between two (lo, hi) pairs. */
+  def fpHamming(loA: Column, hiA: Column, loB: Column,
+      hiB: Column): Column =
+    (bit_count(loA.bitwiseXOR(loB))
+      + bit_count(hiA.bitwiseXOR(hiB))).cast("long")
+
+  private[ext] def bandedHamming64(fingerprints: DataFrame,
+      maxHamming: Long): DataFrame = {
+    // persist the fingerprint table: the band self-join's two sides
+    // rename columns BEFORE their exchanges, so without a
+    // materialization barrier the decode subtree would run once PER
+    // SIDE — fingerprints are 3 longs/doc, decode is the expensive part
+    val hashes = Scratch.track(fingerprints
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi")).persist())
+    val bands = fpBands(hashes)
     val a = bands.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("fp_lo").as("lo_a"),
       col("fp_hi").as("hi_a"))
@@ -598,8 +614,7 @@ object Multimodal {
       .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
       .distinct() // a pair can collide in several bands
       .withColumn("hamming",
-        (bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
-          + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+        fpHamming(col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
@@ -632,6 +647,26 @@ object Multimodal {
        |  <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Image fingerprints from REAL on-the-wire payload bytes — the
+    * streaming-ingest shape (`(doc_id, payload)` rows; nothing is
+    * re-synthesized from doc_id). Emits `(doc_id, decoded, fp_lo,
+    * fp_hi)`.
+    */
+  def imageFpFromPayload(batch: DataFrame,
+      codec: MediaCodec[ImageAHash] = PngAHashDecoder): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => codec.decodePartition(it.map { case (id, p) =>
+        MediaRecord(id, p, "image/png",
+          if (p == null) 0L else p.length.toLong)
+      }))
+      .toDF()
+      .select(col("doc_id"), col("decoded"),
+        col("ahash_lo").as("fp_lo"), col("ahash_hi").as("fp_hi"))
+  }
+
   /** Perceptual image near-dup — see [[bandedHamming64]] for the
     * screen's shape and guarantees.
     */
@@ -654,7 +689,9 @@ object Multimodal {
       s"""px AS (
          |  SELECT d.doc_id, xs.x, ys.y,
          |    CASE WHEN d.doc_id % 10 = 7 AND xs.x = 0 AND ys.y = 0
-         |      THEN (hv % 256 + 3) % 256 ELSE hv % 256 END AS vr,
+         |      THEN CASE WHEN hv % 256 >= 253 THEN hv % 256 - 3
+         |        ELSE hv % 256 + 3 END
+         |      ELSE hv % 256 END AS vr,
          |    (hv // 256) % 256 AS vg, (hv // 65536) % 256 AS vb
          |  FROM (SELECT doc_id,
          |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
@@ -689,8 +726,13 @@ object Multimodal {
     * the spectral stage simplified to window energy, keeping the
     * arithmetic closed-form for the cross-engine oracle).
     */
+  /** Window count is pinned at 64: the fingerprint IS two 32-bit
+    * halves ([[bandedHamming64]]); scale the resolution via
+    * [[AFpFrames]] and the window size follows.
+    */
+  val AFpWindows = 64
   val AFpFrames = 256
-  val AFpWindow = 4
+  val AFpWindow: Int = AFpFrames / AFpWindows
 
   final case class AudioFp(
     doc_id: Long, decoded: Boolean, fp_lo: Long, fp_hi: Long)
@@ -757,7 +799,7 @@ object Multimodal {
         else {
           val bb = java.nio.ByteBuffer.wrap(in.readAllBytes())
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val nW = AFpFrames / AFpWindow
+          val nW = AFpWindows
           val e = new Array[Long](nW)
           var i = 0
           while (i < AFpFrames) {
@@ -823,7 +865,7 @@ object Multimodal {
          |bits AS (
          |  SELECT a.doc_id, a.w AS idx
          |  FROM energies a JOIN energies b
-         |    ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % 64
+         |    ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % $AFpWindows
          |  WHERE a.e > b.e),
          |hsh AS (
          |  SELECT e.doc_id,

@@ -104,11 +104,18 @@ object Takedown {
           return PurgeStats(0L, 0L, 0L, 0L)
       }
     val partKey = partCols.map(col)
-    // partition values are directory metadata: both counts below read
-    // no row data beyond the pruned id column
-    val partsTotal = index.select(partKey: _*).distinct().count()
-    val affected: Seq[Row] = index.join(idSet, Seq(idCol))
-      .select(partKey: _*).distinct().collect().toIndexedSeq
+    // ONE column-pruned pass discovers the affected partitions AND the
+    // total partition count (the stats field): left-join the broadcast
+    // takedown set and count hits per partition key — the scan reads
+    // only the id column plus directory metadata
+    val partRows: Seq[Row] = index
+      .join(idSet.withColumn("__takedown", lit(1)), Seq(idCol), "left")
+      .groupBy(partKey: _*).agg(count(col("__takedown")).as("__hits"))
+      .collect().toIndexedSeq
+    val partsTotal = partRows.size.toLong
+    val affected: Seq[Row] = partRows
+      .filter(_.getAs[Long]("__hits") > 0L)
+      .map(r => Row.fromSeq(partCols.indices.map(r.get)))
     if (affected.isEmpty) return PurgeStats(0L, partsTotal, 0L, 0L)
 
     // per-column isin prunes the scan to a cartesian superset of the
@@ -179,10 +186,15 @@ object Takedown {
   }
 
   /** Purge an UNPARTITIONED sidecar table (e.g. the BM25 doc-length
-    * table, [[Search.writeDocLengths]]): snapshot-to-temp + swap, the
-    * [[graft.ops.Incidents.compactLog]] discipline. Sidecars are
+    * table, [[Search.writeDocLengths]]): snapshot-to-temp then two
+    * directory renames — the [[graft.ops.Incidents.compactLog]]
+    * discipline, atomic on local FS / HDFS, so a crash leaves either
+    * the old table, the new table, or the old table renamed aside
+    * (recoverable), never a half-deleted live path. Sidecars are
     * narrow summary tables; a full rewrite is their partition-pruned
-    * equivalent. Returns rows removed.
+    * equivalent. Returns rows removed. Total even when the takedown
+    * covers EVERY row: the staged dir is read back with the declared
+    * schema, so a data-less snapshot promotes as a valid empty table.
     */
   def purgeParquet(spark: SparkSession, path: String, idCol: String,
       ids: DataFrame): Long = {
@@ -190,14 +202,20 @@ object Takedown {
     val t = spark.read.parquet(path)
     val removed = t.join(idSet, Seq(idCol), "left_semi").count()
     if (removed == 0L) return 0L
-    val tmp = path + ".purging"
+    val tmp = new org.apache.hadoop.fs.Path(path + ".purging")
     t.join(idSet, Seq(idCol), "left_anti")
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // schema declared: an all-rows-purged snapshot has no part files
+    // to infer from, but is still a valid (empty) table to promote
+    spark.read.schema(t.schema).parquet(tmp.toString).count()
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".pre-purge")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(old, true)
     removed
   }
 

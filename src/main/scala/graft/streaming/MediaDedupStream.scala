@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Multimodal
+
+/** Streaming PERCEPTUAL media ingestion: each micro-batch of
+  * `(doc_id, payload)` image rows is decoded (real codec),
+  * fingerprinted (aHash), and screened against a persistent
+  * fingerprint band index — the [[DedupStream]] discipline applied to
+  * pixels instead of shingles.
+  *
+  * One deliberate difference from DedupStream: the screen here is
+  * EXACT-VERIFIED, not candidate-level. MinHash bands hash a 2⁶⁴
+  * space, so a band collision is evidence; these bands are 16-bit
+  * fingerprint slices, so at n docs a bucket holds ~n/2¹⁶ unrelated
+  * members and candidate-level dropping would false-drop uniques at
+  * scale. The index therefore stores the full fingerprint on each
+  * band row (5 longs/doc-band, 4 rows/doc) and a candidate only drops
+  * after the exact Hamming ≤ [[Multimodal.AHashMaxHamming]] check —
+  * which the banding makes lossless (pigeonhole), so recall is exact.
+  *
+  * Undecodable payloads are REJECTED (counted, not ingested): an
+  * unscreenable blob in a perceptual-dedup corpus is a quality-gate
+  * failure, the same policy as the curation gate.
+  *
+  * Idempotence matches [[EventPipeline.processBatch]]: corpus and
+  * index writes land under their own batch_id partitions with dynamic
+  * overwrite; accumulators move only after both writes commit.
+  */
+object MediaDedupStream {
+
+  final class MediaStats(spark: org.apache.spark.sql.SparkSession)
+      extends Serializable {
+    val seen = spark.sparkContext.longAccumulator("media_seen")
+    val rejected = spark.sparkContext.longAccumulator("media_rejected")
+    val kept = spark.sparkContext.longAccumulator("media_kept")
+    @volatile var lastCommitted: Long = -1L
+  }
+
+  private val IndexCols =
+    Seq("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val")
+
+  /** Batch docs whose fingerprint sits within the Hamming radius of an
+    * index entry, or of an earlier batch-mate (keep-first in batch).
+    */
+  private def dropSet(batchBands: DataFrame, index: DataFrame)
+      : DataFrame = {
+    // no id guard on the index side: a re-sent doc_id is Hamming-0
+    // near its own index entry and must drop (it is already ingested)
+    def near(a: DataFrame, b: DataFrame, keepFirst: Boolean): DataFrame =
+      a.as("a").join(b.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_val") === col("b.band_val")
+            && (if (keepFirst) col("b.doc_id") > col("a.doc_id")
+                else lit(true)))
+        .filter(Multimodal.fpHamming(col("a.fp_lo"), col("a.fp_hi"),
+          col("b.fp_lo"), col("b.fp_hi")) <= Multimodal.AHashMaxHamming)
+        .select(col("b.doc_id"))
+    near(index, batchBands, keepFirst = false)
+      .unionByName(near(batchBands, batchBands, keepFirst = true))
+      .distinct()
+  }
+
+  /** One idempotent micro-batch ingest (the foreachBatch body of
+    * [[start]], extracted so StreamingSpec can replay it).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String, stats: MediaStats): Unit =
+    if (batchId > stats.lastCommitted) {
+      val spark = batch.sparkSession
+      val cached = batch.persist()
+      try {
+        val nSeen = cached.count()
+        if (nSeen == 0) return
+        val fps = Multimodal.imageFpFromPayload(cached).persist()
+        try {
+          val nRejected = fps.filter(!col("decoded")).count()
+          val bands = Multimodal.fpBands(
+            fps.filter(col("decoded"))
+              .select("doc_id", "fp_lo", "fp_hi"))
+          val index = BatchIndex.readBefore(spark, indexPath, batchId,
+            IndexCols, bands.limit(0))
+          val drops = dropSet(bands, index).persist()
+          val keptBands = bands
+            .join(broadcast(drops), Seq("doc_id"), "left_anti")
+          val survivors = cached
+            .join(fps.filter(col("decoded")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .join(broadcast(drops), Seq("doc_id"), "left_anti")
+            .persist()
+          val nKept = survivors.count()
+          BatchIndex.writePartition(survivors, batchId, corpusPath)
+          BatchIndex.writePartition(keptBands, batchId, indexPath)
+          stats.seen.add(nSeen)
+          stats.rejected.add(nRejected)
+          stats.kept.add(nKept)
+          stats.lastCommitted = batchId
+          drops.unpersist(); survivors.unpersist()
+          ()
+        } finally { fps.unpersist(); () }
+      } finally { cached.unpersist(); () }
+    }
+
+  /** Fold the fingerprint index's per-batch partitions into one
+    * distinct partition ([[BatchIndex.compact]] — stream stopped only).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long) =
+    BatchIndex.compact(spark, indexPath, IndexCols)
+
+  /** Attach the perceptual-dedup ingest to a `(doc_id, payload)`
+    * stream.
+    */
+  def start(stream: DataFrame, corpusPath: String, indexPath: String,
+      checkpointDir: String, stats: MediaStats,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, corpusPath, indexPath, stats)
+      }
+      .start()
+}

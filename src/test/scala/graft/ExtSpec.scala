@@ -985,11 +985,21 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == twins,
       "band join + Hamming gate must find every twin and nothing else")
     assert(pairs.forall(_.getLong(2) <= Multimodal.AHashMaxHamming))
-    // the +3-on-one-channel nudge is perceptual, not byte-identity:
+    // the ±3-on-one-channel nudge is perceptual, not byte-identity:
     // payload bytes differ even when the aHash agrees
     val t = twins.head
     assert(!java.util.Arrays.equals(Multimodal.pngHashPayload(t._1),
       Multimodal.pngHashPayload(t._2)))
+    // the nudge must NOT mod-wrap: a seed whose pixel(0,0) red channel
+    // is 253-255 (the would-wrap zone) must still pair with its twin
+    import spark.implicits._
+    val hotSeed = Iterator.from(0, 10).map(_.toLong).find(s =>
+      graft.ext.Hashing.jvmH32(s"img|$s|0|0") % 256 >= 253).get
+    val hotPair = Multimodal.imageNearDups(
+      Seq(hotSeed, hotSeed + 7).toDF("doc_id")).collect()
+    assert(hotPair.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((hotSeed, hotSeed + 7)),
+      s"high-channel twin (seed $hotSeed) must survive the nudge")
   }
 
   test("aHash real decode equals the closed form; malformed payload excluded") {
@@ -1001,7 +1011,8 @@ class ExtSpec extends AnyFunSuite {
       val gray = for (y <- 0 until 8; x <- 0 until 8) yield {
         val hv = graft.ext.Hashing.jvmH32(s"img|$seed|$x|$y")
         var r = hv % 256
-        if (docId % 10 == 7 && x == 0 && y == 0) r = (r + 3) % 256
+        if (docId % 10 == 7 && x == 0 && y == 0)
+          r = if (r >= 253) r - 3 else r + 3
         (r + (hv / 256) % 256 + (hv / 65536) % 256) / 3
       }
       val sum = gray.sum

@@ -1217,4 +1217,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(rec.sent.size == 1)
     assert(stats.alertsSent == 1L)
   }
+
+  test("streaming media dedup: perceptual screen, reject gate, replay idempotent") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    import graft.streaming.MediaDedupStream
+    val corpusDir = Files.createTempDirectory("med_corpus").toString
+    val indexDir = Files.createTempDirectory("med_index").toString
+    val stats = new MediaDedupStream.MediaStats(spark)
+    def img(id: Long) = Multimodal.pngHashPayload(id)
+    def batchDf(rows: (Long, Array[Byte])*) =
+      rows.toSeq.toDF("doc_id", "payload")
+    def corpusIds = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // batch 0: two distinct images, an IN-BATCH perceptual twin
+    // (17's pixels are 10's with one channel nudged — different
+    // BYTES), and an undecodable blob
+    MediaDedupStream.processBatch(
+      batchDf((10L, img(10)), (20L, img(20)), (17L, img(17)),
+        (99L, "not a png".getBytes("UTF-8"))),
+      0L, corpusDir, indexDir, stats)
+    assert(stats.seen.value == 4 && stats.rejected.value == 1
+      && stats.kept.value == 2)
+    assert(corpusIds == Set(10L, 20L),
+      "in-batch perceptual twin must drop (keep-first), blob rejected")
+
+    // batch 1: a CROSS-BATCH twin of indexed 20, a genuinely new
+    // image, and a byte-identical re-send of ingested 10 (Hamming 0
+    // against its own index entry -> must not duplicate the corpus)
+    val b1 = batchDf((27L, img(27)), (30L, img(30)), (10L, img(10)))
+    MediaDedupStream.processBatch(b1, 1L, corpusDir, indexDir, stats)
+    assert(stats.kept.value == 3)
+    assert(corpusIds == Set(10L, 20L, 30L))
+
+    // same-driver replay: skipped outright
+    MediaDedupStream.processBatch(b1, 1L, corpusDir, indexDir, stats)
+    assert(stats.kept.value == 3)
+
+    // recovery replay (fresh driver, partial state on disk): the batch
+    // rewrites its own partitions, never collides with its first try
+    val fresh = new MediaDedupStream.MediaStats(spark)
+    fresh.lastCommitted = 0L
+    MediaDedupStream.processBatch(b1, 1L, corpusDir, indexDir, fresh)
+    assert(corpusIds == Set(10L, 20L, 30L))
+    assert(spark.read.parquet(indexDir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(10L, 20L, 30L))
+
+    // compaction folds to batch_id=-1 and the index still screens
+    val (mBefore, mAfter) =
+      MediaDedupStream.compactIndex(spark, indexDir)
+    assert(mAfter == mBefore) // 4 band rows per doc, all unique
+    MediaDedupStream.processBatch(
+      batchDf((37L, img(37)), (40L, img(40))),
+      2L, corpusDir, indexDir, stats)
+    assert(corpusIds == Set(10L, 20L, 30L, 40L),
+      "twin of 30 must screen against the compacted index")
+  }
 }

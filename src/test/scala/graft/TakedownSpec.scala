@@ -153,6 +153,21 @@ class TakedownSpec extends AnyFunSuite {
       "purged doc must not resurface as a dedup match")
   }
 
+  test("sidecar purge survives a takedown that covers every row") {
+    import spark.implicits._
+    val path = tmpDir("tdall") + "/dl"
+    Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "dl")
+      .write.parquet(path)
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    assert(Takedown.purgeParquet(spark, path, "doc_id", ids) == 2L)
+    // the live path is a valid (empty) table for schema-declared readers
+    assert(spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(path)
+      .count() == 0L)
+    // and no stage dirs leak
+    assert(!new java.io.File(path + ".purging").exists())
+    assert(!new java.io.File(path + ".pre-purge").exists())
+  }
+
   test("takedown audit equals what purged() actually produces") {
     val ids = Takedown.takedownSet(docs)
     val audit = Takedown.takedownAudit(docs).collect()

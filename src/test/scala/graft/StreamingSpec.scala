@@ -1273,5 +1273,26 @@ class StreamingSpec extends AnyFunSuite {
       2L, corpusDir, indexDir, stats)
     assert(corpusIds == Set(10L, 20L, 30L, 40L),
       "twin of 30 must screen against the compacted index")
+
+    // an EMPTY micro-batch is a no-op (rate sources open with one —
+    // the round-11 SketchStream lesson)
+    val keptBefore = stats.kept.value
+    MediaDedupStream.processBatch(batchDf(), 3L, corpusDir,
+      indexDir, stats)
+    assert(stats.kept.value == keptBefore
+      && corpusIds == Set(10L, 20L, 30L, 40L))
+
+    // takedown composes: purge 30 from the media index, and a
+    // re-ingested perceptual twin of 30 (doc 37, dropped above) is
+    // READMITTED — the screen has genuinely forgotten the content
+    import graft.ext.Takedown
+    val ids = Seq(30L).toDF("doc_id")
+    val st = Takedown.purgeIndex(spark, indexDir, "doc_id", ids,
+      Seq("batch_id"))
+    assert(st.rowsRemoved == 4L) // 4 band rows per doc
+    MediaDedupStream.processBatch(batchDf((37L, img(37))), 4L,
+      corpusDir, indexDir, stats)
+    assert(corpusIds.contains(37L),
+      "takedown of 30 must readmit its perceptual twin")
   }
 }

@@ -288,6 +288,28 @@ class PlanAuditSpec extends AnyFunSuite {
          |missing:    ${(globalWindowAllowance.toSet -- globalWindowCounts.toSet).toSeq.sorted}""".stripMargin)
   }
 
+  test("round-11 continuation plans keep their intended shapes") {
+    // takedown audit: ONE column-pruned scan (doc_id + source only)
+    // into one combined aggregate — no join, no window, no second scan
+    val ta = plans("takedown_audit")
+    assert(!ta.contains("Join") && !ta.contains("Window"), ta)
+    assert(ta.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"audit must scan only doc_id+source:\n$ta")
+    // zipf fit: the rank window partitions by source (vocabulary-sized
+    // partitions, never a single-partition funnel of the token stream)
+    val zf = plans("zipf_fit")
+    assert(zf.contains("Window"), zf)
+    // media near-dup: the fingerprint table must be served from the
+    // persist barrier (decode-once across the self-join's two sides —
+    // without it the codec subtree plans once PER side)
+    for (q <- Seq("image_near_dups", "audio_near_dups")) {
+      val p = plans(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must read fingerprints from the persist barrier:\n$p")
+      assert(!p.contains("ImageIO") || p.contains("InMemoryRelation"), p)
+    }
+  }
+
   test("broadcast joins carry the bounded dimension sides") {
     // the headline fact⋈dims rollups must broadcast, not shuffle, dims
     assert(plans("revenue_by_region").contains("BroadcastHashJoin"))

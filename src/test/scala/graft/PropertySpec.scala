@@ -324,4 +324,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bandedHamming64 equals brute force on random fingerprints (lossless at radius 3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    def rand32() = rnd.nextInt().toLong & 0xFFFFFFFFL
+    val base = (0 until 250).map(i => (i.toLong, rand32(), rand32()))
+    // plant neighbors at every distance 0..6 off the first base rows:
+    // distances 0-3 MUST pair, 4-6 MUST NOT (the radius is exact)
+    def flipBits(lo: Long, hi: Long, k: Int): (Long, Long) = {
+      val pos = rnd.shuffle((0 until 64).toList).take(k)
+      pos.foldLeft((lo, hi)) { case ((l, h), p) =>
+        if (p < 32) (l ^ (1L << p), h) else (l, h ^ (1L << (p - 32)))
+      }
+    }
+    val planted = (0 to 6).map { d =>
+      val (_, lo, hi) = base(d)
+      val (fl, fh) = flipBits(lo, hi, d)
+      (1000L + d, fl, fh)
+    }
+    val all = base ++ planted
+    val out = graft.ext.Multimodal.bandedHamming64(
+        all.toDF("doc_id", "fp_lo", "fp_hi"), 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Long =
+      (java.lang.Long.bitCount(a._2 ^ b._2)
+        + java.lang.Long.bitCount(a._3 ^ b._3)).toLong
+    val brute = (for {
+      a <- all; b <- all if a._1 < b._1
+      d = ham(a, b) if d <= 3
+    } yield (a._1, b._1, d)).toSet
+    assert(out == brute,
+      s"banding must be lossless: missed ${brute -- out}, " +
+        s"extra ${out -- brute}")
+    // the planted ladder really exercised both sides of the radius
+    (0 to 3).foreach(d => assert(
+      out.contains((d.toLong, 1000L + d, d.toLong)), s"distance $d"))
+    (4 to 6).foreach(d => assert(
+      !out.exists(p => p._1 == d.toLong && p._2 == 1000L + d),
+      s"distance $d must not pair"))
+  }
 }

@@ -291,6 +291,32 @@ object RunStream {
       return
     }
 
+    // `media` mode: the streaming PERCEPTUAL dedup leg — rate stream →
+    // real PNG encode (planted twins, ids ≡ 7 mod 10) →
+    // MediaDedupStream (decode → aHash → exact-verified band screen →
+    // corpus + fingerprint index). Measures sustained images/s of the
+    // full codec + screen path (recorded in SCALING.md)
+    if (wire == "media") {
+      import spark.implicits._
+      val stats = new graft.streaming.MediaDedupStream.MediaStats(spark)
+      val media = rate.select(col("value").as("doc_id")).as[Long]
+        .map(id => (id, graft.ext.Multimodal.pngHashPayload(id)))
+        .toDF("doc_id", "payload")
+      val q = graft.streaming.MediaDedupStream.start(media,
+        s"$outDir/corpus_md", s"$outDir/index_md", s"$outDir/ckpt_md",
+        stats, Trigger.ProcessingTime("5 seconds"))
+      EventPipeline.runBounded(q, seconds * 1000L)
+      val sink = committedRows(spark, s"$outDir/corpus_md",
+        stats.lastCommitted)
+      println(s"[stream-media] seen=${stats.seen.value} " +
+        s"rejected=${stats.rejected.value} kept=${stats.kept.value} " +
+        s"sink=$sink " +
+        f"keptRate=${stats.kept.value.toDouble / math.max(stats.seen.value, 1)}%.4f " +
+        f"imagesPerSec=${stats.seen.value.toDouble / seconds}%.0f")
+      spark.stop()
+      return
+    }
+
     // `dedup` mode: document stream with a planted 10% duplicate rate
     // (every value ≡ 7 (mod 10) repeats the text of value − 7) through
     // the incremental near-dup ingest — measures sustained docs/s of

@@ -219,6 +219,57 @@ object Takedown {
     removed
   }
 
+  /** A deployment artifact [[propagate]] purges: a hive-partitioned
+    * index or a flat sidecar table. `idCol` names the document-id
+    * column AS THAT ARTIFACT STORES IT (`vec_id` in the IVF index,
+    * `doc_id` elsewhere).
+    */
+  sealed trait Artifact { def name: String }
+  final case class PartitionedIndex(name: String, path: String,
+      idCol: String, partCols: Seq[String]) extends Artifact
+  final case class FlatTable(name: String, path: String,
+      idCol: String) extends Artifact
+
+  /** Per-artifact outcome of a [[propagate]] run; `leftover` is the
+    * convergence audit re-read AFTER the purge (0 = complete).
+    */
+  final case class ArtifactPurge(artifact: String, rowsRemoved: Long,
+      partsTotal: Long, partsRewritten: Long, partsDeleted: Long,
+      leftover: Long)
+
+  /** One-call takedown across a deployment's whole artifact set: purge
+    * every artifact and re-audit each one. `ids` is a ONE-COLUMN frame
+    * (any column name — it is re-labeled per artifact's `idCol`).
+    * Artifacts are processed independently; a completed propagate has
+    * every `leftover == 0`, and a crashed one re-runs to convergence
+    * because each underlying purge does.
+    */
+  def propagate(spark: SparkSession, ids: DataFrame,
+      artifacts: Seq[Artifact]): Seq[ArtifactPurge] = {
+    require(ids.columns.length == 1,
+      "ids must be a one-column takedown frame")
+    def idsAs(c: String) = ids.toDF(c)
+    def leftoverOf(path: String, idCol: String): Long =
+      try leftoverCount(spark.read.parquet(path), idsAs(idCol), idCol)
+      catch {
+        case e: AnalysisException
+            if e.getCondition != null
+              && (e.getCondition.contains("PATH_NOT_FOUND")
+                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          0L // fully-purged artifact with no data files left
+      }
+    artifacts.map {
+      case PartitionedIndex(n, p, idc, pcs) =>
+        val s = purgeIndex(spark, p, idc, idsAs(idc), pcs)
+        ArtifactPurge(n, s.rowsRemoved, s.partsTotal, s.partsRewritten,
+          s.partsDeleted, leftoverOf(p, idc))
+      case FlatTable(n, p, idc) =>
+        val removed = purgeParquet(spark, p, idc, idsAs(idc))
+        ArtifactPurge(n, removed, 1L, if (removed > 0) 1L else 0L, 0L,
+          leftoverOf(p, idc))
+    }
+  }
+
   /** The fixture takedown predicate for the verified audit: a
     * deterministic pseudo-arbitrary ~2.4% slice (doc_id ≡ 7 mod 41),
     * expressible identically in both engines. A real deployment passes

@@ -168,6 +168,37 @@ class TakedownSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".pre-purge").exists())
   }
 
+  test("propagate: one call purges the whole artifact set to leftover 0") {
+    import spark.implicits._
+    val root = tmpDir("tdprop")
+    Similarity.writeIvfIndex(emb, s"$root/ivf")
+    Search.writePostingsIndex(docs, s"$root/postings")
+    Search.writeDocLengths(docs, s"$root/dl")
+    Dedup.writeBandIndex(docs, s"$root/bands")
+    // the doc set maps 1:1 onto vec ids in the fixtures
+    val ids = Takedown.takedownSet(docs)
+      .filter(col("doc_id") >= Similarity.NumQueries) // keep anchors
+    val out = Takedown.propagate(spark, ids, Seq(
+      Takedown.PartitionedIndex("ivf", s"$root/ivf/data", "vec_id",
+        Seq("cell", "batch_id")),
+      Takedown.PartitionedIndex("postings", s"$root/postings", "doc_id",
+        Seq("bucket", "batch_id")),
+      Takedown.FlatTable("doc_lengths", s"$root/dl", "doc_id"),
+      Takedown.FlatTable("band_index", s"$root/bands", "doc_id")))
+    assert(out.map(_.artifact)
+      == Seq("ivf", "postings", "doc_lengths", "band_index"))
+    out.foreach { a =>
+      assert(a.rowsRemoved > 0L, s"${a.artifact}: nothing purged")
+      assert(a.leftover == 0L, s"${a.artifact}: takedown incomplete")
+    }
+    // re-propagate converges to an all-zero no-op
+    val again = Takedown.propagate(spark, ids, Seq(
+      Takedown.PartitionedIndex("ivf", s"$root/ivf/data", "vec_id",
+        Seq("cell", "batch_id")),
+      Takedown.FlatTable("doc_lengths", s"$root/dl", "doc_id")))
+    assert(again.forall(a => a.rowsRemoved == 0L && a.leftover == 0L))
+  }
+
   test("takedown audit equals what purged() actually produces") {
     val ids = Takedown.takedownSet(docs)
     val audit = Takedown.takedownAudit(docs).collect()

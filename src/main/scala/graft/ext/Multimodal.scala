@@ -594,7 +594,7 @@ object Multimodal {
     (bit_count(loA.bitwiseXOR(loB))
       + bit_count(hiA.bitwiseXOR(hiB))).cast("long")
 
-  def bandedHamming64(fingerprints: DataFrame,
+  private[graft] def bandedHamming64(fingerprints: DataFrame,
       maxHamming: Long): DataFrame = {
     // persist the fingerprint table: the band self-join's two sides
     // rename columns BEFORE their exchanges, so without a

@@ -198,21 +198,40 @@ object Takedown {
     */
   def purgeParquet(spark: SparkSession, path: String, idCol: String,
       ids: DataFrame): Long = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".pre-purge")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".purging")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      live.toUri, spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST, so a re-run always converges: a death
+    // between the two promote renames leaves only the aside copy
+    // (restore it); a death after the promote leaves a stale aside
+    // snapshot that still holds every taken-down row (remove it —
+    // right-to-be-forgotten is not complete while it exists); a stale
+    // stage dir is always dead weight
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"could not restore $old")
+    else fs.delete(old, true)
+    fs.delete(tmp, true)
     val idSet = broadcast(ids.select(col(idCol)).distinct())
-    val t = spark.read.parquet(path)
+    val t =
+      try spark.read.parquet(path)
+      catch {
+        // a previous run purged every row: the live dir exists but has
+        // no schema-bearing files — nothing left to purge (a MISSING
+        // path still throws: that is a caller error, not convergence)
+        case e: AnalysisException
+            if e.getCondition != null
+              && e.getCondition.contains("UNABLE_TO_INFER_SCHEMA") =>
+          return 0L
+      }
     val removed = t.join(idSet, Seq(idCol), "left_semi").count()
     if (removed == 0L) return 0L
-    val tmp = new org.apache.hadoop.fs.Path(path + ".purging")
     t.join(idSet, Seq(idCol), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // schema declared: an all-rows-purged snapshot has no part files
     // to infer from, but is still a valid (empty) table to promote
     spark.read.schema(t.schema).parquet(tmp.toString).count()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + ".pre-purge")
-    fs.delete(old, true)
     require(fs.rename(live, old), s"could not stage $live aside")
     require(fs.rename(tmp, live), s"could not promote $tmp")
     fs.delete(old, true)
@@ -248,26 +267,46 @@ object Takedown {
       artifacts: Seq[Artifact]): Seq[ArtifactPurge] = {
     require(ids.columns.length == 1,
       "ids must be a one-column takedown frame")
-    def idsAs(c: String) = ids.toDF(c)
-    def leftoverOf(path: String, idCol: String): Long =
-      try leftoverCount(spark.read.parquet(path), idsAs(idCol), idCol)
-      catch {
-        case e: AnalysisException
-            if e.getCondition != null
-              && (e.getCondition.contains("PATH_NOT_FOUND")
-                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
-          0L // fully-purged artifact with no data files left
-      }
-    artifacts.map {
-      case PartitionedIndex(n, p, idc, pcs) =>
-        val s = purgeIndex(spark, p, idc, idsAs(idc), pcs)
-        ArtifactPurge(n, s.rowsRemoved, s.partsTotal, s.partsRewritten,
-          s.partsDeleted, leftoverOf(p, idc))
-      case FlatTable(n, p, idc) =>
-        val removed = purgeParquet(spark, p, idc, idsAs(idc))
-        ArtifactPurge(n, removed, 1L, if (removed > 0) 1L else 0L, 0L,
-          leftoverOf(p, idc))
+    // fail FAST on a missing artifact path, before purging anything: a
+    // typo'd path reported as "leftover 0" would read as a completed
+    // takedown while the real artifact still serves every document
+    artifacts.foreach { a =>
+      val p = new org.apache.hadoop.fs.Path(a match {
+        case PartitionedIndex(_, path, _, _) => path
+        case FlatTable(_, path, _) => path
+      })
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      // the aside copy counts: a crash between purgeParquet's renames
+      // leaves only <path>.pre-purge, which its re-run restores
+      require(fs.exists(p)
+          || fs.exists(new org.apache.hadoop.fs.Path(p + ".pre-purge")),
+        s"takedown artifact '${a.name}' not found at $p")
     }
+    // the purges below each fire several actions; evaluate the caller's
+    // ids lineage once, not once per action per artifact
+    val cached = ids.persist()
+    try {
+      def idsAs(c: String) = cached.toDF(c)
+      def leftoverOf(path: String, idCol: String): Long =
+        try leftoverCount(spark.read.parquet(path), idsAs(idCol), idCol)
+        catch {
+          case e: AnalysisException
+              if e.getCondition != null
+                && e.getCondition.contains("UNABLE_TO_INFER_SCHEMA") =>
+            0L // fully-purged artifact with no data files left
+        }
+      artifacts.map {
+        case PartitionedIndex(n, p, idc, pcs) =>
+          val s = purgeIndex(spark, p, idc, idsAs(idc), pcs)
+          ArtifactPurge(n, s.rowsRemoved, s.partsTotal, s.partsRewritten,
+            s.partsDeleted, leftoverOf(p, idc))
+        case FlatTable(n, p, idc) =>
+          val removed = purgeParquet(spark, p, idc, idsAs(idc))
+          ArtifactPurge(n, removed, 1L, if (removed > 0) 1L else 0L, 0L,
+            leftoverOf(p, idc))
+      }
+    } finally { cached.unpersist(); () }
   }
 
   /** The fixture takedown predicate for the verified audit: a

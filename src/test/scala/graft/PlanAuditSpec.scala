@@ -301,12 +301,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(zf.contains("Window"), zf)
     // media near-dup: the fingerprint table must be served from the
     // persist barrier (decode-once across the self-join's two sides —
-    // without it the codec subtree plans once PER side)
+    // without it the codec subtree plans once PER side). The real
+    // guard: the decode MapPartitions stage must not appear in the
+    // query's own physical tree at all — it lives only inside the
+    // cached relation the InMemoryTableScans read
     for (q <- Seq("image_near_dups", "audio_near_dups")) {
       val p = plans(q)
       assert(p.contains("InMemoryTableScan"),
         s"$q must read fingerprints from the persist barrier:\n$p")
-      assert(!p.contains("ImageIO") || p.contains("InMemoryRelation"), p)
+      val decodeNodes = physical(q).collect {
+        case n if n.getClass.getSimpleName.contains("MapPartitions") => n
+      }
+      assert(decodeNodes.isEmpty,
+        s"$q plans the codec stage ${decodeNodes.size}× outside the " +
+          s"persist barrier (decode would run per join side):\n$p")
     }
   }
 

@@ -166,6 +166,59 @@ class TakedownSpec extends AnyFunSuite {
     // and no stage dirs leak
     assert(!new java.io.File(path + ".purging").exists())
     assert(!new java.io.File(path + ".pre-purge").exists())
+    // a RE-RUN over the emptied table converges to 0, not a crash
+    assert(Takedown.purgeParquet(spark, path, "doc_id", ids) == 0L)
+  }
+
+  test("sidecar purge recovers both crash windows of the rename swap") {
+    import spark.implicits._
+    val ids = Seq(1L).toDF("doc_id")
+    def freshTable(): String = {
+      val p = tmpDir("tdcrash") + "/dl"
+      Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "dl").write.parquet(p)
+      p
+    }
+    // window 1: death BETWEEN the renames — only the aside copy exists.
+    // The re-run must restore it and complete the purge.
+    val p1 = freshTable()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p1), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(p1),
+      new org.apache.hadoop.fs.Path(p1 + ".pre-purge"))
+    assert(Takedown.purgeParquet(spark, p1, "doc_id", ids) == 1L)
+    assert(spark.read.parquet(p1).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(!new java.io.File(p1 + ".pre-purge").exists())
+    // window 2: death AFTER the promote but before the aside delete —
+    // the stale snapshot still holds every taken-down row. The re-run
+    // (even a no-op one) must remove it: takedown is not complete
+    // while a readable pre-purge copy exists.
+    val p2 = freshTable()
+    assert(Takedown.purgeParquet(spark, p2, "doc_id", ids) == 1L)
+    val stale = new org.apache.hadoop.fs.Path(p2 + ".pre-purge")
+    fs.mkdirs(stale)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(p2), fs, stale, false, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(Takedown.purgeParquet(spark, p2, "doc_id", ids) == 0L)
+    assert(!new java.io.File(p2 + ".pre-purge").exists(),
+      "converged re-run must remove the stale pre-purge snapshot")
+    // a genuinely MISSING path is a caller error, not convergence
+    intercept[Exception] {
+      Takedown.purgeParquet(spark, p2 + "_nope", "doc_id", ids)
+    }
+    ()
+  }
+
+  test("propagate fails fast on a missing artifact path") {
+    import spark.implicits._
+    val ids = Seq(1L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Takedown.propagate(spark, ids, Seq(
+        Takedown.FlatTable("ghost", "/tmp/graft_no_such_artifact",
+          "doc_id")))
+    }
+    assert(e.getMessage.contains("ghost"))
   }
 
   test("propagate: one call purges the whole artifact set to leftover 0") {

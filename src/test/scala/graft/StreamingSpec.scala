@@ -1282,14 +1282,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.kept.value == keptBefore
       && corpusIds == Set(10L, 20L, 30L, 40L))
 
-    // takedown composes: purge 30 from the media index, and a
-    // re-ingested perceptual twin of 30 (doc 37, dropped above) is
-    // READMITTED — the screen has genuinely forgotten the content
+    // takedown composes — and the CORPUS is the artifact that holds
+    // the actual payload bytes, so a real takedown purges both: after
+    // one propagate over corpus + index, doc 30's content is gone
+    // everywhere, and a re-ingested perceptual twin of 30 (doc 37,
+    // dropped above) is READMITTED — the screen has genuinely
+    // forgotten the content
     import graft.ext.Takedown
     val ids = Seq(30L).toDF("doc_id")
-    val st = Takedown.purgeIndex(spark, indexDir, "doc_id", ids,
-      Seq("batch_id"))
-    assert(st.rowsRemoved == 4L) // 4 band rows per doc
+    val out = Takedown.propagate(spark, ids, Seq(
+      Takedown.PartitionedIndex("media_corpus", corpusDir, "doc_id",
+        Seq("batch_id")),
+      Takedown.PartitionedIndex("media_index", indexDir, "doc_id",
+        Seq("batch_id"))))
+    assert(out.map(a => a.artifact -> a.rowsRemoved)
+      == Seq("media_corpus" -> 1L, "media_index" -> 4L))
+    assert(out.forall(_.leftover == 0L))
+    assert(!corpusIds.contains(30L), "payload bytes must be gone")
     MediaDedupStream.processBatch(batchDf((37L, img(37))), 4L,
       corpusDir, indexDir, stats)
     assert(corpusIds.contains(37L),

@@ -949,6 +949,36 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Audio near-dup cost at n docs — the WAV twin of
+    * [[imageDupProbe]]: encode → real javax.sound decode →
+    * energy-delta fingerprint → the same shared band join.
+    * `sbt "runMain graft.ScaleProbe audiodup 320000 1280000"`.
+    */
+  def audioDupProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ext.Multimodal.audioNearDups(docs).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-audiodup] n=$n%-8d pairs=$pairs " +
+      f"wall=$wall%7.2fs (${n / wall}%.0f docs/s encode+decode+join)")
+    spark.catalog.clearCache() // release the fingerprint persist
+  }
+
+  /** Video near-dup cost at n docs — GVID mux → demux → per-frame real
+    * PNG decode ([[Multimodal.VFpFrames]]× the image probe's codec
+    * work) → temporal-delta pooling → the same shared band join.
+    * `sbt "runMain graft.ScaleProbe videodup 320000 1280000"`.
+    */
+  def videoDupProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ext.Multimodal.videoNearDups(docs).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-videodup] n=$n%-8d pairs=$pairs " +
+      f"wall=$wall%7.2fs (${n / wall}%.0f docs/s mux+demux+decode+join)")
+    spark.catalog.clearCache() // release the fingerprint persist
+  }
+
   /** BoW near-dup cost on the NATURAL-clustering corpus — the
     * word-salad probe is the degenerate case (a handful of giant
     * buckets); this one pins that topic-shaped clustering (hundreds of
@@ -987,12 +1017,15 @@ object ScaleProbe {
     val recallfMode = args.headOption.contains("recallf")
     val takedownMode = args.headOption.contains("takedown")
     val imageDupMode = args.headOption.contains("imagedup")
+    val audioDupMode = args.headOption.contains("audiodup")
+    val videoDupMode = args.headOption.contains("videodup")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
           || servedMode || bowMode || bowNatMode || recallfMode
-          || takedownMode || imageDupMode)
+          || takedownMode || imageDupMode || audioDupMode
+          || videoDupMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1093,6 +1126,16 @@ object ScaleProbe {
     }
     if (imageDupMode) {
       sizes.foreach(imageDupProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (audioDupMode) {
+      sizes.foreach(audioDupProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (videoDupMode) {
+      sizes.foreach(videoDupProbe(spark, _))
       spark.stop()
       return
     }

@@ -938,6 +938,11 @@ object SparkEntry {
     "audio_near_dups" -> ((s, dir) =>
       Multimodal.audioNearDups(tables(s, dir).documents)),
 
+    // perceptual video near-dup: GVID demux + per-frame REAL PNG decode
+    // + signed temporal pooling (frame-order sensitive), same band screen
+    "video_near_dups" -> ((s, dir) =>
+      Multimodal.videoNearDups(tables(s, dir).documents)),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1730,6 +1735,7 @@ object SparkEntry {
     "multimodal_image_stats" -> Multimodal.imageStatsSql,
     "image_near_dups" -> Multimodal.imageNearDupsSql,
     "audio_near_dups" -> Multimodal.audioNearDupsSql,
+    "video_near_dups" -> Multimodal.videoNearDupsSql,
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

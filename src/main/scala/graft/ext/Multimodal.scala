@@ -361,6 +361,61 @@ object Multimodal {
     })
   }
 
+  /** Per-partition audio-open context — the "allocate the codec
+    * context once per partition" contract [[MediaCodec]] documents,
+    * and a measured 75× decode-stage win at local[32]:
+    *
+    * `AudioSystem.getAudioInputStream` funnels EVERY call through
+    * `JDK13Services.getProviders` — a `static synchronized` method —
+    * and then offers the bytes to each SPI reader in registration
+    * order (AIFF, AU, SoftMidi, … before WAV), so the hot path pays a
+    * global monitor plus a ladder of fill-in-stack-trace rejections
+    * per record. Measured: 32 decode threads through AudioSystem run
+    * at ~10 k docs/s TOTAL (slower than ONE thread's 27 k/s — negative
+    * scaling); dispatching straight to the accepting reader runs at
+    * ~890 k docs/s (SCALING.md "Perceptual audio near-dup").
+    *
+    * The opener resolves the SPI list once, then remembers which
+    * reader accepted the last payload and tries it first — partitions
+    * are format-homogeneous in practice, so after the first record
+    * every open is one direct, lock-free call. Rejects fall back to
+    * the full scan and finally to `AudioSystem` (exotic-JRE safety),
+    * paying the ladder only on the reject path where throughput is
+    * moot.
+    */
+  private[ext] final class AudioOpener {
+    private val readers: IndexedSeq[
+        javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.toIndexedSeq
+    }
+    private var hint = -1
+    def open(payload: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      if (hint >= 0) {
+        try return readers(hint).getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => hint = -1 }
+      }
+      var i = 0
+      while (i < readers.length) {
+        try {
+          val in = readers(i).getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          hint = i
+          return in
+        } catch { case scala.util.control.NonFatal(_) => () }
+        i += 1
+      }
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+    }
+  }
+
   /** The real audio codec behind the seam: `javax.sound.sampled` WAV
     * parse (JDK ships it — no external deps). One decode context per
     * partition; rejected payloads yield `decoded = false` rows.
@@ -369,10 +424,11 @@ object Multimodal {
     private def failRow(id: Long) =
       AudioStats(id, decoded = false, 0L, 0L, 0L, 0L, 0L, 0L)
     override def decodePartition(records: Iterator[MediaRecord])
-        : Iterator[AudioStats] = records.map { r =>
+        : Iterator[AudioStats] = {
+      val opener = new AudioOpener // once per partition, not per record
+      records.map { r =>
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        val in = opener.open(r.payload)
         val f = in.getFormat
         if (f.getSampleSizeInBits != 16 || f.isBigEndian) failRow(r.doc_id)
         else {
@@ -397,6 +453,7 @@ object Multimodal {
             f.getSampleRate.toLong, ch.toLong, frames, sum, sq, ck)
         }
       } catch { case _: Exception => failRow(r.doc_id) }
+      }
     }
   }
 
@@ -494,10 +551,31 @@ object Multimodal {
   def pngHashRecords(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    spreadIds(documents).mapPartitions(_.map { id =>
       val p = pngHashPayload(id)
       MediaRecord(id, p, "image/png", p.length.toLong)
     })
+  }
+
+  /** Round-robin-spread the doc_id projection across the executor
+    * cores before a codec stage. Decode cost is per-PAYLOAD, not
+    * per-byte of input, so inheriting the scan's partitioning — often
+    * ONE small parquet file — serializes the whole codec chain on one
+    * thread: measured at sf0.1 local[32], `video_near_dups` ran its
+    * 60 k ImageIO ops in 2.76 s single-threaded vs ~0.4 s spread
+    * (SCALING.md). The exchange moves 8-byte ids, never payloads; at
+    * cluster scale the scan is already wide and the rebalance is a
+    * cheap guard that also evens payload-size skew across cores. Only
+    * the id-projection generators spread — the payload-carrying stats
+    * paths ([[mediaRecords]], [[pngRecords]], [[wavRecords]]) keep
+    * their pinned no-shuffle shape, because shuffling real payload
+    * bytes is exactly what a production decode stage must not do.
+    */
+  private def spreadIds(documents: DataFrame): Dataset[Long] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Average-hash through the real decode: gray = (r+g+b) div 3 per
@@ -774,7 +852,7 @@ object Multimodal {
   def wavFpRecords(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    spreadIds(documents).mapPartitions(_.map { id =>
       val p = wavFpPayload(id)
       MediaRecord(id, p, "audio/wav", p.length.toLong)
     })
@@ -788,10 +866,11 @@ object Multimodal {
   object WavFpDecoder extends MediaCodec[AudioFp] {
     private def fail(id: Long) = AudioFp(id, decoded = false, 0L, 0L)
     override def decodePartition(records: Iterator[MediaRecord])
-        : Iterator[AudioFp] = records.map { r =>
+        : Iterator[AudioFp] = {
+      val opener = new AudioOpener // once per partition — see its doc
+      records.map { r =>
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
+        val in = opener.open(r.payload)
         val f = in.getFormat
         if (f.getSampleSizeInBits != 16 || f.isBigEndian
             || f.getChannels != 1 || in.getFrameLength != AFpFrames)
@@ -818,6 +897,7 @@ object Multimodal {
           AudioFp(r.doc_id, decoded = true, lo, hi)
         }
       } catch { case _: Exception => fail(r.doc_id) }
+      }
     }
   }
 
@@ -877,6 +957,236 @@ object Multimodal {
          |  FROM (SELECT DISTINCT doc_id FROM energies) e
          |    LEFT JOIN bits ON e.doc_id = bits.doc_id
          |  GROUP BY 1)""".stripMargin,
+      AHashMaxHamming)
+  }
+
+  // ---- perceptual video near-dup: temporal-delta fingerprint --------------
+
+  /** Frames per GVID clip. Six real 8×8 PNG frames keep the decode cost
+    * per doc bounded while giving the temporal pooling three full
+    * even/odd periods to integrate over.
+    */
+  val VFpFrames = 6
+
+  /** GVID container: `"GVID"` magic, int32-LE frame count, then per
+    * frame int32-LE length + PNG bytes; NO trailing bytes. A
+    * deliberately minimal demux seam — a production MP4/MKV demuxer
+    * drops in behind [[MediaCodec]] with the same per-partition batch
+    * shape, and the strictness (bad magic, wrong frame count, bad
+    * frame geometry, trailing garbage → `decoded = false`) is the same
+    * reject-don't-drop policy as the image/audio codecs.
+    */
+  val GvidMagic: Array[Byte] = "GVID".getBytes("US-ASCII")
+
+  final case class VideoFp(
+    doc_id: Long, decoded: Boolean, fp_lo: Long, fp_hi: Long)
+
+  /** Per-frame pixel grid for [[videoPayload]] — the image generator's
+    * hash grid extended with a frame axis; the twin nudge hits one
+    * channel of one pixel of FRAME 0 only (±3, no wrap — the same
+    * discipline as [[pngHashPayload]]), so a twin is a one-frame
+    * flicker: byte-different in exactly one frame, and the temporal
+    * delta of cell (0,0) moves by exactly 1.
+    */
+  private def vidFramePng(docId: Long, seed: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      AHashSide, AHashSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < AHashSide) {
+      var x = 0
+      while (x < AHashSide) {
+        val hv = Hashing.jvmH32(s"vid|$seed|$f|$x|$y")
+        var r = (hv % 256).toInt
+        val g = ((hv / 256) % 256).toInt
+        val b = ((hv / 65536) % 256).toInt
+        if (docId % 10 == 7 && f == 0 && x == 0 && y == 0)
+          r = if (r >= 253) r - 3 else r + 3
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic [[VFpFrames]]-frame GVID clip per doc with PLANTED
+    * perceptual twins (ids ≡ 7 mod 10 reuse the seed of id − 7, frame 0
+    * nudged). Every frame goes through the REAL `javax.imageio` PNG
+    * writer, then the frames are muxed into the length-prefixed
+    * container.
+    */
+  def videoPayload(docId: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val seed = if (docId % 10 == 7) docId - 7 else docId
+    val frames = (0 until VFpFrames).map(vidFramePng(docId, seed, _))
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + frames.map(4 + _.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(GvidMagic).putInt(VFpFrames)
+    frames.foreach(f => bb.putInt(f.length).put(f))
+    bb.array()
+  }
+
+  /** documents → twin-planted GVID records (one mapPartitions encode). */
+  def videoRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    spreadIds(documents).mapPartitions(_.map { id =>
+      val p = videoPayload(id)
+      MediaRecord(id, p, "video/x-gvid", p.length.toLong)
+    })
+  }
+
+  /** Temporal-delta fingerprint through the real demux + per-frame
+    * `javax.imageio` decode: per spatial cell,
+    * `bit = Σ_f (−1)^f · gray_f(cell) > 0` (strict, integer-exact) —
+    * the TMK-family periodic temporal pooling (Poullot et al., "LAMV";
+    * reference stores no video path — north-star extension) at its
+    * fastest frequency, which makes the fingerprint frame-ORDER
+    * sensitive: reversing the clip negates every cell's delta, so a
+    * re-cut is NOT a near-dup, unlike a temporal-mean hash. Packed
+    * like the image aHash (row-major cell index, lo = bits 0–31).
+    */
+  object GvidFpDecoder extends MediaCodec[VideoFp] {
+    private def fail(id: Long) = VideoFp(id, decoded = false, 0L, 0L)
+    override def decodePartition(records: Iterator[MediaRecord])
+        : Iterator[VideoFp] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      records.map { r =>
+        try {
+          val bb = java.nio.ByteBuffer.wrap(r.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          if (!java.util.Arrays.equals(magic, GvidMagic)
+              || bb.getInt() != VFpFrames) fail(r.doc_id)
+          else {
+            val delta = new Array[Long](AHashSide * AHashSide)
+            var ok = true
+            var f = 0
+            while (f < VFpFrames && ok) {
+              val fb = new Array[Byte](bb.getInt())
+              bb.get(fb)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              if (img == null || img.getWidth != AHashSide
+                  || img.getHeight != AHashSide) ok = false
+              else {
+                val w = if (f % 2 == 0) 1L else -1L
+                var y = 0
+                while (y < AHashSide) {
+                  var x = 0
+                  while (x < AHashSide) {
+                    val rgb = img.getRGB(x, y)
+                    val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                      + (rgb & 0xff)) / 3
+                    delta(y * AHashSide + x) += w * g
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              f += 1
+            }
+            if (!ok || bb.hasRemaining) fail(r.doc_id)
+            else {
+              var lo = 0L; var hi = 0L
+              var i = 0
+              while (i < 64) {
+                if (delta(i) > 0L) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              VideoFp(r.doc_id, decoded = true, lo, hi)
+            }
+          }
+        } catch { case _: Exception => fail(r.doc_id) }
+      }
+    }
+  }
+
+  /** Per-doc video fingerprints via the real codec path (encode → demux
+    * → per-frame decode → temporal pooling; two chained mapPartitions,
+    * no shuffle).
+    */
+  def videoFingerprints(documents: DataFrame,
+      codec: MediaCodec[VideoFp] = GvidFpDecoder): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    videoRecords(documents).mapPartitions(codec.decodePartition _).toDF()
+  }
+
+  /** Video fingerprints from REAL on-the-wire payload bytes — the
+    * streaming-ingest shape, column-compatible with
+    * [[imageFpFromPayload]] so [[graft.streaming.MediaDedupStream]]
+    * ingests clips through the same exact-verified screen.
+    */
+  def videoFpFromPayload(batch: DataFrame,
+      codec: MediaCodec[VideoFp] = GvidFpDecoder): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => codec.decodePartition(it.map { case (id, p) =>
+        MediaRecord(id, p, "video/x-gvid",
+          if (p == null) 0L else p.length.toLong)
+      }))
+      .toDF()
+      .select(col("doc_id"), col("decoded"), col("fp_lo"), col("fp_hi"))
+  }
+
+  /** Perceptual video near-dup — the [[bandedHamming64]] screen over
+    * [[videoFingerprints]]; the twin's one-frame flicker moves exactly
+    * one cell's delta by 1, flipping at most that cell's bit,
+    * comfortably inside [[AHashMaxHamming]].
+    */
+  def videoNearDups(documents: DataFrame,
+      codec: MediaCodec[VideoFp] = GvidFpDecoder): DataFrame =
+    bandedHamming64(
+      videoFingerprints(documents, codec).filter(col("decoded"))
+        .select(col("doc_id"), col("fp_lo"), col("fp_hi")),
+      AHashMaxHamming)
+
+  /** DuckDB mirror of [[videoNearDups]] — every pixel of every frame,
+    * the signed temporal pooling, and the shared band screen reproduced
+    * arithmetically (PNG is lossless, so the real demux+decode must
+    * agree frame-by-frame).
+    */
+  def videoNearDupsSql: String = {
+    val h = Hashing.h32Sql(
+      "'vid|' || seed || '|' || fs.f || '|' || xs.x || '|' || ys.y")
+    bandedHamming64Sql(
+      s"""px AS (
+         |  SELECT d.doc_id, fs.f, xs.x, ys.y,
+         |    CASE WHEN d.doc_id % 10 = 7 AND fs.f = 0
+         |        AND xs.x = 0 AND ys.y = 0
+         |      THEN CASE WHEN hv % 256 >= 253 THEN hv % 256 - 3
+         |        ELSE hv % 256 + 3 END
+         |      ELSE hv % 256 END AS vr,
+         |    (hv // 256) % 256 AS vg, (hv // 65536) % 256 AS vb
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+         |            ELSE doc_id END AS seed
+         |        FROM documents) d,
+         |    range(0, $VFpFrames) fs(f),
+         |    range(0, $AHashSide) xs(x), range(0, $AHashSide) ys(y),
+         |    LATERAL (SELECT $h AS hv) hh),
+         |delta AS (
+         |  SELECT doc_id, y * $AHashSide + x AS idx,
+         |    CAST(sum(CASE WHEN f % 2 = 0 THEN (vr + vg + vb) // 3
+         |      ELSE -((vr + vg + vb) // 3) END) AS BIGINT) AS d
+         |  FROM px GROUP BY 1, 2),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(sum(CASE WHEN d > 0 AND idx < 32
+         |      THEN CAST(1 AS BIGINT) << idx END), 0) AS BIGINT) AS lo,
+         |    CAST(coalesce(sum(CASE WHEN d > 0 AND idx >= 32
+         |      THEN CAST(1 AS BIGINT) << (idx - 32) END), 0) AS BIGINT)
+         |      AS hi
+         |  FROM delta GROUP BY 1)""".stripMargin,
       AHashMaxHamming)
   }
 

@@ -160,6 +160,7 @@ class EdgeSpec extends AnyFunSuite {
     assert(TextAnalysis.zipfFit(emptyDocs).count() == 0)
     assert(graft.ext.Multimodal.imageNearDups(emptyDocs).count() == 0)
     assert(graft.ext.Multimodal.audioNearDups(emptyDocs).count() == 0)
+    assert(graft.ext.Multimodal.videoNearDups(emptyDocs).count() == 0)
     assert(graft.ext.Takedown.takedownAudit(emptyDocs).count() == 0)
     val noIds = emptyDocs.select(col("doc_id"))
     assert(graft.ext.Takedown.purged(emptyDocs, noIds, "doc_id")

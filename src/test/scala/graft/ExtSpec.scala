@@ -1091,6 +1091,84 @@ class ExtSpec extends AnyFunSuite {
     assert(rej.exists(r => r.doc_id == 6L && !r.decoded))
   }
 
+  test("video near-dup: pairs are the planted twins; demux strict; order-sensitive") {
+    import Multimodal.MediaRecord
+    val docs = Tables(spark, Sf0001).documents
+    val pairs = Multimodal.videoNearDups(docs).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twins = ids.filter(i => i % 10 == 7 && ids.contains(i - 7))
+      .map(i => (i - 7, i))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == twins,
+      "band join + Hamming gate must find every twin and nothing else")
+    assert(pairs.forall(_.getLong(2) <= Multimodal.AHashMaxHamming))
+    // the one-frame flicker is perceptual, not byte-identity
+    val t = twins.head
+    assert(!java.util.Arrays.equals(Multimodal.videoPayload(t._1),
+      Multimodal.videoPayload(t._2)))
+    // real demux + per-frame decode == closed form from the generator hash
+    def refFp(docId: Long): (Long, Long) = {
+      val seed = if (docId % 10 == 7) docId - 7 else docId
+      val delta = for (y <- 0 until 8; x <- 0 until 8) yield
+        (0 until Multimodal.VFpFrames).map { f =>
+          val hv = graft.ext.Hashing.jvmH32(s"vid|$seed|$f|$x|$y")
+          var r = hv % 256
+          if (docId % 10 == 7 && f == 0 && x == 0 && y == 0)
+            r = if (r >= 253) r - 3 else r + 3
+          val g = (r + (hv / 256) % 256 + (hv / 65536) % 256) / 3
+          if (f % 2 == 0) g else -g
+        }.sum
+      delta.zipWithIndex.foldLeft((0L, 0L)) { case ((lo, hi), (d, i)) =>
+        if (d > 0)
+          if (i < 32) (lo | (1L << i), hi) else (lo, hi | (1L << (i - 32)))
+        else (lo, hi)
+      }
+    }
+    def fpOf(id: Long, payload: Array[Byte]) =
+      Multimodal.GvidFpDecoder.decodePartition(Iterator(
+        MediaRecord(id, payload, "video/x-gvid",
+          payload.length.toLong))).next()
+    for (id <- Seq(3L, 17L)) {
+      val out = fpOf(id, Multimodal.videoPayload(id))
+      val (lo, hi) = refFp(id)
+      assert(out.decoded && out.fp_lo == lo && out.fp_hi == hi,
+        s"real demux+decode fingerprint must equal closed form for $id")
+    }
+    // frame-ORDER sensitivity: re-muxing doc 3's frames in reverse
+    // negates every cell's temporal delta, so the reversed cut lands
+    // far outside the near-dup radius (a temporal-mean hash would
+    // call it identical). Demux the real container to get the frames.
+    def demuxFrames(p: Array[Byte]): Seq[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(8)
+      (0 until Multimodal.VFpFrames).map { _ =>
+        val fb = new Array[Byte](bb.getInt()); bb.get(fb); fb
+      }
+    }
+    def mux(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + frames.map(4 + _.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(Multimodal.GvidMagic).putInt(frames.length)
+      frames.foreach(f => bb.putInt(f.length).put(f))
+      bb.array()
+    }
+    val fwd = Multimodal.videoPayload(3L)
+    val fps = fpOf(3L, fwd)
+    val rev = fpOf(3L, mux(demuxFrames(fwd).reverse))
+    assert(rev.decoded)
+    val hamming = java.lang.Long.bitCount(fps.fp_lo ^ rev.fp_lo) +
+      java.lang.Long.bitCount(fps.fp_hi ^ rev.fp_hi)
+    assert(hamming > Multimodal.AHashMaxHamming,
+      s"reversed clip must not be a near-dup (hamming $hamming)")
+    // strict demux: bad magic, truncation, and trailing bytes all
+    // reject (decoded=false), never a silent mis-fingerprint
+    val badMagic = fwd.clone(); badMagic(0) = 'X'.toByte
+    assert(!fpOf(3L, badMagic).decoded)
+    assert(!fpOf(3L, fwd.take(fwd.length - 5)).decoded)
+    assert(!fpOf(3L, fwd ++ Array[Byte](0)).decoded)
+  }
+
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
     import spark.implicits._
     import Multimodal.{MediaRecord, PngStatsDecoder}

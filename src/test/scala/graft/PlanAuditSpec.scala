@@ -305,7 +305,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // guard: the decode MapPartitions stage must not appear in the
     // query's own physical tree at all — it lives only inside the
     // cached relation the InMemoryTableScans read
-    for (q <- Seq("image_near_dups", "audio_near_dups")) {
+    for (q <- Seq("image_near_dups", "audio_near_dups",
+        "video_near_dups")) {
       val p = plans(q)
       assert(p.contains("InMemoryTableScan"),
         s"$q must read fingerprints from the persist barrier:\n$p")

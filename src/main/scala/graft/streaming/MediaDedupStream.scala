@@ -66,16 +66,26 @@ object MediaDedupStream {
 
   /** One idempotent micro-batch ingest (the foreachBatch body of
     * [[start]], extracted so StreamingSpec can replay it).
+    *
+    * `fpExtract` is the modality seam: any payload → `(doc_id,
+    * decoded, fp_lo, fp_hi)` extractor plugs the same exact-verified
+    * screen — [[Multimodal.imageFpFromPayload]] (default),
+    * [[Multimodal.videoFpFromPayload]] for GVID clips, or a custom
+    * codec behind [[Multimodal.MediaCodec]]. The screen only sees 64
+    * fingerprint bits, so everything downstream (band index layout,
+    * Hamming gate, compaction, takedown) is modality-blind.
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
-      indexPath: String, stats: MediaStats): Unit =
+      indexPath: String, stats: MediaStats,
+      fpExtract: DataFrame => DataFrame =
+        Multimodal.imageFpFromPayload(_)): Unit =
     if (batchId > stats.lastCommitted) {
       val spark = batch.sparkSession
       val cached = batch.persist()
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val fps = Multimodal.imageFpFromPayload(cached).persist()
+        val fps = fpExtract(cached).persist()
         try {
           val nRejected = fps.filter(!col("decoded")).count()
           val bands = Multimodal.fpBands(
@@ -112,18 +122,21 @@ object MediaDedupStream {
     BatchIndex.compact(spark, indexPath, IndexCols)
 
   /** Attach the perceptual-dedup ingest to a `(doc_id, payload)`
-    * stream.
+    * stream; `fpExtract` picks the modality (see [[processBatch]]).
     */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,
       checkpointDir: String, stats: MediaStats,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      fpExtract: DataFrame => DataFrame =
+        Multimodal.imageFpFromPayload(_))
       : StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, corpusPath, indexPath, stats)
+        processBatch(batch, batchId, corpusPath, indexPath, stats,
+          fpExtract)
       }
       .start()
 }

@@ -1304,4 +1304,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(corpusIds.contains(37L),
       "takedown of 30 must readmit its perceptual twin")
   }
+
+  test("streaming media dedup ingests video clips through the same screen") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    import graft.streaming.MediaDedupStream
+    val corpusDir = Files.createTempDirectory("vid_corpus").toString
+    val indexDir = Files.createTempDirectory("vid_index").toString
+    val stats = new MediaDedupStream.MediaStats(spark)
+    val videoFps: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      Multimodal.videoFpFromPayload(_)
+    def clip(id: Long) = Multimodal.videoPayload(id)
+    def batchDf(rows: (Long, Array[Byte])*) =
+      rows.toSeq.toDF("doc_id", "payload")
+    def corpusIds = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // batch 0: a distinct clip, its in-batch one-frame-flicker twin
+    // (17's frame 0 has one nudged pixel of 10's), and a blob the
+    // GVID demux rejects
+    MediaDedupStream.processBatch(
+      batchDf((10L, clip(10)), (17L, clip(17)),
+        (99L, "not a gvid".getBytes("UTF-8"))),
+      0L, corpusDir, indexDir, stats, videoFps)
+    assert(stats.seen.value == 3 && stats.rejected.value == 1
+      && stats.kept.value == 1)
+    assert(corpusIds == Set(10L),
+      "in-batch flicker twin must drop (keep-first), blob rejected")
+
+    // batch 1: 17 retries — its twin 10 is INDEXED now, so the
+    // cross-batch screen (same band index machinery as the image
+    // path) drops it again; 20 is genuinely new
+    MediaDedupStream.processBatch(
+      batchDf((17L, clip(17)), (20L, clip(20))),
+      1L, corpusDir, indexDir, stats, videoFps)
+    assert(corpusIds == Set(10L, 20L),
+      "17 is a flicker twin of indexed 10 and must screen out")
+
+    // a reversed CUT of an ingested clip is order-different content
+    // and must be ADMITTED: the temporal pooling is order-sensitive
+    val fwd = clip(30L)
+    val bb = java.nio.ByteBuffer.wrap(fwd)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(8)
+    val frames = (0 until Multimodal.VFpFrames).map { _ =>
+      val fb = new Array[Byte](bb.getInt()); bb.get(fb); fb
+    }
+    val rbb = java.nio.ByteBuffer
+      .allocate(8 + frames.map(4 + _.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rbb.put(Multimodal.GvidMagic).putInt(frames.length)
+    frames.reverse.foreach(f => rbb.putInt(f.length).put(f))
+    MediaDedupStream.processBatch(
+      batchDf((30L, fwd), (31L, rbb.array())),
+      2L, corpusDir, indexDir, stats, videoFps)
+    assert(corpusIds == Set(10L, 20L, 30L, 31L),
+      "a reversed cut is different content, not a near-dup")
+  }
 }

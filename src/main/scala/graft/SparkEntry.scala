@@ -702,6 +702,15 @@ object SparkEntry {
     "pii_cc_scrub" -> ((s, dir) =>
       graft.ext.Curation.piiCcReport(
         CustomerEvents.synth(tables(s, dir).events))),
+    // re-identification risk surviving PII scrub: per-k share of rows in
+    // quasi-identifier groups smaller than k (one groupBy shuffle; the
+    // threshold expansion runs over GROUP-sized data)
+    "k_anonymity" -> ((s, dir) =>
+      graft.ext.Privacy.customerKAnonymity(tables(s, dir).customer)),
+    // sensitive-attribute disclosure inside k-anonymous groups: per-l
+    // share of rows whose QI group carries < l distinct segments
+    "l_diversity" -> ((s, dir) =>
+      graft.ext.Privacy.customerLDiversity(tables(s, dir).customer)),
     // sharded composite stream key (lang:shard): the window parallelizes
     // across |langs| × PackShards partitions — no per-lang serialization
     "pack_plan" -> ((s, dir) =>
@@ -1707,6 +1716,8 @@ object SparkEntry {
     "pii_cc_scrub" ->
       s"""$W
          |${graft.ext.Curation.piiCcReportSql}""".stripMargin,
+    "k_anonymity" -> graft.ext.Privacy.customerKAnonymitySql,
+    "l_diversity" -> graft.ext.Privacy.customerLDiversitySql,
     "dedup_exact" -> Dedup.exactSummarySql,
     "dedup_minhash_lsh" -> Dedup.minhashNearDupsSql,
     "dedup_simhash" -> Dedup.simhashNearDupsSql,

@@ -161,6 +161,11 @@ class EdgeSpec extends AnyFunSuite {
     assert(graft.ext.Multimodal.imageNearDups(emptyDocs).count() == 0)
     assert(graft.ext.Multimodal.audioNearDups(emptyDocs).count() == 0)
     assert(graft.ext.Multimodal.videoNearDups(emptyDocs).count() == 0)
+    // empty release: zero groups -> zero report rows (no NULL levels)
+    assert(graft.ext.Privacy.kAnonymityReport(
+      emptyDocs, Seq(col("source"))).count() == 0)
+    assert(graft.ext.Privacy.lDiversityReport(
+      emptyDocs, Seq(col("source")), col("lang")).count() == 0)
     assert(graft.ext.Takedown.takedownAudit(emptyDocs).count() == 0)
     val noIds = emptyDocs.select(col("doc_id"))
     assert(graft.ext.Takedown.purged(emptyDocs, noIds, "doc_id")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -291,28 +291,37 @@ object RunStream {
       return
     }
 
-    // `media` mode: the streaming PERCEPTUAL dedup leg — rate stream →
-    // real PNG encode (planted twins, ids ≡ 7 mod 10) →
-    // MediaDedupStream (decode → aHash → exact-verified band screen →
-    // corpus + fingerprint index). Measures sustained images/s of the
-    // full codec + screen path (recorded in SCALING.md)
-    if (wire == "media") {
+    // `media` / `video` modes: the streaming PERCEPTUAL dedup leg —
+    // rate stream → real encode (planted twins, ids ≡ 7 mod 10; PNG
+    // images or 6-frame GVID clips) → MediaDedupStream (demux/decode →
+    // fingerprint → exact-verified band screen → corpus + fingerprint
+    // index). Measures sustained payloads/s of the full codec + screen
+    // path per modality (recorded in SCALING.md)
+    if (wire == "media" || wire == "video") {
       import spark.implicits._
       val stats = new graft.streaming.MediaDedupStream.MediaStats(spark)
-      val media = rate.select(col("value").as("doc_id")).as[Long]
-        .map(id => (id, graft.ext.Multimodal.pngHashPayload(id)))
-        .toDF("doc_id", "payload")
+      val ids = rate.select(col("value").as("doc_id")).as[Long]
+      val media =
+        if (wire == "video")
+          ids.map(id => (id, graft.ext.Multimodal.videoPayload(id)))
+            .toDF("doc_id", "payload")
+        else
+          ids.map(id => (id, graft.ext.Multimodal.pngHashPayload(id)))
+            .toDF("doc_id", "payload")
+      val fpExtract: DataFrame => DataFrame =
+        if (wire == "video") graft.ext.Multimodal.videoFpFromPayload(_)
+        else graft.ext.Multimodal.imageFpFromPayload(_)
       val q = graft.streaming.MediaDedupStream.start(media,
         s"$outDir/corpus_md", s"$outDir/index_md", s"$outDir/ckpt_md",
-        stats, Trigger.ProcessingTime("5 seconds"))
+        stats, Trigger.ProcessingTime("5 seconds"), fpExtract)
       EventPipeline.runBounded(q, seconds * 1000L)
       val sink = committedRows(spark, s"$outDir/corpus_md",
         stats.lastCommitted)
-      println(s"[stream-media] seen=${stats.seen.value} " +
+      println(s"[stream-$wire] seen=${stats.seen.value} " +
         s"rejected=${stats.rejected.value} kept=${stats.kept.value} " +
         s"sink=$sink " +
         f"keptRate=${stats.kept.value.toDouble / math.max(stats.seen.value, 1)}%.4f " +
-        f"imagesPerSec=${stats.seen.value.toDouble / seconds}%.0f")
+        f"payloadsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
       spark.stop()
       return
     }

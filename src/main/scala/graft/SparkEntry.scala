@@ -1094,6 +1094,14 @@ object SparkEntry {
           codebooks = Some(cbs)))
       graft.ext.ProductQuant.topKPqServed(s, emb, path, cbs)
     }),
+    // PQ retrain signal: per-subspace quantization error of the corpus
+    // against the frozen codebooks (term-quantized 1e-9 fixed point —
+    // order-independent BIGINT sums; one broadcast join, one groupBy)
+    "pq_distortion" -> ((s, dir) => {
+      val emb = tables(s, dir).embeddings
+      graft.ext.ProductQuant.pqDistortion(emb,
+        Some(graft.ext.ProductQuant.trainCodebooksCached(emb, dir)))
+    }),
     // IVF-PQ: coarse cells prune the scan to nProbe cells per query,
     // ADC over 16-byte codes orders the survivors, exact re-rank last
     // (the FAISS-IVFPQ composition); served partition-pruned from the
@@ -1833,6 +1841,7 @@ object SparkEntry {
     "ann_index_drift" ->
       Similarity.ivfIndexDriftSql("vec_id % 7 = 3", 0.25),
     "ann_topk_pq" -> graft.ext.ProductQuant.topKPqSql,
+    "pq_distortion" -> graft.ext.ProductQuant.pqDistortionSql,
     "ann_topk_ivfpq" -> graft.ext.ProductQuant.topKIvfPqSql(),
     "dq_failed_samples" ->
       s"""$W, samples AS (

@@ -201,6 +201,85 @@ object ProductQuant {
     cbCache.computeIfAbsent(s"$key:$k",
       _ => trainCodebooks(embeddings, k))
 
+  /** PQ quantization-distortion monitor — the retrain signal for a
+    * served PQ/IVF-PQ index (the ADC-precision twin of
+    * [[Similarity.annIndexDrift]]'s cell-balance signal): per subspace,
+    * the count, mean, and max of every vector's squared-L2 error
+    * against its NEAREST codeword. Codebooks freeze at index-build
+    * time; as the corpus drifts, distortion climbs exactly where ADC
+    * ordering degrades first, and a one-subspace spike localizes which
+    * coordinates drifted (Jégou et al. §II-C: ADC error is bounded by
+    * per-subspace quantization error).
+    *
+    * Cross-engine determinism: each squared-difference TERM is
+    * quantized to 1e-9 fixed point BEFORE any summation (the
+    * `embedding_covariance` / `zipf_fit` discipline), so both the
+    * per-subvector error and the per-subspace roll-up are
+    * order-independent BIGINT sums — nothing depends on float
+    * association, and argmin runs on the quantized values so both
+    * engines pick the same codeword even on near-ties. Scale: one
+    * map-side explode (M rows/vector) joined against the broadcast
+    * M·K codebook literal, one groupBy — no corpus self-join, no
+    * collect.
+    */
+  def pqDistortion(embeddings: DataFrame,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cbs = codebooks.getOrElse(trainCodebooks(embeddings))
+    val cbRows = for {
+      (mats, m) <- cbs.zipWithIndex
+      (cv, cell) <- mats.zipWithIndex
+    } yield (m, cell, cv)
+    val cb = broadcast(cbRows.toDF("m", "cell", "cv"))
+    val e = embeddings.select(col("vec_id"),
+      unitVec(col("embedding")).as("v"))
+    val sub = e.select(col("vec_id"),
+      explode(array((0 until NumSubspaces).map(m =>
+        struct(lit(m).as("m"), subvec(col("v"), m).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val d2e9 = aggregate(
+      zip_with(col("sv"), col("cv"),
+        (a, b) => floor((a - b) * (a - b) * lit(1e9))),
+      lit(0L), (acc, x) => acc + x)
+    sub.join(cb, Seq("m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(d2e9).as("d2_e9"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2_e9")).as("sum_d2_e9"),
+        max(col("d2_e9")).as("max_d2_e9"))
+      .select(col("m").cast("long").as("m"), col("n_vecs"),
+        expr("sum_d2_e9 div n_vecs").as("mean_d2_e9"),
+        col("max_d2_e9"))
+      .orderBy(col("m"))
+  }
+
+  /** DuckDB mirror of [[pqDistortion]] — retrains the identical
+    * codebooks (the [[pqCtes]] seed + one-pass refinement) and measures
+    * the identical per-term-quantized error.
+    */
+  def pqDistortionSql: String = {
+    val S = SubDim
+    s"""WITH ${pqCtes},
+       |qerr AS (
+       |  SELECT sub.vec_id, sub.m,
+       |    min(CAST(list_sum([CAST(floor(
+       |      (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])
+       |        * 1000000000.0) AS BIGINT)
+       |      for i in range(1, $S + 1)]) AS BIGINT)) AS d2_e9
+       |  FROM sub JOIN cb ON sub.m = cb.m
+       |  GROUP BY 1, 2)
+       |SELECT CAST(m AS BIGINT) AS m,
+       |  count(*) AS n_vecs,
+       |  CAST(CAST(sum(d2_e9) AS BIGINT) // count(*) AS BIGINT)
+       |    AS mean_d2_e9,
+       |  max(d2_e9) AS max_d2_e9
+       |FROM qerr
+       |GROUP BY m
+       |ORDER BY m""".stripMargin
+  }
+
   /** The scale knobs, measured in ScaleProbe (SCALING.md): K must grow
     * past 16 once clusters dwarf the codebook (all members of a cluster
     * share codes → ADC is blind inside it; recall collapsed to 0.00 at

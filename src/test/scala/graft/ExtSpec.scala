@@ -461,6 +461,53 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
   }
 
+  test("PQ distortion: brute-force equality, zero for codeword corpus, plan") {
+    import spark.implicits._
+    import graft.ext.ProductQuant
+    val e = Tables(spark, Sf0001).embeddings
+    val cbs = ProductQuant.trainCodebooks(e)
+    val out = ProductQuant.pqDistortion(e, Some(cbs))
+    val rows = out.collect()
+    assert(rows.length == ProductQuant.NumSubspaces)
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (0L until ProductQuant.NumSubspaces.toLong))
+    val nVecs = e.count()
+    assert(rows.forall(_.getLong(1) == nVecs))
+    // brute-force reference for one subspace from collected vectors:
+    // same unit-normalize, same per-term 1e-9 quantization, min over
+    // the same codewords — mean and max must land exactly
+    val vecs = e.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getSeq[Double](1))
+    val m0 = cbs.head // subspace 0 codewords
+    val s = ProductQuant.SubDim
+    val d2s = vecs.map { raw =>
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      val sv = raw.map(_ / nrm).slice(0, s)
+      m0.map { cv =>
+        sv.zip(cv).map { case (a, b) =>
+          math.floor((a - b) * (a - b) * 1e9).toLong }.sum
+      }.min
+    }
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(2) == d2s.sum / d2s.length,
+      "mean_d2_e9 must equal the brute-force reference")
+    assert(r0.getLong(3) == d2s.max)
+    // an all-identical corpus collapses to one codeword whose refined
+    // centroid sits within 1e-6 per element: every quantized term
+    // floors to 0 — distortion exactly zero in every subspace
+    val same = (0L until 20L).map(i =>
+      (i, (1 to ProductQuant.NumSubspaces * s).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val zero = ProductQuant.pqDistortion(same).collect()
+    assert(zero.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // plan: broadcast codebook join, never a corpus self-join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("persisted IVF-PQ index serves PQ and IVF-PQ identically to in-flight") {
     import graft.ext.ProductQuant
     val e = Tables(spark, Sf0001).embeddings

@@ -546,6 +546,11 @@ object SparkEntry {
     // ---- ext: training-data curation (north-star) -------------------------
     "decontam_report" -> ((s, dir) =>
       graft.ext.Curation.decontaminationReport(tables(s, dir).documents)),
+    // constant-space decontam screen: benchmark grams folded into a
+    // 2^15-bit Bloom (3 universal hashes), corpus tested map-side;
+    // n_true vs n_hits measures the FP mass the space saving costs
+    "bloom_decontam" -> ((s, dir) =>
+      graft.ext.Curation.bloomDecontam(tables(s, dir).documents)),
     // lexical near-dup decontamination: banded MinHash candidates vs
     // the broadcast benchmark bands, verified Jaccard; the oracle is
     // brute-force all-pairs, so a green row proves banding recall
@@ -1626,6 +1631,7 @@ object SparkEntry {
       s"""SELECT * FROM (${graft.ext.Winnow.matchesSql})
          |ORDER BY doc_a, doc_b""".stripMargin,
     "decontam_report" -> graft.ext.Curation.decontaminationReportSql(),
+    "bloom_decontam" -> graft.ext.Curation.bloomDecontamSql(),
     "fuzzy_decontam" -> graft.ext.Curation.fuzzyDecontamSql(),
     "dsir_weights" -> graft.ext.Curation.dsirWeightsSql(),
     "semantic_decontam" -> graft.ext.Curation.semanticDecontamSql(),

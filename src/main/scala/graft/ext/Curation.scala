@@ -44,11 +44,15 @@ object Curation {
     * per shingle inside whole-stage codegen; only 16-byte (long,long)
     * pairs ever shuffle — same discipline as [[Dedup.shingleTable]]).
     */
-  private def shingleHashes(documents: DataFrame): DataFrame =
+  private def shingleHashes(documents: DataFrame): DataFrame = {
+    // self-contained: callers must not depend on an earlier query
+    // having registered the native generator (idempotent)
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text")))).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))
+  }
 
   /** Contaminated-document report: for each non-benchmark document that
     * shares at least one 5-word shingle with a benchmark document, emit
@@ -107,6 +111,137 @@ object Curation {
        |GROUP BY sh.doc_id
        |HAVING count(bench.h) > 0
        |ORDER BY doc_id""".stripMargin
+
+  /** Bloom-filter bits (2¹⁵) and hash count for [[bloomDecontam]].
+    * Family indices offset by [[BloomSeedBase]] so the Bloom's
+    * universal hashes never alias the MinHash permutation rows.
+    */
+  val BloomBits = 1 << 15
+  val BloomK = 3
+  val BloomSeedBase = 900
+
+  private def bloomPositions(h: Column): Seq[Column] =
+    (0 until BloomK).map(i =>
+      Hashing.permuted(BloomSeedBase + i, h) % lit(BloomBits.toLong))
+
+  private def bloomPositionsSql(expr: String): Seq[String] =
+    (0 until BloomK).map(i =>
+      s"${Hashing.permutedSql(BloomSeedBase + i, expr)} % $BloomBits")
+
+  /** Bloom-filter benchmark decontamination — the constant-space form
+    * of [[decontaminationReport]] for the 100 TB screen (the GPT-3
+    * appendix-C / The-Pile shape): the benchmark's n-gram set folds
+    * into an m = [[BloomBits]] Bloom filter ([[BloomK]] universal
+    * hashes over the gram's base h32), and each corpus gram tests "all
+    * k positions set". The screen state is O(m) REGARDLESS of
+    * benchmark size — the trade is a deterministic false-positive
+    * rate, and the report accounts for it honestly: `n_hits` counts
+    * Bloom positives, `n_true` the exact overlaps; their gap IS the
+    * measured FP mass (n_true ≤ n_hits always — a Bloom has no false
+    * negatives, which the spec pins).
+    *
+    * The filter is materialized as the TABLE of set bit positions —
+    * the broadcast-join form of the bit array (semantically identical,
+    * and how a SQL engine without bitmap types serves one). The oracle
+    * reconstructs the identical positions arithmetically, so the
+    * verified row pins the screen INCLUDING its false positives.
+    *
+    * Scale shape: bench grams distinct-reduce then fold to ≤ m
+    * position rows (broadcast); the corpus is one scan — grams and
+    * their k positions stay map-side until the per-doc aggregate. At
+    * production scale the positions table compiles to an actual bit
+    * array in a static filter (Spark's `bloom_filter_agg`) — this form
+    * keeps the semantics engine-checkable.
+    */
+  def bloomDecontam(documents: DataFrame,
+      benchmarkMod: Int = BenchmarkMod): DataFrame =
+    bloomDecontamAgainst(
+      documents.filter(col("doc_id") % benchmarkMod =!= 0),
+      documents.filter(col("doc_id") % benchmarkMod === 0))
+
+  /** The production-shaped form of [[bloomDecontam]]: explicit
+    * benchmark table, corpus screened against its Bloom positions.
+    */
+  def bloomDecontamAgainst(corpus: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    val benchH = shingleHashes(benchmark).select(col("h")).distinct()
+    val bits = benchH
+      .select(explode(array(bloomPositions(col("h")): _*)).as("pos"))
+      .distinct()
+    // corpus grams with their exact-overlap truth flag attached; then
+    // each of the k positions probes the broadcast bit table with its
+    // OWN map-side join (no explode, no per-gram shuffle — the only
+    // exchange in the whole screen is the final per-doc aggregate)
+    val cg = shingleHashes(corpus)
+      .join(broadcast(benchH.withColumn("is_true", lit(1))),
+        Seq("h"), "left")
+    val positions = bloomPositions(col("h"))
+    val probed = positions.zipWithIndex.foldLeft(cg) {
+      case (df, (pos, i)) =>
+        df.join(
+          broadcast(bits.select(col("pos").as(s"pos$i"),
+            lit(1).as(s"set$i"))),
+          pos === col(s"pos$i"), "left")
+    }
+    val perGram = probed.select(col("doc_id"),
+      (0 until BloomK).map(i => col(s"set$i").isNotNull)
+        .reduce(_ && _).as("bloom_hit"),
+      col("is_true"))
+    perGram
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L)))
+          .as("n_hits"),
+        sum(when(col("is_true").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_true"))
+      .filter(col("n_hits") > 0)
+      .withColumn("flag_ratio",
+        round(col("n_hits").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[bloomDecontam]]. */
+  def bloomDecontamSql(benchmarkMod: Int = BenchmarkMod): String = {
+    val posCols = bloomPositionsSql("h")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, ${h32Sql("s")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(${shinglesSql("t")})) AS s
+       |        FROM toks)),
+       |bench AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM sh WHERE doc_id % $benchmarkMod = 0),
+       |bits AS (
+       |  SELECT DISTINCT unnest([${posCols.mkString(", ")}]) AS pos
+       |  FROM bench),
+       |cg AS (
+       |  SELECT sh.doc_id, sh.h,
+       |    CASE WHEN bench.h IS NULL THEN NULL ELSE 1 END AS is_true
+       |  FROM sh LEFT JOIN bench ON sh.h = bench.h
+       |  WHERE sh.doc_id % $benchmarkMod != 0),
+       |cand AS (
+       |  SELECT doc_id, h, is_true,
+       |    unnest(list_distinct([${posCols.mkString(", ")}])) AS pos
+       |  FROM cg),
+       |pg AS (
+       |  SELECT c.doc_id, c.h,
+       |    count(bits.pos) = count(*) AS bloom_hit,
+       |    max(c.is_true) AS is_true
+       |  FROM cand c LEFT JOIN bits ON c.pos = bits.pos
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(sum(CASE WHEN is_true IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_true,
+       |  round(CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS flag_ratio
+       |FROM pg
+       |GROUP BY doc_id
+       |HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Lexical NEAR-duplicate benchmark decontamination — the third
     * decontamination mode beside exact n-gram overlap

@@ -191,6 +191,43 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.decontaminationReport(clean).count() == 0L)
   }
 
+  test("bloom decontam: no false negatives, FPs measured, never missed") {
+    // hand corpus: the Bloom must flag doc 1 with its exact hit counted
+    val b = Curation.bloomDecontam(contamDocs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(b.contains(1L), "a true contamination can NEVER be missed")
+    val (ng, nh, nt) = b(1L)
+    assert(ng == 6L && nt == 1L && nh >= nt)
+    // the theorem on the fixture: every exact-flagged doc appears with
+    // n_true equal to the exact report's n_hits, and n_hits >= n_true
+    // on every row (a Bloom has no false negatives)
+    val docs = Tables(spark, Sf0001).documents
+    val exact = Curation.decontaminationReport(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Curation.bloomDecontam(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((id, hits) <- exact) {
+      assert(bloom.contains(id), s"exact-flagged $id missing from bloom")
+      assert(bloom(id)._2 == hits, s"n_true must equal exact n_hits: $id")
+    }
+    assert(bloom.forall { case (_, (nHits, nTrue)) => nHits >= nTrue })
+    // the space saving COSTS false positives — surface them
+    // deterministically: one 2000-gram benchmark fills ~6k of the 32k
+    // bits, so a 1-gram candidate false-positives at ~(6k/32k)^3 ≈
+    // 0.6 %; 2000 disjoint-vocabulary candidates make that ~12
+    // expected FPs (fixed strings — the same FPs every run)
+    val benchText = (0 until 2000).map(i => s"b$i").mkString(" ")
+    val candDocs = docsDF((1 to 2000).map(i =>
+      (i * 50L + 1, (0 until 5).map(j => s"c${i}_$j").mkString(" "),
+        "en")) :+ (0L, benchText, "en"))
+    val fp = Curation.bloomDecontam(candDocs).collect()
+    assert(fp.forall(_.getLong(3) == 0L),
+      "disjoint vocabularies can only hit as false positives")
+    assert(fp.nonEmpty, "expected measurable FP mass")
+    info(s"constructed FP docs: ${fp.length} / 2000 candidates")
+  }
+
   // ---- stratified sampling ------------------------------------------------
 
   private lazy val corpus = {

@@ -130,6 +130,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "source_mix_weights",   // O(sources) rows × one-row total count
     "temperature_mix",      // O(sources) rows × one-row totals (×2)
     "doc_lm_score",         // positions × one-row vocab size
+    "k_anonymity",          // O(QI groups) rows × 4-row threshold list
+    "l_diversity",          // O(QI groups) rows × 3-row threshold list
     "tfidf_top_docs",       // tf rows × one-row corpus size
     "bm25_top_docs",        // tf rows × one-row (N, avgdl) scalars
     "bm25_served",          // same shared ranking plan, index-fed
@@ -328,5 +330,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // never a per-bit aggregate over exploded grams
     assert(plans("dedup_simhash").contains("simhash_sig"))
     assert(!plans("dedup_simhash").contains("posexplode"))
+    // bloom screen: every position probe is a broadcast join against
+    // the bit table — the corpus side shuffles only for the per-doc
+    // aggregate, never for a per-gram one
+    val bd = plans("bloom_decontam")
+    assert(bd.contains("BroadcastHashJoin"), bd)
+    assert(!bd.contains("SortMergeJoin"), bd)
   }
 }

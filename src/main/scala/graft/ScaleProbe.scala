@@ -969,6 +969,47 @@ object ScaleProbe {
     * work) → temporal-delta pooling → the same shared band join.
     * `sbt "runMain graft.ScaleProbe videodup 320000 1280000"`.
     */
+  /** Bloom decontam screen cost at n corpus docs against a FIXED
+    * 2000-doc benchmark with a DISJOINT vocabulary — every flag is a
+    * false positive, so the probe measures (a) the corpus-scan-
+    * proportional screen cost with its constant 2¹⁵-bit state, and
+    * (b) the realized FP rate against the (fill)^k theory line.
+    * `sbt "runMain graft.ScaleProbe bloom 1280000 5120000"`.
+    */
+  def bloomProbe(spark: SparkSession, n: Long): Unit = {
+    // q-vocabulary corpus: shares no gram with the w-vocabulary bench,
+    // so every flag is a false positive by construction
+    val vocab = array((0 until 30).map(i => lit(s"q$i")): _*)
+    val words = transform(sequence(lit(1), lit(40) + pmod(col("id"), lit(30))),
+      i => element_at(vocab,
+        (pmod(xxhash64(col("id"), i), lit(30)) + 1).cast("int")))
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      array_join(words, " ").as("text")).persist()
+    val totGrams = corpus.select(
+      explode(array_distinct(TextAnalysis.shingles(col("text"))))).count()
+    for (benchDocs <- Seq(25L, 100L, 2000L)) {
+      val bench = synthDocs(spark, benchDocs)
+      val fill = graft.ext.Curation.bloomFillBits(bench).toDouble /
+        graft.ext.Curation.BloomBits
+      val t0 = System.nanoTime()
+      // the n_hits>0 filter drops only zero-hit docs, so the filtered
+      // sum IS the corpus-total FP gram count
+      val out = graft.ext.Curation.bloomDecontamAgainst(corpus, bench)
+        .agg(count(lit(1)).as("d"), sum("n_hits").as("h")).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val fpDocs = out.getLong(0)
+      val fpGrams = if (out.isNullAt(1)) 0L else out.getLong(1)
+      val k = graft.ext.Curation.BloomK
+      println(f"[scale-bloom] n=$n%-8d bench=$benchDocs%-5d " +
+        f"fill=$fill%.3f gramFP=${fpGrams.toDouble / totGrams}%.5f " +
+        f"theory=${math.pow(fill, k)}%.5f " +
+        f"fpDocs=${fpDocs * 100.0 / n}%.2f%% " +
+        f"wall=$wall%6.2fs (${n / wall}%.0f docs/s)")
+    }
+    corpus.unpersist()
+    spark.catalog.clearCache()
+  }
+
   def videoDupProbe(spark: SparkSession, n: Long): Unit = {
     val docs = spark.range(n).select(col("id").as("doc_id"))
     val t0 = System.nanoTime()
@@ -1018,6 +1059,7 @@ object ScaleProbe {
     val takedownMode = args.headOption.contains("takedown")
     val imageDupMode = args.headOption.contains("imagedup")
     val audioDupMode = args.headOption.contains("audiodup")
+    val bloomMode = args.headOption.contains("bloom")
     val videoDupMode = args.headOption.contains("videodup")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
@@ -1025,7 +1067,7 @@ object ScaleProbe {
           || eventsMode || overlapMode || capMode || statsMode
           || servedMode || bowMode || bowNatMode || recallfMode
           || takedownMode || imageDupMode || audioDupMode
-          || videoDupMode)
+          || videoDupMode || bloomMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1136,6 +1178,11 @@ object ScaleProbe {
     }
     if (videoDupMode) {
       sizes.foreach(videoDupProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (bloomMode) {
+      sizes.foreach(bloomProbe(spark, _))
       spark.stop()
       return
     }

@@ -159,6 +159,19 @@ object Curation {
       documents.filter(col("doc_id") % benchmarkMod =!= 0),
       documents.filter(col("doc_id") % benchmarkMod === 0))
 
+  /** Set-bit count of the benchmark's Bloom filter — the fill-ratio
+    * monitor (`fill = bloomFillBits/BloomBits`; per-gram FP rate is
+    * `fill^BloomK`). An ops dashboard sizes m from this: past ~50 %
+    * fill the screen's FP mass grows fast and the filter wants more
+    * bits — which is a REBUILD, not an in-place change (a Bloom cannot
+    * delete or grow; takedown of benchmark items likewise rebuilds —
+    * it is benchmark-sized, not corpus-sized, so that is cheap).
+    */
+  def bloomFillBits(benchmark: DataFrame): Long =
+    shingleHashes(benchmark).select(col("h")).distinct()
+      .select(explode(array(bloomPositions(col("h")): _*)).as("pos"))
+      .agg(count_distinct(col("pos"))).head().getLong(0)
+
   /** The production-shaped form of [[bloomDecontam]]: explicit
     * benchmark table, corpus screened against its Bloom positions.
     */

@@ -964,11 +964,6 @@ object ScaleProbe {
     spark.catalog.clearCache() // release the fingerprint persist
   }
 
-  /** Video near-dup cost at n docs — GVID mux → demux → per-frame real
-    * PNG decode ([[Multimodal.VFpFrames]]× the image probe's codec
-    * work) → temporal-delta pooling → the same shared band join.
-    * `sbt "runMain graft.ScaleProbe videodup 320000 1280000"`.
-    */
   /** Bloom decontam screen cost at n corpus docs against a FIXED
     * 2000-doc benchmark with a DISJOINT vocabulary — every flag is a
     * false positive, so the probe measures (a) the corpus-scan-
@@ -1010,6 +1005,11 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Video near-dup cost at n docs — GVID mux → demux → per-frame real
+    * PNG decode ([[Multimodal.VFpFrames]]× the image probe's codec
+    * work) → temporal-delta pooling → the same shared band join.
+    * `sbt "runMain graft.ScaleProbe videodup 320000 1280000"`.
+    */
   def videoDupProbe(spark: SparkSession, n: Long): Unit = {
     val docs = spark.range(n).select(col("id").as("doc_id"))
     val t0 = System.nanoTime()

@@ -216,6 +216,8 @@ object Curation {
   /** DuckDB mirror of [[bloomDecontam]]. */
   def bloomDecontamSql(benchmarkMod: Int = BenchmarkMod): String = {
     val posCols = bloomPositionsSql("h")
+    // cg joins sh to bench, where a bare "h" is ambiguous
+    val cgPosCols = bloomPositionsSql("sh.h")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS MATERIALIZED (
@@ -229,20 +231,24 @@ object Curation {
        |  SELECT DISTINCT unnest([${posCols.mkString(", ")}]) AS pos
        |  FROM bench),
        |cg AS (
+       |  -- one row per (doc, distinct gram STRING) — two grams that
+       |  -- collide on h stay two rows, mirroring the Spark side (a
+       |  -- (doc_id, h) GROUP BY here would merge them and diverge)
        |  SELECT sh.doc_id, sh.h,
-       |    CASE WHEN bench.h IS NULL THEN NULL ELSE 1 END AS is_true
+       |    CASE WHEN bench.h IS NULL THEN NULL ELSE 1 END AS is_true,
+       |    ${cgPosCols.zipWithIndex.map { case (p, i) => s"$p AS p$i" }
+            .mkString(", ")}
        |  FROM sh LEFT JOIN bench ON sh.h = bench.h
        |  WHERE sh.doc_id % $benchmarkMod != 0),
-       |cand AS (
-       |  SELECT doc_id, h, is_true,
-       |    unnest(list_distinct([${posCols.mkString(", ")}])) AS pos
-       |  FROM cg),
        |pg AS (
-       |  SELECT c.doc_id, c.h,
-       |    count(bits.pos) = count(*) AS bloom_hit,
-       |    max(c.is_true) AS is_true
-       |  FROM cand c LEFT JOIN bits ON c.pos = bits.pos
-       |  GROUP BY 1, 2)
+       |  SELECT cg.doc_id,
+       |    ${(0 until BloomK).map(i => s"b$i.pos IS NOT NULL")
+            .mkString(" AND ")} AS bloom_hit,
+       |    cg.is_true
+       |  FROM cg
+       |    ${(0 until BloomK).map(i =>
+              s"LEFT JOIN bits b$i ON cg.p$i = b$i.pos")
+            .mkString("\n       |    ")})
        |SELECT doc_id, count(*) AS n_grams,
        |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_hits,

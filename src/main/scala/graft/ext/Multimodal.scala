@@ -1020,13 +1020,35 @@ object Multimodal {
   def videoPayload(docId: Long): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val seed = if (docId % 10 == 7) docId - 7 else docId
-    val frames = (0 until VFpFrames).map(vidFramePng(docId, seed, _))
+    gvidMux((0 until VFpFrames).map(vidFramePng(docId, seed, _)))
+  }
+
+  /** Mux frame byte arrays into a GVID container — the ONE place that
+    * knows the byte layout (the decoder's demux walk mirrors it with
+    * reject semantics; specs reuse these instead of hand-rolling the
+    * format).
+    */
+  private[graft] def gvidMux(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bb = java.nio.ByteBuffer
       .allocate(8 + frames.map(4 + _.length).sum)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put(GvidMagic).putInt(VFpFrames)
+    bb.put(GvidMagic).putInt(frames.length)
     frames.foreach(f => bb.putInt(f.length).put(f))
     bb.array()
+  }
+
+  /** Demux a well-formed GVID container into its frames (throws on a
+    * malformed one — tooling/test helper; the decoder rejects instead).
+    */
+  private[graft] def gvidDemux(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(java.util.Arrays.equals(magic, GvidMagic), "not a GVID")
+    (0 until bb.getInt()).map { _ =>
+      val fb = new Array[Byte](bb.getInt()); bb.get(fb); fb
+    }
   }
 
   /** documents → twin-planted GVID records (one mapPartitions encode). */
@@ -1067,7 +1089,14 @@ object Multimodal {
             var ok = true
             var f = 0
             while (f < VFpFrames && ok) {
-              val fb = new Array[Byte](bb.getInt())
+              // bounds-check the wire-controlled length BEFORE the
+              // allocation: a corrupt length must reject (decoded =
+              // false), not throw OutOfMemoryError — an Error would
+              // escape the Exception handler and kill the ingest task
+              val len = if (bb.remaining() >= 4) bb.getInt() else -1
+              if (len < 0 || len > bb.remaining()) ok = false
+              else {
+              val fb = new Array[Byte](len)
               bb.get(fb)
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(fb))
@@ -1087,6 +1116,7 @@ object Multimodal {
                   }
                   y += 1
                 }
+              }
               }
               f += 1
             }

@@ -238,10 +238,14 @@ object ProductQuant {
       explode(array((0 until NumSubspaces).map(m =>
         struct(lit(m).as("m"), subvec(col("v"), m).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val d2e9 = aggregate(
-      zip_with(col("sv"), col("cv"),
-        (a, b) => floor((a - b) * (a - b) * lit(1e9))),
-      lit(0L), (acc, x) => acc + x)
+    // unrolled flat terms (the adcSum discipline): this evaluates once
+    // per (vector, subspace, codeword) — zip_with/aggregate would run
+    // two interpreted lambda frames per element outside codegen; the
+    // terms are BIGINTs, so the summation order is moot anyway
+    val d2e9 = (1 to SubDim).map { i =>
+      val t = element_at(col("sv"), i) - element_at(col("cv"), i)
+      floor(t * t * lit(1e9))
+    }.reduce(_ + _)
     sub.join(cb, Seq("m"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(d2e9).as("d2_e9"))

@@ -1184,25 +1184,9 @@ class ExtSpec extends AnyFunSuite {
     // negates every cell's temporal delta, so the reversed cut lands
     // far outside the near-dup radius (a temporal-mean hash would
     // call it identical). Demux the real container to get the frames.
-    def demuxFrames(p: Array[Byte]): Seq[Array[Byte]] = {
-      val bb = java.nio.ByteBuffer.wrap(p)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.position(8)
-      (0 until Multimodal.VFpFrames).map { _ =>
-        val fb = new Array[Byte](bb.getInt()); bb.get(fb); fb
-      }
-    }
-    def mux(frames: Seq[Array[Byte]]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer
-        .allocate(8 + frames.map(4 + _.length).sum)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put(Multimodal.GvidMagic).putInt(frames.length)
-      frames.foreach(f => bb.putInt(f.length).put(f))
-      bb.array()
-    }
     val fwd = Multimodal.videoPayload(3L)
     val fps = fpOf(3L, fwd)
-    val rev = fpOf(3L, mux(demuxFrames(fwd).reverse))
+    val rev = fpOf(3L, Multimodal.gvidMux(Multimodal.gvidDemux(fwd).reverse))
     assert(rev.decoded)
     val hamming = java.lang.Long.bitCount(fps.fp_lo ^ rev.fp_lo) +
       java.lang.Long.bitCount(fps.fp_hi ^ rev.fp_hi)
@@ -1214,6 +1198,16 @@ class ExtSpec extends AnyFunSuite {
     assert(!fpOf(3L, badMagic).decoded)
     assert(!fpOf(3L, fwd.take(fwd.length - 5)).decoded)
     assert(!fpOf(3L, fwd ++ Array[Byte](0)).decoded)
+    // a corrupt frame LENGTH rejects BEFORE allocating: a wire-claimed
+    // ~2 GB frame would otherwise throw OutOfMemoryError (an Error the
+    // Exception handler never sees) and kill the ingest task
+    val evilLen = fwd.clone()
+    evilLen(8) = 0xff.toByte; evilLen(9) = 0xff.toByte
+    evilLen(10) = 0xff.toByte; evilLen(11) = 0x7f.toByte
+    assert(!fpOf(3L, evilLen).decoded)
+    val negLen = fwd.clone()
+    negLen(11) = 0x80.toByte // sign bit -> negative int32 length
+    assert(!fpOf(3L, negLen).decoded)
   }
 
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {

@@ -1345,19 +1345,9 @@ class StreamingSpec extends AnyFunSuite {
     // a reversed CUT of an ingested clip is order-different content
     // and must be ADMITTED: the temporal pooling is order-sensitive
     val fwd = clip(30L)
-    val bb = java.nio.ByteBuffer.wrap(fwd)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.position(8)
-    val frames = (0 until Multimodal.VFpFrames).map { _ =>
-      val fb = new Array[Byte](bb.getInt()); bb.get(fb); fb
-    }
-    val rbb = java.nio.ByteBuffer
-      .allocate(8 + frames.map(4 + _.length).sum)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    rbb.put(Multimodal.GvidMagic).putInt(frames.length)
-    frames.reverse.foreach(f => rbb.putInt(f.length).put(f))
+    val rev = Multimodal.gvidMux(Multimodal.gvidDemux(fwd).reverse)
     MediaDedupStream.processBatch(
-      batchDf((30L, fwd), (31L, rbb.array())),
+      batchDf((30L, fwd), (31L, rev)),
       2L, corpusDir, indexDir, stats, videoFps)
     assert(corpusIds == Set(10L, 20L, 30L, 31L),
       "a reversed cut is different content, not a near-dup")

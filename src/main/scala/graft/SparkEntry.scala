@@ -957,6 +957,12 @@ object SparkEntry {
     "video_near_dups" -> ((s, dir) =>
       Multimodal.videoNearDups(tables(s, dir).documents)),
 
+    // cross-modal duplicate clusters: connected components over the
+    // union of image/audio/video pairs, ranked by how many independent
+    // perceptual channels agree (n_modalities = evidence strength)
+    "media_dedup_clusters" -> ((s, dir) =>
+      Multimodal.mediaDedupClusters(tables(s, dir).documents)),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1761,6 +1767,7 @@ object SparkEntry {
     "image_near_dups" -> Multimodal.imageNearDupsSql,
     "audio_near_dups" -> Multimodal.audioNearDupsSql,
     "video_near_dups" -> Multimodal.videoNearDupsSql,
+    "media_dedup_clusters" -> Multimodal.mediaDedupClustersSql,
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

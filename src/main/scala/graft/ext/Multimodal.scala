@@ -1220,6 +1220,90 @@ object Multimodal {
       AHashMaxHamming)
   }
 
+  // ---- cross-modal dedup clustering ----------------------------------
+
+  /** All media near-dup pairs with their modality tag — the evidence
+    * table cross-modal clustering aggregates.
+    */
+  def mediaNearDupPairs(documents: DataFrame): DataFrame =
+    imageNearDups(documents).withColumn("modality", lit("image"))
+      .unionByName(
+        audioNearDups(documents).withColumn("modality", lit("audio")))
+      .unionByName(
+        videoNearDups(documents).withColumn("modality", lit("video")))
+
+  /** Cross-modal duplicate clusters: connected components over the
+    * UNION of image/audio/video perceptual pairs (the
+    * [[Dedup.clusterLabels]] machinery — driver union-find under the
+    * cap, pointer-jumping label propagation above it), with per-cluster
+    * evidence strength: `n_modalities` counts how many independent
+    * perceptual channels agree the cluster is duplicated. A pair
+    * flagged by ONE fingerprint can be a banding accident; a pair
+    * flagged by three independent codecs is a duplicate — the
+    * multi-evidence roll-up is how a production pipeline ranks which
+    * clusters to collapse first.
+    */
+  def mediaDedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = Scratch.track(mediaNearDupPairs(documents).persist())
+    val labels = Dedup.clusterLabels(pairs.select("doc_a", "doc_b"))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("label", "cluster_id"), Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("modality")).as("n_modalities"))
+      .join(sizes.withColumnRenamed("label", "cluster_id"),
+        Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
+        col("n_modalities"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB mirror of [[mediaDedupClusters]] — re-runs all three media
+    * pipelines arithmetically, then the recursive-closure labeling
+    * (the [[Dedup]] labels discipline) and the evidence roll-up.
+    */
+  def mediaDedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |ip AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'image' AS modality
+       |  FROM ($imageNearDupsSql)),
+       |ap AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'audio' AS modality
+       |  FROM ($audioNearDupsSql)),
+       |vp AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'video' AS modality
+       |  FROM ($videoNearDupsSql)),
+       |mpairs AS MATERIALIZED (
+       |  SELECT * FROM ip UNION ALL SELECT * FROM ap
+       |  UNION ALL SELECT * FROM vp),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM mpairs
+       |  UNION SELECT doc_b, doc_a FROM mpairs
+       |  UNION SELECT doc_a, doc_a FROM mpairs
+       |  UNION SELECT doc_b, doc_b FROM mpairs),
+       |reach AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.doc_a, e.doc_b
+       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
+       |labels AS MATERIALIZED (
+       |  SELECT doc_a AS doc_id, min(doc_b) AS label
+       |  FROM reach GROUP BY doc_a),
+       |sizes AS (
+       |  SELECT label AS cluster_id, count(*) AS n_docs
+       |  FROM labels GROUP BY label),
+       |evidence AS (
+       |  SELECT l.label AS cluster_id, count(*) AS n_pairs,
+       |    count(DISTINCT p.modality) AS n_modalities
+       |  FROM mpairs p JOIN labels l ON p.doc_a = l.doc_id
+       |  GROUP BY l.label)
+       |SELECT s.cluster_id, s.n_docs, e.n_pairs, e.n_modalities
+       |FROM sizes s JOIN evidence e ON s.cluster_id = e.cluster_id
+       |ORDER BY s.cluster_id""".stripMargin
+
   def imageStatsSql: String =
     """WITH imgs AS (
       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

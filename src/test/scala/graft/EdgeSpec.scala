@@ -161,6 +161,7 @@ class EdgeSpec extends AnyFunSuite {
     assert(graft.ext.Multimodal.imageNearDups(emptyDocs).count() == 0)
     assert(graft.ext.Multimodal.audioNearDups(emptyDocs).count() == 0)
     assert(graft.ext.Multimodal.videoNearDups(emptyDocs).count() == 0)
+    assert(graft.ext.Multimodal.mediaDedupClusters(emptyDocs).count() == 0)
     // empty release: zero groups -> zero report rows (no NULL levels)
     assert(graft.ext.Privacy.kAnonymityReport(
       emptyDocs, Seq(col("source"))).count() == 0)

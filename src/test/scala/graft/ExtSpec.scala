@@ -1210,6 +1210,22 @@ class ExtSpec extends AnyFunSuite {
     assert(!fpOf(3L, negLen).decoded)
   }
 
+  test("cross-modal clusters aggregate evidence across all three codecs") {
+    val docs = Tables(spark, Sf0001).documents
+    val rows = Multimodal.mediaDedupClusters(docs).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val anchors = ids.filter(i => i % 10 == 7 && ids.contains(i - 7))
+      .map(_ - 7)
+    // one cluster per planted twin pair, labeled by its min id; every
+    // pair is flagged by all three independent perceptual channels
+    assert(rows.map(_.getLong(0)).toSet == anchors)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L, s"cluster size: $r")
+      assert(r.getLong(2) == 3L, s"pair evidence: $r")
+      assert(r.getLong(3) == 3L, s"modalities: $r")
+    }
+  }
+
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
     import spark.implicits._
     import Multimodal.{MediaRecord, PngStatsDecoder}

@@ -168,9 +168,38 @@ object Curation {
     * it is benchmark-sized, not corpus-sized, so that is cheap).
     */
   def bloomFillBits(benchmark: DataFrame): Long =
+    bloomBits(benchmark).count()
+
+  /** The benchmark's Bloom filter as its set-bit position table — the
+    * persistable artifact ("train the filter once in the indexing job,
+    * serve it to every screen after"): ≤ [[BloomBits]] rows whatever
+    * the benchmark size. [[bloomDecontamAgainst]] builds it inline;
+    * streaming gates ([[graft.streaming.CurateStream]]) build it ONCE
+    * at attach time and reuse it per micro-batch.
+    */
+  def bloomBits(benchmark: DataFrame): DataFrame =
     shingleHashes(benchmark).select(col("h")).distinct()
       .select(explode(array(bloomPositions(col("h")): _*)).as("pos"))
-      .agg(count_distinct(col("pos"))).head().getLong(0)
+      .distinct()
+
+  /** The DROP set of an ingest gate: doc_ids with ≥ 1 Bloom-positive
+    * gram against a prebuilt [[bloomBits]] table. Same three map-side
+    * broadcast probes as the report; one distinct at the end.
+    */
+  def bloomFlagged(corpus: DataFrame, bits: DataFrame): DataFrame = {
+    val grams = shingleHashes(corpus)
+    val probed = bloomPositions(col("h")).zipWithIndex.foldLeft(grams) {
+      case (df, (pos, i)) =>
+        df.join(
+          broadcast(bits.select(col("pos").as(s"pos$i"),
+            lit(1).as(s"set$i"))),
+          pos === col(s"pos$i"), "left")
+    }
+    probed
+      .filter((0 until BloomK).map(i => col(s"set$i").isNotNull)
+        .reduce(_ && _))
+      .select(col("doc_id")).distinct()
+  }
 
   /** The production-shaped form of [[bloomDecontam]]: explicit
     * benchmark table, corpus screened against its Bloom positions.
@@ -178,9 +207,7 @@ object Curation {
   def bloomDecontamAgainst(corpus: DataFrame,
       benchmark: DataFrame): DataFrame = {
     val benchH = shingleHashes(benchmark).select(col("h")).distinct()
-    val bits = benchH
-      .select(explode(array(bloomPositions(col("h")): _*)).as("pos"))
-      .distinct()
+    val bits = bloomBits(benchmark)
     // corpus grams with their exact-overlap truth flag attached; then
     // each of the k positions probes the broadcast bit table with its
     // OWN map-side join (no explode, no per-gram shuffle — the only

@@ -32,17 +32,30 @@ object CurateStream {
       extends Serializable {
     /** Raw docs entering the funnel. */
     val seen = spark.sparkContext.longAccumulator("curate_seen")
+    /** Docs the benchmark-decontam Bloom gate dropped. */
+    val decontamDropped =
+      spark.sparkContext.longAccumulator("curate_decontam_dropped")
     /** Delegated dedup-stage stats; its `seen` is the gate's survivor
       * count, its `kept` the corpus-bound survivor count.
       */
     val dedup = new DedupStream.DedupStats(spark)
   }
 
-  /** One idempotent micro-batch: canonicalize, gate, then delegate to
-    * the dedup ingest (which re-checks the replay guard itself).
+  /** One idempotent micro-batch: canonicalize, quality-gate,
+    * optionally decontam-screen, then delegate to the dedup ingest
+    * (which re-checks the replay guard itself).
+    *
+    * `benchBits` is the benchmark's Bloom position table
+    * ([[Curation.bloomBits]], built ONCE at attach time — constant
+    * ≤2¹⁵-row broadcast state per batch): an ingest-time benchmark
+    * screen, because eval-set text that reaches the corpus poisons
+    * every model trained on it. The screen is a Bloom, so it can
+    * OVER-drop (deterministic FPs, measured in SCALING.md) but never
+    * under-drop — the correct polarity for a contamination gate.
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
-      indexPath: String, stats: CurateStats): Unit =
+      indexPath: String, stats: CurateStats,
+      benchBits: Option[DataFrame] = None): Unit =
     if (batchId > stats.dedup.lastCommitted) {
       graft.functions.GraftFunctions.register(batch.sparkSession)
       val canon = batch
@@ -50,29 +63,60 @@ object CurateStream {
         .persist()
       try {
         val nRaw = canon.count()
-        DedupStream.processBatch(TextAnalysis.qualityFilter(canon),
-          batchId, corpusPath, indexPath, stats.dedup)
-        // counters advance only AFTER the delegate returns (the
-        // commit-then-count discipline every stream here follows): a
-        // failing batch throws out of the line above, so a same-driver
-        // retry can never double-count seen. An all-gated batch
-        // returns without committing (nothing to write) — still
-        // exactly one seen.add, since no exception means no retry.
-        stats.seen.add(nRaw)
+        val gated = TextAnalysis.qualityFilter(canon)
+        val (screened, nDropped) = benchBits match {
+          case None => (gated, 0L)
+          case Some(bits) =>
+            val g = gated.persist()
+            val out = g.join(
+              Curation.bloomFlagged(g, bits), Seq("doc_id"), "left_anti")
+              .persist()
+            // materialize before unpersisting the gated parent; the
+            // dropped count is gate-survivors minus screen-survivors
+            val kept = out.count()
+            val dropped = g.count() - kept
+            g.unpersist()
+            (out, dropped)
+        }
+        try {
+          DedupStream.processBatch(screened,
+            batchId, corpusPath, indexPath, stats.dedup)
+          // counters advance only AFTER the delegate returns (the
+          // commit-then-count discipline every stream here follows): a
+          // failing batch throws out of the line above, so a same-driver
+          // retry can never double-count seen. An all-gated batch
+          // returns without committing (nothing to write) — still
+          // exactly one seen.add, since no exception means no retry.
+          stats.seen.add(nRaw)
+          stats.decontamDropped.add(nDropped)
+        } finally {
+          if (benchBits.isDefined) { screened.unpersist(); () }
+        }
       } finally { canon.unpersist(); () }
     }
 
-  /** Attach the curation ingest to a documents stream. */
+  /** Attach the curation ingest to a documents stream; `benchmark`
+    * docs (if any) are folded into a Bloom ONCE here and screened
+    * against every batch.
+    */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,
       checkpointDir: String, stats: CurateStats,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
-      : StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      benchmark: Option[DataFrame] = None): StreamingQuery = {
+    // train-once: materialize the position table to a local frame so
+    // per-batch screens broadcast rows, not the benchmark's plan
+    val bits = benchmark.map { b =>
+      val spark = b.sparkSession
+      import spark.implicits._
+      Curation.bloomBits(b).as[Long].collect().toSeq.toDF("pos")
+    }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, corpusPath, indexPath, stats)
+        processBatch(batch, batchId, corpusPath, indexPath, stats, bits)
       }
       .start()
+  }
 }

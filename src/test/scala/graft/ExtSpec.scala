@@ -1210,6 +1210,30 @@ class ExtSpec extends AnyFunSuite {
     assert(!fpOf(3L, negLen).decoded)
   }
 
+  test("GVID demux is total under random corruption and truncation") {
+    import Multimodal.MediaRecord
+    val rnd = new scala.util.Random(7)
+    val base = Multimodal.videoPayload(5L)
+    val cases = Iterator.tabulate(300) { t =>
+      if (t % 3 == 0) base.take(rnd.nextInt(base.length + 1)) // truncate
+      else {
+        val p = base.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte }
+        p
+      }
+    }
+    // decodePartition must never throw — every corruption either still
+    // decodes (flipped bytes inside PNG payloads PNG itself tolerates)
+    // or rejects with decoded=false; no Error may escape to the task
+    val out = Multimodal.GvidFpDecoder.decodePartition(
+      cases.zipWithIndex.map { case (p, i) =>
+        MediaRecord(i.toLong, p, "video/x-gvid", p.length.toLong)
+      }).toSeq
+    assert(out.size == 300)
+    info(s"rejected ${out.count(!_.decoded)} / 300 corrupted payloads")
+  }
+
   test("cross-modal clusters aggregate evidence across all three codecs") {
     val docs = Tables(spark, Sf0001).documents
     val rows = Multimodal.mediaDedupClusters(docs).collect()

@@ -965,6 +965,43 @@ class StreamingSpec extends AnyFunSuite {
       "cross-batch twin not screened or fresh doc lost")
   }
 
+  test("streaming curation decontam gate drops benchmark text at ingest") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val corpusDir = Files.createTempDirectory("cb_corpus").toString
+    val indexDir = Files.createTempDirectory("cb_index").toString
+    val stats = new graft.streaming.CurateStream.CurateStats(spark)
+    val good = "the quick brown fox jumps over azure lazy dog and then " +
+      "runs far away into green fields of tall grass today"
+    val other = "the quick birds watch green apples and sweet pears " +
+      "while many other foxes stroll past nearby trees today okay fine"
+    // benchmark = the `good` text: its Bloom positions, trained once
+    val bits = Curation.bloomBits(
+      Seq((0L, good, "en")).toDF("doc_id", "text", "lang"))
+      .as[Long].collect().toSeq.toDF("pos")
+    // batch: a doc CONTAINING benchmark 5-grams (contaminated, passes
+    // the quality gate) and a clean doc — only the clean one lands
+    graft.streaming.CurateStream.processBatch(
+      Seq((1L, good + " alpha"), (2L, other)).toDF("doc_id", "text"),
+      0L, corpusDir, indexDir, stats, Some(bits))
+    assert(stats.seen.value == 2)
+    assert(stats.decontamDropped.value == 1,
+      "the contaminated doc must die at the decontam gate")
+    assert(stats.dedup.seen.value == 1 && stats.dedup.kept.value == 1)
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L), "only the clean doc reaches the corpus")
+    // replay from a fresh driver: same single row, no double counting
+    val fresh = new graft.streaming.CurateStream.CurateStats(spark)
+    graft.streaming.CurateStream.processBatch(
+      Seq((1L, good + " alpha"), (2L, other)).toDF("doc_id", "text"),
+      0L, corpusDir, indexDir, fresh, Some(bits))
+    assert(spark.read.parquet(corpusDir).count() == 1)
+    // no-benchmark ingest is byte-identical to the pre-gate behavior
+    // (the existing curation test covers it; here just the counter)
+    assert(fresh.decontamDropped.value == 1)
+  }
+
   test("streaming dedup ingest: index screens batches; replay idempotent") {
     import spark.implicits._
     val corpusDir = Files.createTempDirectory("ded_corpus").toString

@@ -64,9 +64,12 @@ object RunStream {
     * dedup legs are asserted against; text is `minLen + (seed mod
     * lenSpread)` words hash-drawn from the caller's vocabulary. The
     * duplicate-planting rule lives ONLY here so the demo streams
-    * can't diverge from the SCALING.md contract.
+    * can't diverge from the SCALING.md contract. Works over ANY frame
+    * with a `value` column — the rate streams AND the static
+    * benchmark table the curatebench mode trains its decontam Bloom
+    * on (same generator → real gram overlap between bench and stream).
     */
-  private def plantedDupStream(rate: org.apache.spark.sql.DataFrame,
+  private def plantedDupStream(docs: org.apache.spark.sql.DataFrame,
       vocabWords: Seq[String], prefix: String, minLen: Int,
       lenSpread: Int): org.apache.spark.sql.DataFrame = {
     val seed = when(col("value") % 10 === 7, col("value") - 7)
@@ -77,7 +80,7 @@ object RunStream {
       sequence(lit(1), lit(minLen) + pmod(seed, lit(lenSpread))),
       i => element_at(vocab,
         (pmod(xxhash64(seed, i), lit(n)) + 1).cast("int")))
-    rate.select(col("value").as("doc_id"),
+    docs.select(col("value").as("doc_id"),
       concat(lit(prefix), array_join(words, " ")).as("text"))
   }
 
@@ -272,18 +275,33 @@ object RunStream {
     // (normalize → quality gate → incremental near-dup → corpus+index)
     // over gate-passing synthetic docs with planted duplicates —
     // measures sustained curated docs/s (recorded in SCALING.md)
-    if (wire == "curate") {
+    if (wire == "curate" || wire == "curatebench") {
       val stats = new graft.streaming.CurateStream.CurateStats(spark)
+      // curatebench: benchmark = the texts of seeds ≡ 4 (mod 1000)
+      // within the run's id range, generated by the SAME skeleton —
+      // stream docs with those seeds are planted contamination (~0.1%
+      // of the stream; the ≡7-mod-10 twin rule can't reach a ≡4-mod-
+      // 1000 seed, so the rate is exact). mBits sized to the ~1.2k-doc
+      // benchmark per the SCALING sizing rule (fill ≈ 0.01 at 2²³).
+      val bench =
+        if (wire == "curatebench")
+          Some(curatedDocStream(
+            spark.range(rowsPerSecond.toLong * seconds * 2)
+              .filter(col("id") % 1000 === 4)
+              .select(col("id").as("value"))))
+        else None
       // mode-scoped paths: sharing dedup mode's literal ckpt/corpus/index
       // on the same outDir would resume the OTHER mode's checkpoint and
       // count its corpus rows (runFull suffixes per leg for this reason)
       val q = graft.streaming.CurateStream.start(curatedDocStream(rate),
         s"$outDir/corpus_cu", s"$outDir/index_cu", s"$outDir/ckpt_cu",
-        stats, Trigger.ProcessingTime("5 seconds"))
+        stats, Trigger.ProcessingTime("5 seconds"), bench,
+        benchMBits = 1 << 23)
       EventPipeline.runBounded(q, seconds * 1000L)
       val kept = committedRows(spark, s"$outDir/corpus_cu",
         stats.dedup.lastCommitted)
-      println(s"[stream-curate] seen=${stats.seen.value} " +
+      println(s"[stream-$wire] seen=${stats.seen.value} " +
+        s"decontamDropped=${stats.decontamDropped.value} " +
         s"gated=${stats.dedup.seen.value} kept=${stats.dedup.kept.value} " +
         s"sink=$kept " +
         f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")

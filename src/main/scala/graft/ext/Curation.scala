@@ -120,9 +120,10 @@ object Curation {
   val BloomK = 3
   val BloomSeedBase = 900
 
-  private def bloomPositions(h: Column): Seq[Column] =
+  private def bloomPositions(h: Column,
+      mBits: Int = BloomBits): Seq[Column] =
     (0 until BloomK).map(i =>
-      Hashing.permuted(BloomSeedBase + i, h) % lit(BloomBits.toLong))
+      Hashing.permuted(BloomSeedBase + i, h) % lit(mBits.toLong))
 
   private def bloomPositionsSql(expr: String): Seq[String] =
     (0 until BloomK).map(i =>
@@ -177,18 +178,22 @@ object Curation {
     * streaming gates ([[graft.streaming.CurateStream]]) build it ONCE
     * at attach time and reuse it per micro-batch.
     */
-  def bloomBits(benchmark: DataFrame): DataFrame =
+  def bloomBits(benchmark: DataFrame,
+      mBits: Int = BloomBits): DataFrame =
     shingleHashes(benchmark).select(col("h")).distinct()
-      .select(explode(array(bloomPositions(col("h")): _*)).as("pos"))
+      .select(explode(array(bloomPositions(col("h"), mBits): _*))
+        .as("pos"))
       .distinct()
 
   /** The DROP set of an ingest gate: doc_ids with ≥ 1 Bloom-positive
     * gram against a prebuilt [[bloomBits]] table. Same three map-side
     * broadcast probes as the report; one distinct at the end.
     */
-  def bloomFlagged(corpus: DataFrame, bits: DataFrame): DataFrame = {
+  def bloomFlagged(corpus: DataFrame, bits: DataFrame,
+      mBits: Int = BloomBits): DataFrame = {
     val grams = shingleHashes(corpus)
-    val probed = bloomPositions(col("h")).zipWithIndex.foldLeft(grams) {
+    val probed = bloomPositions(col("h"), mBits)
+        .zipWithIndex.foldLeft(grams) {
       case (df, (pos, i)) =>
         df.join(
           broadcast(bits.select(col("pos").as(s"pos$i"),

@@ -55,7 +55,8 @@ object CurateStream {
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       indexPath: String, stats: CurateStats,
-      benchBits: Option[DataFrame] = None): Unit =
+      benchBits: Option[DataFrame] = None,
+      benchMBits: Int = Curation.BloomBits): Unit =
     if (batchId > stats.dedup.lastCommitted) {
       graft.functions.GraftFunctions.register(batch.sparkSession)
       val canon = batch
@@ -69,7 +70,8 @@ object CurateStream {
           case Some(bits) =>
             val g = gated.persist()
             val out = g.join(
-              Curation.bloomFlagged(g, bits), Seq("doc_id"), "left_anti")
+              Curation.bloomFlagged(g, bits, benchMBits),
+              Seq("doc_id"), "left_anti")
               .persist()
             // materialize before unpersisting the gated parent; the
             // dropped count is gate-survivors minus screen-survivors
@@ -102,20 +104,28 @@ object CurateStream {
   def start(stream: DataFrame, corpusPath: String, indexPath: String,
       checkpointDir: String, stats: CurateStats,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-      benchmark: Option[DataFrame] = None): StreamingQuery = {
-    // train-once: materialize the position table to a local frame so
-    // per-batch screens broadcast rows, not the benchmark's plan
+      benchmark: Option[DataFrame] = None,
+      benchMBits: Int = Curation.BloomBits): StreamingQuery = {
+    // train-once: persist the position table so per-batch screens
+    // broadcast its CACHED rows, not the benchmark's plan. (Not a
+    // collected LocalRelation: embedding ~10⁵ literal rows in every
+    // batch's three join plans cost ~8× throughput — the planner
+    // re-serializes and re-optimizes the literal table per broadcast.)
+    // mBits is the sizing dial (SCALING.md "Bloom decontam screen"):
+    // build and probe MUST agree on it. The cache lives for the
+    // stream's life — filter-sized (≤ mBits rows), the point of Bloom.
     val bits = benchmark.map { b =>
-      val spark = b.sparkSession
-      import spark.implicits._
-      Curation.bloomBits(b).as[Long].collect().toSeq.toDF("pos")
+      val t = Curation.bloomBits(b, benchMBits).persist()
+      t.count() // materialize once, before the first batch
+      t
     }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, corpusPath, indexPath, stats, bits)
+        processBatch(batch, batchId, corpusPath, indexPath, stats,
+          bits, benchMBits)
       }
       .start()
   }

@@ -180,7 +180,50 @@ object Curation {
     */
   def bloomBits(benchmark: DataFrame,
       mBits: Int = BloomBits): DataFrame =
-    shingleHashes(benchmark).select(col("h")).distinct()
+    bloomBitsFromIndex(bloomGramIndex(benchmark), mBits)
+
+  /** The MUTABLE-membership form of the filter state: per distinct
+    * gram hash, how many benchmark docs contain it. A plain Bloom
+    * cannot delete — removing an eval item would have to clear bits
+    * other grams still need — so benchmark revisions (an eval set is
+    * versioned; items get retracted) would force a rebuild. The gram
+    * refcount IS the counting-Bloom discipline applied at the right
+    * granularity: positions derive from grams, so tracking gram
+    * lifetimes tracks bit lifetimes exactly. Persist THIS table as the
+    * screen's artifact; [[bloomBitsFromIndex]] serves the position set
+    * of the live grams.
+    */
+  def bloomGramIndex(benchmark: DataFrame): DataFrame =
+    shingleHashes(benchmark)
+      .groupBy(col("h")).agg(count(lit(1)).as("refcnt"))
+
+  /** Retract `removed` benchmark docs from a [[bloomGramIndex]]:
+    * decrement each of their distinct grams' refcounts, drop grams
+    * that reach zero. PRECONDITION (the caller's ledger, same as any
+    * refcount): the removed docs are currently members and are removed
+    * once — a double retraction under-counts, exactly like a double
+    * `free`. `remove(b2)` over `index(b1 ∪ b2)` equals `index(b1)`
+    * row-for-row (spec-pinned), so screening through the updated index
+    * IS screening through a rebuild — a gram shared with a surviving
+    * doc keeps its bits; a gram only the retracted docs carried stops
+    * flagging.
+    */
+  def bloomGramRemove(index: DataFrame,
+      removed: DataFrame): DataFrame =
+    index.join(
+        shingleHashes(removed)
+          .groupBy(col("h")).agg(count(lit(1)).as("dec")),
+        Seq("h"), "left")
+      .select(col("h"),
+        (col("refcnt") - coalesce(col("dec"), lit(0L))).as("refcnt"))
+      .filter(col("refcnt") > 0)
+
+  /** Set-bit positions of a [[bloomGramIndex]]'s live grams — the
+    * serving form [[bloomFlagged]] probes.
+    */
+  def bloomBitsFromIndex(index: DataFrame,
+      mBits: Int = BloomBits): DataFrame =
+    index.select(col("h"))
       .select(explode(array(bloomPositions(col("h"), mBits): _*))
         .as("pos"))
       .distinct()

@@ -228,6 +228,44 @@ class CurationSpec extends AnyFunSuite {
     info(s"constructed FP docs: ${fp.length} / 2000 candidates")
   }
 
+  test("bloom gram index: retraction equals rebuild; shared grams survive") {
+    // b1 and b2 SHARE the 5-gram window of `good`'s first five words;
+    // b2 additionally carries a window b1 doesn't have
+    val sharedHead = "alpha beta gamma delta epsilon"
+    val b1 = docsDF(Seq((0L, sharedHead + " zeta eta theta", "en")))
+    val b2 = docsDF(Seq((50L, sharedHead + " omicron sigma tau", "en")))
+    val both = b1.unionByName(b2)
+    def rows(ix: org.apache.spark.sql.DataFrame) = ix.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Curation.bloomGramIndex(both)
+    // the shared window's hash refcounts 2; the rest 1
+    assert(rows(full).values.toSeq.sorted.lastOption.contains(2L))
+    // retraction == rebuild, row for row (the purge ≡ rebuild
+    // discipline TakedownSpec pins for the serving indexes)
+    val after = Curation.bloomGramRemove(full, b2)
+    assert(rows(after) == rows(Curation.bloomGramIndex(b1)))
+    // serving consequence: a probe containing ONLY b2's extra window
+    // is readmitted after retraction; one carrying the shared window
+    // still flags (b1 still owns those bits)
+    val onlyB2 = docsDF(Seq( // carries b2's [delta..tau] window only
+      (101L, "intro words then delta epsilon omicron sigma tau closing", "en")))
+    val shared = docsDF(Seq( // carries the b1∩b2 [alpha..epsilon] window
+      (102L, "intro words then alpha beta gamma delta epsilon closing", "en")))
+    def flagged(corpus: org.apache.spark.sql.DataFrame,
+        ix: org.apache.spark.sql.DataFrame) =
+      Curation.bloomFlagged(corpus,
+        Curation.bloomBitsFromIndex(ix)).count()
+    assert(flagged(onlyB2, full) == 1L && flagged(shared, full) == 1L)
+    assert(flagged(onlyB2, after) == 0L,
+      "a gram only the retracted doc carried must stop flagging")
+    assert(flagged(shared, after) == 1L,
+      "a gram shared with a surviving doc must keep its bits")
+    // bloomBits is definitionally the index-served form
+    assert(Curation.bloomBits(both).collect().map(_.getLong(0)).toSet
+      == Curation.bloomBitsFromIndex(full).collect()
+        .map(_.getLong(0)).toSet)
+  }
+
   // ---- stratified sampling ------------------------------------------------
 
   private lazy val corpus = {

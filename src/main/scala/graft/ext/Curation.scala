@@ -168,8 +168,22 @@ object Curation {
     * delete or grow; takedown of benchmark items likewise rebuilds —
     * it is benchmark-sized, not corpus-sized, so that is cheap).
     */
-  def bloomFillBits(benchmark: DataFrame): Long =
-    bloomBits(benchmark).count()
+  def bloomFillBits(benchmark: DataFrame,
+      mBits: Int = BloomBits): Long =
+    bloomBits(benchmark, mBits).count()
+
+  /** A trained filter with the bit-space it was trained AT: build and
+    * probe positions are mod `mBits`, so a probe at a different size
+    * silently finds nothing (a Bloom false NEGATIVE — the one failure
+    * the design forbids). Carrying the pair as one value makes the
+    * mismatch unrepresentable for callers that hold a state.
+    */
+  final case class BloomState(bits: DataFrame, mBits: Int)
+
+  /** Train a [[BloomState]] (positions + their bit-space). */
+  def bloomState(benchmark: DataFrame,
+      mBits: Int = BloomBits): BloomState =
+    BloomState(bloomBits(benchmark, mBits), mBits)
 
   /** The benchmark's Bloom filter as its set-bit position table — the
     * persistable artifact ("train the filter once in the indexing job,
@@ -228,13 +242,13 @@ object Curation {
         .as("pos"))
       .distinct()
 
-  /** The DROP set of an ingest gate: doc_ids with ≥ 1 Bloom-positive
-    * gram against a prebuilt [[bloomBits]] table. Same three map-side
-    * broadcast probes as the report; one distinct at the end.
+  /** The ONE probe shape both screens share: each of the k positions
+    * of a gram frame's `h` column probes the broadcast bit table with
+    * its OWN map-side join (no explode, no per-gram shuffle), and
+    * `bloom_hit` is "all k found". Input columns pass through.
     */
-  def bloomFlagged(corpus: DataFrame, bits: DataFrame,
-      mBits: Int = BloomBits): DataFrame = {
-    val grams = shingleHashes(corpus)
+  private def bloomProbe(grams: DataFrame, bits: DataFrame,
+      mBits: Int): DataFrame = {
     val probed = bloomPositions(col("h"), mBits)
         .zipWithIndex.foldLeft(grams) {
       case (df, (pos, i)) =>
@@ -243,38 +257,36 @@ object Curation {
             lit(1).as(s"set$i"))),
           pos === col(s"pos$i"), "left")
     }
-    probed
-      .filter((0 until BloomK).map(i => col(s"set$i").isNotNull)
+    probed.withColumn("bloom_hit",
+      (0 until BloomK).map(i => col(s"set$i").isNotNull)
         .reduce(_ && _))
-      .select(col("doc_id")).distinct()
   }
+
+  /** The DROP set of an ingest gate: doc_ids with ≥ 1 Bloom-positive
+    * gram against a prebuilt [[bloomBits]] table (probed at the SAME
+    * `mBits` the bits were built at — carry a [[BloomState]]).
+    */
+  def bloomFlagged(corpus: DataFrame, bits: DataFrame,
+      mBits: Int = BloomBits): DataFrame =
+    bloomProbe(shingleHashes(corpus), bits, mBits)
+      .filter(col("bloom_hit"))
+      .select(col("doc_id")).distinct()
 
   /** The production-shaped form of [[bloomDecontam]]: explicit
     * benchmark table, corpus screened against its Bloom positions.
     */
-  def bloomDecontamAgainst(corpus: DataFrame,
-      benchmark: DataFrame): DataFrame = {
+  def bloomDecontamAgainst(corpus: DataFrame, benchmark: DataFrame,
+      mBits: Int = BloomBits): DataFrame = {
     val benchH = shingleHashes(benchmark).select(col("h")).distinct()
-    val bits = bloomBits(benchmark)
-    // corpus grams with their exact-overlap truth flag attached; then
-    // each of the k positions probes the broadcast bit table with its
-    // OWN map-side join (no explode, no per-gram shuffle — the only
-    // exchange in the whole screen is the final per-doc aggregate)
+    val bits = bloomBits(benchmark, mBits)
+    // corpus grams with their exact-overlap truth flag attached before
+    // the shared probe — the only exchange in the whole screen is the
+    // final per-doc aggregate
     val cg = shingleHashes(corpus)
       .join(broadcast(benchH.withColumn("is_true", lit(1))),
         Seq("h"), "left")
-    val positions = bloomPositions(col("h"))
-    val probed = positions.zipWithIndex.foldLeft(cg) {
-      case (df, (pos, i)) =>
-        df.join(
-          broadcast(bits.select(col("pos").as(s"pos$i"),
-            lit(1).as(s"set$i"))),
-          pos === col(s"pos$i"), "left")
-    }
-    val perGram = probed.select(col("doc_id"),
-      (0 until BloomK).map(i => col(s"set$i").isNotNull)
-        .reduce(_ && _).as("bloom_hit"),
-      col("is_true"))
+    val perGram = bloomProbe(cg, bits, mBits)
+      .select(col("doc_id"), col("bloom_hit"), col("is_true"))
     perGram
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

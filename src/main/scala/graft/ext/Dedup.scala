@@ -633,9 +633,16 @@ object Dedup {
     * oracles that reference it more than once (DuckDB re-inlines per
     * reference otherwise — the bpe_merges 309s lesson).
     */
-  private def labelsCtesSql(materializedLabels: Boolean = false): String = {
+  /** The recursive connected-components labeling CTEs over any
+    * (doc_a, doc_b) pair-source SQL — one definition so the
+    * label-consuming oracles (MinHash clusters/manifests here, the
+    * cross-modal media clusters in [[Multimodal]]) cannot drift apart
+    * on the closure discipline or the MATERIALIZED placement.
+    */
+  private[ext] def labelsCtesSql(materializedLabels: Boolean = false,
+      pairsSql: String = minhashNearDupsSql): String = {
     val mat = if (materializedLabels) " MATERIALIZED" else ""
-    s"""neardups AS MATERIALIZED ($minhashNearDupsSql),
+    s"""neardups AS MATERIALIZED ($pairsSql),
        |edges AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM neardups
        |  UNION SELECT doc_b, doc_a FROM neardups

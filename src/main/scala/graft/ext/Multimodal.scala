@@ -1279,19 +1279,8 @@ object Multimodal {
        |mpairs AS MATERIALIZED (
        |  SELECT * FROM ip UNION ALL SELECT * FROM ap
        |  UNION ALL SELECT * FROM vp),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM mpairs
-       |  UNION SELECT doc_b, doc_a FROM mpairs
-       |  UNION SELECT doc_a, doc_a FROM mpairs
-       |  UNION SELECT doc_b, doc_b FROM mpairs),
-       |reach AS (
-       |  SELECT doc_a, doc_b FROM edges
-       |  UNION
-       |  SELECT r.doc_a, e.doc_b
-       |  FROM reach r JOIN edges e ON r.doc_b = e.doc_a),
-       |labels AS MATERIALIZED (
-       |  SELECT doc_a AS doc_id, min(doc_b) AS label
-       |  FROM reach GROUP BY doc_a),
+       |${Dedup.labelsCtesSql(materializedLabels = true,
+          pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
        |sizes AS (
        |  SELECT label AS cluster_id, count(*) AS n_docs
        |  FROM labels GROUP BY label),

@@ -45,18 +45,23 @@ object CurateStream {
     * optionally decontam-screen, then delegate to the dedup ingest
     * (which re-checks the replay guard itself).
     *
-    * `benchBits` is the benchmark's Bloom position table
-    * ([[Curation.bloomBits]], built ONCE at attach time — constant
-    * ≤2¹⁵-row broadcast state per batch): an ingest-time benchmark
-    * screen, because eval-set text that reaches the corpus poisons
-    * every model trained on it. The screen is a Bloom, so it can
-    * OVER-drop (deterministic FPs, measured in SCALING.md) but never
+    * `bench` is the benchmark's trained Bloom
+    * ([[Curation.BloomState]] — positions AND the bit-space they were
+    * built at, one value so build/probe sizes can't silently
+    * disagree; built ONCE at attach time, ≤ mBits rows of broadcast
+    * state per batch): an ingest-time benchmark screen, because
+    * eval-set text that reaches the corpus poisons every model
+    * trained on it. The screen is a Bloom, so it can OVER-drop
+    * (deterministic FPs, measured in SCALING.md) but never
     * under-drop — the correct polarity for a contamination gate.
+    * The screen runs on the CANONICALIZED batch text, so the filter
+    * must be trained on canonicalized benchmark text too ([[start]]
+    * normalizes it; a raw-text filter would under-drop on any
+    * benchmark doc with uppercase or loose whitespace).
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       indexPath: String, stats: CurateStats,
-      benchBits: Option[DataFrame] = None,
-      benchMBits: Int = Curation.BloomBits): Unit =
+      bench: Option[Curation.BloomState] = None): Unit =
     if (batchId > stats.dedup.lastCommitted) {
       graft.functions.GraftFunctions.register(batch.sparkSession)
       val canon = batch
@@ -65,12 +70,12 @@ object CurateStream {
       try {
         val nRaw = canon.count()
         val gated = TextAnalysis.qualityFilter(canon)
-        val (screened, nDropped) = benchBits match {
+        val (screened, nDropped) = bench match {
           case None => (gated, 0L)
-          case Some(bits) =>
+          case Some(state) =>
             val g = gated.persist()
             val out = g.join(
-              Curation.bloomFlagged(g, bits, benchMBits),
+              Curation.bloomFlagged(g, state.bits, state.mBits),
               Seq("doc_id"), "left_anti")
               .persist()
             // materialize before unpersisting the gated parent; the
@@ -92,7 +97,7 @@ object CurateStream {
           stats.seen.add(nRaw)
           stats.decontamDropped.add(nDropped)
         } finally {
-          if (benchBits.isDefined) { screened.unpersist(); () }
+          if (bench.isDefined) { screened.unpersist(); () }
         }
       } finally { canon.unpersist(); () }
     }
@@ -111,22 +116,47 @@ object CurateStream {
     // collected LocalRelation: embedding ~10⁵ literal rows in every
     // batch's three join plans cost ~8× throughput — the planner
     // re-serializes and re-optimizes the literal table per broadcast.)
-    // mBits is the sizing dial (SCALING.md "Bloom decontam screen"):
-    // build and probe MUST agree on it. The cache lives for the
-    // stream's life — filter-sized (≤ mBits rows), the point of Bloom.
-    val bits = benchmark.map { b =>
-      val t = Curation.bloomBits(b, benchMBits).persist()
-      t.count() // materialize once, before the first batch
-      t
+    // Trained on CANONICALIZED benchmark text, because the screen
+    // probes canonicalized batch text — a raw-text filter would
+    // under-drop on any benchmark doc with uppercase/loose whitespace.
+    // mBits rides inside the BloomState so build and probe can't
+    // disagree. The cache is filter-sized (≤ mBits rows) and is
+    // released when THIS query terminates (listener below).
+    val bench = benchmark.map { b =>
+      // normalizeText's native expression resolves eagerly here
+      graft.functions.GraftFunctions.register(b.sparkSession)
+      val st = Curation.bloomState(
+        b.withColumn("text", Curation.normalizeText(col("text"))),
+        benchMBits)
+      st.bits.persist().count() // materialize before the first batch
+      st
     }
-    stream.writeStream
+    val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusPath, indexPath, stats,
-          bits, benchMBits)
+          bench)
       }
       .start()
+    bench.foreach { st =>
+      val spark = st.bits.sparkSession
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            st.bits.unpersist()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    q
   }
 }

@@ -975,10 +975,16 @@ class StreamingSpec extends AnyFunSuite {
       "runs far away into green fields of tall grass today"
     val other = "the quick birds watch green apples and sweet pears " +
       "while many other foxes stroll past nearby trees today okay fine"
-    // benchmark = the `good` text: its Bloom positions, trained once
-    val bits = Curation.bloomBits(
-      Seq((0L, good, "en")).toDF("doc_id", "text", "lang"))
-      .as[Long].collect().toSeq.toDF("pos")
+    // benchmark = the `good` text — but delivered NON-CANONICAL
+    // (uppercase + loose whitespace), the shape a real eval set
+    // arrives in: start()'s training normalization must make the
+    // screen catch the canonicalized stream twin anyway. processBatch
+    // is driven directly here, so normalize like start() does.
+    graft.functions.GraftFunctions.register(spark)
+    val bits = Curation.bloomState(
+      Seq((0L, ("  " + good + "  ").toUpperCase, "en"))
+        .toDF("doc_id", "text", "lang")
+        .withColumn("text", Curation.normalizeText(col("text"))))
     // batch: a doc CONTAINING benchmark 5-grams (contaminated, passes
     // the quality gate) and a clean doc — only the clean one lands
     graft.streaming.CurateStream.processBatch(
@@ -1000,6 +1006,35 @@ class StreamingSpec extends AnyFunSuite {
     // no-benchmark ingest is byte-identical to the pre-gate behavior
     // (the existing curation test covers it; here just the counter)
     assert(fresh.decontamDropped.value == 1)
+
+    // end-to-end through start(): the attach path must (a) normalize
+    // the RAW benchmark itself — an uppercase eval doc still screens
+    // its canonicalized stream twin — and (b) release the persisted
+    // position table when the query terminates
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val s2 = new graft.streaming.CurateStream.CurateStats(spark)
+    val d2 = Files.createTempDirectory("cb2").toString
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val q = graft.streaming.CurateStream.start(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$d2/corpus", s"$d2/index", s"$d2/ckpt", s2,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      benchmark = Some(
+        Seq((0L, ("  " + good + "  ").toUpperCase, "en"))
+          .toDF("doc_id", "text", "lang")))
+    mem.addData((1L, good + " alpha"), (2L, other))
+    q.awaitTermination(60000)
+    assert(s2.decontamDropped.value == 1,
+      "start() must train the Bloom on CANONICAL benchmark text")
+    assert(spark.read.parquet(s"$d2/corpus")
+      .select("doc_id").head().getLong(0) == 2L)
+    // termination listeners fire asynchronously; wait for the release
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.sparkContext.getPersistentRDDs.size > cachedBefore
+        && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "the trained position table must unpersist when the query ends")
   }
 
   test("streaming dedup ingest: index screens batches; replay idempotent") {

@@ -909,6 +909,26 @@ object Multimodal {
     wavFpRecords(documents).mapPartitions(codec.decodePartition _).toDF()
   }
 
+  /** Audio fingerprints from REAL on-the-wire payload bytes — the
+    * streaming-ingest shape, column-compatible with
+    * [[imageFpFromPayload]] / [[videoFpFromPayload]] so WAV streams
+    * ride [[graft.streaming.MediaDedupStream]]'s exact-verified screen
+    * through the same fpExtract seam.
+    */
+  def audioFpFromPayload(batch: DataFrame,
+      codec: MediaCodec[AudioFp] = WavFpDecoder): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => codec.decodePartition(it.map { case (id, p) =>
+        MediaRecord(id, p, "audio/wav",
+          if (p == null) 0L else p.length.toLong)
+      }))
+      .toDF()
+      .select(col("doc_id"), col("decoded"), col("fp_lo"), col("fp_hi"))
+  }
+
   /** Perceptual audio near-dup — the [[bandedHamming64]] screen over
     * [[audioFingerprints]]; a one-sample nudge moves one window's
     * energy, which flips at most the two bits that window feeds

@@ -1423,5 +1423,20 @@ class StreamingSpec extends AnyFunSuite {
       2L, corpusDir, indexDir, stats, videoFps)
     assert(corpusIds == Set(10L, 20L, 30L, 31L),
       "a reversed cut is different content, not a near-dup")
+
+    // the third modality through the SAME seam: WAV payloads screen
+    // through their own fingerprint index with identical semantics
+    val aCorpus = Files.createTempDirectory("aud_corpus").toString
+    val aIndex = Files.createTempDirectory("aud_index").toString
+    val aStats = new MediaDedupStream.MediaStats(spark)
+    def wav(id: Long) = Multimodal.wavFpPayload(id)
+    MediaDedupStream.processBatch(
+      batchDf((10L, wav(10)), (17L, wav(17)),
+        (99L, "not a wav".getBytes("UTF-8"))),
+      0L, aCorpus, aIndex, aStats, Multimodal.audioFpFromPayload(_))
+    assert(aStats.rejected.value == 1 && aStats.kept.value == 1)
+    assert(spark.read.parquet(aCorpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L),
+      "the one-sample-nudge audio twin must drop in-batch")
   }
 }

@@ -227,8 +227,12 @@ object RunStream {
         corpusRows = rows(s"$outDir/corpus", ddStats.lastCommitted),
         dedupIndexRows = rows(s"$outDir/dd_index", ddStats.lastCommitted),
         hhSymbols =
-          HeavyHitterStream.servedCounters(spark, s"$outDir/hh_index")
-            .count(),
+          // Same missing-path posture as committedRows: a run shorter
+          // than the HH leg's first trigger has no index directory yet,
+          // which must read as 0 symbols, not PATH_NOT_FOUND.
+          try HeavyHitterStream.servedCounters(spark, s"$outDir/hh_index")
+            .count()
+          catch { case _: Throwable => 0L },
         hllDays = rows(s"$outDir/hll_index"),
         stateBytesMax = stateMax,
         shuffleWriteBytes = shuffleWrite.get(), wallSec = wall)

@@ -514,10 +514,19 @@ object Multimodal {
 
   /** Deterministic 8×8 RGB PNG per doc with PLANTED perceptual twins:
     * the pixel source is `h32("img|seed|x|y")` split into channel
-    * bytes, where ids ≡ 7 (mod 10) reuse the seed of id − 7 and get
-    * one channel of one pixel nudged ±3 WITHOUT mod-wrap (253–255
-    * step down; a wrap would be an ~84-step gray jump that can shift
-    * the aHash mean past the Hamming radius) — a perceptual
+    * bytes, where ids ≡ 7 (mod 10) reuse the seed of id − 7 and get a
+    * SUM-NEUTRAL two-pixel nudge: pixel (0,0)'s red channel moves ±3
+    * WITHOUT mod-wrap (253–255 step down; a wrap would be an ~84-step
+    * gray jump) and pixel (1,0)'s red channel absorbs the OPPOSITE
+    * delta — its base range is pinned to [3, 252] (`3 + h % 250`) so
+    * the compensation can never wrap either. Because gray is
+    * `(r+g+b) div 3` and 3 | 3, the two grays move by exactly +1/−1
+    * and Σgray is PROVABLY unchanged, so only cells (0,0) and (1,0)
+    * can cross the strict `64·gray > Σgray` threshold: the twin's
+    * Hamming distance to its anchor is ≤ 2 DETERMINISTICALLY at any
+    * fixture size (a one-pixel nudge alone shifts the mean, making a
+    * third cell sitting exactly at the threshold flip
+    * probabilistically — the round-11 flake hazard). A perceptual
     * near-duplicate, not a byte-duplicate. Encoded through the REAL
     * `javax.imageio` PNG writer; h32 is the cross-engine md5-prefix
     * hash, so the DuckDB oracle reproduces every pixel arithmetically.
@@ -526,17 +535,23 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       AHashSide, AHashSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val seed = if (docId % 10 == 7) docId - 7 else docId
+    val twin = docId % 10 == 7
+    val seed = if (twin) docId - 7 else docId
+    // nudge sign, decided by pixel (0,0)'s headroom (same for anchor
+    // and twin — both derive from the shared seed)
+    val s = if (Hashing.jvmH32(s"img|$seed|0|0") % 256 >= 253) -3 else 3
     var y = 0
     while (y < AHashSide) {
       var x = 0
       while (x < AHashSide) {
         val hv = Hashing.jvmH32(s"img|$seed|$x|$y")
-        var r = (hv % 256).toInt
+        var r = if (x == 1 && y == 0) (3 + hv % 250).toInt
+                else (hv % 256).toInt
         val g = ((hv / 256) % 256).toInt
         val b = ((hv / 65536) % 256).toInt
-        if (docId % 10 == 7 && x == 0 && y == 0)
-          r = if (r >= 253) r - 3 else r + 3
+        if (twin && y == 0) {
+          if (x == 0) r += s else if (x == 1) r -= s
+        }
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -763,18 +778,23 @@ object Multimodal {
   def imageNearDupsSql: String = {
     val h = Hashing.h32Sql(
       "'img|' || seed || '|' || xs.x || '|' || ys.y")
+    val h00 = Hashing.h32Sql("'img|' || seed || '|0|0'")
     bandedHamming64Sql(
       s"""px AS (
          |  SELECT d.doc_id, xs.x, ys.y,
-         |    CASE WHEN d.doc_id % 10 = 7 AND xs.x = 0 AND ys.y = 0
-         |      THEN CASE WHEN hv % 256 >= 253 THEN hv % 256 - 3
-         |        ELSE hv % 256 + 3 END
+         |    CASE
+         |      WHEN xs.x = 1 AND ys.y = 0 THEN 3 + hv % 250
+         |        - CASE WHEN d.doc_id % 10 = 7 THEN d.s ELSE 0 END
+         |      WHEN d.doc_id % 10 = 7 AND xs.x = 0 AND ys.y = 0
+         |        THEN hv % 256 + d.s
          |      ELSE hv % 256 END AS vr,
          |    (hv // 256) % 256 AS vg, (hv // 65536) % 256 AS vb
-         |  FROM (SELECT doc_id,
+         |  FROM (SELECT doc_id, seed,
+         |          CASE WHEN $h00 % 256 >= 253 THEN -3 ELSE 3 END AS s
+         |        FROM (SELECT doc_id,
          |          CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
          |            ELSE doc_id END AS seed
-         |        FROM documents) d,
+         |        FROM documents)) d,
          |    range(0, 8) xs(x), range(0, 8) ys(y),
          |    LATERAL (SELECT $h AS hv) hh),
          |gray AS (

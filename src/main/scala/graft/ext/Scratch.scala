@@ -20,11 +20,15 @@ import org.apache.spark.sql.Dataset
   * fragments (band tables, shingle tables) ARE plan-matched by
   * sibling queries' identical plan fragments and reused.
   *
-  * So the policy is split by reuse value: [[scoped]] releases ONLY
+  * So the policy is split by reuse value: [[scoped]] releases
   * checkpoint-backed frames (zero reuse value, often the largest
-  * blocks); plain persists stay cached — Spark's LRU storage eviction
-  * self-manages them under pressure, and CacheManager reuse keeps the
-  * dedup family's shared fragments warm across the suite.
+  * blocks) AND any tracked persist derived from one of those released
+  * checkpoints (equally zero reuse value — its unique LogicalRDD leaf
+  * plan-matches nothing — plus a recompute hazard once the checkpoint
+  * blocks are gone); plain persists with replayable lineage stay
+  * cached — Spark's LRU storage eviction self-manages them under
+  * pressure, and CacheManager reuse keeps the dedup family's shared
+  * fragments warm across the suite.
   *
   * Without an active scope (library use, streaming, specs) [[track]]
   * is a no-op — callers outside a harness keep full control of frame
@@ -57,26 +61,45 @@ object Scratch {
     df
   }
 
-  /** Best-effort release — frames that ARE a checkpoint only (the
-    * analyzed plan's ROOT is the LogicalRDD leaf): unpersist the
-    * backing RDD blocks (Dataset.unpersist alone does not reach
-    * those) plus the frame's own cache entry. Any other tracked frame
-    * is a plain persist — left cached on purpose (see object doc:
-    * plan-matched reuse beats eager release, measured). Root-only
-    * matters: a persist DERIVED from a checkpoint carries the
-    * checkpoint's LogicalRDD as a leaf, and releasing by leaf-search
-    * would both drop the persist (against policy) and, worse, destroy
-    * a possibly SHARED checkpoint's unrecoverable blocks out from
-    * under other readers.
+  /** Best-effort release, three cases:
+    *
+    *   1. Frames that ARE a checkpoint (analyzed plan's ROOT is the
+    *      LogicalRDD leaf): unpersist the backing RDD blocks
+    *      (Dataset.unpersist alone does not reach those) plus the
+    *      frame's own cache entry.
+    *   2. Tracked persists DERIVED from a checkpoint released in the
+    *      same scope (the analyzed plan CONTAINS one of the released
+    *      LogicalRDD leaves): unpersist the frame's cache entry too.
+    *      Such a persist has zero reuse value — its unique LogicalRDD
+    *      leaf can never plan-match a sibling query — and a live
+    *      recompute hazard: with the checkpoint's blocks gone its
+    *      truncated lineage cannot be replayed, so on cache-block loss
+    *      in cluster mode the "cached" frame would simply fail. Only
+    *      the cache entry is dropped; the checkpoint RDD itself is
+    *      released exactly once by its own case-1 entry.
+    *   3. Any other tracked frame is a plain persist with replayable
+    *      lineage — left cached on purpose (see object doc:
+    *      plan-matched reuse beats eager release, measured).
+    *
+    * Derived-release is scoped to checkpoints tracked IN THIS SCOPE: a
+    * persist over a long-lived checkpoint someone else owns (serving
+    * state) is untouched, since that leaf is not in `ckptRddIds`.
     */
-  private def release(df: Dataset[_]): Unit =
+  private def release(df: Dataset[_],
+      ckptRddIds: java.util.HashSet[Int]): Unit =
     try {
       df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.unpersist(blocking = false)
           df.unpersist(blocking = false)
           ()
-        case _ => ()
+        case plan =>
+          val derived = plan.exists {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              ckptRddIds.contains(l.rdd.id)
+            case _ => false
+          }
+          if (derived) { df.unpersist(blocking = false); () }
       }
     } catch { case _: Throwable => () }
 
@@ -91,7 +114,19 @@ object Scratch {
     try body
     finally {
       tl.set(outer)
-      buf.forEach(release(_))
+      // Pass 1: the RDD ids of checkpoints this scope is about to
+      // release — the "derived from a released checkpoint" test set.
+      val ckptRddIds = new java.util.HashSet[Int]()
+      buf.forEach { df =>
+        try {
+          df.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              ckptRddIds.add(l.rdd.id); ()
+            case _ => ()
+          }
+        } catch { case _: Throwable => () }
+      }
+      buf.forEach(release(_, ckptRddIds))
     }
   }
 }

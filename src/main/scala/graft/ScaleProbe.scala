@@ -1020,6 +1020,45 @@ object ScaleProbe {
     spark.catalog.clearCache() // release the fingerprint persist
   }
 
+  /** Served-media economics at n docs: build the unified fingerprint
+    * index ONCE (the decode-heavy step — all three codecs), then serve
+    * every screen and the cluster roll-up from it; contrast with the
+    * in-flight cluster query that re-runs all three codec pipelines.
+    * `sbt "runMain graft.ScaleProbe mediaserved 320000 1280000"`.
+    */
+  def mediaServedProbe(spark: SparkSession, n: Long): Unit = {
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory(s"mediafp_probe_$n").toString
+    val (_, tBuild) = timed {
+      graft.ext.Multimodal.writeMediaFpIndex(docs, path); 0L
+    }
+    val served = graft.ext.Multimodal.MediaFpModalities.map { m =>
+      val (p, t) =
+        timed(graft.ext.Multimodal
+          .mediaNearDupsServed(spark, path, m).count())
+      f"$m=$t%.2fs/$p"
+    }
+    val (cs, tClusters) = timed(
+      graft.ext.Multimodal.mediaDedupClustersServed(spark, path).count())
+    spark.catalog.clearCache() // screens persist fingerprint frames
+    val (ci, tInflight) = timed(
+      graft.ext.Multimodal.mediaDedupClusters(docs).count())
+    require(cs == ci, s"served clusters $cs != in-flight $ci")
+    println(f"[mediaserved] n=$n%-8d build=$tBuild%7.2fs " +
+      s"served(${served.mkString(" ")}) " +
+      f"clusters_served=$tClusters%6.2fs " +
+      f"clusters_inflight=$tInflight%7.2fs clusters=$cs")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path))
+    spark.catalog.clearCache()
+  }
+
   /** BoW near-dup cost on the NATURAL-clustering corpus — the
     * word-salad probe is the degenerate case (a handful of giant
     * buckets); this one pins that topic-shaped clustering (hundreds of
@@ -1061,13 +1100,14 @@ object ScaleProbe {
     val audioDupMode = args.headOption.contains("audiodup")
     val bloomMode = args.headOption.contains("bloom")
     val videoDupMode = args.headOption.contains("videodup")
+    val mediaServedMode = args.headOption.contains("mediaserved")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
           || servedMode || bowMode || bowNatMode || recallfMode
           || takedownMode || imageDupMode || audioDupMode
-          || videoDupMode || bloomMode)
+          || videoDupMode || bloomMode || mediaServedMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1183,6 +1223,11 @@ object ScaleProbe {
     }
     if (bloomMode) {
       sizes.foreach(bloomProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (mediaServedMode) {
+      sizes.foreach(mediaServedProbe(spark, _))
       spark.stop()
       return
     }

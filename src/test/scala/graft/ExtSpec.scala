@@ -1258,6 +1258,41 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("served media screens equal in-flight bit for bit; decode runs once") {
+    val docs = Tables(spark, Sf0001).documents
+    val path = java.nio.file.Files
+      .createTempDirectory("mediafp").toString
+    Multimodal.writeMediaFpIndex(docs, path)
+    // each served screen ≡ its in-flight twin, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Multimodal.mediaNearDupsServed(spark, path, "image"))
+      == rows(Multimodal.imageNearDups(docs)))
+    assert(rows(Multimodal.mediaNearDupsServed(spark, path, "audio"))
+      == rows(Multimodal.audioNearDups(docs)))
+    assert(rows(Multimodal.mediaNearDupsServed(spark, path, "video"))
+      == rows(Multimodal.videoNearDups(docs)))
+    assert(rows(Multimodal.mediaDedupClustersServed(spark, path))
+      == rows(Multimodal.mediaDedupClusters(docs)))
+    // the served plans touch no codec: no generator/decode
+    // mapPartitions anywhere in the physical tree — the whole point of
+    // the index is that serving costs an index read, not a decode
+    for (m <- Multimodal.MediaFpModalities) {
+      val plan = Multimodal.mediaNearDupsServed(spark, path, m)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("MapPartitions"),
+        s"served $m screen must not re-decode:\n$plan")
+      assert(!plan.toLowerCase.contains("serializefromobject"),
+        s"served $m screen must not leave codegen for a codec stage")
+    }
+    // undecodable payloads keep a flagged row in the index
+    // (reject-don't-drop), and serving filters them like in-flight does
+    val idx = Multimodal.readMediaFpIndex(spark, path)
+    assert(idx.filter(col("decoded") === false).count() == 0,
+      "fixture payloads must all decode")
+    assert(idx.select("modality").distinct().count() == 3)
+  }
+
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
     import spark.implicits._
     import Multimodal.{MediaRecord, PngStatsDecoder}

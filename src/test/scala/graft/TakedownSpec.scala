@@ -252,6 +252,48 @@ class TakedownSpec extends AnyFunSuite {
     assert(again.forall(a => a.rowsRemoved == 0L && a.leftover == 0L))
   }
 
+  test("media fingerprint index purge: pruned, complete, served equals rebuild") {
+    import graft.ext.Multimodal
+    val path = tmpDir("tdmediafp")
+    Multimodal.writeMediaFpIndex(docs, path)
+    // purge a SMALL id set so partition pruning is observable: ids in
+    // one doc_id bucket → ≤ 3 of the 3·16 partitions rewritten
+    val hitIds = docs.select("doc_id")
+      .filter(pmod(col("doc_id"), lit(Multimodal.MediaFpBuckets))
+        === lit(5L))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val ids = hitIds.toDF("doc_id")
+    val untouched = Multimodal.MediaFpModalities.flatMap { m =>
+      (0L until Multimodal.MediaFpBuckets).filter(_ != 5L)
+        .map(b => s"$path/modality=$m/bucket=$b")
+    }.map(d => d -> listFiles(d)).toMap
+    val out = Takedown.propagate(spark, ids, Seq(
+      Takedown.PartitionedIndex("media_fp", path, "doc_id",
+        Seq("modality", "bucket"))))
+    assert(out.head.rowsRemoved == 3L * hitIds.size,
+      "each id holds one row per modality")
+    assert(out.head.leftover == 0L)
+    assert(out.head.partsRewritten == 3L,
+      "only the hit bucket's three modality partitions rewrite")
+    // physically pruned: every untouched partition keeps its exact files
+    untouched.foreach { case (d, files) =>
+      assert(listFiles(d) == files, s"untouched partition rewritten: $d")
+    }
+    // served-after-purge ≡ screens over an index rebuilt from the
+    // purged corpus (the takedown contract: no trace in any answer)
+    val rebuilt = tmpDir("tdmediafp2")
+    Multimodal.writeMediaFpIndex(
+      Takedown.purged(docs, ids, "doc_id"), rebuilt)
+    for (m <- Multimodal.MediaFpModalities) {
+      val served = Multimodal.mediaNearDupsServed(spark, path, m)
+        .collect().map(_.toSeq).toSeq
+      val ref = Multimodal.mediaNearDupsServed(spark, rebuilt, m)
+        .collect().map(_.toSeq).toSeq
+      assert(served == ref, s"purged index serves stale $m answers")
+    }
+  }
+
   test("takedown audit equals what purged() actually produces") {
     val ids = Takedown.takedownSet(docs)
     val audit = Takedown.takedownAudit(docs).collect()

@@ -333,6 +333,55 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Index-lifecycle cost at corpus size n: base build vs
+    * drift-triggered [[Similarity.rebuildIvfIndex]] (re-cluster of
+    * base + one appended batch into a staged v-1, validate, atomic
+    * commit, retire). The rebuild's extra costs over a build are the
+    * index read (instead of a corpus scan), the validation count, and
+    * the swap bookkeeping — the probe pins that the total stays
+    * build-shaped. `sbt "runMain graft.ScaleProbe ivfrebuild 1280000 5120000"`.
+    */
+  def ivfRebuildProbe(spark: SparkSession, n: Long): Unit = {
+    // STORAGE-backed source: a production build reads a stored corpus
+    // table, and the rebuild reads the stored index — comparing
+    // build-from-generator against rebuild-from-storage would
+    // attribute the storage-scan cost to the rebuild
+    val src = s"/tmp/graft_scaleprobe_ivfrb_src_$n"
+    synthEmbeddings(spark, n).write.mode("overwrite").parquet(src)
+    val emb = spark.read.parquet(src)
+    val cells = Similarity.ivfCellsFor(n)
+    val nProbe = Similarity.ivfProbesFor(cells)
+    val path = s"/tmp/graft_scaleprobe_ivfrb_$n"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildS = timed(Similarity.writeIvfIndex(emb, path, cells))
+    // append a 1% drifted batch, then rebuild over base + batch
+    val batch = synthEmbeddings(spark, n / 100)
+      .select((col("vec_id") + n * 2).as("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.25)).as("embedding"))
+    val appendS = timed(
+      Similarity.appendToIvfIndex(batch, path, batchId = 1L))
+    val rebuildS = timed { Similarity.rebuildIvfIndex(spark, path, cells); () }
+    val rebuild2S = timed { Similarity.rebuildIvfIndex(spark, path, cells); () }
+    val servedS = timed {
+      Similarity.topKIvfServed(spark, path, nProbe).count(); ()
+    }
+    println(f"[scale-ivfrebuild] n=$n%-8d cells=$cells " +
+      f"build=$buildS%7.2fs append_1pct=$appendS%6.2fs " +
+      f"rebuild=$rebuildS%7.2fs (${rebuildS / buildS}%.2fx build) " +
+      f"rebuild_noappend=$rebuild2S%7.2fs " +
+      f"served_after_swap=$servedS%6.2fs")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(src))
+    spark.catalog.clearCache()
+  }
+
   /** Span-dedup cost at corpus size n: the gram stream is one row per
     * token position (~55/doc here), shuffled on an 8-byte xxhash64 key;
     * the planted near-dup pairs (ids ≡ 1 mod 17) make ~12 % of docs
@@ -1101,13 +1150,15 @@ object ScaleProbe {
     val bloomMode = args.headOption.contains("bloom")
     val videoDupMode = args.headOption.contains("videodup")
     val mediaServedMode = args.headOption.contains("mediaserved")
+    val ivfRebuildMode = args.headOption.contains("ivfrebuild")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
           || eventsMode || overlapMode || capMode || statsMode
           || servedMode || bowMode || bowNatMode || recallfMode
           || takedownMode || imageDupMode || audioDupMode
-          || videoDupMode || bloomMode || mediaServedMode)
+          || videoDupMode || bloomMode || mediaServedMode
+          || ivfRebuildMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1228,6 +1279,11 @@ object ScaleProbe {
     }
     if (mediaServedMode) {
       sizes.foreach(mediaServedProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (ivfRebuildMode) {
+      sizes.foreach(ivfRebuildProbe(spark, _))
       spark.stop()
       return
     }

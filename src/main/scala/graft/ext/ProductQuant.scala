@@ -201,6 +201,74 @@ object ProductQuant {
     cbCache.computeIfAbsent(s"$key:$k",
       _ => trainCodebooks(embeddings, k))
 
+  // ---- persisted codebooks: train once, retrain on distortion ------------
+
+  /** Persist trained codebooks as the flat base artifact
+    * (`path/codebooks`: one tiny M·K-row table). The serving read is
+    * [[readPqCodebooks]]; the distortion-triggered refresh is
+    * [[retrainPqCodebooks]] — same [[Versioned]] stage→validate→
+    * commit→retire lifecycle as [[Similarity.rebuildIvfIndex]].
+    */
+  def writePqCodebooks(embeddings: DataFrame, path: String,
+      k: Int = CodebookK): Unit =
+    writeCodebookSnapshot(
+      trainCodebooks(embeddings, k), path, embeddings.sparkSession)
+
+  private def writeCodebookSnapshot(cbs: Seq[Seq[Seq[Double]]],
+      root: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (mcb, m) <- cbs.zipWithIndex
+      (cv, c) <- mcb.zipWithIndex
+    } yield (m, c, cv)
+    // one file: the whole artifact is M·K·SubDim doubles
+    rows.toDF("m", "cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Read the CURRENT committed codebooks (resolve once — a caller
+    * encoding a corpus and building distance tables from one read can
+    * never mix two codebook generations).
+    */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val root = Versioned.resolve(spark, path)
+    val rows = spark.read.parquet(s"$root/codebooks").collect()
+    val byKey = rows.map(r => (r.getAs[Int]("m"), r.getAs[Int]("cell"))
+      -> r.getSeq[Double](2)).toMap
+    val ms = rows.map(_.getAs[Int]("m")).distinct.sorted
+    ms.map { m =>
+      val cells = rows.filter(_.getAs[Int]("m") == m)
+        .map(_.getAs[Int]("cell")).sorted
+      cells.map(c => byKey((m, c))).toSeq
+    }
+  }
+
+  /** Distortion-triggered codebook retrain with atomic swap — the
+    * remedy arm of [[pqDistortion]]: train fresh codebooks on the
+    * CURRENT corpus, stage them as `v-<n>/codebooks`, validate the
+    * staged read, then promote via the atomic `_COMMITTED` marker.
+    * A served query that already resolved its codebooks keeps using
+    * its snapshot (retained through the next retrain); new reads get
+    * the retrained ones — never a mix. Returns the committed version.
+    */
+  def retrainPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame,
+      k: Int = CodebookK): Long = {
+    val cbs = trainCodebooks(embeddings, k)
+    val n = Versioned.nextVersion(spark, path)
+    val stage = Versioned.versionDir(path, n)
+    Versioned.clearStage(spark, stage)
+    writeCodebookSnapshot(cbs, stage, spark)
+    // validate the staged artifact reads back to the trained shape
+    val back = spark.read.parquet(s"$stage/codebooks").count()
+    require(back == cbs.map(_.size).sum.toLong,
+      s"staged codebooks have $back rows, trained ${cbs.map(_.size).sum}")
+    Versioned.commit(spark, stage)
+    Versioned.retire(spark, path, flatSubdirs = Seq("codebooks"))
+    n
+  }
+
   /** PQ quantization-distortion monitor — the retrain signal for a
     * served PQ/IVF-PQ index (the ADC-precision twin of
     * [[Similarity.annIndexDrift]]'s cell-balance signal): per subspace,

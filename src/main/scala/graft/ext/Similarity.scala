@@ -221,8 +221,9 @@ object Similarity {
       path: String, embeddings: DataFrame,
       nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
-    val data = readIndexData(spark, path)
+    val root = Versioned.resolve(spark, path) // one snapshot per query
+    val fineCells = spark.read.parquet(s"$root/centroids")
+    val data = readIndexData(spark, root)
     // Anchor vectors come from the CORPUS table, not the index: the
     // index is cell-partitioned, so a by-id lookup there is a full
     // index scan, while the corpus scan pushes vec_id < N down to
@@ -390,8 +391,9 @@ object Similarity {
       path: String, embeddings: DataFrame,
       nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
-    val data = readIndexData(spark, path)
+    val root = Versioned.resolve(spark, path) // one snapshot per query
+    val fineCells = spark.read.parquet(s"$root/centroids")
+    val data = readIndexData(spark, root)
     // corpus-side anchor lookup + eager materialization — see
     // [[hardNegativesServed]]; candidate labels come from the index
     val q = graft.ext.Scratch.track(
@@ -489,8 +491,9 @@ object Similarity {
       path: String, embeddings: DataFrame,
       nProbe: Int = ivfProbesFor(IvfCells)): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
-    val data = readIndexData(spark, path)
+    val root = Versioned.resolve(spark, path) // one snapshot per query
+    val fineCells = spark.read.parquet(s"$root/centroids")
+    val data = readIndexData(spark, root)
     val q = graft.ext.Scratch.track(
       withNorm(embeddings).filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
@@ -1049,7 +1052,15 @@ object Similarity {
     * `path/centroids/…` (ccell, cell, fv, fn2).
     */
   def writeIvfIndex(embeddings: DataFrame, path: String,
-      cells: Int = IvfCells): Unit = {
+      cells: Int = IvfCells): Unit =
+    writeIvfSnapshot(embeddings, path, cells)
+
+  /** One complete index snapshot (data + centroids) under `root` —
+    * the base build writes it at the index path itself; a rebuild
+    * writes it into a staged version dir.
+    */
+  private def writeIvfSnapshot(embeddings: DataFrame, root: String,
+      cells: Int): Unit = {
     val parts = ivfIndexParts(embeddings, cells)
     // batch_id=0 is the base build; incremental appends use higher ids
     // (the second partition level is the idempotent-overwrite unit).
@@ -1059,10 +1070,75 @@ object Similarity {
     parts("assign").withColumn("batch_id", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "batch_id")
-      .parquet(s"$path/data")
+      .parquet(s"$root/data")
     parts("fineCells").write.mode("overwrite")
-      .parquet(s"$path/centroids")
+      .parquet(s"$root/centroids")
   }
+
+  /** Drift-triggered index rebuild with atomic swap — the remedy arm
+    * of [[ivfIndexDrift]] (and the PQ distortion monitor's analogue is
+    * [[ProductQuant.retrainPqCodebooks]]): re-cluster EVERYTHING the
+    * index currently serves (base + every appended batch, so appended
+    * rows land in cells that describe them and batch partitions fold
+    * back into batch_id=0) into a STAGED `v-<n>` snapshot, validate
+    * it, then promote by atomically creating its `_COMMITTED` marker
+    * (see [[Versioned]]).
+    *
+    * Serving continuity: every serving entry point resolves the index
+    * root once per query, so a query straddling the swap reads its
+    * whole answer from one snapshot — old or new, never a mix — and
+    * the previous snapshot is retained through the next rebuild so
+    * straddling readers' files stay on disk. Cost is one full corpus
+    * re-cluster (the build cost, SCALING.md "IVF rebuild") — paid on
+    * the drift signal, not per ingest.
+    *
+    * Returns the committed version number.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Int = IvfCells): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val cur = Versioned.resolve(spark, path)
+    val n = Versioned.nextVersion(spark, path)
+    val stage = Versioned.versionDir(path, n)
+    Versioned.clearStage(spark, stage) // crashed-rebuild debris
+    // CONSOLIDATE first: the serving index is nlist·batches small
+    // cell= files, and the clustering makes several passes over its
+    // input — read the fragmented layout ONCE into a flat
+    // default-parallelism staging table, then cluster from that with
+    // exactly a base build's economics (measured 121 s → 33 s at
+    // 1.28 M / 1132 cells without/with the consolidation pass; stored
+    // v is the exact withNorm(embedding) vector, so the round-trip is
+    // lossless)
+    readIndexData(spark, cur)
+      .select(col("vec_id"), col("label"), col("v").as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$stage/.corpus")
+    val corpus = spark.read.parquet(s"$stage/.corpus")
+    val want = corpus.count() // validation reference
+    writeIvfSnapshot(corpus, stage, cells)
+    // validate the staged snapshot BEFORE promoting: a lost row here
+    // is a silently shrunken corpus forever after
+    val built = spark.read.parquet(s"$stage/data").count()
+    require(built == want,
+      s"staged rebuild has $built rows, serving index has $want")
+    Versioned.clearStage(spark, s"$stage/.corpus") // staging scratch
+    Versioned.commit(spark, stage)
+    Versioned.retire(spark, path, IvfFlatSubdirs)
+    n
+  }
+
+  /** The flat-layout component dirs [[Versioned.retire]] removes once
+    * rebuilds supersede the base build.
+    */
+  private val IvfFlatSubdirs = Seq("data", "centroids")
+
+  /** Every root that still holds index data — the takedown enumeration
+    * (retained snapshots are real copies; right-to-be-forgotten must
+    * purge each one's `<root>/data`).
+    */
+  def ivfRetainedRoots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    Versioned.retainedRoots(spark, path, flatProbeSubdir = "data")
 
   /** Incremental index ingest — the corpus grows WITHOUT a rebuild:
     * assign the new batch against the STORED centroid table (broadcast;
@@ -1079,7 +1155,11 @@ object Similarity {
     require(batchId > 0, "batch_id 0 is the base build")
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
+    // appends land in the CURRENT snapshot (a rebuild folds them into
+    // its staged batch_id=0, so post-rebuild appends restart at the
+    // new version)
+    val root = Versioned.resolve(spark, path)
+    val fineCells = spark.read.parquet(s"$root/centroids")
     val e = withNorm(batch)
     def dist2(v: Column, nv: Column, fv: Column, fn2: Column): Column =
       nv * nv - lit(2.0) * dot(v, fv) + fn2
@@ -1106,7 +1186,7 @@ object Similarity {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
-      .parquet(s"$path/data")
+      .parquet(s"$root/data")
   }
 
   /** p95 distance-ratio above which [[ivfIndexDrift]] recommends an
@@ -1131,11 +1211,12 @@ object Similarity {
   def ivfIndexDrift(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
+    val root = Versioned.resolve(spark, path) // one snapshot per query
+    val fineCells = spark.read.parquet(s"$root/centroids")
     def dist2(v: Column, nv: Column, fv: Column, fn2: Column): Column =
       nv * nv - lit(2.0) * dot(v, fv) + fn2
     def q(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
-    val idxD = readIndexData(spark, path)
+    val idxD = readIndexData(spark, root)
       .join(broadcast(fineCells.select(col("cell"), col("fv"),
         col("fn2"))), Seq("cell"))
       .select(q(dist2(col("v"), col("nrm"), col("fv"), col("fn2")))
@@ -1285,7 +1366,7 @@ object Similarity {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     Map("assign" -> assign, "fineCells" -> fineCells,
-      "coarseRefined" -> coarseRefined)
+      "coarseRefined" -> coarseRefined, "coarseAssign" -> coarseAssign)
   }
 
   /** Serve top-k queries FROM the persisted index: rank each query's
@@ -1308,10 +1389,14 @@ object Similarity {
     // result feeds several downstream actions (probes collect, probes
     // broadcast, final count) — without materialization each one would
     // re-run the scan (measured 4x index reads at 1.28 M vectors)
+    // resolve ONCE: the q lookup and the serving scan must read the
+    // same snapshot even if a rebuild commits mid-query
+    // ([[topKIvfServedFor]]'s own resolve is a no-op on a version dir)
+    val root = Versioned.resolve(spark, path)
     val q = graft.ext.Scratch.track(
-      readIndexData(spark, path).filter(col("vec_id") < NumQueries)
+      readIndexData(spark, root).filter(col("vec_id") < NumQueries)
         .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint())
-    topKIvfServedFor(q, path, nProbe, probeCoarse)
+    topKIvfServedFor(q, root, nProbe, probeCoarse)
   }
 
   /** Serve EXTERNAL query vectors against a persisted index — the
@@ -1325,7 +1410,8 @@ object Similarity {
       probeCoarse: Int = IvfCoarseProbes): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
+    val root = Versioned.resolve(spark, path) // one snapshot per query
+    val fineCells = spark.read.parquet(s"$root/centroids")
     val probes = rankProbes(queries, fineCells, nProbe, probeCoarse)
     // the probed cell set is bounded (≤ nQueries·nProbe) — collect it
     // and push it into the scan as a PARTITION filter, so only those
@@ -1333,7 +1419,7 @@ object Similarity {
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
     serveFromAssign(
-      readIndexData(spark, path).filter(col("cell").isin(probed: _*)),
+      readIndexData(spark, root).filter(col("cell").isin(probed: _*)),
       probes)
   }
 
@@ -1509,8 +1595,9 @@ object Similarity {
       path: String, nProbe: Int = IvfProbes,
       probeCoarse: Int = IvfCoarseProbes): Array[Long] = {
     graft.functions.GraftFunctions.register(spark)
-    val fineCells = spark.read.parquet(s"$path/centroids")
-    val q = spark.read.parquet(s"$path/data")
+    val root = Versioned.resolve(spark, path)
+    val fineCells = spark.read.parquet(s"$root/centroids")
+    val q = spark.read.parquet(s"$root/data")
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("v"), col("nrm"))
     rankProbes(q, fineCells, nProbe, probeCoarse)

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{ProductQuant, Similarity, Takedown, Versioned}
+
+/** The ANN index lifecycle: drift-triggered rebuild with atomic swap.
+  * Pins (a) snapshot isolation — a served query straddling the swap
+  * sees entirely the old index or entirely the new one, never a mix;
+  * (b) recall restoration — a planted drifted batch that degrades
+  * served recall under the frozen centroids is fully recovered by
+  * [[Similarity.rebuildIvfIndex]]; (c) crash posture — an uncommitted
+  * stage dir is invisible to readers and superseded in place; (d)
+  * retention + takedown — retained snapshots are enumerable and a
+  * propagate over all of them leaves no copy of a purged id; and (e)
+  * the PQ codebook artifact follows the same stage→commit→retire
+  * lifecycle.
+  */
+class IndexLifecycleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emb = Tables(spark, Sf0001).embeddings
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The planted drift: the fixture vectors shifted by +0.25 per
+    * component (the `ann_index_drift` batch), appended under fresh
+    * vec_ids — new data the frozen centroids no longer describe.
+    */
+  private def driftedBatch = emb
+    .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => x + lit(0.25)).as("embedding"))
+
+  /** Exact cosine top-k over everything the index stores, computed
+    * driver-side (bounded fixture) — the ground truth for recall.
+    */
+  private def bruteTopK(path: String,
+      queries: Seq[(Long, Array[Double])], k: Int): Map[Long, Set[Long]] = {
+    val corpus = spark.read.parquet(
+      s"${Versioned.resolve(spark, path)}/data")
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    queries.map { case (qid, qv) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    }.toMap
+  }
+
+  private def servedTopK(path: String, queries: Seq[(Long, Array[Double])],
+      k: Int): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    val q = queries.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    Similarity.topKIvfServedFor(q, path,
+        nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSet
+      }
+  }
+
+  private def meanRecall(brute: Map[Long, Set[Long]],
+      served: Map[Long, Set[Long]]): Double = {
+    val per = brute.map { case (qid, truth) =>
+      val got = served.getOrElse(qid, Set.empty)
+      (truth & got).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("planted drift degrades served recall; rebuild restores it and swaps atomically") {
+    val path = tmpDir("ivflc")
+    Similarity.writeIvfIndex(emb, path)
+    // drift monitor flags the rebuild BEFORE the batch is ingested
+    // (the ann_index_drift posture: the incoming batch against the
+    // index-build distance distribution)
+    val drift = Similarity.ivfIndexDrift(spark, path,
+      driftedBatch.select(col("vec_id"), col("embedding"))).head()
+    assert(drift.getAs[Boolean]("rebuild_recommended"),
+      s"planted drift must trip the monitor: $drift")
+    Similarity.appendToIvfIndex(driftedBatch, path, batchId = 1L)
+    // recall over drifted queries, served under FROZEN centroids
+    val queries = driftedBatch
+      .filter(col("vec_id") % 17 === 3).limit(10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val truth = bruteTopK(path, queries, Similarity.TopK)
+    val before = meanRecall(truth, servedTopK(path, queries, Similarity.TopK))
+
+    // STRADDLING query: constructed (centroids read + probes collected)
+    // against the pre-rebuild snapshot, executed only after the swap
+    val straddler = Similarity.topKIvfServed(spark, path,
+      nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
+    val preSwapAnswer = Similarity.topKIvfServed(spark, path,
+      nProbe = Similarity.ivfProbesFor(Similarity.IvfCells))
+      .collect().map(_.toSeq).toSeq
+
+    val v = Similarity.rebuildIvfIndex(spark, path)
+    assert(v == 1L)
+    assert(Versioned.resolve(spark, path) == s"$path/v-1")
+
+    // the straddler resolved the OLD snapshot: same answer as before
+    // the swap, bit for bit — old or new, never a mix
+    assert(straddler.collect().map(_.toSeq).toSeq == preSwapAnswer,
+      "query straddling the swap must serve its resolved snapshot")
+
+    // a FRESH query sees the rebuilt index: appended rows are now in
+    // cells that describe them, recall over the drifted queries is
+    // restored (ground truth re-derived from the new snapshot — the
+    // corpus content is identical, the rebuild only re-clusters)
+    val truthAfter = bruteTopK(path, queries, Similarity.TopK)
+    assert(truthAfter == truth, "rebuild must not change the corpus")
+    val after = meanRecall(truth, servedTopK(path, queries, Similarity.TopK))
+    info(f"served recall over drifted queries: before=$before%.3f after=$after%.3f")
+    assert(after > before,
+      f"rebuild must restore recall (before=$before%.3f after=$after%.3f)")
+    assert(after == 1.0,
+      f"re-clustered index must serve the drifted region exactly ($after%.3f)")
+  }
+
+  test("uncommitted stage is invisible; crashed rebuild is superseded in place") {
+    val path = tmpDir("ivfcrash")
+    Similarity.writeIvfIndex(emb, path)
+    val before = Similarity.topKIvfServed(spark, path)
+      .collect().map(_.toSeq).toSeq
+    // simulate a rebuild that died after writing data but before the
+    // marker: a v-1 dir with garbage and NO _COMMITTED
+    val stage = new java.io.File(s"$path/v-1"); stage.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/v-1/garbage"), Array[Byte](1, 2))
+    assert(Versioned.resolve(spark, path) == path,
+      "an uncommitted stage must not serve")
+    assert(Similarity.topKIvfServed(spark, path)
+      .collect().map(_.toSeq).toSeq == before)
+    // the next rebuild claims the same version number, clears the
+    // debris, and commits
+    assert(Similarity.rebuildIvfIndex(spark, path) == 1L)
+    assert(Versioned.resolve(spark, path) == s"$path/v-1")
+    assert(!new java.io.File(s"$path/v-1/garbage").exists(),
+      "crashed-stage debris must be cleared by the retry")
+  }
+
+  test("retention keeps current+previous; takedown purges every retained root") {
+    val path = tmpDir("ivfret")
+    Similarity.writeIvfIndex(emb, path)
+    assert(Similarity.ivfRetainedRoots(spark, path) == Seq(path))
+    Similarity.rebuildIvfIndex(spark, path)
+    // one rebuild: flat base is the retained previous snapshot
+    assert(Similarity.ivfRetainedRoots(spark, path)
+      == Seq(path, s"$path/v-1"))
+    Similarity.rebuildIvfIndex(spark, path)
+    // two rebuilds: flat base retired, v-1 + v-2 retained
+    assert(!new java.io.File(s"$path/data").exists(),
+      "flat base must retire once two versions supersede it")
+    assert(Similarity.ivfRetainedRoots(spark, path)
+      == Seq(s"$path/v-1", s"$path/v-2"))
+    Similarity.rebuildIvfIndex(spark, path)
+    assert(Similarity.ivfRetainedRoots(spark, path)
+      == Seq(s"$path/v-2", s"$path/v-3"))
+    // takedown must cover EVERY retained snapshot: the previous
+    // version is still a real, servable copy of the data
+    import spark.implicits._
+    val ids = Seq(3L, 17L).toDF("vec_id")
+    val out = Takedown.propagate(spark, ids,
+      Similarity.ivfRetainedRoots(spark, path).map(r =>
+        Takedown.PartitionedIndex(s"ivf:$r", s"$r/data", "vec_id",
+          Seq("cell", "batch_id"))))
+    assert(out.size == 2)
+    out.foreach { a =>
+      assert(a.rowsRemoved == 2L, s"${a.artifact}: $a")
+      assert(a.leftover == 0L, s"${a.artifact}: takedown incomplete")
+    }
+  }
+
+  test("PQ codebooks: persisted read-back exact; retrain stages, commits, retires") {
+    val path = tmpDir("pqlc")
+    ProductQuant.writePqCodebooks(emb, path)
+    val trained = ProductQuant.trainCodebooks(emb)
+    assert(ProductQuant.readPqCodebooks(spark, path) == trained,
+      "persisted codebooks must read back exactly")
+    // a straddling reader resolved the flat base; retrain on the
+    // drifted corpus commits v-1 with DIFFERENT codebooks
+    val drifted = emb.unionByName(driftedBatch)
+    val v = ProductQuant.retrainPqCodebooks(spark, path, drifted)
+    assert(v == 1L)
+    val retrained = ProductQuant.readPqCodebooks(spark, path)
+    assert(retrained == ProductQuant.trainCodebooks(drifted))
+    assert(retrained != trained, "drifted corpus must move the codebooks")
+    // retention: flat base still readable (previous snapshot) until a
+    // second retrain supersedes it
+    assert(new java.io.File(s"$path/codebooks").exists())
+    assert(ProductQuant.retrainPqCodebooks(spark, path, emb) == 2L)
+    assert(!new java.io.File(s"$path/codebooks").exists(),
+      "flat base must retire once two versions supersede it")
+    assert(ProductQuant.readPqCodebooks(spark, path) == trained)
+  }
+}

@@ -348,6 +348,70 @@ object RunStream {
       return
     }
 
+    // `sessions` mode: the flatMapGroupsWithState leg at RunStream
+    // scale — rate source fanned out to many concurrent users, state =
+    // one open session per active user, sessions flushed by gap
+    // successors and by the event-time timeout. The state-store
+    // provider comes from SPARK_GRAFT_STATE_STORE (`rocksdb` or
+    // default HDFS-backed) — run both, compare state bytes + batch
+    // latency (SCALING.md "Stateful state store posture").
+    if (wire == "sessions") {
+      sys.env.get("SPARK_GRAFT_STATE_STORE").foreach {
+        case "rocksdb" => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        case _ => ()
+      }
+      val nUsers = sys.env.getOrElse("SPARK_GRAFT_SESSION_USERS",
+        "100000").toLong
+      // event time advances with the rate clock; user ids cycle so a
+      // user's successive events arrive ~nUsers/rowsPerSecond apart
+      // (2 s at the default 50 k rows/s) — against the 1 s gap every
+      // revisit CLOSES the prior session, so the run exercises the
+      // full state churn (lookup, update, remove, emit) at one state
+      // row per live user, plus the timeout flush for the tail
+      val events = rate.select(
+        pmod(col("value"), lit(nUsers)).as("user_id"),
+        col("timestamp").as("ts"),
+        (pmod(col("value"), lit(100L)) / lit(10.0)).as("value"))
+      val out = graft.streaming.SessionStream.sessions(
+        events, gapMs = 1000L, watermarkDelay = "5 seconds")
+      val emitted = spark.sparkContext.longAccumulator("emitted")
+      val q = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/ckpt_sess")
+        .trigger(Trigger.ProcessingTime("5 seconds"))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+             graft.streaming.SessionStream.Session], _: Long) =>
+            emitted.add(b.count()); ()
+        }
+        .start()
+      EventPipeline.runBounded(q, seconds * 1000L)
+      val progress = q.recentProgress.toSeq
+      val stateRows = progress.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val stateBytes = progress.flatMap(_.stateOperators.toSeq)
+        .map(_.memoryUsedBytes).foldLeft(0L)(math.max)
+      val batchMs = progress.map(_.durationMs.values()
+        .asInstanceOf[java.util.Collection[java.lang.Long]]
+        .stream().mapToLong(_.longValue()).sum())
+      val inputRows = progress.map(_.numInputRows).sum
+      val provider = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+        .map(_.split("\\.").last).getOrElse("HDFSBackedStateStoreProvider")
+      println(s"[stream-sessions] provider=$provider " +
+        s"input=$inputRows sessionsEmitted=${emitted.value} " +
+        s"stateRowsMax=$stateRows " +
+        f"stateMB=${stateBytes / 1e6}%.1f " +
+        f"meanBatchMs=${if (batchMs.isEmpty) 0.0
+          else batchMs.map(_.toDouble).sum / batchMs.size}%.0f " +
+        f"maxBatchMs=${batchMs.foldLeft(0L)(math.max)}")
+      spark.stop()
+      return
+    }
+
     // `dedup` mode: document stream with a planted 10% duplicate rate
     // (every value ≡ 7 (mod 10) repeats the text of value − 7) through
     // the incremental near-dup ingest — measures sustained docs/s of

@@ -636,9 +636,30 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming sessionization: gap splits, timeout flush, batch equivalence") {
+    sessionizationContract(providerClass = None)
+  }
+
+  test("sessionization semantics are state-store-provider independent (RocksDB)") {
+    // the SAME contract — gap splits, cross-batch state, event-time
+    // timeout flush, batch equivalence — under the RocksDB provider
+    // (the 100 TB/day posture: state off-heap, not in executor heap;
+    // config-only swap, measured in SCALING.md "Stateful state store")
+    sessionizationContract(providerClass = Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  }
+
+  /** The full sessionization contract, runnable under any state-store
+    * provider: provider choice must never change WHAT flushes or WHEN
+    * (it only changes where the open-session records live).
+    */
+  private def sessionizationContract(providerClass: Option[String]): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     import graft.streaming.SessionStream
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    providerClass.foreach(spark.conf.set(confKey, _))
+    try {
     val gapMs = 60000L
     // base offset: an event AT the initial watermark (epoch 0) would be
     // discarded as late before the stateful operator sees it
@@ -699,6 +720,12 @@ class StreamingSpec extends AnyFunSuite {
     val batchMode = SessionStream.sessions(batchEvents, gapMs).collect()
       .map(s => (s.user_id, s.session_start_ms - base)).toSet
     assert(batchMode == Set((1L, 0L)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
   }
 
   test("streaming novelty: batches score against the grown index; replay idempotent") {

@@ -993,6 +993,17 @@ object SparkEntry {
     "media_dedup_clusters_served" -> ((s, dir) =>
       Multimodal.mediaDedupClustersServed(s, mediaFpIndexFor(s, dir))),
 
+    // corpus-wide clusters: text near-dup pairs (the stored band
+    // index) join the three perceptual channels as a 4th modality —
+    // both pair streams come from persisted indexes, so the roll-up
+    // costs index reads, and a text pair bridging into a media-twin
+    // cluster merges the components
+    "corpus_dedup_clusters" -> ((s, dir) =>
+      Multimodal.corpusDedupClustersFromPairs(
+        Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
+        Dedup.minhashNearDups(tables(s, dir).documents,
+          bands = Some(bandIndexFor(s, dir))))),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1804,6 +1815,7 @@ object SparkEntry {
     "audio_near_dups_served" -> Multimodal.audioNearDupsSql,
     "video_near_dups_served" -> Multimodal.videoNearDupsSql,
     "media_dedup_clusters_served" -> Multimodal.mediaDedupClustersSql,
+    "corpus_dedup_clusters" -> Multimodal.corpusDedupClustersSql,
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

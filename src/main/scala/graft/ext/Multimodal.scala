@@ -1311,6 +1311,65 @@ object Multimodal {
       .orderBy(col("cluster_id"))
   }
 
+  /** CORPUS-wide duplicate clusters: text near-dup evidence joins the
+    * three perceptual channels as a FOURTH modality. A real multimodal
+    * corpus carries text pairs (MinHash/SimHash) for the same doc_ids
+    * the media screens flag — a text-identical pair whose images also
+    * match is far stronger dedup evidence than either channel alone,
+    * and a text pair bridging into a media-twin cluster merges them
+    * into one component. `textPairs` is any `(doc_a, doc_b, …)` frame
+    * ([[Dedup.minhashNearDups]] output has the right shape).
+    */
+  def corpusDedupClusters(documents: DataFrame,
+      textPairs: DataFrame): DataFrame =
+    corpusDedupClustersFromPairs(mediaNearDupPairs(documents), textPairs)
+
+  /** The composition point for pre-computed pair streams (a production
+    * pipeline serves both from persisted indexes —
+    * [[mediaNearDupPairsServed]] + the stored band index).
+    */
+  def corpusDedupClustersFromPairs(mediaPairs: DataFrame,
+      textPairs: DataFrame): DataFrame =
+    clusterRollup(mediaPairs
+      .select(col("doc_a"), col("doc_b"), col("modality"))
+      .unionByName(textPairs.select(col("doc_a"), col("doc_b"))
+        .withColumn("modality", lit("text"))))
+
+  /** DuckDB mirror of [[corpusDedupClusters]] — the media-cluster
+    * oracle with the MinHash text pairs unioned in as the fourth
+    * modality.
+    */
+  def corpusDedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |ip AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'image' AS modality
+       |  FROM ($imageNearDupsSql)),
+       |ap AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'audio' AS modality
+       |  FROM ($audioNearDupsSql)),
+       |vp AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'video' AS modality
+       |  FROM ($videoNearDupsSql)),
+       |tp AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, 'text' AS modality
+       |  FROM (${Dedup.minhashNearDupsSql})),
+       |mpairs AS MATERIALIZED (
+       |  SELECT * FROM ip UNION ALL SELECT * FROM ap
+       |  UNION ALL SELECT * FROM vp UNION ALL SELECT * FROM tp),
+       |${Dedup.labelsCtesSql(materializedLabels = true,
+          pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
+       |sizes AS (
+       |  SELECT label AS cluster_id, count(*) AS n_docs
+       |  FROM labels GROUP BY label),
+       |evidence AS (
+       |  SELECT l.label AS cluster_id, count(*) AS n_pairs,
+       |    count(DISTINCT p.modality) AS n_modalities
+       |  FROM mpairs p JOIN labels l ON p.doc_a = l.doc_id
+       |  GROUP BY l.label)
+       |SELECT s.cluster_id, s.n_docs, e.n_pairs, e.n_modalities
+       |FROM sizes s JOIN evidence e ON s.cluster_id = e.cluster_id
+       |ORDER BY s.cluster_id""".stripMargin
+
   // ---- served perceptual screens: fingerprint once, serve many ----------
 
   /** Doc-id-bucket count for the fingerprint index's second partition

@@ -1258,6 +1258,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus clusters count text as a modality and merge across channels") {
+    import spark.implicits._
+    // planted text+image twin: ONLY those two channels flag the pair —
+    // n_modalities must read exactly 2
+    val media = Seq((1L, 2L, "image")).toDF("doc_a", "doc_b", "modality")
+    val text = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val twin = Multimodal.corpusDedupClustersFromPairs(media, text)
+      .collect()
+    assert(twin.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((1L, 2L, 2L, 2L)),
+      s"text+image twin must land in ONE cluster with n_modalities=2: " +
+        twin.mkString(","))
+    // a text pair BRIDGING into a media-twin cluster merges the
+    // components, and the evidence counts all contributing channels
+    val media2 = Seq((10L, 17L, "image"), (10L, 17L, "audio"))
+      .toDF("doc_a", "doc_b", "modality")
+    val bridge = Seq((5L, 10L)).toDF("doc_a", "doc_b")
+    val merged = Multimodal.corpusDedupClustersFromPairs(media2, bridge)
+      .collect()
+    assert(merged.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((5L, 3L, 3L, 3L)),
+      s"bridged cluster must merge with 3 modalities: ${merged.mkString(",")}")
+    // on the fixture: the four-channel roll-up over the real pair
+    // streams (served media index + stored band index) carries every
+    // media cluster, adds text-only clusters, and counts text in
+    // merged ones
+    val docs = Tables(spark, Sf0001).documents
+    val textPairs = graft.ext.Dedup.minhashNearDups(docs)
+    val corpus = Multimodal.corpusDedupClusters(docs, textPairs).collect()
+    val mediaOnly = Multimodal.mediaDedupClusters(docs).collect()
+    assert(corpus.length >= mediaOnly.length,
+      "adding a channel can only merge or add clusters, never drop docs")
+    val byModalities = corpus.groupBy(_.getLong(3)).view
+      .mapValues(_.length).toMap
+    assert(byModalities.keySet.subsetOf(Set(1L, 3L, 4L)),
+      s"fixture clusters are text-only, media-only, or merged: $byModalities")
+  }
+
   test("served media screens equal in-flight bit for bit; decode runs once") {
     val docs = Tables(spark, Sf0001).documents
     val path = java.nio.file.Files

@@ -315,6 +315,21 @@ object SparkEntry {
         s, tables(s, dir).events, path)
     }),
 
+    // AGGREGATE-artifact takedown: a user folded into per-day HLL
+    // sketches can't be row-filtered out — the purge rebuilds exactly
+    // the affected day partitions from the purged source and deletes
+    // fully-emptied days; the row emits exact post-purge accounting +
+    // verdicts (stored == purged-corpus exact, estimate in band).
+    // Separate index path: hll_window_served's index must keep serving
+    // the UNPURGED corpus for its own oracle.
+    "hll_takedown_purge" -> ((s, dir) => {
+      val path = s"/tmp/graft_hll_td_${fixtureKey(dir)}"
+      graft.ext.IndexCache.ensure(path)(
+        graft.ext.SketchIndex.writeHllIndex(tables(s, dir).events, path))
+      graft.ext.Takedown.hllTakedownVerified(
+        s, tables(s, dir).events, path)
+    }),
+
     // Tumbling event-time windows (batch twin of streaming T-ops)
     "hourly_event_counts" -> ((s, dir) =>
       Analytics.hourlyEventCounts(tables(s, dir).events)
@@ -1565,6 +1580,7 @@ object SparkEntry {
     "dialog_pairs" -> Analytics.dialogPairsSql(),
     "decayed_engagement" -> Analytics.decayedEngagementSql,
     "hll_window_served" -> graft.ext.SketchIndex.hllWindowVerifiedSql,
+    "hll_takedown_purge" -> graft.ext.Takedown.hllTakedownVerifiedSql,
     "key_skew_report" ->
       graft.ops.Diagnostics.keySkewReportSql("events", "user_id"),
     "hourly_gapfill" -> Analytics.hourlyGapfillSql,

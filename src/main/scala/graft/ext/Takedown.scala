@@ -356,4 +356,158 @@ object Takedown {
       |    AS BIGINT) AS removed_id_sum,
       |  count(CASE WHEN doc_id % 41 != 7 THEN 1 END) AS n_after
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- aggregate-artifact takedown: the HLL day index ---------------------
+
+  /** Outcome of one [[purgeHllIndex]] run. Rebuild/delete counts are
+    * the partition-proportional evidence; `staleBefore`/`staleAfter`
+    * are the audit arm (a takedown is complete only when no stored
+    * aggregate still folds a purged user in).
+    */
+  final case class HllPurge(affectedDays: Long, daysRebuilt: Long,
+      daysDeleted: Long, staleBefore: Long, staleAfter: Long)
+
+  /** Affected-day discovery for a user-level takedown against the HLL
+    * day index: one column-pruned (user_id, ts) scan of the SOURCE
+    * semi-joined to the broadcast id list. The index itself cannot
+    * answer "which days contain this user" — the user is FOLDED into
+    * the sketch, which is exactly why aggregate artifacts need
+    * source-side discovery and a rebuild, not a row filter.
+    */
+  private def affectedDaysOf(events: DataFrame,
+      userIds: DataFrame): DataFrame =
+    events.join(broadcast(userIds.select(col("user_id")).distinct()),
+        Seq("user_id"), "left_semi")
+      .select(SketchIndex.dayCol(col("ts")).as("day")).distinct()
+
+  /** Stale-aggregate audit: for every affected day, compare the stored
+    * index's event accounting against a recompute from the PURGED
+    * source. `stale = true` means the stored sketch row still folds a
+    * taken-down user's events — the failure mode a row-level leftover
+    * count can never see (the purged id appears in no row of an
+    * aggregate index). One index read pruned to the affected day
+    * partitions + one day-filtered source aggregation.
+    */
+  def hllStaleDays(spark: SparkSession, path: String,
+      events: DataFrame, userIds: DataFrame): DataFrame = {
+    val days = affectedDaysOf(events, userIds)
+    val expected = purged(events, userIds, "user_id")
+      .select(SketchIndex.dayCol(col("ts")).as("day"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("expected_events"))
+    val stored = SketchIndex.screenFolded(
+        spark.read.option("mergeSchema", "true").parquet(path))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day").agg(sum("n_events").as("stored_events"))
+    // full outer: a stored all-purged day (expected side empty) is
+    // stale until deleted; a deleted day with survivors would be a
+    // lost-data bug the audit must also surface
+    days.join(expected, Seq("day"), "left")
+      .join(stored, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("stored_events"), lit(0L)).as("stored_events"),
+        coalesce(col("expected_events"), lit(0L)).as("expected_events"))
+      .withColumn("stale",
+        col("stored_events") =!= col("expected_events"))
+      .orderBy("day")
+  }
+
+  /** Takedown against the HLL day index — the AGGREGATE-artifact arm
+    * of [[propagate]]'s matrix: users cannot be filtered out of a
+    * sketch, so the purge rebuilds exactly the affected day partitions
+    * from the purged source (`SketchIndex.upsertDays` dynamic
+    * overwrite: untouched days keep their files) and DELETES a day
+    * whose events were entirely the taken-down users' (an upsert with
+    * zero surviving rows would leave the stale partition serving).
+    * Cost is affected-days-proportional: discovery is one
+    * column-pruned source scan, the rebuild aggregates only affected
+    * days' events. Rerunnable: a second run rebuilds the same days to
+    * identical content and the stale audit stays at zero.
+    */
+  def purgeHllIndex(spark: SparkSession, path: String,
+      events: DataFrame, userIds: DataFrame): HllPurge = {
+    val staleBefore = hllStaleDays(spark, path, events, userIds)
+      .filter(col("stale")).count()
+    // bounded: O(distinct affected days)
+    val affected = affectedDaysOf(events, userIds)
+      .collect().map(_.getLong(0)).toSeq
+    if (affected.isEmpty)
+      return HllPurge(0L, 0L, 0L, staleBefore, 0L)
+    val survivors = purged(events, userIds, "user_id")
+      .filter(SketchIndex.dayCol(col("ts")).isin(affected: _*))
+    SketchIndex.upsertDays(survivors, path)
+    val survivingDays = survivors
+      .select(SketchIndex.dayCol(col("ts")).as("day")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val emptied = affected.filterNot(survivingDays.contains)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/day=$d"), true)
+    }
+    val staleAfter = hllStaleDays(spark, path, events, userIds)
+      .filter(col("stale")).count()
+    HllPurge(affected.size.toLong, survivingDays.size.toLong,
+      emptied.size.toLong, staleBefore, staleAfter)
+  }
+
+  /** The verified-row form (the [[SketchIndex.hllWindowVerified]]
+    * discipline): build a takedown-target HLL index, purge the fixture
+    * takedown users (user_id ≡ 7 mod 41), then emit per affected day
+    * the EXACT post-purge answers plus the verdicts — stored event
+    * accounting matches the purged corpus exactly, and the served
+    * distinct estimate lands within the sketch's acceptance band of
+    * the exact post-purge distinct count. The oracle recomputes the
+    * exact values and pins the verdicts literally true.
+    */
+  def hllTakedownVerified(spark: SparkSession, events: DataFrame,
+      path: String): DataFrame = {
+    val ids = events.filter(isTakedown(col("user_id")))
+      .select("user_id").distinct()
+    val stats = purgeHllIndex(spark, path, events, ids)
+    require(stats.staleAfter == 0L,
+      s"HLL purge left ${stats.staleAfter} stale days")
+    val days = affectedDaysOf(events, ids)
+    val exact = purged(events, ids, "user_id")
+      .select(SketchIndex.dayCol(col("ts")).as("day"), col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(count(lit(1)).as("exact_events"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+    val stored = SketchIndex.screenFolded(
+        spark.read.option("mergeSchema", "true").parquet(path))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(sum("n_events").as("stored_events"),
+        hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("est_distinct"))
+    exact.join(stored, Seq("day"))
+      .select(col("day"), col("exact_events"), col("exact_distinct"),
+        (col("stored_events") === col("exact_events"))
+          .as("events_match"),
+        (abs(col("est_distinct") - col("exact_distinct"))
+          <= lit(SketchIndex.HllRelBound) * col("exact_distinct"))
+          .as("within_bound"))
+      .orderBy("day")
+  }
+
+  /** DuckDB mirror of [[hllTakedownVerified]]: exact post-purge
+    * answers per affected day + literal-true verdicts (the purged
+    * index side is what is under test). A day whose events were
+    * entirely the takedown users' is deleted, so only days with
+    * survivors emit.
+    */
+  val hllTakedownVerifiedSql: String =
+    """WITH days AS MATERIALIZED (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+      |affected AS (
+      |  SELECT DISTINCT day FROM days WHERE user_id % 41 = 7)
+      |SELECT d.day, count(*) AS exact_events,
+      |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS exact_distinct,
+      |  true AS events_match,
+      |  true AS within_bound
+      |FROM days d JOIN affected a ON d.day = a.day
+      |WHERE d.user_id % 41 != 7
+      |GROUP BY d.day ORDER BY d.day""".stripMargin
 }

@@ -294,6 +294,55 @@ class TakedownSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL aggregate takedown: stale audit catches folded users; day-rebuild purges") {
+    import spark.implicits._
+    import graft.ext.SketchIndex
+    def ts(day: Long, i: Long) =
+      new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    // day 100: mixed users; day 101: ONLY the takedown user (the
+    // partition must be DELETED, not rebuilt empty); day 102: untouched
+    val events = Seq(
+      (ts(100, 1), 1L, "view"), (ts(100, 2), 7L, "view"),
+      (ts(100, 3), 2L, "purchase"), (ts(100, 4), 7L, "purchase"),
+      (ts(101, 1), 7L, "view"), (ts(101, 2), 7L, "error"),
+      (ts(102, 1), 3L, "view"), (ts(102, 2), 4L, "view"))
+      .toDF("ts", "user_id", "event_type")
+    val path = tmpDir("tdhll")
+    SketchIndex.writeHllIndex(events, path)
+    val ids = Seq(7L).toDF("user_id")
+    // the audit must catch the stale aggregates BEFORE the purge — a
+    // row-level leftover count is blind here (no index row carries
+    // user 7; the user is folded into the sketch), which is exactly
+    // the gap this audit closes
+    val staleBefore = Takedown.hllStaleDays(spark, path, events, ids)
+      .collect()
+    assert(staleBefore.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+      == Set(100L, 101L),
+      s"audit must flag every day folding user 7: ${staleBefore.mkString(",")}")
+    val untouchedFiles = listFiles(s"$path/day=102")
+    val out = Takedown.purgeHllIndex(spark, path, events, ids)
+    assert(out.affectedDays == 2L && out.daysRebuilt == 1L
+      && out.daysDeleted == 1L && out.staleBefore == 2L
+      && out.staleAfter == 0L, out.toString)
+    // the all-takedown day is GONE; the mixed day serves the purged
+    // corpus's exact answer; the untouched day kept its exact files
+    assert(!new java.io.File(s"$path/day=101").exists(),
+      "a day left with no survivors must be deleted, not rebuilt empty")
+    assert(listFiles(s"$path/day=102") == untouchedFiles)
+    val served = SketchIndex.distinctUsersOverRange(spark, path, 100L, 102L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(served.keySet == Set("view", "purchase"),
+      s"user 7's error-only type must vanish: $served")
+    assert(served("view") == ((3L, 3L)) && served("purchase") == ((1L, 1L)))
+    // rerun converges: same content, stale stays zero
+    val again = Takedown.purgeHllIndex(spark, path, events, ids)
+    assert(again.staleBefore == 0L && again.staleAfter == 0L)
+    assert(SketchIndex.distinctUsersOverRange(spark, path, 100L, 102L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap == served)
+  }
+
   test("takedown audit equals what purged() actually produces") {
     val ids = Takedown.takedownSet(docs)
     val audit = Takedown.takedownAudit(docs).collect()

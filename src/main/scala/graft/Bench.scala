@@ -33,11 +33,12 @@ object Bench {
     val noScratch = sys.env.get("SPARK_GRAFT_NO_SCRATCH").contains("1")
     def once(name: String,
         fn: (org.apache.spark.sql.SparkSession, String)
-          => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
-      // Optional isolation mode: clear caches + GC before each timing
-      // (outside the timed section) to decouple a query's number from
-      // its suite neighbors' leftover footprint.
-      if (isolate) { spark.catalog.clearCache(); System.gc() }
+          => org.apache.spark.sql.DataFrame,
+        isolated: Boolean = isolate): (Double, Boolean) = {
+      // Isolation: clear caches + GC before each timing (outside the
+      // timed section) to decouple a query's number from its suite
+      // neighbors' leftover footprint.
+      if (isolated) { spark.catalog.clearCache(); System.gc() }
       // Scratch scope: the query's own persisted/checkpointed scratch
       // frames release AFTER its clock stops (the timer is read inside
       // the scope), so a heavy query cleans up its executor-memory
@@ -71,19 +72,37 @@ object Bench {
     // — the min filters out scheduler/GC noise
     if (!isolate) spark.catalog.clearCache()
     val pass2 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
-    // A query is only "timed" if both passes succeeded; any thrown pass
+    // Pass 3, ALWAYS isolation-mode (clearCache+GC per query): the
+    // suite numbers above carry each query's suite-neighbor pressure,
+    // and the ±15 % ambient band makes round-over-round regression
+    // adjudication a research project with suite numbers alone. One
+    // isolated number per query recorded NEXT TO the suite number
+    // separates code deltas (move both) from neighbor/ambient effects
+    // (move one) permanently. Isolated numbers compare to isolated
+    // numbers across rounds — never to suite numbers (isolation itself
+    // costs the median query ~22 %).
+    val pass3 = ordered
+      .map { case (n, f) => n -> once(n, f, isolated = true) }.toMap
+    // A query is only "timed" if all passes succeeded; any thrown pass
     // marks it failed and its recorded time is -1 (never a sub-second win).
     val results = ordered.map { case (n, _) =>
-      val ok = pass1(n)._2 && pass2(n)._2
+      val ok = pass1(n)._2 && pass2(n)._2 && pass3(n)._2
       n -> (if (ok) math.min(pass1(n)._1, pass2(n)._1) else -1.0)
+    }
+    val isolatedResults = ordered.map { case (n, _) =>
+      n -> (if (pass3(n)._2) pass3(n)._1 else -1.0)
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsIso = isolatedResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val timed = results.collect { case (_, v) if v >= 0 => v }
     val total = if (timed.nonEmpty) timed.sum else 0.0
+    val isoTimed = isolatedResults.collect { case (_, v) if v >= 0 => v }
+    val isoTotal = if (isoTimed.nonEmpty) isoTimed.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"isolated_total":$isoTotal,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     // The driver's per-round artifact keeps only a tail of stdout, which
     // truncates half the per-query numbers; persist the full result to a
     // stable file too (slowest-first, with delta vs the previous run of
@@ -99,11 +118,12 @@ object Bench {
           .findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    val isoByName = isolatedResults.toMap
     val slowest = results.sortBy { case (_, v) => -v }.map { case (n, v) =>
       val delta = prev.get(n).filter(p => p > 0 && v > 0)
         .map(p => f""","delta_pct":${(v - p) / p * 100}%.1f""")
         .getOrElse("")
-      f"""    {"name":"$n","sec":$v%.4f$delta}"""
+      f"""    {"name":"$n","sec":$v%.4f,"iso_sec":${isoByName(n)}%.4f$delta}"""
     }.mkString(",\n")
     val out =
       s"""{
@@ -114,6 +134,8 @@ object Bench {
          |  "failed": $failedJson,
          |  "failed_count": ${failed.size},
          |  "queries": $qs,
+         |  "queries_isolated": $qsIso,
+         |  "isolated_total": $isoTotal,
          |  "slowest": [
          |$slowest
          |  ]

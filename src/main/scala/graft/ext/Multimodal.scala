@@ -234,11 +234,15 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** documents → real PNG payload records (one mapPartitions encode). */
+  /** documents → real PNG payload records (one mapPartitions encode;
+    * id-spread first — see [[spreadIds]]: the fixture corpus is often
+    * ONE parquet file, and inheriting its single partition serializes
+    * the whole encode+decode chain on one core).
+    */
   def pngRecords(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    spreadIds(documents).mapPartitions(_.map { id =>
       val p = pngPayload(id)
       MediaRecord(id, p, "image/png", p.length.toLong)
     })
@@ -351,11 +355,13 @@ object Multimodal {
     bb.array()
   }
 
-  /** documents → real WAV payload records. */
+  /** documents → real WAV payload records (id-spread like
+    * [[pngRecords]]).
+    */
   def wavRecords(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    spreadIds(documents).mapPartitions(_.map { id =>
       val p = wavPayload(id)
       MediaRecord(id, p, "audio/wav", p.length.toLong)
     })
@@ -581,10 +587,14 @@ object Multimodal {
     * (SCALING.md). The exchange moves 8-byte ids, never payloads; at
     * cluster scale the scan is already wide and the rebalance is a
     * cheap guard that also evens payload-size skew across cores. Only
-    * the id-projection generators spread — the payload-carrying stats
-    * paths ([[mediaRecords]], [[pngRecords]], [[wavRecords]]) keep
-    * their pinned no-shuffle shape, because shuffling real payload
-    * bytes is exactly what a production decode stage must not do.
+    * EVERY id-projection generator spreads — the fingerprint paths
+    * and the stats paths ([[pngRecords]], [[wavRecords]]) alike, since
+    * all of them synthesize the payload AFTER the exchange. The one
+    * path that keeps its pinned no-shuffle shape is [[mediaRecords]]:
+    * its payload comes from the scanned rows themselves, and shuffling
+    * real payload bytes is exactly what a production decode stage must
+    * not do — there the partitioning lever is the scan's split sizing
+    * (`spark.sql.files.maxPartitionBytes`), not an exchange.
     */
   private def spreadIds(documents: DataFrame): Dataset[Long] = {
     val spark = documents.sparkSession

@@ -1016,10 +1016,35 @@ class ExtSpec extends AnyFunSuite {
     val t0 = twins.orderBy("doc_id").select("text").head().getString(0)
     assert(rows(0).getAs[Long]("fake_width") == 1L + t0.head.toLong)
     // same plan shape for both decoders: a single deserialize→map→serialize
-    // chain over the scan, no Exchange (decode never shuffles)
+    // chain over the scan, no Exchange — mediaRecords carries REAL
+    // payload bytes from the scanned rows, and shuffling those is what
+    // a production decode stage must not do (split sizing, not an
+    // exchange, is that path's parallelism lever)
     for (df <- Seq(custom, Multimodal.features(twins))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"decode plan must not shuffle:\n$plan")
+    }
+    // the SYNTHESIZING stats paths spread ids before the codec stage:
+    // a one-file corpus inherits ONE scan partition, which would
+    // serialize the whole encode+decode chain on one core at sf1+ —
+    // the pin is ONE round-robin exchange moving ONLY the 8-byte
+    // doc_id projection (never payload bytes: the payload columns are
+    // born in the mapPartitions ABOVE the exchange)
+    val docs = Tables(spark, Sf0001).documents
+    for (df <- Seq(Multimodal.imageStats(docs), Multimodal.audioStats(docs))) {
+      // sparkPlan, not executedPlan: AQE's wrapper node hides the
+      // inner tree from collect()
+      val plan = df.queryExecution.sparkPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"stats codec paths spread ids exactly once:\n$plan")
+      assert(exchanges.head.child.output.map(_.name) == Seq("doc_id"),
+        "the spread must move only the id projection, never payloads")
+      assert(exchanges.head.outputPartitioning.numPartitions
+        == spark.sparkContext.defaultParallelism,
+        "the codec stage must fan out to every core")
     }
   }
 

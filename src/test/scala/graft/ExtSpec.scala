@@ -1392,10 +1392,15 @@ class ExtSpec extends AnyFunSuite {
       assert(r.getAs[Long]("width") == 8 + id % 9)
       assert(r.getAs[Long]("height") == 8 + id % 7)
     }
-    // the codec path keeps the stub path's no-shuffle plan shape
+    // the codec path's one exchange is the pre-codec id spread (8-byte
+    // ids only — the detailed structural pin lives in the decoder-seam
+    // test); the codec stages themselves never shuffle
     val plan = Multimodal.imageStats(Tables(spark, Sf0001).documents)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"decode plan must not shuffle:\n$plan")
+    assert(plan.contains("Exchange RoundRobinPartitioning"),
+      s"codec path must spread ids before decoding:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"only the id spread may shuffle:\n$plan")
   }
 
   test("winnow guarantee: a shared 20-token run collides; density bounds") {
@@ -1817,9 +1822,13 @@ class ExtSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_frames") == 64 + id % 129)
       assert(r.getAs[Long]("channels") == 1 + id % 2)
     }
+    // one exchange: the pre-codec id spread (see the decoder-seam pin)
     val plan = Multimodal.audioStats(Tables(spark, Sf0001).documents)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"decode plan must not shuffle:\n$plan")
+    assert(plan.contains("Exchange RoundRobinPartitioning"),
+      s"codec path must spread ids before decoding:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"only the id spread may shuffle:\n$plan")
   }
 
   test("negative sampling avoids interactions, deterministic first-k") {

@@ -1426,6 +1426,16 @@ object Multimodal {
     * in-flight screens filter them.
     */
   def writeMediaFpIndex(documents: DataFrame, path: String): Unit = {
+    // full-replace semantics: stale version dirs from earlier rebuilds
+    // must not out-rank the fresh base (see Similarity.writeIvfIndex)
+    val spark = documents.sparkSession
+    Versioned.committedVersions(spark, path).foreach(n =>
+      Versioned.clearStage(spark, Versioned.versionDir(path, n)))
+    writeMediaFpSnapshot(documents, path)
+  }
+
+  private def writeMediaFpSnapshot(documents: DataFrame,
+      root: String): Unit = {
     MediaFpModalities
       .map(m => mediaFingerprints(documents, m)
         .withColumn("modality", lit(m)))
@@ -1436,8 +1446,46 @@ object Multimodal {
       // every decode task spraying all 3·buckets dirs
       .repartition(col("modality"), col("bucket"))
       .write.mode("overwrite").partitionBy("modality", "bucket")
-      .parquet(path)
+      // under data/: version dirs are SIBLINGS of the partition tree,
+      // so flat-layout partition discovery never sees a v-<n> dir
+      // (CONFLICTING_DIRECTORY_STRUCTURES — the IVF layout's lesson)
+      .parquet(s"$root/data")
   }
+
+  /** Rebuild the fingerprint index with atomic swap — the
+    * [[Versioned]] lifecycle applied to the media artifact (the
+    * trigger here is a FINGERPRINT-ALGORITHM upgrade rather than
+    * drift: aHash geometry, band layout, a new codec — anything that
+    * invalidates stored bits corpus-wide). The in-place overwrite of
+    * [[writeMediaFpIndex]] has a serving gap while its partitions
+    * rewrite; the staged rebuild re-decodes into `v-<n>`, validates
+    * row counts against the current snapshot's corpus, and promotes
+    * via the atomic `_COMMITTED` marker, so served screens straddling
+    * the swap read one snapshot throughout.
+    */
+  def rebuildMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, path: String): Long = {
+    val n = Versioned.nextVersion(spark, path)
+    val stage = Versioned.versionDir(path, n)
+    Versioned.clearStage(spark, stage)
+    writeMediaFpSnapshot(documents, stage)
+    val want = documents.count() * MediaFpModalities.size
+    val built = spark.read.schema(MediaFpSchema)
+      .parquet(s"$stage/data").count()
+    require(built == want,
+      s"staged media fp rebuild has $built rows, corpus implies $want")
+    Versioned.commit(spark, stage)
+    Versioned.retire(spark, path, flatSubdirs = Seq("data"))
+    n
+  }
+
+  /** Every root still holding fingerprint data — the takedown
+    * enumeration for this artifact (see
+    * [[Similarity.ivfRetainedRoots]]).
+    */
+  def mediaFpRetainedRoots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    Versioned.retainedRoots(spark, path, flatProbeSubdir = "data")
 
   /** Index schema, declared at read time (data-less index safety +
     * no footer sniffing — the [[graft.ext.Search.PostingsSchema]]
@@ -1456,7 +1504,10 @@ object Multimodal {
 
   def readMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.schema(MediaFpSchema).parquet(path)
+    // resolve once per query — a screen straddling a rebuild's swap
+    // reads one snapshot throughout (see [[Versioned]])
+    spark.read.schema(MediaFpSchema)
+      .parquet(s"${Versioned.resolve(spark, path)}/data")
 
   /** One modality's near-dup screen served from the persisted index —
     * the modality filter prunes to that modality's partitions, the
@@ -1479,11 +1530,16 @@ object Multimodal {
     * twin of [[mediaNearDupPairs]].
     */
   def mediaNearDupPairsServed(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    // resolve ONCE for all three screens: a rebuild committing between
+    // two modality reads must not mix snapshots inside one roll-up
+    // (per-screen resolve is a no-op on the resolved version dir)
+    val root = Versioned.resolve(spark, indexPath)
     MediaFpModalities
-      .map(m => mediaNearDupsServed(spark, indexPath, m)
+      .map(m => mediaNearDupsServed(spark, root, m)
         .withColumn("modality", lit(m)))
       .reduce(_.unionByName(_))
+  }
 
   /** Cross-modal duplicate clusters served from the fingerprint index
     * — [[mediaDedupClusters]]' roll-up at index-read cost (the

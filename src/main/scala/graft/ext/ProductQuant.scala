@@ -210,9 +210,14 @@ object ProductQuant {
     * commit→retire lifecycle as [[Similarity.rebuildIvfIndex]].
     */
   def writePqCodebooks(embeddings: DataFrame, path: String,
-      k: Int = CodebookK): Unit =
-    writeCodebookSnapshot(
-      trainCodebooks(embeddings, k), path, embeddings.sparkSession)
+      k: Int = CodebookK): Unit = {
+    // full-replace semantics: stale version dirs from earlier retrains
+    // must not out-rank the fresh base (see Similarity.writeIvfIndex)
+    val spark = embeddings.sparkSession
+    Versioned.committedVersions(spark, path).foreach(n =>
+      Versioned.clearStage(spark, Versioned.versionDir(path, n)))
+    writeCodebookSnapshot(trainCodebooks(embeddings, k), path, spark)
+  }
 
   private def writeCodebookSnapshot(cbs: Seq[Seq[Seq[Double]]],
       root: String, spark: org.apache.spark.sql.SparkSession): Unit = {

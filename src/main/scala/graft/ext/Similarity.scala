@@ -1052,8 +1052,17 @@ object Similarity {
     * `path/centroids/…` (ccell, cell, fv, fn2).
     */
   def writeIvfIndex(embeddings: DataFrame, path: String,
-      cells: Int = IvfCells): Unit =
+      cells: Int = IvfCells): Unit = {
+    // a base build is a FULL REPLACE (the writeHllIndex static-
+    // overwrite posture): version dirs from earlier rebuilds of this
+    // path must not shadow it — readers resolve to the highest
+    // committed version, so a stale v-N left behind would silently
+    // out-rank the fresh flat build
+    val spark = embeddings.sparkSession
+    Versioned.committedVersions(spark, path).foreach(n =>
+      Versioned.clearStage(spark, Versioned.versionDir(path, n)))
     writeIvfSnapshot(embeddings, path, cells)
+  }
 
   /** One complete index snapshot (data + centroids) under `root` —
     * the base build writes it at the index path itself; a rebuild

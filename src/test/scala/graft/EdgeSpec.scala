@@ -177,6 +177,48 @@ class EdgeSpec extends AnyFunSuite {
       == graft.ext.Takedown.PurgeStats(0L, 0L, 0L, 0L))
   }
 
+  test("round-12 operators are total on empty/degenerate inputs") {
+    import spark.implicits._
+    // an empty corpus still builds a valid (data-less) fp index, and
+    // every served screen over it answers 0, not a crash
+    val path = java.nio.file.Files
+      .createTempDirectory("mediafp_empty").toString
+    graft.ext.Multimodal.writeMediaFpIndex(emptyDocs, path)
+    for (m <- graft.ext.Multimodal.MediaFpModalities)
+      assert(graft.ext.Multimodal.mediaNearDupsServed(spark, path, m)
+        .count() == 0)
+    assert(graft.ext.Multimodal.mediaDedupClustersServed(spark, path)
+      .count() == 0)
+    // corpus clusters: empty pair streams on either side
+    val noPairs = Seq.empty[(Long, Long, String)]
+      .toDF("doc_a", "doc_b", "modality")
+    val noText = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ext.Multimodal
+      .corpusDedupClustersFromPairs(noPairs, noText).count() == 0)
+    assert(graft.ext.Multimodal
+      .corpusDedupClusters(emptyDocs, noText).count() == 0)
+    // HLL aggregate takedown: empty id set and empty events are no-ops
+    val emptyEvents = Seq.empty[(java.sql.Timestamp, Long, String)]
+      .toDF("ts", "user_id", "event_type")
+    val hllPath = java.nio.file.Files
+      .createTempDirectory("hll_empty").toString
+    graft.ext.SketchIndex.writeHllIndex(
+      Seq((new java.sql.Timestamp(86400000L), 1L, "view"))
+        .toDF("ts", "user_id", "event_type"), hllPath)
+    val noUsers = Seq.empty[Long].toDF("user_id")
+    assert(graft.ext.Takedown.hllStaleDays(spark, hllPath,
+      emptyEvents, noUsers).count() == 0)
+    val st = graft.ext.Takedown.purgeHllIndex(spark, hllPath,
+      emptyEvents, noUsers)
+    assert(st.affectedDays == 0L && st.staleAfter == 0L)
+    // index lifecycle: resolve/retained-roots on a path with no
+    // versions fall back to the flat layout; nextVersion starts at 1
+    assert(graft.ext.Versioned.resolve(spark, hllPath) == hllPath)
+    assert(graft.ext.Versioned.nextVersion(spark, hllPath) == 1L)
+    assert(graft.ext.Versioned.resolve(spark,
+      "/tmp/graft_no_such_versioned") == "/tmp/graft_no_such_versioned")
+  }
+
   test("round-5b operators degrade gracefully on degenerate inputs") {
     import spark.implicits._
     import graft.ext.{Bpe, Curation, ProductQuant}

@@ -132,6 +132,20 @@ class IndexLifecycleSpec extends AnyFunSuite {
       f"re-clustered index must serve the drifted region exactly ($after%.3f)")
   }
 
+  test("a fresh base build clears stale committed versions (full replace)") {
+    val path = tmpDir("ivfbase")
+    Similarity.writeIvfIndex(emb, path)
+    Similarity.rebuildIvfIndex(spark, path)
+    assert(Versioned.resolve(spark, path) == s"$path/v-1")
+    // a NEW base build over the same path must serve ITSELF, not be
+    // silently out-ranked by the leftover v-1 snapshot
+    Similarity.writeIvfIndex(emb, path)
+    assert(Versioned.resolve(spark, path) == path,
+      "base build must not be shadowed by a stale rebuilt version")
+    assert(!new java.io.File(s"$path/v-1").exists())
+    assert(Similarity.topKIvfServed(spark, path).count() > 0)
+  }
+
   test("uncommitted stage is invisible; crashed rebuild is superseded in place") {
     val path = tmpDir("ivfcrash")
     Similarity.writeIvfIndex(emb, path)
@@ -183,6 +197,40 @@ class IndexLifecycleSpec extends AnyFunSuite {
     out.foreach { a =>
       assert(a.rowsRemoved == 2L, s"${a.artifact}: $a")
       assert(a.leftover == 0L, s"${a.artifact}: takedown incomplete")
+    }
+  }
+
+  test("media fp index rebuild: atomic swap, snapshot-consistent roll-up, retained-root takedown") {
+    import graft.ext.{Multimodal, Takedown}
+    val docs = Tables(spark, Sf0001).documents
+    val path = tmpDir("mediafplc")
+    Multimodal.writeMediaFpIndex(docs, path)
+    val before = Multimodal.mediaDedupClustersServed(spark, path)
+      .collect().map(_.toSeq).toSeq
+    // straddler: constructed against the flat base, executed after the
+    // swap — must answer from its resolved snapshot
+    val straddler = Multimodal.mediaDedupClustersServed(spark, path)
+    // rebuild over a SHRUNKEN corpus so the snapshots differ
+    val shrunk = docs.filter(col("doc_id") % 10 =!= 7)
+    val v = Multimodal.rebuildMediaFpIndex(spark, shrunk, path)
+    assert(v == 1L)
+    assert(graft.ext.Versioned.resolve(spark, path) == s"$path/v-1")
+    assert(straddler.collect().map(_.toSeq).toSeq == before,
+      "roll-up straddling the swap must serve its resolved snapshot")
+    // fresh reads see the rebuilt index: every twin's right leg is
+    // gone, so no pairs and no clusters
+    assert(Multimodal.mediaDedupClustersServed(spark, path).count() == 0)
+    // retention + takedown surface: flat base is the retained previous
+    assert(Multimodal.mediaFpRetainedRoots(spark, path)
+      == Seq(path, s"$path/v-1"))
+    import spark.implicits._
+    val ids = Seq(3L).toDF("doc_id")
+    val out = Takedown.propagate(spark, ids,
+      Multimodal.mediaFpRetainedRoots(spark, path).map(r =>
+        Takedown.PartitionedIndex(s"mediafp:$r", s"$r/data", "doc_id",
+          Seq("modality", "bucket"))))
+    out.foreach { a =>
+      assert(a.rowsRemoved == 3L && a.leftover == 0L, s"$a")
     }
   }
 

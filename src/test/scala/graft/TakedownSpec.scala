@@ -266,10 +266,10 @@ class TakedownSpec extends AnyFunSuite {
     val ids = hitIds.toDF("doc_id")
     val untouched = Multimodal.MediaFpModalities.flatMap { m =>
       (0L until Multimodal.MediaFpBuckets).filter(_ != 5L)
-        .map(b => s"$path/modality=$m/bucket=$b")
+        .map(b => s"$path/data/modality=$m/bucket=$b")
     }.map(d => d -> listFiles(d)).toMap
     val out = Takedown.propagate(spark, ids, Seq(
-      Takedown.PartitionedIndex("media_fp", path, "doc_id",
+      Takedown.PartitionedIndex("media_fp", s"$path/data", "doc_id",
         Seq("modality", "bucket"))))
     assert(out.head.rowsRemoved == 3L * hitIds.size,
       "each id holds one row per modality")

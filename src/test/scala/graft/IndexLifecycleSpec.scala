@@ -200,6 +200,30 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned retention invariant holds across many rebuild cycles") {
+    // drive the lifecycle primitives directly through 7 cycles: after
+    // every commit+retire, resolve points at the newest snapshot and
+    // exactly {current, previous} survive (the flat base counting as
+    // the zeroth snapshot until two versions pass it)
+    val path = tmpDir("verprop")
+    new java.io.File(s"$path/data").mkdirs()
+    for (n <- 1L to 7L) {
+      assert(Versioned.nextVersion(spark, path) == n)
+      val stage = Versioned.versionDir(path, n)
+      new java.io.File(s"$stage/data").mkdirs()
+      Versioned.commit(spark, stage)
+      Versioned.retire(spark, path, flatSubdirs = Seq("data"))
+      assert(Versioned.resolve(spark, path) == stage)
+      val expected =
+        if (n == 1L) Seq(path, stage)
+        else Seq(Versioned.versionDir(path, n - 1), stage)
+      assert(Versioned.retainedRoots(spark, path, "data") == expected,
+        s"cycle $n")
+      assert(new java.io.File(s"$path/data").exists() == (n == 1L),
+        "flat base retires exactly when two versions pass it")
+    }
+  }
+
   test("media fp index rebuild: atomic swap, snapshot-consistent roll-up, retained-root takedown") {
     import graft.ext.{Multimodal, Takedown}
     val docs = Tables(spark, Sf0001).documents

@@ -365,4 +365,46 @@ class PropertySpec extends AnyFunSuite {
       !out.exists(p => p._1 == d.toLong && p._2 == 1000L + d),
       s"distance $d must not pair"))
   }
+
+  test("property: sum-neutral image twin nudge bounds Hamming at 2 for ANY id") {
+    // the round-11 ADVICE flake class: a one-pixel nudge shifted the
+    // gray MEAN, so a threshold-straddling third cell could flip and
+    // push a twin past the band radius at unlucky fixture sizes. The
+    // sum-neutral two-pixel nudge makes Hamming <= 2 a THEOREM — prove
+    // it generatively over arbitrary doc ids (closed form, no Spark)
+    def aHash(docId: Long): (Long, Long) = {
+      val twin = docId % 10 == 7
+      val seed = if (twin) docId - 7 else docId
+      val s =
+        if (graft.ext.Hashing.jvmH32(s"img|$seed|0|0") % 256 >= 253) -3L
+        else 3L
+      val gray = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val hv = graft.ext.Hashing.jvmH32(s"img|$seed|$x|$y")
+        var r = if (x == 1 && y == 0) 3 + hv % 250 else hv % 256
+        if (twin && y == 0) { if (x == 0) r += s else if (x == 1) r -= s }
+        assert(r >= 0 && r <= 255, s"nudge wrapped: id=$docId x=$x r=$r")
+        (r + (hv / 256) % 256 + (hv / 65536) % 256) / 3
+      }
+      val sum = gray.sum
+      gray.zipWithIndex.foldLeft((0L, 0L)) { case ((lo, hi), (g, i)) =>
+        if (g * 64 > sum)
+          if (i < 32) (lo | (1L << i), hi) else (lo, hi | (1L << (i - 32)))
+        else (lo, hi)
+      }
+    }
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genBase = Gen.chooseNum(0L, Long.MaxValue / 2)
+    val params = Gen.Parameters.default
+    (0 until 500).foreach { i =>
+      val base = genBase.pureApply(params, Seed(i.toLong))
+      val anchor = base - base % 10       // id ≡ 0 (mod 10)
+      val twin = anchor + 7               // its planted twin
+      val (alo, ahi) = aHash(anchor)
+      val (tlo, thi) = aHash(twin)
+      val d = java.lang.Long.bitCount(alo ^ tlo) +
+        java.lang.Long.bitCount(ahi ^ thi)
+      assert(d <= 2, s"twin Hamming $d > 2 for anchor $anchor")
+    }
+  }
 }

@@ -1028,6 +1028,15 @@ object SparkEntry {
         Dedup.minhashNearDups(tables(s, dir).documents,
           bands = Some(bandIndexFor(s, dir))))),
 
+    // the per-survivor drop manifest over the same 4-channel graph,
+    // with the sorted evidence-channel set per survivor (drops backed
+    // by several independent channels triage above single-band hits)
+    "corpus_dedup_manifest" -> ((s, dir) =>
+      Multimodal.corpusDedupManifest(
+        Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
+        Dedup.minhashNearDups(tables(s, dir).documents,
+          bands = Some(bandIndexFor(s, dir))))),
+
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>
       Analytics.sessionWindows(tables(s, dir).events)
@@ -1841,6 +1850,7 @@ object SparkEntry {
     "video_near_dups_served" -> Multimodal.videoNearDupsSql,
     "media_dedup_clusters_served" -> Multimodal.mediaDedupClustersSql,
     "corpus_dedup_clusters" -> Multimodal.corpusDedupClustersSql,
+    "corpus_dedup_manifest" -> Multimodal.corpusDedupManifestSql,
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

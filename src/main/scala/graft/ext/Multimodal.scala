@@ -1345,13 +1345,64 @@ object Multimodal {
       .unionByName(textPairs.select(col("doc_a"), col("doc_b"))
         .withColumn("modality", lit("text"))))
 
-  /** DuckDB mirror of [[corpusDedupClusters]] — the media-cluster
-    * oracle with the MinHash text pairs unioned in as the fourth
-    * modality.
+  /** Cross-modal dedup provenance manifest — the artifact a curated
+    * multimodal corpus ships with (the [[Dedup.dedupManifest]] shape
+    * over the FOUR-channel pair graph): per surviving document, the
+    * dropped near-dup ids plus the sorted set of evidence channels
+    * that justified the merge ("audio,image,text,video" beats a
+    * single-band accident — the reviewer triages drops by evidence
+    * strength). Bounded by duplicate volume, never corpus-sized.
     */
-  def corpusDedupClustersSql: String =
+  def corpusDedupManifest(mediaPairs: DataFrame,
+      textPairs: DataFrame): DataFrame = {
+    val pairs = Scratch.track(mediaPairs
+      .select(col("doc_a"), col("doc_b"), col("modality"))
+      .unionByName(textPairs.select(col("doc_a"), col("doc_b"))
+        .withColumn("modality", lit("text")))
+      .persist()) // labels + evidence both read it
+    val labels = Dedup.clusterLabels(pairs.select("doc_a", "doc_b"))
+    val evidence = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("label", "survivor"), Seq("doc_a"))
+      .groupBy("survivor")
+      .agg(array_join(array_sort(collect_set(col("modality"))), ",")
+        .as("modalities"))
+    labels.filter(col("doc_id") =!= col("label"))
+      .groupBy(col("label").as("survivor"))
+      .agg(count(lit(1)).as("n_dropped"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("dropped_ids"))
+      .join(evidence, Seq("survivor"))
+      .orderBy("survivor")
+  }
+
+  /** DuckDB mirror of [[corpusDedupManifest]]. */
+  def corpusDedupManifestSql: String =
     s"""WITH RECURSIVE
-       |ip AS MATERIALIZED (
+       |${corpusPairCtesSql},
+       |${Dedup.labelsCtesSql(materializedLabels = true,
+          pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
+       |drops AS (
+       |  SELECT label AS survivor, CAST(count(*) AS BIGINT) AS n_dropped,
+       |    list_aggr([CAST(x AS VARCHAR) for x in
+       |               list_sort(list(doc_id))], 'string_agg', ',')
+       |      AS dropped_ids
+       |  FROM labels WHERE doc_id != label GROUP BY label),
+       |ev AS (
+       |  SELECT l.label AS survivor,
+       |    list_aggr(list_sort(list(DISTINCT p.modality)),
+       |      'string_agg', ',') AS modalities
+       |  FROM mpairs p JOIN labels l ON p.doc_a = l.doc_id
+       |  GROUP BY l.label)
+       |SELECT d.survivor, d.n_dropped, d.dropped_ids, e.modalities
+       |FROM drops d JOIN ev e ON d.survivor = e.survivor
+       |ORDER BY d.survivor""".stripMargin
+
+  /** The four pair-stream CTEs (image/audio/video/text → `mpairs`) —
+    * shared by the cluster and manifest oracles.
+    */
+  private def corpusPairCtesSql: String =
+    s"""ip AS MATERIALIZED (
        |  SELECT doc_a, doc_b, 'image' AS modality
        |  FROM ($imageNearDupsSql)),
        |ap AS MATERIALIZED (
@@ -1365,7 +1416,15 @@ object Multimodal {
        |  FROM (${Dedup.minhashNearDupsSql})),
        |mpairs AS MATERIALIZED (
        |  SELECT * FROM ip UNION ALL SELECT * FROM ap
-       |  UNION ALL SELECT * FROM vp UNION ALL SELECT * FROM tp),
+       |  UNION ALL SELECT * FROM vp UNION ALL SELECT * FROM tp)""".stripMargin
+
+  /** DuckDB mirror of [[corpusDedupClusters]] — the media-cluster
+    * oracle with the MinHash text pairs unioned in as the fourth
+    * modality.
+    */
+  def corpusDedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |${corpusPairCtesSql},
        |${Dedup.labelsCtesSql(materializedLabels = true,
           pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
        |sizes AS (

@@ -1319,6 +1319,16 @@ class ExtSpec extends AnyFunSuite {
       .mapValues(_.length).toMap
     assert(byModalities.keySet.subsetOf(Set(1L, 3L, 4L)),
       s"fixture clusters are text-only, media-only, or merged: $byModalities")
+    // the manifest over the same graph: one row per survivor, dropped
+    // ids sorted, evidence = the sorted channel set
+    val manifest = Multimodal.corpusDedupManifest(
+        media.unionByName(Seq((1L, 2L, "audio"))
+          .toDF("doc_a", "doc_b", "modality")), text)
+      .collect()
+    assert(manifest.map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getString(3))).toSeq
+      == Seq((1L, 1L, "2", "audio,image,text")),
+      s"manifest: ${manifest.mkString(",")}")
   }
 
   test("served media screens equal in-flight bit for bit; decode runs once") {

@@ -70,6 +70,30 @@ object SparkEntry {
     path
   }
 
+  /** Persisted 4-channel dedup graph (pairs + connected-component
+    * labels) per fixture dir — BOTH are ingest-time artifacts: the
+    * pair streams come from the persisted media fingerprint and band
+    * indexes, and the labeling runs once when the graph lands (the
+    * clusterLabelsFor economics). The cluster and manifest consumers
+    * then read two bounded stored tables.
+    */
+  private def corpusGraphFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val pairsPath = s"/tmp/graft_corpus_pairs_${fixtureKey(dir)}"
+    val labelsPath = s"/tmp/graft_corpus_labels_${fixtureKey(dir)}"
+    graft.ext.IndexCache.ensure(pairsPath)(
+      Multimodal.corpusPairs(
+          Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
+          Dedup.minhashNearDups(tables(s, dir).documents,
+            bands = Some(bandIndexFor(s, dir))))
+        .write.mode("overwrite").parquet(pairsPath))
+    graft.ext.IndexCache.ensure(labelsPath)(
+      Dedup.clusterLabels(
+          s.read.parquet(pairsPath).select("doc_a", "doc_b"))
+        .write.mode("overwrite").parquet(labelsPath))
+    (s.read.parquet(pairsPath), s.read.parquet(labelsPath))
+  }
+
   /** Persisted near-dup cluster labels per fixture dir — the labeling is
     * an ingest-time artifact (like the band index it derives from); the
     * four label consumers (clusters, soft weights, keep-best, leakage
@@ -1022,20 +1046,18 @@ object SparkEntry {
     // both pair streams come from persisted indexes, so the roll-up
     // costs index reads, and a text pair bridging into a media-twin
     // cluster merges the components
-    "corpus_dedup_clusters" -> ((s, dir) =>
-      Multimodal.corpusDedupClustersFromPairs(
-        Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
-        Dedup.minhashNearDups(tables(s, dir).documents,
-          bands = Some(bandIndexFor(s, dir))))),
+    "corpus_dedup_clusters" -> ((s, dir) => {
+      val (pairs, labels) = corpusGraphFor(s, dir)
+      Multimodal.corpusDedupClustersServedFrom(pairs, labels)
+    }),
 
     // the per-survivor drop manifest over the same 4-channel graph,
     // with the sorted evidence-channel set per survivor (drops backed
     // by several independent channels triage above single-band hits)
-    "corpus_dedup_manifest" -> ((s, dir) =>
-      Multimodal.corpusDedupManifest(
-        Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
-        Dedup.minhashNearDups(tables(s, dir).documents,
-          bands = Some(bandIndexFor(s, dir))))),
+    "corpus_dedup_manifest" -> ((s, dir) => {
+      val (pairs, labels) = corpusGraphFor(s, dir)
+      Multimodal.corpusDedupManifestFrom(pairs, labels)
+    }),
 
     // Native session_window sessionization (streaming-capable operator)
     "session_window_stats" -> ((s, dir) =>

@@ -1303,9 +1303,11 @@ object Multimodal {
     * by [[mediaDedupClustersServed]], so served ≡ in-flight by
     * construction.
     */
-  private def clusterRollup(pairsSrc: DataFrame): DataFrame = {
+  private def clusterRollup(pairsSrc: DataFrame,
+      storedLabels: Option[DataFrame] = None): DataFrame = {
     val pairs = Scratch.track(pairsSrc.persist())
-    val labels = Dedup.clusterLabels(pairs.select("doc_a", "doc_b"))
+    val labels = storedLabels.getOrElse(
+      Dedup.clusterLabels(pairs.select("doc_a", "doc_b")))
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"))
     pairs
@@ -1340,10 +1342,32 @@ object Multimodal {
     */
   def corpusDedupClustersFromPairs(mediaPairs: DataFrame,
       textPairs: DataFrame): DataFrame =
-    clusterRollup(mediaPairs
-      .select(col("doc_a"), col("doc_b"), col("modality"))
+    clusterRollup(corpusPairs(mediaPairs, textPairs))
+
+  /** The unified 4-channel pair stream (text normalized in as the
+    * fourth modality) — also the frame a deployment PERSISTS at ingest
+    * so the cluster/manifest consumers read it instead of re-deriving
+    * it (the clusterLabelsFor economics; see `corpusGraphFor` in the
+    * query wiring).
+    */
+  def corpusPairs(mediaPairs: DataFrame,
+      textPairs: DataFrame): DataFrame =
+    mediaPairs.select(col("doc_a"), col("doc_b"), col("modality"))
       .unionByName(textPairs.select(col("doc_a"), col("doc_b"))
-        .withColumn("modality", lit("text"))))
+        .withColumn("modality", lit("text")))
+
+  /** [[corpusDedupClusters]] served from PERSISTED pairs + labels (both
+    * ingest-time artifacts) — no pair generation, no labeling, just
+    * the evidence roll-up over two bounded stored tables.
+    */
+  def corpusDedupClustersServedFrom(pairs: DataFrame,
+      labels: DataFrame): DataFrame =
+    clusterRollup(pairs, Some(labels))
+
+  /** [[corpusDedupManifest]] served from persisted pairs + labels. */
+  def corpusDedupManifestFrom(pairs: DataFrame,
+      labels: DataFrame): DataFrame =
+    manifestRollup(pairs, Some(labels))
 
   /** Cross-modal dedup provenance manifest — the artifact a curated
     * multimodal corpus ships with (the [[Dedup.dedupManifest]] shape
@@ -1354,13 +1378,15 @@ object Multimodal {
     * strength). Bounded by duplicate volume, never corpus-sized.
     */
   def corpusDedupManifest(mediaPairs: DataFrame,
-      textPairs: DataFrame): DataFrame = {
-    val pairs = Scratch.track(mediaPairs
-      .select(col("doc_a"), col("doc_b"), col("modality"))
-      .unionByName(textPairs.select(col("doc_a"), col("doc_b"))
-        .withColumn("modality", lit("text")))
+      textPairs: DataFrame): DataFrame =
+    manifestRollup(corpusPairs(mediaPairs, textPairs))
+
+  private def manifestRollup(pairsSrc: DataFrame,
+      storedLabels: Option[DataFrame] = None): DataFrame = {
+    val pairs = Scratch.track(pairsSrc
       .persist()) // labels + evidence both read it
-    val labels = Dedup.clusterLabels(pairs.select("doc_a", "doc_b"))
+    val labels = storedLabels.getOrElse(
+      Dedup.clusterLabels(pairs.select("doc_a", "doc_b")))
     val evidence = pairs
       .join(labels.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("label", "survivor"), Seq("doc_a"))

@@ -1521,19 +1521,55 @@ object Multimodal {
 
   private def writeMediaFpSnapshot(documents: DataFrame,
       root: String): Unit = {
+    mediaFpRows(documents)
+      // batch_id=0 is the base build; incremental appends land under
+      // higher ids (the idempotent-overwrite unit, the BatchIndex
+      // discipline every growing index here uses)
+      .withColumn("batch_id", lit(0L))
+      // one shuffle of 3-longs-per-doc rows (post-decode, so the codec
+      // work stays spread): one file per partition dir instead of
+      // every decode task spraying all 3·buckets dirs
+      .repartition(col("modality"), col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("modality", "bucket", "batch_id")
+      // under data/: version dirs are SIBLINGS of the partition tree,
+      // so flat-layout partition discovery never sees a v-<n> dir
+      // (CONFLICTING_DIRECTORY_STRUCTURES — the IVF layout's lesson)
+      .parquet(s"$root/data")
+  }
+
+  /** All three modalities' fingerprints for a document frame, bucketed
+    * — the decode step shared by the base build and the incremental
+    * append.
+    */
+  private def mediaFpRows(documents: DataFrame): DataFrame =
     MediaFpModalities
       .map(m => mediaFingerprints(documents, m)
         .withColumn("modality", lit(m)))
       .reduce(_.unionByName(_))
       .withColumn("bucket", pmod(col("doc_id"), lit(MediaFpBuckets)))
-      // one shuffle of 3-longs-per-doc rows (post-decode, so the codec
-      // work stays spread): one file per partition dir instead of
-      // every decode task spraying all 3·buckets dirs
+
+  /** Incremental fingerprint ingest — the corpus grows WITHOUT
+    * re-decoding anything already indexed (the
+    * [[Similarity.appendToIvfIndex]] discipline): decode ONLY the
+    * batch, land its rows under (modality, bucket, batch_id=<id>) with
+    * dynamic partition overwrite so an at-least-once replay rewrites
+    * exactly its own partitions, and every served screen sees old +
+    * new fingerprints transparently (readers scan all batch levels
+    * under each modality). Appends land in the CURRENT snapshot; a
+    * rebuild folds them into its staged batch_id=0.
+    */
+  def appendToMediaFpIndex(batch: DataFrame, path: String,
+      batchId: Long): Unit = {
+    require(batchId > 0, "batch_id 0 is the base build")
+    val spark = batch.sparkSession
+    val root = Versioned.resolve(spark, path)
+    mediaFpRows(batch)
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("modality"), col("bucket"))
-      .write.mode("overwrite").partitionBy("modality", "bucket")
-      // under data/: version dirs are SIBLINGS of the partition tree,
-      // so flat-layout partition discovery never sees a v-<n> dir
-      // (CONFLICTING_DIRECTORY_STRUCTURES — the IVF layout's lesson)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("modality", "bucket", "batch_id")
       .parquet(s"$root/data")
   }
 
@@ -1584,7 +1620,8 @@ object Multimodal {
       StructField("fp_lo", LongType),
       StructField("fp_hi", LongType),
       StructField("modality", StringType),
-      StructField("bucket", LongType)))
+      StructField("bucket", LongType),
+      StructField("batch_id", LongType)))
   }
 
   def readMediaFpIndex(spark: org.apache.spark.sql.SparkSession,

@@ -1366,6 +1366,43 @@ class ExtSpec extends AnyFunSuite {
     assert(idx.select("modality").distinct().count() == 3)
   }
 
+  test("media fp index append: batch-only decode, cross-batch pairing, replay idempotent") {
+    import spark.implicits._
+    val docs = Tables(spark, Sf0001).documents
+    val path = java.nio.file.Files
+      .createTempDirectory("mediafp_app").toString
+    // base: anchors only (every id ≡ 0 mod 10 — twins held back)
+    Multimodal.writeMediaFpIndex(docs.filter(col("doc_id") % 10 === 0),
+      path)
+    val basePairs = Multimodal
+      .mediaNearDupsServed(spark, path, "image").count()
+    assert(basePairs == 0L, "anchors alone must not pair")
+    // append the twins as a later batch: only THEY decode, and the
+    // screen pairs them against base fingerprints across batch levels
+    Multimodal.appendToMediaFpIndex(
+      docs.filter(col("doc_id") % 10 === 7), path, batchId = 1L)
+    def served(m: String) = Multimodal
+      .mediaNearDupsServed(spark, path, m).collect().map(_.toSeq).toSeq
+    val once = Multimodal.MediaFpModalities.map(m => m -> served(m)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twins = ids.filter(i => i % 10 == 7 && ids.contains(i - 7))
+      .map(i => (i - 7, i))
+    assert(once("image").map(r => (r(0), r(1))).toSet == twins,
+      "appended twins must pair with base anchors across batch levels")
+    // the full-corpus build serves the SAME answers — append ≡ rebuild
+    val full = java.nio.file.Files
+      .createTempDirectory("mediafp_full").toString
+    Multimodal.writeMediaFpIndex(docs, full)
+    for (m <- Multimodal.MediaFpModalities)
+      assert(once(m) == Multimodal.mediaNearDupsServed(spark, full, m)
+        .collect().map(_.toSeq).toSeq, s"append != rebuild for $m")
+    // at-least-once replay rewrites exactly its own partitions: same rows
+    Multimodal.appendToMediaFpIndex(
+      docs.filter(col("doc_id") % 10 === 7), path, batchId = 1L)
+    for (m <- Multimodal.MediaFpModalities)
+      assert(served(m) == once(m), s"replay must be idempotent for $m")
+  }
+
   test("real PNG codec: hand-built image decodes to exact pixel stats; malformed flagged") {
     import spark.implicits._
     import Multimodal.{MediaRecord, PngStatsDecoder}

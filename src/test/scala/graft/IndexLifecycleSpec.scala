@@ -252,7 +252,7 @@ class IndexLifecycleSpec extends AnyFunSuite {
     val out = Takedown.propagate(spark, ids,
       Multimodal.mediaFpRetainedRoots(spark, path).map(r =>
         Takedown.PartitionedIndex(s"mediafp:$r", s"$r/data", "doc_id",
-          Seq("modality", "bucket"))))
+          Seq("modality", "bucket", "batch_id"))))
     out.foreach { a =>
       assert(a.rowsRemoved == 3L && a.leftover == 0L, s"$a")
     }

@@ -266,11 +266,11 @@ class TakedownSpec extends AnyFunSuite {
     val ids = hitIds.toDF("doc_id")
     val untouched = Multimodal.MediaFpModalities.flatMap { m =>
       (0L until Multimodal.MediaFpBuckets).filter(_ != 5L)
-        .map(b => s"$path/data/modality=$m/bucket=$b")
+        .map(b => s"$path/data/modality=$m/bucket=$b/batch_id=0")
     }.map(d => d -> listFiles(d)).toMap
     val out = Takedown.propagate(spark, ids, Seq(
       Takedown.PartitionedIndex("media_fp", s"$path/data", "doc_id",
-        Seq("modality", "bucket"))))
+        Seq("modality", "bucket", "batch_id"))))
     assert(out.head.rowsRemoved == 3L * hitIds.size,
       "each id holds one row per modality")
     assert(out.head.leftover == 0L)

@@ -83,16 +83,20 @@ object Bench {
     // costs the median query ~22 %).
     val pass3 = ordered
       .map { case (n, f) => n -> once(n, f, isolated = true) }.toMap
-    // A query is only "timed" if all passes succeeded; any thrown pass
-    // marks it failed and its recorded time is -1 (never a sub-second win).
+    // The suite number is gated on the two SUITE passes only; a failure
+    // that reproduces solely under pass 3's clearCache+GC isolation is
+    // recorded in the isolated column (-1) without discarding the valid
+    // suite measurement — the two modes stay separable. Either kind of
+    // failure still fails the process exit code.
     val results = ordered.map { case (n, _) =>
-      val ok = pass1(n)._2 && pass2(n)._2 && pass3(n)._2
+      val ok = pass1(n)._2 && pass2(n)._2
       n -> (if (ok) math.min(pass1(n)._1, pass2(n)._1) else -1.0)
     }
     val isolatedResults = ordered.map { case (n, _) =>
       n -> (if (pass3(n)._2) pass3(n)._1 else -1.0)
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
+    val failedIso = isolatedResults.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsIso = isolatedResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -102,7 +106,9 @@ object Bench {
     val isoTimed = isolatedResults.collect { case (_, v) if v >= 0 => v }
     val isoTotal = if (isoTimed.nonEmpty) isoTimed.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"isolated_total":$isoTotal,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    val failedIsoJson =
+      failedIso.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"isolated_total":$isoTotal,"failed":$failedJson,"failed_count":${failed.size},"failed_isolated":$failedIsoJson,"sf":"$sfDir"}""")
     // The driver's per-round artifact keeps only a tail of stdout, which
     // truncates half the per-query numbers; persist the full result to a
     // stable file too (slowest-first, with delta vs the previous run of
@@ -133,6 +139,7 @@ object Bench {
          |  "sf": "$sfDir",
          |  "failed": $failedJson,
          |  "failed_count": ${failed.size},
+         |  "failed_isolated": $failedIsoJson,
          |  "queries": $qs,
          |  "queries_isolated": $qsIso,
          |  "isolated_total": $isoTotal,
@@ -143,6 +150,6 @@ object Bench {
          |""".stripMargin
     java.nio.file.Files.write(outFile.toPath, out.getBytes("UTF-8"))
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || failedIso.nonEmpty) sys.exit(1)
   }
 }

@@ -394,9 +394,11 @@ object RunStream {
         .map(_.numRowsTotal).foldLeft(0L)(math.max)
       val stateBytes = progress.flatMap(_.stateOperators.toSeq)
         .map(_.memoryUsedBytes).foldLeft(0L)(math.max)
-      val batchMs = progress.map(_.durationMs.values()
-        .asInstanceOf[java.util.Collection[java.lang.Long]]
-        .stream().mapToLong(_.longValue()).sum())
+      // triggerExecution is the end-to-end batch time; it already
+      // CONTAINS the other durationMs phases (addBatch, getBatch,
+      // walCommit, ...), so summing all components double-counts ~2x
+      val batchMs = progress.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
       val inputRows = progress.map(_.numInputRows).sum
       val provider = spark.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")

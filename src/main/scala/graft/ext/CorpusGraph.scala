@@ -1,0 +1,322 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted corpus-wide dedup graph: the 4-channel near-dup PAIR
+  * table (image/audio/video perceptual pairs + text MinHash pairs —
+  * [[Multimodal.corpusPairs]]) together with its connected-component
+  * LABEL table, stored as one serving artifact so the cluster and
+  * manifest consumers ([[Multimodal.corpusDedupClustersServedFrom]] /
+  * [[Multimodal.corpusDedupManifestFrom]]) read two bounded tables
+  * instead of re-deriving pair generation + labeling per query.
+  *
+  * Why the graph needs its own INGEST and TAKEDOWN paths instead of
+  * rebuild-only maintenance: its sources grow incrementally (the media
+  * fingerprint index via [[Multimodal.appendToMediaFpIndex]], the
+  * MinHash band index via the DedupStream discipline), and connected
+  * components are the one derived artifact where a row-level edit has
+  * NON-LOCAL effect — an appended edge can merge two stored clusters,
+  * and a purged doc can SPLIT one (removing a bridge node) — so both
+  * operations must relabel, but only the components they touch.
+  *
+  * Layout (all numeric partition values, takedown-compatible):
+  * {{{
+  *   <path>/pairs/batch_id=<n>/   (doc_a, doc_b, modality)   n=0 base
+  *   <path>/labels/bucket=<b>/    (doc_id, label)   b = pmod(doc_id, LabelBuckets)
+  * }}}
+  * Pairs follow the append-friendly batch_id discipline (an
+  * at-least-once replay rewrites exactly its own partition via dynamic
+  * overwrite); labels are doc-id-bucketed so a relabel rewrites only
+  * the buckets holding touched docs.
+  *
+  * Invariants (pinned in CorpusGraphSpec and the
+  * `corpus_graph_incremental` / `corpus_graph_takedown` verified rows):
+  *   - labels == [[Dedup.clusterLabels]](stored pairs) at all times —
+  *     label = component min doc_id, membership = docs in ≥1 pair
+  *     ([[staleLabelCount]] is the audit);
+  *   - append ≡ rebuild over the unioned pair set; replay idempotent;
+  *   - purge ≡ rebuild over the surviving pair set (including
+  *     bridge-removal cluster splits).
+  *
+  * Scale: components only MERGE on append — a batch's new labels are
+  * computable from (batch pairs ∪ one star edge `(doc_id,
+  * stored_label)` per member of each touched component), never from
+  * the stored pair set; on purge they only split WITHIN touched
+  * components, so the relabel reads surviving pairs of those
+  * components only. Both are bounded by touched-component size +
+  * batch size, independent of graph size.
+  */
+object CorpusGraph {
+
+  /** Label-table bucket count (fixture value — see
+    * [[Multimodal.MediaFpBuckets]] for the sizing discussion; a 100 TB
+    * deployment sizes this to its target relabel-rewrite granularity).
+    */
+  val LabelBuckets = 16L
+
+  val PairsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_a", LongType),
+      StructField("doc_b", LongType),
+      StructField("modality", StringType),
+      StructField("batch_id", LongType)))
+  }
+
+  val LabelsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("label", LongType),
+      StructField("bucket", LongType)))
+  }
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(LabelBuckets))
+
+  /** Base build: land the pair stream under batch_id=0 and label it
+    * once (the ingest-time labeling the clusterLabelsFor economics
+    * prescribe — consumers never label per query).
+    */
+  def write(pairs: DataFrame, path: String): Unit = {
+    val spark = pairs.sparkSession
+    pairs.select(col("doc_a"), col("doc_b"), col("modality"))
+      .withColumn("batch_id", lit(0L))
+      .repartition(1) // fixture-scale pair volume; production sizes this
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$path/pairs")
+    Dedup.clusterLabels(readPairs(spark, path).select("doc_a", "doc_b"))
+      .withColumn("bucket", bucketOf(col("doc_id")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/labels")
+  }
+
+  def readPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(PairsSchema).parquet(s"$path/pairs")
+
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(LabelsSchema).parquet(s"$path/labels")
+      .select("doc_id", "label")
+
+  /** Incremental ingest: union a new batch's pairs into the stored
+    * pair table and relabel ONLY the components the batch touches.
+    *
+    * `batchPairs` is every pair of the grown corpus involving ≥1 new
+    * doc (cross batch↔corpus + batch-internal), the shape the
+    * incremental screens emit
+    * ([[Multimodal.mediaNearDupPairsIncremental]],
+    * [[Dedup.incrementalNearDups]]). Edges only ever MERGE components
+    * on append, so the new labels are the fixed point of a graph
+    * bounded by (touched components + batch): batch pairs plus one
+    * star edge `(doc_id, stored_label)` per member of each touched
+    * component — the star edges stand in for the component's whole
+    * stored pair set (same connectivity; and the stored label IS a
+    * member doc id, the component min, so min-label semantics carry
+    * through to the merged min). Unaffected components are never read
+    * past the one semi-join that proves they are unaffected, and only
+    * the label buckets holding relabeled/new docs rewrite.
+    *
+    * Replay-idempotent: the pair write rewrites exactly its own
+    * batch_id partition, and a re-run's relabel reproduces the same
+    * fixed point from the already-merged stored labels.
+    */
+  def append(spark: SparkSession, path: String, batchPairs: DataFrame,
+      batchId: Long): Unit = {
+    require(batchId > 0, "batch_id 0 is the base build")
+    val bp = Scratch.track(batchPairs
+      .select(col("doc_a"), col("doc_b"), col("modality")).persist())
+    bp.withColumn("batch_id", lit(batchId))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/pairs")
+
+    val stored = readLabels(spark, path)
+    val touched = bp.select(col("doc_a").as("doc_id"))
+      .unionByName(bp.select(col("doc_b").as("doc_id"))).distinct()
+    // members of every touched component: label rows whose label is a
+    // touched doc's label (two bounded semi-joins — the stored table
+    // is scanned, never shuffled on itself)
+    val touchedLabels = stored
+      .join(broadcast(touched), Seq("doc_id"), "left_semi")
+      .select(col("label")).distinct()
+    val members = stored
+      .join(broadcast(touchedLabels), Seq("label"), "left_semi")
+    // bounded relabel input: batch pairs ∪ member star edges
+    val edges = bp.select(col("doc_a"), col("doc_b"))
+      .unionByName(members.select(col("doc_id").as("doc_a"),
+        col("label").as("doc_b")))
+    writeLabelDelta(spark, path, Dedup.clusterLabels(edges))
+  }
+
+  /** Rewrite exactly the label buckets whose content changes: each
+    * affected bucket's new content is its unchanged stored rows plus
+    * its `delta` rows, minus `dropDocs`. Staged to a scratch dir
+    * first, then promoted with dynamic partition overwrite (the
+    * [[Takedown.purgeIndex]] discipline — never read the live
+    * partitions while overwriting them); fully-emptied affected
+    * buckets are deleted outright. Shared by [[append]] (delta =
+    * merge relabel) and [[purge]] (delta = post-split relabel,
+    * dropDocs = purged docs + pairless singletons).
+    */
+  private def writeLabelDelta(spark: SparkSession, path: String,
+      delta: DataFrame, dropDocs: Option[DataFrame] = None)
+      : (Long, Long) = {
+    val d = Scratch.track(delta
+      .withColumn("bucket", bucketOf(col("doc_id"))).persist())
+    val dropped = dropDocs.map(df =>
+      Scratch.track(df.select("doc_id").persist()))
+    val affectedBuckets = dropped.fold(d.select(col("bucket")))(ids =>
+        d.select(col("bucket")).unionByName(
+          ids.select(bucketOf(col("doc_id")).as("bucket"))))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (affectedBuckets.isEmpty) return (0L, 0L)
+    val storedB = spark.read.schema(LabelsSchema)
+      .parquet(s"$path/labels")
+      .filter(col("bucket").isin(affectedBuckets: _*)) // partition pruning
+      .select("doc_id", "label", "bucket")
+    val keep0 = storedB.join(d.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val keep = dropped.fold(keep0)(ids =>
+      keep0.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    val out = keep.unionByName(
+      d.select(col("doc_id"), col("label"), col("bucket")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/labels.rewriting")
+    fs.delete(tmp, true) // crashed previous rewrite
+    out.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(tmp.toString)
+    val staged = spark.read.schema(LabelsSchema).parquet(tmp.toString)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(s"$path/labels")
+    val surviving = staged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    fs.delete(tmp, true)
+    val emptied = affectedBuckets.filterNot(surviving.contains)
+    emptied.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/labels/bucket=$b"), true)
+    }
+    ((affectedBuckets.size - emptied.size).toLong, emptied.size.toLong)
+  }
+
+  /** Outcome of one [[purge]] run: pair rows removed, label rows
+    * removed (purged docs + post-split singletons), docs whose label
+    * CHANGED (split-component relabels — the rows a row-filter-only
+    * purge would serve stale), IO-pruning evidence (partitions
+    * rewritten/deleted over the pair-batch + label-bucket partition
+    * space), and the two convergence audits re-read after the purge
+    * (both 0 = complete).
+    */
+  final case class GraphPurge(pairRowsRemoved: Long,
+      labelRowsRemoved: Long, labelsChanged: Long,
+      partsTotal: Long, partsRewritten: Long, partsDeleted: Long,
+      leftover: Long, staleLabels: Long)
+
+  /** Takedown against the graph — the artifact a row filter is
+    * structurally blind on, the same way it was blind on HLL
+    * aggregates: dropping a purged doc's pair rows and label row is
+    * NOT enough, because removing a bridge node splits its component
+    * and every surviving member's label may change (the component min
+    * may itself be the purged doc). The purge therefore:
+    *
+    *   1. discovers touched components from the purged docs' stored
+    *      labels (broadcast semi-joins — bounded);
+    *   2. purges pair rows touching a purged doc — one
+    *      [[Takedown.purgeIndex]] pass per id column
+    *      (batch_id-partition-pruned staged rewrites, rerunnable);
+    *   3. relabels the touched components from their SURVIVING pairs
+    *      only (one member-keyed semi-join — bounded by
+    *      touched-component size); members left pairless drop out of
+    *      the label table (membership = docs in ≥1 pair);
+    *   4. rewrites only the affected label buckets.
+    *
+    * Rerunnable to convergence; [[staleLabelCount]] is the audit that
+    * a leftover row count is structurally blind to.
+    */
+  def purge(spark: SparkSession, path: String,
+      ids: DataFrame): GraphPurge = {
+    val idSet = Scratch.track(
+      ids.toDF("doc_id").select("doc_id").distinct().persist())
+
+    // touched components, discovered BEFORE any rewrite
+    val stored = readLabels(spark, path)
+    val touchedLabels = stored
+      .join(broadcast(idSet), Seq("doc_id"), "left_semi")
+      .select(col("label")).distinct()
+    val members = Scratch.track(stored
+      .join(broadcast(touchedLabels), Seq("label"), "left_semi")
+      .select("doc_id", "label").persist())
+    members.count() // materialize: the label table rewrites below
+
+    // pair purge: one pruned pass per endpoint column
+    val sA = Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
+      idSet.toDF("doc_a"), Seq("batch_id"))
+    val sB = Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
+      idSet.toDF("doc_b"), Seq("batch_id"))
+    val pairRowsRemoved = sA.rowsRemoved + sB.rowsRemoved
+
+    // bounded relabel of touched components from surviving pairs
+    // (both endpoints of a component's pair are members — a pair
+    // never crosses components)
+    val touchedPairs = readPairs(spark, path)
+      .join(broadcast(members.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val relabeled = Scratch.track(
+      Dedup.clusterLabels(touchedPairs).persist())
+    // docs leaving the label table: purged docs + members with no
+    // surviving pair (post-split singletons)
+    val drops = members.select("doc_id")
+      .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
+    val changed = relabeled.as("r")
+      .join(members.as("m"), col("r.doc_id") === col("m.doc_id"))
+      .filter(col("r.label") =!= col("m.label")).count()
+    val removedLabelRows = drops.count()
+    val (bucketsRewritten, bucketsDeleted) =
+      writeLabelDelta(spark, path, relabeled, dropDocs = Some(drops))
+
+    // convergence audits, re-read from the purged artifact
+    val post = readPairs(spark, path)
+    val leftover =
+      post.join(broadcast(idSet.toDF("doc_a")), Seq("doc_a"),
+        "left_semi").count() +
+      post.join(broadcast(idSet.toDF("doc_b")), Seq("doc_b"),
+        "left_semi").count() +
+      readLabels(spark, path).join(broadcast(idSet), Seq("doc_id"),
+        "left_semi").count()
+    GraphPurge(pairRowsRemoved, removedLabelRows, changed,
+      partsTotal = sA.partsTotal + LabelBuckets,
+      partsRewritten = math.max(sA.partsRewritten, sB.partsRewritten)
+        + bucketsRewritten,
+      partsDeleted = sA.partsDeleted + sB.partsDeleted + bucketsDeleted,
+      leftover, staleLabelCount(spark, path))
+  }
+
+  /** The stale-label audit — the graph twin of
+    * [[Takedown.hllStaleDays]]: recompute component labels from the
+    * STORED pair table and count label rows that disagree (wrong
+    * label, missing member, or a ghost row for a doc in no pair). A
+    * leftover row count is provably blind to the split case — after a
+    * bridge purge every remaining row passes the id filter, yet
+    * members of the split component can still serve the dead merged
+    * label. 0 = labels consistent with pairs. (Full recompute by
+    * design: an audit's job is independence from the incremental
+    * bookkeeping it checks; run it at rebuild cadence, not per query.)
+    */
+  def staleLabelCount(spark: SparkSession, path: String): Long = {
+    val expect = Dedup.clusterLabels(
+      readPairs(spark, path).select("doc_a", "doc_b"))
+    val got = readLabels(spark, path)
+    got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
+      expect.join(got, Seq("doc_id", "label"), "left_anti").count()
+  }
+}

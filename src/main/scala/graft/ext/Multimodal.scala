@@ -1571,6 +1571,9 @@ object Multimodal {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("modality", "bucket", "batch_id")
       .parquet(s"$root/data")
+    // append-vs-rebuild race: fail loudly if a rebuild committed while
+    // this batch was writing (re-running the append recovers)
+    Versioned.assertAppendLanded(spark, path, root, "media fp")
   }
 
   /** Rebuild the fingerprint index with atomic swap — the
@@ -1579,22 +1582,54 @@ object Multimodal {
     * drift: aHash geometry, band layout, a new codec — anything that
     * invalidates stored bits corpus-wide). The in-place overwrite of
     * [[writeMediaFpIndex]] has a serving gap while its partitions
-    * rewrite; the staged rebuild re-decodes into `v-<n>`, validates
-    * row counts against the current snapshot's corpus, and promotes
-    * via the atomic `_COMMITTED` marker, so served screens straddling
-    * the swap read one snapshot throughout.
+    * rewrite; the staged rebuild re-decodes into `v-<n>`, validates,
+    * and promotes via the atomic `_COMMITTED` marker, so served
+    * screens straddling the swap read one snapshot throughout.
+    *
+    * Unlike [[Similarity.rebuildIvfIndex]] (which re-clusters the
+    * SERVED index's own vectors), this rebuild must re-decode from
+    * `documents` — a fingerprint upgrade needs raw payloads, which the
+    * index does not hold — so the caller must pass the FULL grown
+    * corpus (base + every appended batch). Validation enforces it:
+    * the staged snapshot must cover every doc_id the serving index
+    * holds, so a corpus frame missing previously appended batches
+    * fails here instead of silently shrinking the index. A DELIBERATE
+    * shrink (re-curation dropped docs; takedown uses the purge path,
+    * not a rebuild) must say so with `allowShrink = true`.
     */
   def rebuildMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
-      documents: DataFrame, path: String): Long = {
+      documents: DataFrame, path: String,
+      allowShrink: Boolean = false): Long = {
+    val cur = Versioned.resolve(spark, path)
     val n = Versioned.nextVersion(spark, path)
     val stage = Versioned.versionDir(path, n)
     Versioned.clearStage(spark, stage)
     writeMediaFpSnapshot(documents, stage)
+    val staged = spark.read.schema(MediaFpSchema).parquet(s"$stage/data")
     val want = documents.count() * MediaFpModalities.size
-    val built = spark.read.schema(MediaFpSchema)
-      .parquet(s"$stage/data").count()
+    val built = staged.count()
     require(built == want,
       s"staged media fp rebuild has $built rows, corpus implies $want")
+    // coverage check against the CURRENT snapshot (skipped when no
+    // index exists yet — a first build through the rebuild path — or
+    // when the caller declared the shrink)
+    val servedDocs = if (allowShrink) staged.select("doc_id").limit(0)
+    else
+      try spark.read.schema(MediaFpSchema).parquet(s"$cur/data")
+        .select("doc_id").distinct()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null
+              && (e.getCondition.contains("PATH_NOT_FOUND")
+                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          staged.select("doc_id").limit(0)
+      }
+    val missing = servedDocs
+      .join(staged.select("doc_id").distinct(), Seq("doc_id"),
+        "left_anti").count()
+    require(missing == 0L,
+      s"staged media fp rebuild drops $missing docs the serving index " +
+        "holds — pass the full grown corpus (base + appended batches)")
     Versioned.commit(spark, stage)
     Versioned.retire(spark, path, flatSubdirs = Seq("data"))
     n
@@ -1661,6 +1696,66 @@ object Multimodal {
       .map(m => mediaNearDupsServed(spark, root, m)
         .withColumn("modality", lit(m)))
       .reduce(_.unionByName(_))
+  }
+
+  /** Incremental banded screen: every pair within `maxHamming`
+    * involving ≥1 batch doc, against batch ∪ index fingerprints — the
+    * per-ingest twin of [[bandedHamming64]]. The batch's band table is
+    * BROADCAST against the (index ∪ batch) band stream, so the stored
+    * side never shuffles and per-ingest cost is O(|batch| × bucket
+    * density), never index². Subset-exact: fingerprints and the
+    * Hamming verify are per-pair, so (stored pairs ∪ these) equals a
+    * full re-screen of the grown corpus — the property the corpus
+    * graph's append ≡ rebuild contract rests on.
+    */
+  private[graft] def bandedHamming64Incremental(indexFps: DataFrame,
+      batchFps: DataFrame, maxHamming: Long): DataFrame = {
+    val batch = Scratch.track(batchFps
+      .select("doc_id", "fp_lo", "fp_hi").persist())
+    val all = indexFps.select("doc_id", "fp_lo", "fp_hi")
+      .unionByName(batch)
+    val a = fpBands(all).select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_x"), col("fp_lo").as("lo_x"),
+      col("fp_hi").as("hi_x"))
+    val b = fpBands(batch).select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_y"), col("fp_lo").as("lo_y"),
+      col("fp_hi").as("hi_y"))
+    a.join(broadcast(b), Seq("band_idx", "band_val"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      // canonicalize (a pair surfaces from either side's bands) and
+      // collapse multi-band collisions; hamming is symmetric
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"),
+        fpHamming(col("lo_x"), col("hi_x"), col("lo_y"), col("hi_y"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** All three modalities' INCREMENTAL pair streams from the persisted
+    * index: the new-batch slice of the grown index screens against the
+    * whole index. `isBatch` marks the batch docs (fingerprints are
+    * per-doc, so slicing the one index is exact — no second decode of
+    * anything). Emits (doc_a, doc_b, hamming, modality) for exactly
+    * the pairs [[mediaNearDupPairsServed]] would emit that touch a
+    * batch doc — the media feed of [[CorpusGraph.append]].
+    */
+  def mediaNearDupPairsIncremental(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      isBatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    // resolve ONCE for all three screens (see mediaNearDupPairsServed)
+    val root = Versioned.resolve(spark, indexPath)
+    MediaFpModalities.map { m =>
+      val fps = readMediaFpIndex(spark, root)
+        .filter(col("modality") === lit(m) && col("decoded"))
+        .select("doc_id", "fp_lo", "fp_hi")
+      bandedHamming64Incremental(
+        fps.filter(!isBatch(col("doc_id"))),
+        fps.filter(isBatch(col("doc_id"))),
+        AHashMaxHamming)
+        .withColumn("modality", lit(m))
+    }.reduce(_.unionByName(_))
   }
 
   /** Cross-modal duplicate clusters served from the fingerprint index

@@ -1196,6 +1196,9 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
       .parquet(s"$root/data")
+    // append-vs-rebuild race: fail loudly if a rebuild committed while
+    // this batch was writing (re-running the append recovers)
+    Versioned.assertAppendLanded(spark, path, root, "IVF")
   }
 
   /** p95 distance-ratio above which [[ivfIndexDrift]] recommends an

@@ -135,6 +135,32 @@ object Versioned {
     ()
   }
 
+  /** Post-append race guard. An incremental append resolves the
+    * serving root, writes its batch into it, then calls this: if a
+    * rebuild COMMITTED between the resolve and the write, the batch
+    * landed in a snapshot that is now superseded — the rebuild staged
+    * from the pre-append corpus, so the batch's rows are in no current
+    * snapshot and would be silently lost when the old one retires.
+    * Failing loudly closes that window without coordination: the
+    * append's dynamic-partition write is replay-idempotent, so the
+    * recovery is exactly "re-run the append" — it re-resolves to the
+    * new snapshot and lands there (the batch's rows in the retiring
+    * snapshot are harmless debris the retire removes). The documented
+    * single-writer rule still applies to REBUILDS racing each other;
+    * this guard covers the append-vs-rebuild window, the one pairing a
+    * growing corpus actually produces.
+    */
+  def assertAppendLanded(spark: SparkSession, path: String,
+      landedRoot: String, what: String): Unit = {
+    val now = resolve(spark, path)
+    if (now != landedRoot)
+      throw new IllegalStateException(
+        s"$what append landed in $landedRoot but $now committed "
+          + "concurrently; the batch is in a superseded snapshot and "
+          + "will not be served — re-run the append (idempotent) so it "
+          + "lands in the current snapshot")
+  }
+
   /** Every root that still holds a copy of the data — the flat base
     * (if its first subdir still exists) plus all committed versions.
     * A takedown is complete only when it purged ALL of these.

@@ -234,9 +234,12 @@ class IndexLifecycleSpec extends AnyFunSuite {
     // straddler: constructed against the flat base, executed after the
     // swap — must answer from its resolved snapshot
     val straddler = Multimodal.mediaDedupClustersServed(spark, path)
-    // rebuild over a SHRUNKEN corpus so the snapshots differ
+    // rebuild over a SHRUNKEN corpus so the snapshots differ (the
+    // shrink is deliberate here, so it must be declared — the default
+    // coverage validation rejects it; pinned in its own test below)
     val shrunk = docs.filter(col("doc_id") % 10 =!= 7)
-    val v = Multimodal.rebuildMediaFpIndex(spark, shrunk, path)
+    val v = Multimodal.rebuildMediaFpIndex(spark, shrunk, path,
+      allowShrink = true)
     assert(v == 1L)
     assert(graft.ext.Versioned.resolve(spark, path) == s"$path/v-1")
     assert(straddler.collect().map(_.toSeq).toSeq == before,
@@ -256,6 +259,59 @@ class IndexLifecycleSpec extends AnyFunSuite {
     out.foreach { a =>
       assert(a.rowsRemoved == 3L && a.leftover == 0L, s"$a")
     }
+  }
+
+  test("media fp rebuild rejects a corpus frame missing appended batches") {
+    import graft.ext.Multimodal
+    val docs = Tables(spark, Sf0001).documents
+    val path = tmpDir("mediafpcov")
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    Multimodal.writeMediaFpIndex(base, path)
+    Multimodal.appendToMediaFpIndex(batch, path, batchId = 1L)
+    // the exact ADVICE failure mode: a caller rebuilding from the base
+    // corpus alone (appended batch forgotten) — row counts against the
+    // caller's own frame would pass; the snapshot-coverage validation
+    // must fail instead of silently dropping the appended docs
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.rebuildMediaFpIndex(spark, base, path)
+    }
+    assert(ex.getMessage.contains("grown corpus"), ex.getMessage)
+    // nothing promoted: the serving root is still the flat base and
+    // still serves the appended docs
+    assert(Versioned.resolve(spark, path) == path)
+    assert(Multimodal.readMediaFpIndex(spark, path)
+      .filter(col("doc_id") % 10 === 7).count() > 0)
+    // the FULL grown corpus rebuilds cleanly and keeps every doc
+    val v = Multimodal.rebuildMediaFpIndex(spark, docs, path)
+    assert(v == 1L)
+    assert(Multimodal.readMediaFpIndex(spark, path)
+      .select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("append racing a rebuild's commit fails loudly (no silent loss)") {
+    import graft.ext.Multimodal
+    val docs = Tables(spark, Sf0001).documents
+    val path = tmpDir("mediafprace")
+    Multimodal.writeMediaFpIndex(docs.filter(col("doc_id") < 30), path)
+    // the guard primitive itself: resolved root goes stale once a
+    // newer version commits
+    val root = Versioned.resolve(spark, path)
+    Versioned.assertAppendLanded(spark, path, root, "media fp") // no-op
+    val stage = Versioned.versionDir(path, Versioned.nextVersion(spark, path))
+    new java.io.File(s"$stage/data").mkdirs()
+    Versioned.commit(spark, stage)
+    val ex = intercept[IllegalStateException] {
+      Versioned.assertAppendLanded(spark, path, root, "media fp")
+    }
+    assert(ex.getMessage.contains("re-run the append"), ex.getMessage)
+    // recovery is exactly the documented recipe: re-running the append
+    // resolves the new snapshot and lands there
+    val batch = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    Multimodal.appendToMediaFpIndex(batch, path, batchId = 1L)
+    assert(Multimodal.readMediaFpIndex(spark, path)
+      .filter(col("doc_id") >= 30).select("doc_id").distinct().count()
+      == batch.count())
   }
 
   test("PQ codebooks: persisted read-back exact; retrain stages, commits, retires") {

@@ -29,6 +29,7 @@ object RunStream {
       mainRows: Long, quarantineRows: Long,
       docsSeen: Long, docsKept: Long, corpusRows: Long,
       dedupIndexRows: Long, hhSymbols: Long, hllDays: Long,
+      sessionsEmitted: Long, sessionStateRows: Long,
       stateBytesMax: Long, shuffleWriteBytes: Long, wallSec: Double)
 
   /** Synthetic CustomerEvent payload struct over a rate source (the
@@ -139,13 +140,21 @@ object RunStream {
     *   3. document stream → [[graft.streaming.DedupStream]]
     *      (incremental near-dup screen + corpus + band index),
     *   4. the same document stream → [[graft.streaming
-    *      .HeavyHitterStream]] (mergeable Misra–Gries counters)
+    *      .HeavyHitterStream]] (mergeable Misra–Gries counters),
+    *   5. user-event stream → [[graft.streaming.SessionStream]]
+    *      sessionization — the one leg with REAL streaming state
+    *      (flatMapGroupsWithState, one open session per live user),
+    *      run under the RocksDB state-store provider so the composed
+    *      posture carries off-heap state next to the four
+    *      foreachBatch legs
     *
-    * — then reports the funnel counters, sink/index row counts, peak
-    * state-store memory across all four queries, and total
-    * shuffle-write bytes. At 100 TB/day each leg keeps the contract
-    * already pinned per-stream: per-batch work is batch-sized, index
-    * growth is summary-sized, and nothing re-reads the corpus.
+    * — then reports the funnel counters, sink/index row counts,
+    * emitted sessions + peak session-state rows, peak state-store
+    * memory across all five queries, and total shuffle-write bytes.
+    * At 100 TB/day each leg keeps the contract already pinned
+    * per-stream: per-batch work is batch-sized, index growth is
+    * summary-sized, state is live-users-sized, and nothing re-reads
+    * the corpus.
     */
   def runFull(spark: SparkSession, outDir: String, seconds: Int,
       rowsPerSecond: Int): FullSummary = {
@@ -162,6 +171,14 @@ object RunStream {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // the sessionizer leg runs under RocksDB (off-heap state — the
+    // measured posture for large live-user counts); session-scoped
+    // conf, restored on exit
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
     try {
       val t0 = System.nanoTime()
       def rateSource() = spark.readStream.format("rate")
@@ -207,7 +224,31 @@ object RunStream {
             .as("text")),
         s"$outDir/hh_index", s"$outDir/ckpt_hh", hhStats, trigger)
 
-      val queries = Seq(qCe, qSk, qDd, qHh)
+      // users cycle so a user's successive events arrive
+      // ~nUsers/rowsPerSecond apart (2 s at the chosen ratio) — past
+      // the 1 s gap, every revisit CLOSES the prior session, so the
+      // leg exercises the full state churn at one row per live user
+      val nUsers = math.max(rowsPerSecond.toLong * 2L, 100L)
+      val sessEmitted =
+        spark.sparkContext.longAccumulator("full_sessions_emitted")
+      val qSess = graft.streaming.SessionStream.sessions(
+          rateSource().select(
+            pmod(col("value"), lit(nUsers)).as("user_id"),
+            col("timestamp").as("ts"),
+            (pmod(col("value"), lit(100L)) / lit(10.0)).as("value")),
+          gapMs = 1000L, watermarkDelay = "5 seconds")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/ckpt_sess")
+        .trigger(trigger)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+             graft.streaming.SessionStream.Session], _: Long) =>
+            sessEmitted.add(b.count()); ()
+        }
+        .start()
+
+      val queries = Seq(qCe, qSk, qDd, qHh, qSess)
       Thread.sleep(seconds * 1000L)
       queries.foreach(q => if (q.isActive) q.stop())
       queries.foreach(_.awaitTermination())
@@ -234,9 +275,19 @@ object RunStream {
             .count()
           catch { case _: Throwable => 0L },
         hllDays = rows(s"$outDir/hll_index"),
+        sessionsEmitted = sessEmitted.value,
+        sessionStateRows = qSess.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+          .foldLeft(0L)(math.max),
         stateBytesMax = stateMax,
         shuffleWriteBytes = shuffleWrite.get(), wallSec = wall)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -256,9 +307,10 @@ object RunStream {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
 
-    // `full` mode: the composed surface — curate→dual-sink plus all
-    // three index-ingest streams concurrently; counters + state/shuffle
-    // accounting recorded in SCALING.md ("RunStream full composition")
+    // `full` mode: the composed surface — curate→dual-sink plus the
+    // three index-ingest streams plus the stateful sessionizer
+    // (RocksDB), all concurrent; counters + state/shuffle accounting
+    // recorded in SCALING.md ("RunStream full composition")
     if (wire == "full") {
       val s = runFull(spark, outDir, seconds, rowsPerSecond.toInt)
       println(s"[stream-full] events=${s.events} late=${s.late} " +
@@ -266,7 +318,8 @@ object RunStream {
         s"quarantine=${s.quarantineRows} | docs seen=${s.docsSeen} " +
         s"kept=${s.docsKept} corpus=${s.corpusRows} " +
         s"ddIndex=${s.dedupIndexRows} | hhSymbols=${s.hhSymbols} " +
-        s"hllRows=${s.hllDays} | " +
+        s"hllRows=${s.hllDays} | sessions=${s.sessionsEmitted} " +
+        s"sessStateRows=${s.sessionStateRows} | " +
         f"state=${s.stateBytesMax / 1e6}%.1fMB " +
         f"shuffleWrite=${s.shuffleWriteBytes / 1e6}%.1fMB " +
         f"wall=${s.wallSec}%.1fs " +
@@ -335,7 +388,8 @@ object RunStream {
         else graft.ext.Multimodal.imageFpFromPayload(_)
       val q = graft.streaming.MediaDedupStream.start(media,
         s"$outDir/corpus_md", s"$outDir/index_md", s"$outDir/ckpt_md",
-        stats, Trigger.ProcessingTime("5 seconds"), fpExtract)
+        stats, Trigger.ProcessingTime("5 seconds"), fpExtract,
+        modality = if (wire == "video") "video" else "image")
       EventPipeline.runBounded(q, seconds * 1000L)
       val sink = committedRows(spark, s"$outDir/corpus_md",
         stats.lastCommitted)

@@ -382,6 +382,74 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Corpus-graph maintenance at pair-graph scale: n docs in planted
+    * 4-chains (i—i+1 within each aligned 4-block → n/4 components,
+    * 3n/4 pairs; above [[graft.ext.Dedup.DriverClusterMaxPairs]] the
+    * labeling runs the distributed pointer-jumping path — the 100 TB
+    * shape). Measures the base build (pair land + FULL label), an
+    * append of 10 k bridging docs (the BOUNDED relabel — touched
+    * components only), the full rebuild of the grown graph (the cost
+    * append avoids), label equality append ≡ rebuild, a purge of 2 k
+    * bridge docs (cluster splits, partition-pruned rewrite, audit
+    * deferred), and the full stale audit on its own clock.
+    * `sbt "runMain graft.ScaleProbe graph 2000000 8000000"`.
+    */
+  def graphProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.ext.CorpusGraph
+    val mods = array(lit("image"), lit("audio"), lit("video"),
+      lit("text"))
+    def modOf(c: org.apache.spark.sql.Column) =
+      element_at(mods, (pmod(c, lit(4)) + 1).cast("int"))
+    val base = spark.range(n).filter(col("id") % 4 =!= 3)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"),
+        modOf(col("id")).as("modality"))
+    val root = s"/tmp/graft_scaleprobe_graph_$n"
+    val root2 = s"${root}_rebuild"
+    Seq(root, root2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(p)))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildS = timed(CorpusGraph.write(base, root))
+    // 10k new docs, each bridging into a distinct standing component
+    val b = math.min(10000L, n / 4)
+    val batch = spark.range(b).select(
+      (col("id") * 4).as("doc_a"), (lit(n) + col("id")).as("doc_b"),
+      modOf(col("id")).as("modality"))
+    val appendS = timed(CorpusGraph.append(spark, root, batch, 1L))
+    val rebuildS = timed(
+      CorpusGraph.write(base.unionByName(batch), root2))
+    val inc = CorpusGraph.readLabels(spark, root)
+    val reb = CorpusGraph.readLabels(spark, root2)
+    val mismatch =
+      inc.join(reb, Seq("doc_id", "label"), "left_anti").count() +
+        reb.join(inc, Seq("doc_id", "label"), "left_anti").count()
+    // purge 2k bridge docs (chain middles: each removal splits its
+    // component); the full-recompute audit runs on its own clock
+    import spark.implicits._
+    val purgeIds = spark.range(2000L.min(n / 4))
+      .select((col("id") * 4 + 1).as("doc_id"))
+    var out: CorpusGraph.GraphPurge = null
+    val purgeS = timed {
+      out = CorpusGraph.purge(spark, root, purgeIds, audit = false)
+    }
+    var stale = -1L
+    val auditS = timed { stale = CorpusGraph.staleLabelCount(spark, root) }
+    println(f"[scale-graph] n=$n%-8d pairs=${n * 3 / 4}%-9d " +
+      f"build=$buildS%7.1fs append_10k=$appendS%6.1fs " +
+      f"rebuild=$rebuildS%7.1fs (append=${appendS / rebuildS}%.2fx " +
+      f"rebuild) labelsMatch=${mismatch == 0} " +
+      f"purge_2k=$purgeS%6.1fs parts=${out.partsRewritten}rw+" +
+      f"${out.partsDeleted}del/${out.partsTotal} " +
+      f"relabeled=${out.labelsChanged} leftover=${out.leftover} " +
+      f"audit=$auditS%6.1fs stale=$stale")
+    Seq(root, root2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(p)))
+    spark.catalog.clearCache()
+  }
+
   /** Span-dedup cost at corpus size n: the gram stream is one row per
     * token position (~55/doc here), shuffled on an 8-byte xxhash64 key;
     * the planted near-dup pairs (ids ≡ 1 mod 17) make ~12 % of docs
@@ -866,22 +934,20 @@ object ScaleProbe {
     docs.count()
     val terms = Seq("w1", "w7", "w13")
     val bmPath = s"/tmp/graft_scaleprobe_served_bm25_$nDocs"
-    val dlPath = s"$bmPath.dl"
     val bmBuildS = timed {
-      graft.ext.Search.writePostingsIndex(docs, bmPath)
-      graft.ext.Search.writeDocLengths(docs, dlPath)
+      graft.ext.Search.writeSearchIndex(docs, bmPath)
     }
-    val (bmBytes, bmFiles) = dirStats(bmPath)
-    val (dlBytes, _) = dirStats(dlPath)
+    val (bmBytes, bmFiles) = dirStats(s"$bmPath/postings")
+    val (dlBytes, _) = dirStats(s"$bmPath/doclen")
     var bmS = 0.0
     val bmRead = fileBytesRead(spark) {
       bmS = timed {
-        graft.ext.Search.bm25Served(spark, bmPath, dlPath, terms)
+        graft.ext.Search.bm25Served(spark, bmPath, terms)
           .count(); ()
       }
     }
     val termBuckets = terms.map(graft.ext.Search.bucketOf(_)).distinct
-    val bmFilesRead = spark.read.parquet(bmPath)
+    val bmFilesRead = spark.read.parquet(s"$bmPath/postings")
       .filter(col("bucket").isin(termBuckets: _*))
       .select(input_file_name()).distinct().count()
     println(f"[served] ndocs=$nDocs%-7d bm25 build=$bmBuildS%7.1fs " +
@@ -1151,6 +1217,7 @@ object ScaleProbe {
     val videoDupMode = args.headOption.contains("videodup")
     val mediaServedMode = args.headOption.contains("mediaserved")
     val ivfRebuildMode = args.headOption.contains("ivfrebuild")
+    val graphMode = args.headOption.contains("graph")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
@@ -1158,7 +1225,7 @@ object ScaleProbe {
           || servedMode || bowMode || bowNatMode || recallfMode
           || takedownMode || imageDupMode || audioDupMode
           || videoDupMode || bloomMode || mediaServedMode
-          || ivfRebuildMode)
+          || ivfRebuildMode || graphMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1194,6 +1261,11 @@ object ScaleProbe {
     }
     if (ivfMode) {
       sizes.foreach(ivfIndexProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (graphMode) {
+      sizes.foreach(graphProbe(spark, _))
       spark.stop()
       return
     }

@@ -32,19 +32,16 @@ object SparkEntry {
     f"${f.getName}_${f.getCanonicalPath.hashCode & 0xffffffffL}%08x"
   }
 
-  /** Ensure the postings index + doc-length sidecar for `dir` exist
-    * (built once per process — [[graft.ext.IndexCache]]) and return
-    * their paths; shared by every index-served retrieval query.
+  /** Ensure the search artifact (postings + doc-length components
+    * under one Versioned root) for `dir` exists (built once per
+    * process — [[graft.ext.IndexCache]]) and return its path; shared
+    * by every index-served retrieval query.
     */
-  private def postingsFor(s: SparkSession, dir: String): (String, String) = {
-    val sf = fixtureKey(dir)
-    val idx = s"/tmp/graft_postings_$sf"
-    val dlp = s"/tmp/graft_doclen_$sf"
-    graft.ext.IndexCache.ensure(idx)(
-      graft.ext.Search.writePostingsIndex(tables(s, dir).documents, idx))
-    graft.ext.IndexCache.ensure(dlp)(
-      graft.ext.Search.writeDocLengths(tables(s, dir).documents, dlp))
-    (idx, dlp)
+  private def searchIndexFor(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_search_${fixtureKey(dir)}"
+    graft.ext.IndexCache.ensure(path)(
+      graft.ext.Search.writeSearchIndex(tables(s, dir).documents, path))
+    path
   }
 
   /** Ensure the MinHash band index for `dir` exists (the ingest-time
@@ -79,19 +76,97 @@ object SparkEntry {
     */
   private def corpusGraphFor(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val pairsPath = s"/tmp/graft_corpus_pairs_${fixtureKey(dir)}"
-    val labelsPath = s"/tmp/graft_corpus_labels_${fixtureKey(dir)}"
-    graft.ext.IndexCache.ensure(pairsPath)(
-      Multimodal.corpusPairs(
+    val path = s"/tmp/graft_corpus_graph_${fixtureKey(dir)}"
+    graft.ext.IndexCache.ensure(path)(
+      graft.ext.CorpusGraph.write(
+        Multimodal.corpusPairs(
           Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
           Dedup.minhashNearDups(tables(s, dir).documents,
-            bands = Some(bandIndexFor(s, dir))))
-        .write.mode("overwrite").parquet(pairsPath))
-    graft.ext.IndexCache.ensure(labelsPath)(
-      Dedup.clusterLabels(
-          s.read.parquet(pairsPath).select("doc_a", "doc_b"))
-        .write.mode("overwrite").parquet(labelsPath))
-    (s.read.parquet(pairsPath), s.read.parquet(labelsPath))
+            bands = Some(bandIndexFor(s, dir)))),
+        path))
+    (graft.ext.CorpusGraph.readPairs(s, path),
+      graft.ext.CorpusGraph.readLabels(s, path))
+  }
+
+  /** The fixture ingest split for the graph's INCREMENTAL path:
+    * doc_id ≡ 7 (mod 10) is the new batch (the planted near-twin side
+    * across all four channels, so the append exercises real component
+    * merges), everything else is the standing corpus.
+    */
+  private def isGraphBatch(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = pmod(c, lit(10L)) === lit(7L)
+
+  /** The corpus graph GROWN INCREMENTALLY: base build over the
+    * corpus-side pairs only, then [[graft.ext.CorpusGraph.append]] of
+    * the batch's pairs — every pair stream served from the SAME
+    * persisted fingerprint/band indexes the full graph uses (per-doc
+    * signatures make the slices exact; nothing decodes twice). The
+    * consumers read the grown artifact, and the oracle is the full
+    * rebuild over the whole corpus — append ≡ rebuild is the row's
+    * entire claim.
+    */
+  private def corpusGraphIncrFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = s"/tmp/graft_corpus_graph_incr_${fixtureKey(dir)}"
+    graft.ext.IndexCache.ensure(path) {
+      val docs = tables(s, dir).documents
+      val fpIdx = mediaFpIndexFor(s, dir)
+      val bands = bandIndexFor(s, dir)
+      val corpusDocs = docs.filter(!isGraphBatch(col("doc_id")))
+      val batchDocs = docs.filter(isGraphBatch(col("doc_id")))
+      graft.ext.CorpusGraph.write(
+        Multimodal.corpusPairs(
+          Multimodal.mediaNearDupPairsServedWhere(s, fpIdx,
+            c => !isGraphBatch(c)),
+          Dedup.minhashNearDups(corpusDocs,
+            bands = Some(bands.filter(!isGraphBatch(col("doc_id")))))),
+        path)
+      // the batch's pairs: incremental screens against the grown
+      // index (cross + batch-internal for media in one banded pass;
+      // text = the incrementalNearDups cross pass + the batch-internal
+      // pass over the batch's own band slice)
+      val textCross = Dedup.incrementalNearDups(corpusDocs, batchDocs,
+          indexBands = Some(bands.filter(!isGraphBatch(col("doc_id")))))
+        .select(least(col("batch_doc"), col("index_doc")).as("doc_a"),
+          greatest(col("batch_doc"), col("index_doc")).as("doc_b"))
+      val textInternal = Dedup.minhashNearDups(batchDocs,
+          bands = Some(bands.filter(isGraphBatch(col("doc_id")))))
+        .select("doc_a", "doc_b")
+      val batchPairs = Multimodal.mediaNearDupPairsIncremental(
+          s, fpIdx, isGraphBatch)
+        .select(col("doc_a"), col("doc_b"), col("modality"))
+        .unionByName(textCross.unionByName(textInternal)
+          .withColumn("modality", lit("text")))
+      graft.ext.CorpusGraph.append(s, path, batchPairs, batchId = 1L)
+    }
+    (graft.ext.CorpusGraph.readPairs(s, path),
+      graft.ext.CorpusGraph.readLabels(s, path))
+  }
+
+  /** The corpus graph AFTER a takedown purge ([[graft.ext.Takedown
+    * .isTakedown]] ids): full base build, then
+    * [[graft.ext.CorpusGraph.purge]] — pair rows touching a purged doc
+    * leave, touched components relabel from surviving pairs (bridge
+    * removals split). The build asserts both convergence audits at
+    * zero; the oracle relabels the surviving pair set from scratch.
+    */
+  private def corpusGraphPurgedFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = s"/tmp/graft_corpus_graph_purged_${fixtureKey(dir)}"
+    graft.ext.IndexCache.ensure(path) {
+      graft.ext.CorpusGraph.write(
+        Multimodal.corpusPairs(
+          Multimodal.mediaNearDupPairsServed(s, mediaFpIndexFor(s, dir)),
+          Dedup.minhashNearDups(tables(s, dir).documents,
+            bands = Some(bandIndexFor(s, dir)))),
+        path)
+      val out = graft.ext.CorpusGraph.purge(s, path,
+        graft.ext.Takedown.takedownSet(tables(s, dir).documents))
+      require(out.leftover == 0L && out.staleLabels == 0L,
+        s"graph purge did not converge: $out")
+    }
+    (graft.ext.CorpusGraph.readPairs(s, path),
+      graft.ext.CorpusGraph.readLabels(s, path))
   }
 
   /** Persisted near-dup cluster labels per fixture dir — the labeling is
@@ -395,12 +470,9 @@ object SparkEntry {
 
     // conjunctive term search served from the persisted postings index
     // (bucket-partitioned by token hash; reads only the terms' buckets)
-    "term_search" -> ((s, dir) => {
-      val path = s"/tmp/graft_postings_${fixtureKey(dir)}"
-      graft.ext.IndexCache.ensure(path)(
-        graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path))
-      graft.ext.Search.searchAll(s, path, SearchTerms).orderBy("doc_id")
-    }),
+    "term_search" -> ((s, dir) =>
+      graft.ext.Search.searchAll(s, searchIndexFor(s, dir), SearchTerms)
+        .orderBy("doc_id")),
 
     // TF-IDF relevance: per-term top docs, exact cross-engine math
     "tfidf_top_docs" -> ((s, dir) =>
@@ -411,12 +483,9 @@ object SparkEntry {
     // persisted index as term_search (one build serves both — the
     // IndexCache "index once, serve many" discipline);
     // oracle = exact positional self-join
-    "phrase_search" -> ((s, dir) => {
-      val path = s"/tmp/graft_postings_${fixtureKey(dir)}"
-      graft.ext.IndexCache.ensure(path)(
-        graft.ext.Search.writePostingsIndex(tables(s, dir).documents, path))
-      graft.ext.Search.searchPhrase(s, path, PhraseTerms).orderBy("doc_id")
-    }),
+    "phrase_search" -> ((s, dir) =>
+      graft.ext.Search.searchPhrase(s, searchIndexFor(s, dir), PhraseTerms)
+        .orderBy("doc_id")),
 
     // BM25 document ranking over the query-term set
     "bm25_top_docs" -> ((s, dir) =>
@@ -426,27 +495,24 @@ object SparkEntry {
     // more-like-this: docs most TF-IDF-cosine-similar to one query doc,
     // served from the persisted postings index (the index stores the
     // same (doc_id, token, tf) the live tokenize derives)
-    "more_like_this" -> ((s, dir) => {
-      val (idx, dlp) = postingsFor(s, dir)
-      graft.ext.Search.moreLikeThisServed(s, idx, dlp, MltQueryDoc)
-        .orderBy("rank")
-    }),
+    "more_like_this" -> ((s, dir) =>
+      graft.ext.Search.moreLikeThisServed(s, searchIndexFor(s, dir),
+        MltQueryDoc).orderBy("rank")),
 
     // Hybrid retrieval: lexical (TF-IDF cosine) + dense (embedding
     // cosine) rankings fused by reciprocal-rank fusion, exact integers;
     // lexical leg served from the postings index
-    "hybrid_mlt" -> ((s, dir) => {
-      val (idx, dlp) = postingsFor(s, dir)
+    "hybrid_mlt" -> ((s, dir) =>
       graft.ext.Search.hybridMoreLikeThisServed(s,
-        tables(s, dir).embeddings, idx, dlp, MltQueryDoc).orderBy("rank")
-    }),
+        tables(s, dir).embeddings, searchIndexFor(s, dir), MltQueryDoc)
+        .orderBy("rank")),
 
-    // BM25 served from the persisted postings index + dl sidecar —
-    // identical scoring plan to bm25_top_docs, so it shares its oracle
-    "bm25_served" -> ((s, dir) => {
-      val (idx, dlp) = postingsFor(s, dir)
-      graft.ext.Search.bm25Served(s, idx, dlp, SearchTerms).orderBy("rank")
-    }),
+    // BM25 served from the persisted search artifact (postings + dl
+    // components read from ONE resolved snapshot) — identical scoring
+    // plan to bm25_top_docs, so it shares its oracle
+    "bm25_served" -> ((s, dir) =>
+      graft.ext.Search.bm25Served(s, searchIndexFor(s, dir), SearchTerms)
+        .orderBy("rank")),
 
     // as-of join (operators.AsOfJoin): last-touch purchase attribution
     "purchase_attribution" -> ((s, dir) =>
@@ -1057,6 +1123,25 @@ object SparkEntry {
     "corpus_dedup_manifest" -> ((s, dir) => {
       val (pairs, labels) = corpusGraphFor(s, dir)
       Multimodal.corpusDedupManifestFrom(pairs, labels)
+    }),
+
+    // the graph grown INCREMENTALLY (base = corpus-side pairs, then one
+    // appended ingest batch with a bounded relabel of touched
+    // components) must serve the SAME clusters as a full rebuild over
+    // the whole corpus — the oracle IS the full rebuild
+    "corpus_graph_incremental" -> ((s, dir) => {
+      val (pairs, labels) = corpusGraphIncrFor(s, dir)
+      Multimodal.corpusDedupClustersServedFrom(pairs, labels)
+    }),
+
+    // the graph after a takedown purge: pair rows touching a purged doc
+    // leave AND touched components relabel from surviving pairs (a
+    // removed bridge splits its cluster — the non-local effect a
+    // row-filter purge is structurally blind to); oracle = relabel the
+    // surviving pair set from scratch
+    "corpus_graph_takedown" -> ((s, dir) => {
+      val (pairs, labels) = corpusGraphPurgedFor(s, dir)
+      Multimodal.corpusDedupClustersServedFrom(pairs, labels)
     }),
 
     // Native session_window sessionization (streaming-capable operator)
@@ -1873,6 +1958,9 @@ object SparkEntry {
     "media_dedup_clusters_served" -> Multimodal.mediaDedupClustersSql,
     "corpus_dedup_clusters" -> Multimodal.corpusDedupClustersSql,
     "corpus_dedup_manifest" -> Multimodal.corpusDedupManifestSql,
+    "corpus_graph_incremental" -> Multimodal.corpusDedupClustersSql,
+    "corpus_graph_takedown" -> Multimodal.corpusDedupClustersSqlWhere(
+      Some("doc_a % 41 != 7 AND doc_b % 41 != 7")),
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,
 
     "session_window_stats" ->

@@ -149,7 +149,12 @@ object CorpusGraph {
     val edges = bp.select(col("doc_a"), col("doc_b"))
       .unionByName(members.select(col("doc_id").as("doc_a"),
         col("label").as("doc_b")))
-    writeLabelDelta(spark, path, Dedup.clusterLabels(edges))
+    // the written delta is only rows that actually CHANGE (new docs or
+    // moved labels) — an unchanged member must not force its bucket to
+    // rewrite (members is bounded, so the anti-join broadcasts)
+    val delta = Dedup.clusterLabels(edges)
+      .join(broadcast(members), Seq("doc_id", "label"), "left_anti")
+    writeLabelDelta(spark, path, delta)
   }
 
   /** Rewrite exactly the label buckets whose content changes: each
@@ -240,10 +245,14 @@ object CorpusGraph {
     *   4. rewrites only the affected label buckets.
     *
     * Rerunnable to convergence; [[staleLabelCount]] is the audit that
-    * a leftover row count is structurally blind to.
+    * a leftover row count is structurally blind to. The audit is a
+    * FULL label recompute (independence from the bookkeeping it
+    * checks), so at scale it runs at audit cadence, not per purge —
+    * `audit = false` skips it (staleLabels reported as -1) and the
+    * deployment runs [[staleLabelCount]] on its own schedule.
     */
   def purge(spark: SparkSession, path: String,
-      ids: DataFrame): GraphPurge = {
+      ids: DataFrame, audit: Boolean = true): GraphPurge = {
     val idSet = Scratch.track(
       ids.toDF("doc_id").select("doc_id").distinct().persist())
 
@@ -277,12 +286,15 @@ object CorpusGraph {
     // surviving pair (post-split singletons)
     val drops = members.select("doc_id")
       .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
-    val changed = relabeled.as("r")
-      .join(members.as("m"), col("r.doc_id") === col("m.doc_id"))
-      .filter(col("r.label") =!= col("m.label")).count()
+    // only rows whose label MOVED rewrite their bucket (every
+    // relabeled doc is a member, so the anti-join is bounded)
+    val delta = Scratch.track(relabeled
+      .join(broadcast(members), Seq("doc_id", "label"), "left_anti")
+      .persist())
+    val changed = delta.count()
     val removedLabelRows = drops.count()
     val (bucketsRewritten, bucketsDeleted) =
-      writeLabelDelta(spark, path, relabeled, dropDocs = Some(drops))
+      writeLabelDelta(spark, path, delta, dropDocs = Some(drops))
 
     // convergence audits, re-read from the purged artifact
     val post = readPairs(spark, path)
@@ -298,7 +310,36 @@ object CorpusGraph {
       partsRewritten = math.max(sA.partsRewritten, sB.partsRewritten)
         + bucketsRewritten,
       partsDeleted = sA.partsDeleted + sB.partsDeleted + bucketsDeleted,
-      leftover, staleLabelCount(spark, path))
+      leftover,
+      if (audit) staleLabelCount(spark, path) else -1L)
+  }
+
+  /** Audit-triggered recovery: recompute labels from the stored pair
+    * table and rewrite only the buckets whose content differs — the
+    * repair for states the incremental bookkeeping cannot reach (an
+    * external row-filter edit that deleted a purged doc's label row
+    * before [[purge]] could discover its component; a torn
+    * multi-bucket promote). [[purge]]'s own crash windows converge on
+    * re-run without this — the purged docs' label rows drop in the
+    * LAST step, so discovery stays intact — but an audit that can
+    * detect a state must come with the operation that exits it.
+    * Labeling cost is a rebuild's (full relabel, run at audit cadence);
+    * write IO stays delta-proportional. Returns rows corrected.
+    */
+  def repairLabels(spark: SparkSession, path: String): Long = {
+    val expect = Scratch.track(Dedup.clusterLabels(
+      readPairs(spark, path).select("doc_a", "doc_b")).persist())
+    val got = readLabels(spark, path)
+    // wrong-or-missing rows rewrite; ghost docs (in no pair) drop
+    val delta = Scratch.track(expect
+      .join(got, Seq("doc_id", "label"), "left_anti").persist())
+    val drops = Scratch.track(got.select("doc_id")
+      .join(expect.select("doc_id"), Seq("doc_id"), "left_anti")
+      .persist())
+    val corrected = delta.count() + drops.count()
+    if (corrected > 0)
+      writeLabelDelta(spark, path, delta, dropDocs = Some(drops))
+    corrected
   }
 
   /** The stale-label audit — the graph twin of

@@ -1405,7 +1405,7 @@ object Multimodal {
   /** DuckDB mirror of [[corpusDedupManifest]]. */
   def corpusDedupManifestSql: String =
     s"""WITH RECURSIVE
-       |${corpusPairCtesSql},
+       |${corpusPairCtesSql()},
        |${Dedup.labelsCtesSql(materializedLabels = true,
           pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
        |drops AS (
@@ -1425,9 +1425,13 @@ object Multimodal {
        |ORDER BY d.survivor""".stripMargin
 
   /** The four pair-stream CTEs (image/audio/video/text → `mpairs`) —
-    * shared by the cluster and manifest oracles.
+    * shared by the cluster and manifest oracles. `pairPred` (over
+    * `doc_a`/`doc_b`) restricts the pair set — the takedown oracle
+    * drops every pair touching a purged doc and relabels from scratch.
     */
-  private def corpusPairCtesSql: String =
+  private def corpusPairCtesSql(pairPred: Option[String] = None)
+      : String = {
+    val where = pairPred.map(p => s"\n  WHERE $p").getOrElse("")
     s"""ip AS MATERIALIZED (
        |  SELECT doc_a, doc_b, 'image' AS modality
        |  FROM ($imageNearDupsSql)),
@@ -1441,16 +1445,23 @@ object Multimodal {
        |  SELECT doc_a, doc_b, 'text' AS modality
        |  FROM (${Dedup.minhashNearDupsSql})),
        |mpairs AS MATERIALIZED (
-       |  SELECT * FROM ip UNION ALL SELECT * FROM ap
-       |  UNION ALL SELECT * FROM vp UNION ALL SELECT * FROM tp)""".stripMargin
+       |  SELECT * FROM (
+       |    SELECT * FROM ip UNION ALL SELECT * FROM ap
+       |    UNION ALL SELECT * FROM vp UNION ALL SELECT * FROM tp)$where)""".stripMargin
+  }
 
   /** DuckDB mirror of [[corpusDedupClusters]] — the media-cluster
     * oracle with the MinHash text pairs unioned in as the fourth
-    * modality.
+    * modality. With `pairPred`, the oracle for the PURGED graph:
+    * surviving pairs relabeled from scratch (the ground truth
+    * [[CorpusGraph.purge]]'s bounded relabel must reproduce,
+    * including bridge-removal cluster splits).
     */
-  def corpusDedupClustersSql: String =
+  def corpusDedupClustersSql: String = corpusDedupClustersSqlWhere(None)
+
+  def corpusDedupClustersSqlWhere(pairPred: Option[String]): String =
     s"""WITH RECURSIVE
-       |${corpusPairCtesSql},
+       |${corpusPairCtesSql(pairPred)},
        |${Dedup.labelsCtesSql(materializedLabels = true,
           pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
        |sizes AS (
@@ -1575,6 +1586,51 @@ object Multimodal {
     // this batch was writing (re-running the append recovers)
     Versioned.assertAppendLanded(spark, path, root, "media fp")
   }
+
+  /** Land one modality's ALREADY-DECODED fingerprints under the
+    * unified index's (modality, bucket, batch_id) layout — the
+    * STREAMING ingest seam ([[graft.streaming.MediaDedupStream]]):
+    * each micro-batch decodes its payloads exactly once (the stream's
+    * `fpExtract`), and the SAME rows both screen the batch and grow
+    * the served index, so a stream-ingested corpus serves every batch
+    * screen ([[mediaNearDupsServed]] and friends) with zero re-decode
+    * and the takedown story has ONE fingerprint artifact, not a
+    * stream-side band copy. Same dynamic-overwrite idempotence and
+    * append-race guard as [[appendToMediaFpIndex]] (which decodes; this
+    * one trusts the caller's decode).
+    */
+  def appendFingerprintsToMediaFpIndex(fps: DataFrame, modality: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0, "batch_id 0 is the base build")
+    require(MediaFpModalities.contains(modality),
+      s"unknown modality: $modality")
+    val spark = fps.sparkSession
+    val root = Versioned.resolve(spark, path)
+    fps.select(col("doc_id"), col("decoded"), col("fp_lo"),
+        col("fp_hi"))
+      .withColumn("modality", lit(modality))
+      .withColumn("bucket", pmod(col("doc_id"), lit(MediaFpBuckets)))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("modality", "bucket", "batch_id")
+      .parquet(s"$root/data")
+    Versioned.assertAppendLanded(spark, path, root, "media fp")
+  }
+
+  /** Fold the fingerprint index's accreted per-batch partitions into
+    * one distinct `batch_id = -1` partition per (modality, bucket) —
+    * the [[graft.streaming.BatchIndex.compact]] contract over the
+    * unified layout (streams stopped only; readers scan every batch
+    * level, so -1 serves like any other).
+    */
+  def compactMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) =
+    graft.streaming.BatchIndex.compactMulti(spark,
+      s"${Versioned.resolve(spark, path)}/data",
+      cols = Seq("doc_id", "decoded", "fp_lo", "fp_hi"),
+      bucketCols = Seq("modality", "bucket"))
 
   /** Rebuild the fingerprint index with atomic swap — the
     * [[Versioned]] lifecycle applied to the media artifact (the
@@ -1753,6 +1809,27 @@ object Multimodal {
       bandedHamming64Incremental(
         fps.filter(!isBatch(col("doc_id"))),
         fps.filter(isBatch(col("doc_id"))),
+        AHashMaxHamming)
+        .withColumn("modality", lit(m))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[mediaNearDupPairsServed]] restricted to docs matching `pred` on
+    * both endpoints — the corpus-only slice an incremental-ingest
+    * split serves from the ONE persisted index (per-doc fingerprints
+    * make any doc-set slice exact; no second decode of anything).
+    */
+  def mediaNearDupPairsServedWhere(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val root = Versioned.resolve(spark, indexPath)
+    MediaFpModalities.map { m =>
+      bandedHamming64(
+        readMediaFpIndex(spark, root)
+          .filter(col("modality") === lit(m) && col("decoded")
+            && pred(col("doc_id")))
+          .select("doc_id", "fp_lo", "fp_hi"),
         AHashMaxHamming)
         .withColumn("modality", lit(m))
     }.reduce(_.unionByName(_))

@@ -43,6 +43,9 @@ object Search {
 
   /** Build + persist the postings index: (token, doc_id, tf, positions)
     * rows partitioned by the token-hash bucket, one file per bucket.
+    * Component writer — the artifact-level entry point is
+    * [[writeSearchIndex]], which pairs it with the doc-length sidecar
+    * under one [[Versioned]]-managed root.
     */
   def writePostingsIndex(documents: DataFrame, path: String,
       buckets: Int = NumBuckets): Unit =
@@ -53,22 +56,110 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket", "batch_id")
       .parquet(path)
 
-  /** Incremental postings ingest — new documents enter the index
-    * WITHOUT a rebuild (same discipline as
-    * [[Similarity.appendToIvfIndex]]): tokenize only the batch and land
-    * its rows under (bucket, batch_id) with dynamic partition
-    * overwrite, so an at-least-once replay rewrites exactly its own
-    * partitions. Queries see old + new postings transparently (the
-    * readers scan all batch_id levels under each pruned bucket).
+  /** The search artifact: postings + the doc-length sidecar under ONE
+    * root —
+    * {{{
+    *   <path>/postings/bucket=<b>/batch_id=<n>/
+    *   <path>/doclen/batch_id=<n>/
+    * }}}
+    * One root because the two components are invalidated TOGETHER (a
+    * tokenizer/analyzer upgrade changes both what a posting is and
+    * what a doc length is), so [[rebuildSearchIndex]] swaps both
+    * atomically and a BM25 query straddling the swap reads one
+    * snapshot for both. The flat base is the layout above at `path`
+    * itself; rebuilds live under `v-<n>` (see [[Versioned]]).
     */
-  def appendToPostingsIndex(documents: DataFrame, path: String,
+  def writeSearchIndex(documents: DataFrame, path: String,
+      buckets: Int = NumBuckets): Unit = {
+    val spark = documents.sparkSession
+    // full-replace semantics: stale version dirs from earlier rebuilds
+    // must not out-rank the fresh base (the writeIvfIndex lesson)
+    Versioned.committedVersions(spark, path).foreach(n =>
+      Versioned.clearStage(spark, Versioned.versionDir(path, n)))
+    writeSearchSnapshot(documents, path, buckets)
+  }
+
+  private def writeSearchSnapshot(documents: DataFrame, root: String,
+      buckets: Int): Unit = {
+    writePostingsIndex(documents, s"$root/postings", buckets)
+    writeDocLengths(documents, s"$root/doclen")
+  }
+
+  /** Incremental ingest — new documents enter the artifact WITHOUT a
+    * rebuild (same discipline as [[Similarity.appendToIvfIndex]]):
+    * tokenize only the batch and land its postings under (bucket,
+    * batch_id) and its doc lengths under (batch_id) with dynamic
+    * partition overwrite, so an at-least-once replay rewrites exactly
+    * its own partitions. Queries see old + new docs transparently (the
+    * readers scan all batch_id levels). Appends land in the CURRENT
+    * snapshot; the post-write race guard fails loudly if a rebuild
+    * committed concurrently (re-running the append recovers).
+    */
+  def appendToSearchIndex(documents: DataFrame, path: String,
       batchId: Long, buckets: Int = NumBuckets): Unit = {
     require(batchId > 0, "batch_id 0 is the base build")
+    val spark = documents.sparkSession
+    val root = Versioned.resolve(spark, path)
     graft.streaming.BatchIndex.writePartition(
       docTokens(documents)
         .withColumn("bucket", h32(col("token")) % buckets),
-      batchId, path, bucketCol = Some("bucket"))
+      batchId, s"$root/postings", bucketCol = Some("bucket"))
+    graft.streaming.BatchIndex.writePartition(
+      documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl")),
+      batchId, s"$root/doclen")
+    Versioned.assertAppendLanded(spark, path, root, "search index")
   }
+
+  /** Rebuild the search artifact with atomic swap — the [[Versioned]]
+    * lifecycle applied to retrieval (trigger: a tokenizer/analyzer
+    * upgrade invalidates stored postings AND doc lengths corpus-wide).
+    * Re-tokenizes from `documents` — postings cannot be re-derived
+    * from themselves under a new analyzer — so the caller must pass
+    * the FULL grown corpus; validation enforces coverage of every
+    * doc_id the serving snapshot's doclen table holds (a frame missing
+    * appended batches fails instead of silently shrinking the index).
+    * A deliberate shrink says `allowShrink = true`.
+    */
+  def rebuildSearchIndex(spark: SparkSession, documents: DataFrame,
+      path: String, buckets: Int = NumBuckets,
+      allowShrink: Boolean = false): Long = {
+    val cur = Versioned.resolve(spark, path)
+    val n = Versioned.nextVersion(spark, path)
+    val stage = Versioned.versionDir(path, n)
+    Versioned.clearStage(spark, stage)
+    writeSearchSnapshot(documents, stage, buckets)
+    val stagedDl = spark.read.schema(DocLenSchema)
+      .parquet(s"$stage/doclen")
+    require(stagedDl.count() == documents.count(),
+      "staged doclen row count must match the corpus")
+    val servedDocs = if (allowShrink) stagedDl.select("doc_id").limit(0)
+    else
+      try spark.read.schema(DocLenSchema).parquet(s"$cur/doclen")
+        .select("doc_id").distinct()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null
+              && (e.getCondition.contains("PATH_NOT_FOUND")
+                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          stagedDl.select("doc_id").limit(0)
+      }
+    val missing = servedDocs.join(stagedDl.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti").count()
+    require(missing == 0L,
+      s"staged search rebuild drops $missing docs the serving index " +
+        "holds — pass the full grown corpus (base + appended batches)")
+    Versioned.commit(spark, stage)
+    Versioned.retire(spark, path, flatSubdirs = Seq("postings", "doclen"))
+    n
+  }
+
+  /** Every root still holding postings/doclen data — the takedown
+    * enumeration for the search artifact (retained snapshots are real
+    * copies; see [[Similarity.ivfRetainedRoots]]).
+    */
+  def searchRetainedRoots(spark: SparkSession, path: String): Seq[String] =
+    Versioned.retainedRoots(spark, path, flatProbeSubdir = "postings")
 
   /** Bucket a term exactly like the index writer (non-negative h32). */
   def bucketOf(term: String, buckets: Int = NumBuckets): Long =
@@ -95,20 +186,39 @@ object Search {
       org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.LongType)))
 
-  private def readPostings(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(PostingsSchema).parquet(path)
+  /** Doc-length sidecar schema (batch_id-partitioned for idempotent
+    * appends and takedown partition pruning).
+    */
+  val DocLenSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
 
-  /** Conjunctive search against a persisted postings index: returns the
-    * doc_ids carrying ALL `terms`. Reads only the terms' bucket
-    * partitions (collected literal partition filter — k values for a
-    * k-term query), then one count-combine over the merged postings.
+  /** Postings component of the resolved snapshot root. */
+  private def readPostings(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(PostingsSchema).parquet(s"$root/postings")
+
+  /** Doc-length component of the resolved snapshot root. */
+  private def readDocLens(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(DocLenSchema).parquet(s"$root/doclen")
+      .select("doc_id", "dl")
+
+  /** Conjunctive search against a persisted search artifact: returns
+    * the doc_ids carrying ALL `terms`. Resolves the serving snapshot
+    * once, then reads only the terms' bucket partitions (collected
+    * literal partition filter — k values for a k-term query), then one
+    * count-combine over the merged postings.
     */
   def searchAll(spark: SparkSession, path: String,
       terms: Seq[String], buckets: Int = NumBuckets): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "terms must be non-empty and distinct")
     val termBuckets = terms.map(bucketOf(_, buckets)).distinct
-    readPostings(spark, path)
+    readPostings(spark, Versioned.resolve(spark, path))
       .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id")
@@ -143,7 +253,7 @@ object Search {
       terms: Seq[String], buckets: Int = NumBuckets): DataFrame = {
     require(terms.nonEmpty, "phrase must be non-empty")
     val termBuckets = terms.map(bucketOf(_, buckets)).distinct
-    val postings = readPostings(spark, path)
+    val postings = readPostings(spark, Versioned.resolve(spark, path))
       .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
     def of(t: String) = postings.filter(col("token") === t)
       .select(col("doc_id"), col("positions"))
@@ -199,35 +309,41 @@ object Search {
     bm25Rank(tf, dl, topK, k1, b)
   }
 
-  /** BM25 served from the persisted postings index + a doc-length
-    * sidecar ([[writeDocLengths]]) — the ranking twin of [[searchAll]]:
-    * tf comes from the terms' pruned bucket partitions only (summed
-    * across batch_id levels, so incremental appends merge), df from
-    * those same rows, (N, avgdl) from one narrow dl-table scan. The
+  /** BM25 served from the persisted search artifact — the ranking twin
+    * of [[searchAll]]: tf comes from the terms' pruned bucket
+    * partitions only (summed across batch_id levels, so incremental
+    * appends merge), df from those same rows, (N, avgdl) from one
+    * narrow doclen scan. The snapshot root is resolved ONCE for both
+    * components, so a query straddling a [[rebuildSearchIndex]] swap
+    * scores entirely against one snapshot's postings AND doc lengths —
+    * never an old-tokenizer tf against a new-tokenizer avgdl. The
     * scoring expression is SHARED with [[bm25TopDocs]], so served ≡
     * in-flight bit for bit and both check against the same oracle.
     */
-  def bm25Served(spark: SparkSession, indexPath: String, dlPath: String,
+  def bm25Served(spark: SparkSession, path: String,
       terms: Seq[String], topK: Int = 10, k1: Double = 1.2,
       b: Double = 0.75, buckets: Int = NumBuckets): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "terms must be non-empty and distinct")
     val termBuckets = terms.map(bucketOf(_, buckets)).distinct
-    val tf = readPostings(spark, indexPath)
+    val root = Versioned.resolve(spark, path) // once, both components
+    val tf = readPostings(spark, root)
       .filter(col("bucket").isin(termBuckets: _*)) // partition pruning
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(sum("tf").as("tf"))
-    val dl = spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(dlPath)
-    bm25Rank(tf, dl, topK, k1, b)
+    bm25Rank(tf, readDocLens(spark, root), topK, k1, b)
   }
 
-  /** Doc-length sidecar for [[bm25Served]] (one narrow corpus scan;
-    * the same `size(split(...))` form [[bm25TopDocs]] uses).
+  /** Doc-length component writer (one narrow corpus scan; the same
+    * `size(split(...))` form [[bm25TopDocs]] uses). batch_id=0 is the
+    * base build; [[appendToSearchIndex]] lands higher ids.
     */
   def writeDocLengths(documents: DataFrame, path: String): Unit =
     documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(path)
+      .withColumn("batch_id", lit(0L))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
 
   /** The one BM25 scoring + ranking plan both entry points share. */
   private def bm25Rank(tf: DataFrame, dl: DataFrame, topK: Int,
@@ -344,20 +460,20 @@ object Search {
         .select(col("doc_id"), col("token"), col("tf")),
       documents.agg(count(lit(1)).as("n_docs")), queryDocId, topK)
 
-  /** [[moreLikeThis]] served from the persisted postings index + the
-    * doc-length sidecar (for n_docs) — identical rows (the index stores
-    * the same (doc_id, token, tf) the live path derives; shares the
-    * oracle). The tokenize + tf aggregation moves to the index build;
-    * the query pays the TF-IDF joins only. Unlike term/phrase search
-    * this reads every bucket — the query vector is a whole document,
-    * so no bucket pruning applies.
+  /** [[moreLikeThis]] served from the persisted search artifact —
+    * identical rows (the index stores the same (doc_id, token, tf) the
+    * live path derives; shares the oracle). The tokenize + tf
+    * aggregation moves to the index build; the query pays the TF-IDF
+    * joins only. Unlike term/phrase search this reads every bucket —
+    * the query vector is a whole document, so no bucket pruning
+    * applies. Snapshot resolved once for both components.
     */
-  def moreLikeThisServed(spark: SparkSession, indexPath: String,
-      dlPath: String, queryDocId: Long, topK: Int = 10): DataFrame = {
-    val tf = readPostings(spark, indexPath)
+  def moreLikeThisServed(spark: SparkSession, path: String,
+      queryDocId: Long, topK: Int = 10): DataFrame = {
+    val root = Versioned.resolve(spark, path)
+    val tf = readPostings(spark, root)
       .groupBy("doc_id", "token").agg(sum("tf").as("tf"))
-    val n = spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(dlPath)
-      .agg(count(lit(1)).as("n_docs"))
+    val n = readDocLens(spark, root).agg(count(lit(1)).as("n_docs"))
     mltRank(tf, n, queryDocId, topK)
   }
 
@@ -493,14 +609,15 @@ object Search {
       embeddings, queryDocId, topK)
 
   /** [[hybridMoreLikeThis]] with the lexical leg served from the
-    * persisted postings index ([[moreLikeThisServed]]) — identical rows,
-    * shares the oracle; only the dense leg still scans the corpus.
+    * persisted search artifact ([[moreLikeThisServed]]) — identical
+    * rows, shares the oracle; only the dense leg still scans the
+    * corpus.
     */
   def hybridMoreLikeThisServed(spark: SparkSession,
-      embeddings: DataFrame, indexPath: String, dlPath: String,
+      embeddings: DataFrame, path: String,
       queryDocId: Long, topK: Int = 10): DataFrame =
-    hybridFuse(moreLikeThisServed(spark, indexPath, dlPath,
-      queryDocId, RrfPool), embeddings, queryDocId, topK)
+    hybridFuse(moreLikeThisServed(spark, path, queryDocId, RrfPool),
+      embeddings, queryDocId, topK)
 
   private def hybridFuse(lexRanked: DataFrame, embeddings: DataFrame,
       queryDocId: Long, topK: Int): DataFrame = {

@@ -249,6 +249,16 @@ object Takedown {
   final case class FlatTable(name: String, path: String,
       idCol: String) extends Artifact
 
+  /** The corpus dedup graph ([[CorpusGraph]] pairs + labels) — the
+    * artifact a row filter cannot purge correctly: removing a bridge
+    * doc splits its component and surviving members must RELABEL, so
+    * its purge is [[CorpusGraph.purge]]'s bounded relabel, and its
+    * completeness audit is leftover rows AND the stale-label check
+    * (both folded into the reported `leftover`; 0 = complete).
+    */
+  final case class DedupGraph(name: String, path: String)
+      extends Artifact
+
   /** Per-artifact outcome of a [[propagate]] run; `leftover` is the
     * convergence audit re-read AFTER the purge (0 = complete).
     */
@@ -274,6 +284,7 @@ object Takedown {
       val p = new org.apache.hadoop.fs.Path(a match {
         case PartitionedIndex(_, path, _, _) => path
         case FlatTable(_, path, _) => path
+        case DedupGraph(_, path) => s"$path/pairs"
       })
       val fs = org.apache.hadoop.fs.FileSystem.get(
         p.toUri, spark.sparkContext.hadoopConfiguration)
@@ -305,6 +316,11 @@ object Takedown {
           val removed = purgeParquet(spark, p, idc, idsAs(idc))
           ArtifactPurge(n, removed, 1L, if (removed > 0) 1L else 0L, 0L,
             leftoverOf(p, idc))
+        case DedupGraph(n, p) =>
+          val g = CorpusGraph.purge(spark, p, idsAs("doc_id"))
+          ArtifactPurge(n, g.pairRowsRemoved + g.labelRowsRemoved,
+            g.partsTotal, g.partsRewritten, g.partsDeleted,
+            g.leftover + g.staleLabels)
       }
     } finally { cached.unpersist(); () }
   }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operators ([[Layout]] Z-order, [[graft.ext.Shards]] finalization):
   * streaming sinks and incremental ingest
   * ([[graft.streaming.EventPipeline]]'s per-batch dynamic overwrite,
-  * [[graft.ext.Search.appendToPostingsIndex]]) accrete one-file-per-batch
+  * [[graft.ext.Search.appendToSearchIndex]]) accrete one-file-per-batch
   * fragments, and at 100 TB the resulting per-file footer/open overhead
   * dominates scan cost long before data volume does.
   *

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * incremental index in the engine — MinHash band index
   * ([[DedupStream]]), sign-LSH vector index ([[EmbedStream]]), gram
   * index ([[NoveltyStream]]), postings index
-  * ([[graft.ext.Search.appendToPostingsIndex]]/[[SearchStream]]).
+  * ([[graft.ext.Search.appendToSearchIndex]]/[[SearchStream]]).
   * Before this object each implementation repeated the discipline by
   * hand; the contract is:
   *
@@ -94,9 +94,18 @@ object BatchIndex {
     */
   def compact(spark: SparkSession, path: String, cols: Seq[String],
       bucketCol: Option[String] = None,
+      fold: Option[DataFrame => DataFrame] = None): (Long, Long) =
+    compactMulti(spark, path, cols, bucketCol.toSeq, fold)
+
+  /** [[compact]] for indexes with MULTIPLE partition levels above
+    * batch_id (the unified media fingerprint index's (modality,
+    * bucket)); same contract, the fold keys on every level.
+    */
+  def compactMulti(spark: SparkSession, path: String, cols: Seq[String],
+      bucketCols: Seq[String],
       fold: Option[DataFrame => DataFrame] = None): (Long, Long) = {
     import spark.implicits._
-    val parts = bucketCol.toSeq :+ "batch_id"
+    val parts = bucketCols :+ "batch_id"
     // mergeSchema: a custom fold may have added columns (e.g. the
     // sketch index's folded_through) that plain per-file inference
     // would drop when the first-listed file predates them
@@ -104,22 +113,17 @@ object BatchIndex {
     val before = index.count()
     val liveDirs: Seq[String] = {
       val live = index.filter(col("batch_id") >= 0L)
-      bucketCol match {
-        case Some(bc) =>
-          live.select(col(bc).cast("string"), col("batch_id").cast("string"))
-            .distinct().as[(String, String)].collect().toSeq
-            .map { case (b, i) => s"$bc=$b/batch_id=$i" }
-        case None =>
-          live.select(col("batch_id").cast("string")).distinct()
-            .as[String].collect().toSeq.map(i => s"batch_id=$i")
-      }
+      live.select(parts.map(c => col(c).cast("string")): _*)
+        .distinct().collect().toIndexedSeq
+        .map(r => parts.indices
+          .map(i => s"${parts(i)}=${r.getString(i)}").mkString("/"))
     }
     val tmp = new org.apache.hadoop.fs.Path(path + ".compacting")
     // default fold: distinct rows over the index columns; a custom fold
     // sees the FULL frame (incl. batch_id) for merge semantics that
     // need it (aggregating sketch registers, recording folded_through)
     val folded = fold.getOrElse((df: DataFrame) =>
-      df.select((bucketCol.toSeq ++ cols).distinct.map(col): _*)
+      df.select((bucketCols ++ cols).distinct.map(col): _*)
         .distinct())(index)
     folded
       .withColumn("batch_id", lit(-1L))

@@ -7,20 +7,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ext.Multimodal
 
 /** Streaming PERCEPTUAL media ingestion: each micro-batch of
-  * `(doc_id, payload)` image rows is decoded (real codec),
-  * fingerprinted (aHash), and screened against a persistent
-  * fingerprint band index — the [[DedupStream]] discipline applied to
-  * pixels instead of shingles.
+  * `(doc_id, payload)` rows is decoded (real codec), fingerprinted,
+  * and screened against the UNIFIED media fingerprint index — the
+  * same `(modality, bucket, batch_id)` artifact the batch builders
+  * write ([[Multimodal.writeMediaFpIndex]]), so a stream-ingested
+  * corpus serves every batch screen ([[Multimodal
+  * .mediaNearDupsServed]], the cluster roll-ups, the corpus graph
+  * feeds) with zero re-decode, and takedown has ONE fingerprint
+  * artifact instead of a stream-side band copy. The 4×16-bit band
+  * table the screen joins on is DERIVED from stored fingerprints at
+  * read time ([[Multimodal.fpBands]] — three column ops per row),
+  * which is why no separate band index needs to persist.
   *
-  * One deliberate difference from DedupStream: the screen here is
+  * One deliberate difference from [[DedupStream]]: the screen here is
   * EXACT-VERIFIED, not candidate-level. MinHash bands hash a 2⁶⁴
   * space, so a band collision is evidence; these bands are 16-bit
   * fingerprint slices, so at n docs a bucket holds ~n/2¹⁶ unrelated
   * members and candidate-level dropping would false-drop uniques at
-  * scale. The index therefore stores the full fingerprint on each
-  * band row (5 longs/doc-band, 4 rows/doc) and a candidate only drops
-  * after the exact Hamming ≤ [[Multimodal.AHashMaxHamming]] check —
-  * which the banding makes lossless (pigeonhole), so recall is exact.
+  * scale. A candidate only drops after the exact Hamming ≤
+  * [[Multimodal.AHashMaxHamming]] check — which the banding makes
+  * lossless (pigeonhole), so recall is exact.
   *
   * Undecodable payloads are REJECTED (counted, not ingested): an
   * unscreenable blob in a perceptual-dedup corpus is a quality-gate
@@ -28,7 +34,9 @@ import graft.ext.Multimodal
   *
   * Idempotence matches [[EventPipeline.processBatch]]: corpus and
   * index writes land under their own batch_id partitions with dynamic
-  * overwrite; accumulators move only after both writes commit.
+  * overwrite (stream fingerprints at `batch_id = microBatch + 1` — 0
+  * is reserved for batch base builds, the [[SearchStream]] offset);
+  * accumulators move only after both writes commit.
   */
 object MediaDedupStream {
 
@@ -39,9 +47,6 @@ object MediaDedupStream {
     val kept = spark.sparkContext.longAccumulator("media_kept")
     @volatile var lastCommitted: Long = -1L
   }
-
-  private val IndexCols =
-    Seq("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val")
 
   /** Batch docs whose fingerprint sits within the Hamming radius of an
     * index entry, or of an earlier batch-mate (keep-first in batch).
@@ -71,30 +76,49 @@ object MediaDedupStream {
     * decoded, fp_lo, fp_hi)` extractor plugs the same exact-verified
     * screen — [[Multimodal.imageFpFromPayload]] (default),
     * [[Multimodal.videoFpFromPayload]] for GVID clips, or a custom
-    * codec behind [[Multimodal.MediaCodec]]. The screen only sees 64
-    * fingerprint bits, so everything downstream (band index layout,
-    * Hamming gate, compaction, takedown) is modality-blind.
+    * codec behind [[Multimodal.MediaCodec]]; `modality` names the
+    * index partition the fingerprints land under. The screen only
+    * sees 64 fingerprint bits, so everything downstream (index
+    * layout, Hamming gate, compaction, takedown) is modality-blind.
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       indexPath: String, stats: MediaStats,
       fpExtract: DataFrame => DataFrame =
-        Multimodal.imageFpFromPayload(_)): Unit =
+        Multimodal.imageFpFromPayload(_),
+      modality: String = "image"): Unit =
     if (batchId > stats.lastCommitted) {
       val spark = batch.sparkSession
+      val storedId = batchId + 1 // 0 is reserved for batch base builds
       val cached = batch.persist()
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
+        // decode ONCE: these rows screen the batch AND grow the index
         val fps = fpExtract(cached).persist()
         try {
           val nRejected = fps.filter(!col("decoded")).count()
-          val bands = Multimodal.fpBands(
-            fps.filter(col("decoded"))
-              .select("doc_id", "fp_lo", "fp_hi"))
-          val index = BatchIndex.readBefore(spark, indexPath, batchId,
-            IndexCols, bands.limit(0))
-          val drops = dropSet(bands, index).persist()
-          val keptBands = bands
+          val keptFpCols = fps.filter(col("decoded"))
+            .select("doc_id", "fp_lo", "fp_hi")
+          val bands = Multimodal.fpBands(keptFpCols)
+          // the accumulated fingerprints visible to this batch: the
+          // unified index's modality slice, strictly-before batches
+          // only (replay-excluding read — the readBefore contract)
+          val indexFps =
+            try Multimodal.readMediaFpIndex(spark, indexPath)
+              .filter(col("modality") === lit(modality)
+                && col("decoded") && col("batch_id") < storedId)
+              .select("doc_id", "fp_lo", "fp_hi")
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition != null
+                    && (e.getCondition.contains("PATH_NOT_FOUND")
+                      || e.getCondition.contains(
+                        "UNABLE_TO_INFER_SCHEMA")) =>
+                keptFpCols.limit(0)
+            }
+          val drops = dropSet(bands, Multimodal.fpBands(indexFps))
+            .persist()
+          val keptFps = fps.filter(col("decoded"))
             .join(broadcast(drops), Seq("doc_id"), "left_anti")
           val survivors = cached
             .join(fps.filter(col("decoded")).select("doc_id"),
@@ -103,7 +127,8 @@ object MediaDedupStream {
             .persist()
           val nKept = survivors.count()
           BatchIndex.writePartition(survivors, batchId, corpusPath)
-          BatchIndex.writePartition(keptBands, batchId, indexPath)
+          Multimodal.appendFingerprintsToMediaFpIndex(keptFps, modality,
+            indexPath, storedId)
           stats.seen.add(nSeen)
           stats.rejected.add(nRejected)
           stats.kept.add(nKept)
@@ -115,11 +140,12 @@ object MediaDedupStream {
     }
 
   /** Fold the fingerprint index's per-batch partitions into one
-    * distinct partition ([[BatchIndex.compact]] — stream stopped only).
+    * distinct partition per (modality, bucket)
+    * ([[Multimodal.compactMediaFpIndex]] — streams stopped only).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) =
-    BatchIndex.compact(spark, indexPath, IndexCols)
+    Multimodal.compactMediaFpIndex(spark, indexPath)
 
   /** Attach the perceptual-dedup ingest to a `(doc_id, payload)`
     * stream; `fpExtract` picks the modality (see [[processBatch]]).
@@ -128,7 +154,8 @@ object MediaDedupStream {
       checkpointDir: String, stats: MediaStats,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       fpExtract: DataFrame => DataFrame =
-        Multimodal.imageFpFromPayload(_))
+        Multimodal.imageFpFromPayload(_),
+      modality: String = "image")
       : StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -136,7 +163,7 @@ object MediaDedupStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusPath, indexPath, stats,
-          fpExtract)
+          fpExtract, modality)
       }
       .start()
 }

@@ -5,14 +5,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ext.Search
 
-/** Streaming postings ingest: the streaming twin of
-  * [[graft.ext.Search.appendToPostingsIndex]]. Each micro-batch
+/** Streaming search-index ingest: the streaming twin of
+  * [[graft.ext.Search.appendToSearchIndex]]. Each micro-batch
   * tokenizes ONLY its own documents — the accumulated index is never
-  * read or reshuffled — and lands under (bucket, batch_id) with dynamic
-  * partition overwrite, so an at-least-once replay rewrites exactly its
-  * own partitions (the [[EventPipeline.processBatch]] idempotence
-  * contract). Searches see old + new postings transparently: the
-  * readers scan every batch_id level under each pruned bucket.
+  * read or reshuffled — and lands its postings under (bucket,
+  * batch_id) and its doc lengths under (batch_id) in the SAME
+  * artifact the batch builders write, with dynamic partition
+  * overwrite, so an at-least-once replay rewrites exactly its own
+  * partitions (the [[EventPipeline.processBatch]] idempotence
+  * contract). Term/phrase search AND BM25 see stream-ingested docs
+  * transparently: the readers scan every batch_id level.
   *
   * Spark's micro-batch ids start at 0; the stored batch_id is offset by
   * one because 0 is reserved for the base build.
@@ -24,7 +26,7 @@ object SearchStream {
     */
   def processBatch(batch: DataFrame, batchId: Long,
       indexPath: String): Unit =
-    Search.appendToPostingsIndex(batch, indexPath, batchId + 1)
+    Search.appendToSearchIndex(batch, indexPath, batchId + 1)
 
   /** Attach the postings ingest to a document stream
     * (doc_id, text, ...).

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{CorpusGraph, Dedup}
+
+/** The persisted corpus dedup graph's maintenance contract:
+  * (a) append ≡ rebuild — appending a batch's pairs (with the bounded
+  * touched-component relabel) equals a full rebuild over the unioned
+  * pair set, including merges of two standing multi-doc components
+  * through a batch bridge doc; (b) replay idempotence; (c) purge ≡
+  * rebuild — including the bridge-removal cluster SPLIT, where
+  * surviving members' labels change (the case a row-filter purge is
+  * structurally blind to); (d) the stale-label audit catches exactly
+  * that blindness; (e) purge stats prove partition-pruned IO.
+  */
+class CorpusGraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def pairsDf(ps: Seq[(Long, Long, String)]): DataFrame = {
+    import spark.implicits._
+    ps.toDF("doc_a", "doc_b", "modality")
+  }
+
+  private def labelMap(path: String): Map[Long, Long] =
+    CorpusGraph.readLabels(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Ground truth: full relabel of the stored pair set. */
+  private def rebuilt(path: String): Map[Long, Long] =
+    Dedup.clusterLabels(
+        CorpusGraph.readPairs(spark, path).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("append merges two standing components through a batch bridge (≡ rebuild)") {
+    val path = tmpDir("cgappend")
+    // two standing components {1,2,3} and {10,11}, one standing pair
+    // island {20,21}
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "image"),
+      (10L, 11L, "audio"), (20L, 21L, "video"))), path)
+    assert(labelMap(path) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // batch doc 100 bridges components 1 and 10; batch doc 101 pairs
+    // into nothing else (new 2-doc component with 102)
+    val batch = pairsDf(Seq(
+      (3L, 100L, "text"), (100L, 10L, "image"), (101L, 102L, "text")))
+    CorpusGraph.append(spark, path, batch, batchId = 1L)
+    val got = labelMap(path)
+    assert(got == rebuilt(path), "append must equal a full rebuild")
+    // the merge happened: every member of both standing components and
+    // the bridge carry the merged min label
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 100L).forall(got(_) == 1L))
+    // untouched island kept its label, new component labeled by its min
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got(101L) == 101L && got(102L) == 101L)
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+  }
+
+  test("append replay is idempotent (at-least-once delivery)") {
+    val path = tmpDir("cgreplay")
+    CorpusGraph.write(pairsDf(Seq((1L, 2L, "text"))), path)
+    val batch = pairsDf(Seq((2L, 50L, "image"), (60L, 61L, "text")))
+    CorpusGraph.append(spark, path, batch, batchId = 1L)
+    val pairs1 = CorpusGraph.readPairs(spark, path).collect().toSet
+    val labels1 = labelMap(path)
+    CorpusGraph.append(spark, path, batch, batchId = 1L) // replay
+    assert(CorpusGraph.readPairs(spark, path).collect().toSet == pairs1,
+      "replay must rewrite exactly its own batch partition")
+    assert(labelMap(path) == labels1, "replay must not move labels")
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+  }
+
+  test("purging a bridge doc SPLITS its cluster and relabels survivors (≡ rebuild)") {
+    import spark.implicits._
+    val path = tmpDir("cgbridge")
+    // chain 1—2—3—4—5 with 3 as the bridge; island {8,9}
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"), (3L, 4L, "image"),
+      (4L, 5L, "image"), (8L, 9L, "audio"))), path)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labelMap(path)(_) == 1L))
+    val out = CorpusGraph.purge(spark, path, Seq(3L).toDF("doc_id"))
+    assert(out.pairRowsRemoved == 2L, s"$out") // (2,3) and (3,4)
+    assert(out.labelRowsRemoved == 1L, s"$out") // doc 3 itself
+    // docs 4 and 5 must RELABEL (1 → 4): the rows a row-filter-only
+    // purge would serve stale forever
+    assert(out.labelsChanged == 2L, s"$out")
+    assert(out.leftover == 0L && out.staleLabels == 0L, s"$out")
+    val got = labelMap(path)
+    assert(got == rebuilt(path), "purge must equal a rebuild from survivors")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("purging the component's min doc moves the label; pairless members drop out") {
+    import spark.implicits._
+    val path = tmpDir("cgmin")
+    // {1,2,3} star around 2; purging 1 (the LABEL doc) relabels 2,3;
+    // purging 5 from {5,6} leaves 6 pairless — it exits the table
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"), (5L, 6L, "image"))), path)
+    val out = CorpusGraph.purge(spark, path,
+      Seq(1L, 5L).toDF("doc_id"))
+    assert(out.leftover == 0L && out.staleLabels == 0L, s"$out")
+    val got = labelMap(path)
+    assert(got == rebuilt(path))
+    assert(got == Map(2L -> 2L, 3L -> 2L),
+      s"6 must drop out (no surviving pair), 2/3 relabel: $got")
+    // 6 dropped without being purged: labelRowsRemoved counts 1, 5, 6
+    assert(out.labelRowsRemoved == 3L, s"$out")
+  }
+
+  test("stale-label audit catches a naive row-filter purge; repairLabels recovers") {
+    import spark.implicits._
+    val path = tmpDir("cgstale")
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"), (3L, 4L, "image"),
+      (4L, 5L, "image"))), path)
+    // naive purge: drop doc 3's pair rows and label row, NO relabel —
+    // exactly what purgeIndex-style row filtering would do
+    graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
+      Seq(3L).toDF("doc_a"), Seq("batch_id"))
+    graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
+      Seq(3L).toDF("doc_b"), Seq("batch_id"))
+    graft.ext.Takedown.purgeIndex(spark, s"$path/labels", "doc_id",
+      Seq(3L).toDF("doc_id"), Seq("bucket"))
+    // every leftover row count is now 0 — yet docs 4,5 serve the dead
+    // merged label: only the stale audit sees it
+    assert(CorpusGraph.readPairs(spark, path)
+      .filter(col("doc_a") === 3L || col("doc_b") === 3L).count() == 0L)
+    assert(CorpusGraph.readLabels(spark, path)
+      .filter(col("doc_id") === 3L).count() == 0L)
+    // 4 = the symmetric difference: stored rows 4→1, 5→1 are wrong AND
+    // expected rows 4→4, 5→4 are missing
+    assert(CorpusGraph.staleLabelCount(spark, path) == 4L,
+      "the audit must flag the split component's stale labels")
+    // the audit's exit: repairLabels corrects exactly the flagged state
+    // (the naive edit deleted doc 3's label row, so purge's component
+    // discovery can no longer see the split — repair relabels from the
+    // stored pairs themselves)
+    assert(CorpusGraph.repairLabels(spark, path) == 2L) // 4→4, 5→4
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    assert(labelMap(path) == rebuilt(path))
+  }
+
+  test("purge crash window (pairs purged, labels not) converges on re-run") {
+    import spark.implicits._
+    val path = tmpDir("cgcrash")
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"), (3L, 4L, "image"),
+      (4L, 5L, "image"))), path)
+    // simulate the real purge dying between its pair rewrite and its
+    // label rewrite: pairs purged, label table untouched — the purged
+    // doc's label row is still present, which is exactly why discovery
+    // works on the re-run
+    graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
+      Seq(3L).toDF("doc_a"), Seq("batch_id"))
+    graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
+      Seq(3L).toDF("doc_b"), Seq("batch_id"))
+    assert(CorpusGraph.staleLabelCount(spark, path) > 0L)
+    val out = CorpusGraph.purge(spark, path, Seq(3L).toDF("doc_id"))
+    assert(out.leftover == 0L && out.staleLabels == 0L, s"$out")
+    assert(out.labelsChanged == 2L, s"$out") // 4,5 relabel to 4
+    assert(labelMap(path) == rebuilt(path))
+    assert(labelMap(path) == Map(1L -> 1L, 2L -> 1L, 4L -> 4L,
+      5L -> 4L))
+  }
+
+  test("propagate covers the graph next to row-purgeable artifacts") {
+    import spark.implicits._
+    import graft.ext.Takedown
+    val path = tmpDir("cgprop")
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"), (3L, 4L, "image"))), path)
+    // a flat sidecar holding the same doc ids, for the matrix shape
+    val side = tmpDir("cgpropside") + "/t"
+    Seq(1L, 2L, 3L, 4L).toDF("doc_id").write.parquet(side)
+    val out = Takedown.propagate(spark, Seq(3L).toDF("doc_id"), Seq(
+      Takedown.DedupGraph("corpus_graph", path),
+      Takedown.FlatTable("sidecar", side, "doc_id")))
+    assert(out.size == 2)
+    out.foreach(a => assert(a.leftover == 0L, s"$a"))
+    val g = out.find(_.artifact == "corpus_graph").get
+    // 2 pair rows + doc 3's label row + doc 4's (pairless after the
+    // purge, so it exits the membership table)
+    assert(g.rowsRemoved == 4L, s"$g")
+    // the graph's leftover folds in the stale-label audit, so 0 here
+    // proves the split relabel happened, not just row removal
+    assert(labelMap(path) == rebuilt(path))
+  }
+
+  test("purge IO is partition-pruned and an unrelated purge is a no-op") {
+    import spark.implicits._
+    val path = tmpDir("cgnoop")
+    CorpusGraph.write(pairsDf(Seq((1L, 2L, "text"))), path)
+    CorpusGraph.append(spark, path, pairsDf(Seq((2L, 40L, "image"))),
+      batchId = 1L)
+    val out = CorpusGraph.purge(spark, path, Seq(999L).toDF("doc_id"))
+    assert(out == CorpusGraph.GraphPurge(0L, 0L, 0L,
+      out.partsTotal, 0L, 0L, 0L, 0L), s"$out")
+    // a real purge of doc 40 touches only batch 1's pair partition and
+    // the label buckets of its component
+    val out40 = CorpusGraph.purge(spark, path, Seq(40L).toDF("doc_id"))
+    assert(out40.pairRowsRemoved == 1L && out40.leftover == 0L
+      && out40.staleLabels == 0L, s"$out40")
+    assert(out40.partsRewritten + out40.partsDeleted <= 3L,
+      s"bounded rewrite expected: $out40")
+    assert(labelMap(path) == Map(1L -> 1L, 2L -> 1L))
+  }
+}

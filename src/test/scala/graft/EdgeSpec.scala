@@ -117,7 +117,7 @@ class EdgeSpec extends AnyFunSuite {
       Curation.chunkPlan(emptyDocs, maxTokens = 10L, overlap = 10L))
     // search: empty corpus index is buildable and query-able
     val path = java.nio.file.Files.createTempDirectory("edge6").toString
-    Search.writePostingsIndex(emptyDocs, s"$path/p")
+    Search.writeSearchIndex(emptyDocs, s"$path/p")
     assert(Search.searchAll(spark, s"$path/p", Seq("x")).count() == 0)
     assert(Search.searchPhrase(spark, s"$path/p", Seq("x", "y"))
       .count() == 0)

@@ -314,6 +314,57 @@ class IndexLifecycleSpec extends AnyFunSuite {
       == batch.count())
   }
 
+  test("search artifact rebuild: atomic swap, one-snapshot BM25 straddle, retained-root takedown") {
+    import graft.ext.Search
+    val docs = Tables(spark, Sf0001).documents
+    val path = tmpDir("searchlc")
+    Search.writeSearchIndex(docs, path)
+    val terms = SparkEntry.SearchTerms
+    val before = Search.bm25Served(spark, path, terms)
+      .collect().map(_.toSeq).toSeq
+    // straddler: plan constructed (snapshot resolved for BOTH
+    // components) against the flat base, executed after the swap
+    val straddler = Search.bm25Served(spark, path, terms)
+    // rebuild over a SHRUNKEN corpus so the snapshots differ (a
+    // deliberate shrink must be declared; the default rejects it —
+    // pinned below)
+    val shrunk = docs.filter(col("doc_id") % 10 =!= 7)
+    val v = Search.rebuildSearchIndex(spark, shrunk, path,
+      allowShrink = true)
+    assert(v == 1L)
+    assert(Versioned.resolve(spark, path) == s"$path/v-1")
+    assert(straddler.collect().map(_.toSeq).toSeq == before,
+      "BM25 straddling the swap must serve its resolved snapshot " +
+        "for postings AND doc lengths")
+    // fresh queries serve the rebuilt snapshot: ≡ in-flight BM25 over
+    // the shrunken corpus (df/N/avgdl all moved together)
+    assert(Search.bm25Served(spark, path, terms)
+      .collect().map(_.toSeq).toSeq
+      == Search.bm25TopDocs(shrunk, terms).collect().map(_.toSeq).toSeq)
+    // coverage validation: an append then a rebuild from a frame
+    // missing the appended batch must fail
+    import spark.implicits._
+    val extra = Seq((910000L, "spark join window"))
+      .toDF("doc_id", "text")
+    Search.appendToSearchIndex(extra, path, batchId = 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Search.rebuildSearchIndex(spark, shrunk, path)
+    }
+    assert(ex.getMessage.contains("grown corpus"), ex.getMessage)
+    // retained roots enumerate every copy; propagate purges them all
+    assert(Search.searchRetainedRoots(spark, path)
+      == Seq(path, s"$path/v-1"))
+    val ids = Seq(3L).toDF("doc_id")
+    val out = Takedown.propagate(spark, ids,
+      Search.searchRetainedRoots(spark, path).flatMap(r => Seq(
+        Takedown.PartitionedIndex(s"postings:$r", s"$r/postings",
+          "doc_id", Seq("bucket", "batch_id")),
+        Takedown.PartitionedIndex(s"doclen:$r", s"$r/doclen",
+          "doc_id", Seq("batch_id")))))
+    assert(out.size == 4)
+    out.foreach(a => assert(a.leftover == 0L, s"$a"))
+  }
+
   test("PQ codebooks: persisted read-back exact; retrain stages, commits, retires") {
     val path = tmpDir("pqlc")
     ProductQuant.writePqCodebooks(emb, path)

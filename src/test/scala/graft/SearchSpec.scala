@@ -39,18 +39,16 @@ class SearchSpec extends AnyFunSuite {
 
   test("MLT served from the postings index equals the live tokenize path") {
     val path = java.nio.file.Files.createTempDirectory("mltidx").toString
-    val dlp = java.nio.file.Files.createTempDirectory("mltdl").toString
-    Search.writePostingsIndex(docs, path)
-    Search.writeDocLengths(docs, dlp)
+    Search.writeSearchIndex(docs, path)
     val live = Search.moreLikeThis(docs, 7L).collect().toSeq
-    val served = Search.moreLikeThisServed(spark, path, dlp, 7L)
+    val served = Search.moreLikeThisServed(spark, path, 7L)
       .collect().toSeq
     assert(served == live)
   }
 
   test("conjunctive search over the postings index equals a full scan") {
     val path = java.nio.file.Files.createTempDirectory("postings").toString
-    Search.writePostingsIndex(docs, path)
+    Search.writeSearchIndex(docs, path)
     val terms = Seq("spark", "join", "window")
     val viaIndex = Search.searchAll(spark, path, terms)
       .collect().map(_.getLong(0)).toSet
@@ -61,7 +59,7 @@ class SearchSpec extends AnyFunSuite {
     assert(viaIndex == brute && viaIndex.nonEmpty)
     // the scan must read ONLY the terms' bucket partitions
     val termBuckets = terms.map(Search.bucketOf(_)).distinct.toSet
-    val files = spark.read.parquet(path)
+    val files = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(termBuckets.toSeq: _*))
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0))
@@ -69,7 +67,7 @@ class SearchSpec extends AnyFunSuite {
       "bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
     assert(bucketDirs == termBuckets,
       s"scan must prune to $termBuckets, read $bucketDirs")
-    val totalBuckets = spark.read.parquet(path)
+    val totalBuckets = spark.read.parquet(s"$path/postings")
       .select("bucket").distinct().count()
     assert(bucketDirs.size < totalBuckets)
   }
@@ -77,23 +75,25 @@ class SearchSpec extends AnyFunSuite {
   test("incremental postings ingest: new docs searchable, replay idempotent") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("postinc").toString
-    Search.writePostingsIndex(
+    Search.writeSearchIndex(
       Seq((0L, "spark join"), (1L, "table scan")).toDF("doc_id", "text"),
       path)
     val batch = Seq((2L, "spark join window")).toDF("doc_id", "text")
-    Search.appendToPostingsIndex(batch, path, 1L)
+    Search.appendToSearchIndex(batch, path, 1L)
     def hits = Search.searchAll(spark, path, Seq("spark", "join"))
       .collect().map(_.getLong(0)).toSet
     assert(hits == Set(0L, 2L), "appended doc must be searchable")
-    val n = spark.read.parquet(path).count()
-    Search.appendToPostingsIndex(batch, path, 1L) // replay
-    assert(spark.read.parquet(path).count() == n)
+    val n = spark.read.parquet(s"$path/postings").count()
+    Search.appendToSearchIndex(batch, path, 1L) // replay
+    assert(spark.read.parquet(s"$path/postings").count() == n)
     assert(hits == Set(0L, 2L))
+    // the doc-length component grew with the SAME batch discipline
+    assert(spark.read.parquet(s"$path/doclen").count() == 3L)
   }
 
   test("searchAll rejects empty or duplicate term lists") {
     val path = java.nio.file.Files.createTempDirectory("postings2").toString
-    Search.writePostingsIndex(docs.limit(10), path)
+    Search.writeSearchIndex(docs.limit(10), path)
     intercept[IllegalArgumentException](
       Search.searchAll(spark, path, Nil))
     intercept[IllegalArgumentException](
@@ -110,7 +110,7 @@ class SearchSpec extends AnyFunSuite {
       (4L, "y x")        // reversed order is no hit
     ).toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("phr").toString
-    Search.writePostingsIndex(corpus, path)
+    Search.writeSearchIndex(corpus, path)
     def hits(terms: Seq[String]) =
       Search.searchPhrase(spark, path, terms).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -157,25 +157,21 @@ class SearchSpec extends AnyFunSuite {
 
   test("served BM25 equals the in-flight ranking; appends merge tf") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("bm25idx")
-    val (idx, dlp) = (s"$base/p", s"$base/dl")
-    Search.writePostingsIndex(docs, idx)
-    Search.writeDocLengths(docs, dlp)
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Search.writeSearchIndex(docs, idx)
     val terms = Seq("spark", "join", "window")
     val inflight = Search.bm25TopDocs(docs, terms).collect()
-    val served = Search.bm25Served(spark, idx, dlp, terms).collect()
+    val served = Search.bm25Served(spark, idx, terms).collect()
     assert(served.sameElements(inflight))
-    // an appended batch is scored on the next serve (dl sidecar
-    // rewritten alongside, as an ingest job would)
+    // an appended batch is scored on the next serve: BOTH components
+    // grow in the one appendToSearchIndex call
     // tf 20 per term at dl 60 saturates tf·(k1+1)/(tf+·) near its
     // (k1+1) ceiling with a far-below-average dl — above any fixture doc
     val extra = Seq((900000L,
       Seq.fill(20)("spark join window").mkString(" ")))
       .toDF("doc_id", "text")
-    Search.appendToPostingsIndex(extra, idx, 1L)
-    Search.writeDocLengths(docs.select("doc_id", "text").unionByName(extra),
-      dlp)
-    val after = Search.bm25Served(spark, idx, dlp, terms).collect()
+    Search.appendToSearchIndex(extra, idx, 1L)
+    val after = Search.bm25Served(spark, idx, terms).collect()
     assert(after.head.getLong(1) == 900000L,
       "the term-stuffed appended doc must rank first")
   }

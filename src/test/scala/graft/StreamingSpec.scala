@@ -921,7 +921,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
-  test("RunStream full composition: four streams land consistent artifacts") {
+  test("RunStream full composition: five streams land consistent artifacts") {
     val out = Files.createTempDirectory("runfull").toString
     val s = RunStream.runFull(spark, out, seconds = 12,
       rowsPerSecond = 500)
@@ -946,6 +946,14 @@ class StreamingSpec extends AnyFunSuite {
       s"hot symbol not the top counter: $hh")
     // sketch leg: the HLL index carries rows and serves an estimate
     assert(s.hllDays > 0, "HLL index empty")
+    // sessionizer leg (the one with REAL streaming state, under the
+    // RocksDB provider): users revisit every ~2 s against the 1 s gap,
+    // so sessions close and flow, and state holds ~one row per live user
+    assert(s.sessionsEmitted > 0, s"no sessions emitted: $s")
+    assert(s.sessionStateRows > 0, s"no session state tracked: $s")
+    // the provider override must not leak into the shared test session
+    assert(!spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
   }
 
   test("streaming curation: normalize + gate + dedup compose per batch") {
@@ -1230,7 +1238,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val idx = Files.createTempDirectory("postidx").toString
-    graft.ext.Search.writePostingsIndex(
+    graft.ext.Search.writeSearchIndex(
       Seq((0L, "spark join")).toDF("doc_id", "text"), idx)
     def hits(ts: String*) = graft.ext.Search.searchAll(spark, idx, ts)
       .collect().map(_.getLong(0)).toSet
@@ -1246,11 +1254,11 @@ class StreamingSpec extends AnyFunSuite {
 
     // recovery replay of the same micro-batch: rewrites its own
     // (bucket, batch_id) partitions, no doubling
-    val n = spark.read.parquet(idx).count()
+    val n = spark.read.parquet(s"$idx/postings").count()
     graft.streaming.SearchStream.processBatch(
       Seq((1L, "spark window"), (2L, "table scan")).toDF("doc_id", "text"),
       0L, idx)
-    assert(spark.read.parquet(idx).count() == n)
+    assert(spark.read.parquet(s"$idx/postings").count() == n)
     assert(hits("spark") == Set(0L, 1L))
 
     // a later run on the same checkpoint gets the next batch id; the
@@ -1260,8 +1268,13 @@ class StreamingSpec extends AnyFunSuite {
       mem.toDF().toDF("doc_id", "text"), idx, ckpt, Trigger.AvailableNow())
     q2.awaitTermination(60000)
     assert(hits("spark", "join") == Set(0L, 3L))
-    assert(spark.read.parquet(idx).select("batch_id").distinct().count()
-      == 3)
+    assert(spark.read.parquet(s"$idx/postings")
+      .select("batch_id").distinct().count() == 3)
+    // the doc-length component tracked every streamed batch, so BM25
+    // serves stream-ingested docs from the same artifact
+    assert(spark.read.parquet(s"$idx/doclen").count() == 4L)
+    assert(graft.ext.Search.bm25Served(spark, idx, Seq("spark"))
+      .collect().map(_.getLong(1)).toSet == Set(0L, 1L, 3L))
   }
 
   test("anomaly monitor folds batches idempotently and alerts once per hour") {
@@ -1360,13 +1373,14 @@ class StreamingSpec extends AnyFunSuite {
     fresh.lastCommitted = 0L
     MediaDedupStream.processBatch(b1, 1L, corpusDir, indexDir, fresh)
     assert(corpusIds == Set(10L, 20L, 30L))
-    assert(spark.read.parquet(indexDir).select("doc_id").distinct()
+    assert(spark.read.parquet(s"$indexDir/data").select("doc_id")
+      .distinct()
       .collect().map(_.getLong(0)).toSet == Set(10L, 20L, 30L))
 
     // compaction folds to batch_id=-1 and the index still screens
     val (mBefore, mAfter) =
       MediaDedupStream.compactIndex(spark, indexDir)
-    assert(mAfter == mBefore) // 4 band rows per doc, all unique
+    assert(mAfter == mBefore) // one fp row per doc, all unique
     MediaDedupStream.processBatch(
       batchDf((37L, img(37)), (40L, img(40))),
       2L, corpusDir, indexDir, stats)
@@ -1392,16 +1406,63 @@ class StreamingSpec extends AnyFunSuite {
     val out = Takedown.propagate(spark, ids, Seq(
       Takedown.PartitionedIndex("media_corpus", corpusDir, "doc_id",
         Seq("batch_id")),
-      Takedown.PartitionedIndex("media_index", indexDir, "doc_id",
-        Seq("batch_id"))))
+      Takedown.PartitionedIndex("media_index", s"$indexDir/data",
+        "doc_id", Seq("modality", "bucket", "batch_id"))))
     assert(out.map(a => a.artifact -> a.rowsRemoved)
-      == Seq("media_corpus" -> 1L, "media_index" -> 4L))
+      == Seq("media_corpus" -> 1L, "media_index" -> 1L))
     assert(out.forall(_.leftover == 0L))
     assert(!corpusIds.contains(30L), "payload bytes must be gone")
     MediaDedupStream.processBatch(batchDf((37L, img(37))), 4L,
       corpusDir, indexDir, stats)
     assert(corpusIds.contains(37L),
       "takedown of 30 must readmit its perceptual twin")
+  }
+
+  test("stream leg extends the BATCH fingerprint index: one artifact serves both ingest paths") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    import graft.streaming.MediaDedupStream
+    val docs = Tables(spark, Sf0001).documents
+    val corpusDir = Files.createTempDirectory("uni_corpus").toString
+    val idx = Files.createTempDirectory("uni_idx").toString
+    // BATCH base build (all three modalities, batch_id=0) over two docs
+    Multimodal.writeMediaFpIndex(
+      docs.filter(col("doc_id").isin(10L, 20L)), idx)
+    // STREAM a batch into the SAME artifact: 17 is the planted
+    // perceptual twin of base-indexed 10 — the cross-path screen must
+    // drop it; 30 is new and must land as a stream fingerprint
+    val stats = new MediaDedupStream.MediaStats(spark)
+    MediaDedupStream.processBatch(
+      Seq((17L, Multimodal.pngHashPayload(17L)),
+        (30L, Multimodal.pngHashPayload(30L))).toDF("doc_id", "payload"),
+      0L, corpusDir, idx, stats)
+    assert(stats.kept.value == 1,
+      "twin of a BATCH-indexed doc must screen out of the stream")
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(30L))
+    // the stream-appended fingerprint is bit-identical to what the
+    // batch decode path would store — one decode, one artifact
+    val streamRow = spark.read.parquet(s"$idx/data")
+      .filter(col("modality") === "image" && col("doc_id") === 30L)
+      .select("fp_lo", "fp_hi").head()
+    val batchRow = Multimodal.mediaFingerprints(
+        docs.filter(col("doc_id") === 30L), "image")
+      .select("fp_lo", "fp_hi").head()
+    assert(streamRow == batchRow,
+      "stream and batch decode paths must store identical fingerprints")
+    // every BATCH served screen reads base + streamed levels from the
+    // one artifact — with zero payload decode (3 longs per doc)
+    assert(Multimodal.readMediaFpIndex(spark, idx)
+      .filter(col("modality") === "image").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(10L, 20L, 30L))
+    assert(Multimodal.mediaNearDupsServed(spark, idx, "image")
+      .count() == 0L, "survivor set has no residual near-pairs")
+    // and ONE takedown target covers both ingest paths
+    import graft.ext.Takedown
+    val out = Takedown.propagate(spark, Seq(30L).toDF("doc_id"), Seq(
+      Takedown.PartitionedIndex("media_fp", s"$idx/data", "doc_id",
+        Seq("modality", "bucket", "batch_id"))))
+    assert(out.head.rowsRemoved == 1L && out.head.leftover == 0L)
   }
 
   test("streaming media dedup ingests video clips through the same screen") {
@@ -1426,7 +1487,7 @@ class StreamingSpec extends AnyFunSuite {
     MediaDedupStream.processBatch(
       batchDf((10L, clip(10)), (17L, clip(17)),
         (99L, "not a gvid".getBytes("UTF-8"))),
-      0L, corpusDir, indexDir, stats, videoFps)
+      0L, corpusDir, indexDir, stats, videoFps, modality = "video")
     assert(stats.seen.value == 3 && stats.rejected.value == 1
       && stats.kept.value == 1)
     assert(corpusIds == Set(10L),
@@ -1437,7 +1498,7 @@ class StreamingSpec extends AnyFunSuite {
     // path) drops it again; 20 is genuinely new
     MediaDedupStream.processBatch(
       batchDf((17L, clip(17)), (20L, clip(20))),
-      1L, corpusDir, indexDir, stats, videoFps)
+      1L, corpusDir, indexDir, stats, videoFps, modality = "video")
     assert(corpusIds == Set(10L, 20L),
       "17 is a flicker twin of indexed 10 and must screen out")
 
@@ -1447,7 +1508,7 @@ class StreamingSpec extends AnyFunSuite {
     val rev = Multimodal.gvidMux(Multimodal.gvidDemux(fwd).reverse)
     MediaDedupStream.processBatch(
       batchDf((30L, fwd), (31L, rev)),
-      2L, corpusDir, indexDir, stats, videoFps)
+      2L, corpusDir, indexDir, stats, videoFps, modality = "video")
     assert(corpusIds == Set(10L, 20L, 30L, 31L),
       "a reversed cut is different content, not a near-dup")
 
@@ -1460,7 +1521,8 @@ class StreamingSpec extends AnyFunSuite {
     MediaDedupStream.processBatch(
       batchDf((10L, wav(10)), (17L, wav(17)),
         (99L, "not a wav".getBytes("UTF-8"))),
-      0L, aCorpus, aIndex, aStats, Multimodal.audioFpFromPayload(_))
+      0L, aCorpus, aIndex, aStats, Multimodal.audioFpFromPayload(_),
+      modality = "audio")
     assert(aStats.rejected.value == 1 && aStats.kept.value == 1)
     assert(spark.read.parquet(aCorpus).select("doc_id")
       .collect().map(_.getLong(0)).toSeq == Seq(10L),

@@ -91,30 +91,29 @@ class TakedownSpec extends AnyFunSuite {
   }
 
   test("postings + sidecar purge: served BM25 ≡ in-flight on the purged corpus") {
-    val idx = tmpDir("tdpost")
-    val dlp = tmpDir("tddl")
-    Search.writePostingsIndex(docs, idx)
-    Search.writeDocLengths(docs, dlp)
+    val root = tmpDir("tdpost")
+    Search.writeSearchIndex(docs, root)
     val ids = Takedown.takedownSet(docs)
     val idSet = ids.collect().map(_.getLong(0)).toSet
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("rank", "doc_id", "score", "n_terms_hit")
       .orderBy("rank").collect().toSeq
-    val preServed = rows(Search.bm25Served(spark, idx, dlp,
+    val preServed = rows(Search.bm25Served(spark, root,
       SparkEntry.SearchTerms))
 
-    val stats = Takedown.purgeIndex(spark, idx, "doc_id", ids,
-      Seq("bucket", "batch_id"))
+    val stats = Takedown.purgeIndex(spark, s"$root/postings", "doc_id",
+      ids, Seq("bucket", "batch_id"))
     assert(stats.rowsRemoved > 0L)
-    val dlRemoved = Takedown.purgeParquet(spark, dlp, "doc_id", ids)
-    assert(dlRemoved == ids.count())
+    val dlStats = Takedown.purgeIndex(spark, s"$root/doclen", "doc_id",
+      ids, Seq("batch_id"))
+    assert(dlStats.rowsRemoved == ids.count())
     assert(Takedown.leftoverCount(
-      spark.read.parquet(idx), ids, "doc_id") == 0L)
+      spark.read.parquet(s"$root/postings"), ids, "doc_id") == 0L)
     // purge ≡ rebuild: serving the purged index equals the in-flight
     // ranking over the purged corpus (df/N/avgdl all re-derive), and
     // differs from the pre-purge ranking if any takedown doc scored
     val purgedDocs = Takedown.purged(docs, ids, "doc_id")
-    val served = rows(Search.bm25Served(spark, idx, dlp,
+    val served = rows(Search.bm25Served(spark, root,
       SparkEntry.SearchTerms))
     assert(served == rows(
       Search.bm25TopDocs(purgedDocs, SparkEntry.SearchTerms)))
@@ -225,8 +224,7 @@ class TakedownSpec extends AnyFunSuite {
     import spark.implicits._
     val root = tmpDir("tdprop")
     Similarity.writeIvfIndex(emb, s"$root/ivf")
-    Search.writePostingsIndex(docs, s"$root/postings")
-    Search.writeDocLengths(docs, s"$root/dl")
+    Search.writeSearchIndex(docs, s"$root/search")
     Dedup.writeBandIndex(docs, s"$root/bands")
     // the doc set maps 1:1 onto vec ids in the fixtures
     val ids = Takedown.takedownSet(docs)
@@ -234,9 +232,10 @@ class TakedownSpec extends AnyFunSuite {
     val out = Takedown.propagate(spark, ids, Seq(
       Takedown.PartitionedIndex("ivf", s"$root/ivf/data", "vec_id",
         Seq("cell", "batch_id")),
-      Takedown.PartitionedIndex("postings", s"$root/postings", "doc_id",
-        Seq("bucket", "batch_id")),
-      Takedown.FlatTable("doc_lengths", s"$root/dl", "doc_id"),
+      Takedown.PartitionedIndex("postings", s"$root/search/postings",
+        "doc_id", Seq("bucket", "batch_id")),
+      Takedown.PartitionedIndex("doc_lengths", s"$root/search/doclen",
+        "doc_id", Seq("batch_id")),
       Takedown.FlatTable("band_index", s"$root/bands", "doc_id")))
     assert(out.map(_.artifact)
       == Seq("ivf", "postings", "doc_lengths", "band_index"))
@@ -248,7 +247,8 @@ class TakedownSpec extends AnyFunSuite {
     val again = Takedown.propagate(spark, ids, Seq(
       Takedown.PartitionedIndex("ivf", s"$root/ivf/data", "vec_id",
         Seq("cell", "batch_id")),
-      Takedown.FlatTable("doc_lengths", s"$root/dl", "doc_id")))
+      Takedown.PartitionedIndex("doc_lengths", s"$root/search/doclen",
+        "doc_id", Seq("batch_id"))))
     assert(again.forall(a => a.rowsRemoved == 0L && a.leftover == 0L))
   }
 

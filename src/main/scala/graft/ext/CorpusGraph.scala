@@ -100,6 +100,24 @@ object CorpusGraph {
     spark.read.schema(LabelsSchema).parquet(s"$path/labels")
       .select("doc_id", "label")
 
+  /** Absent-tolerant label read — the not-yet-built case a STREAMING
+    * first batch hits ([[graft.streaming.GraphStream]] bootstraps the
+    * graph through the same idempotent [[append]] path; a base
+    * [[write]] is the batch-build convenience, not a precondition).
+    */
+  private def readLabelsOrEmpty(spark: SparkSession,
+      path: String): DataFrame =
+    try readLabels(spark, path) // missing path throws at read time
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(LabelsSchema.dropRight(1)))
+    }
+
   /** Incremental ingest: union a new batch's pairs into the stored
     * pair table and relabel ONLY the components the batch touches.
     *
@@ -134,7 +152,7 @@ object CorpusGraph {
       .partitionBy("batch_id")
       .parquet(s"$path/pairs")
 
-    val stored = readLabels(spark, path)
+    val stored = readLabelsOrEmpty(spark, path)
     val touched = bp.select(col("doc_a").as("doc_id"))
       .unionByName(bp.select(col("doc_b").as("doc_id"))).distinct()
     // members of every touched component: label rows whose label is a
@@ -179,8 +197,18 @@ object CorpusGraph {
           ids.select(bucketOf(col("doc_id")).as("bucket"))))
       .distinct().collect().map(_.getLong(0)).toSeq
     if (affectedBuckets.isEmpty) return (0L, 0L)
-    val storedB = spark.read.schema(LabelsSchema)
-      .parquet(s"$path/labels")
+    val storedB =
+      (try spark.read.schema(LabelsSchema).parquet(s"$path/labels")
+       catch {
+         case e: org.apache.spark.sql.AnalysisException
+             if e.getCondition != null
+               && (e.getCondition.contains("PATH_NOT_FOUND")
+                 || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+           // first streaming append bootstraps the label table
+           spark.createDataFrame(
+             new java.util.ArrayList[org.apache.spark.sql.Row](),
+             LabelsSchema)
+       })
       .filter(col("bucket").isin(affectedBuckets: _*)) // partition pruning
       .select("doc_id", "label", "bucket")
     val keep0 = storedB.join(d.select("doc_id"), Seq("doc_id"),
@@ -212,6 +240,18 @@ object CorpusGraph {
     }
     ((affectedBuckets.size - emptied.size).toLong, emptied.size.toLong)
   }
+
+  /** Fold the pair table's accreted batch partitions into one distinct
+    * `batch_id = -1` partition — the [[graft.streaming.BatchIndex
+    * .compact]] contract (writers stopped, checkpoints committed: a
+    * replay of a folded batch would re-add its rows next to the folded
+    * copy, and the evidence roll-up counts pair rows). Labels are
+    * untouched — membership is set-semantics, compaction is
+    * row-identity-preserving.
+    */
+  def compactPairs(spark: SparkSession, path: String): (Long, Long) =
+    graft.streaming.BatchIndex.compact(spark, s"$path/pairs",
+      cols = Seq("doc_a", "doc_b", "modality"))
 
   /** Outcome of one [[purge]] run: pair rows removed, label rows
     * removed (purged docs + post-split singletons), docs whose label

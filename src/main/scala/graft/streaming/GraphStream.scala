@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.{CorpusGraph, Dedup}
+
+/** Streaming corpus-graph maintenance: each micro-batch of documents
+  * `(doc_id, text, …)` lands (1) the docs in the corpus, (2) their
+  * MinHash band rows in the stored band index, and (3) their near-dup
+  * PAIR EVIDENCE in the persisted corpus graph — batch↔corpus cross
+  * pairs via [[Dedup.incrementalNearDups]] against the accumulated
+  * band index, batch-internal pairs via [[Dedup.minhashNearDups]] over
+  * the batch's own bands, then [[CorpusGraph.append]]'s bounded
+  * touched-component relabel.
+  *
+  * This is the EVIDENCE-PRESERVING twin of [[DedupStream]]: that leg
+  * DROPS near-dups at ingest (keep-first), which is right when the
+  * corpus must stay deduplicated online; this leg keeps every doc and
+  * records the duplicate evidence as graph edges, which is right when
+  * survivor policy is decided downstream (keep-best, source-priority —
+  * the `dedup_survivor_policies` matrix) or when clusters themselves
+  * are the product (evidence-ranked collapse lists, manifest
+  * provenance). Same per-batch cost shape: banding + candidate
+  * verification against candidates only, never corpus × corpus.
+  *
+  * Idempotence: corpus and band writes land under their own batch_id
+  * partitions (the [[BatchIndex]] contract); the graph append is
+  * replay-idempotent by [[CorpusGraph.append]]'s own pin (its pair
+  * write rewrites exactly its batch partition and its relabel is a
+  * fixed point on replay). Stream batch ids are offset by one — 0 is
+  * reserved for batch base builds (the [[SearchStream]] rule).
+  *
+  * Verification needs document TEXT on both sides of a candidate pair,
+  * so the cross-pair screen reads candidate docs back from the stored
+  * corpus — a candidates-only semi-join read, bounded by evidence
+  * volume, never a corpus rescan.
+  */
+object GraphStream {
+
+  final class GraphStats(spark: org.apache.spark.sql.SparkSession)
+      extends Serializable {
+    val seen = spark.sparkContext.longAccumulator("graph_seen")
+    val pairs = spark.sparkContext.longAccumulator("graph_pairs")
+    @volatile var lastCommitted: Long = -1L
+  }
+
+  private val BandCols = Seq("doc_id", "band_idx", "band_hash")
+
+  /** One idempotent micro-batch ingest (the foreachBatch body of
+    * [[start]], extracted so StreamingSpec can replay it).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      bandIndexPath: String, graphPath: String,
+      stats: GraphStats): Unit =
+    if (batchId > stats.lastCommitted) {
+      val spark = batch.sparkSession
+      val storedId = batchId + 1 // 0 is reserved for batch base builds
+      val cached = batch.persist()
+      try {
+        if (cached.count() == 0) return
+        val batchBands = graft.ext.Scratch.track(
+          Dedup.bandTable(cached).persist())
+        val indexBands = BatchIndex.readBefore(spark, bandIndexPath,
+          storedId, BandCols, batchBands.limit(0))
+        // corpus side of candidate verification: only docs the band
+        // join surfaces are read back (left_semi inside
+        // incrementalNearDups — bounded by evidence volume); the
+        // replay-excluding batch_id filter keeps a recovery replay
+        // from screening against its own first attempt
+        val corpusBefore =
+          try spark.read.parquet(corpusPath)
+            .filter(col("batch_id") < storedId)
+            .select(cached.columns.map(col).toIndexedSeq: _*)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition != null
+                  && (e.getCondition.contains("PATH_NOT_FOUND")
+                    || e.getCondition.contains(
+                      "UNABLE_TO_INFER_SCHEMA")) =>
+              cached.limit(0)
+          }
+        val cross = Dedup.incrementalNearDups(
+            corpusBefore, cached, indexBands = Some(indexBands))
+          .filter(col("batch_doc") =!= col("index_doc")) // re-sent ids
+          .select(least(col("batch_doc"), col("index_doc")).as("doc_a"),
+            greatest(col("batch_doc"), col("index_doc")).as("doc_b"))
+        val internal = Dedup.minhashNearDups(cached,
+            bands = Some(batchBands))
+          .select("doc_a", "doc_b")
+        val batchPairs = cross.unionByName(internal)
+          .withColumn("modality", lit("text"))
+        // EVERY doc lands (evidence-preserving — no drops); pairs and
+        // relabel go through the graph's own idempotent append
+        BatchIndex.writePartition(cached, storedId, corpusPath)
+        BatchIndex.writePartition(batchBands, storedId, bandIndexPath)
+        val nPairs = batchPairs.persist().count()
+        try CorpusGraph.append(spark, graphPath, batchPairs, storedId)
+        finally { batchPairs.unpersist(); () }
+        stats.seen.add(cached.count())
+        stats.pairs.add(nPairs)
+        stats.lastCommitted = batchId
+        ()
+      } finally { cached.unpersist(); () }
+    }
+
+  /** Attach the graph-maintenance ingest to a document stream. */
+  def start(stream: DataFrame, corpusPath: String, bandIndexPath: String,
+      graphPath: String, checkpointDir: String, stats: GraphStats,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, corpusPath, bandIndexPath,
+          graphPath, stats)
+      }
+      .start()
+}

@@ -1418,6 +1418,78 @@ class StreamingSpec extends AnyFunSuite {
       "takedown of 30 must readmit its perceptual twin")
   }
 
+  test("streaming graph maintenance: evidence lands per batch, labels ≡ rebuild, replay idempotent") {
+    import spark.implicits._
+    import graft.ext.{CorpusGraph, Dedup}
+    import graft.streaming.GraphStream
+    val corpusDir = Files.createTempDirectory("gs_corpus").toString
+    val bandsDir = Files.createTempDirectory("gs_bands").toString
+    val graphDir = Files.createTempDirectory("gs_graph").toString
+    val stats = new GraphStream.GraphStats(spark)
+    val textA = (1 to 50).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 50).map(i => s"b$i").mkString(" ")
+    val textC = (1 to 50).map(i => s"c$i").mkString(" ")
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // batch 0 bootstraps the graph through the SAME append path (no
+    // base build): in-batch twin (1,3)
+    GraphStream.processBatch(
+      docsDf((1L, textA), (2L, textB), (3L, textA + " z")),
+      0L, corpusDir, bandsDir, graphDir, stats)
+    assert(stats.pairs.value == 1L, s"pairs=${stats.pairs.value}")
+    assert(CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L, 3L -> 1L))
+
+    // batch 1: cross-batch twin of 2 (doc 10) + a second A-twin (12 —
+    // pairs into BOTH standing A-docs) + an unrelated doc (11): every
+    // doc lands (evidence-preserving, unlike DedupStream), components
+    // grow by the bounded relabel
+    val b1 = docsDf((10L, textB + " z"), (11L, textC),
+      (12L, textA + " y"))
+    GraphStream.processBatch(b1, 1L, corpusDir, bandsDir, graphDir,
+      stats)
+    val labels = CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 3L -> 1L, 12L -> 1L,
+      2L -> 2L, 10L -> 2L), labels.toString)
+    // all docs kept in the corpus — this leg records evidence, it
+    // does not drop
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+
+    // ground truth: relabeling near-dup pairs recomputed from scratch
+    // over the full stored corpus equals the incrementally-grown labels
+    val full = spark.read.parquet(corpusDir).select("doc_id", "text")
+    val rebuilt = Dedup.clusterLabels(
+        Dedup.minhashNearDups(full).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == rebuilt, s"stream-grown != rebuild: $labels vs $rebuilt")
+    // and the stored pair set is exactly the recomputed one
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+
+    // recovery replay of batch 1 (fresh driver): everything rewrites
+    // its own partitions — pair rows, labels, corpus all unchanged
+    val pairsBefore = CorpusGraph.readPairs(spark, graphDir)
+      .collect().map(_.toSeq).toSet
+    val fresh = new GraphStream.GraphStats(spark)
+    fresh.lastCommitted = 0L
+    GraphStream.processBatch(b1, 1L, corpusDir, bandsDir, graphDir,
+      fresh)
+    assert(CorpusGraph.readPairs(spark, graphDir)
+      .collect().map(_.toSeq).toSet == pairsBefore)
+    assert(CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == labels)
+    assert(spark.read.parquet(corpusDir).count() == 6L)
+
+    // pair partitions compact (streams stopped) without moving results
+    val (pb, pa) = CorpusGraph.compactPairs(spark, graphDir)
+    assert(pb == pa, "stream batches held no duplicate pair rows")
+    assert(CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == labels)
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+  }
+
   test("stream leg extends the BATCH fingerprint index: one artifact serves both ingest paths") {
     import spark.implicits._
     import graft.ext.Multimodal

@@ -256,10 +256,11 @@ object CorpusGraph {
   /** Outcome of one [[purge]] run: pair rows removed, label rows
     * removed (purged docs + post-split singletons), docs whose label
     * CHANGED (split-component relabels — the rows a row-filter-only
-    * purge would serve stale), IO-pruning evidence (partitions
-    * rewritten/deleted over the pair-batch + label-bucket partition
-    * space), and the two convergence audits re-read after the purge
-    * (both 0 = complete).
+    * purge would serve stale), IO evidence (rewrite/delete OPERATIONS
+    * over the pair-batch + label-bucket partition space; the two
+    * endpoint passes count separately), and the two convergence
+    * audits re-read after the purge (both 0 = complete;
+    * staleLabels = -1 when the audit was deferred).
     */
   final case class GraphPurge(pairRowsRemoved: Long,
       labelRowsRemoved: Long, labelsChanged: Long,
@@ -346,8 +347,13 @@ object CorpusGraph {
       readLabels(spark, path).join(broadcast(idSet), Seq("doc_id"),
         "left_semi").count()
     GraphPurge(pairRowsRemoved, removedLabelRows, changed,
+      // parts accounting: rewritten/deleted count REWRITE OPERATIONS
+      // summed across the two endpoint passes plus the label-bucket
+      // rewrite (a pair partition hit by both passes counts twice —
+      // it was rewritten twice); the total is the pair-partition
+      // space at discovery time plus the label-bucket space
       partsTotal = sA.partsTotal + LabelBuckets,
-      partsRewritten = math.max(sA.partsRewritten, sB.partsRewritten)
+      partsRewritten = sA.partsRewritten + sB.partsRewritten
         + bucketsRewritten,
       partsDeleted = sA.partsDeleted + sB.partsDeleted + bucketsDeleted,
       leftover,

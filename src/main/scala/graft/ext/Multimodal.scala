@@ -1655,7 +1655,20 @@ object Multimodal {
     */
   def rebuildMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, path: String,
-      allowShrink: Boolean = false): Long = {
+      allowShrink: Boolean = false): Long =
+    rebuildMediaFpIndexHooked(spark, documents, path, allowShrink)
+
+  /** [[rebuildMediaFpIndex]] with a test seam firing between the
+    * staged validation and the commit — the exact window where an
+    * append can land in the serving root AND pass its own guard
+    * (the marker is not created yet), which is why the rebuild
+    * re-checks coverage AFTER commit, before retiring the old root.
+    */
+  private[graft] def rebuildMediaFpIndexHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, path: String,
+      allowShrink: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Long = {
     val cur = Versioned.resolve(spark, path)
     val n = Versioned.nextVersion(spark, path)
     val stage = Versioned.versionDir(path, n)
@@ -1670,26 +1683,48 @@ object Multimodal {
     // index exists yet — a first build through the rebuild path — or
     // when the caller declared the shrink)
     val servedDocs = if (allowShrink) staged.select("doc_id").limit(0)
-    else
-      try spark.read.schema(MediaFpSchema).parquet(s"$cur/data")
-        .select("doc_id").distinct()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition != null
-              && (e.getCondition.contains("PATH_NOT_FOUND")
-                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
-          staged.select("doc_id").limit(0)
-      }
+    else servedDocsOf(spark, cur, staged)
     val missing = servedDocs
       .join(staged.select("doc_id").distinct(), Seq("doc_id"),
         "left_anti").count()
     require(missing == 0L,
       s"staged media fp rebuild drops $missing docs the serving index " +
         "holds — pass the full grown corpus (base + appended batches)")
+    beforeCommit()
     Versioned.commit(spark, stage)
+    // the race's OTHER half: an append whose write AND guard both
+    // completed between the validation read above and the commit saw
+    // the old root as current throughout — its batch is in the
+    // superseded snapshot only. Re-check coverage against that root's
+    // CURRENT content before retiring it: on a hit, the old snapshot
+    // is kept (nothing lost), the new one serves, and the loud error
+    // carries the recovery (re-run the append — it now lands in the
+    // committed snapshot — then rebuild again if bits must refresh).
+    if (!allowShrink) {
+      val late = servedDocsOf(spark, cur, staged)
+        .join(staged.select("doc_id").distinct(), Seq("doc_id"),
+          "left_anti").count()
+      require(late == 0L,
+        s"an append landed $late docs in the superseded snapshot " +
+          "during the rebuild; old root retained — re-run the append " +
+          "against the committed snapshot, then rebuild again")
+    }
     Versioned.retire(spark, path, flatSubdirs = Seq("data"))
     n
   }
+
+  /** Distinct doc_ids the root currently serves (absent → empty). */
+  private def servedDocsOf(spark: org.apache.spark.sql.SparkSession,
+      root: String, emptyLike: DataFrame): DataFrame =
+    try spark.read.schema(MediaFpSchema).parquet(s"$root/data")
+      .select("doc_id").distinct()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        emptyLike.select("doc_id").limit(0)
+    }
 
   /** Every root still holding fingerprint data — the takedown
     * enumeration for this artifact (see

@@ -129,4 +129,34 @@ object Scratch {
       buf.forEach(release(_, ckptRddIds))
     }
   }
+
+  /** [[scoped]] with the keep-plain-persists policy INVERTED: release
+    * EVERY tracked frame, plain persists included. The right scope for
+    * a streaming foreachBatch body — each micro-batch's plans are
+    * unique (new batch data in every leaf), so the cross-query
+    * plan-match reuse that justifies keeping plain persists in the
+    * harness scope cannot happen, and over hours of triggers the
+    * untouched cache entries (MEMORY_AND_DISK: evicted blocks land on
+    * DISK and stay until unpersist) accumulate without bound.
+    */
+  def scopedAll[T](body: => T): T = {
+    val outer = tl.get()
+    val buf = new java.util.ArrayDeque[Dataset[_]]()
+    tl.set(buf)
+    try body
+    finally {
+      tl.set(outer)
+      buf.forEach { df =>
+        try {
+          df.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+          df.unpersist(blocking = false)
+          ()
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
 }

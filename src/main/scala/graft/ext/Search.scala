@@ -123,7 +123,17 @@ object Search {
     */
   def rebuildSearchIndex(spark: SparkSession, documents: DataFrame,
       path: String, buckets: Int = NumBuckets,
-      allowShrink: Boolean = false): Long = {
+      allowShrink: Boolean = false): Long =
+    rebuildSearchIndexHooked(spark, documents, path, buckets,
+      allowShrink)
+
+  /** [[rebuildSearchIndex]] with the test seam between validation and
+    * commit (see [[graft.ext.Multimodal.rebuildMediaFpIndexHooked]]).
+    */
+  private[graft] def rebuildSearchIndexHooked(spark: SparkSession,
+      documents: DataFrame, path: String, buckets: Int = NumBuckets,
+      allowShrink: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Long = {
     val cur = Versioned.resolve(spark, path)
     val n = Versioned.nextVersion(spark, path)
     val stage = Versioned.versionDir(path, n)
@@ -133,8 +143,7 @@ object Search {
       .parquet(s"$stage/doclen")
     require(stagedDl.count() == documents.count(),
       "staged doclen row count must match the corpus")
-    val servedDocs = if (allowShrink) stagedDl.select("doc_id").limit(0)
-    else
+    def servedDocs() =
       try spark.read.schema(DocLenSchema).parquet(s"$cur/doclen")
         .select("doc_id").distinct()
       catch {
@@ -144,12 +153,27 @@ object Search {
                 || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
           stagedDl.select("doc_id").limit(0)
       }
-    val missing = servedDocs.join(stagedDl.select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti").count()
+    def uncovered(): Long =
+      servedDocs().join(stagedDl.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti").count()
+    val missing = if (allowShrink) 0L else uncovered()
     require(missing == 0L,
       s"staged search rebuild drops $missing docs the serving index " +
         "holds — pass the full grown corpus (base + appended batches)")
+    beforeCommit()
     Versioned.commit(spark, stage)
+    // an append whose write AND guard both completed between the
+    // validation read and the commit saw the old root as current
+    // throughout — re-check its CURRENT content before retiring it
+    // (on a hit the old snapshot is kept and the loud error carries
+    // the re-ingest recovery; see rebuildMediaFpIndexHooked)
+    if (!allowShrink) {
+      val late = uncovered()
+      require(late == 0L,
+        s"an append landed $late docs in the superseded snapshot " +
+          "during the rebuild; old root retained — re-run the append " +
+          "against the committed snapshot, then rebuild again")
+    }
     Versioned.retire(spark, path, flatSubdirs = Seq("postings", "doclen"))
     n
   }

@@ -1104,7 +1104,16 @@ object Similarity {
     * Returns the committed version number.
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, cells: Int = IvfCells): Long = {
+      path: String, cells: Int = IvfCells): Long =
+    rebuildIvfIndexHooked(spark, path, cells)
+
+  /** [[rebuildIvfIndex]] with the test seam between validation and
+    * commit (see [[Multimodal.rebuildMediaFpIndexHooked]]).
+    */
+  private[graft] def rebuildIvfIndexHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Int = IvfCells,
+      beforeCommit: () => Unit = () => ()): Long = {
     graft.functions.GraftFunctions.register(spark)
     val cur = Versioned.resolve(spark, path)
     val n = Versioned.nextVersion(spark, path)
@@ -1131,7 +1140,19 @@ object Similarity {
     require(built == want,
       s"staged rebuild has $built rows, serving index has $want")
     Versioned.clearStage(spark, s"$stage/.corpus") // staging scratch
+    beforeCommit()
     Versioned.commit(spark, stage)
+    // an append whose write AND guard both completed between the
+    // consolidation read and the commit saw the old root as current
+    // throughout — its vectors are in the superseded snapshot only.
+    // Re-count that root's CURRENT content before retiring it (on a
+    // hit the old snapshot is kept; the loud error carries the
+    // re-ingest recovery; see Multimodal.rebuildMediaFpIndexHooked).
+    val late = readIndexData(spark, cur).count() - want
+    require(late <= 0L,
+      s"an append landed $late vectors in the superseded snapshot " +
+        "during the rebuild; old root retained — re-run the append " +
+        "against the committed snapshot, then rebuild again")
     Versioned.retire(spark, path, IvfFlatSubdirs)
     n
   }

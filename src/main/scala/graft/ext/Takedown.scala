@@ -185,8 +185,11 @@ object Takedown {
       (affected.size - emptied.size).toLong, emptied.size.toLong)
   }
 
-  /** Purge an UNPARTITIONED sidecar table (e.g. the BM25 doc-length
-    * table, [[Search.writeDocLengths]]): snapshot-to-temp then two
+  /** Purge an UNPARTITIONED sidecar table (e.g. the MinHash band
+    * index, [[Dedup.writeBandIndex]]; the BM25 doc-length table moved
+    * to the batch_id-partitioned layout in round 13 — purge it with
+    * [[purgeIndex]] so the partition layout survives):
+    * snapshot-to-temp then two
     * directory renames — the [[graft.ops.Incidents.compactLog]]
     * discipline, atomic on local FS / HDFS, so a crash leaves either
     * the old table, the new table, or the old table renamed aside
@@ -255,9 +258,13 @@ object Takedown {
     * its purge is [[CorpusGraph.purge]]'s bounded relabel, and its
     * completeness audit is leftover rows AND the stale-label check
     * (both folded into the reported `leftover`; 0 = complete).
+    * `audit = false` defers the full-recompute stale check to its own
+    * cadence ([[CorpusGraph.staleLabelCount]]) — at large graphs the
+    * per-purge audit is rebuild-shaped, exactly what the bounded
+    * relabel avoids paying per call.
     */
-  final case class DedupGraph(name: String, path: String)
-      extends Artifact
+  final case class DedupGraph(name: String, path: String,
+      audit: Boolean = true) extends Artifact
 
   /** Per-artifact outcome of a [[propagate]] run; `leftover` is the
     * convergence audit re-read AFTER the purge (0 = complete).
@@ -284,7 +291,7 @@ object Takedown {
       val p = new org.apache.hadoop.fs.Path(a match {
         case PartitionedIndex(_, path, _, _) => path
         case FlatTable(_, path, _) => path
-        case DedupGraph(_, path) => s"$path/pairs"
+        case DedupGraph(_, path, _) => s"$path/pairs"
       })
       val fs = org.apache.hadoop.fs.FileSystem.get(
         p.toUri, spark.sparkContext.hadoopConfiguration)
@@ -316,11 +323,11 @@ object Takedown {
           val removed = purgeParquet(spark, p, idc, idsAs(idc))
           ArtifactPurge(n, removed, 1L, if (removed > 0) 1L else 0L, 0L,
             leftoverOf(p, idc))
-        case DedupGraph(n, p) =>
-          val g = CorpusGraph.purge(spark, p, idsAs("doc_id"))
+        case DedupGraph(n, p, audit) =>
+          val g = CorpusGraph.purge(spark, p, idsAs("doc_id"), audit)
           ArtifactPurge(n, g.pairRowsRemoved + g.labelRowsRemoved,
             g.partsTotal, g.partsRewritten, g.partsDeleted,
-            g.leftover + g.staleLabels)
+            g.leftover + math.max(g.staleLabels, 0L))
       }
     } finally { cached.unpersist(); () }
   }

@@ -141,14 +141,20 @@ object Versioned {
     * landed in a snapshot that is now superseded — the rebuild staged
     * from the pre-append corpus, so the batch's rows are in no current
     * snapshot and would be silently lost when the old one retires.
-    * Failing loudly closes that window without coordination: the
-    * append's dynamic-partition write is replay-idempotent, so the
-    * recovery is exactly "re-run the append" — it re-resolves to the
-    * new snapshot and lands there (the batch's rows in the retiring
-    * snapshot are harmless debris the retire removes). The documented
-    * single-writer rule still applies to REBUILDS racing each other;
-    * this guard covers the append-vs-rebuild window, the one pairing a
-    * growing corpus actually produces.
+    * Failing loudly covers the write-spans-commit ordering without
+    * coordination: the append's dynamic-partition write is
+    * replay-idempotent, so the recovery is exactly "re-run the
+    * append" — it re-resolves to the new snapshot and lands there
+    * (the batch's rows in the retiring snapshot are harmless debris
+    * the retire removes). The OTHER ordering — append write AND guard
+    * both complete between the rebuild's validation read and its
+    * commit, so the guard still sees the old root — is covered on the
+    * rebuild side: every rebuild re-checks the superseded root's
+    * CURRENT content after commit, before retiring it (see
+    * `rebuildMediaFpIndexHooked` / `rebuildSearchIndexHooked` /
+    * `rebuildIvfIndexHooked`). Together the two checks close the
+    * append-vs-rebuild window in both directions; the documented
+    * single-writer rule still applies to REBUILDS racing each other.
     */
   def assertAppendLanded(spark: SparkSession, path: String,
       landedRoot: String, what: String): Unit = {

@@ -48,13 +48,29 @@ object GraphStream {
 
   private val BandCols = Seq("doc_id", "band_idx", "band_hash")
 
+  /** Doc-id-bucket count for the stream's corpus layout: candidate
+    * verification needs candidate docs' TEXT back from the stored
+    * corpus, and an unpruned read would rescan the whole corpus every
+    * trigger — so the corpus lands under (bucket, batch_id) and the
+    * read prunes to the candidates' buckets (≤ min(candidates,
+    * buckets) partitions; the [[graft.ext.Multimodal.MediaFpBuckets]]
+    * sizing rule).
+    */
+  val CorpusBuckets = 16L
+
   /** One idempotent micro-batch ingest (the foreachBatch body of
     * [[start]], extracted so StreamingSpec can replay it).
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       bandIndexPath: String, graphPath: String,
       stats: GraphStats): Unit =
-    if (batchId > stats.lastCommitted) {
+    // release-everything scratch scope: a micro-batch's plans are
+    // unique per trigger, so every persist here (the batch bands below
+    // AND the library-internal candidate/shingle/delta persists inside
+    // incrementalNearDups / CorpusGraph.append) has zero cross-batch
+    // reuse value — without the scope they would accrete cache+disk
+    // blocks for the stream's lifetime
+    if (batchId > stats.lastCommitted) graft.ext.Scratch.scopedAll {
       val spark = batch.sparkSession
       val storedId = batchId + 1 // 0 is reserved for batch base builds
       val cached = batch.persist()
@@ -64,23 +80,34 @@ object GraphStream {
           Dedup.bandTable(cached).persist())
         val indexBands = BatchIndex.readBefore(spark, bandIndexPath,
           storedId, BandCols, batchBands.limit(0))
-        // corpus side of candidate verification: only docs the band
-        // join surfaces are read back (left_semi inside
-        // incrementalNearDups — bounded by evidence volume); the
-        // replay-excluding batch_id filter keeps a recovery replay
-        // from screening against its own first attempt
+        // corpus side of candidate verification: the band join names
+        // the candidate index docs FIRST (hash-sized tables), their
+        // bucket set prunes the corpus read to ≤ min(candidates,
+        // buckets) partitions, and the replay-excluding batch_id
+        // filter keeps a recovery replay from screening against its
+        // own first attempt — per-trigger corpus IO is candidate-
+        // bucket-sized, never a full corpus rescan
+        val candBuckets = indexBands
+          .join(broadcast(batchBands
+            .select("band_idx", "band_hash").distinct()),
+            Seq("band_idx", "band_hash"))
+          .select(pmod(col("doc_id"), lit(CorpusBuckets)).as("bucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq
         val corpusBefore =
-          try spark.read.parquet(corpusPath)
-            .filter(col("batch_id") < storedId)
-            .select(cached.columns.map(col).toIndexedSeq: _*)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition != null
-                  && (e.getCondition.contains("PATH_NOT_FOUND")
-                    || e.getCondition.contains(
-                      "UNABLE_TO_INFER_SCHEMA")) =>
-              cached.limit(0)
-          }
+          if (candBuckets.isEmpty) cached.limit(0)
+          else
+            try spark.read.parquet(corpusPath)
+              .filter(col("bucket").isin(candBuckets: _*) // pruning
+                && col("batch_id") < storedId)
+              .select(cached.columns.map(col).toIndexedSeq: _*)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition != null
+                    && (e.getCondition.contains("PATH_NOT_FOUND")
+                      || e.getCondition.contains(
+                        "UNABLE_TO_INFER_SCHEMA")) =>
+                cached.limit(0)
+            }
         val cross = Dedup.incrementalNearDups(
             corpusBefore, cached, indexBands = Some(indexBands))
           .filter(col("batch_doc") =!= col("index_doc")) // re-sent ids
@@ -91,9 +118,13 @@ object GraphStream {
           .select("doc_a", "doc_b")
         val batchPairs = cross.unionByName(internal)
           .withColumn("modality", lit("text"))
-        // EVERY doc lands (evidence-preserving — no drops); pairs and
-        // relabel go through the graph's own idempotent append
-        BatchIndex.writePartition(cached, storedId, corpusPath)
+        // EVERY doc lands (evidence-preserving — no drops), bucketed
+        // for the pruned read-back above; pairs and relabel go
+        // through the graph's own idempotent append
+        BatchIndex.writePartition(
+          cached.withColumn("bucket",
+            pmod(col("doc_id"), lit(CorpusBuckets))),
+          storedId, corpusPath, bucketCol = Some("bucket"))
         BatchIndex.writePartition(batchBands, storedId, bandIndexPath)
         val nPairs = batchPairs.persist().count()
         try CorpusGraph.append(spark, graphPath, batchPairs, storedId)

@@ -365,6 +365,64 @@ class IndexLifecycleSpec extends AnyFunSuite {
     out.foreach(a => assert(a.leftover == 0L, s"$a"))
   }
 
+  test("append inside the rebuild's validate→commit window is caught post-commit (no silent loss)") {
+    import graft.ext.{Multimodal, Search}
+    import spark.implicits._
+    val docs = Tables(spark, Sf0001).documents
+    // MEDIA: the racing append's write AND guard both run before the
+    // commit (the one ordering the append-side guard cannot see — the
+    // marker does not exist yet, so resolve still returns the old
+    // root); the rebuild must detect it after commit and keep the old
+    // root instead of retiring the only copy of the batch
+    val mPath = tmpDir("racemedia")
+    val base = docs.filter(col("doc_id") < 30)
+    val batch = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    Multimodal.writeMediaFpIndex(base, mPath)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.rebuildMediaFpIndexHooked(spark, base, mPath,
+        beforeCommit = () =>
+          Multimodal.appendToMediaFpIndex(batch, mPath, batchId = 1L))
+    }
+    assert(ex.getMessage.contains("superseded snapshot"), ex.getMessage)
+    // the new snapshot committed and serves; the old root survived
+    // (not retired), so the batch's rows still exist on disk
+    assert(Versioned.resolve(spark, mPath) == s"$mPath/v-1")
+    assert(new java.io.File(s"$mPath/data").exists(),
+      "old root must be retained when the late batch is detected")
+    // recovery is the error's recipe: re-run the append (lands in the
+    // committed snapshot), then rebuild from the full grown corpus
+    Multimodal.appendToMediaFpIndex(batch, mPath, batchId = 1L)
+    assert(Multimodal.readMediaFpIndex(spark, mPath)
+      .filter(col("doc_id") >= 30).select("doc_id").distinct().count()
+      == batch.count())
+    assert(Multimodal.rebuildMediaFpIndex(spark,
+      base.unionByName(batch), mPath) == 2L)
+
+    // SEARCH: same window, same detection, through the doclen coverage
+    val sPath = tmpDir("racesearch")
+    Search.writeSearchIndex(base, sPath)
+    val extra = Seq((920000L, "spark join window"))
+      .toDF("doc_id", "text")
+    val ex2 = intercept[IllegalArgumentException] {
+      Search.rebuildSearchIndexHooked(spark, base, sPath,
+        beforeCommit = () =>
+          Search.appendToSearchIndex(extra, sPath, batchId = 1L))
+    }
+    assert(ex2.getMessage.contains("superseded snapshot"), ex2.getMessage)
+    assert(new java.io.File(s"$sPath/postings").exists())
+
+    // IVF: the vector twin of the same window
+    val vPath = tmpDir("raceivf")
+    Similarity.writeIvfIndex(emb, vPath)
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndexHooked(spark, vPath,
+        beforeCommit = () =>
+          Similarity.appendToIvfIndex(driftedBatch, vPath, batchId = 1L))
+    }
+    assert(ex3.getMessage.contains("superseded snapshot"), ex3.getMessage)
+    assert(new java.io.File(s"$vPath/data").exists())
+  }
+
   test("PQ codebooks: persisted read-back exact; retrain stages, commits, retires") {
     val path = tmpDir("pqlc")
     ProductQuant.writePqCodebooks(emb, path)

@@ -1134,6 +1134,16 @@ object SparkEntry {
       Multimodal.corpusDedupClustersServedFrom(pairs, labels)
     }),
 
+    // graph-aware keep-best: survivor selection over the 4-CHANNEL
+    // clusters served from the persisted graph — a media twin whose
+    // text differs still collapses to its best-quality member, because
+    // the evidence graph, not text pairs alone, defines the cluster
+    "corpus_graph_survivors" -> ((s, dir) => {
+      val (_, labels) = corpusGraphFor(s, dir)
+      Dedup.keepBestSurvivors(tables(s, dir).documents,
+        labelsOpt = Some(labels)).orderBy("doc_id")
+    }),
+
     // the graph after a takedown purge: pair rows touching a purged doc
     // leave AND touched components relabel from surviving pairs (a
     // removed bridge splits its cluster — the non-local effect a
@@ -1959,6 +1969,7 @@ object SparkEntry {
     "corpus_dedup_clusters" -> Multimodal.corpusDedupClustersSql,
     "corpus_dedup_manifest" -> Multimodal.corpusDedupManifestSql,
     "corpus_graph_incremental" -> Multimodal.corpusDedupClustersSql,
+    "corpus_graph_survivors" -> Multimodal.corpusGraphSurvivorsSql,
     "corpus_graph_takedown" -> Multimodal.corpusDedupClustersSqlWhere(
       Some("doc_a % 41 != 7 AND doc_b % 41 != 7")),
     "multimodal_audio_stats" -> Multimodal.audioStatsSql,

@@ -589,9 +589,14 @@ object Dedup {
           .as("keep"))
   }
 
-  def keepBestSurvivorsSql: String = {
-    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
-       |scored AS MATERIALIZED (
+  /** The keep-best scoring/argmax/attach tail over an existing
+    * `labels` CTE — shared by the text-pair oracle below and the
+    * 4-channel corpus-graph oracle
+    * ([[Multimodal.corpusGraphSurvivorsSql]]), so the two cannot
+    * drift on the quality formula or tie-breaks.
+    */
+  private[ext] def keepBestTailSql: String =
+    s"""scored AS MATERIALIZED (
        |  SELECT doc_id,
        |    ${graft.ext.TextAnalysis.qualityPpmSqlExpr} AS quality_ppm
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
@@ -609,7 +614,10 @@ object Dedup {
        |LEFT JOIN labels l ON s.doc_id = l.doc_id
        |LEFT JOIN best b ON l.label = b.label
        |ORDER BY s.doc_id""".stripMargin
-  }
+
+  def keepBestSurvivorsSql: String =
+    s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},
+       |$keepBestTailSql""".stripMargin
 
   def softDedupWeightsSql: String =
     s"""WITH RECURSIVE ${labelsCtesSql(materializedLabels = true)},

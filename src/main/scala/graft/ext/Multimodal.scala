@@ -1912,6 +1912,20 @@ object Multimodal {
        |FROM sizes s JOIN evidence e ON s.cluster_id = e.cluster_id
        |ORDER BY s.cluster_id""".stripMargin
 
+  /** DuckDB mirror of graph-aware keep-best survivor selection: the
+    * [[Dedup.keepBestSurvivorsSql]] tail over the FOUR-channel corpus
+    * graph's labels instead of text pairs alone — a media twin whose
+    * text differs still collapses to its best-quality member, because
+    * the evidence graph defines the cluster (the Spark side is
+    * [[Dedup.keepBestSurvivors]] fed the persisted graph labels).
+    */
+  def corpusGraphSurvivorsSql: String =
+    s"""WITH RECURSIVE
+       |${corpusPairCtesSql()},
+       |${Dedup.labelsCtesSql(materializedLabels = true,
+          pairsSql = "SELECT doc_a, doc_b FROM mpairs")},
+       |${Dedup.keepBestTailSql}""".stripMargin
+
   def imageStatsSql: String =
     """WITH imgs AS (
       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -321,6 +321,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 incremental media screen broadcasts the batch side") {
+    // the per-ingest contract: batch bands BROADCAST against the
+    // (index ∪ batch) band stream, so the stored side never shuffles —
+    // a SortMergeJoin here would re-sort the whole index per ingest
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables(spark, Sf0001).documents
+    val path = java.nio.file.Files
+      .createTempDirectory("planfp").toString
+    graft.ext.Multimodal.writeMediaFpIndex(docs, path)
+    val p = graft.ext.Multimodal.mediaNearDupPairsIncremental(
+        spark, path, c => pmod(c, lit(10L)) === lit(7L))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch bands must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the stored band stream must never sort-merge per ingest:\n$p")
+  }
+
   test("broadcast joins carry the bounded dimension sides") {
     // the headline fact⋈dims rollups must broadcast, not shuffle, dims
     assert(plans("revenue_by_region").contains("BroadcastHashJoin"))

@@ -2494,6 +2494,31 @@ class ExtSpec extends AnyFunSuite {
       h.map(r => r.getAs[Long]("margin_ppm")).mkString(","))
   }
 
+  test("incremental media screen ≡ full served screen restricted to batch pairs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // subset-exactness is the property CorpusGraph.append's
+    // append ≡ rebuild contract rests on for the media channels: the
+    // batch-side banded screen against the grown index must emit
+    // EXACTLY the full re-screen's pairs that touch a batch doc
+    val docs = Tables(spark, Sf0001).documents
+    val path = java.nio.file.Files
+      .createTempDirectory("incscreen").toString
+    Multimodal.writeMediaFpIndex(docs, path)
+    def isBatch(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(10L)) === lit(7L)
+    val cols = Seq("doc_a", "doc_b", "hamming", "modality")
+    val inc = Multimodal.mediaNearDupPairsIncremental(spark, path,
+        isBatch(_))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val full = Multimodal.mediaNearDupPairsServed(spark, path)
+      .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(inc.nonEmpty, "fixture must plant batch-side media twins")
+    assert(inc == full,
+      s"incremental screen diverged: only-inc=${inc -- full}, " +
+        s"only-full=${full -- inc}")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

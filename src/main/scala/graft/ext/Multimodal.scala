@@ -1690,28 +1690,57 @@ object Multimodal {
     require(missing == 0L,
       s"staged media fp rebuild drops $missing docs the serving index " +
         "holds — pass the full grown corpus (base + appended batches)")
+    // validation-time snapshot of the serving root's SIZE — the
+    // reference the post-commit late-append check compares against
+    // (content-growth-based, so it works under allowShrink too)
+    val curRowsAtValidation = rowsOf(spark, cur)
     beforeCommit()
     Versioned.commit(spark, stage)
     // the race's OTHER half: an append whose write AND guard both
     // completed between the validation read above and the commit saw
     // the old root as current throughout — its batch is in the
-    // superseded snapshot only. Re-check coverage against that root's
-    // CURRENT content before retiring it: on a hit, the old snapshot
-    // is kept (nothing lost), the new one serves, and the loud error
-    // carries the recovery (re-run the append — it now lands in the
-    // committed snapshot — then rebuild again if bits must refresh).
-    if (!allowShrink) {
-      val late = servedDocsOf(spark, cur, staged)
-        .join(staged.select("doc_id").distinct(), Seq("doc_id"),
-          "left_anti").count()
-      require(late == 0L,
-        s"an append landed $late docs in the superseded snapshot " +
-          "during the rebuild; old root retained — re-run the append " +
-          "against the committed snapshot, then rebuild again")
-    }
+    // superseded snapshot only. Appends only ever ADD rows, so any
+    // growth of that root since validation is a late append: the old
+    // snapshot is kept (nothing lost), the new one serves, and the
+    // loud error carries the recovery (re-run the append — it now
+    // lands in the committed snapshot — then rebuild again if bits
+    // must refresh).
+    val lateRows = rowsOf(spark, cur) - curRowsAtValidation
+    require(lateRows <= 0L,
+      s"an append landed $lateRows rows in the superseded snapshot " +
+        "during the rebuild; old root retained — re-run the append " +
+        "against the committed snapshot, then rebuild again")
+    // crash-recovery face of the same race: a PREVIOUS rebuild that
+    // died between its commit and its own late check leaves the
+    // stranded batch in a root THIS retire would delete — audit every
+    // retire target for coverage first (skipped under allowShrink:
+    // a declared shrink makes removed docs indistinguishable from
+    // stranded ones by content alone)
+    if (!allowShrink)
+      Versioned.retireTargets(spark, path, "data").foreach { r =>
+        val lost = servedDocsOf(spark, r, staged)
+          .join(staged.select("doc_id").distinct(), Seq("doc_id"),
+            "left_anti").count()
+        require(lost == 0L,
+          s"retire would delete $r holding $lost docs absent from the " +
+            "new snapshot — a stranded append from a crashed rebuild; " +
+            "re-run the append, then rebuild again")
+      }
     Versioned.retire(spark, path, flatSubdirs = Seq("data"))
     n
   }
+
+  /** Row count of a root's data component (absent → 0). */
+  private def rowsOf(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long =
+    try spark.read.schema(MediaFpSchema).parquet(s"$root/data").count()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        0L
+    }
 
   /** Distinct doc_ids the root currently serves (absent → empty). */
   private def servedDocsOf(spark: org.apache.spark.sql.SparkSession,

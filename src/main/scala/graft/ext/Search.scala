@@ -160,20 +160,49 @@ object Search {
     require(missing == 0L,
       s"staged search rebuild drops $missing docs the serving index " +
         "holds — pass the full grown corpus (base + appended batches)")
+    def dlRowsOf(root: String): Long =
+      try spark.read.schema(DocLenSchema).parquet(s"$root/doclen")
+        .count()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null
+              && (e.getCondition.contains("PATH_NOT_FOUND")
+                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          0L
+      }
+    // validation-time size of the serving root — appends only ADD
+    // rows, so post-commit growth is a late append regardless of
+    // allowShrink (see Multimodal.rebuildMediaFpIndexHooked)
+    val curRowsAtValidation = dlRowsOf(cur)
     beforeCommit()
     Versioned.commit(spark, stage)
-    // an append whose write AND guard both completed between the
-    // validation read and the commit saw the old root as current
-    // throughout — re-check its CURRENT content before retiring it
-    // (on a hit the old snapshot is kept and the loud error carries
-    // the re-ingest recovery; see rebuildMediaFpIndexHooked)
-    if (!allowShrink) {
-      val late = uncovered()
-      require(late == 0L,
-        s"an append landed $late docs in the superseded snapshot " +
-          "during the rebuild; old root retained — re-run the append " +
-          "against the committed snapshot, then rebuild again")
-    }
+    val lateRows = dlRowsOf(cur) - curRowsAtValidation
+    require(lateRows <= 0L,
+      s"an append landed $lateRows docs in the superseded snapshot " +
+        "during the rebuild; old root retained — re-run the append " +
+        "against the committed snapshot, then rebuild again")
+    // crash-recovery face: audit every root this retire would delete
+    // for coverage by the new snapshot (a stranded append from a
+    // rebuild that died between commit and its late check)
+    if (!allowShrink)
+      Versioned.retireTargets(spark, path, "postings").foreach { r =>
+        val lost =
+          try spark.read.schema(DocLenSchema).parquet(s"$r/doclen")
+            .select("doc_id").distinct()
+            .join(stagedDl.select("doc_id").distinct(), Seq("doc_id"),
+              "left_anti").count()
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition != null
+                  && (e.getCondition.contains("PATH_NOT_FOUND")
+                    || e.getCondition.contains(
+                      "UNABLE_TO_INFER_SCHEMA")) => 0L
+          }
+        require(lost == 0L,
+          s"retire would delete $r holding $lost docs absent from the " +
+            "new snapshot — a stranded append from a crashed rebuild; " +
+            "re-run the append, then rebuild again")
+      }
     Versioned.retire(spark, path, flatSubdirs = Seq("postings", "doclen"))
     n
   }

@@ -1153,6 +1153,19 @@ object Similarity {
       s"an append landed $late vectors in the superseded snapshot " +
         "during the rebuild; old root retained — re-run the append " +
         "against the committed snapshot, then rebuild again")
+    // crash-recovery face: audit every root this retire would delete
+    // for coverage by the new snapshot (a stranded append from a
+    // rebuild that died between commit and its late check)
+    val stagedIds = spark.read.parquet(s"$stage/data")
+      .select("vec_id").distinct()
+    Versioned.retireTargets(spark, path, "data").foreach { r =>
+      val lost = readIndexData(spark, r).select("vec_id").distinct()
+        .join(stagedIds, Seq("vec_id"), "left_anti").count()
+      require(lost == 0L,
+        s"retire would delete $r holding $lost vectors absent from " +
+          "the new snapshot — a stranded append from a crashed " +
+          "rebuild; re-run the append, then rebuild again")
+    }
     Versioned.retire(spark, path, IvfFlatSubdirs)
     n
   }

@@ -180,4 +180,18 @@ object Versioned {
       else Seq.empty
     flat ++ committedVersions(spark, path).map(versionDir(path, _))
   }
+
+  /** The roots a [[retire]] call would DELETE right now — everything
+    * [[retainedRoots]] lists beyond the newest `keep` versions (the
+    * flat base is the oldest). The rebuilds audit these before
+    * retiring: a root about to be deleted whose content is not covered
+    * by the new snapshot is the crash-recovery face of the
+    * append-vs-rebuild race — an append stranded in a superseded root
+    * by a rebuild that died between its commit and its own late-append
+    * check would otherwise be silently deleted by the NEXT rebuild's
+    * retire.
+    */
+  def retireTargets(spark: SparkSession, path: String,
+      flatProbeSubdir: String, keep: Int = 2): Seq[String] =
+    retainedRoots(spark, path, flatProbeSubdir).dropRight(keep)
 }

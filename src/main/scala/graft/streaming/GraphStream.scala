@@ -34,8 +34,14 @@ import graft.ext.{CorpusGraph, Dedup}
   *
   * Verification needs document TEXT on both sides of a candidate pair,
   * so the cross-pair screen reads candidate docs back from the stored
-  * corpus — a candidates-only semi-join read, bounded by evidence
-  * volume, never a corpus rescan.
+  * corpus — pruned to the candidates' doc-id buckets, bounded by
+  * evidence volume, never a corpus rescan.
+  *
+  * Layout note: the stream's corpus is (bucket, batch_id)-partitioned
+  * for exactly that pruned read-back; a corpus written by a different
+  * layout version cannot be mixed in place (Spark rejects conflicting
+  * partition structures) — migrate with a one-time re-bucket rewrite
+  * before resuming the checkpoint.
   */
 object GraphStream {
 
@@ -78,8 +84,12 @@ object GraphStream {
         if (cached.count() == 0) return
         val batchBands = graft.ext.Scratch.track(
           Dedup.bandTable(cached).persist())
-        val indexBands = BatchIndex.readBefore(spark, bandIndexPath,
-          storedId, BandCols, batchBands.limit(0))
+        // persisted for the trigger (scopedAll releases it): BOTH the
+        // bucket discovery below and incrementalNearDups' candidate
+        // join read the accumulated band index — one disk scan, not two
+        val indexBands = graft.ext.Scratch.track(
+          BatchIndex.readBefore(spark, bandIndexPath,
+            storedId, BandCols, batchBands.limit(0)).persist())
         // corpus side of candidate verification: the band join names
         // the candidate index docs FIRST (hash-sized tables), their
         // bucket set prunes the corpus read to ≤ min(candidates,

@@ -389,14 +389,29 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(Versioned.resolve(spark, mPath) == s"$mPath/v-1")
     assert(new java.io.File(s"$mPath/data").exists(),
       "old root must be retained when the late batch is detected")
+    // CRASH-RECOVERY face: suppose that rebuild had died right after
+    // its commit (the thrown require IS that state — v-1 serves, the
+    // stranded batch sits only in the flat root). A later rebuild
+    // that does not know about the batch must not let its retire
+    // delete the flat root — the retire-target coverage audit throws
+    val ex1b = intercept[IllegalArgumentException] {
+      Multimodal.rebuildMediaFpIndex(spark, base, mPath)
+    }
+    assert(ex1b.getMessage.contains("retire would delete"),
+      ex1b.getMessage)
+    assert(new java.io.File(s"$mPath/data").exists(),
+      "the audited retire must keep the root holding the batch")
     // recovery is the error's recipe: re-run the append (lands in the
-    // committed snapshot), then rebuild from the full grown corpus
+    // committed snapshot), then rebuild from the full grown corpus —
+    // now every retire target is covered and the flat root retires
     Multimodal.appendToMediaFpIndex(batch, mPath, batchId = 1L)
     assert(Multimodal.readMediaFpIndex(spark, mPath)
       .filter(col("doc_id") >= 30).select("doc_id").distinct().count()
       == batch.count())
     assert(Multimodal.rebuildMediaFpIndex(spark,
-      base.unionByName(batch), mPath) == 2L)
+      base.unionByName(batch), mPath) == 3L)
+    assert(!new java.io.File(s"$mPath/data").exists(),
+      "covered flat root retires normally")
 
     // SEARCH: same window, same detection, through the doclen coverage
     val sPath = tmpDir("racesearch")

@@ -468,6 +468,32 @@ object RunStream {
       return
     }
 
+    // `graph` mode: the same planted-duplicate document stream through
+    // the EVIDENCE-PRESERVING leg — GraphStream keeps every doc and
+    // records near-dup pairs + bounded component relabels in the
+    // persisted corpus graph; measures sustained docs/s and pair
+    // throughput (recorded in SCALING.md)
+    if (wire == "graph") {
+      val docs = docStream(rate)
+      val stats = new graft.streaming.GraphStream.GraphStats(spark)
+      val q = graft.streaming.GraphStream.start(docs,
+        s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
+        s"$outDir/ckpt_g", stats, Trigger.ProcessingTime("5 seconds"))
+      EventPipeline.runBounded(q, seconds * 1000L)
+      val labels = graft.ext.CorpusGraph
+        .readLabels(spark, s"$outDir/graph_g").count()
+      val pairsStored = graft.ext.CorpusGraph
+        .readPairs(spark, s"$outDir/graph_g").count()
+      val stale = graft.ext.CorpusGraph
+        .staleLabelCount(spark, s"$outDir/graph_g")
+      println(s"[stream-graph] seen=${stats.seen.value} " +
+        s"pairs=${stats.pairs.value} storedPairs=$pairsStored " +
+        s"labeledDocs=$labels stale=$stale " +
+        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
+      spark.stop()
+      return
+    }
+
     // `dedup` mode: document stream with a planted 10% duplicate rate
     // (every value ≡ 7 (mod 10) repeats the text of value − 7) through
     // the incremental near-dup ingest — measures sustained docs/s of

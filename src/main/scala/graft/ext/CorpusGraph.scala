@@ -81,9 +81,12 @@ object CorpusGraph {
     */
   def write(pairs: DataFrame, path: String): Unit = {
     val spark = pairs.sparkSession
+    // pairs keep their natural (shuffle-output) partitioning: a forced
+    // repartition(1) was measured to OOM the single writer task at a
+    // 24 M-pair graph — file count per batch dir is bounded by
+    // shuffle.partitions, which compaction folds when it matters
     pairs.select(col("doc_a"), col("doc_b"), col("modality"))
       .withColumn("batch_id", lit(0L))
-      .repartition(1) // fixture-scale pair volume; production sizes this
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$path/pairs")
     Dedup.clusterLabels(readPairs(spark, path).select("doc_a", "doc_b"))
@@ -146,7 +149,6 @@ object CorpusGraph {
     val bp = Scratch.track(batchPairs
       .select(col("doc_a"), col("doc_b"), col("modality")).persist())
     bp.withColumn("batch_id", lit(batchId))
-      .repartition(1)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")

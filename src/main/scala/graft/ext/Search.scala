@@ -392,10 +392,11 @@ object Search {
     * base build; [[appendToSearchIndex]] lands higher ids.
     */
   def writeDocLengths(documents: DataFrame, path: String): Unit =
+    // natural partitioning: dl rows are corpus-sized — one forced
+    // writer task would OOM at scale (the CorpusGraph.write lesson)
     documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
       .withColumn("batch_id", lit(0L))
-      .repartition(1)
       .write.mode("overwrite").partitionBy("batch_id").parquet(path)
 
   /** The one BM25 scoring + ranking plan both entry points share. */

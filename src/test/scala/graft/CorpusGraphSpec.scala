@@ -194,6 +194,68 @@ class CorpusGraphSpec extends AnyFunSuite {
     assert(labelMap(path) == rebuilt(path))
   }
 
+  test("property: random graphs — append and purge equal a from-scratch rebuild") {
+    import spark.implicits._
+    val mods = Array("image", "audio", "video", "text")
+    def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      if (pairs.isEmpty) Map.empty
+      else Dedup.clusterLabels(pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nDocs = 12 + rnd.nextInt(15)
+      val edges = Seq.fill(5 + rnd.nextInt(25)) {
+        val a = rnd.nextInt(nDocs).toLong
+        var b = rnd.nextInt(nDocs).toLong
+        if (a == b) b = (a + 1) % nDocs
+        (math.min(a, b), math.max(a, b), mods(rnd.nextInt(4)))
+      }.distinct
+      // random ingest split: docs ≥ cut are the new batch — base
+      // holds only both-old pairs, the batch every pair touching a
+      // new doc (exactly the incremental screens' split)
+      val cut = 3 + rnd.nextInt(nDocs - 3)
+      val basePairs = edges.filter(e => e._1 < cut && e._2 < cut)
+      val batchPairs = edges.filter(e => e._1 >= cut || e._2 >= cut)
+      val path = tmpDir(s"cgprop$seed")
+      CorpusGraph.write(pairsDf(basePairs), path)
+      CorpusGraph.append(spark, path, pairsDf(batchPairs), 1L)
+      assert(labelMap(path) == labelsOf(edges.map(e => (e._1, e._2))),
+        s"seed $seed: append != rebuild over ${edges.size} edges")
+      assert(CorpusGraph.staleLabelCount(spark, path) == 0L,
+        s"seed $seed post-append")
+      // random purge set (~25% of the id space; may hit bridges,
+      // component minima, isolated docs, or nothing)
+      val ids = (0L until nDocs.toLong)
+        .filter(_ => rnd.nextDouble() < 0.25)
+      if (ids.nonEmpty) {
+        val out = CorpusGraph.purge(spark, path, ids.toDF("doc_id"))
+        assert(out.leftover == 0L && out.staleLabels == 0L,
+          s"seed $seed: $out")
+        val surviving = edges
+          .filter(e => !ids.contains(e._1) && !ids.contains(e._2))
+        assert(labelMap(path) == labelsOf(surviving.map(e => (e._1, e._2))),
+          s"seed $seed: purge != rebuild from survivors")
+      }
+    }
+  }
+
+  test("empty and degenerate graphs are total") {
+    import spark.implicits._
+    val path = tmpDir("cgempty")
+    CorpusGraph.write(pairsDf(Seq.empty), path)
+    assert(CorpusGraph.readPairs(spark, path).count() == 0L)
+    assert(CorpusGraph.readLabels(spark, path).count() == 0L)
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    // first real content arrives via append onto the empty base
+    CorpusGraph.append(spark, path, pairsDf(Seq((1L, 2L, "text"))), 1L)
+    assert(labelMap(path) == Map(1L -> 1L, 2L -> 1L))
+    // purging everything empties the graph cleanly
+    val out = CorpusGraph.purge(spark, path, Seq(1L, 2L).toDF("doc_id"))
+    assert(out.leftover == 0L && out.staleLabels == 0L, s"$out")
+    assert(labelMap(path).isEmpty)
+    assert(CorpusGraph.readPairs(spark, path).count() == 0L)
+  }
+
   test("purge IO is partition-pruned and an unrelated purge is a no-op") {
     import spark.implicits._
     val path = tmpDir("cgnoop")

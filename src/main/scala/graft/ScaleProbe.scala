@@ -425,9 +425,20 @@ object ScaleProbe {
     val mismatch =
       inc.join(reb, Seq("doc_id", "label"), "left_anti").count() +
         reb.join(inc, Seq("doc_id", "label"), "left_anti").count()
-    // purge 2k bridge docs (chain middles: each removal splits its
-    // component); the full-recompute audit runs on its own clock
+    // small LEGAL-sized purge first: 50 bridge docs whose pair rows
+    // localize to two doc_a buckets — the pruning case the pair
+    // table's bucket level exists for (a takedown list is dozens of
+    // ids, not thousands)
     import spark.implicits._
+    val smallIds = spark.range(50L.min(n / 256))
+      .select((col("id") * 256 + 1).as("doc_id"))
+    var small: CorpusGraph.GraphPurge = null
+    val smallS = timed {
+      small = CorpusGraph.purge(spark, root, smallIds, audit = false)
+    }
+    // then 2k bridge docs spread across every bucket (each removal
+    // splits its component); the full-recompute audit runs on its own
+    // clock
     val purgeIds = spark.range(2000L.min(n / 4))
       .select((col("id") * 4 + 1).as("doc_id"))
     var out: CorpusGraph.GraphPurge = null
@@ -440,6 +451,8 @@ object ScaleProbe {
       f"build=$buildS%7.1fs append_10k=$appendS%6.1fs " +
       f"rebuild=$rebuildS%7.1fs (append=${appendS / rebuildS}%.2fx " +
       f"rebuild) labelsMatch=${mismatch == 0} " +
+      f"purge_50=$smallS%6.1fs parts=${small.partsRewritten}rw+" +
+      f"${small.partsDeleted}del/${small.partsTotal} " +
       f"purge_2k=$purgeS%6.1fs parts=${out.partsRewritten}rw+" +
       f"${out.partsDeleted}del/${out.partsTotal} " +
       f"relabeled=${out.labelsChanged} leftover=${out.leftover} " +

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   *
   * Layout (all numeric partition values, takedown-compatible):
   * {{{
-  *   <path>/pairs/batch_id=<n>/   (doc_a, doc_b, modality)   n=0 base
-  *   <path>/labels/bucket=<b>/    (doc_id, label)   b = pmod(doc_id, LabelBuckets)
+  *   <path>/pairs/bucket=<b>/batch_id=<n>/   (doc_a, doc_b, modality)
+  *   <path>/labels/bucket=<b>/               (doc_id, label)
   * }}}
-  * Pairs follow the append-friendly batch_id discipline (an
-  * at-least-once replay rewrites exactly its own partition via dynamic
-  * overwrite); labels are doc-id-bucketed so a relabel rewrites only
-  * the buckets holding touched docs.
+  * with b = pmod(doc_a resp. doc_id, LabelBuckets). Pairs follow the
+  * append-friendly batch_id discipline (an at-least-once replay
+  * rewrites exactly its own partitions via dynamic overwrite) UNDER a
+  * doc_a-bucket level, so a legal-sized takedown's pair purge rewrites
+  * only the buckets its ids hash to instead of every pair row (the
+  * doc_b pass still discovers by content — a purged id's partner-side
+  * rows live wherever their doc_a hashed — but rewrite stays
+  * hit-partition-proportional either way); labels are doc-id-bucketed
+  * so a relabel rewrites only the buckets holding touched docs.
   *
   * Invariants (pinned in CorpusGraphSpec and the
   * `corpus_graph_incremental` / `corpus_graph_takedown` verified rows):
@@ -61,8 +66,15 @@ object CorpusGraph {
       StructField("doc_a", LongType),
       StructField("doc_b", LongType),
       StructField("modality", StringType),
+      StructField("bucket", LongType),
       StructField("batch_id", LongType)))
   }
+
+  /** The pair table's partition-column list in directory order — the
+    * [[Takedown.purgeIndex]] `partCols` argument for both endpoint
+    * passes.
+    */
+  val PairPartCols: Seq[String] = Seq("bucket", "batch_id")
 
   val LabelsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -81,13 +93,14 @@ object CorpusGraph {
     */
   def write(pairs: DataFrame, path: String): Unit = {
     val spark = pairs.sparkSession
-    // pairs keep their natural (shuffle-output) partitioning: a forced
-    // repartition(1) was measured to OOM the single writer task at a
-    // 24 M-pair graph — file count per batch dir is bounded by
-    // shuffle.partitions, which compaction folds when it matters
+    // clustered by the doc_a bucket (one write task per bucket — a
+    // forced repartition(1) was measured to OOM the single writer at a
+    // 24 M-pair graph; bucket volume is duplicate-volume/buckets)
     pairs.select(col("doc_a"), col("doc_b"), col("modality"))
+      .withColumn("bucket", bucketOf(col("doc_a")))
       .withColumn("batch_id", lit(0L))
-      .write.mode("overwrite").partitionBy("batch_id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket", "batch_id")
       .parquet(s"$path/pairs")
     Dedup.clusterLabels(readPairs(spark, path).select("doc_a", "doc_b"))
       .withColumn("bucket", bucketOf(col("doc_id")))
@@ -98,6 +111,7 @@ object CorpusGraph {
 
   def readPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(PairsSchema).parquet(s"$path/pairs")
+      .select("doc_a", "doc_b", "modality", "batch_id")
 
   def readLabels(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(LabelsSchema).parquet(s"$path/labels")
@@ -148,10 +162,12 @@ object CorpusGraph {
     require(batchId > 0, "batch_id 0 is the base build")
     val bp = Scratch.track(batchPairs
       .select(col("doc_a"), col("doc_b"), col("modality")).persist())
-    bp.withColumn("batch_id", lit(batchId))
+    bp.withColumn("bucket", bucketOf(col("doc_a")))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
+      .partitionBy("bucket", "batch_id")
       .parquet(s"$path/pairs")
 
     val stored = readLabelsOrEmpty(spark, path)
@@ -252,8 +268,9 @@ object CorpusGraph {
     * row-identity-preserving.
     */
   def compactPairs(spark: SparkSession, path: String): (Long, Long) =
-    graft.streaming.BatchIndex.compact(spark, s"$path/pairs",
-      cols = Seq("doc_a", "doc_b", "modality"))
+    graft.streaming.BatchIndex.compactMulti(spark, s"$path/pairs",
+      cols = Seq("doc_a", "doc_b", "modality"),
+      bucketCols = Seq("bucket"))
 
   /** Outcome of one [[purge]] run: pair rows removed, label rows
     * removed (purged docs + post-split singletons), docs whose label
@@ -309,11 +326,13 @@ object CorpusGraph {
       .select("doc_id", "label").persist())
     members.count() // materialize: the label table rewrites below
 
-    // pair purge: one pruned pass per endpoint column
+    // pair purge: one pruned pass per endpoint column (bucket+batch
+    // partitions — a legal-sized list rewrites only the partitions
+    // actually holding its rows)
     val sA = Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
-      idSet.toDF("doc_a"), Seq("batch_id"))
+      idSet.toDF("doc_a"), PairPartCols)
     val sB = Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
-      idSet.toDF("doc_b"), Seq("batch_id"))
+      idSet.toDF("doc_b"), PairPartCols)
     val pairRowsRemoved = sA.rowsRemoved + sB.rowsRemoved
 
     // bounded relabel of touched components from surviving pairs

@@ -124,9 +124,9 @@ class CorpusGraphSpec extends AnyFunSuite {
     // naive purge: drop doc 3's pair rows and label row, NO relabel —
     // exactly what purgeIndex-style row filtering would do
     graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
-      Seq(3L).toDF("doc_a"), Seq("batch_id"))
+      Seq(3L).toDF("doc_a"), CorpusGraph.PairPartCols)
     graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
-      Seq(3L).toDF("doc_b"), Seq("batch_id"))
+      Seq(3L).toDF("doc_b"), CorpusGraph.PairPartCols)
     graft.ext.Takedown.purgeIndex(spark, s"$path/labels", "doc_id",
       Seq(3L).toDF("doc_id"), Seq("bucket"))
     // every leftover row count is now 0 — yet docs 4,5 serve the dead
@@ -159,9 +159,9 @@ class CorpusGraphSpec extends AnyFunSuite {
     // doc's label row is still present, which is exactly why discovery
     // works on the re-run
     graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
-      Seq(3L).toDF("doc_a"), Seq("batch_id"))
+      Seq(3L).toDF("doc_a"), CorpusGraph.PairPartCols)
     graft.ext.Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
-      Seq(3L).toDF("doc_b"), Seq("batch_id"))
+      Seq(3L).toDF("doc_b"), CorpusGraph.PairPartCols)
     assert(CorpusGraph.staleLabelCount(spark, path) > 0L)
     val out = CorpusGraph.purge(spark, path, Seq(3L).toDF("doc_id"))
     assert(out.leftover == 0L && out.staleLabels == 0L, s"$out")

@@ -50,7 +50,11 @@ import org.apache.spark.sql.functions._
   * the stored pair set; on purge they only split WITHIN touched
   * components, so the relabel reads surviving pairs of those
   * components only. Both are bounded by touched-component size +
-  * batch size, independent of graph size.
+  * batch size, independent of graph size — and because power-law
+  * graphs make "touched-component size" itself unbounded (one
+  * boilerplate mega-cluster), every touched/member/id-set join is
+  * size-gated: broadcast below [[BroadcastMemberMax]] rows, shuffle
+  * join above it (mega-component envelope in SCALING.md).
   */
 object CorpusGraph {
 
@@ -86,6 +90,41 @@ object CorpusGraph {
 
   private def bucketOf(c: org.apache.spark.sql.Column) =
     pmod(c, lit(LabelBuckets))
+
+  /** Row bound under which the touched-component frames (touched ids,
+    * touched labels, members, purge id sets) broadcast-join; above it
+    * they fall back to shuffle joins. Real web-scale dedup graphs are
+    * power-law — one boilerplate mega-cluster can hold millions of
+    * members, and "bounded by touched-component size" then approaches
+    * graph size: a forced broadcast of such a member set is a
+    * multi-GB driver allocation (OOM), while a shuffle join just
+    * pays one exchange of the same rows. ~512k two-long rows ≈ 30 MB
+    * serialized — comfortably under Spark's 8 GB broadcast ceiling
+    * with headroom for row overhead (the maxBandBucket-style skew
+    * guard applied to relabel inputs; mega-component envelope measured
+    * in SCALING.md "Corpus graph maintenance").
+    */
+  val BroadcastMemberMax = 524288L
+
+  /** Test seam over [[BroadcastMemberMax]]: CorpusGraphSpec pins
+    * append ≡ rebuild and purge ≡ rebuild THROUGH the shuffle-join
+    * fallback by setting this to 0 (the paths a fixture-sized graph
+    * would otherwise never take).
+    */
+  @volatile private[graft] var memberBroadcastBound: Long =
+    BroadcastMemberMax
+
+  /** Join `left` against a touched-component-bounded frame, forcing
+    * the broadcast only while the bound is actually small ([[
+    * BroadcastMemberMax]]); callers pass the frame's materialized
+    * count (they persist+count these frames anyway for the relabel
+    * bookkeeping).
+    */
+  private def gatedJoin(left: DataFrame, small: DataFrame,
+      keys: Seq[String], joinType: String, smallRows: Long): DataFrame =
+    if (smallRows <= memberBroadcastBound)
+      left.join(broadcast(small), keys, joinType)
+    else left.join(small, keys, joinType)
 
   /** Base build: land the pair stream under batch_id=0 and label it
     * once (the ingest-time labeling the clusterLabelsFor economics
@@ -171,25 +210,32 @@ object CorpusGraph {
       .parquet(s"$path/pairs")
 
     val stored = readLabelsOrEmpty(spark, path)
-    val touched = bp.select(col("doc_a").as("doc_id"))
+    val touched = Scratch.track(bp.select(col("doc_a").as("doc_id"))
       .unionByName(bp.select(col("doc_b").as("doc_id"))).distinct()
+      .persist())
+    val nTouched = touched.count()
     // members of every touched component: label rows whose label is a
     // touched doc's label (two bounded semi-joins — the stored table
-    // is scanned, never shuffled on itself)
-    val touchedLabels = stored
-      .join(broadcast(touched), Seq("doc_id"), "left_semi")
-      .select(col("label")).distinct()
-    val members = stored
-      .join(broadcast(touchedLabels), Seq("label"), "left_semi")
+    // is scanned, never shuffled on itself while the touched frames
+    // stay broadcastable; a mega-component degrades to shuffle joins
+    // instead of OOMing, see gatedJoin)
+    val touchedLabels = Scratch.track(
+      gatedJoin(stored, touched, Seq("doc_id"), "left_semi", nTouched)
+        .select(col("label")).distinct().persist())
+    val nTouchedLabels = touchedLabels.count()
+    val members = Scratch.track(
+      gatedJoin(stored, touchedLabels, Seq("label"), "left_semi",
+        nTouchedLabels).persist())
+    val nMembers = members.count()
     // bounded relabel input: batch pairs ∪ member star edges
     val edges = bp.select(col("doc_a"), col("doc_b"))
       .unionByName(members.select(col("doc_id").as("doc_a"),
         col("label").as("doc_b")))
     // the written delta is only rows that actually CHANGE (new docs or
     // moved labels) — an unchanged member must not force its bucket to
-    // rewrite (members is bounded, so the anti-join broadcasts)
-    val delta = Dedup.clusterLabels(edges)
-      .join(broadcast(members), Seq("doc_id", "label"), "left_anti")
+    // rewrite
+    val delta = gatedJoin(Dedup.clusterLabels(edges), members,
+      Seq("doc_id", "label"), "left_anti", nMembers)
     writeLabelDelta(spark, path, delta)
   }
 
@@ -232,7 +278,7 @@ object CorpusGraph {
     val keep0 = storedB.join(d.select("doc_id"), Seq("doc_id"),
       "left_anti")
     val keep = dropped.fold(keep0)(ids =>
-      keep0.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      gatedJoin(keep0, ids, Seq("doc_id"), "left_anti", ids.count()))
     val out = keep.unionByName(
       d.select(col("doc_id"), col("label"), col("bucket")))
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -315,16 +361,25 @@ object CorpusGraph {
       ids: DataFrame, audit: Boolean = true): GraphPurge = {
     val idSet = Scratch.track(
       ids.toDF("doc_id").select("doc_id").distinct().persist())
+    val nIds = idSet.count()
 
-    // touched components, discovered BEFORE any rewrite
-    val stored = readLabels(spark, path)
-    val touchedLabels = stored
-      .join(broadcast(idSet), Seq("doc_id"), "left_semi")
-      .select(col("label")).distinct()
-    val members = Scratch.track(stored
-      .join(broadcast(touchedLabels), Seq("label"), "left_semi")
-      .select("doc_id", "label").persist())
-    members.count() // materialize: the label table rewrites below
+    // touched components, discovered BEFORE any rewrite; absent-
+    // tolerant label read so a takedown against a graph in the
+    // bootstrap crash window (pair write landed, first label write
+    // never ran) still purges the pair rows and converges instead of
+    // aborting on the missing table
+    val stored = readLabelsOrEmpty(spark, path)
+    val touchedLabels = Scratch.track(
+      gatedJoin(stored, idSet, Seq("doc_id"), "left_semi", nIds)
+        .select(col("label")).distinct().persist())
+    val nTouchedLabels = touchedLabels.count()
+    val members = Scratch.track(
+      gatedJoin(stored, touchedLabels, Seq("label"), "left_semi",
+        nTouchedLabels)
+        .select("doc_id", "label").persist())
+    // materialize: the label table rewrites below; the count also
+    // gates the member joins (mega-component shuffle fallback)
+    val nMembers = members.count()
 
     // pair purge: one pruned pass per endpoint column (bucket+batch
     // partitions — a legal-sized list rewrites only the partitions
@@ -338,9 +393,9 @@ object CorpusGraph {
     // bounded relabel of touched components from surviving pairs
     // (both endpoints of a component's pair are members — a pair
     // never crosses components)
-    val touchedPairs = readPairs(spark, path)
-      .join(broadcast(members.select(col("doc_id").as("doc_a"))),
-        Seq("doc_a"), "left_semi")
+    val touchedPairs = gatedJoin(readPairs(spark, path),
+        members.select(col("doc_id").as("doc_a")),
+        Seq("doc_a"), "left_semi", nMembers)
       .select(col("doc_a"), col("doc_b"))
     val relabeled = Scratch.track(
       Dedup.clusterLabels(touchedPairs).persist())
@@ -350,23 +405,31 @@ object CorpusGraph {
       .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
     // only rows whose label MOVED rewrite their bucket (every
     // relabeled doc is a member, so the anti-join is bounded)
-    val delta = Scratch.track(relabeled
-      .join(broadcast(members), Seq("doc_id", "label"), "left_anti")
+    val delta = Scratch.track(
+      gatedJoin(relabeled, members, Seq("doc_id", "label"), "left_anti",
+        nMembers)
       .persist())
     val changed = delta.count()
     val removedLabelRows = drops.count()
     val (bucketsRewritten, bucketsDeleted) =
       writeLabelDelta(spark, path, delta, dropDocs = Some(drops))
 
-    // convergence audits, re-read from the purged artifact
+    // convergence audits, re-read from the purged artifact. Each
+    // offending pair ROW counts once — a row with BOTH endpoints
+    // purged hits the doc_a pass and is excluded from the doc_b pass —
+    // so the reported magnitude is row-accurate, not a per-endpoint
+    // double count (the zero/nonzero convergence signal is the same
+    // either way)
     val post = readPairs(spark, path)
     val leftover =
-      post.join(broadcast(idSet.toDF("doc_a")), Seq("doc_a"),
-        "left_semi").count() +
-      post.join(broadcast(idSet.toDF("doc_b")), Seq("doc_b"),
-        "left_semi").count() +
-      readLabels(spark, path).join(broadcast(idSet), Seq("doc_id"),
-        "left_semi").count()
+      gatedJoin(post, idSet.toDF("doc_a"), Seq("doc_a"),
+        "left_semi", nIds).count() +
+      gatedJoin(
+        gatedJoin(post, idSet.toDF("doc_b"), Seq("doc_b"),
+          "left_semi", nIds),
+        idSet.toDF("doc_a"), Seq("doc_a"), "left_anti", nIds).count() +
+      gatedJoin(readLabelsOrEmpty(spark, path), idSet, Seq("doc_id"),
+        "left_semi", nIds).count()
     GraphPurge(pairRowsRemoved, removedLabelRows, changed,
       // parts accounting: rewritten/deleted count REWRITE OPERATIONS
       // summed across the two endpoint passes plus the label-bucket
@@ -396,7 +459,10 @@ object CorpusGraph {
   def repairLabels(spark: SparkSession, path: String): Long = {
     val expect = Scratch.track(Dedup.clusterLabels(
       readPairs(spark, path).select("doc_a", "doc_b")).persist())
-    val got = readLabels(spark, path)
+    // absent-tolerant: repairing the bootstrap crash window (pairs
+    // landed, labels never written) means writing the whole label
+    // table, which is exactly a delta against an empty one
+    val got = readLabelsOrEmpty(spark, path)
     // wrong-or-missing rows rewrite; ghost docs (in no pair) drop
     val delta = Scratch.track(expect
       .join(got, Seq("doc_id", "label"), "left_anti").persist())
@@ -423,7 +489,9 @@ object CorpusGraph {
   def staleLabelCount(spark: SparkSession, path: String): Long = {
     val expect = Dedup.clusterLabels(
       readPairs(spark, path).select("doc_a", "doc_b"))
-    val got = readLabels(spark, path)
+    // absent-tolerant: an absent label table is maximally stale (every
+    // expected row missing), not an audit crash
+    val got = readLabelsOrEmpty(spark, path)
     got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
       expect.join(got, Seq("doc_id", "label"), "left_anti").count()
   }

@@ -256,6 +256,63 @@ class CorpusGraphSpec extends AnyFunSuite {
     assert(CorpusGraph.readPairs(spark, path).count() == 0L)
   }
 
+  test("purge against the bootstrap crash window (pairs landed, labels absent) converges") {
+    import spark.implicits._
+    val path = tmpDir("cgboot")
+    // simulate GraphStream's bootstrap crash: the pair write landed,
+    // the first label write never ran — the label table does not exist
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"))), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/labels"), true)
+    // a takedown in this state must purge the pair rows and converge,
+    // not abort on the missing table
+    val out = CorpusGraph.purge(spark, path, Seq(2L).toDF("doc_id"),
+      audit = false)
+    assert(out.pairRowsRemoved == 2L && out.leftover == 0L, s"$out")
+    assert(CorpusGraph.readPairs(spark, path).count() == 0L)
+    // the audit reports the missing label rows (docs 1,3 have no
+    // surviving pair here, so the repaired table is empty and clean);
+    // on a window with surviving pairs, repairLabels is the recovery
+    assert(CorpusGraph.repairLabels(spark, path) == 0L)
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    // same window with SURVIVING pairs: repair rebuilds the labels
+    val p2 = tmpDir("cgboot2")
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (5L, 6L, "image"))), p2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p2/labels"), true)
+    val o2 = CorpusGraph.purge(spark, p2, Seq(2L).toDF("doc_id"))
+    assert(o2.pairRowsRemoved == 1L && o2.leftover == 0L, s"$o2")
+    assert(o2.staleLabels == 2L, s"survivors unlabeled: $o2")
+    assert(CorpusGraph.repairLabels(spark, p2) == 2L)
+    assert(labelMap(p2) == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("append/purge equal a rebuild through the mega-component shuffle-join fallback") {
+    import spark.implicits._
+    // force every gated join down the shuffle path (the branch a
+    // power-law mega-component takes when members exceed
+    // BroadcastMemberMax) and re-pin append ≡ rebuild, purge ≡ rebuild
+    val saved = CorpusGraph.memberBroadcastBound
+    CorpusGraph.memberBroadcastBound = 0L
+    try {
+      val path = tmpDir("cgshuffle")
+      CorpusGraph.write(pairsDf(Seq(
+        (1L, 2L, "text"), (2L, 3L, "image"), (10L, 11L, "audio"))), path)
+      CorpusGraph.append(spark, path,
+        pairsDf(Seq((3L, 10L, "text"), (20L, 21L, "video"))), 1L)
+      assert(labelMap(path) == rebuilt(path))
+      assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+      val out = CorpusGraph.purge(spark, path, Seq(3L).toDF("doc_id"))
+      assert(out.leftover == 0L && out.staleLabels == 0L, s"$out")
+      assert(labelMap(path) == rebuilt(path))
+      assert(labelMap(path) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L,
+        11L -> 10L, 20L -> 20L, 21L -> 20L))
+    } finally CorpusGraph.memberBroadcastBound = saved
+  }
+
   test("purge IO is partition-pruned and an unrelated purge is a no-op") {
     import spark.implicits._
     val path = tmpDir("cgnoop")

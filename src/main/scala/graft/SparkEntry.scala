@@ -84,8 +84,7 @@ object SparkEntry {
           Dedup.minhashNearDups(tables(s, dir).documents,
             bands = Some(bandIndexFor(s, dir)))),
         path))
-    (graft.ext.CorpusGraph.readPairs(s, path),
-      graft.ext.CorpusGraph.readLabels(s, path))
+    graft.ext.CorpusGraph.readGraph(s, path)
   }
 
   /** The fixture ingest split for the graph's INCREMENTAL path:
@@ -139,8 +138,7 @@ object SparkEntry {
           .withColumn("modality", lit("text")))
       graft.ext.CorpusGraph.append(s, path, batchPairs, batchId = 1L)
     }
-    (graft.ext.CorpusGraph.readPairs(s, path),
-      graft.ext.CorpusGraph.readLabels(s, path))
+    graft.ext.CorpusGraph.readGraph(s, path)
   }
 
   /** The corpus graph AFTER a takedown purge ([[graft.ext.Takedown
@@ -165,8 +163,7 @@ object SparkEntry {
       require(out.leftover == 0L && out.staleLabels == 0L,
         s"graph purge did not converge: $out")
     }
-    (graft.ext.CorpusGraph.readPairs(s, path),
-      graft.ext.CorpusGraph.readLabels(s, path))
+    graft.ext.CorpusGraph.readGraph(s, path)
   }
 
   /** Persisted near-dup cluster labels per fixture dir — the labeling is

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * and a purged doc can SPLIT one (removing a bridge node) — so both
   * operations must relabel, but only the components they touch.
   *
-  * Layout (all numeric partition values, takedown-compatible):
+  * Layout (all numeric partition values, takedown-compatible); the
+  * root is [[Versioned]]-managed — the flat base below lives at
+  * `path` itself, [[rebuildGraph]] snapshots live under `path/v-<n>`,
+  * and every reader/maintainer resolves the serving root once per
+  * operation:
   * {{{
-  *   <path>/pairs/bucket=<b>/batch_id=<n>/   (doc_a, doc_b, modality)
-  *   <path>/labels/bucket=<b>/               (doc_id, label)
+  *   <root>/pairs/bucket=<b>/batch_id=<n>/   (doc_a, doc_b, modality)
+  *   <root>/labels/bucket=<b>/               (doc_id, label)
   * }}}
   * with b = pmod(doc_a resp. doc_id, LabelBuckets). Pairs follow the
   * append-friendly batch_id discipline (an at-least-once replay
@@ -128,9 +132,23 @@ object CorpusGraph {
 
   /** Base build: land the pair stream under batch_id=0 and label it
     * once (the ingest-time labeling the clusterLabelsFor economics
-    * prescribe — consumers never label per query).
+    * prescribe — consumers never label per query). Full-replace
+    * semantics: stale version dirs from earlier [[rebuildGraph]]s are
+    * cleared so they cannot out-rank the fresh base (the
+    * writeMediaFpIndex lesson).
     */
   def write(pairs: DataFrame, path: String): Unit = {
+    val spark = pairs.sparkSession
+    Versioned.committedVersions(spark, path).foreach(n =>
+      Versioned.clearStage(spark, Versioned.versionDir(path, n)))
+    writeSnapshot(pairs, path)
+  }
+
+  /** One complete pairs+labels snapshot under `root` — shared by the
+    * flat base build ([[write]]) and the staged rebuild
+    * ([[rebuildGraph]]).
+    */
+  private def writeSnapshot(pairs: DataFrame, root: String): Unit = {
     val spark = pairs.sparkSession
     // clustered by the doc_a bucket (one write task per bucket — a
     // forced repartition(1) was measured to OOM the single writer at a
@@ -140,20 +158,42 @@ object CorpusGraph {
       .withColumn("batch_id", lit(0L))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket", "batch_id")
-      .parquet(s"$path/pairs")
-    Dedup.clusterLabels(readPairs(spark, path).select("doc_a", "doc_b"))
+      .parquet(s"$root/pairs")
+    Dedup.clusterLabels(readPairsAt(spark, root)
+        .select("doc_a", "doc_b"))
       .withColumn("bucket", bucketOf(col("doc_id")))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/labels")
+      .parquet(s"$root/labels")
+  }
+
+  /** Both components of ONE resolved snapshot: (pairs, labels). The
+    * resolve-once read every multi-component consumer must use — a
+    * cluster roll-up that resolved pairs and labels separately could
+    * straddle a [[rebuildGraph]] commit and join new pairs against
+    * old labels (the BM25 straddle hazard, pinned for the graph in
+    * IndexLifecycleSpec).
+    */
+  def readGraph(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val root = Versioned.resolve(spark, path)
+    (readPairsAt(spark, root), readLabelsAt(spark, root))
   }
 
   def readPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(PairsSchema).parquet(s"$path/pairs")
+    readPairsAt(spark, Versioned.resolve(spark, path))
+
+  private[graft] def readPairsAt(spark: SparkSession,
+      root: String): DataFrame =
+    spark.read.schema(PairsSchema).parquet(s"$root/pairs")
       .select("doc_a", "doc_b", "modality", "batch_id")
 
   def readLabels(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(LabelsSchema).parquet(s"$path/labels")
+    readLabelsAt(spark, Versioned.resolve(spark, path))
+
+  private[graft] def readLabelsAt(spark: SparkSession,
+      root: String): DataFrame =
+    spark.read.schema(LabelsSchema).parquet(s"$root/labels")
       .select("doc_id", "label")
 
   /** Absent-tolerant label read — the not-yet-built case a STREAMING
@@ -162,8 +202,8 @@ object CorpusGraph {
     * [[write]] is the batch-build convenience, not a precondition).
     */
   private def readLabelsOrEmpty(spark: SparkSession,
-      path: String): DataFrame =
-    try readLabels(spark, path) // missing path throws at read time
+      root: String): DataFrame =
+    try readLabelsAt(spark, root) // missing path throws at read time
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null
@@ -199,6 +239,17 @@ object CorpusGraph {
   def append(spark: SparkSession, path: String, batchPairs: DataFrame,
       batchId: Long): Unit = {
     require(batchId > 0, "batch_id 0 is the base build")
+    // resolve ONCE: pair write and label relabel land in the same
+    // snapshot; the post-write guard fails loudly if a rebuild
+    // committed concurrently (re-running the append recovers — both
+    // the pair write and the relabel are replay-idempotent)
+    val root = Versioned.resolve(spark, path)
+    appendAt(spark, root, batchPairs, batchId)
+    Versioned.assertAppendLanded(spark, path, root, "corpus graph")
+  }
+
+  private def appendAt(spark: SparkSession, root: String,
+      batchPairs: DataFrame, batchId: Long): Unit = {
     val bp = Scratch.track(batchPairs
       .select(col("doc_a"), col("doc_b"), col("modality")).persist())
     bp.withColumn("bucket", bucketOf(col("doc_a")))
@@ -207,9 +258,9 @@ object CorpusGraph {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id")
-      .parquet(s"$path/pairs")
+      .parquet(s"$root/pairs")
 
-    val stored = readLabelsOrEmpty(spark, path)
+    val stored = readLabelsOrEmpty(spark, root)
     val touched = Scratch.track(bp.select(col("doc_a").as("doc_id"))
       .unionByName(bp.select(col("doc_b").as("doc_id"))).distinct()
       .persist())
@@ -236,7 +287,8 @@ object CorpusGraph {
     // rewrite
     val delta = gatedJoin(Dedup.clusterLabels(edges), members,
       Seq("doc_id", "label"), "left_anti", nMembers)
-    writeLabelDelta(spark, path, delta)
+    writeLabelDelta(spark, root, delta)
+    ()
   }
 
   /** Rewrite exactly the label buckets whose content changes: each
@@ -249,9 +301,10 @@ object CorpusGraph {
     * merge relabel) and [[purge]] (delta = post-split relabel,
     * dropDocs = purged docs + pairless singletons).
     */
-  private def writeLabelDelta(spark: SparkSession, path: String,
+  private def writeLabelDelta(spark: SparkSession, root: String,
       delta: DataFrame, dropDocs: Option[DataFrame] = None)
       : (Long, Long) = {
+    val path = root // resolved snapshot root (never the artifact path)
     val d = Scratch.track(delta
       .withColumn("bucket", bucketOf(col("doc_id"))).persist())
     val dropped = dropDocs.map(df =>
@@ -314,7 +367,8 @@ object CorpusGraph {
     * row-identity-preserving.
     */
   def compactPairs(spark: SparkSession, path: String): (Long, Long) =
-    graft.streaming.BatchIndex.compactMulti(spark, s"$path/pairs",
+    graft.streaming.BatchIndex.compactMulti(spark,
+      s"${Versioned.resolve(spark, path)}/pairs",
       cols = Seq("doc_a", "doc_b", "modality"),
       bucketCols = Seq("bucket"))
 
@@ -358,7 +412,19 @@ object CorpusGraph {
     * deployment runs [[staleLabelCount]] on its own schedule.
     */
   def purge(spark: SparkSession, path: String,
+      ids: DataFrame, audit: Boolean = true): GraphPurge =
+    purgeAt(spark, Versioned.resolve(spark, path), ids, audit)
+
+  /** [[purge]] against one RESOLVED snapshot root. Takedown must run
+    * this over EVERY retained root ([[graphRetainedRoots]]) — retained
+    * snapshots are real copies of the pair/label data, and purging
+    * only the serving one would leave the previous snapshot serving
+    * the purged docs to any straddling reader (the
+    * [[Takedown.DedupGraph]] arm does exactly this enumeration).
+    */
+  private[graft] def purgeAt(spark: SparkSession, root: String,
       ids: DataFrame, audit: Boolean = true): GraphPurge = {
+    val path = root // resolved snapshot root (never the artifact path)
     val idSet = Scratch.track(
       ids.toDF("doc_id").select("doc_id").distinct().persist())
     val nIds = idSet.count()
@@ -393,7 +459,7 @@ object CorpusGraph {
     // bounded relabel of touched components from surviving pairs
     // (both endpoints of a component's pair are members — a pair
     // never crosses components)
-    val touchedPairs = gatedJoin(readPairs(spark, path),
+    val touchedPairs = gatedJoin(readPairsAt(spark, path),
         members.select(col("doc_id").as("doc_a")),
         Seq("doc_a"), "left_semi", nMembers)
       .select(col("doc_a"), col("doc_b"))
@@ -420,7 +486,7 @@ object CorpusGraph {
     // so the reported magnitude is row-accurate, not a per-endpoint
     // double count (the zero/nonzero convergence signal is the same
     // either way)
-    val post = readPairs(spark, path)
+    val post = readPairsAt(spark, path)
     val leftover =
       gatedJoin(post, idSet.toDF("doc_a"), Seq("doc_a"),
         "left_semi", nIds).count() +
@@ -441,7 +507,7 @@ object CorpusGraph {
         + bucketsRewritten,
       partsDeleted = sA.partsDeleted + sB.partsDeleted + bucketsDeleted,
       leftover,
-      if (audit) staleLabelCount(spark, path) else -1L)
+      if (audit) staleLabelCountAt(spark, path) else -1L)
   }
 
   /** Audit-triggered recovery: recompute labels from the stored pair
@@ -456,9 +522,14 @@ object CorpusGraph {
     * Labeling cost is a rebuild's (full relabel, run at audit cadence);
     * write IO stays delta-proportional. Returns rows corrected.
     */
-  def repairLabels(spark: SparkSession, path: String): Long = {
+  def repairLabels(spark: SparkSession, path: String): Long =
+    repairLabelsAt(spark, Versioned.resolve(spark, path))
+
+  private[graft] def repairLabelsAt(spark: SparkSession,
+      root: String): Long = {
+    val path = root // resolved snapshot root
     val expect = Scratch.track(Dedup.clusterLabels(
-      readPairs(spark, path).select("doc_a", "doc_b")).persist())
+      readPairsAt(spark, path).select("doc_a", "doc_b")).persist())
     // absent-tolerant: repairing the bootstrap crash window (pairs
     // landed, labels never written) means writing the whole label
     // table, which is exactly a delta against an empty one
@@ -486,13 +557,90 @@ object CorpusGraph {
     * design: an audit's job is independence from the incremental
     * bookkeeping it checks; run it at rebuild cadence, not per query.)
     */
-  def staleLabelCount(spark: SparkSession, path: String): Long = {
+  def staleLabelCount(spark: SparkSession, path: String): Long =
+    staleLabelCountAt(spark, Versioned.resolve(spark, path))
+
+  private[graft] def staleLabelCountAt(spark: SparkSession,
+      root: String): Long = {
     val expect = Dedup.clusterLabels(
-      readPairs(spark, path).select("doc_a", "doc_b"))
+      readPairsAt(spark, root).select("doc_a", "doc_b"))
     // absent-tolerant: an absent label table is maximally stale (every
     // expected row missing), not an audit crash
-    val got = readLabelsOrEmpty(spark, path)
+    val got = readLabelsOrEmpty(spark, root)
     got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
       expect.join(got, Seq("doc_id", "label"), "left_anti").count()
   }
+
+  /** Rebuild the graph with atomic swap — the [[Versioned]] lifecycle
+    * applied to the dedup graph (trigger: a BANDING-PARAMETER upgrade —
+    * MinHash threshold, band count, fingerprint Hamming radius —
+    * invalidates every stored pair corpus-wide, the same class of
+    * event as a tokenizer upgrade for the search artifact). The
+    * in-place [[write]] has a serving window where new pairs coexist
+    * with old labels; the staged rebuild lands pairs AND labels into
+    * `v-<n>`, validates the two components against each other
+    * ([[staleLabelCount]] ≡ 0 on the staged snapshot), and promotes
+    * via the atomic `_COMMITTED` marker, so a cluster roll-up
+    * straddling the swap reads one snapshot for both components.
+    *
+    * `pairs` is the full re-screened pair set under the new
+    * parameters (pairs cannot be re-derived from themselves after a
+    * banding change). Pair membership legitimately CHANGES across a
+    * banding upgrade, so there is no doc-coverage validation — the
+    * race guard is the post-commit growth re-check: an append that
+    * landed in the superseded root during the validate→commit window
+    * is detected before that root could ever retire (the
+    * assertAppendLanded twin, rebuild side).
+    */
+  def rebuildGraph(spark: SparkSession, pairs: DataFrame,
+      path: String): Long =
+    rebuildGraphHooked(spark, pairs, path)
+
+  /** [[rebuildGraph]] with the test seam between validation and commit
+    * (see [[Multimodal.rebuildMediaFpIndexHooked]]).
+    */
+  private[graft] def rebuildGraphHooked(spark: SparkSession,
+      pairs: DataFrame, path: String,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val cur = Versioned.resolve(spark, path)
+    val n = Versioned.nextVersion(spark, path)
+    val stage = Versioned.versionDir(path, n)
+    Versioned.clearStage(spark, stage)
+    writeSnapshot(pairs, stage)
+    require(staleLabelCountAt(spark, stage) == 0L,
+      "staged graph snapshot's labels disagree with its pairs — " +
+        "incomplete stage write; clear and re-run the rebuild")
+    val curPairsAtValidation = pairRowsOf(spark, cur)
+    beforeCommit()
+    Versioned.commit(spark, stage)
+    // appends only ever ADD pair rows, so growth of the superseded
+    // root since validation is a late append: keep the old root (the
+    // batch's only copy), serve the new one, and carry the recovery
+    // in the error (re-run the append — it lands in the committed
+    // snapshot — then rebuild again if its pairs must re-band)
+    val lateRows = pairRowsOf(spark, cur) - curPairsAtValidation
+    require(lateRows <= 0L,
+      s"an append landed $lateRows pair rows in the superseded " +
+        "snapshot during the rebuild; old root retained — re-run the " +
+        "append against the committed snapshot, then rebuild again")
+    Versioned.retire(spark, path, flatSubdirs = Seq("pairs", "labels"))
+    n
+  }
+
+  private def pairRowsOf(spark: SparkSession, root: String): Long =
+    try readPairsAt(spark, root).count()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        0L
+    }
+
+  /** Every root still holding pair/label data — the takedown
+    * enumeration for the graph artifact (retained snapshots are real
+    * copies; [[Takedown.DedupGraph]] purges each).
+    */
+  def graphRetainedRoots(spark: SparkSession, path: String): Seq[String] =
+    Versioned.retainedRoots(spark, path, flatProbeSubdir = "pairs")
 }

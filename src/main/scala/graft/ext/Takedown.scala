@@ -287,19 +287,25 @@ object Takedown {
     // fail FAST on a missing artifact path, before purging anything: a
     // typo'd path reported as "leftover 0" would read as a completed
     // takedown while the real artifact still serves every document
-    artifacts.foreach { a =>
-      val p = new org.apache.hadoop.fs.Path(a match {
-        case PartitionedIndex(_, path, _, _) => path
-        case FlatTable(_, path, _) => path
-        case DedupGraph(_, path, _) => s"$path/pairs"
-      })
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        p.toUri, spark.sparkContext.hadoopConfiguration)
-      // the aside copy counts: a crash between purgeParquet's renames
-      // leaves only <path>.pre-purge, which its re-run restores
-      require(fs.exists(p)
-          || fs.exists(new org.apache.hadoop.fs.Path(p + ".pre-purge")),
-        s"takedown artifact '${a.name}' not found at $p")
+    artifacts.foreach {
+      case g: DedupGraph =>
+        // versioned artifact: present iff ANY retained root holds data
+        // (flat base or a committed v-<n> snapshot)
+        require(CorpusGraph.graphRetainedRoots(spark, g.path).nonEmpty,
+          s"takedown artifact '${g.name}' not found at ${g.path}")
+      case a =>
+        val p = new org.apache.hadoop.fs.Path(a match {
+          case PartitionedIndex(_, path, _, _) => path
+          case FlatTable(_, path, _) => path
+          case g: DedupGraph => s"${g.path}/pairs" // unreachable
+        })
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+        // the aside copy counts: a crash between purgeParquet's renames
+        // leaves only <path>.pre-purge, which its re-run restores
+        require(fs.exists(p)
+            || fs.exists(new org.apache.hadoop.fs.Path(p + ".pre-purge")),
+          s"takedown artifact '${a.name}' not found at $p")
     }
     // the purges below each fire several actions; evaluate the caller's
     // ids lineage once, not once per action per artifact
@@ -324,10 +330,20 @@ object Takedown {
           ArtifactPurge(n, removed, 1L, if (removed > 0) 1L else 0L, 0L,
             leftoverOf(p, idc))
         case DedupGraph(n, p, audit) =>
-          val g = CorpusGraph.purge(spark, p, idsAs("doc_id"), audit)
-          ArtifactPurge(n, g.pairRowsRemoved + g.labelRowsRemoved,
-            g.partsTotal, g.partsRewritten, g.partsDeleted,
-            g.leftover + math.max(g.staleLabels, 0L))
+          // retained snapshots are REAL copies of pairs+labels (the
+          // Versioned retention contract) — purge every root, not just
+          // the serving one, or the previous snapshot keeps serving
+          // the purged docs to straddling readers
+          val outs = CorpusGraph.graphRetainedRoots(spark, p)
+            .map(r => CorpusGraph.purgeAt(spark, r, idsAs("doc_id"),
+              audit))
+          ArtifactPurge(n,
+            outs.map(g => g.pairRowsRemoved + g.labelRowsRemoved).sum,
+            outs.map(_.partsTotal).sum,
+            outs.map(_.partsRewritten).sum,
+            outs.map(_.partsDeleted).sum,
+            outs.map(g =>
+              g.leftover + math.max(g.staleLabels, 0L)).sum)
       }
     } finally { cached.unpersist(); () }
   }

@@ -252,12 +252,28 @@ class IndexLifecycleSpec extends AnyFunSuite {
       == Seq(path, s"$path/v-1"))
     import spark.implicits._
     val ids = Seq(3L).toDF("doc_id")
-    val out = Takedown.propagate(spark, ids,
-      Multimodal.mediaFpRetainedRoots(spark, path).map(r =>
-        Takedown.PartitionedIndex(s"mediafp:$r", s"$r/data", "doc_id",
-          Seq("modality", "bucket", "batch_id"))))
+    // the artifact enumeration covers BOTH components of every root:
+    // data (3 rows/doc — one per modality) and the band sidecar
+    // (12 rows/doc — 4 bands × 3 modalities)
+    val arts = Multimodal.mediaFpTakedownArtifacts(spark, path)
+    assert(arts.map(_.name).toSet == Set(
+      s"mediafp:$path", s"mediafp_bands:$path",
+      s"mediafp:$path/v-1", s"mediafp_bands:$path/v-1"), arts.toString)
+    // pre-purge truth: 4 band rows per decoded (modality, doc) pair
+    val expectedBands = Multimodal.mediaFpRetainedRoots(spark, path)
+      .map { r =>
+        s"mediafp_bands:$r" -> spark.read
+          .schema(Multimodal.MediaBandSchema).parquet(s"$r/bands")
+          .filter(col("doc_id") === 3L).count()
+      }.toMap
+    assert(expectedBands.values.forall(_ > 0L), expectedBands.toString)
+    val out = Takedown.propagate(spark, ids, arts)
     out.foreach { a =>
-      assert(a.rowsRemoved == 3L && a.leftover == 0L, s"$a")
+      assert(a.leftover == 0L, s"$a")
+      assert(a.rowsRemoved ==
+        (if (a.artifact.startsWith("mediafp_bands"))
+          expectedBands(a.artifact) else 3L),
+        s"$a")
     }
   }
 
@@ -363,6 +379,66 @@ class IndexLifecycleSpec extends AnyFunSuite {
           "doc_id", Seq("batch_id")))))
     assert(out.size == 4)
     out.foreach(a => assert(a.leftover == 0L, s"$a"))
+  }
+
+  test("corpus graph rebuild: atomic swap, one-snapshot straddle, retained-root takedown") {
+    import graft.ext.CorpusGraph
+    import spark.implicits._
+    def pairsDf(ps: Seq[(Long, Long, String)]) =
+      ps.toDF("doc_a", "doc_b", "modality")
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val path = tmpDir("graphlc")
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "image"), (10L, 11L, "audio"))), path)
+    // straddler: a cluster roll-up that resolved its snapshot (ONCE,
+    // for both components) before the swap
+    val (straddlePairs, straddleLabels) = CorpusGraph.readGraph(spark, path)
+    // banding-parameter upgrade: the re-screened pair set differs
+    val v = CorpusGraph.rebuildGraph(spark, pairsDf(Seq(
+      (1L, 2L, "text"), (20L, 21L, "video"))), path)
+    assert(v == 1L)
+    assert(Versioned.resolve(spark, path) == s"$path/v-1")
+    // the straddler serves its resolved snapshot for pairs AND labels
+    assert(straddlePairs.count() == 3L)
+    assert(labelsOf(straddleLabels) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L),
+      "straddling roll-up must read one snapshot for both components")
+    // fresh resolve-once readers serve the rebuilt snapshot, and its
+    // two components are mutually consistent
+    val (newPairs, newLabels) = CorpusGraph.readGraph(spark, path)
+    assert(newPairs.count() == 2L)
+    assert(labelsOf(newLabels) == Map(1L -> 1L, 2L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    // incremental appends land in the CURRENT snapshot
+    CorpusGraph.append(spark, path, pairsDf(Seq((21L, 30L, "text"))),
+      batchId = 1L)
+    assert(labelsOf(CorpusGraph.readLabels(spark, path))(30L) == 20L)
+    // retained roots enumerate every copy; propagate purges them all
+    // (flat base + committed snapshot), leftover+stale 0
+    assert(CorpusGraph.graphRetainedRoots(spark, path)
+      == Seq(path, s"$path/v-1"))
+    val out = Takedown.propagate(spark, Seq(2L).toDF("doc_id"),
+      Seq(Takedown.DedupGraph("corpus_graph", path)))
+    assert(out.size == 1)
+    assert(out.head.leftover == 0L, s"${out.head}")
+    // the FLAT root was purged too — not just the serving snapshot
+    assert(CorpusGraph.readPairsAt(spark, path)
+      .filter(col("doc_a") === 2L || col("doc_b") === 2L).count() == 0L)
+    assert(labelsOf(CorpusGraph.readLabelsAt(spark, path))
+      == Map(10L -> 10L, 11L -> 10L))
+    // an append racing the rebuild's validate→commit window is caught
+    // post-commit: the old root is retained (the batch's only copy)
+    val ex = intercept[IllegalArgumentException] {
+      CorpusGraph.rebuildGraphHooked(spark,
+        pairsDf(Seq((50L, 51L, "text"))), path,
+        beforeCommit = () => CorpusGraph.append(spark, path,
+          pairsDf(Seq((40L, 41L, "image"))), batchId = 2L))
+    }
+    assert(ex.getMessage.contains("superseded snapshot"), ex.getMessage)
+    assert(new java.io.File(s"$path/v-1/pairs").exists(),
+      "old root must be retained when the late batch is detected")
   }
 
   test("append inside the rebuild's validate→commit window is caught post-commit (no silent loss)") {

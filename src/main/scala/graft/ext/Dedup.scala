@@ -273,11 +273,20 @@ object Dedup {
         .persist())
     val candB = cand.select(col("batch_doc").as("doc_id")).distinct()
     val candI = cand.select(col("index_doc").as("doc_id")).distinct()
+    // candidates only. Ids are disjoint by contract; the distinct
+    // makes the contract defensive — a doc_id that leaks onto BOTH
+    // sides (an upstream re-send) would otherwise double its shingle
+    // rows and inflate every jaccard it touches (2i/(2na+nb−2i) ≥ the
+    // true value), letting borderline non-dups over the threshold.
+    // Within each side rows are already unique (array_distinct), so
+    // for contract-honoring inputs this is a row-preserving no-op on
+    // a candidate-bounded frame.
     val sh = Scratch.track(shingleTable(
         batch.join(broadcast(candB), Seq("doc_id"), "left_semi"))
       .unionByName(shingleTable(
         index.join(broadcast(candI), Seq("doc_id"), "left_semi")))
-      .persist()) // disjoint ids by contract; candidates only
+      .distinct()
+      .persist())
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("batch_doc") === col("sa.doc_id"))

@@ -49,6 +49,7 @@ object GraphStream {
       extends Serializable {
     val seen = spark.sparkContext.longAccumulator("graph_seen")
     val pairs = spark.sparkContext.longAccumulator("graph_pairs")
+    val resent = spark.sparkContext.longAccumulator("graph_resent")
     @volatile var lastCommitted: Long = -1L
   }
 
@@ -81,15 +82,51 @@ object GraphStream {
       val storedId = batchId + 1 // 0 is reserved for batch base builds
       val cached = batch.persist()
       try {
-        if (cached.count() == 0) return
+        val nSeen = cached.count()
+        if (nSeen == 0) return
         val batchBands = graft.ext.Scratch.track(
           Dedup.bandTable(cached).persist())
-        // persisted for the trigger (scopedAll releases it): BOTH the
-        // bucket discovery below and incrementalNearDups' candidate
-        // join read the accumulated band index — one disk scan, not two
+        // pruned index read: only the band buckets this batch's hashes
+        // hit (the [[DedupStream.BandBuckets]] layout) — every use
+        // below is an equi-join on (band_idx, band_hash) or a probe
+        // for ids sharing those hashes, so rows in other buckets
+        // cannot contribute. Persisted for the trigger (scopedAll
+        // releases it): the candidate-bucket discovery, the
+        // re-sent-id probe, and incrementalNearDups' candidate join
+        // all read this one pruned scan.
+        val hitBandBuckets = batchBands
+          .select(DedupStream.bandBucket.as("band_bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq
         val indexBands = graft.ext.Scratch.track(
-          BatchIndex.readBefore(spark, bandIndexPath,
-            storedId, BandCols, batchBands.limit(0)).persist())
+          BatchIndex.readBeforeBuckets(spark, bandIndexPath,
+            storedId, BandCols, batchBands.limit(0),
+            "band_bucket", hitBandBuckets).persist())
+        // re-sent ids: a doc_id already in the stored band index has
+        // been ingested — screening it again would put the SAME doc on
+        // both sides of incrementalNearDups, whose shingle union then
+        // doubles its rows and inflates every jaccard it touches
+        // (2i/(2na+nb−2i) — borderline non-dups would enter the graph
+        // as false pair evidence), and it would land a second corpus
+        // row. Drop such rows: their evidence already exists. (Bands
+        // are a pure function of text, so an identical re-send always
+        // collides with its own stored rows; a CHANGED text under a
+        // reused doc_id is an upstream contract violation — doc ids
+        // are immutable identities here.)
+        val resentIds = graft.ext.Scratch.track(indexBands
+          .join(broadcast(cached.select("doc_id").distinct()),
+            Seq("doc_id"), "left_semi")
+          .select("doc_id").distinct().persist())
+        val nResent = resentIds.count()
+        val fresh =
+          if (nResent == 0L) cached
+          else graft.ext.Scratch.track(cached
+            .join(broadcast(resentIds), Seq("doc_id"), "left_anti")
+            .persist())
+        val freshBands =
+          if (nResent == 0L) batchBands
+          else graft.ext.Scratch.track(batchBands
+            .join(broadcast(resentIds), Seq("doc_id"), "left_anti")
+            .persist())
         // corpus side of candidate verification: the band join names
         // the candidate index docs FIRST (hash-sized tables), their
         // bucket set prunes the corpus read to ≤ min(candidates,
@@ -98,7 +135,7 @@ object GraphStream {
         // own first attempt — per-trigger corpus IO is candidate-
         // bucket-sized, never a full corpus rescan
         val candBuckets = indexBands
-          .join(broadcast(batchBands
+          .join(broadcast(freshBands
             .select("band_idx", "band_hash").distinct()),
             Seq("band_idx", "band_hash"))
           .select(pmod(col("doc_id"), lit(CorpusBuckets)).as("bucket"))
@@ -119,27 +156,31 @@ object GraphStream {
                 cached.limit(0)
             }
         val cross = Dedup.incrementalNearDups(
-            corpusBefore, cached, indexBands = Some(indexBands))
-          .filter(col("batch_doc") =!= col("index_doc")) // re-sent ids
+            corpusBefore, fresh, indexBands = Some(indexBands))
+          .filter(col("batch_doc") =!= col("index_doc")) // belt+braces
           .select(least(col("batch_doc"), col("index_doc")).as("doc_a"),
             greatest(col("batch_doc"), col("index_doc")).as("doc_b"))
-        val internal = Dedup.minhashNearDups(cached,
-            bands = Some(batchBands))
+        val internal = Dedup.minhashNearDups(fresh,
+            bands = Some(freshBands))
           .select("doc_a", "doc_b")
         val batchPairs = cross.unionByName(internal)
           .withColumn("modality", lit("text"))
-        // EVERY doc lands (evidence-preserving — no drops), bucketed
+        // EVERY fresh doc lands (evidence-preserving — no near-dup
+        // drops; only exact id re-sends are deduplicated), bucketed
         // for the pruned read-back above; pairs and relabel go
         // through the graph's own idempotent append
         BatchIndex.writePartition(
-          cached.withColumn("bucket",
+          fresh.withColumn("bucket",
             pmod(col("doc_id"), lit(CorpusBuckets))),
           storedId, corpusPath, bucketCol = Some("bucket"))
-        BatchIndex.writePartition(batchBands, storedId, bandIndexPath)
+        BatchIndex.writePartition(
+          freshBands.withColumn("band_bucket", DedupStream.bandBucket),
+          storedId, bandIndexPath, bucketCol = Some("band_bucket"))
         val nPairs = batchPairs.persist().count()
         try CorpusGraph.append(spark, graphPath, batchPairs, storedId)
         finally { batchPairs.unpersist(); () }
-        stats.seen.add(cached.count())
+        stats.seen.add(nSeen)
+        stats.resent.add(nResent)
         stats.pairs.add(nPairs)
         stats.lastCommitted = batchId
         ()

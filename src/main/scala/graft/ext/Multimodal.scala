@@ -1487,6 +1487,27 @@ object Multimodal {
     */
   val MediaFpBuckets = 16L
 
+  /** Band-bucket count for the fingerprint index's BAND sidecar
+    * component (`<root>/bands/modality=<m>/band_bucket=<b>/
+    * batch_id=<n>`, rows = [[fpBands]] output): the streaming screen
+    * joins on `(band_idx, band_val)`, so each trigger's index read
+    * prunes to the batch's hit band buckets instead of re-scanning
+    * the whole modality slice — the [[graft.streaming.DedupStream
+    * .BandBuckets]] rationale applied to media. Bands are a pure
+    * projection of stored fingerprints (no second decode), but the
+    * sidecar rows carry doc ids, so takedown purges data AND bands —
+    * [[mediaFpTakedownArtifacts]] is the enumeration that cannot
+    * forget one.
+    */
+  val MediaBandBuckets = 64L
+
+  /** The band-bucket expression — sidecar writer and every reader
+    * must agree (deterministic, no session state).
+    */
+  def mediaBandBucket: Column =
+    pmod(xxhash64(col("band_idx"), col("band_val")),
+      lit(MediaBandBuckets))
+
   /** The three perceptual modalities the unified index stores. */
   val MediaFpModalities: Seq[String] = Seq("image", "audio", "video")
 
@@ -1532,6 +1553,7 @@ object Multimodal {
 
   private def writeMediaFpSnapshot(documents: DataFrame,
       root: String): Unit = {
+    val spark = documents.sparkSession
     mediaFpRows(documents)
       // batch_id=0 is the base build; incremental appends land under
       // higher ids (the idempotent-overwrite unit, the BatchIndex
@@ -1547,7 +1569,32 @@ object Multimodal {
       // so flat-layout partition discovery never sees a v-<n> dir
       // (CONFLICTING_DIRECTORY_STRUCTURES — the IVF layout's lesson)
       .parquet(s"$root/data")
+    // band sidecar, derived from the JUST-WRITTEN fingerprints (3
+    // longs/doc read back — never a second decode). Static overwrite:
+    // a snapshot replaces the whole component, including any stale
+    // higher-batch band partitions from a previous life of this root.
+    bandSidecarRows(
+      spark.read.schema(MediaFpSchema).parquet(s"$root/data"))
+      .withColumn("batch_id", lit(0L))
+      .repartition(col("band_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("modality", "band_bucket", "batch_id")
+      .parquet(s"$root/bands")
   }
+
+  /** The band-sidecar rows of a fingerprint frame carrying `modality`
+    * and `decoded` columns: [[fpBands]] per modality + the sidecar's
+    * band-bucket column. Undecodable rows have no bands (they never
+    * screen); callers append `batch_id` and partition the write.
+    */
+  private def bandSidecarRows(fps: DataFrame): DataFrame =
+    MediaFpModalities.map { m =>
+      fpBands(fps
+          .filter(col("modality") === lit(m) && col("decoded"))
+          .select("doc_id", "fp_lo", "fp_hi"))
+        .withColumn("modality", lit(m))
+    }.reduce(_.unionByName(_))
+      .withColumn("band_bucket", mediaBandBucket)
 
   /** All three modalities' fingerprints for a document frame, bucketed
     * — the decode step shared by the base build and the incremental
@@ -1575,17 +1622,37 @@ object Multimodal {
     require(batchId > 0, "batch_id 0 is the base build")
     val spark = batch.sparkSession
     val root = Versioned.resolve(spark, path)
-    mediaFpRows(batch)
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("modality"), col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("modality", "bucket", "batch_id")
-      .parquet(s"$root/data")
+    // decode ONCE: the same rows land in data AND derive the band
+    // sidecar partition
+    val rows = mediaFpRows(batch).persist()
+    try {
+      rows
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("modality"), col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("modality", "bucket", "batch_id")
+        .parquet(s"$root/data")
+      writeBandSidecarPartition(rows, batchId, root)
+    } finally { rows.unpersist(); () }
     // append-vs-rebuild race: fail loudly if a rebuild committed while
     // this batch was writing (re-running the append recovers)
     Versioned.assertAppendLanded(spark, path, root, "media fp")
   }
+
+  /** Land one batch's band-sidecar rows (dynamic overwrite — an
+    * at-least-once replay rewrites exactly its own partitions, the
+    * same idempotence unit as the data component).
+    */
+  private def writeBandSidecarPartition(fps: DataFrame, batchId: Long,
+      root: String): Unit =
+    bandSidecarRows(fps)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("band_bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("modality", "band_bucket", "batch_id")
+      .parquet(s"$root/bands")
 
   /** Land one modality's ALREADY-DECODED fingerprints under the
     * unified index's (modality, bucket, batch_id) layout — the
@@ -1606,16 +1673,21 @@ object Multimodal {
       s"unknown modality: $modality")
     val spark = fps.sparkSession
     val root = Versioned.resolve(spark, path)
-    fps.select(col("doc_id"), col("decoded"), col("fp_lo"),
+    val rows = fps.select(col("doc_id"), col("decoded"), col("fp_lo"),
         col("fp_hi"))
       .withColumn("modality", lit(modality))
       .withColumn("bucket", pmod(col("doc_id"), lit(MediaFpBuckets)))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("modality", "bucket", "batch_id")
-      .parquet(s"$root/data")
+      .persist()
+    try {
+      rows
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("modality", "bucket", "batch_id")
+        .parquet(s"$root/data")
+      writeBandSidecarPartition(rows, batchId, root)
+    } finally { rows.unpersist(); () }
     Versioned.assertAppendLanded(spark, path, root, "media fp")
   }
 
@@ -1626,11 +1698,23 @@ object Multimodal {
     * level, so -1 serves like any other).
     */
   def compactMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long) =
-    graft.streaming.BatchIndex.compactMulti(spark,
-      s"${Versioned.resolve(spark, path)}/data",
+      path: String): (Long, Long) = {
+    val root = Versioned.resolve(spark, path)
+    val out = graft.streaming.BatchIndex.compactMulti(spark,
+      s"$root/data",
       cols = Seq("doc_id", "decoded", "fp_lo", "fp_hi"),
       bucketCols = Seq("modality", "bucket"))
+    // the band sidecar compacts with its component (absent on a
+    // pre-sidecar root — nothing to fold)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands")))
+      graft.streaming.BatchIndex.compactMulti(spark, s"$root/bands",
+        cols = Seq("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val"),
+        bucketCols = Seq("modality", "band_bucket"))
+    out
+  }
 
   /** Rebuild the fingerprint index with atomic swap — the
     * [[Versioned]] lifecycle applied to the media artifact (the
@@ -1679,6 +1763,14 @@ object Multimodal {
     val built = staged.count()
     require(built == want,
       s"staged media fp rebuild has $built rows, corpus implies $want")
+    // two-component consistency: the band sidecar must cover exactly
+    // the staged decoded fingerprints (4 bands each)
+    val wantBands = staged.filter(col("decoded")).count() * 4L
+    val builtBands = spark.read.schema(MediaBandSchema)
+      .parquet(s"$stage/bands").count()
+    require(builtBands == wantBands,
+      s"staged band sidecar has $builtBands rows, " +
+        s"fingerprints imply $wantBands")
     // coverage check against the CURRENT snapshot (skipped when no
     // index exists yet — a first build through the rebuild path — or
     // when the caller declared the shrink)
@@ -1726,7 +1818,7 @@ object Multimodal {
             "new snapshot — a stranded append from a crashed rebuild; " +
             "re-run the append, then rebuild again")
       }
-    Versioned.retire(spark, path, flatSubdirs = Seq("data"))
+    Versioned.retire(spark, path, flatSubdirs = Seq("data", "bands"))
     n
   }
 
@@ -1779,12 +1871,74 @@ object Multimodal {
       StructField("batch_id", LongType)))
   }
 
+  /** Band-sidecar schema (see [[MediaBandBuckets]]). */
+  val MediaBandSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fp_lo", LongType),
+      StructField("fp_hi", LongType),
+      StructField("band_idx", LongType),
+      StructField("band_val", LongType),
+      StructField("modality", StringType),
+      StructField("band_bucket", LongType),
+      StructField("batch_id", LongType)))
+  }
+
   def readMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     // resolve once per query — a screen straddling a rebuild's swap
     // reads one snapshot throughout (see [[Versioned]])
     spark.read.schema(MediaFpSchema)
       .parquet(s"${Versioned.resolve(spark, path)}/data")
+
+  /** The band sidecar's rows for ONE modality, pruned to `hitBuckets`
+    * and to batches strictly before `beforeBatch` — the per-trigger
+    * read of [[graft.streaming.MediaDedupStream]]. Returns `None`
+    * when the root predates the sidecar (flat pre-bands layout): the
+    * caller falls back to deriving bands from the full modality slice
+    * (correct, the old linear-scan cost) instead of silently
+    * screening against nothing.
+    */
+  def mediaFpBandsPruned(spark: org.apache.spark.sql.SparkSession,
+      root: String, modality: String, hitBuckets: Seq[Long],
+      beforeBatch: Long): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands")))
+      None
+    else Some(spark.read.schema(MediaBandSchema)
+      .parquet(s"$root/bands")
+      .filter(col("modality") === lit(modality)
+        && col("band_bucket").isin(hitBuckets: _*) // partition pruning
+        && col("batch_id") < beforeBatch)
+      .select("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val"))
+  }
+
+  /** The takedown artifact entries for the media fp artifact: BOTH
+    * components of EVERY retained root (retained snapshots are real
+    * copies; the band sidecar carries doc ids just like the data
+    * component — an enumeration that lists only `data` leaves purged
+    * ids serving from `bands`). Pre-sidecar roots contribute only
+    * their data component.
+    */
+  def mediaFpTakedownArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Takedown.Artifact] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    mediaFpRetainedRoots(spark, path).flatMap { r =>
+      Seq(Takedown.PartitionedIndex(s"mediafp:$r", s"$r/data",
+        "doc_id", Seq("modality", "bucket", "batch_id"))) ++
+        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$r/bands")))
+          Seq(Takedown.PartitionedIndex(s"mediafp_bands:$r",
+            s"$r/bands", "doc_id",
+            Seq("modality", "band_bucket", "batch_id")))
+        else Seq.empty)
+    }
+  }
 
   /** One modality's near-dup screen served from the persisted index —
     * the modality filter prunes to that modality's partitions, the

@@ -80,6 +80,48 @@ object BatchIndex {
         empty
     }
 
+  /** The key-bucket expression for KEY-bucketed index layouts: indexes
+    * whose per-trigger read is an equi-join against the current
+    * batch's keys (band hashes, LSH buckets, gram hashes) partition by
+    * `bucketCol = keyBucket(B, keyCols…)` so [[readBeforeBuckets]] can
+    * prune the read to the buckets the batch actually hits. Without
+    * it, every trigger re-scans the WHOLE accumulated index — read IO
+    * linear in corpus size, which is what caps a streaming screen's
+    * docs/s at scale. pmod of xxhash64 is deterministic across
+    * sessions (required: writer and every future reader must agree).
+    */
+  def keyBucket(buckets: Long,
+      keyCols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols: _*), lit(buckets))
+
+  /** [[readBefore]] pruned to the `bucketCol` partitions in `buckets`
+    * — the per-trigger read of a key-bucketed index. The batch's
+    * distinct hit-bucket list is ≤ min(batch keys, B) values, so the
+    * scan touches only hit partitions: per-trigger IO proportional to
+    * the batch's key spread × (index/B), not the whole index. Rows
+    * outside `buckets` cannot join any batch key by construction
+    * (same bucket function both sides), so pruning is lossless. Same
+    * absent-only recovery and replay-excluding `batch_id < batchId`
+    * semantics as [[readBefore]].
+    */
+  def readBeforeBuckets(spark: SparkSession, path: String,
+      batchId: Long, cols: Seq[String], empty: => DataFrame,
+      bucketCol: String, buckets: Seq[Long]): DataFrame =
+    if (buckets.isEmpty) empty
+    else try {
+      spark.read.parquet(path)
+        .filter(col(bucketCol).isin(buckets: _*) // partition pruning
+          && col("batch_id") < batchId)
+        .select(cols.map(col): _*)
+    } catch {
+      case e: AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        empty
+    }
+
   /** Contract 3: fold every committed `batch_id >= 0` partition into
     * one `batch_id = -1` partition (per bucket when `bucketCol` is
     * set). `fold` is the merge semantics — distinct rows by default,

@@ -29,6 +29,27 @@ import graft.ext.Dedup
   */
 object DedupStream {
 
+  /** Band-hash bucket count for the persisted band index layout:
+    * `band_bucket = keyBucket(band_hash) / batch_id=<n>`. The
+    * per-trigger screen is an equi-join on `(band_idx, band_hash)`,
+    * so the read prunes to the batch's hit buckets instead of
+    * re-scanning the whole accumulated index — per-trigger IO is
+    * (hit buckets / B) × index, flat in corpus size once B exceeds
+    * the batch's distinct band-hash count. 64 at fixture scale; a
+    * 100 TB deployment sizes B ≫ (trigger docs × NumBands) — the
+    * [[graft.ext.Multimodal.MediaFpBuckets]] sizing rule applied to
+    * the band key. Layout note: an index written flat (pre-bucketing)
+    * cannot be mixed in place — migrate with a one-time re-bucket
+    * rewrite before resuming the checkpoint.
+    */
+  val BandBuckets = 64L
+
+  /** The band-bucket expression — writer and every reader must agree
+    * (deterministic xxhash64, no session state).
+    */
+  def bandBucket: org.apache.spark.sql.Column =
+    BatchIndex.keyBucket(BandBuckets, col("band_hash"))
+
   final class DedupStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {
     val seen = spark.sparkContext.longAccumulator("dedup_seen")
@@ -67,11 +88,17 @@ object DedupStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val index = BatchIndex.readBefore(spark, indexPath, batchId,
-          Seq("doc_id", "band_idx", "band_hash"),
-          Dedup.bandTable(cached.limit(0)))
         val bands = Dedup.bandTable(cached).persist()
         try {
+          // pruned read: only the band buckets this batch's hashes
+          // hit — the screen joins on (band_idx, band_hash), so rows
+          // in other buckets cannot match by construction
+          val hitBuckets = bands
+            .select(bandBucket.as("band_bucket")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val index = BatchIndex.readBeforeBuckets(spark, indexPath,
+            batchId, Seq("doc_id", "band_idx", "band_hash"),
+            Dedup.bandTable(cached.limit(0)), "band_bucket", hitBuckets)
           val drops = dropSet(bands, index).persist()
           val survivors = cached
             .join(broadcast(drops), Seq("doc_id"), "left_anti")
@@ -79,8 +106,9 @@ object DedupStream {
           val nKept = survivors.count()
           BatchIndex.writePartition(survivors, batchId, corpusPath)
           BatchIndex.writePartition(
-            bands.join(broadcast(drops), Seq("doc_id"), "left_anti"),
-            batchId, indexPath)
+            bands.join(broadcast(drops), Seq("doc_id"), "left_anti")
+              .withColumn("band_bucket", bandBucket),
+            batchId, indexPath, bucketCol = Some("band_bucket"))
           stats.seen.add(nSeen); stats.kept.add(nKept)
           stats.lastCommitted = batchId
           drops.unpersist(); survivors.unpersist()
@@ -96,8 +124,9 @@ object DedupStream {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) =
-    BatchIndex.compact(spark, indexPath,
-      Seq("doc_id", "band_idx", "band_hash"))
+    BatchIndex.compactMulti(spark, indexPath,
+      Seq("doc_id", "band_idx", "band_hash"),
+      bucketCols = Seq("band_bucket"))
 
   /** Attach the dedup ingest to a documents stream. */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,

@@ -36,6 +36,19 @@ object EmbedStream {
   val PlanesPerTable = 12
   val Dim = 64
 
+  /** Key-bucket count for the persisted LSH index layout
+    * (`band_bucket = keyBucket(table_idx, bucket) / batch_id=<n>`):
+    * the screen joins on `(table_idx, bucket)`, so each trigger's
+    * index read prunes to the batch's hit buckets instead of
+    * re-scanning the accumulated index (the [[DedupStream
+    * .BandBuckets]] rationale, vector side).
+    */
+  val KeyBuckets = 64L
+
+  /** The key-bucket expression — writer and readers must agree. */
+  def keyBucketCol: Column =
+    BatchIndex.keyBucket(KeyBuckets, col("table_idx"), col("bucket"))
+
   /** Deterministic hyperplane component for (table, plane, dim) — same
     * public md5-derived scheme as [[Hashing]]/[[graft.ext.Similarity]],
     * distinct salt so the stream index is independent of the query-side
@@ -106,11 +119,16 @@ object EmbedStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val index = BatchIndex.readBefore(spark, indexPath, batchId,
-          Seq("vec_id", "table_idx", "bucket"),
-          bucketTable(cached.limit(0)))
         val buckets = bucketTable(cached).persist()
         try {
+          // pruned read: only the key buckets this batch hits — the
+          // screen joins on (table_idx, bucket), so rows elsewhere
+          // cannot collide by construction
+          val hit = buckets.select(keyBucketCol.as("band_bucket"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val index = BatchIndex.readBeforeBuckets(spark, indexPath,
+            batchId, Seq("vec_id", "table_idx", "bucket"),
+            bucketTable(cached.limit(0)), "band_bucket", hit)
           val drops = dropSet(buckets, index).persist()
           val survivors = cached
             .join(broadcast(drops), Seq("vec_id"), "left_anti")
@@ -118,8 +136,9 @@ object EmbedStream {
           val nKept = survivors.count()
           BatchIndex.writePartition(survivors, batchId, corpusPath)
           BatchIndex.writePartition(
-            buckets.join(broadcast(drops), Seq("vec_id"), "left_anti"),
-            batchId, indexPath)
+            buckets.join(broadcast(drops), Seq("vec_id"), "left_anti")
+              .withColumn("band_bucket", keyBucketCol),
+            batchId, indexPath, bucketCol = Some("band_bucket"))
           stats.seen.add(nSeen); stats.kept.add(nKept)
           stats.lastCommitted = batchId
           drops.unpersist(); survivors.unpersist()
@@ -133,8 +152,9 @@ object EmbedStream {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) =
-    BatchIndex.compact(spark, indexPath,
-      Seq("vec_id", "table_idx", "bucket"))
+    BatchIndex.compactMulti(spark, indexPath,
+      Seq("vec_id", "table_idx", "bucket"),
+      bucketCols = Seq("band_bucket"))
 
   /** Attach the embedding ingest to a vector stream. */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,

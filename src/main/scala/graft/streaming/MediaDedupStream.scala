@@ -99,25 +99,38 @@ object MediaDedupStream {
           val nRejected = fps.filter(!col("decoded")).count()
           val keptFpCols = fps.filter(col("decoded"))
             .select("doc_id", "fp_lo", "fp_hi")
-          val bands = Multimodal.fpBands(keptFpCols)
-          // the accumulated fingerprints visible to this batch: the
-          // unified index's modality slice, strictly-before batches
-          // only (replay-excluding read — the readBefore contract)
-          val indexFps =
-            try Multimodal.readMediaFpIndex(spark, indexPath)
-              .filter(col("modality") === lit(modality)
-                && col("decoded") && col("batch_id") < storedId)
-              .select("doc_id", "fp_lo", "fp_hi")
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition != null
-                    && (e.getCondition.contains("PATH_NOT_FOUND")
-                      || e.getCondition.contains(
-                        "UNABLE_TO_INFER_SCHEMA")) =>
-                keptFpCols.limit(0)
-            }
-          val drops = dropSet(bands, Multimodal.fpBands(indexFps))
-            .persist()
+          val bands = Multimodal.fpBands(keptFpCols).persist()
+          // the accumulated fingerprints visible to this batch,
+          // PRUNED to the band buckets the batch hits (the band
+          // sidecar layout — [[Multimodal.MediaBandBuckets]]): a
+          // Hamming-≤3 neighbor shares ≥1 band (pigeonhole), so rows
+          // in other buckets cannot drop anything. Strictly-before
+          // batches only (replay-excluding — the readBefore
+          // contract). A pre-sidecar root falls back to deriving
+          // bands from the full modality slice — correct, at the old
+          // linear-scan cost — never to screening against nothing.
+          val root = graft.ext.Versioned.resolve(spark, indexPath)
+          val hit = bands
+            .select(Multimodal.mediaBandBucket.as("band_bucket"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val indexBands =
+            if (hit.isEmpty) Multimodal.fpBands(keptFpCols.limit(0))
+            else Multimodal.mediaFpBandsPruned(spark, root, modality,
+                hit, storedId)
+              .getOrElse(Multimodal.fpBands(
+                try Multimodal.readMediaFpIndex(spark, root)
+                  .filter(col("modality") === lit(modality)
+                    && col("decoded") && col("batch_id") < storedId)
+                  .select("doc_id", "fp_lo", "fp_hi")
+                catch {
+                  case e: org.apache.spark.sql.AnalysisException
+                      if e.getCondition != null
+                        && (e.getCondition.contains("PATH_NOT_FOUND")
+                          || e.getCondition.contains(
+                            "UNABLE_TO_INFER_SCHEMA")) =>
+                    keptFpCols.limit(0)
+                }))
+          val drops = dropSet(bands, indexBands).persist()
           val keptFps = fps.filter(col("decoded"))
             .join(broadcast(drops), Seq("doc_id"), "left_anti")
           val survivors = cached
@@ -133,7 +146,7 @@ object MediaDedupStream {
           stats.rejected.add(nRejected)
           stats.kept.add(nKept)
           stats.lastCommitted = batchId
-          drops.unpersist(); survivors.unpersist()
+          drops.unpersist(); survivors.unpersist(); bands.unpersist()
           ()
         } finally { fps.unpersist(); () }
       } finally { cached.unpersist(); () }

@@ -25,6 +25,18 @@ import graft.ext.TextAnalysis
   */
 object NoveltyStream {
 
+  /** Key-bucket count for the persisted gram index layout
+    * (`band_bucket = keyBucket(h) / batch_id=<n>`): novelty scoring
+    * joins batch grams against the index on `h`, so each trigger's
+    * read prunes to the batch's hit buckets (the
+    * [[DedupStream.BandBuckets]] rationale, gram side).
+    */
+  val KeyBuckets = 64L
+
+  /** The gram-bucket expression — writer and readers must agree. */
+  def gramBucket: org.apache.spark.sql.Column =
+    BatchIndex.keyBucket(KeyBuckets, col("h"))
+
   final class NoveltyStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {
     val seen = spark.sparkContext.longAccumulator("novelty_seen")
@@ -43,8 +55,12 @@ object NoveltyStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
-        val index = BatchIndex.readBefore(spark, indexPath, batchId,
-          Seq("h"), TextAnalysis.gramIndex(cached.limit(0)))
+        val grams = TextAnalysis.gramIndex(cached).persist()
+        val hit = grams.select(gramBucket.as("band_bucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val index = BatchIndex.readBeforeBuckets(spark, indexPath,
+          batchId, Seq("h"), TextAnalysis.gramIndex(cached.limit(0)),
+          "band_bucket", hit)
         val report = TextAnalysis.noveltyAgainst(index, cached)
           .withColumn("batch_id", lit(batchId))
           .persist()
@@ -54,11 +70,12 @@ object NoveltyStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(reportPath)
           BatchIndex.writePartition(
-            TextAnalysis.gramIndex(cached), batchId, indexPath)
+            grams.withColumn("band_bucket", gramBucket),
+            batchId, indexPath, bucketCol = Some("band_bucket"))
           stats.seen.add(nSeen); stats.novel.add(nNovel)
           stats.lastCommitted = batchId
           ()
-        } finally { report.unpersist(); () }
+        } finally { report.unpersist(); grams.unpersist(); () }
       } finally { cached.unpersist(); () }
     }
 
@@ -75,7 +92,8 @@ object NoveltyStream {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) =
-    BatchIndex.compact(spark, indexPath, Seq("h"))
+    BatchIndex.compactMulti(spark, indexPath, Seq("h"),
+      bucketCols = Seq("band_bucket"))
 
   /** Attach the novelty scorer to a documents stream. */
   def start(stream: DataFrame, reportPath: String, indexPath: String,

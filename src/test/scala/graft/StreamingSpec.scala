@@ -1144,14 +1144,25 @@ class StreamingSpec extends AnyFunSuite {
     // docs as against a clean index
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val b2Dir = new org.apache.hadoop.fs.Path(indexDir, "batch_id=2")
-    val saved = new org.apache.hadoop.fs.Path(
-      Files.createTempDirectory("saved_b2").toString, "batch_id=2")
-    org.apache.hadoop.fs.FileUtil.copy(fs, b2Dir, fs, saved, false,
-      spark.sparkContext.hadoopConfiguration)
+    // batch 2's rows live under band_bucket=*/batch_id=2 (the bucketed
+    // layout) — save and restore every bucket's slice of the batch
+    val savedRoot = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("saved_b2").toString)
+    val b2Dirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(s => s.isDirectory
+        && s.getPath.getName.startsWith("band_bucket="))
+      .map(s => new org.apache.hadoop.fs.Path(s.getPath, "batch_id=2"))
+      .filter(fs.exists)
+    assert(b2Dirs.nonEmpty, "expected batch 2 partitions to save")
+    def mirror(d: org.apache.hadoop.fs.Path) =
+      new org.apache.hadoop.fs.Path(savedRoot,
+        s"${d.getParent.getName}/batch_id=2")
+    b2Dirs.foreach(d => org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
+      mirror(d), false, spark.sparkContext.hadoopConfiguration))
     graft.streaming.DedupStream.compactIndex(spark, indexDir)
-    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, b2Dir, false,
-      spark.sparkContext.hadoopConfiguration)
+    b2Dirs.foreach(d => org.apache.hadoop.fs.FileUtil.copy(fs,
+      mirror(d), fs, d, false,
+      spark.sparkContext.hadoopConfiguration))
     assert(spark.read.parquet(indexDir).select("batch_id").distinct()
       .collect().map(_.getAs[Number]("batch_id").longValue()).toSet
       == Set(-1L, 2L), "crash-window state not reproduced")
@@ -1162,6 +1173,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpusDir).select("doc_id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 5L, 7L, 9L),
       "duplicate index rows from a crashed compaction changed decisions")
+  }
+
+  test("band-bucketed index: a trigger's read prunes to its hit buckets (audited)") {
+    import spark.implicits._
+    import graft.streaming.{BatchIndex, DedupStream}
+    val corpusDir = Files.createTempDirectory("bb_corpus").toString
+    val indexDir = Files.createTempDirectory("bb_index").toString
+    val stats = new DedupStream.DedupStats(spark)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // a corpus of 60 distinct docs: 60×16 band hashes spread over the
+    // 64 buckets, so essentially every bucket holds rows
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 60L).map(i => (i, s"anchor$i " +
+      Seq.fill(30)(s"w${rnd.nextInt(100000)}").mkString(" ")))
+    DedupStream.processBatch(docs(corpus: _*), 0L, corpusDir, indexDir,
+      stats)
+    val allBuckets = spark.read.parquet(indexDir)
+      .select("band_bucket").distinct().count()
+    assert(allBuckets > 32L, s"corpus spread too narrow: $allBuckets")
+    // a ONE-doc trigger hits at most its 16 band-hash buckets — the
+    // pruned read must touch only those partitions, not the index
+    val b = docs((100L, corpus.head._2 + " twin"))
+    val bands = graft.ext.Dedup.bandTable(b)
+    val hit = bands.select(DedupStream.bandBucket.as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hit.size <= 16, s"one doc spans ${hit.size} buckets")
+    val pruned = BatchIndex.readBeforeBuckets(spark, indexDir, 1L,
+      Seq("doc_id", "band_idx", "band_hash"), bands.limit(0),
+      "band_bucket", hit.toSeq)
+    val scannedBuckets = spark.read.parquet(indexDir)
+      .filter(col("band_bucket").isin(hit.toSeq: _*)
+        && col("batch_id") < 1L)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .flatMap("band_bucket=(\\d+)".r.findFirstMatchIn(_)
+        .map(_.group(1).toLong)).toSet
+    assert(scannedBuckets.subsetOf(hit),
+      s"read outside hit buckets: ${scannedBuckets -- hit}")
+    assert(scannedBuckets.size < allBuckets,
+      "pruning must skip partitions the batch cannot match")
+    // pruning is lossless for the screen: the pruned read joins to the
+    // same candidate set as a full-index read
+    val full = BatchIndex.readBefore(spark, indexDir, 1L,
+      Seq("doc_id", "band_idx", "band_hash"), bands.limit(0))
+    def cands(idx: org.apache.spark.sql.DataFrame) =
+      idx.join(bands.select("band_idx", "band_hash").distinct(),
+          Seq("band_idx", "band_hash"))
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    assert(cands(pruned) == cands(full) && cands(pruned).contains(1L))
   }
 
   test("streaming DQ monitor: replay is idempotent; aliases resolve business names") {
@@ -1403,13 +1464,13 @@ class StreamingSpec extends AnyFunSuite {
     // forgotten the content
     import graft.ext.Takedown
     val ids = Seq(30L).toDF("doc_id")
-    val out = Takedown.propagate(spark, ids, Seq(
+    val out = Takedown.propagate(spark, ids,
       Takedown.PartitionedIndex("media_corpus", corpusDir, "doc_id",
-        Seq("batch_id")),
-      Takedown.PartitionedIndex("media_index", s"$indexDir/data",
-        "doc_id", Seq("modality", "bucket", "batch_id"))))
+        Seq("batch_id"))
+        +: Multimodal.mediaFpTakedownArtifacts(spark, indexDir))
     assert(out.map(a => a.artifact -> a.rowsRemoved)
-      == Seq("media_corpus" -> 1L, "media_index" -> 1L))
+      == Seq("media_corpus" -> 1L, s"mediafp:$indexDir" -> 1L,
+        s"mediafp_bands:$indexDir" -> 4L), out.toString)
     assert(out.forall(_.leftover == 0L))
     assert(!corpusIds.contains(30L), "payload bytes must be gone")
     MediaDedupStream.processBatch(batchDf((37L, img(37))), 4L,
@@ -1488,6 +1549,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(CorpusGraph.readLabels(spark, graphDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == labels)
     assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+
+    // re-sent id across batches: doc 1 arrives AGAIN next to a
+    // genuinely new near-dup of 11 — the re-send is dropped (one
+    // corpus row, no doubled shingles, no duplicate pair evidence),
+    // the new doc ingests and pairs normally
+    val b2 = docsDf((1L, textA), (20L, textC + " q"))
+    GraphStream.processBatch(b2, 2L, corpusDir, bandsDir, graphDir,
+      fresh)
+    assert(fresh.resent.value == 1L, s"resent=${fresh.resent.value}")
+    assert(spark.read.parquet(corpusDir)
+      .filter(col("doc_id") === 1L).count() == 1L,
+      "a re-sent id must not land a second corpus row")
+    val labels2 = CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels2 == labels ++ Map(11L -> 11L, 20L -> 11L),
+      s"$labels2")
+    // no duplicate (1,*) evidence rows appeared under batch 2
+    assert(CorpusGraph.readPairs(spark, graphDir)
+      .filter((col("doc_a") === 1L || col("doc_b") === 1L)
+        && col("batch_id") === 3L).count() == 0L)
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
   }
 
   test("stream leg extends the BATCH fingerprint index: one artifact serves both ingest paths") {
@@ -1529,12 +1611,62 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(10L, 20L, 30L))
     assert(Multimodal.mediaNearDupsServed(spark, idx, "image")
       .count() == 0L, "survivor set has no residual near-pairs")
-    // and ONE takedown target covers both ingest paths
+    // and ONE artifact (data + band sidecar) covers both ingest paths
     import graft.ext.Takedown
-    val out = Takedown.propagate(spark, Seq(30L).toDF("doc_id"), Seq(
-      Takedown.PartitionedIndex("media_fp", s"$idx/data", "doc_id",
-        Seq("modality", "bucket", "batch_id"))))
-    assert(out.head.rowsRemoved == 1L && out.head.leftover == 0L)
+    val out = Takedown.propagate(spark, Seq(30L).toDF("doc_id"),
+      Multimodal.mediaFpTakedownArtifacts(spark, idx))
+    assert(out.map(_.rowsRemoved) == Seq(1L, 4L), out.toString)
+    assert(out.forall(_.leftover == 0L))
+  }
+
+  test("media band sidecar: a trigger's screen reads only its hit band buckets (audited)") {
+    import graft.ext.Multimodal
+    val idx = Files.createTempDirectory("mb_idx").toString
+    val base = Tables(spark, Sf0001).documents
+      .filter(col("doc_id") < 80)
+    Multimodal.writeMediaFpIndex(base, idx)
+    val allBuckets = spark.read.schema(Multimodal.MediaBandSchema)
+      .parquet(s"$idx/bands")
+      .filter(col("modality") === "image")
+      .select("band_bucket").distinct().count()
+    assert(allBuckets > 16L, s"spread too narrow: $allBuckets")
+    // a one-image trigger hits at most its 4 band buckets
+    val batFps = Multimodal.mediaFingerprints(
+        base.filter(col("doc_id") === 3L), "image")
+      .filter(col("decoded")).select("doc_id", "fp_lo", "fp_hi")
+    val bands = Multimodal.fpBands(batFps)
+    val hit = bands
+      .select(Multimodal.mediaBandBucket.as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hit.nonEmpty && hit.size <= 4, s"hit=$hit")
+    val pruned = Multimodal.mediaFpBandsPruned(spark, idx, "image",
+      hit.toSeq, beforeBatch = 1L)
+      .getOrElse(fail("sidecar must exist on a fresh base build"))
+    val scannedBuckets = spark.read
+      .schema(Multimodal.MediaBandSchema).parquet(s"$idx/bands")
+      .filter(col("modality") === "image"
+        && col("band_bucket").isin(hit.toSeq: _*)
+        && col("batch_id") < 1L)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .flatMap("band_bucket=(\\d+)".r.findFirstMatchIn(_)
+        .map(_.group(1).toLong)).toSet
+    assert(scannedBuckets.subsetOf(hit),
+      s"read outside hit buckets: ${scannedBuckets -- hit}")
+    assert(scannedBuckets.size < allBuckets,
+      "pruning must skip band buckets the trigger cannot match")
+    // lossless: candidates from the pruned read equal candidates from
+    // bands derived off the full modality slice (the fallback path)
+    def cands(idxBands: org.apache.spark.sql.DataFrame) =
+      idxBands.join(bands.select("band_idx", "band_val").distinct(),
+          Seq("band_idx", "band_val"))
+        .select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet
+    val full = Multimodal.fpBands(
+      Multimodal.readMediaFpIndex(spark, idx)
+        .filter(col("modality") === "image" && col("decoded"))
+        .select("doc_id", "fp_lo", "fp_hi"))
+    assert(cands(pruned) == cands(full) && cands(pruned).contains(3L))
   }
 
   test("streaming media dedup ingests video clips through the same screen") {

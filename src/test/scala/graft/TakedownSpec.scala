@@ -264,18 +264,26 @@ class TakedownSpec extends AnyFunSuite {
       .limit(2).collect().map(_.getLong(0)).toSeq
     import spark.implicits._
     val ids = hitIds.toDF("doc_id")
+    // pre-purge ground truth for the sidecar's removal accounting
+    val expectedBandRows = spark.read
+      .schema(Multimodal.MediaBandSchema).parquet(s"$path/bands")
+      .join(ids, Seq("doc_id"), "left_semi").count()
     val untouched = Multimodal.MediaFpModalities.flatMap { m =>
       (0L until Multimodal.MediaFpBuckets).filter(_ != 5L)
         .map(b => s"$path/data/modality=$m/bucket=$b/batch_id=0")
     }.map(d => d -> listFiles(d)).toMap
-    val out = Takedown.propagate(spark, ids, Seq(
-      Takedown.PartitionedIndex("media_fp", s"$path/data", "doc_id",
-        Seq("modality", "bucket", "batch_id"))))
-    assert(out.head.rowsRemoved == 3L * hitIds.size,
+    val out = Takedown.propagate(spark, ids,
+      Multimodal.mediaFpTakedownArtifacts(spark, path))
+    val dataOut = out.find(_.artifact == s"mediafp:$path").get
+    assert(dataOut.rowsRemoved == 3L * hitIds.size,
       "each id holds one row per modality")
-    assert(out.head.leftover == 0L)
-    assert(out.head.partsRewritten == 3L,
+    assert(out.forall(_.leftover == 0L), out.toString)
+    assert(dataOut.partsRewritten == 3L,
       "only the hit bucket's three modality partitions rewrite")
+    // the band sidecar purges alongside: 4 bands per DECODED
+    // (modality, id) fingerprint — undecodable rows never had bands
+    val bandsOut = out.find(_.artifact == s"mediafp_bands:$path").get
+    assert(bandsOut.rowsRemoved == expectedBandRows, bandsOut.toString)
     // physically pruned: every untouched partition keeps its exact files
     untouched.foreach { case (d, files) =>
       assert(listFiles(d) == files, s"untouched partition rewritten: $d")

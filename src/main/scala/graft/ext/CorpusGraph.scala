@@ -603,6 +603,15 @@ object CorpusGraph {
       pairs: DataFrame, path: String,
       beforeCommit: () => Unit = () => ()): Long = {
     val cur = Versioned.resolve(spark, path)
+    // baseline for the post-commit late-append check, captured BEFORE
+    // staging: the stage+validate phase is the rebuild's LONG window,
+    // and an append landing during it passes its own guard (the
+    // marker isn't created yet, so the root is unchanged) while being
+    // absent from the caller's re-screened pairs — capturing after
+    // validation (as the media rebuild can afford, its coverage check
+    // reads the current root post-stage) would silently retire that
+    // batch's only copy
+    val curPairsAtStart = pairRowsOf(spark, cur)
     val n = Versioned.nextVersion(spark, path)
     val stage = Versioned.versionDir(path, n)
     Versioned.clearStage(spark, stage)
@@ -610,15 +619,14 @@ object CorpusGraph {
     require(staleLabelCountAt(spark, stage) == 0L,
       "staged graph snapshot's labels disagree with its pairs — " +
         "incomplete stage write; clear and re-run the rebuild")
-    val curPairsAtValidation = pairRowsOf(spark, cur)
     beforeCommit()
     Versioned.commit(spark, stage)
     // appends only ever ADD pair rows, so growth of the superseded
-    // root since validation is a late append: keep the old root (the
+    // root since the resolve is a late append: keep the old root (the
     // batch's only copy), serve the new one, and carry the recovery
     // in the error (re-run the append — it lands in the committed
     // snapshot — then rebuild again if its pairs must re-band)
-    val lateRows = pairRowsOf(spark, cur) - curPairsAtValidation
+    val lateRows = pairRowsOf(spark, cur) - curPairsAtStart
     require(lateRows <= 0L,
       s"an append landed $lateRows pair rows in the superseded " +
         "snapshot during the rebuild; old root retained — re-run the " +

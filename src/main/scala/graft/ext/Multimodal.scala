@@ -679,17 +679,22 @@ object Multimodal {
     */
   def fpBands(fingerprints: DataFrame): DataFrame =
     fingerprints.select(col("doc_id"), col("fp_lo"),
-      col("fp_hi"), explode(array(
-        struct(lit(0L).as("band_idx"),
-          col("fp_lo").bitwiseAND(lit(65535L)).as("band_val")),
-        struct(lit(1L).as("band_idx"),
-          shiftright(col("fp_lo"), 16).as("band_val")),
-        struct(lit(2L).as("band_idx"),
-          col("fp_hi").bitwiseAND(lit(65535L)).as("band_val")),
-        struct(lit(3L).as("band_idx"),
-          shiftright(col("fp_hi"), 16).as("band_val")))).as("b"))
+      col("fp_hi"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+
+  /** The 4×16-bit band slices of a (fp_lo, fp_hi) fingerprint — the
+    * ONE definition [[fpBands]] and the sidecar backfill explode.
+    */
+  private def bandStructs: Column = array(
+    struct(lit(0L).as("band_idx"),
+      col("fp_lo").bitwiseAND(lit(65535L)).as("band_val")),
+    struct(lit(1L).as("band_idx"),
+      shiftright(col("fp_lo"), 16).as("band_val")),
+    struct(lit(2L).as("band_idx"),
+      col("fp_hi").bitwiseAND(lit(65535L)).as("band_val")),
+    struct(lit(3L).as("band_idx"),
+      shiftright(col("fp_hi"), 16).as("band_val")))
 
   /** Exact 64-bit Hamming distance between two (lo, hi) pairs. */
   def fpHamming(loA: Column, hiA: Column, loB: Column,
@@ -1640,12 +1645,96 @@ object Multimodal {
     Versioned.assertAppendLanded(spark, path, root, "media fp")
   }
 
+  /** [[bandSidecarRows]] preserving each row's own batch_id — the
+    * backfill projection: a backfilled sidecar row must land under its
+    * fingerprint's ORIGINAL batch partition so the replay-excluding
+    * `batch_id < ownId` reads and per-batch compaction semantics hold
+    * for backfilled rows exactly as for natively-written ones.
+    */
+  private def bandSidecarRowsWithBatch(fps: DataFrame): DataFrame =
+    fps.filter(col("decoded"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("modality"), col("batch_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"),
+        col("modality"), col("batch_id"))
+      .withColumn("band_bucket", mediaBandBucket)
+
+  /** One-time, in-place band-sidecar backfill of a RESOLVED root whose
+    * bands component is absent or missing data batches: derive band
+    * rows for every data batch absent from `<root>/bands` — a pure
+    * projection of the stored fingerprints, never a second decode —
+    * and land them under their own (modality, band_bucket, batch_id)
+    * partitions. Idempotent (dynamic overwrite per batch partition).
+    * Returns batches backfilled (0 = nothing missing / no data yet).
+    *
+    * Every append runs this whenever the bands dir is absent, closing
+    * the partial-sidecar hole: without it, the FIRST append to a
+    * pre-sidecar root would create `bands/` holding only that batch,
+    * and every later pruned screen would trust the partial sidecar —
+    * silently missing near-dups of every pre-sidecar fingerprint
+    * forever. [[graft.streaming.MediaDedupStream]] calls it as the
+    * explicit migration when its pruned read finds no sidecar.
+    */
+  def backfillMediaFpBands(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long = {
+    val data =
+      try spark.read.schema(MediaFpSchema).parquet(s"$root/data")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null
+              && (e.getCondition.contains("PATH_NOT_FOUND")
+                || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          return 0L
+      }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val have: Set[Long] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands")))
+        Set.empty
+      else spark.read.schema(MediaBandSchema).parquet(s"$root/bands")
+        .select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    // bounded collect: distinct batch_id values of the data component
+    // (one per committed ingest — partition-column read)
+    val missing = data.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).filterNot(have)
+    if (missing.isEmpty) return 0L
+    bandSidecarRowsWithBatch(
+        data.filter(col("batch_id").isin(missing.toIndexedSeq: _*)))
+      .repartition(col("band_bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("modality", "band_bucket", "batch_id")
+      .parquet(s"$root/bands")
+    missing.length.toLong
+  }
+
   /** Land one batch's band-sidecar rows (dynamic overwrite — an
     * at-least-once replay rewrites exactly its own partitions, the
-    * same idempotence unit as the data component).
+    * same idempotence unit as the data component). When the root has
+    * no sidecar yet (pre-sidecar layout), the WHOLE sidecar is
+    * backfilled first — writing only this batch's partition would
+    * leave a partial sidecar that pruned screens would silently trust
+    * (see [[backfillMediaFpBands]]).
     */
   private def writeBandSidecarPartition(fps: DataFrame, batchId: Long,
-      root: String): Unit =
+      root: String): Unit = {
+    val spark = fps.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands"))) {
+      backfillMediaFpBands(spark, root)
+      ()
+    }
+    writeBandSidecarOwnPartition(fps, batchId, root)
+  }
+
+  private def writeBandSidecarOwnPartition(fps: DataFrame,
+      batchId: Long, root: String): Unit =
     bandSidecarRows(fps)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("band_bucket"))

@@ -110,7 +110,17 @@ object BatchIndex {
       bucketCol: String, buckets: Seq[Long]): DataFrame =
     if (buckets.isEmpty) empty
     else try {
-      spark.read.parquet(path)
+      val index = spark.read.parquet(path)
+      // legacy flat layout (batch_id-only, written before the index
+      // was key-bucketed): fail with the migration, not an
+      // UNRESOLVED_COLUMN — resuming a checkpoint over a pre-bucketing
+      // index is a one-time [[migrateToBucketed]] rewrite, and mixing
+      // the two layouts in place would corrupt partition discovery
+      require(index.columns.contains(bucketCol),
+        s"index at $path predates the $bucketCol-bucketed layout — " +
+          "run BatchIndex.migrateToBucketed (stream stopped) before " +
+          "resuming this checkpoint")
+      index
         .filter(col(bucketCol).isin(buckets: _*) // partition pruning
           && col("batch_id") < batchId)
         .select(cols.map(col): _*)
@@ -121,6 +131,41 @@ object BatchIndex {
               || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
         empty
     }
+
+  /** One-time, in-place migration of an index written under the flat
+    * `batch_id=`-only layout to the key-bucketed `bucketCol/batch_id`
+    * layout every [[readBeforeBuckets]] stream now requires
+    * ([[DedupStream]]/[[GraphStream]] band indexes, [[EmbedStream]]
+    * LSH tables, [[NoveltyStream]] gram index). `bucketExpr` must be
+    * the stream's own bucket expression (e.g.
+    * [[DedupStream.bandBucket]]) — writer and every future reader
+    * must agree. Run with the stream stopped; rerunnable: a crash
+    * before the old layout is deleted restages from the live data, a
+    * crash after it completes the promote from the staged copy (the
+    * stage is only ever deleted-then-renamed once its write fully
+    * committed). No-op when the index already carries `bucketCol`.
+    */
+  def migrateToBucketed(spark: SparkSession, path: String,
+      bucketCol: String,
+      bucketExpr: org.apache.spark.sql.Column): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".rebucketing")
+    if (fs.exists(live)) {
+      fs.delete(tmp, true) // partial stage from a crashed run
+      val index = spark.read.parquet(path)
+      if (index.columns.contains(bucketCol)) return // already migrated
+      index.withColumn(bucketCol, bucketExpr)
+        .repartition(col(bucketCol))
+        .write.partitionBy(bucketCol, "batch_id").parquet(tmp.toString)
+      fs.delete(live, true)
+    } else require(fs.exists(tmp),
+      s"nothing to migrate at $path (no index, no staged copy)")
+    fs.rename(tmp, live)
+    ()
+  }
 
   /** Contract 3: fold every committed `batch_id >= 0` partition into
     * one `batch_id = -1` partition (per bucket when `bucketCol` is

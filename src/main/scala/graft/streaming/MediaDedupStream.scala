@@ -106,30 +106,26 @@ object MediaDedupStream {
           // Hamming-≤3 neighbor shares ≥1 band (pigeonhole), so rows
           // in other buckets cannot drop anything. Strictly-before
           // batches only (replay-excluding — the readBefore
-          // contract). A pre-sidecar root falls back to deriving
-          // bands from the full modality slice — correct, at the old
-          // linear-scan cost — never to screening against nothing.
+          // contract). A pre-sidecar root is MIGRATED in place on
+          // first contact ([[Multimodal.backfillMediaFpBands]] — a
+          // pure projection of stored fingerprints, no decode), then
+          // served pruned like any other: one bounded rewrite instead
+          // of a permanent full-slice screen.
           val root = graft.ext.Versioned.resolve(spark, indexPath)
           val hit = bands
             .select(Multimodal.mediaBandBucket.as("band_bucket"))
             .distinct().collect().map(_.getLong(0)).toSeq
+          def emptyBands = Multimodal.fpBands(keptFpCols.limit(0))
           val indexBands =
-            if (hit.isEmpty) Multimodal.fpBands(keptFpCols.limit(0))
+            if (hit.isEmpty) emptyBands
             else Multimodal.mediaFpBandsPruned(spark, root, modality,
                 hit, storedId)
-              .getOrElse(Multimodal.fpBands(
-                try Multimodal.readMediaFpIndex(spark, root)
-                  .filter(col("modality") === lit(modality)
-                    && col("decoded") && col("batch_id") < storedId)
-                  .select("doc_id", "fp_lo", "fp_hi")
-                catch {
-                  case e: org.apache.spark.sql.AnalysisException
-                      if e.getCondition != null
-                        && (e.getCondition.contains("PATH_NOT_FOUND")
-                          || e.getCondition.contains(
-                            "UNABLE_TO_INFER_SCHEMA")) =>
-                    keptFpCols.limit(0)
-                }))
+              .getOrElse {
+                if (Multimodal.backfillMediaFpBands(spark, root) == 0L)
+                  emptyBands // no data component yet — first batch
+                else Multimodal.mediaFpBandsPruned(spark, root,
+                  modality, hit, storedId).get
+              }
           val drops = dropSet(bands, indexBands).persist()
           val keptFps = fps.filter(col("decoded"))
             .join(broadcast(drops), Seq("doc_id"), "left_anti")

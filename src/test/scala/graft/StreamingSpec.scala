@@ -1732,4 +1732,134 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(10L),
       "the one-sample-nudge audio twin must drop in-batch")
   }
+
+  test("pre-sidecar media fp root: first contact backfills the WHOLE sidecar (no partial-sidecar hole)") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    import graft.streaming.MediaDedupStream
+    val corpusDir = Files.createTempDirectory("mig_corpus").toString
+    val idx = Files.createTempDirectory("mig_idx").toString
+    val docs = Tables(spark, Sf0001).documents
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(idx).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def stripSidecar(): Unit = {
+      assert(fs.delete(
+        new org.apache.hadoop.fs.Path(s"$idx/bands"), true))
+      ()
+    }
+    def bandBatches = spark.read.schema(Multimodal.MediaBandSchema)
+      .parquet(s"$idx/bands").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    def dataBatches = spark.read.schema(Multimodal.MediaFpSchema)
+      .parquet(s"$idx/data").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    def sidecarComplete(): Unit = {
+      assert(bandBatches == dataBatches,
+        s"sidecar batches $bandBatches != data batches $dataBatches")
+      val decoded = spark.read.schema(Multimodal.MediaFpSchema)
+        .parquet(s"$idx/data").filter(col("decoded")).count()
+      assert(spark.read.schema(Multimodal.MediaBandSchema)
+        .parquet(s"$idx/bands").count() == 4L * decoded,
+        "4 sidecar band rows per decoded fingerprint")
+    }
+
+    // the pre-r14 on-disk layout: two committed batches, no sidecar
+    Multimodal.writeMediaFpIndex(
+      docs.filter(col("doc_id").isin(10L, 20L)), idx)
+    Multimodal.appendToMediaFpIndex(
+      docs.filter(col("doc_id") === 30L), idx, 1L)
+    stripSidecar()
+
+    // the STREAM path migrates on first contact: 17 is the perceptual
+    // twin of PRE-sidecar doc 10 — a partial (or absent) sidecar would
+    // admit it; the backfilled pruned screen must drop it
+    val stats = new MediaDedupStream.MediaStats(spark)
+    MediaDedupStream.processBatch(
+      Seq((17L, Multimodal.pngHashPayload(17L)),
+        (50L, Multimodal.pngHashPayload(50L))).toDF("doc_id", "payload"),
+      2L, corpusDir, idx, stats)
+    assert(stats.kept.value == 1,
+      "twin of a pre-sidecar fingerprint must screen out")
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(50L))
+    sidecarComplete() // batches 0,1 backfilled + the stream's own 3
+
+    // the bare APPEND path must not recreate the partial-sidecar hole
+    // (first append to a stripped root writing only its own batch):
+    // backfill covers every pre-existing batch before the new one lands
+    stripSidecar()
+    Multimodal.appendFingerprintsToMediaFpIndex(
+      Multimodal.mediaFingerprints(
+        docs.filter(col("doc_id") === 40L), "image"),
+      "image", idx, 4L)
+    assert(bandBatches.contains(0L) && bandBatches.contains(4L),
+      s"append must backfill pre-sidecar batches, got $bandBatches")
+    sidecarComplete()
+    // and the migrated sidecar serves the SAME candidates as bands
+    // derived from the full data component (losslessness)
+    val probe = Multimodal.fpBands(Multimodal.mediaFingerprints(
+        docs.filter(col("doc_id") === 17L), "image")
+      .filter(col("decoded")).select("doc_id", "fp_lo", "fp_hi"))
+    val hit = probe.select(Multimodal.mediaBandBucket.as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def cands(idxBands: org.apache.spark.sql.DataFrame) =
+      idxBands.join(probe.select("band_idx", "band_val").distinct(),
+          Seq("band_idx", "band_val"))
+        .select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet
+    val pruned = Multimodal.mediaFpBandsPruned(spark, idx, "image",
+        hit, beforeBatch = 5L)
+      .getOrElse(fail("sidecar must exist after the migration"))
+    val full = Multimodal.fpBands(
+      Multimodal.readMediaFpIndex(spark, idx)
+        .filter(col("modality") === "image" && col("decoded")
+          && col("batch_id") < 5L)
+        .select("doc_id", "fp_lo", "fp_hi"))
+    assert(cands(pruned) == cands(full) && cands(pruned).contains(10L))
+  }
+
+  test("pre-bucketing flat band index: actionable failure, one-time migration, pruned serving") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    import graft.streaming.{BatchIndex, DedupStream}
+    val corpusDir = Files.createTempDirectory("reb_corpus").toString
+    val indexDir = Files.createTempDirectory("reb_idx").toString + "/idx"
+    val textA = (1 to 50).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 50).map(i => s"b$i").mkString(" ")
+    val textC = (1 to 50).map(i => s"c$i").mkString(" ")
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // the r13 on-disk layout: band rows under batch_id only
+    BatchIndex.writePartition(
+      Dedup.bandTable(docsDf((1L, textA), (2L, textB))), 0L, indexDir)
+
+    // resuming the bucketed stream over it fails with the migration in
+    // the message, not an UNRESOLVED_COLUMN analysis error
+    val err = intercept[IllegalArgumentException] {
+      DedupStream.processBatch(docsDf((17L, textA + " z")), 1L,
+        corpusDir, indexDir, new DedupStream.DedupStats(spark))
+    }
+    assert(err.getMessage.contains("migrateToBucketed"),
+      err.getMessage)
+
+    BatchIndex.migrateToBucketed(spark, indexDir, "band_bucket",
+      DedupStream.bandBucket)
+    // re-run is a no-op (rerunnable contract)
+    BatchIndex.migrateToBucketed(spark, indexDir, "band_bucket",
+      DedupStream.bandBucket)
+    // every migrated row sits under the bucket its READERS will probe
+    assert(spark.read.parquet(indexDir)
+      .filter(col("band_bucket") =!= DedupStream.bandBucket)
+      .count() == 0L)
+
+    // the stream continues over the migrated index: a twin of a
+    // flat-era doc drops, a new doc lands
+    val stats = new DedupStream.DedupStats(spark)
+    DedupStream.processBatch(docsDf((17L, textA + " z"), (30L, textC)),
+      1L, corpusDir, indexDir, stats)
+    assert(stats.kept.value == 1)
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(30L))
+  }
 }

@@ -30,6 +30,8 @@ object RunStream {
       docsSeen: Long, docsKept: Long, corpusRows: Long,
       dedupIndexRows: Long, hhSymbols: Long, hllDays: Long,
       sessionsEmitted: Long, sessionStateRows: Long,
+      graphDocs: Long, graphCorpusRows: Long, graphPairs: Long,
+      graphLabeledDocs: Long, graphStale: Long,
       stateBytesMax: Long, shuffleWriteBytes: Long, wallSec: Double)
 
   /** Synthetic CustomerEvent payload struct over a rate source (the
@@ -130,7 +132,7 @@ object RunStream {
     } catch { case _: Throwable => 0L }
 
   /** The COMPOSED streaming surface end to end, spec-drivable (the
-    * CLI `full` mode only adds session setup and printing): four
+    * CLI `full` mode only adds session setup and printing): six
     * concurrent bounded streams over rate sources —
     *
     *   1. CustomerEvent JSON → parse → curate → dual sink
@@ -145,12 +147,21 @@ object RunStream {
     *      sessionization — the one leg with REAL streaming state
     *      (flatMapGroupsWithState, one open session per live user),
     *      run under the RocksDB state-store provider so the composed
-    *      posture carries off-heap state next to the four
-    *      foreachBatch legs
+    *      posture carries off-heap state next to the foreachBatch legs,
+    *   6. a MULTIMODAL document stream (planted text twins + PNG
+    *      payloads on the twin-pair residues) → [[graft.streaming
+    *      .GraphStream]] with an image [[graft.streaming.GraphStream
+    *      .MediaLeg]] — the evidence-preserving leg: every doc kept,
+    *      text + perceptual pair evidence landing in the persisted
+    *      corpus graph per trigger, fingerprints extending the unified
+    *      media fp index. The heaviest per-trigger writer; composing
+    *      it here is what measures its interaction with the other
+    *      legs' disk/cache pressure.
     *
     * — then reports the funnel counters, sink/index row counts,
-    * emitted sessions + peak session-state rows, peak state-store
-    * memory across all five queries, and total shuffle-write bytes.
+    * emitted sessions + peak session-state rows, graph evidence counts
+    * + the stale-label audit, peak state-store memory across all six
+    * queries, and total shuffle-write bytes.
     * At 100 TB/day each leg keeps the contract already pinned
     * per-stream: per-batch work is batch-sized, index growth is
     * summary-sized, state is live-users-sized, and nothing re-reads
@@ -248,8 +259,38 @@ object RunStream {
         }
         .start()
 
-      val queries = Seq(qCe, qSk, qDd, qHh, qSess)
+      // sixth leg: the evidence-preserving multimodal graph stream.
+      // PNG payloads ride on the twin-pair residues only (ids ≡ 0 and
+      // ≡ 7 mod 10 — the planted-duplicate rule pairs (v−7, v), so
+      // both ends of every perceptual twin carry a payload while the
+      // encode cost stays at ~20% of the doc rate)
+      import spark.implicits._
+      val gStats = new graft.streaming.GraphStream.GraphStats(spark)
+      val qGr = graft.streaming.GraphStream.start(
+        docStream(rateSource()).as[(Long, String)].map { case (id, t) =>
+          (id, t,
+            if (id % 10 == 0 || id % 10 == 7)
+              graft.ext.Multimodal.pngHashPayload(id)
+            else null)
+        }.toDF("doc_id", "text", "image_payload"),
+        s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
+        s"$outDir/ckpt_g", gStats, trigger,
+        mediaLegs = Seq(graft.streaming.GraphStream.MediaLeg(
+          "image_payload", "image",
+          graft.ext.Multimodal.imageFpFromPayload(_))),
+        fpIndexPath = Some(s"$outDir/fp_g"))
+
+      val queries = Seq(qCe, qSk, qDd, qHh, qSess, qGr)
       Thread.sleep(seconds * 1000L)
+      // the graph leg's first trigger is the composition's longest
+      // (banding + decode + fp append + relabel, cold, under five
+      // competing streams): grant it a bounded grace window to land
+      // its first commit, or the run reports an empty graph and the
+      // interrupted trigger reads as a bootstrap crash window (real,
+      // replay-recoverable — but not what a measurement run is for)
+      val grace = System.nanoTime() + 90e9.toLong
+      while (gStats.lastCommitted < 0L && System.nanoTime() < grace)
+        Thread.sleep(500L)
       queries.foreach(q => if (q.isActive) q.stop())
       queries.foreach(_.awaitTermination())
       val wall = (System.nanoTime() - t0) / 1e9
@@ -279,6 +320,22 @@ object RunStream {
         sessionStateRows = qSess.recentProgress.toSeq
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
           .foldLeft(0L)(math.max),
+        graphDocs = gStats.seen.value,
+        graphCorpusRows =
+          // stream batch ids are offset by one in this leg's artifacts
+          // (0 is reserved for batch base builds)
+          rows(s"$outDir/corpus_g", gStats.lastCommitted + 1L),
+        graphPairs = gStats.pairs.value,
+        graphLabeledDocs =
+          try graft.ext.CorpusGraph.readLabels(spark, s"$outDir/graph_g")
+            .count()
+          catch { case _: Throwable => 0L },
+        graphStale =
+          // fixture-sized audit; a run shorter than the leg's first
+          // trigger has no graph yet, which must read as 0, not a crash
+          try graft.ext.CorpusGraph.staleLabelCount(spark,
+            s"$outDir/graph_g")
+          catch { case _: Throwable => 0L },
         stateBytesMax = stateMax,
         shuffleWriteBytes = shuffleWrite.get(), wallSec = wall)
     } finally {
@@ -320,6 +377,8 @@ object RunStream {
         s"ddIndex=${s.dedupIndexRows} | hhSymbols=${s.hhSymbols} " +
         s"hllRows=${s.hllDays} | sessions=${s.sessionsEmitted} " +
         s"sessStateRows=${s.sessionStateRows} | " +
+        s"graphDocs=${s.graphDocs} graphPairs=${s.graphPairs} " +
+        s"graphLabels=${s.graphLabeledDocs} graphStale=${s.graphStale} | " +
         f"state=${s.stateBytesMax / 1e6}%.1fMB " +
         f"shuffleWrite=${s.shuffleWriteBytes / 1e6}%.1fMB " +
         f"wall=${s.wallSec}%.1fs " +

@@ -463,6 +463,138 @@ object ScaleProbe {
     spark.catalog.clearCache()
   }
 
+  /** Per-trigger index READ volume of the bucketed streaming screen vs
+    * corpus size — the measurement behind the round-14 key-bucketed
+    * layouts and the [[graft.streaming.DedupStream.BandBuckets]]
+    * sizing rule. The band index is synthesized directly in the exact
+    * stream layout (n×4 unique band rows — the measured read depends
+    * on layout + volume, not on how rows got there), then ONE
+    * 50-doc DedupStream trigger runs and its file-read bytes are
+    * captured at two bucket counts: the fixture B=64 and a B scaled to
+    * hold ~500 rows/bucket (B ∝ n). The model: per-trigger read =
+    * hitBuckets × (index/B). A realistic trigger's ≤4×|batch| distinct
+    * band hashes exceed any FIXED B, so every bucket is hit and the
+    * read grows linearly with the corpus (the pre-bucketing cost,
+    * just via a different path); under the sizing rule B ∝ corpus,
+    * hitBuckets stays ≈ the trigger's key count and the read is FLAT
+    * in corpus size. The same layout + rule covers the GraphStream
+    * band index, the EmbedStream LSH tables, the NoveltyStream gram
+    * index, and the media band sidecar.
+    * `sbt "runMain graft.ScaleProbe streamread 250000 1000000 4000000"`.
+    */
+  def streamReadProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.streaming.{BatchIndex, DedupStream}
+    var scaledB = 64L
+    while (scaledB * 500L < n * 4L) scaledB *= 2
+    Seq(("fixture", 64L), ("scaled ", scaledB)).foreach { case (tag, b) =>
+      val dir = s"/tmp/graft_scaleprobe_sr_${n}_$b"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+      DedupStream.bandBucketCount = b
+      try {
+        val bands = spark.range(n).select(col("id").as("doc_id"),
+            explode(sequence(lit(0L), lit(3L))).as("band_idx"))
+          .withColumn("band_hash", md5(concat_ws(",",
+            col("doc_id").cast("string"), col("band_idx").cast("string"))))
+        BatchIndex.writePartition(
+          bands.withColumn("band_bucket", DedupStream.bandBucket),
+          1L, s"$dir/index", bucketCol = Some("band_bucket"))
+        val (idxBytes, idxFiles) = dirStats(s"$dir/index")
+        val batch = synthDocs(spark, 50)
+          .withColumn("doc_id", col("doc_id") + lit(n))
+        val hit = graft.ext.Dedup.bandTable(batch)
+          .select(DedupStream.bandBucket.as("b")).distinct().count()
+        val stats = new DedupStream.DedupStats(spark)
+        var wall = 0.0
+        val read = fileBytesRead(spark) {
+          val t0 = System.nanoTime()
+          DedupStream.processBatch(batch, 2L, s"$dir/corpus",
+            s"$dir/index", stats)
+          wall = (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scale-streamread] n=$n%-8d B=$b%-6d ($tag) " +
+          f"index=${idxBytes / 1e6}%7.1fMB files=$idxFiles%-5d " +
+          f"hitBuckets=$hit%-5d readMB=${read / 1e6}%7.1f " +
+          f"(${100.0 * read / math.max(idxBytes, 1L)}%5.1f%% of index) " +
+          f"trigger=$wall%5.2fs")
+      } finally {
+        DedupStream.bandBucketCount = DedupStream.BandBuckets
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** The mega-component envelope, measured: a STAR component of n
+    * members (hub doc 0 — the power-law worst case
+    * [[graft.ext.CorpusGraph.BroadcastMemberMax]] exists for) next to
+    * 3n/4 background chain pairs, driven through append and a
+    * hub takedown. The star's member set exceeds the broadcast bound,
+    * so every touched/member join runs the real shuffle fallback (no
+    * test seam); purging the hub splits the star into singletons —
+    * the maximal relabel/drop volume one takedown can cause (≈n label
+    * rows leave the table).
+    * `sbt "runMain graft.ScaleProbe graphstar 1000000"`.
+    */
+  def graphStarProbe(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    import graft.ext.CorpusGraph
+    val root = s"/tmp/graft_scaleprobe_gstar_$n"
+    val root2 = s"${root}_rebuild"
+    Seq(root, root2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(p)))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val star = spark.range(1, n).select(lit(0L).as("doc_a"),
+      col("id").as("doc_b"), lit("image").as("modality"))
+    val chains = spark.range(n, 2 * n).filter(col("id") % 4 =!= 3)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"),
+        lit("text").as("modality"))
+    val base = star.unionByName(chains)
+    val buildS = timed(CorpusGraph.write(base, root))
+    // 10k new docs, each pairing into a star member: ONE touched
+    // component with n members — every gated join above the bound
+    val b = math.min(10000L, n / 2)
+    val batch = spark.range(b).select((col("id") + 1).as("doc_a"),
+      (lit(2 * n) + col("id")).as("doc_b"), lit("text").as("modality"))
+    val appendS = timed(CorpusGraph.append(spark, root, batch, 1L))
+    val rebuildS = timed(
+      CorpusGraph.write(base.unionByName(batch), root2))
+    val mismatch = CorpusGraph.readLabels(spark, root)
+      .join(CorpusGraph.readLabels(spark, root2),
+        Seq("doc_id", "label"), "left_anti").count() +
+      CorpusGraph.readLabels(spark, root2)
+        .join(CorpusGraph.readLabels(spark, root),
+          Seq("doc_id", "label"), "left_anti").count()
+    // hub takedown: the star's pair rows all touch doc 0, so the
+    // component splits to singletons and ~n label rows drop
+    var out: CorpusGraph.GraphPurge = null
+    val purgeS = timed {
+      out = CorpusGraph.purge(spark, root, Seq(0L).toDF("doc_id"),
+        audit = false)
+    }
+    var stale = -1L
+    val auditS = timed {
+      stale = CorpusGraph.staleLabelCount(spark, root)
+    }
+    println(f"[scale-graphstar] n=$n%-8d starPairs=${n - 1}%-9d " +
+      f"build=$buildS%7.1fs append_10k=$appendS%6.1fs " +
+      f"rebuild=$rebuildS%7.1fs labelsMatch=${mismatch == 0} " +
+      f"hubPurge=$purgeS%6.1fs pairsRemoved=${out.pairRowsRemoved} " +
+      f"labelsDropped=${out.labelRowsRemoved} " +
+      f"relabeled=${out.labelsChanged} " +
+      f"parts=${out.partsRewritten}rw+${out.partsDeleted}del/" +
+      f"${out.partsTotal} leftover=${out.leftover} " +
+      f"audit=$auditS%6.1fs stale=$stale")
+    Seq(root, root2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(p)))
+    spark.catalog.clearCache()
+  }
+
   /** Span-dedup cost at corpus size n: the gram stream is one row per
     * token position (~55/doc here), shuffled on an 8-byte xxhash64 key;
     * the planted near-dup pairs (ids ≡ 1 mod 17) make ~12 % of docs

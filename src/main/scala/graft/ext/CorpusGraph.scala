@@ -259,6 +259,9 @@ object CorpusGraph {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id")
       .parquet(s"$root/pairs")
+    // a session-cached pair plan (roll-ups persist the pair table)
+    // must see the appended batch, not its cached file listing
+    spark.catalog.refreshByPath(s"$root/pairs")
 
     val stored = readLabelsOrEmpty(spark, root)
     val touched = Scratch.track(bp.select(col("doc_a").as("doc_id"))
@@ -355,6 +358,10 @@ object CorpusGraph {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$path/labels/bucket=$b"), true)
     }
+    // cache coherence: a session that cached a label read (the served
+    // cluster roll-up persists labels) must see the rewrite, and so
+    // must this operation's own trailing audits
+    spark.catalog.refreshByPath(s"$path/labels")
     ((affectedBuckets.size - emptied.size).toLong, emptied.size.toLong)
   }
 

@@ -1709,6 +1709,8 @@ object Multimodal {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("modality", "band_bucket", "batch_id")
       .parquet(s"$root/bands")
+    // a session-cached sidecar plan must see the backfilled batches
+    spark.catalog.refreshByPath(s"$root/bands")
     missing.length.toLong
   }
 

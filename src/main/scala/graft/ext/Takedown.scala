@@ -181,6 +181,13 @@ object Takedown {
         p = p.getParent
       }
     }
+    // cache coherence: a query that CACHED this artifact (cluster
+    // roll-ups persist the pair table; Spark substitutes a cached
+    // plan into any later identical read) must not keep serving the
+    // pre-purge rows — nor feed them to a downstream relabel/audit in
+    // this same takedown (the CorpusGraph purge reads pairs right
+    // after this rewrite)
+    spark.catalog.refreshByPath(path)
     PurgeStats(removed, partsTotal,
       (affected.size - emptied.size).toLong, emptied.size.toLong)
   }
@@ -238,6 +245,9 @@ object Takedown {
     require(fs.rename(live, old), s"could not stage $live aside")
     require(fs.rename(tmp, live), s"could not promote $tmp")
     fs.delete(old, true)
+    // cached plans over the old files must not outlive the rewrite
+    // (see purgeIndex)
+    spark.catalog.refreshByPath(path)
     removed
   }
 

@@ -164,6 +164,7 @@ object BatchIndex {
     } else require(fs.exists(tmp),
       s"nothing to migrate at $path (no index, no staged copy)")
     fs.rename(tmp, live)
+    spark.catalog.refreshByPath(path) // drop pre-migration cached plans
     ()
   }
 
@@ -227,6 +228,9 @@ object BatchIndex {
       ()
     }
     fs.delete(tmp, true)
+    // cached plans over the pre-compaction files must not outlive the
+    // fold (nor feed the count below)
+    spark.catalog.refreshByPath(path)
     val after = spark.read.parquet(path).count()
     (before, after)
   }

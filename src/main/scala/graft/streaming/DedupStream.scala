@@ -44,11 +44,18 @@ object DedupStream {
     */
   val BandBuckets = 64L
 
+  /** Probe seam over [[BandBuckets]] (ScaleProbe's B-scaling sweep —
+    * the measurement behind the sizing rule above): read at call time
+    * by writer AND readers, so it may only change between INDEXES,
+    * never mid-life of one — a mixed-B index is a layout corruption.
+    */
+  @volatile private[graft] var bandBucketCount: Long = BandBuckets
+
   /** The band-bucket expression — writer and every reader must agree
     * (deterministic xxhash64, no session state).
     */
   def bandBucket: org.apache.spark.sql.Column =
-    BatchIndex.keyBucket(BandBuckets, col("band_hash"))
+    BatchIndex.keyBucket(bandBucketCount, col("band_hash"))
 
   final class DedupStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ext.{CorpusGraph, Dedup}
+import graft.ext.{CorpusGraph, Dedup, Multimodal}
 
 /** Streaming corpus-graph maintenance: each micro-batch of documents
   * `(doc_id, text, …)` lands (1) the docs in the corpus, (2) their
@@ -24,6 +24,14 @@ import graft.ext.{CorpusGraph, Dedup}
   * are the product (evidence-ranked collapse lists, manifest
   * provenance). Same per-batch cost shape: banding + candidate
   * verification against candidates only, never corpus × corpus.
+  *
+  * MULTIMODAL streams add [[MediaLeg]]s: per trigger, each leg's
+  * payloads decode once, extend the unified media fingerprint index
+  * ([[Multimodal.appendFingerprintsToMediaFpIndex]]), and screen
+  * against the pruned band sidecar — so the stream-grown graph holds
+  * image/audio/video edges the moment a doc ingests, and a takedown
+  * that trusts the graph under streaming ingest is complete without
+  * waiting for a batch roll-up.
   *
   * Idempotence: corpus and band writes land under their own batch_id
   * partitions (the [[BatchIndex]] contract); the graph append is
@@ -50,8 +58,31 @@ object GraphStream {
     val seen = spark.sparkContext.longAccumulator("graph_seen")
     val pairs = spark.sparkContext.longAccumulator("graph_pairs")
     val resent = spark.sparkContext.longAccumulator("graph_resent")
+    val mediaRejected =
+      spark.sparkContext.longAccumulator("graph_media_rejected")
     @volatile var lastCommitted: Long = -1L
   }
+
+  /** One perceptual-evidence leg of a multimodal graph stream: docs
+    * whose `payloadCol` is non-null are decoded by `fpExtract`
+    * (`(doc_id, payload)` → `(doc_id, decoded, fp_lo, fp_hi)` — the
+    * [[MediaDedupStream.processBatch]] seam) and screened against the
+    * unified media fingerprint index, whose `modality` partition this
+    * leg's fingerprints also extend. Undecodable payloads keep their
+    * corpus row (this stream preserves evidence; the doc's text
+    * already ingested) — they are only invisible to the perceptual
+    * screen, counted in [[GraphStats.mediaRejected]].
+    */
+  final case class MediaLeg(payloadCol: String, modality: String,
+      fpExtract: DataFrame => DataFrame)
+
+  /** The three standard legs over `image_payload` / `audio_payload` /
+    * `video_payload` columns — a fully multimodal document stream.
+    */
+  def standardMediaLegs: Seq[MediaLeg] = Seq(
+    MediaLeg("image_payload", "image", Multimodal.imageFpFromPayload(_)),
+    MediaLeg("audio_payload", "audio", Multimodal.audioFpFromPayload(_)),
+    MediaLeg("video_payload", "video", Multimodal.videoFpFromPayload(_)))
 
   private val BandCols = Seq("doc_id", "band_idx", "band_hash")
 
@@ -67,10 +98,24 @@ object GraphStream {
 
   /** One idempotent micro-batch ingest (the foreachBatch body of
     * [[start]], extracted so StreamingSpec can replay it).
+    *
+    * `mediaLegs` adds PERCEPTUAL evidence to the same graph append:
+    * each leg decodes its payload column once, extends the unified
+    * media fingerprint index at `fpIndexPath` (the [[Multimodal
+    * .appendFingerprintsToMediaFpIndex]] artifact — one fingerprint
+    * store for batch and stream ingest), and screens cross
+    * (batch × stored, pruned to the batch's hit band buckets via the
+    * band sidecar) plus batch-internal pairs. All legs' pairs land in
+    * ONE [[CorpusGraph.append]] with the text pairs — a takedown that
+    * trusts the stream-grown graph sees image/audio/video edges the
+    * moment they ingest, not at the next batch roll-up. (Two separate
+    * streams could not do this: their pair writes would collide on
+    * the graph's `batch_id` partitions.)
     */
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       bandIndexPath: String, graphPath: String,
-      stats: GraphStats): Unit =
+      stats: GraphStats, mediaLegs: Seq[MediaLeg] = Nil,
+      fpIndexPath: Option[String] = None): Unit =
     // release-everything scratch scope: a micro-batch's plans are
     // unique per trigger, so every persist here (the batch bands below
     // AND the library-internal candidate/shingle/delta persists inside
@@ -78,6 +123,8 @@ object GraphStream {
     // reuse value — without the scope they would accrete cache+disk
     // blocks for the stream's lifetime
     if (batchId > stats.lastCommitted) graft.ext.Scratch.scopedAll {
+      require(mediaLegs.isEmpty || fpIndexPath.isDefined,
+        "media legs need the unified fingerprint index path")
       val spark = batch.sparkSession
       val storedId = batchId + 1 // 0 is reserved for batch base builds
       val cached = batch.persist()
@@ -163,8 +210,13 @@ object GraphStream {
         val internal = Dedup.minhashNearDups(fresh,
             bands = Some(freshBands))
           .select("doc_a", "doc_b")
-        val batchPairs = cross.unionByName(internal)
+        val textPairs = cross.unionByName(internal)
           .withColumn("modality", lit("text"))
+        // perceptual legs: each decodes once, extends the unified fp
+        // index, and contributes its pairs to the SAME graph append
+        val batchPairs = mediaLegs.foldLeft(textPairs)((acc, leg) =>
+          acc.unionByName(mediaLegPairs(spark, leg, fresh,
+            fpIndexPath.get, storedId, stats)))
         // EVERY fresh doc lands (evidence-preserving — no near-dup
         // drops; only exact id re-sends are deduplicated), bucketed
         // for the pruned read-back above; pairs and relabel go
@@ -187,18 +239,111 @@ object GraphStream {
       } finally { cached.unpersist(); () }
     }
 
-  /** Attach the graph-maintenance ingest to a document stream. */
+  /** One media leg's pair evidence for a micro-batch, with the side
+    * effect of extending the unified fingerprint index: decode
+    * `fresh`'s non-null payloads once, read the stored sidecar pruned
+    * to the batch's hit band buckets (migrating a pre-sidecar root in
+    * place — the [[MediaDedupStream]] discipline), screen cross
+    * (stored × batch) and batch-internal pairs with the exact Hamming
+    * verify (pigeonhole-lossless at ≤ [[Multimodal.AHashMaxHamming]]),
+    * and append the batch fingerprints under `storedId`. Emits
+    * `(doc_a, doc_b, modality)`. Subset-exact: stored pairs ∪ these =
+    * a full re-screen of the grown index's modality slice — the
+    * append ≡ rebuild contract's media face.
+    *
+    * A doc whose fingerprint already sits in the index under its own
+    * id (a media re-send the text probe missed — only reachable when
+    * the doc's text produced no bands) is screened out of the fp
+    * append and the pair screen; its evidence already exists.
+    */
+  private def mediaLegPairs(spark: org.apache.spark.sql.SparkSession,
+      leg: MediaLeg, fresh: DataFrame, fpIndexPath: String,
+      storedId: Long, stats: GraphStats): DataFrame = {
+    def emptyPairs = spark.range(0).select(col("id").as("doc_a"),
+      col("id").as("doc_b"), lit(leg.modality).as("modality"))
+    if (!fresh.columns.contains(leg.payloadCol)) return emptyPairs
+    val fps = graft.ext.Scratch.track(leg.fpExtract(
+        fresh.filter(col(leg.payloadCol).isNotNull)
+          .select(col("doc_id"), col(leg.payloadCol).as("payload")))
+      .persist())
+    stats.mediaRejected.add(fps.filter(!col("decoded")).count())
+    val decoded0 = fps.filter(col("decoded"))
+      .select("doc_id", "decoded", "fp_lo", "fp_hi")
+    if (decoded0.isEmpty) return emptyPairs
+    val bands0 = graft.ext.Scratch.track(Multimodal.fpBands(
+      decoded0.select("doc_id", "fp_lo", "fp_hi")).persist())
+    val hit = bands0
+      .select(Multimodal.mediaBandBucket.as("band_bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val root = graft.ext.Versioned.resolve(spark, fpIndexPath)
+    def emptyBands = Multimodal.fpBands(
+      decoded0.select("doc_id", "fp_lo", "fp_hi").limit(0))
+    val indexBands = graft.ext.Scratch.track((
+      if (hit.isEmpty) emptyBands
+      else Multimodal.mediaFpBandsPruned(spark, root, leg.modality,
+          hit, storedId)
+        .getOrElse {
+          // pre-sidecar root: one-time in-place backfill (a pure
+          // projection of stored fingerprints), then serve pruned
+          if (Multimodal.backfillMediaFpBands(spark, root) == 0L)
+            emptyBands // no data component yet — first media batch
+          else Multimodal.mediaFpBandsPruned(spark, root, leg.modality,
+            hit, storedId).get
+        }).persist())
+    val mediaResent = graft.ext.Scratch.track(indexBands
+      .join(broadcast(decoded0.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct().persist())
+    // counting here ALSO materializes indexBands' cache before the fp
+    // append below lands new files under the same root
+    val nMediaResent = mediaResent.count()
+    val decoded =
+      if (nMediaResent == 0L) decoded0
+      else graft.ext.Scratch.track(decoded0
+        .join(broadcast(mediaResent), Seq("doc_id"), "left_anti")
+        .persist())
+    val bands =
+      if (nMediaResent == 0L) bands0
+      else graft.ext.Scratch.track(bands0
+        .join(broadcast(mediaResent), Seq("doc_id"), "left_anti")
+        .persist())
+    // cross pairs: pruned stored bands × batch bands, exact verify —
+    // evidence, not drops (both sides keep their corpus rows)
+    val cross = indexBands.as("i").join(broadcast(bands.as("b")),
+        col("i.band_idx") === col("b.band_idx")
+          && col("i.band_val") === col("b.band_val")
+          && col("i.doc_id") =!= col("b.doc_id"))
+      .filter(Multimodal.fpHamming(col("i.fp_lo"), col("i.fp_hi"),
+        col("b.fp_lo"), col("b.fp_hi")) <= Multimodal.AHashMaxHamming)
+      .select(least(col("i.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("i.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct() // a pair can collide in several bands
+    val internal = Multimodal.bandedHamming64(
+        decoded.select("doc_id", "fp_lo", "fp_hi"),
+        Multimodal.AHashMaxHamming)
+      .select("doc_a", "doc_b")
+    Multimodal.appendFingerprintsToMediaFpIndex(decoded, leg.modality,
+      fpIndexPath, storedId)
+    cross.unionByName(internal)
+      .withColumn("modality", lit(leg.modality))
+  }
+
+  /** Attach the graph-maintenance ingest to a document stream; pass
+    * `mediaLegs` + `fpIndexPath` for a multimodal stream whose
+    * perceptual evidence must land per trigger (see [[processBatch]]).
+    */
   def start(stream: DataFrame, corpusPath: String, bandIndexPath: String,
       graphPath: String, checkpointDir: String, stats: GraphStats,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
-      : StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      mediaLegs: Seq[MediaLeg] = Nil,
+      fpIndexPath: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusPath, bandIndexPath,
-          graphPath, stats)
+          graphPath, stats, mediaLegs, fpIndexPath)
       }
       .start()
 }

@@ -921,9 +921,12 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
-  test("RunStream full composition: five streams land consistent artifacts") {
+  test("RunStream full composition: six streams land consistent artifacts") {
     val out = Files.createTempDirectory("runfull").toString
-    val s = RunStream.runFull(spark, out, seconds = 12,
+    // 30 s: the graph leg's first trigger (text banding + PNG decode +
+    // fp append + graph relabel, cold) takes 10-15 s under the five
+    // competing legs — a shorter run stops it before its first commit
+    val s = RunStream.runFull(spark, out, seconds = 30,
       rowsPerSecond = 500)
     // curate leg: every event lands exactly once, in main XOR quarantine
     assert(s.events > 0, "no events flowed")
@@ -951,6 +954,26 @@ class StreamingSpec extends AnyFunSuite {
     // so sessions close and flow, and state holds ~one row per live user
     assert(s.sessionsEmitted > 0, s"no sessions emitted: $s")
     assert(s.sessionStateRows > 0, s"no session state tracked: $s")
+    // graph leg (evidence-preserving, with the image media leg): every
+    // seen doc lands (no drops), pair evidence flows (planted text
+    // twins + their perceptual PNG twins), and the incrementally-grown
+    // labels audit clean against the stored pairs while five other
+    // streams compete for the same executor
+    assert(s.graphDocs > 0, s"graph leg saw no docs: $s")
+    assert(s.graphCorpusRows == s.graphDocs,
+      s"evidence leg must keep every committed doc: $s")
+    assert(s.graphPairs > 0, s"no pair evidence landed: $s")
+    assert(s.graphLabeledDocs > 0 && s.graphStale == 0,
+      s"stream-grown labels stale: $s")
+    // the image leg's fingerprints landed in the unified fp index, and
+    // the stored pair set carries BOTH channels
+    assert(graft.ext.Multimodal.readMediaFpIndex(spark, s"$out/fp_g")
+      .filter(col("modality") === "image").count() > 0)
+    val channels = graft.ext.CorpusGraph.readPairs(spark, s"$out/graph_g")
+      .select("modality").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(channels == Set("text", "image"),
+      s"expected text+image evidence, got $channels")
     // the provider override must not leak into the shared test session
     assert(!spark.conf.get(
       "spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
@@ -1731,6 +1754,124 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(aCorpus).select("doc_id")
       .collect().map(_.getLong(0)).toSeq == Seq(10L),
       "the one-sample-nudge audio twin must drop in-batch")
+  }
+
+  test("multimodal graph stream: 4-channel stream-grown labels ≡ rebuild; takedown leaves zero leftovers") {
+    import spark.implicits._
+    import graft.ext.{CorpusGraph, Dedup, Multimodal, Takedown}
+    import graft.streaming.GraphStream
+    val corpusDir = Files.createTempDirectory("mmg_corpus").toString
+    val bandsDir = Files.createTempDirectory("mmg_bands").toString
+    val graphDir = Files.createTempDirectory("mmg_graph").toString
+    val fpDir = Files.createTempDirectory("mmg_fp").toString
+    val docs = Tables(spark, Sf0001).documents
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    // multimodal stream rows: each doc carries text plus the three
+    // synthetic payloads the BATCH codecs derive from doc_id, so every
+    // stream-grown artifact is comparable bit-for-bit with a batch
+    // build over the same documents frame
+    def mmRows(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .as[(Long, String)].map { case (id, t) =>
+        (id, t, Multimodal.pngHashPayload(id),
+          Multimodal.wavFpPayload(id), Multimodal.videoPayload(id))
+      }.toDF("doc_id", "text", "image_payload", "audio_payload",
+        "video_payload")
+    val stats = new GraphStream.GraphStats(spark)
+    def ingest(batch: org.apache.spark.sql.DataFrame, id: Long,
+        st: GraphStream.GraphStats = stats): Unit =
+      GraphStream.processBatch(batch, id, corpusDir, bandsDir, graphDir,
+        st, GraphStream.standardMediaLegs, Some(fpDir))
+
+    // two batches, plus one doc with an UNDECODABLE image payload —
+    // evidence-preserving: it keeps its corpus row, it is only
+    // invisible to the image screen (counted)
+    ingest(mmRows(col("doc_id") < 30), 0L)
+    ingest(mmRows(col("doc_id") >= 30).unionByName(
+      Seq((999L, "unique nine nine nine text entirely its own",
+        "not a png".getBytes("UTF-8"),
+        Multimodal.wavFpPayload(999L), Multimodal.videoPayload(999L)))
+        .toDF("doc_id", "text", "image_payload", "audio_payload",
+          "video_payload")), 1L)
+    assert(stats.mediaRejected.value == 1L,
+      s"mediaRejected=${stats.mediaRejected.value}")
+    assert(spark.read.parquet(corpusDir)
+      .filter(col("doc_id") === 999L).count() == 1L,
+      "an undecodable payload must not drop the doc (evidence leg)")
+
+    // the stored 4-channel pair set equals a from-scratch re-screen:
+    // text from the stored corpus, media served from the fp index
+    val (storedPairs, storedLabels) = CorpusGraph.readGraph(spark, graphDir)
+    val corpusText = spark.read.parquet(corpusDir)
+      .select("doc_id", "text")
+    val rebuiltPairs = Multimodal.corpusPairs(
+      Multimodal.mediaNearDupPairsServed(spark, fpDir),
+      Dedup.minhashNearDups(corpusText))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "modality").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val stored = pairSet(storedPairs)
+    assert(stored == pairSet(rebuiltPairs),
+      s"stream-grown pair set != re-screen: ${stored.size} stored")
+    assert(Set("text", "image", "audio", "video")
+      .subsetOf(stored.map(_._3)),
+      s"expected all four channels, got ${stored.map(_._3)}")
+    // and the incrementally-grown labels are the rebuild's labels
+    val rebuiltLabels = Dedup.clusterLabels(
+        rebuiltPairs.select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == rebuiltLabels)
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+
+    // the corpus-wide cluster roll-up served from the stream-grown
+    // graph equals the batch derivation over the same documents
+    val served = Multimodal.corpusDedupClustersServedFrom(
+        storedPairs, storedLabels)
+      .collect().map(_.toSeq).toSet
+    val batch = Multimodal.corpusDedupClusters(docs,
+        Dedup.minhashNearDups(docs))
+      .collect().map(_.toSeq).toSet
+    assert(served == batch,
+      s"served clusters (${served.size}) != batch (${batch.size})")
+
+    // recovery replay of the multimodal batch: pairs, labels, fp index
+    // all rewrite their own partitions — nothing moves
+    val fpRowsBefore = Multimodal.readMediaFpIndex(spark, fpDir).count()
+    val fresh = new GraphStream.GraphStats(spark)
+    fresh.lastCommitted = 0L
+    ingest(mmRows(col("doc_id") >= 30).unionByName(
+      Seq((999L, "unique nine nine nine text entirely its own",
+        "not a png".getBytes("UTF-8"),
+        Multimodal.wavFpPayload(999L), Multimodal.videoPayload(999L)))
+        .toDF("doc_id", "text", "image_payload", "audio_payload",
+          "video_payload")), 1L, fresh)
+    assert(pairSet(CorpusGraph.readPairs(spark, graphDir)) == stored)
+    assert(Multimodal.readMediaFpIndex(spark, fpDir).count()
+      == fpRowsBefore)
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+
+    // STREAMING takedown: purge a doc with media+text twins across all
+    // three artifacts — corpus, fp index (data + band sidecar), graph —
+    // and converge with zero leftovers and zero stale labels
+    val target = 17L // planted perceptual twin of 10 in all modalities
+    val out = Takedown.propagate(spark, Seq(target).toDF("doc_id"),
+      Seq(Takedown.PartitionedIndex("mm_corpus", corpusDir, "doc_id",
+        Seq("bucket", "batch_id")))
+        ++ Multimodal.mediaFpTakedownArtifacts(spark, fpDir)
+        :+ Takedown.DedupGraph("mm_graph", graphDir))
+    assert(out.forall(_.leftover == 0L), out.toString)
+    assert(out.map(_.rowsRemoved).sum > 0L, "target had rows everywhere")
+    assert(spark.read.parquet(corpusDir)
+      .filter(col("doc_id") === target).count() == 0L)
+    assert(Multimodal.readMediaFpIndex(spark, fpDir)
+      .filter(col("doc_id") === target).count() == 0L)
+    assert(spark.read.schema(Multimodal.MediaBandSchema)
+      .parquet(s"${graft.ext.Versioned.resolve(spark, fpDir)}/bands")
+      .filter(col("doc_id") === target).count() == 0L)
+    assert(CorpusGraph.readPairs(spark, graphDir)
+      .filter(col("doc_a") === target || col("doc_b") === target)
+      .count() == 0L)
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
   }
 
   test("pre-sidecar media fp root: first contact backfills the WHOLE sidecar (no partial-sidecar hole)") {

@@ -131,6 +131,30 @@ object RunStream {
        else df).count()
     } catch { case _: Throwable => 0L }
 
+  /** Committed-only graph accounting for a bounded run: stop() can
+    * interrupt a trigger between its pair write and its relabel — the
+    * documented at-least-once window a checkpoint RESUME replays — so
+    * the health audit must compare labels against COMMITTED pair
+    * partitions only; auditing the in-flight partition reports that
+    * crash window, not the stream's correctness. Returns (committed
+    * pair rows, label rows, stale-vs-committed count); all 0 when the
+    * run stopped before the first commit.
+    */
+  private def graphAudit(spark: SparkSession, path: String,
+      committed: Long): (Long, Long, Long) =
+    try {
+      import graft.ext.{CorpusGraph, Dedup}
+      // stream batch ids are offset by one in the graph artifact
+      val pairs = CorpusGraph.readPairs(spark, path)
+        .filter(col("batch_id") <= committed + 1L)
+      val labels = CorpusGraph.readLabels(spark, path)
+      val expect = Dedup.clusterLabels(pairs.select("doc_a", "doc_b"))
+      val stale =
+        labels.join(expect, Seq("doc_id", "label"), "left_anti").count() +
+          expect.join(labels, Seq("doc_id", "label"), "left_anti").count()
+      (pairs.count(), labels.count(), stale)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+
   /** The COMPOSED streaming surface end to end, spec-drivable (the
     * CLI `full` mode only adds session setup and printing): six
     * concurrent bounded streams over rate sources —
@@ -299,6 +323,8 @@ object RunStream {
         .foldLeft(0L)(math.max)
       def rows(p: String, committed: Long = Long.MaxValue): Long =
         committedRows(spark, p, committed)
+      val (_, gLabels, gStale) =
+        graphAudit(spark, s"$outDir/graph_g", gStats.lastCommitted)
       FullSummary(
         events = ceStats.total.value, late = ceStats.late.value,
         dqFailed = ceStats.dqFailed.value,
@@ -326,16 +352,8 @@ object RunStream {
           // (0 is reserved for batch base builds)
           rows(s"$outDir/corpus_g", gStats.lastCommitted + 1L),
         graphPairs = gStats.pairs.value,
-        graphLabeledDocs =
-          try graft.ext.CorpusGraph.readLabels(spark, s"$outDir/graph_g")
-            .count()
-          catch { case _: Throwable => 0L },
-        graphStale =
-          // fixture-sized audit; a run shorter than the leg's first
-          // trigger has no graph yet, which must read as 0, not a crash
-          try graft.ext.CorpusGraph.staleLabelCount(spark,
-            s"$outDir/graph_g")
-          catch { case _: Throwable => 0L },
+        graphLabeledDocs = gLabels,
+        graphStale = gStale,
         stateBytesMax = stateMax,
         shuffleWriteBytes = shuffleWrite.get(), wallSec = wall)
     } finally {
@@ -539,16 +557,17 @@ object RunStream {
         s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
         s"$outDir/ckpt_g", stats, Trigger.ProcessingTime("5 seconds"))
       EventPipeline.runBounded(q, seconds * 1000L)
-      val labels = graft.ext.CorpusGraph
-        .readLabels(spark, s"$outDir/graph_g").count()
-      val pairsStored = graft.ext.CorpusGraph
-        .readPairs(spark, s"$outDir/graph_g").count()
-      val stale = graft.ext.CorpusGraph
-        .staleLabelCount(spark, s"$outDir/graph_g")
+      val (pairsStored, labels, stale) = graphAudit(spark,
+        s"$outDir/graph_g", stats.lastCommitted)
+      val trigMs = q.recentProgress.toSeq.map(p =>
+        p.numInputRows -> Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue()).getOrElse(0L))
       println(s"[stream-graph] seen=${stats.seen.value} " +
         s"pairs=${stats.pairs.value} storedPairs=$pairsStored " +
         s"labeledDocs=$labels stale=$stale " +
-        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f")
+        f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f " +
+        s"triggers=${trigMs.map { case (r, ms) => s"$r:${ms}ms" }
+          .mkString(",")}")
       spark.stop()
       return
     }

@@ -503,20 +503,26 @@ object ScaleProbe {
         val batch = synthDocs(spark, 50)
           .withColumn("doc_id", col("doc_id") + lit(n))
         val hit = graft.ext.Dedup.bandTable(batch)
-          .select(DedupStream.bandBucket.as("b")).distinct().count()
+          .select(DedupStream.bandBucket.as("b")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // ADDRESSED bytes: parquet data under the hit bucket dirs —
+        // exactly what the pruned scan must read on a real filesystem
+        // (task inputMetrics.bytesRead on local fs reports only
+        // footer/metadata IO — measured 0.45 MB for a full 37 MB scan
+        // — so partition-addressed file bytes are the honest measure)
+        val addressed = hit
+          .map(bk => dirStats(s"$dir/index/band_bucket=$bk")._1).sum
         val stats = new DedupStream.DedupStats(spark)
-        var wall = 0.0
-        val read = fileBytesRead(spark) {
-          val t0 = System.nanoTime()
-          DedupStream.processBatch(batch, 2L, s"$dir/corpus",
-            s"$dir/index", stats)
-          wall = (System.nanoTime() - t0) / 1e9
-        }
+        val t0 = System.nanoTime()
+        DedupStream.processBatch(batch, 2L, s"$dir/corpus",
+          s"$dir/index", stats)
+        val wall = (System.nanoTime() - t0) / 1e9
         println(f"[scale-streamread] n=$n%-8d B=$b%-6d ($tag) " +
           f"index=${idxBytes / 1e6}%7.1fMB files=$idxFiles%-5d " +
-          f"hitBuckets=$hit%-5d readMB=${read / 1e6}%7.1f " +
-          f"(${100.0 * read / math.max(idxBytes, 1L)}%5.1f%% of index) " +
-          f"trigger=$wall%5.2fs")
+          f"hitBuckets=${hit.size}%-5d " +
+          f"addressedMB=${addressed / 1e6}%7.1f " +
+          f"(${100.0 * addressed / math.max(idxBytes, 1L)}%5.1f%% " +
+          f"of index) trigger=$wall%5.2fs")
       } finally {
         DedupStream.bandBucketCount = DedupStream.BandBuckets
         org.apache.commons.io.FileUtils.deleteDirectory(
@@ -1362,6 +1368,8 @@ object ScaleProbe {
     val videoDupMode = args.headOption.contains("videodup")
     val mediaServedMode = args.headOption.contains("mediaserved")
     val ivfRebuildMode = args.headOption.contains("ivfrebuild")
+    val streamReadMode = args.headOption.contains("streamread")
+    val graphStarMode = args.headOption.contains("graphstar")
     val graphMode = args.headOption.contains("graph")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
@@ -1370,7 +1378,8 @@ object ScaleProbe {
           || servedMode || bowMode || bowNatMode || recallfMode
           || takedownMode || imageDupMode || audioDupMode
           || videoDupMode || bloomMode || mediaServedMode
-          || ivfRebuildMode || graphMode)
+          || ivfRebuildMode || graphMode || streamReadMode
+          || graphStarMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1411,6 +1420,16 @@ object ScaleProbe {
     }
     if (graphMode) {
       sizes.foreach(graphProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (streamReadMode) {
+      sizes.foreach(streamReadProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (graphStarMode) {
+      sizes.foreach(graphStarProbe(spark, _))
       spark.stop()
       return
     }

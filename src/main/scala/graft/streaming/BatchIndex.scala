@@ -199,6 +199,9 @@ object BatchIndex {
     // would drop when the first-listed file predates them
     val index = spark.read.option("mergeSchema", "true").parquet(path)
     val before = index.count()
+    // bounded collect: one row per LIVE partition directory — ≤ buckets
+    // × committed batches (the partition space, never row counts), and
+    // compaction's whole point is to keep that space folded down
     val liveDirs: Seq[String] = {
       val live = index.filter(col("batch_id") >= 0L)
       live.select(parts.map(c => col(c).cast("string")): _*)

@@ -39,8 +39,9 @@ object DedupStream {
     * 100 TB deployment sizes B ≫ (trigger docs × NumBands) — the
     * [[graft.ext.Multimodal.MediaFpBuckets]] sizing rule applied to
     * the band key. Layout note: an index written flat (pre-bucketing)
-    * cannot be mixed in place — migrate with a one-time re-bucket
-    * rewrite before resuming the checkpoint.
+    * cannot be mixed in place — run [[BatchIndex.migrateToBucketed]]
+    * with [[bandBucket]] before resuming the checkpoint (the read
+    * fails with that recipe).
     */
   val BandBuckets = 64L
 

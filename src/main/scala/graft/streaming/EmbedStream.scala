@@ -41,7 +41,10 @@ object EmbedStream {
     * the screen joins on `(table_idx, bucket)`, so each trigger's
     * index read prunes to the batch's hit buckets instead of
     * re-scanning the accumulated index (the [[DedupStream
-    * .BandBuckets]] rationale, vector side).
+    * .BandBuckets]] rationale, vector side). An index written flat
+    * (pre-bucketing) cannot be mixed in place — run
+    * [[BatchIndex.migrateToBucketed]] with [[keyBucketCol]] before
+    * resuming the checkpoint (the read fails with that recipe).
     */
   val KeyBuckets = 64L
 

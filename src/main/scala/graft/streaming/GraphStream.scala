@@ -128,9 +128,17 @@ object GraphStream {
       val spark = batch.sparkSession
       val storedId = batchId + 1 // 0 is reserved for batch base builds
       val cached = batch.persist()
+      val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+      var tPrev = System.nanoTime()
+      def mark(phase: String): Unit = if (trace) {
+        val now = System.nanoTime()
+        println(f"[gs-trace] $phase%-14s ${(now - tPrev) / 1e9}%6.2fs")
+        tPrev = now
+      }
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
+        mark("count")
         val batchBands = graft.ext.Scratch.track(
           Dedup.bandTable(cached).persist())
         // pruned index read: only the band buckets this batch's hashes
@@ -144,6 +152,7 @@ object GraphStream {
         val hitBandBuckets = batchBands
           .select(DedupStream.bandBucket.as("band_bucket")).distinct()
           .collect().map(_.getLong(0)).toSeq
+        mark("hitBuckets")
         val indexBands = graft.ext.Scratch.track(
           BatchIndex.readBeforeBuckets(spark, bandIndexPath,
             storedId, BandCols, batchBands.limit(0),
@@ -164,6 +173,7 @@ object GraphStream {
             Seq("doc_id"), "left_semi")
           .select("doc_id").distinct().persist())
         val nResent = resentIds.count()
+        mark("resentProbe")
         val fresh =
           if (nResent == 0L) cached
           else graft.ext.Scratch.track(cached
@@ -187,6 +197,7 @@ object GraphStream {
             Seq("band_idx", "band_hash"))
           .select(pmod(col("doc_id"), lit(CorpusBuckets)).as("bucket"))
           .distinct().collect().map(_.getLong(0)).toSeq
+        mark("candBuckets")
         val corpusBefore =
           if (candBuckets.isEmpty) cached.limit(0)
           else
@@ -228,9 +239,12 @@ object GraphStream {
         BatchIndex.writePartition(
           freshBands.withColumn("band_bucket", DedupStream.bandBucket),
           storedId, bandIndexPath, bucketCol = Some("band_bucket"))
+        mark("writes")
         val nPairs = batchPairs.persist().count()
+        mark("pairsCount")
         try CorpusGraph.append(spark, graphPath, batchPairs, storedId)
         finally { batchPairs.unpersist(); () }
+        mark("graphAppend")
         stats.seen.add(nSeen)
         stats.resent.add(nResent)
         stats.pairs.add(nPairs)

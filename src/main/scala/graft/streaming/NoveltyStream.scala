@@ -29,7 +29,10 @@ object NoveltyStream {
     * (`band_bucket = keyBucket(h) / batch_id=<n>`): novelty scoring
     * joins batch grams against the index on `h`, so each trigger's
     * read prunes to the batch's hit buckets (the
-    * [[DedupStream.BandBuckets]] rationale, gram side).
+    * [[DedupStream.BandBuckets]] rationale, gram side). An index
+    * written flat (pre-bucketing) cannot be mixed in place — run
+    * [[BatchIndex.migrateToBucketed]] with [[gramBucket]] before
+    * resuming the checkpoint (the read fails with that recipe).
     */
   val KeyBuckets = 64L
 

@@ -1387,7 +1387,13 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // probes default partitions = cores; the graph probes at 32 M
+      // need more under small heaps (per-task memory share =
+      // 0.6 × heap / cores — partitions must keep each task's join
+      // state under it; measured in SCALING.md "Corpus graph driver
+      // memory")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

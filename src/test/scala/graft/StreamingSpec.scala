@@ -261,6 +261,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally sc2.close()
   }
 
+  test("Snowflake sink contract: exact option map, completeness fallback, live write path") {
+    import spark.implicits._
+    import graft.streaming.SnowflakeSink
+    // the reference's option-map contract, key for key
+    // (ingest_transform.py:281-295)
+    val cfg = SnowflakeSink.Config("acme-xy123", "loader", "s3cr3t",
+      "ANALYTICS", "PUBLIC", "LOAD_WH", "ETL_ROLE", "curated_events")
+    assert(SnowflakeSink.options(cfg) == Map(
+      "sfUrl" -> "acme-xy123.snowflakecomputing.com",
+      "sfUser" -> "loader", "sfPassword" -> "s3cr3t",
+      "sfDatabase" -> "ANALYTICS", "sfSchema" -> "PUBLIC",
+      "sfWarehouse" -> "LOAD_WH", "sfRole" -> "ETL_ROLE"))
+    // completeness gate feeds the T7 fallback: any absent/blank key
+    // -> None -> parquet (the reference's creds check)
+    val full = SnowflakeSink.RequiredKeys
+      .map(k => k -> s"v_$k").toMap
+    assert(SnowflakeSink.fromMap(full).isDefined)
+    SnowflakeSink.RequiredKeys.foreach { k =>
+      assert(SnowflakeSink.fromMap(full - k).isEmpty, s"missing $k")
+      assert(SnowflakeSink.fromMap(full + (k -> "  ")).isEmpty,
+        s"blank $k")
+    }
+    assert(EventPipeline.chooseSink(
+      SnowflakeSink.fromMap(full - "password").isDefined) == "parquet")
+    // the write path executes for REAL through the format seam (jdbc +
+    // embedded Derby — same options plumbing, different connector name)
+    val url = "jdbc:derby:memory:graftsf;create=true"
+    val jdbcCfg = cfg.copy(table = "sf_twin")
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+    SnowflakeSink.writeBatch(rows, 7L, jdbcCfg, format = "jdbc",
+      extraOptions = Map("url" -> url))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "sf_twin").load()
+    assert(back.count() == 2)
+    // every row carries its batch_id — the replay-identifiability tag
+    // the reference's blind append lacks
+    assert(back.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    // empty batches are skipped (the reference's count() > 0 gate)
+    SnowflakeSink.writeBatch(rows.limit(0), 8L, jdbcCfg,
+      format = "jdbc", extraOptions = Map("url" -> url))
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "sf_twin").load().count() == 2)
+  }
+
   test("avro wire path curates identically to the JSON path") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

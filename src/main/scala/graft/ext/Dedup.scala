@@ -261,14 +261,26 @@ object Dedup {
     * duplicates are out of scope (run the batch through the normal pass).
     *
     * Caller contract: `index` and `batch` doc_ids are disjoint.
+    *
+    * `broadcastBatch = false` drops the forced broadcasts of the
+    * batch-derived frames (band table + candidate id sets) — the
+    * caller's signal that this batch is a catch-up MACRO-batch above
+    * [[graft.streaming.BatchIndex.TriggerBroadcastMaxDocs]], where a
+    * forced multi-GB broadcast would OOM before a shuffle join breaks
+    * a sweat (the [[CorpusGraph.BroadcastMemberMax]] rationale at the
+    * trigger). Results are identical either way — spec-pinned through
+    * the shuffle path.
     */
   def incrementalNearDups(index: DataFrame, batch: DataFrame,
-      indexBands: Option[DataFrame] = None): DataFrame = {
+      indexBands: Option[DataFrame] = None,
+      broadcastBatch: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
     val ib = indexBands.getOrElse(bandTable(index))
       .withColumnRenamed("doc_id", "index_doc")
     val bb = bandTable(batch).withColumnRenamed("doc_id", "batch_doc")
     val cand = Scratch.track(
-      ib.join(broadcast(bb), Seq("band_idx", "band_hash"))
+      ib.join(bc(bb), Seq("band_idx", "band_hash"))
         .select("batch_doc", "index_doc").distinct()
         .persist())
     val candB = cand.select(col("batch_doc").as("doc_id")).distinct()
@@ -282,9 +294,9 @@ object Dedup {
     // for contract-honoring inputs this is a row-preserving no-op on
     // a candidate-bounded frame.
     val sh = Scratch.track(shingleTable(
-        batch.join(broadcast(candB), Seq("doc_id"), "left_semi"))
+        batch.join(bc(candB), Seq("doc_id"), "left_semi"))
       .unionByName(shingleTable(
-        index.join(broadcast(candI), Seq("doc_id"), "left_semi")))
+        index.join(bc(candI), Seq("doc_id"), "left_semi")))
       .distinct()
       .persist())
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -45,6 +45,21 @@ import org.apache.spark.sql.functions._
   */
 object BatchIndex {
 
+  /** Docs-per-trigger bound under which a stream's BATCH-derived
+    * frames (ids, band tables, drop/resent sets) broadcast-join
+    * against stored-side scans; above it the hints drop and the joins
+    * plan normally (AQE may still pick a broadcast from runtime
+    * sizes). The [[graft.ext.CorpusGraph.BroadcastMemberMax]]
+    * rationale applied to the TRIGGER: triggers are usually
+    * seconds-sized, but a catch-up macro-batch after downtime can
+    * carry tens of millions of docs, and a FORCED broadcast of its
+    * ~4-rows/doc band table is a multi-GB driver allocation shipped
+    * to every executor — an OOM where a shuffle join just pays one
+    * exchange of the same rows. ~512k docs ≈ 2 M band rows ≈ 100 MB
+    * serialized, comfortably broadcastable with headroom.
+    */
+  val TriggerBroadcastMaxDocs = 524288L
+
   /** Contract 1: land `rows` as `batchId`'s own partition of the index
     * at `path`. `bucketCol` adds a leading hash-bucket partition level
     * (the postings layout) and clusters the write so each bucket gets

@@ -96,6 +96,13 @@ object GraphStream {
     */
   val CorpusBuckets = 16L
 
+  /** Test seam over [[BatchIndex.TriggerBroadcastMaxDocs]]:
+    * StreamingSpec pins stored pairs/labels identical THROUGH the
+    * no-forced-broadcast macro-batch path by setting this to 0.
+    */
+  @volatile private[graft] var triggerBroadcastBound: Long =
+    BatchIndex.TriggerBroadcastMaxDocs
+
   /** One idempotent micro-batch ingest (the foreachBatch body of
     * [[start]], extracted so StreamingSpec can replay it).
     *
@@ -139,6 +146,13 @@ object GraphStream {
         val nSeen = cached.count()
         if (nSeen == 0) return
         mark("count")
+        // batch-derived frames broadcast only while the trigger is
+        // trigger-sized; a catch-up macro-batch takes plain joins (the
+        // BatchIndex.TriggerBroadcastMaxDocs rationale) — results are
+        // identical, spec-pinned through this path
+        val smallTrigger = nSeen <= triggerBroadcastBound
+        def bc(df: DataFrame): DataFrame =
+          if (smallTrigger) broadcast(df) else df
         val batchBands = graft.ext.Scratch.track(
           Dedup.bandTable(cached).persist())
         // pruned index read: only the band buckets this batch's hashes
@@ -169,7 +183,7 @@ object GraphStream {
         // reused doc_id is an upstream contract violation — doc ids
         // are immutable identities here.)
         val resentIds = graft.ext.Scratch.track(indexBands
-          .join(broadcast(cached.select("doc_id").distinct()),
+          .join(bc(cached.select("doc_id").distinct()),
             Seq("doc_id"), "left_semi")
           .select("doc_id").distinct().persist())
         val nResent = resentIds.count()
@@ -177,12 +191,12 @@ object GraphStream {
         val fresh =
           if (nResent == 0L) cached
           else graft.ext.Scratch.track(cached
-            .join(broadcast(resentIds), Seq("doc_id"), "left_anti")
+            .join(bc(resentIds), Seq("doc_id"), "left_anti")
             .persist())
         val freshBands =
           if (nResent == 0L) batchBands
           else graft.ext.Scratch.track(batchBands
-            .join(broadcast(resentIds), Seq("doc_id"), "left_anti")
+            .join(bc(resentIds), Seq("doc_id"), "left_anti")
             .persist())
         // corpus side of candidate verification: the band join names
         // the candidate index docs FIRST (hash-sized tables), their
@@ -192,7 +206,7 @@ object GraphStream {
         // own first attempt — per-trigger corpus IO is candidate-
         // bucket-sized, never a full corpus rescan
         val candBuckets = indexBands
-          .join(broadcast(freshBands
+          .join(bc(freshBands
             .select("band_idx", "band_hash").distinct()),
             Seq("band_idx", "band_hash"))
           .select(pmod(col("doc_id"), lit(CorpusBuckets)).as("bucket"))
@@ -214,7 +228,8 @@ object GraphStream {
                 cached.limit(0)
             }
         val cross = Dedup.incrementalNearDups(
-            corpusBefore, fresh, indexBands = Some(indexBands))
+            corpusBefore, fresh, indexBands = Some(indexBands),
+            broadcastBatch = smallTrigger)
           .filter(col("batch_doc") =!= col("index_doc")) // belt+braces
           .select(least(col("batch_doc"), col("index_doc")).as("doc_a"),
             greatest(col("batch_doc"), col("index_doc")).as("doc_b"))
@@ -227,7 +242,7 @@ object GraphStream {
         // index, and contributes its pairs to the SAME graph append
         val batchPairs = mediaLegs.foldLeft(textPairs)((acc, leg) =>
           acc.unionByName(mediaLegPairs(spark, leg, fresh,
-            fpIndexPath.get, storedId, stats)))
+            fpIndexPath.get, storedId, stats, smallTrigger)))
         // EVERY fresh doc lands (evidence-preserving — no near-dup
         // drops; only exact id re-sends are deduplicated), bucketed
         // for the pruned read-back above; pairs and relabel go
@@ -272,7 +287,10 @@ object GraphStream {
     */
   private def mediaLegPairs(spark: org.apache.spark.sql.SparkSession,
       leg: MediaLeg, fresh: DataFrame, fpIndexPath: String,
-      storedId: Long, stats: GraphStats): DataFrame = {
+      storedId: Long, stats: GraphStats,
+      smallTrigger: Boolean): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (smallTrigger) broadcast(df) else df
     def emptyPairs = spark.range(0).select(col("id").as("doc_a"),
       col("id").as("doc_b"), lit(leg.modality).as("modality"))
     if (!fresh.columns.contains(leg.payloadCol)) return emptyPairs
@@ -305,7 +323,7 @@ object GraphStream {
             hit, storedId).get
         }).persist())
     val mediaResent = graft.ext.Scratch.track(indexBands
-      .join(broadcast(decoded0.select("doc_id").distinct()),
+      .join(bc(decoded0.select("doc_id").distinct()),
         Seq("doc_id"), "left_semi")
       .select("doc_id").distinct().persist())
     // counting here ALSO materializes indexBands' cache before the fp
@@ -314,16 +332,16 @@ object GraphStream {
     val decoded =
       if (nMediaResent == 0L) decoded0
       else graft.ext.Scratch.track(decoded0
-        .join(broadcast(mediaResent), Seq("doc_id"), "left_anti")
+        .join(bc(mediaResent), Seq("doc_id"), "left_anti")
         .persist())
     val bands =
       if (nMediaResent == 0L) bands0
       else graft.ext.Scratch.track(bands0
-        .join(broadcast(mediaResent), Seq("doc_id"), "left_anti")
+        .join(bc(mediaResent), Seq("doc_id"), "left_anti")
         .persist())
     // cross pairs: pruned stored bands × batch bands, exact verify —
     // evidence, not drops (both sides keep their corpus rows)
-    val cross = indexBands.as("i").join(broadcast(bands.as("b")),
+    val cross = indexBands.as("i").join(bc(bands.as("b")),
         col("i.band_idx") === col("b.band_idx")
           && col("i.band_val") === col("b.band_val")
           && col("i.doc_id") =!= col("b.doc_id"))

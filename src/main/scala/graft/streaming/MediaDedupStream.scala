@@ -40,6 +40,12 @@ import graft.ext.Multimodal
   */
 object MediaDedupStream {
 
+  /** Test seam over [[BatchIndex.TriggerBroadcastMaxDocs]] (see
+    * [[GraphStream.triggerBroadcastBound]]).
+    */
+  @volatile private[graft] var triggerBroadcastBound: Long =
+    BatchIndex.TriggerBroadcastMaxDocs
+
   final class MediaStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {
     val seen = spark.sparkContext.longAccumulator("media_seen")
@@ -93,6 +99,12 @@ object MediaDedupStream {
       try {
         val nSeen = cached.count()
         if (nSeen == 0) return
+        // batch-derived drop sets broadcast only while the trigger is
+        // trigger-sized (BatchIndex.TriggerBroadcastMaxDocs — a
+        // catch-up macro-batch takes plain joins; identical results)
+        def bc(df: DataFrame): DataFrame =
+          if (nSeen <= triggerBroadcastBound) broadcast(df)
+          else df
         // decode ONCE: these rows screen the batch AND grow the index
         val fps = fpExtract(cached).persist()
         try {
@@ -128,11 +140,11 @@ object MediaDedupStream {
               }
           val drops = dropSet(bands, indexBands).persist()
           val keptFps = fps.filter(col("decoded"))
-            .join(broadcast(drops), Seq("doc_id"), "left_anti")
+            .join(bc(drops), Seq("doc_id"), "left_anti")
           val survivors = cached
             .join(fps.filter(col("decoded")).select("doc_id"),
               Seq("doc_id"), "left_semi")
-            .join(broadcast(drops), Seq("doc_id"), "left_anti")
+            .join(bc(drops), Seq("doc_id"), "left_anti")
             .persist()
           val nKept = survivors.count()
           BatchIndex.writePartition(survivors, batchId, corpusPath)

@@ -1919,6 +1919,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
   }
 
+  test("macro-batch trigger path (no forced broadcasts) lands identical artifacts") {
+    import spark.implicits._
+    import graft.ext.{CorpusGraph, Multimodal}
+    import graft.streaming.{GraphStream, MediaDedupStream}
+    // a catch-up macro-batch (docs > TriggerBroadcastMaxDocs) drops
+    // the forced batch-side broadcasts — the joins replan, the
+    // artifacts must not move. Bound forced to 0 so the fixture batch
+    // counts as a macro-batch.
+    def mm(ids: Seq[Long], texts: Map[Long, String]) = ids
+      .map(id => (id, texts(id), Multimodal.pngHashPayload(id)))
+      .toDF("doc_id", "text", "image_payload")
+    val textA = (1 to 50).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 50).map(i => s"b$i").mkString(" ")
+    val texts = Map(1L -> textA, 2L -> textB, 3L -> (textA + " z"),
+      10L -> (textB + " y"), 17L -> "seventeen words all its own here",
+      20L -> (1 to 50).map(i => s"c$i").mkString(" "))
+    val leg = Seq(GraphStream.MediaLeg("image_payload", "image",
+      Multimodal.imageFpFromPayload(_)))
+    def run(tag: String, bound: Long): (Set[(Long, Long, String)],
+        Map[Long, Long], Set[Long], Set[Long]) = {
+      val c = Files.createTempDirectory(s"mb_c$tag").toString
+      val b = Files.createTempDirectory(s"mb_b$tag").toString
+      val g = Files.createTempDirectory(s"mb_g$tag").toString
+      val f = Files.createTempDirectory(s"mb_f$tag").toString
+      val prevG = GraphStream.triggerBroadcastBound
+      val prevM = MediaDedupStream.triggerBroadcastBound
+      GraphStream.triggerBroadcastBound = bound
+      MediaDedupStream.triggerBroadcastBound = bound
+      try {
+        val stats = new GraphStream.GraphStats(spark)
+        GraphStream.processBatch(mm(Seq(1L, 2L, 3L), texts), 0L,
+          c, b, g, stats, leg, Some(f))
+        // 10 = text twin of 2; 17 = IMAGE twin of 10 (payload rule)
+        GraphStream.processBatch(mm(Seq(10L, 17L, 20L), texts), 1L,
+          c, b, g, stats, leg, Some(f))
+        val mc = Files.createTempDirectory(s"mb_mc$tag").toString
+        val mi = Files.createTempDirectory(s"mb_mi$tag").toString
+        val ms = new MediaDedupStream.MediaStats(spark)
+        MediaDedupStream.processBatch(
+          Seq((10L, Multimodal.pngHashPayload(10L)),
+            (17L, Multimodal.pngHashPayload(17L)),
+            (30L, Multimodal.pngHashPayload(30L)))
+            .toDF("doc_id", "payload"), 0L, mc, mi, ms)
+        (CorpusGraph.readPairs(spark, g)
+           .select("doc_a", "doc_b", "modality").distinct().collect()
+           .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet,
+         CorpusGraph.readLabels(spark, g).collect()
+           .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+         Multimodal.readMediaFpIndex(spark, f).select("doc_id")
+           .distinct().collect().map(_.getLong(0)).toSet,
+         spark.read.parquet(mc).select("doc_id").collect()
+           .map(_.getLong(0)).toSet)
+      } finally {
+        GraphStream.triggerBroadcastBound = prevG
+        MediaDedupStream.triggerBroadcastBound = prevM
+      }
+    }
+    val normal = run("n", Long.MaxValue)
+    val macroB = run("m", 0L)
+    assert(normal._1.nonEmpty && normal._2.nonEmpty,
+      s"fixture produced no evidence: $normal")
+    assert(normal == macroB,
+      s"macro-batch path diverged:\n$normal\nvs\n$macroB")
+  }
+
   test("pre-sidecar media fp root: first contact backfills the WHOLE sidecar (no partial-sidecar hole)") {
     import spark.implicits._
     import graft.ext.Multimodal

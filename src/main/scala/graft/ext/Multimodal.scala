@@ -1506,12 +1506,29 @@ object Multimodal {
     */
   val MediaBandBuckets = 64L
 
-  /** The band-bucket expression — sidecar writer and every reader
-    * must agree (deterministic, no session state).
+  /** The band-bucket expression at bucket count `b` — sidecar writer
+    * and every reader of ONE root must agree (deterministic, no
+    * session state). The count lives in the root's layout metadata
+    * ([[mediaBandBucketCountOf]]): flat stream indexes re-bucket in
+    * place ([[graft.streaming.BatchIndex.rebucket]]); this VERSIONED
+    * artifact re-buckets through its staged rebuild
+    * ([[rebuildMediaFpIndex]] re-derives the sidecar at the current
+    * default and stamps the new root's metadata).
     */
-  def mediaBandBucket: Column =
-    pmod(xxhash64(col("band_idx"), col("band_val")),
-      lit(MediaBandBuckets))
+  def mediaBandBucketAt(b: Long): Column =
+    pmod(xxhash64(col("band_idx"), col("band_val")), lit(b))
+
+  /** The expression at the configured default (new roots/fixtures). */
+  def mediaBandBucket: Column = mediaBandBucketAt(MediaBandBuckets)
+
+  /** The bucket count a RESOLVED root's sidecar was written with
+    * (its `bands/_graft_buckets` metadata; default for pre-metadata
+    * roots).
+    */
+  def mediaBandBucketCountOf(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long =
+    graft.streaming.BatchIndex.bucketCountOf(spark, s"$root/bands",
+      MediaBandBuckets)
 
   /** The three perceptual modalities the unified index stores. */
   val MediaFpModalities: Seq[String] = Seq("image", "audio", "video")
@@ -1585,6 +1602,11 @@ object Multimodal {
       .write.mode("overwrite")
       .partitionBy("modality", "band_bucket", "batch_id")
       .parquet(s"$root/bands")
+    // layout record AFTER the static overwrite (which clears the dir):
+    // appends and pruned readers resolve the root's bucket count from
+    // this, so a future default change cannot strand them at the old B
+    graft.streaming.BatchIndex.ensureBucketMeta(spark, s"$root/bands",
+      MediaBandBuckets)
   }
 
   /** The band-sidecar rows of a fingerprint frame carrying `modality`
@@ -1592,14 +1614,15 @@ object Multimodal {
     * band-bucket column. Undecodable rows have no bands (they never
     * screen); callers append `batch_id` and partition the write.
     */
-  private def bandSidecarRows(fps: DataFrame): DataFrame =
+  private def bandSidecarRows(fps: DataFrame,
+      b: Long = MediaBandBuckets): DataFrame =
     MediaFpModalities.map { m =>
       fpBands(fps
           .filter(col("modality") === lit(m) && col("decoded"))
           .select("doc_id", "fp_lo", "fp_hi"))
         .withColumn("modality", lit(m))
     }.reduce(_.unionByName(_))
-      .withColumn("band_bucket", mediaBandBucket)
+      .withColumn("band_bucket", mediaBandBucketAt(b))
 
   /** All three modalities' fingerprints for a document frame, bucketed
     * — the decode step shared by the base build and the incremental
@@ -1651,7 +1674,8 @@ object Multimodal {
     * `batch_id < ownId` reads and per-batch compaction semantics hold
     * for backfilled rows exactly as for natively-written ones.
     */
-  private def bandSidecarRowsWithBatch(fps: DataFrame): DataFrame =
+  private def bandSidecarRowsWithBatch(fps: DataFrame,
+      b: Long): DataFrame =
     fps.filter(col("decoded"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("modality"), col("batch_id"), explode(bandStructs).as("b"))
@@ -1659,7 +1683,7 @@ object Multimodal {
         col("b.band_idx").as("band_idx"),
         col("b.band_val").as("band_val"),
         col("modality"), col("batch_id"))
-      .withColumn("band_bucket", mediaBandBucket)
+      .withColumn("band_bucket", mediaBandBucketAt(b))
 
   /** One-time, in-place band-sidecar backfill of a RESOLVED root whose
     * bands component is absent or missing data batches: derive band
@@ -1702,13 +1726,15 @@ object Multimodal {
     val missing = data.select("batch_id").distinct()
       .collect().map(_.getLong(0)).filterNot(have)
     if (missing.isEmpty) return 0L
+    val b = mediaBandBucketCountOf(spark, root)
     bandSidecarRowsWithBatch(
-        data.filter(col("batch_id").isin(missing.toIndexedSeq: _*)))
+        data.filter(col("batch_id").isin(missing.toIndexedSeq: _*)), b)
       .repartition(col("band_bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("modality", "band_bucket", "batch_id")
       .parquet(s"$root/bands")
+    graft.streaming.BatchIndex.ensureBucketMeta(spark, s"$root/bands", b)
     // a session-cached sidecar plan must see the backfilled batches
     spark.catalog.refreshByPath(s"$root/bands")
     missing.length.toLong
@@ -1736,14 +1762,18 @@ object Multimodal {
   }
 
   private def writeBandSidecarOwnPartition(fps: DataFrame,
-      batchId: Long, root: String): Unit =
-    bandSidecarRows(fps)
+      batchId: Long, root: String): Unit = {
+    val spark = fps.sparkSession
+    val b = mediaBandBucketCountOf(spark, root)
+    bandSidecarRows(fps, b)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("band_bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("modality", "band_bucket", "batch_id")
       .parquet(s"$root/bands")
+    graft.streaming.BatchIndex.ensureBucketMeta(spark, s"$root/bands", b)
+  }
 
   /** Land one modality's ALREADY-DECODED fingerprints under the
     * unified index's (modality, bucket, batch_id) layout — the

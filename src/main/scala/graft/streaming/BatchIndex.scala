@@ -147,6 +147,96 @@ object BatchIndex {
         empty
     }
 
+  /** Read the key-bucket count an index was WRITTEN with — its layout
+    * metadata sidecar (`<path>/_graft_buckets`; the `_` prefix keeps
+    * it invisible to parquet partition discovery). B is a FUNCTION of
+    * corpus size (SCALING.md "Per-trigger read volume": bucket content
+    * must stay bounded as the corpus grows), so it cannot live only as
+    * a code constant — a reader probing with a different B than the
+    * writer's addresses the WRONG buckets and pruning silently drops
+    * recall. Absent file = `default` (an index from before this
+    * metadata, at its stream's compiled-in fixture B).
+    */
+  def bucketCountOf(spark: SparkSession, path: String,
+      default: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) default
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Record (or verify) an index's bucket count before writing to it.
+    * First write stamps the metadata; later writes FAIL LOUDLY on a
+    * mismatch — the state where a stream's compiled-in default moved
+    * (or a misconfigured writer attached) without a [[rebucket]], in
+    * which new rows would land in buckets no reader probes.
+    */
+  def ensureBucketMeta(spark: SparkSession, path: String,
+      buckets: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(buckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val have = bucketCountOf(spark, path, buckets)
+      require(have == buckets,
+        s"index at $path is laid out at $have buckets but the writer " +
+          s"is configured for $buckets — run BatchIndex.rebucket " +
+          "(stream stopped) before resuming")
+    }
+  }
+
+  /** Resize a key-bucketed index to `newBuckets` — the maintenance op
+    * the B-sizing rule requires as the corpus grows (SCALING.md: keep
+    * bucket content at tens of MB; B must scale with the index). Full
+    * rewrite under the new layout (`bucketExpr` must be the stream's
+    * own key expression evaluated at the NEW count), staged then
+    * swapped; the metadata rides INSIDE the staged dir so the rename
+    * promotes data + layout record atomically — a crash leaves either
+    * the old consistent index or the new one, never data at one B
+    * with metadata at another. Run with the stream stopped;
+    * rerunnable (same recovery shape as [[migrateToBucketed]]).
+    */
+  def rebucket(spark: SparkSession, path: String, bucketCol: String,
+      newBuckets: Long,
+      bucketExpr: Long => org.apache.spark.sql.Column): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".rebucketing")
+    if (fs.exists(live)) {
+      fs.delete(tmp, true) // partial stage from a crashed run
+      val index = spark.read.parquet(path)
+      index.drop(bucketCol)
+        .withColumn(bucketCol, bucketExpr(newBuckets))
+        .repartition(col(bucketCol))
+        .write.partitionBy(bucketCol, "batch_id").parquet(tmp.toString)
+      // layout record INSIDE the stage — promoted by the same rename
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_graft_buckets"), true)
+      try out.write(newBuckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(live, true)
+    } else require(fs.exists(tmp),
+      s"nothing to rebucket at $path (no index, no staged copy)")
+    fs.rename(tmp, live)
+    spark.catalog.refreshByPath(path) // drop pre-rebucket cached plans
+    ()
+  }
+
   /** One-time, in-place migration of an index written under the flat
     * `batch_id=`-only layout to the key-bucketed `bucketCol/batch_id`
     * layout every [[readBeforeBuckets]] stream now requires

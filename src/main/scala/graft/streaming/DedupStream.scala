@@ -52,11 +52,21 @@ object DedupStream {
     */
   @volatile private[graft] var bandBucketCount: Long = BandBuckets
 
-  /** The band-bucket expression — writer and every reader must agree
-    * (deterministic xxhash64, no session state).
+  /** The band-bucket expression at bucket count `b` — writer and every
+    * reader of ONE index must agree, which is why the count lives in
+    * the index's own layout metadata ([[BatchIndex.bucketCountOf]])
+    * and not only in code: re-bucketing as the corpus grows
+    * ([[BatchIndex.rebucket]]) must not strand readers at the old B.
+    */
+  def bandBucketAt(b: Long): org.apache.spark.sql.Column =
+    BatchIndex.keyBucket(b, col("band_hash"))
+
+  /** The band-bucket expression at the CONFIGURED default count — for
+    * new indexes and fixtures; an existing index's reads/writes go
+    * through [[bandBucketAt]] with its recorded count.
     */
   def bandBucket: org.apache.spark.sql.Column =
-    BatchIndex.keyBucket(bandBucketCount, col("band_hash"))
+    bandBucketAt(bandBucketCount)
 
   final class DedupStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {
@@ -98,11 +108,16 @@ object DedupStream {
         if (nSeen == 0) return
         val bands = Dedup.bandTable(cached).persist()
         try {
+          // THIS index's bucket count (its layout metadata; compiled
+          // default for new/pre-metadata indexes) — probing with any
+          // other B would address the wrong buckets
+          val b = BatchIndex.bucketCountOf(spark, indexPath,
+            bandBucketCount)
           // pruned read: only the band buckets this batch's hashes
           // hit — the screen joins on (band_idx, band_hash), so rows
           // in other buckets cannot match by construction
           val hitBuckets = bands
-            .select(bandBucket.as("band_bucket")).distinct()
+            .select(bandBucketAt(b).as("band_bucket")).distinct()
             .collect().map(_.getLong(0)).toSeq
           val index = BatchIndex.readBeforeBuckets(spark, indexPath,
             batchId, Seq("doc_id", "band_idx", "band_hash"),
@@ -113,9 +128,10 @@ object DedupStream {
             .persist()
           val nKept = survivors.count()
           BatchIndex.writePartition(survivors, batchId, corpusPath)
+          BatchIndex.ensureBucketMeta(spark, indexPath, b)
           BatchIndex.writePartition(
             bands.join(broadcast(drops), Seq("doc_id"), "left_anti")
-              .withColumn("band_bucket", bandBucket),
+              .withColumn("band_bucket", bandBucketAt(b)),
             batchId, indexPath, bucketCol = Some("band_bucket"))
           stats.seen.add(nSeen); stats.kept.add(nKept)
           stats.lastCommitted = batchId

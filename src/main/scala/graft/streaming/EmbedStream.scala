@@ -48,9 +48,16 @@ object EmbedStream {
     */
   val KeyBuckets = 64L
 
-  /** The key-bucket expression — writer and readers must agree. */
-  def keyBucketCol: Column =
-    BatchIndex.keyBucket(KeyBuckets, col("table_idx"), col("bucket"))
+  /** The key-bucket expression at bucket count `b` — writer and every
+    * reader of ONE index must agree; the count lives in the index's
+    * layout metadata ([[BatchIndex.bucketCountOf]]) so
+    * [[BatchIndex.rebucket]] can scale it with the corpus.
+    */
+  def keyBucketColAt(b: Long): Column =
+    BatchIndex.keyBucket(b, col("table_idx"), col("bucket"))
+
+  /** The expression at the configured default (new indexes/fixtures). */
+  def keyBucketCol: Column = keyBucketColAt(KeyBuckets)
 
   /** Deterministic hyperplane component for (table, plane, dim) — same
     * public md5-derived scheme as [[Hashing]]/[[graft.ext.Similarity]],
@@ -127,7 +134,9 @@ object EmbedStream {
           // pruned read: only the key buckets this batch hits — the
           // screen joins on (table_idx, bucket), so rows elsewhere
           // cannot collide by construction
-          val hit = buckets.select(keyBucketCol.as("band_bucket"))
+          val b = BatchIndex.bucketCountOf(spark, indexPath, KeyBuckets)
+          val hit = buckets
+            .select(keyBucketColAt(b).as("band_bucket"))
             .distinct().collect().map(_.getLong(0)).toSeq
           val index = BatchIndex.readBeforeBuckets(spark, indexPath,
             batchId, Seq("vec_id", "table_idx", "bucket"),
@@ -138,9 +147,10 @@ object EmbedStream {
             .persist()
           val nKept = survivors.count()
           BatchIndex.writePartition(survivors, batchId, corpusPath)
+          BatchIndex.ensureBucketMeta(spark, indexPath, b)
           BatchIndex.writePartition(
             buckets.join(broadcast(drops), Seq("vec_id"), "left_anti")
-              .withColumn("band_bucket", keyBucketCol),
+              .withColumn("band_bucket", keyBucketColAt(b)),
             batchId, indexPath, bucketCol = Some("band_bucket"))
           stats.seen.add(nSeen); stats.kept.add(nKept)
           stats.lastCommitted = batchId

@@ -155,6 +155,13 @@ object GraphStream {
           if (smallTrigger) broadcast(df) else df
         val batchBands = graft.ext.Scratch.track(
           Dedup.bandTable(cached).persist())
+        // THIS band index's / corpus's bucket counts (their layout
+        // metadata; compiled defaults for new indexes) — probing with
+        // any other count would address the wrong buckets
+        val bandB = BatchIndex.bucketCountOf(spark, bandIndexPath,
+          DedupStream.bandBucketCount)
+        val corpusB = BatchIndex.bucketCountOf(spark, corpusPath,
+          CorpusBuckets)
         // pruned index read: only the band buckets this batch's hashes
         // hit (the [[DedupStream.BandBuckets]] layout) — every use
         // below is an equi-join on (band_idx, band_hash) or a probe
@@ -164,7 +171,8 @@ object GraphStream {
         // re-sent-id probe, and incrementalNearDups' candidate join
         // all read this one pruned scan.
         val hitBandBuckets = batchBands
-          .select(DedupStream.bandBucket.as("band_bucket")).distinct()
+          .select(DedupStream.bandBucketAt(bandB).as("band_bucket"))
+          .distinct()
           .collect().map(_.getLong(0)).toSeq
         mark("hitBuckets")
         val indexBands = graft.ext.Scratch.track(
@@ -209,7 +217,7 @@ object GraphStream {
           .join(bc(freshBands
             .select("band_idx", "band_hash").distinct()),
             Seq("band_idx", "band_hash"))
-          .select(pmod(col("doc_id"), lit(CorpusBuckets)).as("bucket"))
+          .select(pmod(col("doc_id"), lit(corpusB)).as("bucket"))
           .distinct().collect().map(_.getLong(0)).toSeq
         mark("candBuckets")
         val corpusBefore =
@@ -247,12 +255,15 @@ object GraphStream {
         // drops; only exact id re-sends are deduplicated), bucketed
         // for the pruned read-back above; pairs and relabel go
         // through the graph's own idempotent append
+        BatchIndex.ensureBucketMeta(spark, corpusPath, corpusB)
         BatchIndex.writePartition(
           fresh.withColumn("bucket",
-            pmod(col("doc_id"), lit(CorpusBuckets))),
+            pmod(col("doc_id"), lit(corpusB))),
           storedId, corpusPath, bucketCol = Some("bucket"))
+        BatchIndex.ensureBucketMeta(spark, bandIndexPath, bandB)
         BatchIndex.writePartition(
-          freshBands.withColumn("band_bucket", DedupStream.bandBucket),
+          freshBands.withColumn("band_bucket",
+            DedupStream.bandBucketAt(bandB)),
           storedId, bandIndexPath, bucketCol = Some("band_bucket"))
         mark("writes")
         val nPairs = batchPairs.persist().count()
@@ -304,10 +315,13 @@ object GraphStream {
     if (decoded0.isEmpty) return emptyPairs
     val bands0 = graft.ext.Scratch.track(Multimodal.fpBands(
       decoded0.select("doc_id", "fp_lo", "fp_hi")).persist())
-    val hit = bands0
-      .select(Multimodal.mediaBandBucket.as("band_bucket"))
-      .distinct().collect().map(_.getLong(0)).toSeq
     val root = graft.ext.Versioned.resolve(spark, fpIndexPath)
+    // the ROOT's bucket count (sidecar layout metadata) — see
+    // [[MediaDedupStream.processBatch]]
+    val sidecarB = Multimodal.mediaBandBucketCountOf(spark, root)
+    val hit = bands0
+      .select(Multimodal.mediaBandBucketAt(sidecarB).as("band_bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     def emptyBands = Multimodal.fpBands(
       decoded0.select("doc_id", "fp_lo", "fp_hi").limit(0))
     val indexBands = graft.ext.Scratch.track((

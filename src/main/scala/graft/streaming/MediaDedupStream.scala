@@ -124,8 +124,12 @@ object MediaDedupStream {
           // served pruned like any other: one bounded rewrite instead
           // of a permanent full-slice screen.
           val root = graft.ext.Versioned.resolve(spark, indexPath)
+          // the ROOT's bucket count (its sidecar layout metadata) —
+          // probing with any other count addresses the wrong buckets
+          val bandB = Multimodal.mediaBandBucketCountOf(spark, root)
           val hit = bands
-            .select(Multimodal.mediaBandBucket.as("band_bucket"))
+            .select(Multimodal.mediaBandBucketAt(bandB)
+              .as("band_bucket"))
             .distinct().collect().map(_.getLong(0)).toSeq
           def emptyBands = Multimodal.fpBands(keptFpCols.limit(0))
           val indexBands =

@@ -36,9 +36,16 @@ object NoveltyStream {
     */
   val KeyBuckets = 64L
 
-  /** The gram-bucket expression — writer and readers must agree. */
-  def gramBucket: org.apache.spark.sql.Column =
-    BatchIndex.keyBucket(KeyBuckets, col("h"))
+  /** The gram-bucket expression at bucket count `b` — writer and
+    * every reader of ONE index must agree; the count lives in the
+    * index's layout metadata ([[BatchIndex.bucketCountOf]]) so
+    * [[BatchIndex.rebucket]] can scale it with the corpus.
+    */
+  def gramBucketAt(b: Long): org.apache.spark.sql.Column =
+    BatchIndex.keyBucket(b, col("h"))
+
+  /** The expression at the configured default (new indexes/fixtures). */
+  def gramBucket: org.apache.spark.sql.Column = gramBucketAt(KeyBuckets)
 
   final class NoveltyStats(spark: org.apache.spark.sql.SparkSession)
       extends Serializable {
@@ -59,7 +66,8 @@ object NoveltyStream {
         val nSeen = cached.count()
         if (nSeen == 0) return
         val grams = TextAnalysis.gramIndex(cached).persist()
-        val hit = grams.select(gramBucket.as("band_bucket"))
+        val b = BatchIndex.bucketCountOf(spark, indexPath, KeyBuckets)
+        val hit = grams.select(gramBucketAt(b).as("band_bucket"))
           .distinct().collect().map(_.getLong(0)).toSeq
         val index = BatchIndex.readBeforeBuckets(spark, indexPath,
           batchId, Seq("h"), TextAnalysis.gramIndex(cached.limit(0)),
@@ -72,8 +80,9 @@ object NoveltyStream {
           report.write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(reportPath)
+          BatchIndex.ensureBucketMeta(spark, indexPath, b)
           BatchIndex.writePartition(
-            grams.withColumn("band_bucket", gramBucket),
+            grams.withColumn("band_bucket", gramBucketAt(b)),
             batchId, indexPath, bucketCol = Some("band_bucket"))
           stats.seen.add(nSeen); stats.novel.add(nNovel)
           stats.lastCommitted = batchId

@@ -1919,6 +1919,123 @@ class StreamingSpec extends AnyFunSuite {
     assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
   }
 
+  test("rebucketing scales B with the corpus without stranding readers") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    import graft.streaming.{BatchIndex, DedupStream}
+    val corpusDir = Files.createTempDirectory("rbk_corpus").toString
+    val indexDir = Files.createTempDirectory("rbk_idx").toString + "/idx"
+    val textA = (1 to 50).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 50).map(i => s"b$i").mkString(" ")
+    val textC = (1 to 50).map(i => s"c$i").mkString(" ")
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val stats = new DedupStream.DedupStats(spark)
+
+    // batch 0 writes at the compiled default and STAMPS the layout
+    DedupStream.processBatch(docsDf((1L, textA), (2L, textB)), 0L,
+      corpusDir, indexDir, stats)
+    assert(BatchIndex.bucketCountOf(spark, indexDir, -1L)
+      == DedupStream.BandBuckets)
+
+    // the sizing rule fires: resize to 256 (stream stopped)
+    BatchIndex.rebucket(spark, indexDir, "band_bucket", 256L,
+      DedupStream.bandBucketAt)
+    assert(BatchIndex.bucketCountOf(spark, indexDir, -1L) == 256L)
+    // every row sits under the bucket a 256-probing reader addresses
+    assert(spark.read.parquet(indexDir)
+      .filter(col("band_bucket") =!= DedupStream.bandBucketAt(256L))
+      .count() == 0L)
+
+    // the resumed stream resolves 256 FROM THE INDEX: a twin of a
+    // pre-rebucket doc still screens out, a new doc lands, and the
+    // write extends the 256-layout without a mismatch failure
+    DedupStream.processBatch(docsDf((17L, textA + " z"), (30L, textC)),
+      1L, corpusDir, indexDir, stats)
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 30L))
+    // pruning audit at the new B: a one-doc probe reads only its hit
+    // buckets of the 256-bucket layout
+    val probeBands = Dedup.bandTable(docsDf((99L, textB)))
+    val hit = probeBands
+      .select(DedupStream.bandBucketAt(256L).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val scanned = BatchIndex.readBeforeBuckets(spark, indexDir, 99L,
+        Seq("doc_id", "band_idx", "band_hash"), probeBands.limit(0),
+        "band_bucket", hit.toSeq)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .flatMap("band_bucket=(\\d+)".r.findFirstMatchIn(_)
+        .map(_.group(1).toLong)).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(hit),
+      s"read outside hit buckets at B=256: ${scanned -- hit}")
+    // and a twin of pre-rebucket content is still FOUND via that
+    // pruned read (the lossless-resize guarantee)
+    assert(BatchIndex.readBeforeBuckets(spark, indexDir, 99L,
+        Seq("doc_id", "band_idx", "band_hash"), probeBands.limit(0),
+        "band_bucket", hit.toSeq)
+      .join(probeBands.select("band_idx", "band_hash").distinct(),
+        Seq("band_idx", "band_hash"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(2L))
+
+    // a writer configured for a DIFFERENT B fails loudly instead of
+    // landing rows in buckets no reader probes
+    val err = intercept[IllegalArgumentException] {
+      BatchIndex.ensureBucketMeta(spark, indexDir, 64L)
+    }
+    assert(err.getMessage.contains("rebucket"), err.getMessage)
+  }
+
+  test("media sidecar readers resolve the ROOT's bucket count, not the compiled default") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    import graft.streaming.{BatchIndex, MediaDedupStream}
+    val corpusDir = Files.createTempDirectory("mrb_corpus").toString
+    val idx = Files.createTempDirectory("mrb_idx").toString
+    val docs = Tables(spark, Sf0001).documents
+    Multimodal.writeMediaFpIndex(
+      docs.filter(col("doc_id").isin(10L, 20L)), idx)
+    val root = graft.ext.Versioned.resolve(spark, idx)
+    assert(Multimodal.mediaBandBucketCountOf(spark, root)
+      == Multimodal.MediaBandBuckets)
+    // re-derive the sidecar at B=16 by hand (the effect a rebuild
+    // under a changed default would have) and stamp the new layout
+    val tmp = Files.createTempDirectory("mrb_tmp").toString + "/bands"
+    spark.read.schema(Multimodal.MediaBandSchema)
+      .parquet(s"$root/bands")
+      .drop("band_bucket")
+      .withColumn("band_bucket", Multimodal.mediaBandBucketAt(16L))
+      .repartition(col("band_bucket"))
+      .write.partitionBy("modality", "band_bucket", "batch_id")
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$root/bands")))
+    BatchIndex.ensureBucketMeta(spark, s"$root/bands", 16L)
+    spark.catalog.refreshByPath(s"$root/bands")
+    assert(Multimodal.mediaBandBucketCountOf(spark, root) == 16L)
+    // the stream probes at 16 (from the metadata): the perceptual
+    // twin of indexed 10 still screens out, the new doc lands, and
+    // the append extends the 16-bucket sidecar consistently
+    val stats = new MediaDedupStream.MediaStats(spark)
+    MediaDedupStream.processBatch(
+      Seq((17L, Multimodal.pngHashPayload(17L)),
+        (50L, Multimodal.pngHashPayload(50L))).toDF("doc_id", "payload"),
+      0L, corpusDir, idx, stats)
+    assert(stats.kept.value == 1,
+      "twin must screen via the 16-bucket pruned read")
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(50L))
+    assert(spark.read.schema(Multimodal.MediaBandSchema)
+      .parquet(s"$root/bands")
+      .filter(col("band_bucket") =!= Multimodal.mediaBandBucketAt(16L))
+      .count() == 0L,
+      "the append must land sidecar rows at the root's own B")
+  }
+
   test("macro-batch trigger path (no forced broadcasts) lands identical artifacts") {
     import spark.implicits._
     import graft.ext.{CorpusGraph, Multimodal}

@@ -549,22 +549,44 @@ object RunStream {
     // the EVIDENCE-PRESERVING leg — GraphStream keeps every doc and
     // records near-dup pairs + bounded component relabels in the
     // persisted corpus graph; measures sustained docs/s and pair
-    // throughput (recorded in SCALING.md)
-    if (wire == "graph") {
-      val docs = docStream(rate)
+    // throughput (recorded in SCALING.md). `graphmm` adds the IMAGE
+    // MediaLeg: PNG payloads on the twin-pair residues (ids ≡ 0 and
+    // ≡ 7 mod 10), perceptual pairs landing in the same graph append
+    // and fingerprints in the unified fp index — the standalone
+    // multimodal number next to the six-leg composed one.
+    if (wire == "graph" || wire == "graphmm") {
+      import spark.implicits._
+      val docs =
+        if (wire == "graphmm")
+          docStream(rate).as[(Long, String)].map { case (id, t) =>
+            (id, t,
+              if (id % 10 == 0 || id % 10 == 7)
+                graft.ext.Multimodal.pngHashPayload(id)
+              else null)
+          }.toDF("doc_id", "text", "image_payload")
+        else docStream(rate)
+      val legs =
+        if (wire == "graphmm")
+          Seq(graft.streaming.GraphStream.MediaLeg("image_payload",
+            "image", graft.ext.Multimodal.imageFpFromPayload(_)))
+        else Nil
       val stats = new graft.streaming.GraphStream.GraphStats(spark)
       val q = graft.streaming.GraphStream.start(docs,
         s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
-        s"$outDir/ckpt_g", stats, Trigger.ProcessingTime("5 seconds"))
+        s"$outDir/ckpt_g", stats, Trigger.ProcessingTime("5 seconds"),
+        mediaLegs = legs,
+        fpIndexPath =
+          if (wire == "graphmm") Some(s"$outDir/fp_g") else None)
       EventPipeline.runBounded(q, seconds * 1000L)
       val (pairsStored, labels, stale) = graphAudit(spark,
         s"$outDir/graph_g", stats.lastCommitted)
       val trigMs = q.recentProgress.toSeq.map(p =>
         p.numInputRows -> Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue()).getOrElse(0L))
-      println(s"[stream-graph] seen=${stats.seen.value} " +
+      println(s"[stream-$wire] seen=${stats.seen.value} " +
         s"pairs=${stats.pairs.value} storedPairs=$pairsStored " +
         s"labeledDocs=$labels stale=$stale " +
+        s"mediaRejected=${stats.mediaRejected.value} " +
         f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f " +
         s"triggers=${trigMs.map { case (r, ms) => s"$r:${ms}ms" }
           .mkString(",")}")

@@ -136,24 +136,64 @@ object RunStream {
     * documented at-least-once window a checkpoint RESUME replays — so
     * the health audit must compare labels against COMMITTED pair
     * partitions only; auditing the in-flight partition reports that
-    * crash window, not the stream's correctness. Returns (committed
-    * pair rows, label rows, stale-vs-committed count); all 0 when the
-    * run stopped before the first commit.
+    * crash window, not the stream's correctness. One more stop() race
+    * sits on the OTHER side of the boundary: `stats.lastCommitted` is
+    * assigned only after `CorpusGraph.append` returns, so a stop
+    * landing between append completion and that assignment leaves the
+    * in-flight batch's RELABEL in the label table while its pairs sit
+    * above the committed filter — labels then disagree with the
+    * committed pair set even though the graph is perfectly consistent.
+    * The audit therefore accepts labels that match the labeling of
+    * EITHER consistent boundary: the committed prefix, or the prefix
+    * including the one possibly-landed in-flight batch — stale = the
+    * minimum of the two disagreement counts (a genuinely stale table
+    * matches neither; a healthy one matches exactly one).
+    *
+    * Returns (committed pair rows, label rows, stale count); all 0
+    * when the run stopped before the first commit, and the SENTINEL
+    * (-1, -1, -1) when the audit itself crashed — a crashed audit must
+    * never read as a passing (stale = 0) health check.
     */
   private def graphAudit(spark: SparkSession, path: String,
       committed: Long): (Long, Long, Long) =
     try {
       import graft.ext.{CorpusGraph, Dedup}
+      val allPairs = CorpusGraph.readPairs(spark, path)
       // stream batch ids are offset by one in the graph artifact
-      val pairs = CorpusGraph.readPairs(spark, path)
-        .filter(col("batch_id") <= committed + 1L)
+      val pairs = allPairs.filter(col("batch_id") <= committed + 1L)
       val labels = CorpusGraph.readLabels(spark, path)
-      val expect = Dedup.clusterLabels(pairs.select("doc_a", "doc_b"))
-      val stale =
+      def staleVs(p: DataFrame): Long = {
+        val expect = Dedup.clusterLabels(p.select("doc_a", "doc_b"))
         labels.join(expect, Seq("doc_id", "label"), "left_anti").count() +
           expect.join(labels, Seq("doc_id", "label"), "left_anti").count()
+      }
+      val staleCommitted = staleVs(pairs)
+      // second boundary only when an in-flight batch actually landed
+      // pairs past the committed prefix (skip the duplicate labeling
+      // otherwise) — and only its own +1 batch, never arbitrary drift
+      val inFlight =
+        allPairs.filter(col("batch_id") === committed + 2L)
+      val stale =
+        if (staleCommitted == 0L || inFlight.isEmpty) staleCommitted
+        else math.min(staleCommitted,
+          staleVs(pairs.unionByName(inFlight)))
       (pairs.count(), labels.count(), stale)
-    } catch { case _: Throwable => (0L, 0L, 0L) }
+    } catch {
+      // absent graph = the run stopped before its first commit — a
+      // legitimate empty result, not an audit failure
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null
+            && (e.getCondition.contains("PATH_NOT_FOUND")
+              || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        (0L, 0L, 0L)
+      case e: Throwable =>
+        // surfaced, not swallowed: the printed summary must show WHY
+        // the health numbers are absent
+        System.err.println(s"[graph-audit] FAILED: " +
+          s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(300))
+        (-1L, -1L, -1L)
+    }
 
   /** The COMPOSED streaming surface end to end, spec-drivable (the
     * CLI `full` mode only adds session setup and printing): six

@@ -218,7 +218,10 @@ object BatchIndex {
     val tmp = new org.apache.hadoop.fs.Path(path + ".rebucketing")
     if (fs.exists(live)) {
       fs.delete(tmp, true) // partial stage from a crashed run
-      val index = spark.read.parquet(path)
+      // mergeSchema: same reason as [[compactMulti]] — a full rewrite
+      // that inferred schema from the first-listed file would silently
+      // drop columns added by later batches of a schema-evolved index
+      val index = spark.read.option("mergeSchema", "true").parquet(path)
       index.drop(bucketCol)
         .withColumn(bucketCol, bucketExpr(newBuckets))
         .repartition(col(bucketCol))
@@ -241,18 +244,25 @@ object BatchIndex {
     * `batch_id=`-only layout to the key-bucketed `bucketCol/batch_id`
     * layout every [[readBeforeBuckets]] stream now requires
     * ([[DedupStream]]/[[GraphStream]] band indexes, [[EmbedStream]]
-    * LSH tables, [[NoveltyStream]] gram index). `bucketExpr` must be
-    * the stream's own bucket expression (e.g.
-    * [[DedupStream.bandBucket]]) — writer and every future reader
-    * must agree. Run with the stream stopped; rerunnable: a crash
-    * before the old layout is deleted restages from the live data, a
-    * crash after it completes the promote from the staged copy (the
-    * stage is only ever deleted-then-renamed once its write fully
-    * committed). No-op when the index already carries `bucketCol`.
+    * LSH tables, [[NoveltyStream]] gram index). `bucketExpr(buckets)`
+    * must be the stream's own bucket expression at the migration's
+    * target count (e.g. [[DedupStream.bandBucketAt]]) — writer and
+    * every future reader must agree, which is why the count is ALSO
+    * stamped as `_graft_buckets` layout metadata inside the staged dir
+    * (the [[rebucket]] discipline: data and layout record promote in
+    * one rename — a migrated index left without metadata would resolve
+    * whatever compiled-in default a FUTURE reader ships, silently
+    * losing recall the moment that default moves). Run with the stream
+    * stopped; rerunnable: a crash before the old layout is deleted
+    * restages from the live data, a crash after it completes the
+    * promote from the staged copy (the stage is only ever
+    * deleted-then-renamed once its write fully committed). No-op when
+    * the index already carries `bucketCol` — except stamping the
+    * metadata if a pre-metadata migration left it absent.
     */
   def migrateToBucketed(spark: SparkSession, path: String,
-      bucketCol: String,
-      bucketExpr: org.apache.spark.sql.Column): Unit = {
+      bucketCol: String, buckets: Long,
+      bucketExpr: Long => org.apache.spark.sql.Column): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -260,11 +270,24 @@ object BatchIndex {
     val tmp = new org.apache.hadoop.fs.Path(path + ".rebucketing")
     if (fs.exists(live)) {
       fs.delete(tmp, true) // partial stage from a crashed run
-      val index = spark.read.parquet(path)
-      if (index.columns.contains(bucketCol)) return // already migrated
-      index.withColumn(bucketCol, bucketExpr)
+      // mergeSchema: a full rewrite must not drop columns added by
+      // later batches of a schema-evolved index (the compact rationale)
+      val index = spark.read.option("mergeSchema", "true").parquet(path)
+      if (index.columns.contains(bucketCol)) {
+        // already bucketed — just ensure the layout metadata exists
+        // (verifies on mismatch rather than silently restamping)
+        ensureBucketMeta(spark, path, buckets)
+        return
+      }
+      index.withColumn(bucketCol, bucketExpr(buckets))
         .repartition(col(bucketCol))
         .write.partitionBy(bucketCol, "batch_id").parquet(tmp.toString)
+      // layout record INSIDE the stage — promoted by the same rename
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, "_graft_buckets"), true)
+      try out.write(buckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       fs.delete(live, true)
     } else require(fs.exists(tmp),
       s"nothing to migrate at $path (no index, no staged copy)")

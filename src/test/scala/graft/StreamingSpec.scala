@@ -2212,14 +2212,19 @@ class StreamingSpec extends AnyFunSuite {
       err.getMessage)
 
     BatchIndex.migrateToBucketed(spark, indexDir, "band_bucket",
-      DedupStream.bandBucket)
+      DedupStream.BandBuckets, DedupStream.bandBucketAt)
     // re-run is a no-op (rerunnable contract)
     BatchIndex.migrateToBucketed(spark, indexDir, "band_bucket",
-      DedupStream.bandBucket)
+      DedupStream.BandBuckets, DedupStream.bandBucketAt)
     // every migrated row sits under the bucket its READERS will probe
     assert(spark.read.parquet(indexDir)
       .filter(col("band_bucket") =!= DedupStream.bandBucket)
       .count() == 0L)
+    // the migration STAMPS its layout metadata (rides the same rename
+    // as the data): a reader resolving B after the compiled default
+    // moves must get the migration's B, not the new default
+    assert(BatchIndex.bucketCountOf(spark, indexDir, -1L)
+      == DedupStream.BandBuckets)
 
     // the stream continues over the migrated index: a twin of a
     // flat-era doc drops, a new doc lands
@@ -2229,5 +2234,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.kept.value == 1)
     assert(spark.read.parquet(corpusDir).select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(30L))
+  }
+
+  test("full-rewrite layout ops merge schemas: rebucket/migrate keep late-added columns") {
+    import spark.implicits._
+    import graft.streaming.{BatchIndex, DedupStream}
+    // SCHEMA-EVOLVED index: batch 0 written before a `weight` column
+    // existed, batch 1 after. Directory listing order makes batch 0's
+    // file the inference anchor for a plain read, so a full rewrite
+    // without mergeSchema would silently and unrecoverably drop the
+    // column (the compact contract, now pinned for rebucket + migrate).
+    def bands(ids: Seq[Long]) = ids
+      .flatMap(id => (0 until 4).map(b => (id, b, id * 100 + b)))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+    // rebucket over an evolved BUCKETED index
+    val idxR = Files.createTempDirectory("ms_rbk").toString + "/idx"
+    BatchIndex.writePartition(bands(Seq(1L))
+        .withColumn("band_bucket", DedupStream.bandBucketAt(64L)),
+      0L, idxR, bucketCol = Some("band_bucket"))
+    BatchIndex.ensureBucketMeta(spark, idxR, 64L)
+    BatchIndex.writePartition(bands(Seq(2L)).withColumn("weight", lit(0.5))
+        .withColumn("band_bucket", DedupStream.bandBucketAt(64L)),
+      1L, idxR, bucketCol = Some("band_bucket"))
+    BatchIndex.rebucket(spark, idxR, "band_bucket", 256L,
+      DedupStream.bandBucketAt)
+    val afterR = spark.read.option("mergeSchema", "true").parquet(idxR)
+    assert(afterR.columns.contains("weight"),
+      "rebucket dropped a late-added column")
+    assert(afterR.filter(col("weight") === 0.5).count() == 4L)
+
+    // migrate over an evolved FLAT index
+    val idxM = Files.createTempDirectory("ms_mig").toString + "/idx"
+    BatchIndex.writePartition(bands(Seq(1L)), 0L, idxM)
+    BatchIndex.writePartition(
+      bands(Seq(2L)).withColumn("weight", lit(0.5)), 1L, idxM)
+    BatchIndex.migrateToBucketed(spark, idxM, "band_bucket", 64L,
+      DedupStream.bandBucketAt)
+    val afterM = spark.read.option("mergeSchema", "true").parquet(idxM)
+    assert(afterM.columns.contains("weight"),
+      "migrateToBucketed dropped a late-added column")
+    assert(afterM.filter(col("weight") === 0.5).count() == 4L)
+    // and the migration stamped its layout metadata
+    assert(BatchIndex.bucketCountOf(spark, idxM, -1L) == 64L)
   }
 }

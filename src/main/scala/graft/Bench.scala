@@ -15,6 +15,29 @@ object Bench {
     // so per-query timings below are steady-state, not arrival order.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // CALIBRATION: a fixed constant-work scan (full-column checksum of
+    // the pinned lineitem fixture — scan + hash + one-group agg, no
+    // shuffle skew, no library code) whose time is a pure box-state
+    // marker. Cross-round adjudication divides both rounds' suite
+    // totals by their calibration before flagging movers: the box's
+    // throughput drifts ±30% within a day (SCALING.md "Regression
+    // adjudication"), and this number carries that drift while the
+    // code under test does not. Median of 3 post-warmup runs.
+    val calibration = {
+      import org.apache.spark.sql.functions.{sum, xxhash64, col}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // decimal(38) sum: a long sum of 64-bit hashes overflows under
+      // ANSI mode; the checksum value itself is irrelevant — only the
+      // constant work is
+      val hashAll = xxhash64(li.columns.map(col).toIndexedSeq: _*)
+        .cast("decimal(38,0)")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        li.agg(sum(hashAll)).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1)
+    }
     // two passes, report the per-query minimum: machine noise (the round
     // driver shares this box) swings single runs by 1.5x+
     // Returns (seconds, ok). A query that throws must never be mistaken
@@ -108,7 +131,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedIsoJson =
       failedIso.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"isolated_total":$isoTotal,"failed":$failedJson,"failed_count":${failed.size},"failed_isolated":$failedIsoJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"isolated_total":$isoTotal,"failed":$failedJson,"failed_count":${failed.size},"failed_isolated":$failedIsoJson,"calibration_sec":$calibration,"sf":"$sfDir"}""")
     // The driver's per-round artifact keeps only a tail of stdout, which
     // truncates half the per-query numbers; persist the full result to a
     // stable file too (slowest-first, with delta vs the previous run of
@@ -137,6 +160,7 @@ object Bench {
          |  "value": $total,
          |  "unit": "sec",
          |  "sf": "$sfDir",
+         |  "calibration_sec": $calibration,
          |  "failed": $failedJson,
          |  "failed_count": ${failed.size},
          |  "failed_isolated": $failedIsoJson,

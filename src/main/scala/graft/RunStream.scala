@@ -330,6 +330,14 @@ object RunStream {
       // encode cost stays at ~20% of the doc rate)
       import spark.implicits._
       val gStats = new graft.streaming.GraphStream.GraphStats(spark)
+      // the graph leg runs a 3× LONGER trigger than the other five:
+      // its per-trigger cost is dominated by fixed per-action overhead
+      // (~30 queued jobs per trigger — banding, pruned reads, decode,
+      // fp append, relabel — each waiting its turn on the executor
+      // pool the other legs share), so fewer, larger batches amortize
+      // the queue tax; its artifacts are indexes and evidence, not
+      // latency-sensitive sinks (measured: SCALING.md "Six-leg
+      // composition", r16)
       val qGr = graft.streaming.GraphStream.start(
         docStream(rateSource()).as[(Long, String)].map { case (id, t) =>
           (id, t,
@@ -338,7 +346,9 @@ object RunStream {
             else null)
         }.toDF("doc_id", "text", "image_payload"),
         s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
-        s"$outDir/ckpt_g", gStats, trigger,
+        s"$outDir/ckpt_g", gStats,
+        Trigger.ProcessingTime(sys.env.getOrElse(
+          "SPARK_GRAFT_GRAPH_TRIGGER", "15 seconds")),
         mediaLegs = Seq(graft.streaming.GraphStream.MediaLeg(
           "image_payload", "image",
           graft.ext.Multimodal.imageFpFromPayload(_))),
@@ -416,6 +426,14 @@ object RunStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR by default: FIFO lets one leg's ~30-job trigger
+      // head-of-line block the other five — measured 8.6× on the
+      // composed graph leg (703 → 6 030 docs/s, 360 s runs, SCALING.md
+      // "Six-leg composition: the scheduler was the bottleneck") with
+      // every other leg unharmed or faster. SPARK_GRAFT_SCHEDULER=FIFO
+      // restores the old posture for A/B.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHEDULER", "FAIR"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -593,30 +611,46 @@ object RunStream {
     // MediaLeg: PNG payloads on the twin-pair residues (ids ≡ 0 and
     // ≡ 7 mod 10), perceptual pairs landing in the same graph append
     // and fingerprints in the unified fp index — the standalone
-    // multimodal number next to the six-leg composed one.
-    if (wire == "graph" || wire == "graphmm") {
+    // multimodal number next to the six-leg composed one. `graphmm3`
+    // runs ALL THREE standard legs (image + audio + video payloads on
+    // the same twin residues — every twin pair carries evidence in all
+    // four channels), the fully-multimodal ceiling: the video leg's
+    // per-frame demux+decode is the expensive one, and this mode
+    // prices it inside the composed trigger instead of standalone.
+    if (wire == "graph" || wire == "graphmm" || wire == "graphmm3") {
       import spark.implicits._
-      val docs =
-        if (wire == "graphmm")
+      def onTwinResidue(id: Long)(payload: => Array[Byte]): Array[Byte] =
+        if (id % 10 == 0 || id % 10 == 7) payload else null
+      val docs = wire match {
+        case "graphmm" =>
           docStream(rate).as[(Long, String)].map { case (id, t) =>
             (id, t,
-              if (id % 10 == 0 || id % 10 == 7)
-                graft.ext.Multimodal.pngHashPayload(id)
-              else null)
+              onTwinResidue(id)(graft.ext.Multimodal.pngHashPayload(id)))
           }.toDF("doc_id", "text", "image_payload")
-        else docStream(rate)
-      val legs =
-        if (wire == "graphmm")
+        case "graphmm3" =>
+          docStream(rate).as[(Long, String)].map { case (id, t) =>
+            (id, t,
+              onTwinResidue(id)(graft.ext.Multimodal.pngHashPayload(id)),
+              onTwinResidue(id)(graft.ext.Multimodal.wavFpPayload(id)),
+              onTwinResidue(id)(graft.ext.Multimodal.videoPayload(id)))
+          }.toDF("doc_id", "text", "image_payload", "audio_payload",
+            "video_payload")
+        case _ => docStream(rate)
+      }
+      val legs = wire match {
+        case "graphmm" =>
           Seq(graft.streaming.GraphStream.MediaLeg("image_payload",
             "image", graft.ext.Multimodal.imageFpFromPayload(_)))
-        else Nil
+        case "graphmm3" => graft.streaming.GraphStream.standardMediaLegs
+        case _ => Nil
+      }
       val stats = new graft.streaming.GraphStream.GraphStats(spark)
       val q = graft.streaming.GraphStream.start(docs,
         s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
         s"$outDir/ckpt_g", stats, Trigger.ProcessingTime("5 seconds"),
         mediaLegs = legs,
         fpIndexPath =
-          if (wire == "graphmm") Some(s"$outDir/fp_g") else None)
+          if (legs.nonEmpty) Some(s"$outDir/fp_g") else None)
       EventPipeline.runBounded(q, seconds * 1000L)
       val (pairsStored, labels, stale) = graphAudit(spark,
         s"$outDir/graph_g", stats.lastCommitted)

@@ -418,6 +418,22 @@ object ScaleProbe {
       (col("id") * 4).as("doc_a"), (lit(n) + col("id")).as("doc_b"),
       modOf(col("id")).as("modality"))
     val appendS = timed(CorpusGraph.append(spark, root, batch, 1L))
+    // the per-ingest monitor: touched-scope stale audit over the
+    // batch's own endpoints — priced by the touched components, vs the
+    // full audit (≈ a rebuild) timed at the end of this probe
+    val batchIds = batch.select(col("doc_a").as("doc_id"))
+      .unionByName(batch.select(col("doc_b").as("doc_id"))).distinct()
+    var touched = CorpusGraph.TouchedAudit(-1L, -1L, -1L, 0, false)
+    val auditTouchedS =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_TOUCHED_AUDIT")) -1.0
+      else timed {
+        // scoped: the audit is a monitor — its scratch frames must not
+        // ride into the next phase's memory envelope
+        graft.ext.Scratch.scopedAll {
+          touched =
+            CorpusGraph.staleLabelCountTouched(spark, root, batchIds)
+        }
+      }
     val rebuildS = timed(
       CorpusGraph.write(base.unionByName(batch), root2))
     val inc = CorpusGraph.readLabels(spark, root)
@@ -449,6 +465,9 @@ object ScaleProbe {
     val auditS = timed { stale = CorpusGraph.staleLabelCount(spark, root) }
     println(f"[scale-graph] n=$n%-8d pairs=${n * 3 / 4}%-9d " +
       f"build=$buildS%7.1fs append_10k=$appendS%6.1fs " +
+      f"auditTouched=$auditTouchedS%6.1fs " +
+      f"(scope=${touched.scopeDocs} rounds=${touched.rounds} " +
+      f"stale=${touched.stale}) " +
       f"rebuild=$rebuildS%7.1fs (append=${appendS / rebuildS}%.2fx " +
       f"rebuild) labelsMatch=${mismatch == 0} " +
       f"purge_50=$smallS%6.1fs parts=${small.partsRewritten}rw+" +
@@ -532,6 +551,132 @@ object ScaleProbe {
     }
   }
 
+  /** Trigger cost vs batch-levels-per-bucket at large B — the
+    * file-count counterweight to the B ∝ corpus sizing rule
+    * (SCALING.md "Per-trigger read volume" showed scaled-B triggers
+    * slowing as levels accrete: partition discovery lists all B×L
+    * directories per read and the pruned scan opens hitBuckets×L
+    * files). The same 4n-row band index is laid out as L batch levels
+    * for L ∈ {1, 8, 32} at B ∈ {2048, 8192}, one 50-doc DedupStream
+    * trigger is timed against each, and the largest-L variant is
+    * compacted ([[graft.streaming.DedupStream.compactIndex]]) and
+    * re-triggered — the recovery the
+    * [[graft.streaming.BatchIndex.CompactAfterLevels]] cadence rule
+    * buys. `sbt "runMain graft.ScaleProbe levels 1000000"`.
+    */
+  def levelsProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.streaming.{BatchIndex, DedupStream}
+    for {
+      b <- Seq(2048L, 8192L)
+      levels <- Seq(1, 8, 32)
+    } {
+      val dir = s"/tmp/graft_scaleprobe_lv_${n}_${b}_$levels"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+      DedupStream.bandBucketCount = b
+      try {
+        val per = n / levels
+        (0 until levels).foreach { l =>
+          // band_idx INT like Dedup.bandTable — the later trigger and
+          // the mergeSchema compact must see one schema
+          val bands = spark.range(l * per, (l + 1) * per)
+            .select(col("id").as("doc_id"),
+              explode(sequence(lit(0), lit(3))).as("band_idx"))
+            .withColumn("band_hash", md5(concat_ws(",",
+              col("doc_id").cast("string"),
+              col("band_idx").cast("string"))))
+          BatchIndex.writePartition(
+            bands.withColumn("band_bucket", DedupStream.bandBucket),
+            l.toLong + 1L, s"$dir/index",
+            bucketCol = Some("band_bucket"))
+        }
+        BatchIndex.ensureBucketMeta(spark, s"$dir/index", b)
+        val (idxBytes, idxFiles) = dirStats(s"$dir/index")
+        def trigger(id: Long): Double = {
+          val batch = synthDocs(spark, 50)
+            .withColumn("doc_id", col("doc_id") + lit(4 * n))
+          val stats = new DedupStream.DedupStats(spark)
+          stats.lastCommitted = id - 1
+          val t0 = System.nanoTime()
+          DedupStream.processBatch(batch, id, s"$dir/corpus",
+            s"$dir/index", stats)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val trig = trigger(100L)
+        val report = BatchIndex.layoutReport(spark, s"$dir/index",
+          "band_bucket", b)
+        // compaction recovery, priced on the worst layout only
+        val (compactS, trigAfter) =
+          if (levels == 32) {
+            val t0 = System.nanoTime()
+            DedupStream.compactIndex(spark, s"$dir/index")
+            ((System.nanoTime() - t0) / 1e9, trigger(101L))
+          } else (-1.0, -1.0)
+        println(f"[scale-levels] n=$n%-8d B=$b%-6d L=$levels%-4d " +
+          f"files=$idxFiles%-7d sizeMB=${idxBytes / 1e6}%7.1f " +
+          f"trigger=$trig%6.2fs " +
+          f"maxLevels=${report.maxLevelsPerBucket} " +
+          f"compactDue=${report.compactRecommended} " +
+          f"compact=$compactS%6.1fs trigAfter=$trigAfter%6.2fs")
+      } finally {
+        DedupStream.bandBucketCount = DedupStream.BandBuckets
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** The price of a [[graft.streaming.BatchIndex.rebucket]] resize at
+    * probe scale — the op the B ∝ corpus rule makes mandatory, priced
+    * BEFORE someone needs it in production: a 4n-row band index
+    * written at the fixture B=64 is resized to the rule's B for its
+    * row count (`autoBucketCount`), the rewrite timed, and one
+    * trigger run against the resized index to verify serving.
+    * `sbt "runMain graft.ScaleProbe rebucket 4000000"`.
+    */
+  def rebucketProbe(spark: SparkSession, n: Long): Unit = {
+    import graft.streaming.{BatchIndex, DedupStream}
+    val dir = s"/tmp/graft_scaleprobe_rbk_$n"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    try {
+      // band_idx INT like Dedup.bandTable (one schema with the trigger)
+      val bands = spark.range(n).select(col("id").as("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("band_idx"))
+        .withColumn("band_hash", md5(concat_ws(",",
+          col("doc_id").cast("string"), col("band_idx").cast("string"))))
+      BatchIndex.writePartition(
+        bands.withColumn("band_bucket", DedupStream.bandBucketAt(64L)),
+        1L, s"$dir/index", bucketCol = Some("band_bucket"))
+      BatchIndex.ensureBucketMeta(spark, s"$dir/index", 64L)
+      val (szBytes, szFiles) = dirStats(s"$dir/index")
+      val newB = BatchIndex.autoBucketCount(4 * n, 64L)
+      val t0 = System.nanoTime()
+      BatchIndex.rebucket(spark, s"$dir/index", "band_bucket", newB,
+        DedupStream.bandBucketAt)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (szBytes2, szFiles2) = dirStats(s"$dir/index")
+      // resized index serves: one trigger resolves the new B from the
+      // metadata and screens through the pruned read
+      val stats = new DedupStream.DedupStats(spark)
+      stats.lastCommitted = 1L
+      val t1 = System.nanoTime()
+      DedupStream.processBatch(
+        synthDocs(spark, 50).withColumn("doc_id", col("doc_id") + lit(5 * n)),
+        2L, s"$dir/corpus", s"$dir/index", stats)
+      val trig = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-rebucket] n=$n%-8d rows=${4 * n}%-9d " +
+        f"B=64->${BatchIndex.bucketCountOf(spark, s"$dir/index", -1L)} " +
+        f"rewrite=$wall%7.1fs " +
+        f"sizeMB=${szBytes / 1e6}%.1f->${szBytes2 / 1e6}%.1f " +
+        f"files=$szFiles->$szFiles2 trigAfter=$trig%5.2fs " +
+        f"kept=${stats.kept.value}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
   /** The mega-component envelope, measured: a STAR component of n
     * members (hub doc 0 — the power-law worst case
     * [[graft.ext.CorpusGraph.BroadcastMemberMax]] exists for) next to
@@ -554,19 +699,53 @@ object ScaleProbe {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_STAR_BG scales the untouched background (chain docs
+    // ≈ bg × n), setting the probe's touched-members/graph-members
+    // ratio to ≈ 1/(1+bg) — the knob that locates the append-vs-full-
+    // relabel crossover the routeFraction default encodes
+    val bg = sys.env.getOrElse("SPARK_GRAFT_STAR_BG", "1").toLong
     val star = spark.range(1, n).select(lit(0L).as("doc_a"),
       col("id").as("doc_b"), lit("image").as("modality"))
-    val chains = spark.range(n, 2 * n).filter(col("id") % 4 =!= 3)
+    val chains = spark.range(n, (1 + bg) * n).filter(col("id") % 4 =!= 3)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"),
         lit("text").as("modality"))
     val base = star.unionByName(chains)
     val buildS = timed(CorpusGraph.write(base, root))
+    // twin root with identical on-disk state: the bounded and routed
+    // append paths must start from the same graph to compare fairly
+    // (an append mutates its root; a replay would find the labels
+    // already merged and measure nothing)
+    val rootR = s"${root}_routed"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(rootR))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(root), new java.io.File(rootR))
     // 10k new docs, each pairing into a star member: ONE touched
     // component with n members — every gated join above the bound
     val b = math.min(10000L, n / 2)
     val batch = spark.range(b).select((col("id") + 1).as("doc_a"),
       (lit(2 * n) + col("id")).as("doc_b"), lit("text").as("modality"))
-    val appendS = timed(CorpusGraph.append(spark, root, batch, 1L))
+    // bounded path (routing disabled): the r15 measurement — star-edge
+    // labeling dragging ~n members
+    val savedFrac = CorpusGraph.routeFraction
+    val savedMin = CorpusGraph.routeMinMembers
+    var boundedReport: CorpusGraph.AppendReport = null
+    val appendS = timed {
+      CorpusGraph.routeFraction = Double.MaxValue
+      boundedReport = CorpusGraph.append(spark, root, batch, 1L)
+    }
+    // routed path on the twin root: force the full-relabel route (the
+    // decision the production fraction makes at this measured ratio)
+    var routedReport: CorpusGraph.AppendReport = null
+    val appendRoutedS = timed {
+      CorpusGraph.routeFraction = 0.0
+      CorpusGraph.routeMinMembers = 0L
+      routedReport = CorpusGraph.append(spark, rootR, batch, 1L)
+    }
+    CorpusGraph.routeFraction = savedFrac
+    CorpusGraph.routeMinMembers = savedMin
+    val memberRatio = boundedReport.touchedMembers.toDouble /
+      math.max(routedReport.graphMembers, 1L)
     val rebuildS = timed(
       CorpusGraph.write(base.unionByName(batch), root2))
     val mismatch = CorpusGraph.readLabels(spark, root)
@@ -575,6 +754,15 @@ object ScaleProbe {
       CorpusGraph.readLabels(spark, root2)
         .join(CorpusGraph.readLabels(spark, root),
           Seq("doc_id", "label"), "left_anti").count()
+    // routed ≡ bounded ≡ rebuild (three labelings of one pair set)
+    val mismatchRouted = CorpusGraph.readLabels(spark, rootR)
+      .join(CorpusGraph.readLabels(spark, root2),
+        Seq("doc_id", "label"), "left_anti").count() +
+      CorpusGraph.readLabels(spark, root2)
+        .join(CorpusGraph.readLabels(spark, rootR),
+          Seq("doc_id", "label"), "left_anti").count()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(rootR))
     // hub takedown: the star's pair rows all touch doc 0, so the
     // component splits to singletons and ~n label rows drop
     var out: CorpusGraph.GraphPurge = null
@@ -588,6 +776,10 @@ object ScaleProbe {
     }
     println(f"[scale-graphstar] n=$n%-8d starPairs=${n - 1}%-9d " +
       f"build=$buildS%7.1fs append_10k=$appendS%6.1fs " +
+      f"appendRouted=$appendRoutedS%6.1fs " +
+      f"memberRatio=$memberRatio%.2f " +
+      f"(wouldRoute@default=${memberRatio > CorpusGraph.FullRelabelRouteFraction}) " +
+      f"routedMatch=${mismatchRouted == 0} " +
       f"rebuild=$rebuildS%7.1fs labelsMatch=${mismatch == 0} " +
       f"hubPurge=$purgeS%6.1fs pairsRemoved=${out.pairRowsRemoved} " +
       f"labelsDropped=${out.labelRowsRemoved} " +
@@ -1371,6 +1563,8 @@ object ScaleProbe {
     val streamReadMode = args.headOption.contains("streamread")
     val graphStarMode = args.headOption.contains("graphstar")
     val graphMode = args.headOption.contains("graph")
+    val levelsMode = args.headOption.contains("levels")
+    val rebucketMode = args.headOption.contains("rebucket")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
@@ -1379,7 +1573,7 @@ object ScaleProbe {
           || takedownMode || imageDupMode || audioDupMode
           || videoDupMode || bloomMode || mediaServedMode
           || ivfRebuildMode || graphMode || streamReadMode
-          || graphStarMode)
+          || graphStarMode || levelsMode || rebucketMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1436,6 +1630,16 @@ object ScaleProbe {
     }
     if (graphStarMode) {
       sizes.foreach(graphStarProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (levelsMode) {
+      sizes.foreach(levelsProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (rebucketMode) {
+      sizes.foreach(rebucketProbe(spark, _))
       spark.stop()
       return
     }

@@ -214,6 +214,53 @@ object CorpusGraph {
           org.apache.spark.sql.types.StructType(LabelsSchema.dropRight(1)))
     }
 
+  /** One [[append]]'s cost/shape accounting — the structured signal a
+    * deployment routes on instead of a doc-comment note: touchedMembers
+    * vs graphMembers is the mega-component detector (a batch whose
+    * touched components approach the graph is ingesting into a
+    * boilerplate cluster — [[graft.ext.Curation]]'s boilerplate_report
+    * finds the cluster to excise), and `routedFullRelabel` records
+    * that the append took the full-relabel path because the bounded
+    * path's own cost model said it would lose. `graphMembers` is -1
+    * when the append never priced the graph (touched stayed under
+    * [[FullRelabelRouteMinMembers]] — the common trigger-sized case,
+    * which must not pay a label-table count per batch).
+    */
+  final case class AppendReport(batchPairRows: Long, touchedDocs: Long,
+      touchedComponents: Long, touchedMembers: Long, graphMembers: Long,
+      routedFullRelabel: Boolean)
+
+  /** Touched-member floor below which [[append]] skips the
+    * append-vs-rebuild pricing entirely: pricing needs a label-table
+    * count (a scan), and a trigger-sized append must not pay one per
+    * batch. [[BroadcastMemberMax]] on purpose — past the broadcast
+    * bound the append is already mega-component-shaped (its joins
+    * fell back to shuffles) and one count is noise next to the
+    * relabel either way.
+    */
+  val FullRelabelRouteMinMembers: Long = BroadcastMemberMax
+
+  /** Touched-members / graph-members ratio above which [[append]]
+    * routes to the full relabel. Measured at the 1 M-member star probe
+    * (SCALING.md "Mega-component star", r16 two-point sweep): at ratio
+    * 0.25 the bounded path wins 2× (18.2 s vs 36.7 s routed), at 0.50
+    * the routed path wins 13 % (19.9 s vs 22.8 s bounded) — the
+    * bounded path's star-edge labeling plus its member anti-join
+    * bookkeeping overtakes one blind full relabel as the members it
+    * drags approach the graph. Linear crossover ≈ 0.47; 0.45 routes
+    * the measured winning case with a small margin.
+    */
+  val FullRelabelRouteFraction: Double = 0.45
+
+  /** Test seams over the routing knobs: specs force the route on
+    * fixture-sized graphs (min 0, fraction 0) to pin routed ≡ rebuild,
+    * and probes sweep the fraction to locate the real crossover.
+    */
+  @volatile private[graft] var routeMinMembers: Long =
+    FullRelabelRouteMinMembers
+  @volatile private[graft] var routeFraction: Double =
+    FullRelabelRouteFraction
+
   /** Incremental ingest: union a new batch's pairs into the stored
     * pair table and relabel ONLY the components the batch touches.
     *
@@ -232,24 +279,38 @@ object CorpusGraph {
     * past the one semi-join that proves they are unaffected, and only
     * the label buckets holding relabeled/new docs rewrite.
     *
+    * COST ROUTING: "bounded by touched-component size" stops being a
+    * bound when the batch lands in a power-law mega-component — the
+    * r15 star probe measured the bounded path COSTLIER than a full
+    * relabel once touched members ≈ graph members. So when touched
+    * members exceed [[FullRelabelRouteFraction]] of the graph (checked
+    * only past [[FullRelabelRouteMinMembers]] — pricing costs a
+    * count), the append routes to [[repairLabels]]' full relabel:
+    * label the whole grown pair set once and delta-write, identical
+    * labels by construction (both compute the same fixed point),
+    * cheaper by the measured crossover. The returned [[AppendReport]]
+    * carries the route and the ratio inputs as the deployment's
+    * excision signal.
+    *
     * Replay-idempotent: the pair write rewrites exactly its own
     * batch_id partition, and a re-run's relabel reproduces the same
     * fixed point from the already-merged stored labels.
     */
   def append(spark: SparkSession, path: String, batchPairs: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long): AppendReport = {
     require(batchId > 0, "batch_id 0 is the base build")
     // resolve ONCE: pair write and label relabel land in the same
     // snapshot; the post-write guard fails loudly if a rebuild
     // committed concurrently (re-running the append recovers — both
     // the pair write and the relabel are replay-idempotent)
     val root = Versioned.resolve(spark, path)
-    appendAt(spark, root, batchPairs, batchId)
+    val report = appendAt(spark, root, batchPairs, batchId)
     Versioned.assertAppendLanded(spark, path, root, "corpus graph")
+    report
   }
 
   private def appendAt(spark: SparkSession, root: String,
-      batchPairs: DataFrame, batchId: Long): Unit = {
+      batchPairs: DataFrame, batchId: Long): AppendReport = {
     val bp = Scratch.track(batchPairs
       .select(col("doc_a"), col("doc_b"), col("modality")).persist())
     bp.withColumn("bucket", bucketOf(col("doc_a")))
@@ -262,6 +323,9 @@ object CorpusGraph {
     // a session-cached pair plan (roll-ups persist the pair table)
     // must see the appended batch, not its cached file listing
     spark.catalog.refreshByPath(s"$root/pairs")
+    // counted AFTER the write materialized bp's cache — a cache scan,
+    // not an extra cold action on the stream's shared executor pool
+    val nBatchPairs = bp.count()
 
     val stored = readLabelsOrEmpty(spark, root)
     val touched = Scratch.track(bp.select(col("doc_a").as("doc_id"))
@@ -281,17 +345,81 @@ object CorpusGraph {
       gatedJoin(stored, touchedLabels, Seq("label"), "left_semi",
         nTouchedLabels).persist())
     val nMembers = members.count()
-    // bounded relabel input: batch pairs ∪ member star edges
-    val edges = bp.select(col("doc_a"), col("doc_b"))
-      .unionByName(members.select(col("doc_id").as("doc_a"),
-        col("label").as("doc_b")))
-    // the written delta is only rows that actually CHANGE (new docs or
-    // moved labels) — an unchanged member must not force its bucket to
-    // rewrite
-    val delta = gatedJoin(Dedup.clusterLabels(edges), members,
-      Seq("doc_id", "label"), "left_anti", nMembers)
-    writeLabelDelta(spark, root, delta)
-    ()
+    // append-vs-rebuild pricing (see Scaladoc): past the member floor,
+    // one label-table count decides whether dragging the touched
+    // members through star-edge labeling still beats labeling the
+    // whole pair set once
+    val graphMembers =
+      if (nMembers >= routeMinMembers) stored.count() else -1L
+    val routeFull = graphMembers > 0L &&
+      nMembers.toDouble > routeFraction * graphMembers
+    if (routeFull) {
+      // full relabel of the grown pair set, BLIND-written: when
+      // touched ≈ graph, the bounded path's star-edge labeling input
+      // is nearly the full pair set anyway, and what actually costs is
+      // the delta machinery (graph-sized anti-joins + keep-row merges
+      // of every affected bucket). A rebuild beats it precisely by
+      // writing labels without reading them — so the route does the
+      // same in place: label the whole pair set, stage, promote. The
+      // round-16 star probe measures the crossover this routes at.
+      writeLabelsFull(spark, root, Dedup.clusterLabels(
+        readPairsAt(spark, root).select("doc_a", "doc_b")))
+    } else {
+      // bounded relabel input: batch pairs ∪ member star edges
+      val edges = bp.select(col("doc_a"), col("doc_b"))
+        .unionByName(members.select(col("doc_id").as("doc_a"),
+          col("label").as("doc_b")))
+      // the written delta is only rows that actually CHANGE (new docs
+      // or moved labels) — an unchanged member must not force its
+      // bucket to rewrite
+      val delta = gatedJoin(Dedup.clusterLabels(edges), members,
+        Seq("doc_id", "label"), "left_anti", nMembers)
+      writeLabelDelta(spark, root, delta)
+      ()
+    }
+    AppendReport(nBatchPairs, nTouched, nTouchedLabels, nMembers,
+      graphMembers, routeFull)
+  }
+
+  /** Replace the ENTIRE label table with `labels` (complete content,
+    * no delta semantics): staged blind write, then promoted with
+    * dynamic partition overwrite so no reader ever sees a half-deleted
+    * table, then live buckets absent from the staged set are dropped.
+    * This is the routed append's write path — unlike
+    * [[writeLabelDelta]] it never reads the stored labels, which is
+    * exactly what makes a full relabel cheaper than the bounded path
+    * once the touched components approach the graph.
+    */
+  private def writeLabelsFull(spark: SparkSession, root: String,
+      labels: DataFrame): Unit = {
+    val path = root
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/labels.rewriting")
+    fs.delete(tmp, true) // crashed previous rewrite
+    labels.withColumn("bucket", bucketOf(col("doc_id")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(tmp.toString)
+    val staged = spark.read.schema(LabelsSchema).parquet(tmp.toString)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(s"$path/labels")
+    val surviving = staged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val liveDir = new org.apache.hadoop.fs.Path(s"$path/labels")
+    if (fs.exists(liveDir)) fs.listStatus(liveDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bucket=")
+          && !surviving.contains(name.stripPrefix("bucket=").toLong)) {
+        fs.delete(st.getPath, true)
+        ()
+      }
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(s"$path/labels")
   }
 
   /** Rewrite exactly the label buckets whose content changes: each
@@ -576,6 +704,112 @@ object CorpusGraph {
     val got = readLabelsOrEmpty(spark, root)
     got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
       expect.join(got, Seq("doc_id", "label"), "left_anti").count()
+  }
+
+  /** Outcome of one [[staleLabelCountTouched]] run: disagreement rows
+    * found within the audited scope, the scope's size (docs / pairs),
+    * closure rounds taken, and whether the audit fell back to the
+    * full-graph recompute (adversarially long stale chains only —
+    * scopeDocs/scopePairs report -1 there).
+    */
+  final case class TouchedAudit(stale: Long, scopeDocs: Long,
+      scopePairs: Long, rounds: Int, fellBackToFull: Boolean)
+
+  /** The stale-label audit scoped to the components `ids` touch — the
+    * per-ingest monitor [[staleLabelCount]] is too expensive to be: the
+    * full audit relabels the ENTIRE surviving pair set (≈ one rebuild
+    * per audit — 174 s at 32 M docs, SCALING.md), which is
+    * unaffordable after every append/purge at scale. This variant
+    * relabels only the components incident to `ids`, so its cost is
+    * bounded by touched-component size + batch size — the same
+    * envelope as the append it monitors — while the full audit runs on
+    * a cadence for independence from ALL incremental bookkeeping.
+    *
+    * Scope closure: starting from `ids`, alternate (a) the stored-label
+    * jump (docs sharing a stored label with any scope doc — one step
+    * per component when labels are healthy, and the step that finds
+    * GHOST rows pointing into the scope's labels) and (b) the pair hop
+    * (endpoints of pairs incident to scope — the step that finds docs
+    * a stale label table has disconnected from their true component)
+    * until the doc set stops growing. At the fixed point the scope
+    * holds every doc of every component that `ids` touch under EITHER
+    * the stored labeling or the true pair connectivity, so the audit
+    * verdict on those components equals the full audit's restriction
+    * to them (spec-pinned). Healthy graphs converge in 2 rounds (the
+    * label jump is component-complete); a disagreement region adds a
+    * round per label-connectivity mismatch layer. A scope still
+    * growing after [[TouchedAuditMaxRounds]] rounds (only reachable by
+    * adversarially long chains of pairwise-inconsistent labels) falls
+    * back to the full audit — the honest degenerate: at that point
+    * touched ≈ graph and the full recompute IS the bounded option.
+    *
+    * Caller contract: after an [[append]], pass the batch's pair
+    * endpoints; after a [[purge]], pass the purged docs' former
+    * partners or the purge's touched members (the purged ids
+    * themselves no longer appear in any table, so they seed nothing).
+    */
+  def staleLabelCountTouched(spark: SparkSession, path: String,
+      ids: DataFrame): TouchedAudit =
+    staleLabelCountTouchedAt(spark, Versioned.resolve(spark, path), ids)
+
+  /** Closure-round cap for [[staleLabelCountTouched]] before falling
+    * back to the full audit. Healthy graphs need 2; each extra round
+    * is only consumed by a CHAIN of stale-label layers, and 8 such
+    * layers means the bookkeeping is broken badly enough that a full
+    * recompute is the right spend.
+    */
+  val TouchedAuditMaxRounds = 8
+
+  private[graft] def staleLabelCountTouchedAt(spark: SparkSession,
+      root: String, ids: DataFrame): TouchedAudit = {
+    val pairs = readPairsAt(spark, root).select("doc_a", "doc_b")
+    val labels = readLabelsOrEmpty(spark, root)
+    var scope = Scratch.track(
+      ids.toDF("doc_id").select("doc_id").distinct().persist())
+    var n = scope.count()
+    var rounds = 0
+    var grown = true
+    while (grown && rounds < TouchedAuditMaxRounds) {
+      rounds += 1
+      // (a) label jump: every doc sharing a stored label with scope
+      val scopeLabels = Scratch.track(
+        gatedJoin(labels, scope, Seq("doc_id"), "left_semi", n)
+          .select("label").distinct().persist())
+      val nL = scopeLabels.count()
+      val byLabel = gatedJoin(labels, scopeLabels, Seq("label"),
+        "left_semi", nL).select("doc_id")
+      // (b) pair hop: endpoints of pairs incident to scope (either side)
+      val inc = Scratch.track(
+        gatedJoin(pairs, scope.select(col("doc_id").as("doc_a")),
+          Seq("doc_a"), "left_semi", n)
+        .unionByName(
+          gatedJoin(pairs, scope.select(col("doc_id").as("doc_b")),
+            Seq("doc_b"), "left_semi", n))
+        .persist())
+      val endpoints = inc.select(col("doc_a").as("doc_id"))
+        .unionByName(inc.select(col("doc_b").as("doc_id")))
+      val next = Scratch.track(scope.unionByName(byLabel)
+        .unionByName(endpoints).distinct().persist())
+      val n2 = next.count()
+      grown = n2 > n
+      scope = next
+      n = n2
+    }
+    if (grown)
+      return TouchedAudit(staleLabelCountAt(spark, root), -1L, -1L,
+        rounds, fellBackToFull = true)
+    // at the fixed point every incident pair has BOTH endpoints in
+    // scope, so the doc_a-side semi-join captures all touched pairs
+    val touchedPairs = Scratch.track(
+      gatedJoin(pairs, scope.select(col("doc_id").as("doc_a")),
+        Seq("doc_a"), "left_semi", n).persist())
+    val nP = touchedPairs.count()
+    val expect = Dedup.clusterLabels(touchedPairs)
+    val got = gatedJoin(labels, scope, Seq("doc_id"), "left_semi", n)
+    val stale =
+      got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
+        expect.join(got, Seq("doc_id", "label"), "left_anti").count()
+    TouchedAudit(stale, n, nP, rounds, fellBackToFull = false)
   }
 
   /** Rebuild the graph with atomic swap — the [[Versioned]] lifecycle

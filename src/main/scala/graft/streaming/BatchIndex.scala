@@ -172,6 +172,125 @@ object BatchIndex {
     }
   }
 
+  /** Rows-per-bucket target of the B-sizing rule (SCALING.md
+    * "Per-trigger read volume": bucket content must stay bounded as
+    * the corpus grows — fixed B sends per-trigger read IO linear in
+    * corpus size, B ∝ corpus keeps it flat at trigger-key size).
+    * ~500 rows of hash-sized index entries is tens of KB per bucket —
+    * small enough that a trigger hitting every one of its keys'
+    * buckets reads megabytes, with 4× headroom before the
+    * [[RebucketDriftFactor]] diagnostics fire.
+    *
+    * FIXTURE-SCALE value. The opposing force is file count: trigger
+    * listing cost ∝ B × levels (the measured table behind
+    * [[CompactFileBudget]]), and B = rows / target, so a 100 TB
+    * deployment raises the target until each bucket is a healthy
+    * parquet file (≳ 8–64 MB ≈ 10⁵–10⁶ hash rows) — per-trigger reads
+    * stay hit-bucket-pruned either way; only the read's granularity
+    * grows with the target.
+    */
+  val TargetRowsPerBucket = 512L
+
+  /** Rows-per-bucket drift past which [[layoutReport]] recommends a
+    * [[rebucket]]: resizing is a full rewrite, so the rule carries
+    * hysteresis — fire at 4× the target (one doubling of B would
+    * land the index back inside 2×), not at every crossing.
+    */
+  val RebucketDriftFactor = 4L
+
+  /** Batch levels per bucket past which [[layoutReport]] recommends a
+    * [[compact]]: each committed batch adds one file per touched
+    * bucket, and every trigger's partition discovery lists ALL B × L
+    * directories — the file-count counterweight to scaling B. The
+    * measured law (SCALING.md "Streaming compaction cadence", 4 M-row
+    * index, local[32]): trigger wall tracks TOTAL partition count,
+    * ~flat to 16 k dirs, 3× at 65 k, 35× at 262 k — and the compaction
+    * itself grows with accretion (579 s at 65 k, 2 733 s at 262 k), so
+    * the cadence must fire while the repair is still affordable.
+    * Hence TWO triggers, either sufficient: levels past this constant,
+    * or total dirs past [[CompactFileBudget]].
+    */
+  val CompactAfterLevels = 16L
+
+  /** Total partition-dir budget (B × batch levels) past which
+    * [[layoutReport]] recommends compaction regardless of the level
+    * count — at large B a handful of levels already multiplies into
+    * the file-count regime the measured table shows degrading
+    * (B = 8 192 × L = 8 = 65 k dirs was 2× slower than L = 1).
+    */
+  val CompactFileBudget = 32768L
+
+  /** The B-sizing rule at index creation: enough power-of-two buckets
+    * to hold `keyRows` at [[TargetRowsPerBucket]], never below
+    * `floor` (the compiled fixture default — tiny first batches must
+    * not create degenerate 1-bucket layouts). A catch-up first macro
+    * batch thus creates its index at a B sized for the data it
+    * actually carries instead of the fixture constant, and the
+    * [[layoutReport]] diagnostics watch the drift from there.
+    */
+  def autoBucketCount(keyRows: Long, floor: Long,
+      target: Long = TargetRowsPerBucket): Long = {
+    var b = math.max(floor, 1L)
+    while (b * target < keyRows) b *= 2
+    b
+  }
+
+  /** Resolve the bucket count a WRITER must use at `path`: the
+    * recorded layout metadata when present; the compiled `default`
+    * for an existing pre-metadata index (its rows are laid out at
+    * that default — re-deriving would corrupt addressing); and for a
+    * NEW index the [[autoBucketCount]] rule over the first batch's
+    * key rows (evaluated only in this branch — existing indexes never
+    * pay the count).
+    */
+  def bucketCountForWrite(spark: SparkSession, path: String,
+      default: Long, firstBatchKeyRows: => Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_buckets")))
+      bucketCountOf(spark, path, default)
+    else if (fs.exists(p)) default // pre-metadata index: compiled layout
+    else autoBucketCount(firstBatchKeyRows, default)
+  }
+
+  /** One index's layout health — the diagnostics op behind the B rule
+    * and the compaction cadence: rows per bucket vs the target (with
+    * the [[autoBucketCount]] recommendation when drifted past
+    * [[RebucketDriftFactor]]) and batch levels per bucket vs
+    * [[CompactAfterLevels]]. A deployment runs this per index on its
+    * maintenance cadence and acts on the two booleans; both fixes
+    * ([[rebucket]] / [[compact]]) are stream-stopped ops.
+    */
+  final case class LayoutReport(buckets: Long, rows: Long,
+      meanRowsPerBucket: Double, maxBucketRows: Long,
+      batchLevels: Long, maxLevelsPerBucket: Long,
+      recommendedBuckets: Long, rebucketRecommended: Boolean,
+      compactRecommended: Boolean)
+
+  def layoutReport(spark: SparkSession, path: String, bucketCol: String,
+      default: Long, target: Long = TargetRowsPerBucket): LayoutReport = {
+    val b = bucketCountOf(spark, path, default)
+    val index = spark.read.parquet(path)
+    // one pass: per-(bucket) row counts + distinct batch levels
+    val per = index.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("batch_id")).as("levels"))
+      .agg(sum("rows").as("rows"), max("rows").as("maxRows"),
+        max("levels").as("maxLevels"))
+      .head()
+    val rows = if (per.isNullAt(0)) 0L else per.getLong(0)
+    val maxRows = if (per.isNullAt(1)) 0L else per.getLong(1)
+    val maxLevels = if (per.isNullAt(2)) 0L else per.getLong(2)
+    val levels = index.select(col("batch_id")).distinct().count()
+    val rec = autoBucketCount(rows, default, target)
+    LayoutReport(b, rows, rows.toDouble / math.max(b, 1L), maxRows,
+      levels, maxLevels, rec,
+      rebucketRecommended = rows > b * target * RebucketDriftFactor,
+      compactRecommended = maxLevels > CompactAfterLevels
+        || b * levels > CompactFileBudget)
+  }
+
   /** Record (or verify) an index's bucket count before writing to it.
     * First write stamps the metadata; later writes FAIL LOUDLY on a
     * mismatch — the state where a stream's compiled-in default moved

@@ -108,11 +108,14 @@ object DedupStream {
         if (nSeen == 0) return
         val bands = Dedup.bandTable(cached).persist()
         try {
-          // THIS index's bucket count (its layout metadata; compiled
-          // default for new/pre-metadata indexes) — probing with any
-          // other B would address the wrong buckets
-          val b = BatchIndex.bucketCountOf(spark, indexPath,
-            bandBucketCount)
+          // THIS index's bucket count: its layout metadata when it
+          // exists, the compiled default for a pre-metadata index, and
+          // the auto-sizing rule over the first batch's band rows for
+          // a NEW index (a catch-up first macro batch creates its
+          // layout at corpus-proportional B, not the fixture constant)
+          // — probing with any other B would address the wrong buckets
+          val b = BatchIndex.bucketCountForWrite(spark, indexPath,
+            bandBucketCount, bands.count())
           // pruned read: only the band buckets this batch's hashes
           // hit — the screen joins on (band_idx, band_hash), so rows
           // in other buckets cannot match by construction
@@ -144,7 +147,11 @@ object DedupStream {
   /** Fold the band index's per-batch partitions into one distinct
     * partition ([[BatchIndex.compact]] contract — stream stopped only).
     * Bands are unique per doc so this is small-file folding, not
-    * duplicate removal.
+    * duplicate removal. Cadence: run when
+    * [[BatchIndex.layoutReport]] reports `compactRecommended` (levels
+    * per bucket past [[BatchIndex.CompactAfterLevels]]) — the
+    * file-count counterweight to the B ∝ corpus sizing rule, measured
+    * in SCALING.md "Streaming compaction cadence".
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) =

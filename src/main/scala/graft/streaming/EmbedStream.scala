@@ -133,8 +133,11 @@ object EmbedStream {
         try {
           // pruned read: only the key buckets this batch hits — the
           // screen joins on (table_idx, bucket), so rows elsewhere
-          // cannot collide by construction
-          val b = BatchIndex.bucketCountOf(spark, indexPath, KeyBuckets)
+          // cannot collide by construction. B resolves from the
+          // index's layout metadata; a NEW index auto-sizes from the
+          // first batch's key rows (BatchIndex.autoBucketCount)
+          val b = BatchIndex.bucketCountForWrite(spark, indexPath,
+            KeyBuckets, buckets.count())
           val hit = buckets
             .select(keyBucketColAt(b).as("band_bucket"))
             .distinct().collect().map(_.getLong(0)).toSeq

@@ -155,13 +155,15 @@ object GraphStream {
           if (smallTrigger) broadcast(df) else df
         val batchBands = graft.ext.Scratch.track(
           Dedup.bandTable(cached).persist())
-        // THIS band index's / corpus's bucket counts (their layout
-        // metadata; compiled defaults for new indexes) — probing with
-        // any other count would address the wrong buckets
-        val bandB = BatchIndex.bucketCountOf(spark, bandIndexPath,
-          DedupStream.bandBucketCount)
-        val corpusB = BatchIndex.bucketCountOf(spark, corpusPath,
-          CorpusBuckets)
+        // THIS band index's / corpus's bucket counts: recorded layout
+        // metadata, or the auto-sizing rule over the first batch for
+        // NEW artifacts (band rows for the band index, docs for the
+        // corpus) — probing with any other count would address the
+        // wrong buckets
+        val bandB = BatchIndex.bucketCountForWrite(spark, bandIndexPath,
+          DedupStream.bandBucketCount, batchBands.count())
+        val corpusB = BatchIndex.bucketCountForWrite(spark, corpusPath,
+          CorpusBuckets, nSeen)
         // pruned index read: only the band buckets this batch's hashes
         // hit (the [[DedupStream.BandBuckets]] layout) — every use
         // below is an equi-join on (band_idx, band_hash) or a probe
@@ -247,10 +249,16 @@ object GraphStream {
         val textPairs = cross.unionByName(internal)
           .withColumn("modality", lit("text"))
         // perceptual legs: each decodes once, extends the unified fp
-        // index, and contributes its pairs to the SAME graph append
-        val batchPairs = mediaLegs.foldLeft(textPairs)((acc, leg) =>
-          acc.unionByName(mediaLegPairs(spark, leg, fresh,
-            fpIndexPath.get, storedId, stats, smallTrigger)))
+        // index, and contributes its pairs to the SAME graph append.
+        // Legs are lazy plans EXCEPT the fp-index append inside each
+        // (an action), so the per-leg trace marks the decode+append
+        // phase of each modality
+        val batchPairs = mediaLegs.foldLeft(textPairs) { (acc, leg) =>
+          val p = acc.unionByName(mediaLegPairs(spark, leg, fresh,
+            fpIndexPath.get, storedId, stats, smallTrigger))
+          mark(s"leg:${leg.modality}")
+          p
+        }
         // EVERY fresh doc lands (evidence-preserving — no near-dup
         // drops; only exact id re-sends are deduplicated), bucketed
         // for the pruned read-back above; pairs and relabel go

@@ -66,7 +66,10 @@ object NoveltyStream {
         val nSeen = cached.count()
         if (nSeen == 0) return
         val grams = TextAnalysis.gramIndex(cached).persist()
-        val b = BatchIndex.bucketCountOf(spark, indexPath, KeyBuckets)
+        // recorded layout metadata; auto-sized for a NEW index from
+        // the first batch's gram rows (BatchIndex.autoBucketCount)
+        val b = BatchIndex.bucketCountForWrite(spark, indexPath,
+          KeyBuckets, grams.count())
         val hit = grams.select(gramBucketAt(b).as("band_bucket"))
           .distinct().collect().map(_.getLong(0)).toSeq
         val index = BatchIndex.readBeforeBuckets(spark, indexPath,

@@ -313,6 +313,125 @@ class CorpusGraphSpec extends AnyFunSuite {
     } finally CorpusGraph.memberBroadcastBound = saved
   }
 
+  test("touched-scope stale audit ≡ full audit on the touched components, blind outside them") {
+    import spark.implicits._
+    import graft.ext.Takedown
+    val path = tmpDir("cgtouch")
+    // four components: A {1,2,3}, B {10,11}, C {20,21}, D {30,31,32}
+    CorpusGraph.write(pairsDf(Seq(
+      (1L, 2L, "text"), (2L, 3L, "text"), (10L, 11L, "image"),
+      (20L, 21L, "audio"), (30L, 31L, "text"), (31L, 32L, "text"))),
+      path)
+    // healthy graph: a scoped audit converges in ≤2 rounds, scope =
+    // exactly the touched component, verdict clean
+    val healthy = CorpusGraph.staleLabelCountTouched(spark, path,
+      Seq(1L).toDF("doc_id"))
+    assert(healthy.stale == 0L && !healthy.fellBackToFull, s"$healthy")
+    assert(healthy.scopeDocs == 3L && healthy.scopePairs == 2L
+      && healthy.rounds <= 2, s"$healthy")
+
+    // plant TWO independent stale regions:
+    // A: naive row-filter purge of bridge doc 2 — pairs gone, docs 1
+    //    and 3 left as GHOST label rows (the split-blindness state)
+    Takedown.purgeIndex(spark, s"$path/pairs", "doc_a",
+      Seq(2L).toDF("doc_a"), CorpusGraph.PairPartCols)
+    Takedown.purgeIndex(spark, s"$path/pairs", "doc_b",
+      Seq(2L).toDF("doc_b"), CorpusGraph.PairPartCols)
+    Takedown.purgeIndex(spark, s"$path/labels", "doc_id",
+      Seq(2L).toDF("doc_id"), Seq("bucket"))
+    // D: doc 31's label row externally deleted — a MISSING member
+    Takedown.purgeIndex(spark, s"$path/labels", "doc_id",
+      Seq(31L).toDF("doc_id"), Seq("bucket"))
+    val full = CorpusGraph.staleLabelCount(spark, path)
+    assert(full == 3L, s"2 ghosts in A + 1 missing in D, got $full")
+
+    // scoped to A: finds exactly A's disagreement (ghost discovery
+    // runs through the label jump — the pairs are gone)
+    val a = CorpusGraph.staleLabelCountTouched(spark, path,
+      Seq(1L).toDF("doc_id"))
+    assert(a.stale == 2L && !a.fellBackToFull, s"$a")
+    assert(a.scopeDocs == 2L && a.scopePairs == 0L, s"$a")
+    // scoped to D: finds exactly D's missing member (discovered via
+    // the pair hop — 31 has no label row to jump through)
+    val d = CorpusGraph.staleLabelCountTouched(spark, path,
+      Seq(30L).toDF("doc_id"))
+    assert(d.stale == 1L && !d.fellBackToFull, s"$d")
+    assert(d.scopeDocs == 3L && d.scopePairs == 2L, s"$d")
+    // scoped to healthy B: clean — the audit is BLIND to out-of-scope
+    // staleness by design (that's what makes it batch-priced; the
+    // full audit runs on cadence for global independence)
+    val b = CorpusGraph.staleLabelCountTouched(spark, path,
+      Seq(10L).toDF("doc_id"))
+    assert(b.stale == 0L && b.scopeDocs == 2L, s"$b")
+    // the two scoped verdicts partition the full audit's count
+    assert(a.stale + d.stale == full)
+    // empty scope is total
+    val e = CorpusGraph.staleLabelCountTouched(spark, path,
+      spark.range(0).select(col("id").as("doc_id")))
+    assert(e.stale == 0L && e.scopeDocs == 0L, s"$e")
+  }
+
+  test("touched-scope audit through the shuffle-join fallback; post-append monitor shape") {
+    import spark.implicits._
+    val saved = CorpusGraph.memberBroadcastBound
+    CorpusGraph.memberBroadcastBound = 0L
+    try {
+      val path = tmpDir("cgtouchsh")
+      CorpusGraph.write(pairsDf(Seq(
+        (1L, 2L, "text"), (10L, 11L, "image"))), path)
+      // the monitor shape: append a batch, audit scoped to ITS pair
+      // endpoints — the per-ingest health check the full audit was
+      // too expensive to be
+      val batch = pairsDf(Seq((2L, 10L, "text"), (20L, 21L, "video")))
+      CorpusGraph.append(spark, path, batch, 1L)
+      val ids = batch.select(col("doc_a").as("doc_id"))
+        .unionByName(batch.select(col("doc_b").as("doc_id"))).distinct()
+      val out = CorpusGraph.staleLabelCountTouched(spark, path, ids)
+      assert(out.stale == 0L && !out.fellBackToFull, s"$out")
+      // scope covered the merged component {1,2,10,11} + {20,21}
+      assert(out.scopeDocs == 6L && out.scopePairs == 4L, s"$out")
+    } finally CorpusGraph.memberBroadcastBound = saved
+  }
+
+  test("mega-component append routes to the full relabel at the break-even (≡ rebuild)") {
+    import spark.implicits._
+    val savedMin = CorpusGraph.routeMinMembers
+    val savedFrac = CorpusGraph.routeFraction
+    try {
+      val path = tmpDir("cgroute")
+      CorpusGraph.write(pairsDf(Seq(
+        (1L, 2L, "text"), (2L, 3L, "image"), (10L, 11L, "audio"))), path)
+      // default knobs: a fixture-sized append never prices the graph
+      // (graphMembers -1) and never routes
+      val r0 = CorpusGraph.append(spark, path,
+        pairsDf(Seq((50L, 51L, "text"))), 1L)
+      assert(!r0.routedFullRelabel && r0.graphMembers == -1L, s"$r0")
+      assert(r0.batchPairRows == 1L && r0.touchedDocs == 2L, s"$r0")
+      // force the route (the state a mega-component append reaches):
+      // touched members exceed the fraction of the graph
+      CorpusGraph.routeMinMembers = 0L
+      CorpusGraph.routeFraction = 0.0
+      val batch = pairsDf(Seq((3L, 10L, "text"), (60L, 61L, "video")))
+      val r1 = CorpusGraph.append(spark, path, batch, 2L)
+      assert(r1.routedFullRelabel, s"$r1")
+      assert(r1.graphMembers == 7L, s"priced the stored graph: $r1")
+      assert(r1.touchedMembers == 5L, s"members of {1,2,3}+{10,11}: $r1")
+      // routed labels are byte-identical to a rebuild's
+      assert(labelMap(path) == rebuilt(path))
+      assert(Seq(1L, 2L, 3L, 10L, 11L).forall(labelMap(path)(_) == 1L))
+      assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+      // replay through the routed path is idempotent
+      val labels1 = labelMap(path)
+      val r2 = CorpusGraph.append(spark, path, batch, 2L)
+      assert(r2.routedFullRelabel, s"$r2")
+      assert(labelMap(path) == labels1)
+      assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    } finally {
+      CorpusGraph.routeMinMembers = savedMin
+      CorpusGraph.routeFraction = savedFrac
+    }
+  }
+
   test("purge IO is partition-pruned and an unrelated purge is a no-op") {
     import spark.implicits._
     val path = tmpDir("cgnoop")

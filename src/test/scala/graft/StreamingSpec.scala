@@ -2236,6 +2236,93 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(30L))
   }
 
+  test("new indexes auto-size B from the first batch; existing layouts are never re-derived") {
+    import spark.implicits._
+    import graft.streaming.{BatchIndex, DedupStream}
+    // the sizing rule: smallest power-of-two multiple of the floor
+    // holding the key rows at ~512/bucket; tiny batches keep the floor
+    assert(BatchIndex.autoBucketCount(8L, 64L) == 64L)
+    assert(BatchIndex.autoBucketCount(64L * 512L, 64L) == 64L)
+    assert(BatchIndex.autoBucketCount(64L * 512L + 1L, 64L) == 128L)
+    assert(BatchIndex.autoBucketCount(100000L, 64L) == 256L)
+    assert(BatchIndex.autoBucketCount(40L * 4L * 1000000L, 64L) == 524288L)
+
+    // resolution precedence: NEW path → the rule over the first
+    // batch's keys; existing pre-metadata path → compiled default;
+    // stamped path → recorded metadata (first-batch keys never read)
+    val dir = Files.createTempDirectory("autob").toString + "/idx"
+    assert(BatchIndex.bucketCountForWrite(spark, dir, 64L, 100000L)
+      == 256L)
+    def bands(ids: Seq[Long]) = ids
+      .flatMap(id => (0 until 4).map(b => (id, b, id * 100 + b)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    BatchIndex.writePartition(bands(Seq(1L))
+        .withColumn("band_bucket", DedupStream.bandBucketAt(256L)),
+      0L, dir, bucketCol = Some("band_bucket"))
+    // rows exist but no sidecar (pre-metadata): the compiled default —
+    // re-deriving from a later batch would corrupt addressing
+    assert(BatchIndex.bucketCountForWrite(spark, dir, 64L, 100000L)
+      == 64L)
+    BatchIndex.ensureBucketMeta(spark, dir, 256L)
+    var counted = false
+    assert(BatchIndex.bucketCountForWrite(spark, dir, 64L,
+      { counted = true; 100000L }) == 256L)
+    assert(!counted, "a stamped index must never pay the first-batch count")
+  }
+
+  test("layout diagnostics: rows/bucket drift recommends rebucket, level accretion recommends compact") {
+    import spark.implicits._
+    import graft.streaming.{BatchIndex, DedupStream}
+    def bands(ids: Range) = ids.map(_.toLong)
+      .flatMap(id => (0 until 4).map(b => (id, b, id * 100 + b)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    // drifted index: 4 buckets holding 12k rows (>> 4 × 512 × 4)
+    val drifted = Files.createTempDirectory("lr_drift").toString + "/idx"
+    BatchIndex.writePartition(bands(0 until 3000)
+        .withColumn("band_bucket", DedupStream.bandBucketAt(4L)),
+      0L, drifted, bucketCol = Some("band_bucket"))
+    BatchIndex.ensureBucketMeta(spark, drifted, 4L)
+    val r1 = BatchIndex.layoutReport(spark, drifted, "band_bucket", 4L)
+    assert(r1.buckets == 4L && r1.rows == 12000L, s"$r1")
+    assert(r1.rebucketRecommended, s"$r1")
+    assert(r1.recommendedBuckets == 32L, s"12k rows / 512 → 32: $r1")
+    assert(!r1.compactRecommended, s"one level: $r1")
+
+    // accreted index: 18 batch levels in every bucket, rows in range
+    val accreted = Files.createTempDirectory("lr_acc").toString + "/idx"
+    (0 until 18).foreach { i =>
+      BatchIndex.writePartition(bands(i * 20 until (i + 1) * 20)
+          .withColumn("band_bucket", DedupStream.bandBucketAt(4L)),
+        i.toLong, accreted, bucketCol = Some("band_bucket"))
+    }
+    BatchIndex.ensureBucketMeta(spark, accreted, 4L)
+    val r2 = BatchIndex.layoutReport(spark, accreted, "band_bucket", 4L)
+    assert(r2.batchLevels == 18L && r2.maxLevelsPerBucket == 18L, s"$r2")
+    assert(r2.compactRecommended && !r2.rebucketRecommended, s"$r2")
+    // compaction resets the level count and the recommendation
+    BatchIndex.compact(spark, accreted,
+      Seq("doc_id", "band_idx", "band_hash"), Some("band_bucket"))
+    val r3 = BatchIndex.layoutReport(spark, accreted, "band_bucket", 4L)
+    assert(r3.batchLevels == 1L && !r3.compactRecommended, s"$r3")
+    assert(r3.rows == r2.rows, s"compaction must not drop rows: $r3")
+
+    // the FILE-BUDGET arm: at large B a few levels already exceed the
+    // total-dir budget (trigger listing cost ∝ B × levels — the
+    // measured table behind CompactFileBudget), so the recommendation
+    // fires well before the level cadence would
+    val wide = Files.createTempDirectory("lr_wide").toString + "/idx"
+    (0 until 2).foreach { i =>
+      BatchIndex.writePartition(bands(i * 20 until (i + 1) * 20)
+          .withColumn("band_bucket", DedupStream.bandBucketAt(32768L)),
+        i.toLong, wide, bucketCol = Some("band_bucket"))
+    }
+    BatchIndex.ensureBucketMeta(spark, wide, 32768L)
+    val r4 = BatchIndex.layoutReport(spark, wide, "band_bucket", 32768L)
+    assert(r4.buckets == 32768L && r4.batchLevels == 2L, s"$r4")
+    assert(r4.compactRecommended && r4.maxLevelsPerBucket <= 2L,
+      s"file budget must trigger at B x levels = 65536: $r4")
+  }
+
   test("full-rewrite layout ops merge schemas: rebucket/migrate keep late-added columns") {
     import spark.implicits._
     import graft.streaming.{BatchIndex, DedupStream}

@@ -32,6 +32,7 @@ object RunStream {
       sessionsEmitted: Long, sessionStateRows: Long,
       graphDocs: Long, graphCorpusRows: Long, graphPairs: Long,
       graphLabeledDocs: Long, graphStale: Long,
+      graphRoutedAppends: Long, graphMaxTouchedRatio: Double,
       stateBytesMax: Long, shuffleWriteBytes: Long, wallSec: Double)
 
   /** Synthetic CustomerEvent payload struct over a rate source (the
@@ -230,9 +231,29 @@ object RunStream {
     * per-stream: per-batch work is batch-sized, index growth is
     * summary-sized, state is live-users-sized, and nothing re-reads
     * the corpus.
+    *
+    * SCHEDULING: each leg starts under its own FAIR-scheduler pool
+    * (`spark.scheduler.pool` is set on the calling thread before each
+    * `start()`; the query's execution thread inherits it at creation).
+    * With `spark.scheduler.mode=FAIR` but NO per-query pool, every
+    * leg's task sets land in the single `default` pool, whose internal
+    * mode is FIFO — scheduling is then identical to FIFO mode and the
+    * graph leg's ~30-job triggers head-of-line block the other five.
+    * Distinct pools (created on demand, weight 1 each) are what make
+    * FAIR actually interleave legs. Harmless under FIFO mode (the
+    * property is ignored), so the A/B stays one env var.
+    *
+    * TRIGGERS: five legs run at `trigger`; the graph leg runs at 3× its
+    * interval (per-trigger cost there is dominated by fixed per-action
+    * overhead, so fewer larger batches amortize the queue tax —
+    * measured, SCALING.md "Six-leg composition"), overridable via
+    * SPARK_GRAFT_GRAPH_TRIGGER. A non-ProcessingTime `trigger` is used
+    * for the graph leg unchanged.
     */
   def runFull(spark: SparkSession, outDir: String, seconds: Int,
-      rowsPerSecond: Int): FullSummary = {
+      rowsPerSecond: Int,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : FullSummary = {
     import graft.streaming.{DedupStream, HeavyHitterStream, SketchStream}
     graft.functions.GraftFunctions.register(spark)
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
@@ -258,30 +279,51 @@ object RunStream {
       val t0 = System.nanoTime()
       def rateSource() = spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSecond.toString).load()
-      val trigger = Trigger.ProcessingTime("5 seconds")
+      // graph-leg trigger: 3× the base interval (see Scaladoc), env
+      // override first so the A/B knob keeps working; a
+      // non-ProcessingTime base trigger passes through unchanged
+      val graphTrigger = sys.env.get("SPARK_GRAFT_GRAPH_TRIGGER")
+        .map(Trigger.ProcessingTime(_))
+        .getOrElse(trigger match {
+          case t: org.apache.spark.sql.execution.streaming
+              .ProcessingTimeTrigger =>
+            Trigger.ProcessingTime(s"${t.intervalMs * 3} milliseconds")
+          case other => other
+        })
+      // each leg's queries start under a leg-named FAIR pool (see
+      // Scaladoc — without one, FAIR degenerates to FIFO); the pool
+      // local property is inherited by the query's execution thread
+      // at start()
+      def inPool[T](pool: String)(body: => T): T = {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        try body
+        finally spark.sparkContext
+          .setLocalProperty("spark.scheduler.pool", null)
+      }
 
       val ceStats = new EventPipeline.RunStats(spark)
-      val qCe = EventPipeline.startDualSink(
+      val qCe = inPool("graft_ce")(EventPipeline.startDualSink(
         EventPipeline.curate(EventPipeline.parse(
           rateSource().select(to_json(eventStruct).as("value")))),
         s"$outDir/main", s"$outDir/quarantine", s"$outDir/ckpt_ce",
-        ceStats, trigger)
+        ceStats, trigger))
 
       val evTypes = array(lit("view"), lit("click"), lit("purchase"),
         lit("error"), lit("login"))
       val skStats = new SketchStream.SketchStats(spark)
-      val qSk = SketchStream.start(
+      val qSk = inPool("graft_hll")(SketchStream.start(
         rateSource().select(col("timestamp").as("ts"),
           element_at(evTypes, (col("value") % 5 + 1).cast("int"))
             .as("event_type"),
           concat(lit("u"), (col("value") % 97).cast("string"))
             .as("user_id")),
-        s"$outDir/hll_index", s"$outDir/ckpt_hll", skStats, trigger)
+        s"$outDir/hll_index", s"$outDir/ckpt_hll", skStats, trigger))
 
       val ddStats = new DedupStream.DedupStats(spark)
-      val qDd = DedupStream.start(docStream(rateSource()),
+      val qDd = inPool("graft_dedup")(DedupStream.start(
+        docStream(rateSource()),
         s"$outDir/corpus", s"$outDir/dd_index", s"$outDir/ckpt_dd",
-        ddStats, trigger)
+        ddStats, trigger))
 
       // skewed symbol stream for the heavy-hitter leg: the word-salad
       // docs are near-uniform over their vocabulary, which is exactly
@@ -292,12 +334,12 @@ object RunStream {
       val skew = array((Seq.fill(3)("h") ++ Seq.fill(2)("w")
         ++ "abcdefgijklmn".map(_.toString)).map(lit(_)): _*)
       val hhStats = new HeavyHitterStream.HhStats(spark)
-      val qHh = HeavyHitterStream.start(
+      val qHh = inPool("graft_hh")(HeavyHitterStream.start(
         rateSource().select(col("value").as("doc_id"),
           element_at(skew,
             (pmod(xxhash64(col("value")), lit(18)) + 1).cast("int"))
             .as("text")),
-        s"$outDir/hh_index", s"$outDir/ckpt_hh", hhStats, trigger)
+        s"$outDir/hh_index", s"$outDir/ckpt_hh", hhStats, trigger))
 
       // users cycle so a user's successive events arrive
       // ~nUsers/rowsPerSecond apart (2 s at the chosen ratio) — past
@@ -306,7 +348,8 @@ object RunStream {
       val nUsers = math.max(rowsPerSecond.toLong * 2L, 100L)
       val sessEmitted =
         spark.sparkContext.longAccumulator("full_sessions_emitted")
-      val qSess = graft.streaming.SessionStream.sessions(
+      val qSess = inPool("graft_sess")(
+        graft.streaming.SessionStream.sessions(
           rateSource().select(
             pmod(col("value"), lit(nUsers)).as("user_id"),
             col("timestamp").as("ts"),
@@ -321,7 +364,7 @@ object RunStream {
              graft.streaming.SessionStream.Session], _: Long) =>
             sessEmitted.add(b.count()); ()
         }
-        .start()
+        .start())
 
       // sixth leg: the evidence-preserving multimodal graph stream.
       // PNG payloads ride on the twin-pair residues only (ids ≡ 0 and
@@ -330,15 +373,15 @@ object RunStream {
       // encode cost stays at ~20% of the doc rate)
       import spark.implicits._
       val gStats = new graft.streaming.GraphStream.GraphStats(spark)
-      // the graph leg runs a 3× LONGER trigger than the other five:
-      // its per-trigger cost is dominated by fixed per-action overhead
-      // (~30 queued jobs per trigger — banding, pruned reads, decode,
-      // fp append, relabel — each waiting its turn on the executor
-      // pool the other legs share), so fewer, larger batches amortize
-      // the queue tax; its artifacts are indexes and evidence, not
-      // latency-sensitive sinks (measured: SCALING.md "Six-leg
-      // composition", r16)
-      val qGr = graft.streaming.GraphStream.start(
+      // the graph leg runs a 3× LONGER trigger than the other five
+      // (`graphTrigger` above): its per-trigger cost is dominated by
+      // fixed per-action overhead (~30 queued jobs per trigger —
+      // banding, pruned reads, decode, fp append, relabel — each
+      // waiting its turn on the executor pool the other legs share),
+      // so fewer, larger batches amortize the queue tax; its artifacts
+      // are indexes and evidence, not latency-sensitive sinks
+      // (measured: SCALING.md "Six-leg composition", r16)
+      val qGr = inPool("graft_graph")(graft.streaming.GraphStream.start(
         docStream(rateSource()).as[(Long, String)].map { case (id, t) =>
           (id, t,
             if (id % 10 == 0 || id % 10 == 7)
@@ -346,13 +389,11 @@ object RunStream {
             else null)
         }.toDF("doc_id", "text", "image_payload"),
         s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
-        s"$outDir/ckpt_g", gStats,
-        Trigger.ProcessingTime(sys.env.getOrElse(
-          "SPARK_GRAFT_GRAPH_TRIGGER", "15 seconds")),
+        s"$outDir/ckpt_g", gStats, graphTrigger,
         mediaLegs = Seq(graft.streaming.GraphStream.MediaLeg(
           "image_payload", "image",
           graft.ext.Multimodal.imageFpFromPayload(_))),
-        fpIndexPath = Some(s"$outDir/fp_g"))
+        fpIndexPath = Some(s"$outDir/fp_g")))
 
       val queries = Seq(qCe, qSk, qDd, qHh, qSess, qGr)
       Thread.sleep(seconds * 1000L)
@@ -375,7 +416,7 @@ object RunStream {
         committedRows(spark, p, committed)
       val (_, gLabels, gStale) =
         graphAudit(spark, s"$outDir/graph_g", gStats.lastCommitted)
-      FullSummary(
+      val summary = FullSummary(
         events = ceStats.total.value, late = ceStats.late.value,
         dqFailed = ceStats.dqFailed.value,
         mainRows = rows(s"$outDir/main", ceStats.lastCommitted),
@@ -404,8 +445,20 @@ object RunStream {
         graphPairs = gStats.pairs.value,
         graphLabeledDocs = gLabels,
         graphStale = gStale,
+        graphRoutedAppends = gStats.routedAppends.value,
+        graphMaxTouchedRatio = gStats.maxTouchedRatio,
         stateBytesMax = stateMax,
         shuffleWriteBytes = shuffleWrite.get(), wallSec = wall)
+      // post-run maintenance, AFTER the summary's row accounting (a
+      // compaction folds any uncommitted in-flight partition into -1,
+      // which would shift the committed-only counts): all six streams
+      // are stopped and awaited — the wired cadence for the two
+      // accreting band indexes of this composition
+      maintainAfterRun("full-dd-index",
+        DedupStream.maintain(spark, s"$outDir/dd_index"))
+      maintainAfterRun("full-graph-bands",
+        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g"))
+      summary
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       priorProvider match {
@@ -414,6 +467,38 @@ object RunStream {
       }
     }
   }
+
+  /** Post-run index maintenance: by the time this runs the stream is
+    * stopped and its checkpoint committed (`runBounded` returned), so
+    * the stream-stopped precondition of [[graft.streaming.BatchIndex
+    * .maintain]] holds — this is the measured compaction cadence
+    * (SCALING.md "Streaming compaction cadence") as a RUNNING code
+    * path between bounded runs, not a runbook note. One printed line
+    * per index: layout stats, the compaction outcome when one fired,
+    * and the rebucket recommendation when the byte rule says the
+    * layout drifted (reported, never auto-run — resizing changes
+    * addressing and is a deliberate operator action).
+    */
+  private def maintainAfterRun(tag: String,
+      m: => Option[graft.streaming.BatchIndex.Maintenance]): Unit =
+    try m.foreach { r =>
+      val act = r.compacted
+        .map { case (b, a) => s"compacted rows=$b->$a" }
+        .getOrElse("no compact due")
+      println(f"[maintain-$tag] dirs=${
+          r.report.buckets * r.report.batchLevels} " +
+        f"maxLevels=${r.report.maxLevelsPerBucket} " +
+        f"MBperBucket=${r.report.meanBytesPerBucket / 1e6}%.3f $act" +
+        (if (r.rebucketRecommended)
+           s" rebucketRecommended->B=${r.report.recommendedBuckets}"
+         else ""))
+    } catch {
+      // maintenance must never turn a successful run into a failure;
+      // the next run's diagnostics see the same state again
+      case e: Throwable => System.err.println(
+        s"[maintain-$tag] FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+    }
 
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(15)
@@ -454,7 +539,9 @@ object RunStream {
         s"hllRows=${s.hllDays} | sessions=${s.sessionsEmitted} " +
         s"sessStateRows=${s.sessionStateRows} | " +
         s"graphDocs=${s.graphDocs} graphPairs=${s.graphPairs} " +
-        s"graphLabels=${s.graphLabeledDocs} graphStale=${s.graphStale} | " +
+        s"graphLabels=${s.graphLabeledDocs} graphStale=${s.graphStale} " +
+        s"routedAppends=${s.graphRoutedAppends} " +
+        f"maxTouchedRatio=${s.graphMaxTouchedRatio}%.2f | " +
         f"state=${s.stateBytesMax / 1e6}%.1fMB " +
         f"shuffleWrite=${s.shuffleWriteBytes / 1e6}%.1fMB " +
         f"wall=${s.wallSec}%.1fs " +
@@ -490,6 +577,8 @@ object RunStream {
         stats, Trigger.ProcessingTime("5 seconds"), bench,
         benchMBits = 1 << 23)
       EventPipeline.runBounded(q, seconds * 1000L)
+      maintainAfterRun("curate-index",
+        graft.streaming.DedupStream.maintain(spark, s"$outDir/index_cu"))
       val kept = committedRows(spark, s"$outDir/corpus_cu",
         stats.dedup.lastCommitted)
       println(s"[stream-$wire] seen=${stats.seen.value} " +
@@ -645,13 +734,21 @@ object RunStream {
         case _ => Nil
       }
       val stats = new graft.streaming.GraphStream.GraphStats(spark)
+      // SPARK_GRAFT_GRAPH_AUDIT=touched turns on the per-ingest
+      // touched-scope stale audit (flat-cost health monitor — a knob,
+      // not a default; ~1.5× append cost per trigger)
+      val auditTouched =
+        sys.env.get("SPARK_GRAFT_GRAPH_AUDIT").contains("touched")
       val q = graft.streaming.GraphStream.start(docs,
         s"$outDir/corpus_g", s"$outDir/bands_g", s"$outDir/graph_g",
         s"$outDir/ckpt_g", stats, Trigger.ProcessingTime("5 seconds"),
         mediaLegs = legs,
         fpIndexPath =
-          if (legs.nonEmpty) Some(s"$outDir/fp_g") else None)
+          if (legs.nonEmpty) Some(s"$outDir/fp_g") else None,
+        auditTouched = auditTouched)
       EventPipeline.runBounded(q, seconds * 1000L)
+      maintainAfterRun("graph-bands",
+        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g"))
       val (pairsStored, labels, stale) = graphAudit(spark,
         s"$outDir/graph_g", stats.lastCommitted)
       val trigMs = q.recentProgress.toSeq.map(p =>
@@ -661,6 +758,10 @@ object RunStream {
         s"pairs=${stats.pairs.value} storedPairs=$pairsStored " +
         s"labeledDocs=$labels stale=$stale " +
         s"mediaRejected=${stats.mediaRejected.value} " +
+        s"routedAppends=${stats.routedAppends.value} " +
+        f"maxTouchedRatio=${stats.maxTouchedRatio}%.2f " +
+        s"touchedAudits=${stats.touchedAudits.value} " +
+        s"auditStale=${stats.auditStale.value} " +
         f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f " +
         s"triggers=${trigMs.map { case (r, ms) => s"$r:${ms}ms" }
           .mkString(",")}")
@@ -679,6 +780,8 @@ object RunStream {
         s"$outDir/corpus", s"$outDir/index", s"$outDir/ckpt", stats,
         Trigger.ProcessingTime("5 seconds"))
       EventPipeline.runBounded(q, seconds * 1000L)
+      maintainAfterRun("dedup-index",
+        graft.streaming.DedupStream.maintain(spark, s"$outDir/index"))
       val kept = committedRows(spark, s"$outDir/corpus",
         stats.lastCommitted)
       println(s"[stream-dedup] seen=${stats.seen.value} " +

@@ -730,20 +730,28 @@ object ScaleProbe {
     val savedFrac = CorpusGraph.routeFraction
     val savedMin = CorpusGraph.routeMinMembers
     var boundedReport: CorpusGraph.AppendReport = null
-    val appendS = timed {
-      CorpusGraph.routeFraction = Double.MaxValue
-      boundedReport = CorpusGraph.append(spark, root, batch, 1L)
-    }
-    // routed path on the twin root: force the full-relabel route (the
-    // decision the production fraction makes at this measured ratio)
     var routedReport: CorpusGraph.AppendReport = null
-    val appendRoutedS = timed {
-      CorpusGraph.routeFraction = 0.0
-      CorpusGraph.routeMinMembers = 0L
-      routedReport = CorpusGraph.append(spark, rootR, batch, 1L)
+    var appendS = 0.0
+    var appendRoutedS = 0.0
+    // try/finally: a timed append that throws at probe scale (heap-OOM
+    // is documented at these sizes) must not strand the global routing
+    // seams at the forced values for every later probe size in the JVM
+    try {
+      appendS = timed {
+        CorpusGraph.routeFraction = Double.MaxValue
+        boundedReport = CorpusGraph.append(spark, root, batch, 1L)
+      }
+      // routed path on the twin root: force the full-relabel route (the
+      // decision the production fraction makes at this measured ratio)
+      appendRoutedS = timed {
+        CorpusGraph.routeFraction = 0.0
+        CorpusGraph.routeMinMembers = 0L
+        routedReport = CorpusGraph.append(spark, rootR, batch, 1L)
+      }
+    } finally {
+      CorpusGraph.routeFraction = savedFrac
+      CorpusGraph.routeMinMembers = savedMin
     }
-    CorpusGraph.routeFraction = savedFrac
-    CorpusGraph.routeMinMembers = savedMin
     val memberRatio = boundedReport.touchedMembers.toDouble /
       math.max(routedReport.graphMembers, 1L)
     val rebuildS = timed(

@@ -761,7 +761,16 @@ object CorpusGraph {
   val TouchedAuditMaxRounds = 8
 
   private[graft] def staleLabelCountTouchedAt(spark: SparkSession,
-      root: String, ids: DataFrame): TouchedAudit = {
+      root: String, ids: DataFrame): TouchedAudit =
+    // scopedAll: each closure round tracks a scope/scopeLabels/inc
+    // frame, and THIS is the per-ingest monitor designed to run from a
+    // foreachBatch — without its own scope, a caller outside
+    // Scratch.scopedAll would accrete unreleased MEMORY_AND_DISK cache
+    // entries per invocation (exactly the unbounded-cache failure the
+    // scopedAll doc warns about). Scopes nest, so a caller that already
+    // runs one (GraphStream's trigger body, ScaleProbe) is unaffected —
+    // the frames just release at this inner boundary instead.
+    Scratch.scopedAll {
     val pairs = readPairsAt(spark, root).select("doc_a", "doc_b")
     val labels = readLabelsOrEmpty(spark, root)
     var scope = Scratch.track(
@@ -796,20 +805,22 @@ object CorpusGraph {
       n = n2
     }
     if (grown)
-      return TouchedAudit(staleLabelCountAt(spark, root), -1L, -1L,
+      TouchedAudit(staleLabelCountAt(spark, root), -1L, -1L,
         rounds, fellBackToFull = true)
-    // at the fixed point every incident pair has BOTH endpoints in
-    // scope, so the doc_a-side semi-join captures all touched pairs
-    val touchedPairs = Scratch.track(
-      gatedJoin(pairs, scope.select(col("doc_id").as("doc_a")),
-        Seq("doc_a"), "left_semi", n).persist())
-    val nP = touchedPairs.count()
-    val expect = Dedup.clusterLabels(touchedPairs)
-    val got = gatedJoin(labels, scope, Seq("doc_id"), "left_semi", n)
-    val stale =
-      got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
-        expect.join(got, Seq("doc_id", "label"), "left_anti").count()
-    TouchedAudit(stale, n, nP, rounds, fellBackToFull = false)
+    else {
+      // at the fixed point every incident pair has BOTH endpoints in
+      // scope, so the doc_a-side semi-join captures all touched pairs
+      val touchedPairs = Scratch.track(
+        gatedJoin(pairs, scope.select(col("doc_id").as("doc_a")),
+          Seq("doc_a"), "left_semi", n).persist())
+      val nP = touchedPairs.count()
+      val expect = Dedup.clusterLabels(touchedPairs)
+      val got = gatedJoin(labels, scope, Seq("doc_id"), "left_semi", n)
+      val stale =
+        got.join(expect, Seq("doc_id", "label"), "left_anti").count() +
+          expect.join(got, Seq("doc_id", "label"), "left_anti").count()
+      TouchedAudit(stale, n, nP, rounds, fellBackToFull = false)
+    }
   }
 
   /** Rebuild the graph with atomic swap — the [[Versioned]] lifecycle

@@ -130,6 +130,44 @@ object Scratch {
     }
   }
 
+  /** Run `body` in a fresh scope on THIS thread and hand its tracked
+    * frames back instead of releasing them — the seam for fanning
+    * scope-tracked work out to helper threads (the concurrent media
+    * legs of [[graft.streaming.GraphStream]]): [[track]] is
+    * thread-local, so a helper thread sees no scope and would leak
+    * every persist; with this, the helper collects and the CALLER
+    * adopts the frames into its own scope ([[adopt]]), releasing them
+    * at the enclosing boundary — after the plans they back have been
+    * consumed. If `body` throws, the collected frames are released
+    * here (nobody can adopt them) before the failure propagates.
+    */
+  def collectTracked[T](body: => T): (T, Seq[Dataset[_]]) = {
+    val outer = tl.get()
+    val buf = new java.util.ArrayDeque[Dataset[_]]()
+    tl.set(buf)
+    val frames = () =>
+      buf.toArray(Array.empty[Dataset[_]]).toIndexedSeq
+    try {
+      val r = body
+      (r, frames())
+    } catch {
+      case e: Throwable =>
+        frames().foreach(df =>
+          try { df.unpersist(blocking = false); () }
+          catch { case _: Throwable => () })
+        throw e
+    } finally tl.set(outer)
+  }
+
+  /** Adopt frames collected on another thread ([[collectTracked]])
+    * into the CURRENT thread's scope. No-op without one — the caller
+    * then owns the frames' lifetimes, same as any untracked persist.
+    */
+  def adopt(frames: Seq[Dataset[_]]): Unit = {
+    frames.foreach(track(_))
+    ()
+  }
+
   /** [[scoped]] with the keep-plain-persists policy INVERTED: release
     * EVERY tracked frame, plain persists included. The right scope for
     * a streaming foreachBatch body — each micro-batch's plans are

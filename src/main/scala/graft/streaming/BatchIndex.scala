@@ -172,26 +172,38 @@ object BatchIndex {
     }
   }
 
-  /** Rows-per-bucket target of the B-sizing rule (SCALING.md
-    * "Per-trigger read volume": bucket content must stay bounded as
-    * the corpus grows — fixed B sends per-trigger read IO linear in
-    * corpus size, B ∝ corpus keeps it flat at trigger-key size).
-    * ~500 rows of hash-sized index entries is tens of KB per bucket —
-    * small enough that a trigger hitting every one of its keys'
-    * buckets reads megabytes, with 4× headroom before the
-    * [[RebucketDriftFactor]] diagnostics fire.
-    *
-    * FIXTURE-SCALE value. The opposing force is file count: trigger
-    * listing cost ∝ B × levels (the measured table behind
-    * [[CompactFileBudget]]), and B = rows / target, so a 100 TB
-    * deployment raises the target until each bucket is a healthy
-    * parquet file (≳ 8–64 MB ≈ 10⁵–10⁶ hash rows) — per-trigger reads
-    * stay hit-bucket-pruned either way; only the read's granularity
-    * grows with the target.
+  /** BYTES-per-bucket target of the B-sizing rule. The r15 rule sized
+    * B by ROWS (~512/bucket, per-trigger read volume), but the r16
+    * rebucket probe measured that rule already LISTING-BOUND at 16 M
+    * rows on local fs: B = rows/512 = 32 768 buckets of ~74 KB files,
+    * and trigger wall tracks total partition dirs (the
+    * [[CompactFileBudget]] table), so a row-pure B buys nothing past
+    * the point where each bucket is already a small file — it only
+    * multiplies the metadata walk. The binding constraint is FILE
+    * HEALTH: size buckets toward healthy parquet files (≳ 8–64 MB),
+    * i.e. B = ⌈bytes / target⌉ rounded up to a power of two.
+    * Per-trigger reads stay hit-bucket-pruned either way; only the
+    * read's granularity grows with the target. 16 MB sits mid-band
+    * with 4× [[RebucketDriftFactor]] headroom before a bucket file
+    * leaves the healthy range.
     */
-  val TargetRowsPerBucket = 512L
+  val TargetBytesPerBucket: Long = 16L << 20
 
-  /** Rows-per-bucket drift past which [[layoutReport]] recommends a
+  /** Planning width (parquet bytes/row) for hash-row index entries —
+    * the width [[autoBucketCount]] assumes when sizing a NEW index
+    * from its first batch's ROW count (nothing is on disk yet to
+    * measure). Measured: the 4 M-row band index of the SCALING.md
+    * compaction-cadence table is 153 MB across 2 048 small files
+    * (~38 B/row, footer-heavy); at healthy file sizes the same
+    * (long, int, long) rows encode nearer 24–30 B. 32 is the
+    * conservative planning constant; a caller with a measured width
+    * for its own schema passes it explicitly (e.g. the graph stream's
+    * TEXT corpus at ~1 KB/doc). Existing indexes never use this —
+    * their drift diagnostics read ACTUAL bytes from the filesystem.
+    */
+  val DefaultIndexRowBytes: Long = 32L
+
+  /** Bytes-per-bucket drift past which [[layoutReport]] recommends a
     * [[rebucket]]: resizing is a full rewrite, so the rule carries
     * hysteresis — fire at 4× the target (one doubling of B would
     * land the index back inside 2×), not at every crossing.
@@ -221,17 +233,28 @@ object BatchIndex {
   val CompactFileBudget = 32768L
 
   /** The B-sizing rule at index creation: enough power-of-two buckets
-    * to hold `keyRows` at [[TargetRowsPerBucket]], never below
-    * `floor` (the compiled fixture default — tiny first batches must
-    * not create degenerate 1-bucket layouts). A catch-up first macro
-    * batch thus creates its index at a B sized for the data it
-    * actually carries instead of the fixture constant, and the
-    * [[layoutReport]] diagnostics watch the drift from there.
+    * to hold `keyRows` rows of `rowBytes` width at
+    * [[TargetBytesPerBucket]] per bucket, never below `floor` (the
+    * compiled fixture default — tiny first batches must not create
+    * degenerate 1-bucket layouts). A catch-up first macro batch thus
+    * creates its index at a B sized for the data it actually carries
+    * instead of the fixture constant, and the [[layoutReport]]
+    * diagnostics watch the byte drift from there (against MEASURED
+    * bytes, not this planning estimate).
     */
   def autoBucketCount(keyRows: Long, floor: Long,
-      target: Long = TargetRowsPerBucket): Long = {
+      rowBytes: Long = DefaultIndexRowBytes,
+      targetBytes: Long = TargetBytesPerBucket): Long =
+    autoBucketCountBytes(keyRows * math.max(rowBytes, 1L), floor,
+      targetBytes)
+
+  /** The byte-rule core: smallest power-of-two multiple of `floor`
+    * holding `totalBytes` at ≤ `targetBytes` per bucket.
+    */
+  def autoBucketCountBytes(totalBytes: Long, floor: Long,
+      targetBytes: Long = TargetBytesPerBucket): Long = {
     var b = math.max(floor, 1L)
-    while (b * target < keyRows) b *= 2
+    while (b * targetBytes < totalBytes) b *= 2
     b
   }
 
@@ -244,51 +267,114 @@ object BatchIndex {
     * pay the count).
     */
   def bucketCountForWrite(spark: SparkSession, path: String,
-      default: Long, firstBatchKeyRows: => Long): Long = {
+      default: Long, firstBatchKeyRows: => Long,
+      rowBytes: Long = DefaultIndexRowBytes): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       p.toUri, spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_buckets")))
       bucketCountOf(spark, path, default)
     else if (fs.exists(p)) default // pre-metadata index: compiled layout
-    else autoBucketCount(firstBatchKeyRows, default)
+    else autoBucketCount(firstBatchKeyRows, default, rowBytes)
   }
 
   /** One index's layout health — the diagnostics op behind the B rule
-    * and the compaction cadence: rows per bucket vs the target (with
-    * the [[autoBucketCount]] recommendation when drifted past
-    * [[RebucketDriftFactor]]) and batch levels per bucket vs
-    * [[CompactAfterLevels]]. A deployment runs this per index on its
-    * maintenance cadence and acts on the two booleans; both fixes
-    * ([[rebucket]] / [[compact]]) are stream-stopped ops.
+    * and the compaction cadence: MEASURED bytes per bucket vs the
+    * byte target (with the [[autoBucketCountBytes]] recommendation
+    * when drifted past [[RebucketDriftFactor]]) and batch levels per
+    * bucket vs [[CompactAfterLevels]]. Bytes are the filesystem's, not
+    * a width estimate — the stored index is the sample the sizing rule
+    * wants. A deployment runs this per index on its maintenance
+    * cadence and acts on the two booleans; both fixes ([[rebucket]] /
+    * [[compact]]) are stream-stopped ops, and [[maintain]] is the
+    * wired form of the compact arm.
     */
-  final case class LayoutReport(buckets: Long, rows: Long,
-      meanRowsPerBucket: Double, maxBucketRows: Long,
+  final case class LayoutReport(buckets: Long, rows: Long, bytes: Long,
+      meanRowsPerBucket: Double, meanBytesPerBucket: Double,
+      maxBucketRows: Long,
       batchLevels: Long, maxLevelsPerBucket: Long,
       recommendedBuckets: Long, rebucketRecommended: Boolean,
       compactRecommended: Boolean)
 
   def layoutReport(spark: SparkSession, path: String, bucketCol: String,
-      default: Long, target: Long = TargetRowsPerBucket): LayoutReport = {
+      default: Long,
+      targetBytes: Long = TargetBytesPerBucket): LayoutReport = {
     val b = bucketCountOf(spark, path, default)
+    val bytes = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(path))
+      .getLength
     val index = spark.read.parquet(path)
-    // one pass: per-(bucket) row counts + distinct batch levels
-    val per = index.groupBy(col(bucketCol))
-      .agg(count(lit(1)).as("rows"),
-        countDistinct(col("batch_id")).as("levels"))
+    // ONE scan: a per-(bucket, batch) cell count first — both are
+    // PARTITION columns, so the scan reads no data pages — then the
+    // per-bucket rollup AND the global distinct-level count both
+    // derive from the cell frame (its exchange is reused across the
+    // two branches; the index itself is never re-scanned)
+    val cells = index.groupBy(col(bucketCol), col("batch_id"))
+      .agg(count(lit(1)).as("rows"))
+    val per = cells.groupBy(col(bucketCol))
+      .agg(sum("rows").as("rows"), count(lit(1)).as("levels"))
       .agg(sum("rows").as("rows"), max("rows").as("maxRows"),
         max("levels").as("maxLevels"))
+      .crossJoin(cells.agg(
+        countDistinct(col("batch_id")).as("levels")))
       .head()
     val rows = if (per.isNullAt(0)) 0L else per.getLong(0)
     val maxRows = if (per.isNullAt(1)) 0L else per.getLong(1)
     val maxLevels = if (per.isNullAt(2)) 0L else per.getLong(2)
-    val levels = index.select(col("batch_id")).distinct().count()
-    val rec = autoBucketCount(rows, default, target)
-    LayoutReport(b, rows, rows.toDouble / math.max(b, 1L), maxRows,
+    val levels = if (per.isNullAt(3)) 0L else per.getLong(3)
+    val rec = autoBucketCountBytes(bytes, default, targetBytes)
+    LayoutReport(b, rows, bytes, rows.toDouble / math.max(b, 1L),
+      bytes.toDouble / math.max(b, 1L), maxRows,
       levels, maxLevels, rec,
-      rebucketRecommended = rows > b * target * RebucketDriftFactor,
+      rebucketRecommended =
+        bytes > b * targetBytes * RebucketDriftFactor,
       compactRecommended = maxLevels > CompactAfterLevels
         || b * levels > CompactFileBudget)
+  }
+
+  /** Outcome of one [[maintain]] pass: the diagnostics that drove it,
+    * the compaction's (before, after) row counts when one ran, and
+    * whether a rebucket is (still) recommended — rebuckets change
+    * addressing, so they are REPORTED for a deliberate operator run
+    * ([[rebucket]] with the stream's own bucket expression), never
+    * auto-run.
+    */
+  final case class Maintenance(report: LayoutReport,
+      compacted: Option[(Long, Long)]) {
+    def rebucketRecommended: Boolean = report.rebucketRecommended
+  }
+
+  /** The maintenance hook that turns [[layoutReport]]'s measured
+    * cadence into a running code path: read the diagnostics and run
+    * the recommended [[compactMulti]] in one call. The measured decay
+    * law (SCALING.md "Streaming compaction cadence": triggers 3× at
+    * 65 k partition dirs, 35× at 262 k, while the repair itself grows
+    * super-linearly) means a long-running stream that nobody compacts
+    * degrades without bound — stream owners call this BETWEEN bounded
+    * runs / with the stream stopped and its checkpoint committed (the
+    * [[compact]] contract; the caller owns that precondition), e.g.
+    * [[DedupStream.maintain]] / [[NoveltyStream.maintain]] /
+    * [[EmbedStream.maintain]], wired into [[graft.RunStream]]'s
+    * bounded modes. Absent index (stream never committed) returns
+    * None — nothing to maintain.
+    */
+  def maintain(spark: SparkSession, path: String, bucketCol: String,
+      default: Long, cols: Seq[String],
+      fold: Option[DataFrame => DataFrame] = None,
+      targetBytes: Long = TargetBytesPerBucket): Option[Maintenance] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return None
+    val report = layoutReport(spark, path, bucketCol, default,
+      targetBytes)
+    val compacted =
+      if (report.compactRecommended)
+        Some(compactMulti(spark, path, cols, Seq(bucketCol), fold))
+      else None
+    Some(Maintenance(report, compacted))
   }
 
   /** Record (or verify) an index's bucket count before writing to it.

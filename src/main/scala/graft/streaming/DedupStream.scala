@@ -159,6 +159,16 @@ object DedupStream {
       Seq("doc_id", "band_idx", "band_hash"),
       bucketCols = Seq("band_bucket"))
 
+  /** The wired maintenance cadence ([[BatchIndex.maintain]]) for the
+    * band index: diagnose layout, run the recommended compaction.
+    * Stream stopped + checkpoint committed only (the [[compactIndex]]
+    * contract) — callers run it between bounded runs.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[BatchIndex.Maintenance] =
+    BatchIndex.maintain(spark, indexPath, "band_bucket",
+      bandBucketCount, Seq("doc_id", "band_idx", "band_hash"))
+
   /** Attach the dedup ingest to a documents stream. */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,
       checkpointDir: String, stats: DedupStats,

@@ -172,6 +172,14 @@ object EmbedStream {
       Seq("vec_id", "table_idx", "bucket"),
       bucketCols = Seq("band_bucket"))
 
+  /** The wired maintenance cadence ([[BatchIndex.maintain]]) for the
+    * LSH index — stream stopped + checkpoint committed only.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[BatchIndex.Maintenance] =
+    BatchIndex.maintain(spark, indexPath, "band_bucket", KeyBuckets,
+      Seq("vec_id", "table_idx", "bucket"))
+
   /** Attach the embedding ingest to a vector stream. */
   def start(stream: DataFrame, corpusPath: String, indexPath: String,
       checkpointDir: String, stats: EmbedStats,

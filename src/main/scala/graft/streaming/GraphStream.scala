@@ -60,6 +60,31 @@ object GraphStream {
     val resent = spark.sparkContext.longAccumulator("graph_resent")
     val mediaRejected =
       spark.sparkContext.longAccumulator("graph_media_rejected")
+    /** Appends that took [[CorpusGraph.append]]'s full-relabel route —
+      * a nonzero count over a steady stream means batches keep landing
+      * in a component comparable to the whole graph (the
+      * mega-component excision signal the [[CorpusGraph.AppendReport]]
+      * carries; see `boilerplate_report` for finding the cluster).
+      */
+    val routedAppends =
+      spark.sparkContext.longAccumulator("graph_routed_appends")
+    /** Stale rows found by the opt-in per-ingest touched audits
+      * ([[processBatch]] `auditTouched`), summed; any nonzero value is
+      * a bookkeeping defect — run [[CorpusGraph.repairLabels]].
+      */
+    val auditStale =
+      spark.sparkContext.longAccumulator("graph_audit_stale")
+    /** Per-ingest touched audits run (the denominator for auditStale). */
+    val touchedAudits =
+      spark.sparkContext.longAccumulator("graph_touched_audits")
+    /** Largest touchedMembers/graphMembers ratio any append PRICED
+      * (appends under [[CorpusGraph.FullRelabelRouteMinMembers]] never
+      * price — trigger-sized batches report nothing here). Approaching
+      * 1.0 means ingest is concentrating in one cluster.
+      */
+    @volatile var maxTouchedRatio: Double = 0.0
+    /** The most recent append's full report (null before the first). */
+    @volatile var lastAppend: CorpusGraph.AppendReport = null
     @volatile var lastCommitted: Long = -1L
   }
 
@@ -86,6 +111,16 @@ object GraphStream {
 
   private val BandCols = Seq("doc_id", "band_idx", "band_hash")
 
+  /** Serializes the unified fp index's WRITE operations across
+    * concurrent media legs: each leg writes only its own modality
+    * partitions, but (a) the pre-sidecar backfill reads/writes ALL
+    * modalities' band rows and (b) the `_graft_buckets` layout stamp
+    * is one file — two legs racing either could tear the sidecar.
+    * Reads stay lock-free (the `batch_id < storedId` replay exclusion
+    * already hides concurrent same-batch writes from them).
+    */
+  private val fpAppendLock = new Object
+
   /** Doc-id-bucket count for the stream's corpus layout: candidate
     * verification needs candidate docs' TEXT back from the stored
     * corpus, and an unpruned read would rescan the whole corpus every
@@ -95,6 +130,15 @@ object GraphStream {
     * sizing rule).
     */
   val CorpusBuckets = 16L
+
+  /** Planning width for CORPUS rows when a first macro-batch sizes a
+    * new corpus layout ([[BatchIndex.autoBucketCount]]): these are
+    * text documents (plus optional media payload columns), not
+    * hash-sized index entries — the fixture docs encode ~0.3–1 KB and
+    * real corpora run KBs, so the conservative 1 KB keeps a catch-up
+    * first batch from creating text buckets 32× too coarse.
+    */
+  val CorpusDocRowBytes = 1024L
 
   /** Test seam over [[BatchIndex.TriggerBroadcastMaxDocs]]:
     * StreamingSpec pins stored pairs/labels identical THROUGH the
@@ -122,7 +166,8 @@ object GraphStream {
   def processBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       bandIndexPath: String, graphPath: String,
       stats: GraphStats, mediaLegs: Seq[MediaLeg] = Nil,
-      fpIndexPath: Option[String] = None): Unit =
+      fpIndexPath: Option[String] = None,
+      auditTouched: Boolean = false): Unit =
     // release-everything scratch scope: a micro-batch's plans are
     // unique per trigger, so every persist here (the batch bands below
     // AND the library-internal candidate/shingle/delta persists inside
@@ -163,7 +208,7 @@ object GraphStream {
         val bandB = BatchIndex.bucketCountForWrite(spark, bandIndexPath,
           DedupStream.bandBucketCount, batchBands.count())
         val corpusB = BatchIndex.bucketCountForWrite(spark, corpusPath,
-          CorpusBuckets, nSeen)
+          CorpusBuckets, nSeen, rowBytes = CorpusDocRowBytes)
         // pruned index read: only the band buckets this batch's hashes
         // hit (the [[DedupStream.BandBuckets]] layout) — every use
         // below is an equi-join on (band_idx, band_hash) or a probe
@@ -250,15 +295,62 @@ object GraphStream {
           .withColumn("modality", lit("text"))
         // perceptual legs: each decodes once, extends the unified fp
         // index, and contributes its pairs to the SAME graph append.
-        // Legs are lazy plans EXCEPT the fp-index append inside each
-        // (an action), so the per-leg trace marks the decode+append
-        // phase of each modality
-        val batchPairs = mediaLegs.foldLeft(textPairs) { (acc, leg) =>
-          val p = acc.unionByName(mediaLegPairs(spark, leg, fresh,
-            fpIndexPath.get, storedId, stats, smallTrigger))
-          mark(s"leg:${leg.modality}")
-          p
-        }
+        // Multiple legs run CONCURRENTLY (each on its own thread over
+        // the shared session): a leg's actions — decode count, hit-
+        // bucket collect, fp append — are many small jobs that leave
+        // the executor pool underused, so serial legs pay the queue
+        // tax thrice; concurrency overlaps them (the intra-trigger
+        // face of the six-leg FAIR fix, measured in SCALING.md
+        // "graphmm3"). Index WRITES inside the legs stay serialized
+        // ([[fpAppendLock]] in mediaLegPairs) — each leg writes only
+        // its own modality partitions, but the shared band-sidecar
+        // backfill and layout metadata must not race. Scratch frames
+        // are collected per helper thread and adopted into THIS
+        // trigger's scope, so they release at the trigger boundary as
+        // before — after the pair plans they back were consumed.
+        val legPairs: Seq[DataFrame] =
+          if (mediaLegs.isEmpty) Nil
+          else if (mediaLegs.sizeIs == 1) {
+            val p = mediaLegPairs(spark, mediaLegs.head, fresh,
+              fpIndexPath.get, storedId, stats, smallTrigger)
+            mark(s"leg:${mediaLegs.head.modality}")
+            Seq(p)
+          } else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            import scala.util.{Failure, Success, Try}
+            val pool = java.util.concurrent.Executors
+              .newFixedThreadPool(mediaLegs.size)
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutor(pool)
+            val futs = mediaLegs.map { leg =>
+              Future {
+                val t0 = System.nanoTime()
+                val r = graft.ext.Scratch.collectTracked(
+                  mediaLegPairs(spark, leg, fresh, fpIndexPath.get,
+                    storedId, stats, smallTrigger))
+                if (trace) println(f"[gs-trace] leg:${leg.modality}%-10s "
+                  + f"${(System.nanoTime() - t0) / 1e9}%6.2fs (concurrent)")
+                r
+              }
+            }
+            // settle ALL legs before adopting/rethrowing: a fail-fast
+            // await would leak the successful legs' collected frames
+            val settled: Seq[Try[(DataFrame,
+                Seq[org.apache.spark.sql.Dataset[_]])]] =
+              try Await.result(
+                Future.sequence(futs.map(_.transform(Success(_)))),
+                Duration.Inf)
+              finally pool.shutdown()
+            settled.foreach {
+              case Success((_, frames)) => graft.ext.Scratch.adopt(frames)
+              case Failure(_) => ()
+            }
+            settled.collectFirst { case Failure(e) => throw e }
+            mark("legs(conc)")
+            settled.map(_.get._1)
+          }
+        val batchPairs = legPairs.foldLeft(textPairs)(_.unionByName(_))
         // EVERY fresh doc lands (evidence-preserving — no near-dup
         // drops; only exact id re-sends are deduplicated), bucketed
         // for the pruned read-back above; pairs and relabel go
@@ -274,14 +366,39 @@ object GraphStream {
             DedupStream.bandBucketAt(bandB)),
           storedId, bandIndexPath, bucketCol = Some("band_bucket"))
         mark("writes")
-        val nPairs = batchPairs.persist().count()
-        mark("pairsCount")
-        try CorpusGraph.append(spark, graphPath, batchPairs, storedId)
-        finally { batchPairs.unpersist(); () }
+        // no pre-count of batchPairs: append persists its own
+        // projection of the plan and its report carries the row count,
+        // so counting here would just materialize the same pairs plan
+        // (decode included) one extra time per trigger
+        val report = CorpusGraph.append(spark, graphPath, batchPairs,
+          storedId)
         mark("graphAppend")
         stats.seen.add(nSeen)
         stats.resent.add(nResent)
-        stats.pairs.add(nPairs)
+        stats.pairs.add(report.batchPairRows)
+        if (report.routedFullRelabel) stats.routedAppends.add(1L)
+        if (report.graphMembers > 0L) {
+          val ratio =
+            report.touchedMembers.toDouble / report.graphMembers
+          if (ratio > stats.maxTouchedRatio)
+            stats.maxTouchedRatio = ratio
+        }
+        stats.lastAppend = report
+        // opt-in per-ingest health monitor (~1.5× append cost — a
+        // knob, not a default): audit exactly the components this
+        // batch touched, seeded from its own just-written pair
+        // partition (a pruned read; the batchPairs plan must not
+        // recompute its decodes for a seed set)
+        if (auditTouched) {
+          val seed = CorpusGraph.readPairs(spark, graphPath)
+            .filter(col("batch_id") === storedId)
+          val audit = CorpusGraph.staleLabelCountTouched(spark,
+            graphPath, seed.select(col("doc_a").as("doc_id"))
+              .unionByName(seed.select(col("doc_b").as("doc_id"))))
+          stats.touchedAudits.add(1L)
+          stats.auditStale.add(audit.stale)
+          mark("touchedAudit")
+        }
         stats.lastCommitted = batchId
         ()
       } finally { cached.unpersist(); () }
@@ -338,11 +455,19 @@ object GraphStream {
           hit, storedId)
         .getOrElse {
           // pre-sidecar root: one-time in-place backfill (a pure
-          // projection of stored fingerprints), then serve pruned
-          if (Multimodal.backfillMediaFpBands(spark, root) == 0L)
-            emptyBands // no data component yet — first media batch
-          else Multimodal.mediaFpBandsPruned(spark, root, leg.modality,
-            hit, storedId).get
+          // projection of stored fingerprints), then serve pruned.
+          // Under the write lock, with a re-probe first: a concurrent
+          // leg may have built the sidecar while this one waited
+          fpAppendLock.synchronized {
+            Multimodal.mediaFpBandsPruned(spark, root, leg.modality,
+                hit, storedId)
+              .getOrElse {
+                if (Multimodal.backfillMediaFpBands(spark, root) == 0L)
+                  emptyBands // no data component yet — first media batch
+                else Multimodal.mediaFpBandsPruned(spark, root,
+                  leg.modality, hit, storedId).get
+              }
+          }
         }).persist())
     val mediaResent = graft.ext.Scratch.track(indexBands
       .join(bc(decoded0.select("doc_id").distinct()),
@@ -376,11 +501,25 @@ object GraphStream {
         decoded.select("doc_id", "fp_lo", "fp_hi"),
         Multimodal.AHashMaxHamming)
       .select("doc_a", "doc_b")
-    Multimodal.appendFingerprintsToMediaFpIndex(decoded, leg.modality,
-      fpIndexPath, storedId)
+    fpAppendLock.synchronized {
+      Multimodal.appendFingerprintsToMediaFpIndex(decoded, leg.modality,
+        fpIndexPath, storedId)
+    }
     cross.unionByName(internal)
       .withColumn("modality", lit(leg.modality))
   }
+
+  /** The wired maintenance cadence ([[BatchIndex.maintain]]) for the
+    * stream's band index — stream stopped + checkpoint committed only.
+    * The pair table's cadence is [[CorpusGraph.compactPairs]] (its own
+    * contract); the corpus accretes one partition per batch too, but
+    * folding a PAYLOAD table is a deliberate storage rewrite, not a
+    * metadata repair — left to the operator.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      bandIndexPath: String): Option[BatchIndex.Maintenance] =
+    BatchIndex.maintain(spark, bandIndexPath, "band_bucket",
+      DedupStream.bandBucketCount, BandCols)
 
   /** Attach the graph-maintenance ingest to a document stream; pass
     * `mediaLegs` + `fpIndexPath` for a multimodal stream whose
@@ -390,14 +529,15 @@ object GraphStream {
       graphPath: String, checkpointDir: String, stats: GraphStats,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       mediaLegs: Seq[MediaLeg] = Nil,
-      fpIndexPath: Option[String] = None): StreamingQuery =
+      fpIndexPath: Option[String] = None,
+      auditTouched: Boolean = false): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, corpusPath, bandIndexPath,
-          graphPath, stats, mediaLegs, fpIndexPath)
+          graphPath, stats, mediaLegs, fpIndexPath, auditTouched)
       }
       .start()
 }

@@ -110,6 +110,14 @@ object NoveltyStream {
     BatchIndex.compactMulti(spark, indexPath, Seq("h"),
       bucketCols = Seq("band_bucket"))
 
+  /** The wired maintenance cadence ([[BatchIndex.maintain]]) for the
+    * gram index — stream stopped + checkpoint committed only.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[BatchIndex.Maintenance] =
+    BatchIndex.maintain(spark, indexPath, "band_bucket", KeyBuckets,
+      Seq("h"))
+
   /** Attach the novelty scorer to a documents stream. */
   def start(stream: DataFrame, reportPath: String, indexPath: String,
       checkpointDir: String, stats: NoveltyStats,

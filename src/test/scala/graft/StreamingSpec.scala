@@ -1640,6 +1640,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
   }
 
+  test("forced-route mid-stream append: labels ≡ rebuild, route + touched audit surfaced in GraphStats") {
+    import spark.implicits._
+    import graft.ext.{CorpusGraph, Dedup}
+    import graft.streaming.GraphStream
+    val corpusDir = Files.createTempDirectory("gsr_corpus").toString
+    val bandsDir = Files.createTempDirectory("gsr_bands").toString
+    val graphDir = Files.createTempDirectory("gsr_graph").toString
+    val stats = new GraphStream.GraphStats(spark)
+    val textA = (1 to 50).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 50).map(i => s"b$i").mkString(" ")
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // batch 0: bootstrap — trigger-sized appends never price the
+    // graph, so nothing routes and no ratio is recorded
+    GraphStream.processBatch(
+      docsDf((1L, textA), (2L, textB), (3L, textA + " z")),
+      0L, corpusDir, bandsDir, graphDir, stats)
+    assert(stats.routedAppends.value == 0L)
+    assert(stats.maxTouchedRatio == 0.0)
+    assert(stats.lastAppend != null && !stats.lastAppend.routedFullRelabel)
+    assert(stats.lastAppend.graphMembers == -1L,
+      "an unpriced append must not have paid a label-table count")
+
+    // batch 1 lands in the A component with the routing seams forced:
+    // the append takes the full-relabel route mid-stream, the stat
+    // increments, and the opt-in per-ingest touched audit runs clean
+    val savedMin = CorpusGraph.routeMinMembers
+    val savedFrac = CorpusGraph.routeFraction
+    try {
+      CorpusGraph.routeMinMembers = 0L
+      CorpusGraph.routeFraction = 0.0
+      GraphStream.processBatch(docsDf((12L, textA + " y")), 1L,
+        corpusDir, bandsDir, graphDir, stats, auditTouched = true)
+    } finally {
+      CorpusGraph.routeMinMembers = savedMin
+      CorpusGraph.routeFraction = savedFrac
+    }
+    assert(stats.routedAppends.value == 1L)
+    assert(stats.lastAppend.routedFullRelabel)
+    assert(stats.maxTouchedRatio == 1.0,
+      s"touched the whole 2-member graph: ${stats.maxTouchedRatio}")
+    assert(stats.touchedAudits.value == 1L)
+    assert(stats.auditStale.value == 0L)
+
+    // the routed labels equal a from-scratch rebuild over the corpus
+    val labels = CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = spark.read.parquet(corpusDir).select("doc_id", "text")
+    val rebuilt = Dedup.clusterLabels(
+        Dedup.minhashNearDups(full).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == rebuilt, s"routed != rebuild: $labels vs $rebuilt")
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+  }
+
   test("stream leg extends the BATCH fingerprint index: one artifact serves both ingest paths") {
     import spark.implicits._
     import graft.ext.Multimodal
@@ -2239,20 +2294,39 @@ class StreamingSpec extends AnyFunSuite {
   test("new indexes auto-size B from the first batch; existing layouts are never re-derived") {
     import spark.implicits._
     import graft.streaming.{BatchIndex, DedupStream}
-    // the sizing rule: smallest power-of-two multiple of the floor
-    // holding the key rows at ~512/bucket; tiny batches keep the floor
+    // the sizing rule is BYTE-based (r16 measured the 512-row rule
+    // listing-bound at 16 M rows — B must target healthy parquet
+    // files, not a row quota): smallest power-of-two multiple of the
+    // floor holding keyRows × rowBytes at ≤ TargetBytesPerBucket per
+    // bucket; tiny batches keep the floor. rowBytes = 32 KB makes the
+    // derived target exactly 512 rows/bucket for readable numbers.
     assert(BatchIndex.autoBucketCount(8L, 64L) == 64L)
-    assert(BatchIndex.autoBucketCount(64L * 512L, 64L) == 64L)
-    assert(BatchIndex.autoBucketCount(64L * 512L + 1L, 64L) == 128L)
-    assert(BatchIndex.autoBucketCount(100000L, 64L) == 256L)
-    assert(BatchIndex.autoBucketCount(40L * 4L * 1000000L, 64L) == 524288L)
+    assert(BatchIndex.autoBucketCount(64L * 512L, 64L,
+      rowBytes = 32768L) == 64L)
+    assert(BatchIndex.autoBucketCount(64L * 512L + 1L, 64L,
+      rowBytes = 32768L) == 128L)
+    assert(BatchIndex.autoBucketCount(100000L, 64L,
+      rowBytes = 32768L) == 256L)
+    assert(BatchIndex.autoBucketCount(40L * 4L * 1000000L, 64L,
+      rowBytes = 32768L) == 524288L)
+    // at the DEFAULT planning width (32 B hash rows) the byte rule
+    // holds the floor far longer than the old row rule: 16 M rows ≈
+    // 512 MB is 8 MB/bucket at B = 64 — healthy files, no rewrite
+    // (the r16 probe's listing-bound 32 768-bucket layout retired)
+    assert(BatchIndex.autoBucketCount(16L * 1000000L, 64L) == 64L)
+    assert(BatchIndex.autoBucketCount(16L * 1000000L, 64L,
+      rowBytes = 32768L) == 32768L, "the retired row rule, for contrast")
+    // byte core
+    assert(BatchIndex.autoBucketCountBytes(16L << 20, 4L) == 4L)
+    assert(BatchIndex.autoBucketCountBytes((16L << 20) * 4L + 1L, 4L)
+      == 8L)
 
     // resolution precedence: NEW path → the rule over the first
     // batch's keys; existing pre-metadata path → compiled default;
     // stamped path → recorded metadata (first-batch keys never read)
     val dir = Files.createTempDirectory("autob").toString + "/idx"
-    assert(BatchIndex.bucketCountForWrite(spark, dir, 64L, 100000L)
-      == 256L)
+    assert(BatchIndex.bucketCountForWrite(spark, dir, 64L, 100000L,
+      rowBytes = 32768L) == 256L)
     def bands(ids: Seq[Long]) = ids
       .flatMap(id => (0 until 4).map(b => (id, b, id * 100 + b)))
       .toDF("doc_id", "band_idx", "band_hash")
@@ -2276,16 +2350,29 @@ class StreamingSpec extends AnyFunSuite {
     def bands(ids: Range) = ids.map(_.toLong)
       .flatMap(id => (0 until 4).map(b => (id, b, id * 100 + b)))
       .toDF("doc_id", "band_idx", "band_hash")
-    // drifted index: 4 buckets holding 12k rows (>> 4 × 512 × 4)
+    // drifted index: 4 buckets holding 12k rows (~hundreds of KB on
+    // disk). Under the PRODUCTION byte target this is healthy — no
+    // fixture-sized index may ever recommend a full rewrite — and
+    // under a test-sized 4 KB target the byte drift fires, with the
+    // recommendation derived from MEASURED bytes, not a width guess
     val drifted = Files.createTempDirectory("lr_drift").toString + "/idx"
     BatchIndex.writePartition(bands(0 until 3000)
         .withColumn("band_bucket", DedupStream.bandBucketAt(4L)),
       0L, drifted, bucketCol = Some("band_bucket"))
     BatchIndex.ensureBucketMeta(spark, drifted, 4L)
-    val r1 = BatchIndex.layoutReport(spark, drifted, "band_bucket", 4L)
+    val r0 = BatchIndex.layoutReport(spark, drifted, "band_bucket", 4L)
+    assert(!r0.rebucketRecommended,
+      s"KB-sized buckets are healthy under the 16 MB target: $r0")
+    val r1 = BatchIndex.layoutReport(spark, drifted, "band_bucket", 4L,
+      targetBytes = 4096L)
     assert(r1.buckets == 4L && r1.rows == 12000L, s"$r1")
-    assert(r1.rebucketRecommended, s"$r1")
-    assert(r1.recommendedBuckets == 32L, s"12k rows / 512 → 32: $r1")
+    assert(r1.bytes > 4L * 4096L * BatchIndex.RebucketDriftFactor
+      && r1.rebucketRecommended, s"$r1")
+    assert(r1.recommendedBuckets
+      == BatchIndex.autoBucketCountBytes(r1.bytes, 4L, 4096L)
+      && r1.recommendedBuckets > 4L, s"$r1")
+    assert(math.abs(r1.meanBytesPerBucket - r1.bytes / 4.0) < 1e-6,
+      s"$r1")
     assert(!r1.compactRecommended, s"one level: $r1")
 
     // accreted index: 18 batch levels in every bucket, rows in range
@@ -2321,6 +2408,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(r4.buckets == 32768L && r4.batchLevels == 2L, s"$r4")
     assert(r4.compactRecommended && r4.maxLevelsPerBucket <= 2L,
       s"file budget must trigger at B x levels = 65536: $r4")
+  }
+
+  test("maintenance hook: the compaction cadence RUNS at the level threshold and is result-neutral") {
+    import spark.implicits._
+    import graft.streaming.{BatchIndex, DedupStream}
+    // twin dedup ingests over 20 micro-batches (> CompactAfterLevels):
+    // root A is maintained mid-run at the cadence point (stream
+    // "stopped" between processBatch calls — exactly the bounded-run
+    // seam RunStream wires), root B never is. Every screening verdict,
+    // the corpora, and the indexes' distinct content must be identical
+    // — the cadence is an IO repair, never a semantic change.
+    val aC = Files.createTempDirectory("mh_ac").toString
+    val aI = Files.createTempDirectory("mh_ai").toString + "/idx"
+    val bC = Files.createTempDirectory("mh_bc").toString
+    val bI = Files.createTempDirectory("mh_bi").toString + "/idx"
+    val sA = new DedupStream.DedupStats(spark)
+    val sB = new DedupStream.DedupStats(spark)
+    // per-seed vocabulary: docs of different seeds share no words, so
+    // the only near-dups are the planted exact twins
+    def text(seed: Long) =
+      (1 to 40).map(i => s"s${seed}w$i").mkString(" ")
+    var maintained = false
+    // B = 2 via the probe seam: each batch's ~12+ band rows hit both
+    // buckets, so levels-per-bucket tracks the batch count and the
+    // level cadence (>16) is reachable in a fixture-sized run (at the
+    // default B = 64 a 1-doc batch touches ≤4 buckets — the cadence
+    // would need thousands of batches)
+    val savedB = DedupStream.bandBucketCount
+    DedupStream.bandBucketCount = 2L
+    try {
+      (0 until 20).foreach { i =>
+        // three fresh docs + (every 3rd batch) an exact twin of an
+        // earlier batch's doc — cross-batch screening on every layout
+        val rows = (0 until 3).map(d =>
+          (100L + i * 10 + d, text(i.toLong * 3 + d))) ++
+          (if (i % 3 == 2) Seq((500L + i, text((i - 2).toLong * 3)))
+           else Nil)
+        val batch = rows.toDF("doc_id", "text")
+        DedupStream.processBatch(batch, i.toLong, aC, aI, sA)
+        DedupStream.processBatch(batch, i.toLong, bC, bI, sB)
+        if (i == 17) { // 18 levels > CompactAfterLevels(16): cadence due
+          val m = DedupStream.maintain(spark, aI).get
+          assert(
+            m.report.maxLevelsPerBucket > BatchIndex.CompactAfterLevels,
+            s"${m.report}")
+          assert(m.compacted.isDefined, "the hook must RUN the compact")
+          assert(!m.rebucketRecommended,
+            "KB-sized fixture index must never recommend a rewrite")
+          maintained = true
+          // post-compact: one folded level remains
+          val after = BatchIndex.layoutReport(spark, aI, "band_bucket",
+            DedupStream.bandBucketCount)
+          assert(after.batchLevels == 1L && !after.compactRecommended,
+            s"$after")
+        }
+      }
+    } finally DedupStream.bandBucketCount = savedB
+    assert(maintained)
+    assert(sA.seen.value == sB.seen.value
+      && sA.kept.value == sB.kept.value,
+      s"A=(${sA.seen.value},${sA.kept.value}) " +
+        s"B=(${sB.seen.value},${sB.kept.value})")
+    def corpusIds(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusIds(aC) == corpusIds(bC))
+    def indexContent(p: String) = spark.read.parquet(p)
+      .select("doc_id", "band_idx", "band_hash")
+      .distinct().collect().map(_.toSeq).toSet
+    assert(indexContent(aI) == indexContent(bI),
+      "maintained and unmaintained indexes must hold the same bands")
+    // an absent index (stream never committed) is a no-op, not a crash
+    assert(DedupStream.maintain(spark, "/tmp/graft_mh_never_written")
+      .isEmpty)
+    // healthy layouts report without compacting — the hook is safe to
+    // call after EVERY bounded run
+    val m2 = DedupStream.maintain(spark, aI).get
+    assert(m2.compacted.isEmpty && !m2.rebucketRecommended)
   }
 
   test("full-rewrite layout ops merge schemas: rebucket/migrate keep late-added columns") {

@@ -627,12 +627,15 @@ object ScaleProbe {
     }
   }
 
-  /** The price of a [[graft.streaming.BatchIndex.rebucket]] resize at
-    * probe scale — the op the B ∝ corpus rule makes mandatory, priced
-    * BEFORE someone needs it in production: a 4n-row band index
-    * written at the fixture B=64 is resized to the rule's B for its
-    * row count (`autoBucketCount`), the rewrite timed, and one
-    * trigger run against the resized index to verify serving.
+  /** The price — and now the PAYOFF — of a
+    * [[graft.streaming.BatchIndex.rebucket]] resize at probe scale: a
+    * 4n-row band index is written at the RETIRED row rule's B
+    * (rows/512 — the r16 probe showed that layout already
+    * listing-bound on local fs), a trigger is timed against it, the
+    * index is rebucketed to the BYTE rule's B
+    * (`autoBucketCount` at the measured planning width — healthy
+    * 8–64 MB files), and the trigger re-timed: the resize must take
+    * the trigger OUT of the listing-bound regime.
     * `sbt "runMain graft.ScaleProbe rebucket 4000000"`.
     */
   def rebucketProbe(spark: SparkSession, n: Long): Unit = {
@@ -640,39 +643,129 @@ object ScaleProbe {
     val dir = s"/tmp/graft_scaleprobe_rbk_$n"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     try {
+      // the retired ROW rule's layout (rows/512), written directly
+      val rowRuleB = BatchIndex.autoBucketCount(4 * n, 64L,
+        rowBytes = 32768L) // 16 MB / 32 KB = 512 rows/bucket
       // band_idx INT like Dedup.bandTable (one schema with the trigger)
       val bands = spark.range(n).select(col("id").as("doc_id"),
           explode(sequence(lit(0), lit(3))).as("band_idx"))
         .withColumn("band_hash", md5(concat_ws(",",
           col("doc_id").cast("string"), col("band_idx").cast("string"))))
       BatchIndex.writePartition(
-        bands.withColumn("band_bucket", DedupStream.bandBucketAt(64L)),
+        bands.withColumn("band_bucket",
+          DedupStream.bandBucketAt(rowRuleB)),
         1L, s"$dir/index", bucketCol = Some("band_bucket"))
-      BatchIndex.ensureBucketMeta(spark, s"$dir/index", 64L)
+      BatchIndex.ensureBucketMeta(spark, s"$dir/index", rowRuleB)
       val (szBytes, szFiles) = dirStats(s"$dir/index")
-      val newB = BatchIndex.autoBucketCount(4 * n, 64L)
+      def trigger(id: Long, off: Long): Double = {
+        val stats = new DedupStream.DedupStats(spark)
+        stats.lastCommitted = id - 1
+        val t = System.nanoTime()
+        DedupStream.processBatch(
+          synthDocs(spark, 50).withColumn("doc_id",
+            col("doc_id") + lit(off)),
+          id, s"$dir/corpus", s"$dir/index", stats)
+        (System.nanoTime() - t) / 1e9
+      }
+      val trigRowRule = trigger(2L, 5 * n)
+      // resize to the byte rule's B from the MEASURED index bytes
+      val newB = BatchIndex.autoBucketCountBytes(szBytes, 64L)
       val t0 = System.nanoTime()
       BatchIndex.rebucket(spark, s"$dir/index", "band_bucket", newB,
         DedupStream.bandBucketAt)
       val wall = (System.nanoTime() - t0) / 1e9
       val (szBytes2, szFiles2) = dirStats(s"$dir/index")
-      // resized index serves: one trigger resolves the new B from the
-      // metadata and screens through the pruned read
-      val stats = new DedupStream.DedupStats(spark)
-      stats.lastCommitted = 1L
-      val t1 = System.nanoTime()
-      DedupStream.processBatch(
-        synthDocs(spark, 50).withColumn("doc_id", col("doc_id") + lit(5 * n)),
-        2L, s"$dir/corpus", s"$dir/index", stats)
-      val trig = (System.nanoTime() - t1) / 1e9
+      val trigByteRule = trigger(3L, 6 * n)
       println(f"[scale-rebucket] n=$n%-8d rows=${4 * n}%-9d " +
-        f"B=64->${BatchIndex.bucketCountOf(spark, s"$dir/index", -1L)} " +
+        f"B=$rowRuleB(row-rule)->" +
+        f"${BatchIndex.bucketCountOf(spark, s"$dir/index", -1L)}" +
+        "(byte-rule) " +
+        f"trigRowRule=$trigRowRule%6.2fs trigByteRule=$trigByteRule%6.2fs " +
         f"rewrite=$wall%7.1fs " +
         f"sizeMB=${szBytes / 1e6}%.1f->${szBytes2 / 1e6}%.1f " +
-        f"files=$szFiles->$szFiles2 trigAfter=$trig%5.2fs " +
-        f"kept=${stats.kept.value}")
+        f"files=$szFiles->$szFiles2")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** The long-horizon proof that the WIRED cadence keeps triggers
+    * fast: `batches` micro-batches of fresh docs stream through
+    * [[graft.streaming.DedupStream.processBatch]] on TWO roots — root
+    * A runs [[graft.streaming.DedupStream.maintain]] between batches
+    * (the hook RunStream wires after every bounded run; compacts only
+    * when the diagnostics say so), root B never compacts — and every
+    * batch's trigger is timed on both. Without the cadence, partition
+    * dirs accrete B × L and the trigger decays along the measured
+    * file-count law; with it, trigger time stays flat and the
+    * compactions fire exactly when `CompactFileBudget`/
+    * `CompactAfterLevels` say. Batches carry DISTINCT docs (the index
+    * must grow). Result-neutrality is asserted (equal kept counts and
+    * index content row counts). `sbt "runMain graft.ScaleProbe
+    * cadence 48"` — the size arg is the BATCH COUNT;
+    * SPARK_GRAFT_CADENCE_B / _DOCS override B (1024) and docs/batch
+    * (1000).
+    */
+  def cadenceProbe(spark: SparkSession, batches: Long): Unit = {
+    import graft.streaming.{BatchIndex, DedupStream}
+    val b = sys.env.getOrElse("SPARK_GRAFT_CADENCE_B", "1024").toLong
+    val dpb = sys.env.getOrElse("SPARK_GRAFT_CADENCE_DOCS", "1000").toLong
+    val withRoot = "/tmp/graft_scaleprobe_cad_with"
+    val noRoot = "/tmp/graft_scaleprobe_cad_without"
+    Seq(withRoot, noRoot).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+    val savedB = DedupStream.bandBucketCount
+    DedupStream.bandBucketCount = b
+    val sA = new DedupStream.DedupStats(spark)
+    val sB = new DedupStream.DedupStats(spark)
+    try {
+      var compactions = 0
+      (0 until batches.toInt).foreach { i =>
+        // fresh vocabulary per batch so every doc survives and the
+        // index grows one level per batch
+        val docs = spark.range(i * dpb, (i + 1) * dpb)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 45).map(p =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(p)),
+                lit(1000000L)))): _*).as("text"))
+        def timed(f: => Unit): Double = {
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        }
+        val tA = timed(DedupStream.processBatch(docs, i.toLong,
+          s"$withRoot/corpus", s"$withRoot/index", sA))
+        val tB = timed(DedupStream.processBatch(docs, i.toLong,
+          s"$noRoot/corpus", s"$noRoot/index", sB))
+        // the wired cadence, between batches (the stream-stopped seam)
+        val m = DedupStream.maintain(spark, s"$withRoot/index")
+        val compacted = m.exists(_.compacted.isDefined)
+        if (compacted) compactions += 1
+        val rep = m.get.report
+        val dirsB = b * (i + 1)
+        if (i % 4 == 3 || compacted || i == batches.toInt - 1)
+          println(f"[scale-cadence] batch=$i%-4d " +
+            f"trigWith=$tA%6.2fs trigWithout=$tB%6.2fs " +
+            f"dirsWith=${rep.buckets * rep.batchLevels}%-7d " +
+            f"dirsWithout=$dirsB%-7d " +
+            (if (compacted) "COMPACTED" else ""))
+      }
+      assert(sA.seen.value == sB.seen.value
+        && sA.kept.value == sB.kept.value,
+        s"cadence changed results: A=(${sA.seen.value},${sA.kept.value})"
+          + s" B=(${sB.seen.value},${sB.kept.value})")
+      val rowsA = spark.read.parquet(s"$withRoot/index")
+        .select("doc_id", "band_idx", "band_hash").distinct().count()
+      val rowsB = spark.read.parquet(s"$noRoot/index")
+        .select("doc_id", "band_idx", "band_hash").distinct().count()
+      assert(rowsA == rowsB, s"index content diverged: $rowsA vs $rowsB")
+      println(s"[scale-cadence] done batches=$batches B=$b " +
+        s"docsPerBatch=$dpb compactions=$compactions " +
+        s"kept=${sA.kept.value} indexRows=$rowsA (content ≡ uncompacted)")
+    } finally {
+      DedupStream.bandBucketCount = savedB
+      Seq(withRoot, noRoot).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(p)))
       spark.catalog.clearCache()
     }
   }
@@ -1573,6 +1666,7 @@ object ScaleProbe {
     val graphMode = args.headOption.contains("graph")
     val levelsMode = args.headOption.contains("levels")
     val rebucketMode = args.headOption.contains("rebucket")
+    val cadenceMode = args.headOption.contains("cadence")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
@@ -1581,7 +1675,7 @@ object ScaleProbe {
           || takedownMode || imageDupMode || audioDupMode
           || videoDupMode || bloomMode || mediaServedMode
           || ivfRebuildMode || graphMode || streamReadMode
-          || graphStarMode || levelsMode || rebucketMode)
+          || graphStarMode || levelsMode || rebucketMode || cadenceMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1648,6 +1742,11 @@ object ScaleProbe {
     }
     if (rebucketMode) {
       sizes.foreach(rebucketProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (cadenceMode) {
+      sizes.foreach(cadenceProbe(spark, _))
       spark.stop()
       return
     }

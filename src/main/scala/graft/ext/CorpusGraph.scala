@@ -48,6 +48,27 @@ import org.apache.spark.sql.functions._
   *   - purge ≡ rebuild over the surviving pair set (including
   *     bridge-removal cluster splits).
   *
+  * CONCURRENT-READER CONTRACT (label table): the graph is a
+  * ONE-WRITER artifact, and label reads that must be snapshot-
+  * consistent with a concurrent [[append]]/[[purge]] are NOT
+  * guaranteed — unlike the [[Versioned]] roots (IVF/search/media fp),
+  * in-place label writes promote per bucket via dynamic overwrite,
+  * which is atomic per bucket but not across buckets. What IS
+  * guaranteed, and spec-pinned (CorpusGraphSpec "label-write
+  * concurrency contract"):
+  *   - a BOUNDED delta append leaves every bucket outside its touched
+  *     components byte-identical — a straddling reader of untouched
+  *     components reads exactly what it would have before or after;
+  *   - a torn promote (reader-visible mixed old/new buckets, or a
+  *     writer crash mid-promote) is always DETECTED by
+  *     [[staleLabelCount]] and REPAIRED by [[repairLabels]] — the
+  *     mixed state cannot serve silently past the audit cadence.
+  * Readers needing a hard snapshot read a [[rebuildGraph]] version
+  * (one `Versioned.resolve`, swap-straddling reads pinned) or run in
+  * the stream-stopped window — today's deployment posture
+  * ([[graft.streaming.GraphStream]] is the one writer; roll-ups run
+  * between bounded runs).
+  *
   * Scale: components only MERGE on append — a batch's new labels are
   * computable from (batch pairs ∪ one star edge `(doc_id,
   * stored_label)` per member of each touched component), never from

@@ -146,6 +146,144 @@ object TextAnalysis {
        |    FROM (SELECT *, string_split(text, ' ') AS toks
        |          FROM documents)))""".stripMargin
 
+  /** Learned weights for the quality classifier, ppm-scaled longs: a
+    * weight of 1 000 000 over a feature is the literal rule's 1.0.
+    * [[LiteralQualityCoefficients]] reproduces [[qualityClassifier]]
+    * bit-for-bit through [[qualityClassifierWith]]; a TRAINED set
+    * ([[trainQualityCoefficients]]) drops into the same projection —
+    * the plan is identical, only literals change.
+    */
+  final case class QualityCoefficients(wLen: Long, wTtr: Long,
+      wStop: Long, wDev: Long, biasPpm: Long)
+
+  /** The literal rule's weights (1.0 on each credit, −1.0 on the
+    * token-length deviation, bias 300 000 ppm).
+    */
+  val LiteralQualityCoefficients: QualityCoefficients =
+    QualityCoefficients(1000000L, 1000000L, 1000000L, 1000000L, 300000L)
+
+  /** Feature caps — each ppm feature of [[qualityFeatures]] lies in
+    * [0, cap]; training normalizes by these.
+    */
+  private val QualityFeatureCaps =
+    Seq(250000.0, 400000.0, 60000.0, 300000.0)
+
+  /** The classifier's four integer ppm features as a map-side
+    * projection — the shared front half of [[qualityClassifier]] (the
+    * literal rule is margin = f_len + f_ttr + f_stop − f_dev − bias).
+    * (Distinct from [[qualityFeatures]], the FILTER rules' feature row.)
+    */
+  def classifierFeatures(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = Lexicons.head._2
+    documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_dist"),
+        aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
+        size(filter(toks, t => t.isin(en: _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_tok").as("n_tokens"),
+        least(col("n_tok") * 2000L, lit(250000L)).as("f_len"),
+        round(col("n_dist") * 400000.0 / col("n_tok")).cast("long")
+          .as("f_ttr"),
+        least(round(col("n_stop") * 1000000.0 / col("n_tok"))
+          .cast("long"), lit(60000L)).as("f_stop"),
+        least(expr(
+          "abs(cast(round(sum_len * 1000000.0 / n_tok) as bigint)"
+            + " - 4500000) div 10"), lit(300000L)).as("f_dev"))
+  }
+
+  /** [[qualityClassifier]] with the weights as COEFFICIENTS instead of
+    * source literals — the seam a learned model drops into. With
+    * [[LiteralQualityCoefficients]] this is the verified
+    * `quality_classifier` row bit-for-bit (ppm weights over exact ppm
+    * features; the div by 1 000 000 is exact for the literal set).
+    * Same plan shape as the literal classifier: one map-side
+    * projection over the scan, no shuffle, no broadcast — a
+    * coefficient swap must never change the 100 TB cost shape.
+    */
+  def qualityClassifierWith(documents: DataFrame,
+      coef: QualityCoefficients): DataFrame =
+    classifierFeatures(documents)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        // integer `div`: exact long arithmetic end to end (the literal
+        // coefficient set divides exactly — bit-equality with
+        // qualityClassifier; products stay ≤ ~5e12, far inside long)
+        (expr(s"(f_len * ${coef.wLen}L + f_ttr * ${coef.wTtr}L"
+          + s" + f_stop * ${coef.wStop}L - f_dev * ${coef.wDev}L)"
+          + " div 1000000L")
+          - coef.biasPpm).as("margin_ppm"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("margin_ppm"), (col("margin_ppm") > 0L).as("keep"))
+
+  /** Train logistic coefficients for the quality classifier IN SPARK,
+    * deterministically: batch gradient descent over the normalized
+    * ppm features, teacher labels = the literal rule's keep decision
+    * (the bootstrap a deployment replaces with human/LLM labels; the
+    * MACHINERY — deterministic distributed training feeding the
+    * coefficient seam — is what this implements). Determinism
+    * discipline: each doc's per-step gradient contribution is rounded
+    * to nano-units (a long) BEFORE the aggregation, so the sum is
+    * exact integer arithmetic — independent of partition order and
+    * count, the property double-summed gradients lack; weights live
+    * as nano-unit longs and every update is integer math. Same
+    * inputs → bit-identical coefficients on any cluster.
+    *
+    * Scale shape: one features projection cached once, one 5-long agg
+    * per step (map-side partial agg, 5 longs per partition to the
+    * driver), steps × O(corpus) map work — the distributed-LR shape.
+    * Returns ppm coefficients for [[qualityClassifierWith]]: the
+    * normalized-space weights fold the caps back in, scaled so the
+    * bias matches the literal rule's magnitude.
+    */
+  def trainQualityCoefficients(documents: DataFrame, steps: Int = 60,
+      lrNano: Long = 2000000000L): QualityCoefficients = {
+    val feats = Scratch.track(classifierFeatures(documents)
+      .select(col("f_len"), col("f_ttr"), col("f_stop"), col("f_dev"))
+      .persist())
+    val n = feats.count()
+    require(n > 0, "cannot train on an empty corpus")
+    val caps = QualityFeatureCaps
+    // weights in nano-units over NORMALIZED features (x_i = f_i/cap_i
+    // in [0,1]; f_dev enters NEGATED so all-positive weights mirror
+    // the rule's signs), plus bias; deterministic zero init
+    val w = Array.fill(5)(0L)
+    (0 until steps).foreach { _ =>
+      val wd = w.map(_ / 1e9)
+      val x = Seq(
+        col("f_len") / caps(0), col("f_ttr") / caps(1),
+        col("f_stop") / caps(2), -col("f_dev") / caps(3))
+      val teacher = ((col("f_len") + col("f_ttr") + col("f_stop")
+        - col("f_dev")) > lit(300000L)).cast("double")
+      val z = x.zip(wd).map { case (c, wi) => c * wi }
+        .reduce(_ + _) + wd(4)
+      val sigma = lit(1.0) / (lit(1.0) + exp(-z))
+      val gCols = (x :+ lit(1.0)).zipWithIndex.map { case (xi, i) =>
+        round((sigma - teacher) * xi * 1e9).cast("long").as(s"g$i")
+      }
+      val sums = feats.select(gCols.map(c => sum(c)): _*).head()
+      (0 until 5).foreach { i =>
+        w(i) -= math.round(
+          lrNano.toDouble * sums.getLong(i) / 1e9 / n)
+      }
+    }
+    // fold normalization back: margin ∝ Σ (w_i/cap_i)·f_i + w_4.
+    // Scale so the decision boundary is expressed at the literal
+    // rule's ppm magnitude: choose s with s·|w_4| = biasPpm-scale
+    // (the boundary is scale-invariant; s > 0 preserved by
+    // construction — training drives w_4 negative, the bias term)
+    val s = 300000.0 / math.max(math.abs(w(4) / 1e9), 1e-12)
+    def ppm(i: Int): Long =
+      math.round(w(i) / 1e9 * s * 1000000.0 / caps(i))
+    // x_3 carried f_dev NEGATED, and qualityClassifierWith SUBTRACTS
+    // wDev·f_dev — so the trained (positive) w(3) passes through as a
+    // positive wDev; the (negative) trained bias term w(4) becomes the
+    // positive subtracted biasPpm
+    QualityCoefficients(ppm(0), ppm(1), ppm(2), ppm(3),
+      math.round(-w(4) / 1e9 * s))
+  }
+
   /** Keep-threshold for [[qualityCalibrated]]: drop the per-language
     * bottom quintile (cross-language fairness — a raw global threshold
     * would mass-drop whichever language the classifier scores lower).

@@ -432,6 +432,78 @@ class CorpusGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("label-write concurrency contract: bounded deltas leave untouched buckets byte-identical; a torn promote is detected and repaired") {
+    val path = tmpDir("cgconc")
+    // 8 two-doc components spread across the 16 label buckets
+    CorpusGraph.write(pairsDf((0 until 16 by 2).map(i =>
+      (i.toLong, i.toLong + 1, "text"))), path)
+
+    // per-bucket byte fingerprints of the label table (local fs —
+    // the straddling reader's view is exactly these files)
+    def fingerprint(): Map[String, Map[String, String]] = {
+      val root = new java.io.File(s"$path/labels")
+      root.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            f.getName -> md.digest(bytes).map("%02x".format(_)).mkString
+          }.toMap
+      }.toMap
+    }
+    val before = fingerprint()
+
+    // bounded delta append touching ONLY component {0,1}: every
+    // bucket outside {0 (doc 0), 1 (doc 1), 4 (doc 100)} must be
+    // BYTE-identical afterwards — the straddling-reader guarantee for
+    // untouched components
+    CorpusGraph.append(spark, path,
+      pairsDf(Seq((1L, 100L, "text"))), batchId = 1L)
+    val after = fingerprint()
+    val touched = Set("bucket=0", "bucket=1", "bucket=4")
+    before.keySet.filterNot(touched).foreach { b =>
+      assert(after(b) == before(b),
+        s"bounded delta rewrote untouched $b")
+    }
+    assert(labelMap(path) == rebuilt(path))
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+
+    // torn ROUTED promote: force the full-relabel route for an append
+    // whose only label CHANGE is doc 101 (bucket 5), then restore
+    // bucket 5's pre-append bytes — exactly the mixed old/new state a
+    // reader straddling the per-bucket promote (or a writer crash
+    // mid-promote) can observe. The contract: such a state is always
+    // DETECTED by the stale audit and REPAIRED, never silently served
+    // past the audit cadence.
+    val savedMin = CorpusGraph.routeMinMembers
+    val savedFrac = CorpusGraph.routeFraction
+    val bucket5 = new java.io.File(s"$path/labels/bucket=5")
+    val saved = java.nio.file.Files.createTempDirectory("cgconc5")
+    bucket5.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+      saved.resolve(f.getName)))
+    try {
+      CorpusGraph.routeMinMembers = 0L
+      CorpusGraph.routeFraction = 0.0
+      CorpusGraph.append(spark, path,
+        pairsDf(Seq((3L, 101L, "text"))), batchId = 2L)
+    } finally {
+      CorpusGraph.routeMinMembers = savedMin
+      CorpusGraph.routeFraction = savedFrac
+    }
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    // tear: bucket 5 reverts to its pre-append content (101's row gone)
+    bucket5.listFiles().foreach(f => { f.delete(); () })
+    saved.toFile.listFiles().foreach(f => java.nio.file.Files.copy(
+      f.toPath, bucket5.toPath.resolve(f.getName)))
+    spark.catalog.refreshByPath(s"$path/labels")
+    assert(CorpusGraph.staleLabelCount(spark, path) == 1L,
+      "the torn promote must be visible to the audit (101→2 missing)")
+    assert(CorpusGraph.repairLabels(spark, path) == 1L)
+    assert(CorpusGraph.staleLabelCount(spark, path) == 0L)
+    assert(labelMap(path) == rebuilt(path))
+  }
+
   test("purge IO is partition-pruned and an unrelated purge is a no-op") {
     import spark.implicits._
     val path = tmpDir("cgnoop")

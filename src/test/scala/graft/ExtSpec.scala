@@ -1539,6 +1539,50 @@ class ExtSpec extends AnyFunSuite {
     assert(!byId(2L).getAs[Boolean]("keep"))
   }
 
+  test("learned quality coefficients: deterministic training, literal set exact, trained plan = literal plan") {
+    val docs = Tables(spark, Sf0001).documents
+
+    // the LITERAL coefficient set through the coefficient seam is the
+    // verified quality_classifier row bit-for-bit
+    val lit0 = TextAnalysis.qualityClassifier(docs).collect()
+      .map(r => r.getAs[Long]("doc_id")
+        -> (r.getAs[Long]("margin_ppm"), r.getAs[Boolean]("keep"))).toMap
+    val viaSeam = TextAnalysis.qualityClassifierWith(docs,
+        TextAnalysis.LiteralQualityCoefficients).collect()
+      .map(r => r.getAs[Long]("doc_id")
+        -> (r.getAs[Long]("margin_ppm"), r.getAs[Boolean]("keep"))).toMap
+    assert(viaSeam == lit0)
+
+    // deterministic fixed point: two trainings over the same corpus
+    // produce bit-identical coefficients (integer-summed gradients —
+    // partition order cannot leak in)
+    val c1 = TextAnalysis.trainQualityCoefficients(docs, steps = 40)
+    val c2 = TextAnalysis.trainQualityCoefficients(
+      docs.repartition(7), steps = 40)
+    assert(c1 == c2, s"training not deterministic: $c1 vs $c2")
+
+    // the trained boundary mimics its teacher on the corpus (the
+    // machinery pin, not a model-quality claim)
+    val trained = TextAnalysis.qualityClassifierWith(docs, c1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    val agree = lit0.count { case (id, (_, k)) => trained(id) == k }
+    assert(agree.toDouble / lit0.size >= 0.9,
+      s"trained/teacher agreement ${agree.toDouble / lit0.size} " +
+        s"(coef $c1)")
+
+    // plan equality: the coefficient swap must not change the 100 TB
+    // cost shape — both plans are one map-side projection over the
+    // scan: no exchange, no aggregate, no join in either
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    Seq(shape(TextAnalysis.qualityClassifierWith(docs, c1)),
+        shape(TextAnalysis.qualityClassifier(docs))).foreach { p =>
+      assert(!p.contains("Exchange") && !p.contains("Aggregate")
+        && !p.contains("Join"), p.take(400))
+    }
+  }
+
   test("source overlap reports containment per source pair") {
     import spark.implicits._
     val t1 = "a b c d e f g h i j"

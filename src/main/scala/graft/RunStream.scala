@@ -393,7 +393,10 @@ object RunStream {
         mediaLegs = Seq(graft.streaming.GraphStream.MediaLeg(
           "image_payload", "image",
           graft.ext.Multimodal.imageFpFromPayload(_))),
-        fpIndexPath = Some(s"$outDir/fp_g")))
+        fpIndexPath = Some(s"$outDir/fp_g"),
+        // same opt-in per-ingest health monitor as the graph modes
+        auditTouched =
+          sys.env.get("SPARK_GRAFT_GRAPH_AUDIT").contains("touched")))
 
       val queries = Seq(qCe, qSk, qDd, qHh, qSess, qGr)
       Thread.sleep(seconds * 1000L)

@@ -332,6 +332,15 @@ object CorpusGraph {
 
   private def appendAt(spark: SparkSession, root: String,
       batchPairs: DataFrame, batchId: Long): AppendReport = {
+    // SPARK_GRAFT_TRACE: per-phase wall of the append (the graphAppend
+    // slice of a GraphStream trigger) — same knob as the stream trace
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+    var tPrev = System.nanoTime()
+    def mark(phase: String): Unit = if (trace) {
+      val now = System.nanoTime()
+      println(f"[cg-trace] $phase%-14s ${(now - tPrev) / 1e9}%6.2fs")
+      tPrev = now
+    }
     val bp = Scratch.track(batchPairs
       .select(col("doc_a"), col("doc_b"), col("modality")).persist())
     bp.withColumn("bucket", bucketOf(col("doc_a")))
@@ -347,6 +356,7 @@ object CorpusGraph {
     // counted AFTER the write materialized bp's cache — a cache scan,
     // not an extra cold action on the stream's shared executor pool
     val nBatchPairs = bp.count()
+    mark("pairWrite")
 
     val stored = readLabelsOrEmpty(spark, root)
     val touched = Scratch.track(bp.select(col("doc_a").as("doc_id"))
@@ -366,6 +376,7 @@ object CorpusGraph {
       gatedJoin(stored, touchedLabels, Seq("label"), "left_semi",
         nTouchedLabels).persist())
     val nMembers = members.count()
+    mark("touchedScope")
     // append-vs-rebuild pricing (see Scaladoc): past the member floor,
     // one label-table count decides whether dragging the touched
     // members through star-edge labeling still beats labeling the
@@ -374,6 +385,7 @@ object CorpusGraph {
       if (nMembers >= routeMinMembers) stored.count() else -1L
     val routeFull = graphMembers > 0L &&
       nMembers.toDouble > routeFraction * graphMembers
+    mark("pricing")
     if (routeFull) {
       // full relabel of the grown pair set, BLIND-written: when
       // touched ≈ graph, the bounded path's star-edge labeling input
@@ -385,6 +397,7 @@ object CorpusGraph {
       // round-16 star probe measures the crossover this routes at.
       writeLabelsFull(spark, root, Dedup.clusterLabels(
         readPairsAt(spark, root).select("doc_a", "doc_b")))
+      mark("fullRelabel")
     } else {
       // bounded relabel input: batch pairs ∪ member star edges
       val edges = bp.select(col("doc_a"), col("doc_b"))
@@ -395,7 +408,9 @@ object CorpusGraph {
       // bucket to rewrite
       val delta = gatedJoin(Dedup.clusterLabels(edges), members,
         Seq("doc_id", "label"), "left_anti", nMembers)
+      mark("relabel")
       writeLabelDelta(spark, root, delta)
+      mark("deltaWrite")
       ()
     }
     AppendReport(nBatchPairs, nTouched, nTouchedLabels, nMembers,

@@ -461,6 +461,9 @@ object RunStream {
         DedupStream.maintain(spark, s"$outDir/dd_index"))
       maintainAfterRun("full-graph-bands",
         graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g"))
+      maintainAfterRun("full-graph-fp",
+        graft.streaming.MediaDedupStream.maintain(spark,
+          s"$outDir/fp_g"))
       summary
     } finally {
       spark.sparkContext.removeSparkListener(listener)
@@ -618,6 +621,9 @@ object RunStream {
         stats, Trigger.ProcessingTime("5 seconds"), fpExtract,
         modality = if (wire == "video") "video" else "image")
       EventPipeline.runBounded(q, seconds * 1000L)
+      maintainAfterRun("media-fp",
+        graft.streaming.MediaDedupStream.maintain(spark,
+          s"$outDir/index_md"))
       val sink = committedRows(spark, s"$outDir/corpus_md",
         stats.lastCommitted)
       println(s"[stream-$wire] seen=${stats.seen.value} " +
@@ -752,6 +758,9 @@ object RunStream {
       EventPipeline.runBounded(q, seconds * 1000L)
       maintainAfterRun("graph-bands",
         graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g"))
+      if (legs.nonEmpty) maintainAfterRun("graph-fp",
+        graft.streaming.MediaDedupStream.maintain(spark,
+          s"$outDir/fp_g"))
       val (pairsStored, labels, stale) = graphAudit(spark,
         s"$outDir/graph_g", stats.lastCommitted)
       val trigMs = q.recentProgress.toSeq.map(p =>

@@ -298,22 +298,39 @@ object BatchIndex {
 
   def layoutReport(spark: SparkSession, path: String, bucketCol: String,
       default: Long,
+      targetBytes: Long = TargetBytesPerBucket): LayoutReport =
+    layoutReportMulti(spark, path, Seq(bucketCol),
+      bucketCountOf(spark, path, default), default, targetBytes)
+
+  /** [[layoutReport]] over layouts with MULTIPLE partition levels
+    * above batch_id (the unified media fp index's (modality, bucket)).
+    * `buckets` is the reporting denominator — pass the recorded count
+    * for single-level layouts; multi-level callers pass the OBSERVED
+    * distinct combination count (each combination is one directory
+    * fan-out, which is what the file-count cadence prices). `floor`
+    * is the resize recommendation's lower bound (the compiled
+    * default — a recommendation may shrink BELOW the current count,
+    * which is exactly the byte rule's listing-bound repair).
+    */
+  def layoutReportMulti(spark: SparkSession, path: String,
+      bucketCols: Seq[String], buckets: Long, floor: Long,
       targetBytes: Long = TargetBytesPerBucket): LayoutReport = {
-    val b = bucketCountOf(spark, path, default)
+    val b = buckets
     val bytes = org.apache.hadoop.fs.FileSystem.get(
         new org.apache.hadoop.fs.Path(path).toUri,
         spark.sparkContext.hadoopConfiguration)
       .getContentSummary(new org.apache.hadoop.fs.Path(path))
       .getLength
     val index = spark.read.parquet(path)
-    // ONE scan: a per-(bucket, batch) cell count first — both are
+    // ONE scan: a per-(bucket…, batch) cell count first — all are
     // PARTITION columns, so the scan reads no data pages — then the
     // per-bucket rollup AND the global distinct-level count both
     // derive from the cell frame (its exchange is reused across the
     // two branches; the index itself is never re-scanned)
-    val cells = index.groupBy(col(bucketCol), col("batch_id"))
+    val cells = index
+      .groupBy((bucketCols :+ "batch_id").map(col): _*)
       .agg(count(lit(1)).as("rows"))
-    val per = cells.groupBy(col(bucketCol))
+    val per = cells.groupBy(bucketCols.map(col): _*)
       .agg(sum("rows").as("rows"), count(lit(1)).as("levels"))
       .agg(sum("rows").as("rows"), max("rows").as("maxRows"),
         max("levels").as("maxLevels"))
@@ -324,7 +341,7 @@ object BatchIndex {
     val maxRows = if (per.isNullAt(1)) 0L else per.getLong(1)
     val maxLevels = if (per.isNullAt(2)) 0L else per.getLong(2)
     val levels = if (per.isNullAt(3)) 0L else per.getLong(3)
-    val rec = autoBucketCountBytes(bytes, default, targetBytes)
+    val rec = autoBucketCountBytes(bytes, floor, targetBytes)
     LayoutReport(b, rows, bytes, rows.toDouble / math.max(b, 1L),
       bytes.toDouble / math.max(b, 1L), maxRows,
       levels, maxLevels, rec,
@@ -373,6 +390,30 @@ object BatchIndex {
     val compacted =
       if (report.compactRecommended)
         Some(compactMulti(spark, path, cols, Seq(bucketCol), fold))
+      else None
+    Some(Maintenance(report, compacted))
+  }
+
+  /** [[maintain]] for multi-level layouts ([[layoutReportMulti]]):
+    * the reporting denominator is the OBSERVED distinct
+    * bucket-combination count (a partition-column read), `floor`
+    * bounds the resize recommendation.
+    */
+  def maintainMulti(spark: SparkSession, path: String,
+      bucketCols: Seq[String], floor: Long, cols: Seq[String],
+      fold: Option[DataFrame => DataFrame] = None,
+      targetBytes: Long = TargetBytesPerBucket): Option[Maintenance] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return None
+    val observed = spark.read.parquet(path)
+      .select(bucketCols.map(col): _*).distinct().count()
+    val report = layoutReportMulti(spark, path, bucketCols, observed,
+      floor, targetBytes)
+    val compacted =
+      if (report.compactRecommended)
+        Some(compactMulti(spark, path, cols, bucketCols, fold))
       else None
     Some(Maintenance(report, compacted))
   }

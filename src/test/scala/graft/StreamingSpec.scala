@@ -1459,6 +1459,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.alertsSent == 1L)
   }
 
+  test("media fp maintenance hook: multi-level diagnostics drive the compact; absent root is a no-op") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    import graft.streaming.{BatchIndex, MediaDedupStream}
+    val corpusDir = Files.createTempDirectory("mfm_corpus").toString
+    val indexDir = Files.createTempDirectory("mfm_index").toString
+    assert(MediaDedupStream.maintain(spark, indexDir).isEmpty,
+      "no index yet → nothing to maintain")
+    val stats = new MediaDedupStream.MediaStats(spark)
+    // 18 one-image batches, ids ≡ 3 (mod MediaFpBuckets) so every
+    // fingerprint lands in ONE (modality, bucket) partition and its
+    // batch levels track the batch count past CompactAfterLevels
+    (0 until 18).foreach { i =>
+      val id = 3L + i * Multimodal.MediaFpBuckets
+      MediaDedupStream.processBatch(
+        Seq((id, Multimodal.pngHashPayload(id))).toDF("doc_id", "payload"),
+        i.toLong, corpusDir, indexDir, stats)
+    }
+    val rowsBefore = spark.read
+      .parquet(s"${graft.ext.Versioned.resolve(spark, indexDir)}/data")
+      .count()
+    val m = MediaDedupStream.maintain(spark, indexDir).get
+    assert(m.report.maxLevelsPerBucket > BatchIndex.CompactAfterLevels,
+      s"${m.report}")
+    assert(m.compacted.isDefined, "the cadence must RUN the compact")
+    // result-neutral fold; post-compact diagnostics healthy; the
+    // stream still screens (a twin of an indexed doc is rejected)
+    val root = graft.ext.Versioned.resolve(spark, indexDir)
+    assert(spark.read.parquet(s"$root/data").count() == rowsBefore)
+    val m2 = MediaDedupStream.maintain(spark, indexDir).get
+    assert(m2.compacted.isEmpty && m2.report.batchLevels == 1L,
+      s"${m2.report}")
+    val twinOf3 = 3L // pngHashPayload(3) again under a fresh id? ids
+    // are identities — send the SAME image bytes under a NEW id: the
+    // perceptual screen must drop it against the compacted index
+    MediaDedupStream.processBatch(
+      Seq((9999L + twinOf3, Multimodal.pngHashPayload(twinOf3)))
+        .toDF("doc_id", "payload"),
+      18L, corpusDir, indexDir, stats)
+    assert(!spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).contains(9999L + twinOf3),
+      "compacted index must still screen perceptual twins")
+  }
+
   test("streaming media dedup: perceptual screen, reject gate, replay idempotent") {
     import spark.implicits._
     import graft.ext.Multimodal

@@ -900,6 +900,16 @@ object SparkEntry {
     "quality_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassifier(tables(s, dir).documents)
         .orderBy("doc_id")),
+    // the LEARNED apply path: a trained coefficient set (deterministic
+    // in-Spark logistic training, constants shipped with provenance)
+    // through the same one-projection plan; margin_raw is division-free
+    // long arithmetic, exact in both engines
+    "quality_classifier_learned" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierWith(tables(s, dir).documents,
+          TextAnalysis.TrainedQualityCoefficientsSf0001)
+        .select("doc_id", "source", "lang", "n_tokens", "margin_raw",
+          "keep")
+        .orderBy("doc_id")),
     // Per-language percent-rank calibration of the quality margin;
     // window over distinct scores only, docs rank via broadcast join
     "quality_calibrated" -> ((s, dir) =>
@@ -1893,6 +1903,10 @@ object SparkEntry {
     "quality_filter_report" -> TextAnalysis.qualityFilterReportSql,
     "quality_classifier" ->
       s"""SELECT * FROM (${TextAnalysis.qualityClassifierSql})
+         |ORDER BY doc_id""".stripMargin,
+    "quality_classifier_learned" ->
+      s"""SELECT * FROM (${TextAnalysis.qualityClassifierLearnedSql(
+             TextAnalysis.TrainedQualityCoefficientsSf0001)})
          |ORDER BY doc_id""".stripMargin,
     "quality_calibrated" -> TextAnalysis.qualityCalibratedSql,
     "bpe_top_pairs" -> graft.ext.Bpe.topPairsSql(20),

@@ -162,6 +162,19 @@ object TextAnalysis {
   val LiteralQualityCoefficients: QualityCoefficients =
     QualityCoefficients(1000000L, 1000000L, 1000000L, 1000000L, 300000L)
 
+  /** A TRAINED coefficient set, shipped as the verified learned-apply
+    * path's constants: the exact output of
+    * `trainQualityCoefficients(documents@sf0.001, steps = 60)` —
+    * deterministic and reproducible bit-for-bit (integer-summed
+    * gradients), 459/500 teacher agreement on its training corpus.
+    * A deployment retrains on its own labels and swaps the constants;
+    * the plan is identical (`quality_classifier_learned` is the
+    * cross-engine check of the APPLY path under non-trivial weights).
+    */
+  val TrainedQualityCoefficientsSf0001: QualityCoefficients =
+    QualityCoefficients(3522226L, 1134354L, 66602561L, 2326838L,
+      -300000L)
+
   /** Feature caps — each ppm feature of [[qualityFeatures]] lies in
     * [0, cap]; training normalizes by these.
     */
@@ -207,15 +220,52 @@ object TextAnalysis {
       coef: QualityCoefficients): DataFrame =
     classifierFeatures(documents)
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        // integer `div`: exact long arithmetic end to end (the literal
-        // coefficient set divides exactly — bit-equality with
-        // qualityClassifier; products stay ≤ ~5e12, far inside long)
-        (expr(s"(f_len * ${coef.wLen}L + f_ttr * ${coef.wTtr}L"
-          + s" + f_stop * ${coef.wStop}L - f_dev * ${coef.wDev}L)"
-          + " div 1000000L")
-          - coef.biasPpm).as("margin_ppm"))
+        // margin_raw is pure long arithmetic — no division at all, so
+        // it is bit-identical in ANY engine (products ≤ ~3e13, far
+        // inside long); the decision gate is raw-based. margin_ppm is
+        // the human-scaled view via integer div — EXACT for the
+        // literal set (its raw margin is a multiple of 1e6, bit-equal
+        // to qualityClassifier), truncating for trained sets (which is
+        // why cross-engine checks use margin_raw: div-vs-floor
+        // semantics differ between engines on negatives)
+        expr(s"f_len * ${coef.wLen}L + f_ttr * ${coef.wTtr}L"
+          + s" + f_stop * ${coef.wStop}L - f_dev * ${coef.wDev}L"
+          + s" - ${coef.biasPpm}L * 1000000L").as("margin_raw"))
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        col("margin_ppm"), (col("margin_ppm") > 0L).as("keep"))
+        col("margin_raw"),
+        expr("margin_raw div 1000000L").as("margin_ppm"),
+        (col("margin_raw") > 0L).as("keep"))
+
+  /** ANSI SQL twin of [[qualityClassifierWith]]'s raw-margin output —
+    * the oracle for the learned apply path (exact integer arithmetic,
+    * no division anywhere).
+    */
+  def qualityClassifierLearnedSql(coef: QualityCoefficients): String =
+    s"""SELECT doc_id, source, lang, n_tok AS n_tokens,
+       |  f_len * ${coef.wLen} + f_ttr * ${coef.wTtr}
+       |    + f_stop * ${coef.wStop} - f_dev * ${coef.wDev}
+       |    - (CAST(${coef.biasPpm} AS BIGINT) * 1000000) AS margin_raw,
+       |  (f_len * ${coef.wLen} + f_ttr * ${coef.wTtr}
+       |    + f_stop * ${coef.wStop} - f_dev * ${coef.wDev}
+       |    - (CAST(${coef.biasPpm} AS BIGINT) * 1000000)) > 0 AS keep
+       |FROM (
+       |  SELECT doc_id, source, lang, n_tok,
+       |    least(n_tok * 2000, 250000) AS f_len,
+       |    CAST(round(n_dist * 400000.0 / n_tok) AS BIGINT) AS f_ttr,
+       |    least(CAST(round(n_stop * 1000000.0 / n_tok) AS BIGINT),
+       |          60000) AS f_stop,
+       |    least(abs(CAST(round(sum_len * 1000000.0 / n_tok) AS BIGINT)
+       |              - 4500000) // 10, 300000) AS f_dev
+       |  FROM (
+       |    SELECT doc_id, source, lang,
+       |      len(toks) AS n_tok,
+       |      len(list_distinct(toks)) AS n_dist,
+       |      CAST(list_sum([len(t) for t in toks]) AS BIGINT) AS sum_len,
+       |      len([t for t in toks
+       |           if list_contains(${sqlList(Lexicons.head._2)}, t)])
+       |        AS n_stop
+       |    FROM (SELECT *, string_split(text, ' ') AS toks
+       |          FROM documents)))""".stripMargin
 
   /** Train logistic coefficients for the quality classifier IN SPARK,
     * deterministically: batch gradient descent over the normalized

@@ -1561,6 +1561,11 @@ class ExtSpec extends AnyFunSuite {
       docs.repartition(7), steps = 40)
     assert(c1 == c2, s"training not deterministic: $c1 vs $c2")
 
+    // the SHIPPED constants are the exact 60-step fixed point over
+    // this corpus — provenance is reproducible, not asserted
+    assert(TextAnalysis.trainQualityCoefficients(docs, steps = 60)
+      == TextAnalysis.TrainedQualityCoefficientsSf0001)
+
     // the trained boundary mimics its teacher on the corpus (the
     // machinery pin, not a model-quality claim)
     val trained = TextAnalysis.qualityClassifierWith(docs, c1).collect()

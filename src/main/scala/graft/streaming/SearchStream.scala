@@ -28,6 +28,56 @@ object SearchStream {
       indexPath: String): Unit =
     Search.appendToSearchIndex(batch, indexPath, batchId + 1)
 
+  /** Fold the search artifact's per-batch partitions — postings
+    * (bucket, batch_id) and the doclen sidecar (batch_id) — into
+    * `batch_id = -1` under the RESOLVED root ([[BatchIndex.compact]]
+    * contract: streams stopped + checkpoints committed; readers scan
+    * every level, so the folded partition serves like any other).
+    * Returns the postings (before, after) counts.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long) = {
+    val root = graft.ext.Versioned.resolve(spark, indexPath)
+    val out = BatchIndex.compactMulti(spark, s"$root/postings",
+      cols = Seq("doc_id", "token", "tf", "positions"),
+      bucketCols = Seq("bucket"))
+    BatchIndex.compactMulti(spark, s"$root/doclen",
+      cols = Seq("doc_id", "dl"), bucketCols = Nil)
+    out
+  }
+
+  /** The wired maintenance cadence for the search artifact (the
+    * [[BatchIndex.maintain]] discipline over its two components):
+    * diagnose the postings' bucket layout and the doclen sidecar's
+    * level accretion; one [[compactIndex]] (folds both) when either
+    * crosses the cadence. Streams stopped + checkpoints committed
+    * only; None = no index yet.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[BatchIndex.Maintenance] = {
+    val root = graft.ext.Versioned.resolve(spark, indexPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/postings")))
+      return None
+    val observed = spark.read.parquet(s"$root/postings")
+      .select(org.apache.spark.sql.functions.col("bucket"))
+      .distinct().count()
+    val postingsRep = BatchIndex.layoutReportMulti(spark,
+      s"$root/postings", Seq("bucket"), observed,
+      Search.NumBuckets.toLong)
+    val doclenDue =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/doclen")) &&
+        BatchIndex.layoutReportMulti(spark, s"$root/doclen", Nil, 1L, 1L)
+          .compactRecommended
+    val compacted =
+      if (postingsRep.compactRecommended || doclenDue)
+        Some(compactIndex(spark, indexPath))
+      else None
+    Some(BatchIndex.Maintenance(postingsRep, compacted))
+  }
+
   /** Attach the postings ingest to a document stream
     * (doc_id, text, ...).
     */

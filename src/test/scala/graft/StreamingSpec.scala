@@ -1402,8 +1402,34 @@ class StreamingSpec extends AnyFunSuite {
     // the doc-length component tracked every streamed batch, so BM25
     // serves stream-ingested docs from the same artifact
     assert(spark.read.parquet(s"$idx/doclen").count() == 4L)
+    val bm25Before = graft.ext.Search.bm25Served(spark, idx,
+        Seq("spark")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSet
+
+    // maintenance: healthy layout reports without compacting; a forced
+    // compactIndex folds BOTH components into batch_id=-1 and serving
+    // (term hits AND BM25 scores, doclen included) is bit-identical
+    val m0 = graft.streaming.SearchStream.maintain(spark, idx).get
+    assert(m0.compacted.isEmpty, s"${m0.report}")
+    val (pb, pa) = graft.streaming.SearchStream.compactIndex(spark, idx)
+    assert(pb == pa, "postings rows are unique per (token, doc, batch)")
+    assert(spark.read.parquet(s"$idx/postings").select("batch_id")
+      .distinct().collect().map(_.getAs[Number](0).longValue()).toSet
+      == Set(-1L))
+    assert(spark.read.parquet(s"$idx/doclen").select("batch_id")
+      .distinct().collect().map(_.getAs[Number](0).longValue()).toSet
+      == Set(-1L))
+    assert(hits("spark") == Set(0L, 1L, 3L))
+    assert(hits("spark", "join") == Set(0L, 3L))
     assert(graft.ext.Search.bm25Served(spark, idx, Seq("spark"))
-      .collect().map(_.getLong(1)).toSet == Set(0L, 1L, 3L))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSet == bm25Before, "compaction must not move BM25 scores")
+    // post-compact ingest still lands and serves
+    graft.streaming.SearchStream.processBatch(
+      Seq((7L, "spark streaming")).toDF("doc_id", "text"), 9L, idx)
+    assert(hits("spark").contains(7L))
   }
 
   test("anomaly monitor folds batches idempotently and alerts once per hour") {

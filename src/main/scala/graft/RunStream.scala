@@ -464,6 +464,21 @@ object RunStream {
       maintainAfterRun("full-graph-fp",
         graft.streaming.MediaDedupStream.maintain(spark,
           s"$outDir/fp_g"))
+      // the two sum/union-served sketch indexes accrete one directory
+      // per trigger (no bucket level / day level) — same decay law,
+      // and their hooks fold through the streams' own screen-first
+      // merges, never the default distinct fold
+      maintainAfterRun("full-hll-index",
+        graft.streaming.SketchStream.maintain(spark,
+          s"$outDir/hll_index"))
+      maintainAfterRun("full-hh-index",
+        graft.streaming.HeavyHitterStream.maintain(spark,
+          s"$outDir/hh_index"))
+      // pair-table cadence AFTER the summary's audit (its in-flight
+      // boundary detection reads un-folded batch ids); the
+      // folded_through screen keeps a replayed in-flight batch exact
+      maintainAfterRun("full-graph-pairs",
+        graft.ext.CorpusGraph.maintainPairs(spark, s"$outDir/graph_g"))
       summary
     } finally {
       spark.sparkContext.removeSparkListener(listener)
@@ -777,6 +792,11 @@ object RunStream {
         f"docsPerSec=${stats.seen.value.toDouble / seconds}%.0f " +
         s"triggers=${trigMs.map { case (r, ms) => s"$r:${ms}ms" }
           .mkString(",")}")
+      // pair-table cadence AFTER the audit + summary (the audit's
+      // in-flight boundary detection reads un-folded batch ids); the
+      // folded_through screen keeps a replayed in-flight batch exact
+      maintainAfterRun("graph-pairs",
+        graft.ext.CorpusGraph.maintainPairs(spark, s"$outDir/graph_g"))
       spark.stop()
       return
     }

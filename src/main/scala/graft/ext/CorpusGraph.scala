@@ -204,9 +204,28 @@ object CorpusGraph {
   def readPairs(spark: SparkSession, path: String): DataFrame =
     readPairsAt(spark, Versioned.resolve(spark, path))
 
+  /** [[PairsSchema]] plus the compaction screen column: `-1` fold
+    * partitions record the highest batch id they merged
+    * ([[compactPairs]]); pre-fold batch files lack the column and
+    * read as null.
+    */
+  private val PairsReadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(PairsSchema.fields :+
+      org.apache.spark.sql.types.StructField("folded_through",
+        org.apache.spark.sql.types.LongType))
+
   private[graft] def readPairsAt(spark: SparkSession,
       root: String): DataFrame =
-    spark.read.schema(PairsSchema).parquet(s"$root/pairs")
+    // screen before serving: a crashed [[compactPairs]] (fold promoted,
+    // stale batch dirs not yet deleted) or a replay of a folded batch
+    // (bounded stop mid-trigger, then restart) re-lands rows the fold
+    // already carries, and the evidence roll-ups COUNT pair rows. The
+    // per-bucket screen is crash-consistent under partial promotes: a
+    // bucket only screens batches its own fold row merged. Cost when
+    // no fold exists: one partition-pruned empty read of batch_id=-1.
+    graft.ext.SketchIndex.screenFolded(
+      spark.read.schema(PairsReadSchema).parquet(s"$root/pairs"),
+      keyCols = Seq("bucket"))
       .select("doc_a", "doc_b", "modality", "batch_id")
 
   def readLabels(spark: SparkSession, path: String): DataFrame =
@@ -530,18 +549,64 @@ object CorpusGraph {
   }
 
   /** Fold the pair table's accreted batch partitions into one distinct
-    * `batch_id = -1` partition — the [[graft.streaming.BatchIndex
-    * .compact]] contract (writers stopped, checkpoints committed: a
-    * replay of a folded batch would re-add its rows next to the folded
-    * copy, and the evidence roll-up counts pair rows). Labels are
-    * untouched — membership is set-semantics, compaction is
-    * row-identity-preserving.
+    * `batch_id = -1` partition per bucket — the [[graft.streaming
+    * .BatchIndex.compact]] contract (writers stopped). Each bucket's
+    * fold row records `folded_through` = the highest batch id it
+    * merged, and [[readPairsAt]] screens batch rows a fold already
+    * carries — so BOTH residual hazards of the plain fold are exact
+    * now: a crashed compaction's leftover batch dirs, and a bounded
+    * run's interrupted in-flight trigger whose replay re-lands a
+    * folded batch after restart. Labels are untouched — membership is
+    * set-semantics, compaction is row-identity-preserving.
     */
   def compactPairs(spark: SparkSession, path: String): (Long, Long) =
     graft.streaming.BatchIndex.compactMulti(spark,
       s"${Versioned.resolve(spark, path)}/pairs",
-      cols = Seq("doc_a", "doc_b", "modality"),
-      bucketCols = Seq("bucket"))
+      cols = Seq("doc_a", "doc_b", "modality", "folded_through"),
+      bucketCols = Seq("bucket"),
+      fold = Some { idx =>
+        import org.apache.spark.sql.functions._
+        val withFt =
+          if (idx.columns.contains("folded_through")) idx
+          else idx.withColumn("folded_through",
+            lit(null).cast("long"))
+        // screen first: re-running a CRASHED compaction must not
+        // treat the old fold's superseded batch rows as live evidence
+        val live =
+          graft.ext.SketchIndex.screenFolded(withFt, Seq("bucket"))
+        val through = withFt.groupBy("bucket")
+          .agg(max(greatest(coalesce(col("folded_through"), lit(-1L)),
+            col("batch_id"))).as("folded_through"))
+        live.select("bucket", "doc_a", "doc_b", "modality").distinct()
+          .join(broadcast(through), Seq("bucket"))
+      })
+
+  /** The wired maintenance cadence for the pair table — the
+    * [[graft.streaming.BatchIndex.maintain]] discipline over the
+    * resolved pairs root: diagnose the (bucket, batch_id) layout and
+    * run [[compactPairs]] when the measured cadence fires. Every
+    * downstream read survives the fold: relabel/rebuild and the
+    * audits read pairs un-predicated or prefix-predicated
+    * (`batch_id <= committed`, which `-1` passes), and the per-batch
+    * seed reads ([[graft.streaming.GraphStream]]'s touched audit)
+    * only ever target the batch just written, never a folded one.
+    * Writers stopped + checkpoints committed only (the
+    * [[compactPairs]] contract); None = no graph yet.
+    */
+  def maintainPairs(spark: SparkSession, path: String)
+      : Option[graft.streaming.BatchIndex.Maintenance] = {
+    val pairs = s"${Versioned.resolve(spark, path)}/pairs"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(pairs).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pairs))) return None
+    val report = graft.streaming.BatchIndex.layoutReportMulti(spark,
+      pairs, Seq("bucket"), LabelBuckets, LabelBuckets)
+    val compacted =
+      if (report.compactRecommended) Some(compactPairs(spark, path))
+      else None
+    Some(graft.streaming.BatchIndex.Maintenance(report, compacted))
+  }
 
   /** Outcome of one [[purge]] run: pair rows removed, label rows
     * removed (purged docs + post-split singletons), docs whose label

@@ -95,7 +95,12 @@ object Takedown {
       ids: DataFrame, partCols: Seq[String]): PurgeStats = {
     val idSet = broadcast(ids.select(col(idCol)).distinct())
     val index =
-      try spark.read.parquet(path)
+      // mergeSchema: same reason as BatchIndex's full rewrites — a
+      // partition rewrite must carry columns only SOME files have
+      // (a compaction's folded_through screen lives only in the -1
+      // fold files; single-file inference would silently drop it and
+      // un-screen superseded duplicates)
+      try spark.read.option("mergeSchema", "true").parquet(path)
       catch {
         case e: AnalysisException
             if e.getCondition != null

@@ -511,8 +511,10 @@ object GraphStream {
 
   /** The wired maintenance cadence ([[BatchIndex.maintain]]) for the
     * stream's band index — stream stopped + checkpoint committed only.
-    * The pair table's cadence is [[CorpusGraph.compactPairs]] (its own
-    * contract); the corpus accretes one partition per batch too, but
+    * The pair table's cadence is [[CorpusGraph.maintainPairs]] (wired
+    * separately — [[graft.RunStream]] runs it after the post-run
+    * audit, whose in-flight boundary detection reads un-folded batch
+    * ids); the corpus accretes one partition per batch too, but
     * folding a PAYLOAD table is a deliberate storage rewrite, not a
     * metadata repair — left to the operator.
     */

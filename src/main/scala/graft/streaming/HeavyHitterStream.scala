@@ -73,7 +73,7 @@ object HeavyHitterStream {
     * fold already counted) and records `folded_through` so serving
     * can apply the same screen.
     */
-  def compact(spark: SparkSession, indexPath: String): Unit = {
+  def compact(spark: SparkSession, indexPath: String): (Long, Long) =
     BatchIndex.compact(spark, indexPath, Seq("symbol", "est"),
       fold = Some { idx =>
         screenFolded(idx)
@@ -81,7 +81,29 @@ object HeavyHitterStream {
             max(greatest(coalesce(col("folded_through"), lit(-1L)),
               col("batch_id"))).as("folded_through"))
       })
-    ()
+
+  /** The wired maintenance cadence for the counter index — the
+    * [[BatchIndex.maintain]] discipline with THIS stream's fold (a
+    * sum-served index must compact through the screen-first merge, or
+    * the crash window double-counts; see [[compact]]). The index has
+    * no bucket level — one directory per batch, folded globally — so
+    * the layout report runs with an empty bucket set and a denominator
+    * of one. Stream stopped + checkpoint committed only; None = no
+    * index yet.
+    */
+  def maintain(spark: SparkSession, indexPath: String)
+      : Option[BatchIndex.Maintenance] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(indexPath).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+      return None
+    val report = BatchIndex.layoutReportMulti(spark, indexPath,
+      Nil, 1L, 1L)
+    val compacted =
+      if (report.compactRecommended) Some(compact(spark, indexPath))
+      else None
+    Some(BatchIndex.Maintenance(report, compacted))
   }
 
   /** Attach the heavy-hitter ingest to a document stream. */

@@ -67,7 +67,7 @@ object SketchStream {
     * already carries a folded row).
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
+      indexPath: String): (Long, Long) =
     BatchIndex.compact(spark, indexPath,
       Seq("day", "event_type", "sketch", "n_events"), Some("day"),
       Some { idx =>
@@ -82,7 +82,34 @@ object SketchStream {
             max(greatest(coalesce(col("folded_through"), lit(-1L)),
               col("batch_id"))).as("folded_through"))
       })
-    ()
+
+  /** The wired maintenance cadence for the sketch index — the
+    * [[BatchIndex.maintain]] discipline with THIS stream's fold: a
+    * sum-served index must compact through the screen-first merge
+    * above (the default distinct fold would leave `n_events`
+    * double-countable across the crash window), so the hook diagnoses
+    * with [[BatchIndex.layoutReportMulti]] and runs [[compact]] when
+    * the cadence fires. `day` is a SEMANTIC partition level — a
+    * resize is meaningless, so the report's denominator and floor are
+    * both the observed day count (the byte rule can never recommend
+    * "fewer days"). Stream stopped + checkpoint committed only;
+    * None = no index yet.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[BatchIndex.Maintenance] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(indexPath).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+      return None
+    val days = spark.read.parquet(indexPath)
+      .select(col("day")).distinct().count()
+    val report = BatchIndex.layoutReportMulti(spark, indexPath,
+      Seq("day"), days, days)
+    val compacted =
+      if (report.compactRecommended) Some(compact(spark, indexPath))
+      else None
+    Some(BatchIndex.Maintenance(report, compacted))
   }
 
   /** Attach the sketch ingest to an event stream. */

@@ -897,6 +897,13 @@ class StreamingSpec extends AnyFunSuite {
     SketchStream.compact(spark, indexDir)
     assert(est(100L, 100L) == 3L && est(100L, 101L) == 5L)
     assert(acctAll() == 5L)
+
+    // maintenance hook: a just-compacted layout is healthy — the
+    // diagnostics report without folding, and the day denominator is
+    // the observed semantic partition count (resize never recommended)
+    val m = SketchStream.maintain(spark, indexDir).get
+    assert(m.compacted.isEmpty, s"${m.report}")
+    assert(m.report.buckets == 2L && !m.rebucketRecommended)
   }
 
   test("streaming heavy hitters: mergeable MG counters, bounds hold, replay idempotent") {
@@ -964,6 +971,28 @@ class StreamingSpec extends AnyFunSuite {
       "re-run compaction double-counted superseded batch rows")
     assert(spark.read.parquet(indexDir).groupBy("symbol").count()
       .filter(col("count") > 1).count() == 0)
+
+    // maintenance hook: drive the index across the level cadence and
+    // let the HOOK fold it — it must run this stream's screen-first
+    // merge (sum-served: the default distinct fold would leave the
+    // crash window double-countable), and serving must not move
+    assert(HeavyHitterStream.maintain(spark, indexDir).get
+      .compacted.isEmpty, "healthy layout must not compact")
+    // symbols are first characters — every batch lands "n n", so the
+    // summed estimate for n must be exactly 2 × 18 batches
+    (3L to 20L).foreach { b =>
+      HeavyHitterStream.processBatch(docs("n n"), b, indexDir, stats)
+    }
+    val pre = served()
+    val m = HeavyHitterStream.maintain(spark, indexDir).get
+    assert(m.report.maxLevelsPerBucket >
+      graft.streaming.BatchIndex.CompactAfterLevels, s"${m.report}")
+    assert(m.compacted.nonEmpty, "cadence crossed but hook idle")
+    assert(spark.read.parquet(indexDir).select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).toSet
+      == Set(-1L))
+    assert(served() == pre, "maintenance fold moved served counters")
+    assert(pre("n") == 36L, s"n=${pre.get("n")}")
   }
 
   test("RunStream full composition: six streams land consistent artifacts") {
@@ -1687,6 +1716,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(CorpusGraph.readLabels(spark, graphDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == labels)
     assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+
+    // replay of a FOLDED batch (a bounded run stops mid-trigger; the
+    // restart re-runs it): the re-landed partition sits NEXT to the
+    // fold's copy on disk, and the per-bucket folded_through screen
+    // keeps served evidence row-exact — without it every replayed
+    // row would double the pair roll-ups
+    def evidence(): Seq[(Long, Long, String)] =
+      CorpusGraph.readPairs(spark, graphDir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[String]("modality"))).toSeq.sorted
+    val evFolded = evidence()
+    assert(evFolded.size == pa.toInt, "fold must serve every pair once")
+    val replayed = new GraphStream.GraphStats(spark)
+    replayed.lastCommitted = 0L
+    GraphStream.processBatch(b1, 1L, corpusDir, bandsDir, graphDir,
+      replayed)
+    assert(evidence() == evFolded,
+      "replayed folded batch double-served pair evidence")
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+    // re-running the compaction over the crash-window state (fold +
+    // superseded batch dir both on disk) folds cleanly: the screen
+    // runs inside the fold too
+    val (_, pa2) = CorpusGraph.compactPairs(spark, graphDir)
+    assert(pa2 == pa && evidence() == evFolded,
+      "re-run compaction duplicated superseded pair rows")
 
     // re-sent id across batches: doc 1 arrives AGAIN next to a
     // genuinely new near-dup of 11 — the re-send is dropped (one

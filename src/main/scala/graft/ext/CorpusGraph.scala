@@ -590,8 +590,12 @@ object CorpusGraph {
     * (`batch_id <= committed`, which `-1` passes), and the per-batch
     * seed reads ([[graft.streaming.GraphStream]]'s touched audit)
     * only ever target the batch just written, never a folded one.
-    * Writers stopped + checkpoints committed only (the
-    * [[compactPairs]] contract); None = no graph yet.
+    * The report's rebucket arm is a DIAGNOSTIC here: pair bucketing
+    * is fixed by [[LabelBuckets]], so acting on byte drift means a
+    * [[rebuildGraph]] with a resized constant (the rebuild re-buckets
+    * pairs and labels together), not an in-place [[graft.streaming
+    * .BatchIndex.rebucket]]. Writers stopped + checkpoints committed
+    * only (the [[compactPairs]] contract); None = no graph yet.
     */
   def maintainPairs(spark: SparkSession, path: String)
       : Option[graft.streaming.BatchIndex.Maintenance] = {

@@ -455,8 +455,8 @@ object RunStream {
       // post-run maintenance, AFTER the summary's row accounting (a
       // compaction folds any uncommitted in-flight partition into -1,
       // which would shift the committed-only counts): all six streams
-      // are stopped and awaited — the wired cadence for the two
-      // accreting band indexes of this composition
+      // are stopped and awaited — the wired cadence for every
+      // accreting index of this composition
       maintainAfterRun("full-dd-index",
         DedupStream.maintain(spark, s"$outDir/dd_index"))
       maintainAfterRun("full-graph-bands",

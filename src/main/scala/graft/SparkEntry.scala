@@ -107,7 +107,17 @@ object SparkEntry {
   private def corpusGraphIncrFor(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val path = s"/tmp/graft_corpus_graph_incr_${fixtureKey(dir)}"
-    graft.ext.IndexCache.ensure(path) {
+    graft.ext.IndexCache.ensure(path) { buildIncrGraphAt(s, dir, path); () }
+    graft.ext.CorpusGraph.readGraph(s, path)
+  }
+
+  /** The base-plus-append build shared by the incremental and
+    * compacted graph fixtures; returns the batch pair plan so the
+    * compacted variant can REPLAY the append (deterministic — every
+    * pair stream reads the same persisted indexes).
+    */
+  private def buildIncrGraphAt(s: SparkSession, dir: String,
+      path: String): DataFrame = {
       val docs = tables(s, dir).documents
       val fpIdx = mediaFpIndexFor(s, dir)
       val bands = bandIndexFor(s, dir)
@@ -136,6 +146,25 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("modality"))
         .unionByName(textCross.unionByName(textInternal)
           .withColumn("modality", lit("text")))
+      graft.ext.CorpusGraph.append(s, path, batchPairs, batchId = 1L)
+      batchPairs
+  }
+
+  /** [[corpusGraphIncrFor]] continued through the pair-table cadence:
+    * [[graft.ext.CorpusGraph.compactPairs]] folds the appended
+    * partitions (stamping the per-bucket folded_through screen), then
+    * the SAME append REPLAYS on top of the fold — the bounded-run
+    * crash window (a stop mid-trigger re-runs its batch on restart)
+    * that the screen makes row-exact. Consumers and oracle are the
+    * incremental row's: fold + replay must serve the identical grown
+    * graph, cross-engine.
+    */
+  private def corpusGraphCompactedFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val path = s"/tmp/graft_corpus_graph_cpt_${fixtureKey(dir)}"
+    graft.ext.IndexCache.ensure(path) {
+      val batchPairs = buildIncrGraphAt(s, dir, path)
+      graft.ext.CorpusGraph.compactPairs(s, path)
       graft.ext.CorpusGraph.append(s, path, batchPairs, batchId = 1L)
     }
     graft.ext.CorpusGraph.readGraph(s, path)
@@ -1141,6 +1170,16 @@ object SparkEntry {
       Multimodal.corpusDedupClustersServedFrom(pairs, labels)
     }),
 
+    // the incremental graph continued through the pair-table cadence:
+    // compactPairs folds the appended partitions, then the SAME batch
+    // replays on top of the fold (the bounded-run crash window) — the
+    // folded_through screen must serve the identical grown graph, and
+    // the oracle stays the from-scratch rebuild
+    "corpus_graph_compacted" -> ((s, dir) => {
+      val (pairs, labels) = corpusGraphCompactedFor(s, dir)
+      Multimodal.corpusDedupClustersServedFrom(pairs, labels)
+    }),
+
     // graph-aware keep-best: survivor selection over the 4-CHANNEL
     // clusters served from the persisted graph — a media twin whose
     // text differs still collapses to its best-quality member, because
@@ -1980,6 +2019,7 @@ object SparkEntry {
     "corpus_dedup_clusters" -> Multimodal.corpusDedupClustersSql,
     "corpus_dedup_manifest" -> Multimodal.corpusDedupManifestSql,
     "corpus_graph_incremental" -> Multimodal.corpusDedupClustersSql,
+    "corpus_graph_compacted" -> Multimodal.corpusDedupClustersSql,
     "corpus_graph_survivors" -> Multimodal.corpusGraphSurvivorsSql,
     "corpus_graph_takedown" -> Multimodal.corpusDedupClustersSqlWhere(
       Some("doc_a % 41 != 7 AND doc_b % 41 != 7")),

@@ -459,11 +459,16 @@ object RunStream {
       // accreting index of this composition
       maintainAfterRun("full-dd-index",
         DedupStream.maintain(spark, s"$outDir/dd_index"))
+      // graph artifacts fold only through the committed stored id
+      // (lastCommitted + 1 — stream batch ids are offset by one): an
+      // interrupted trigger's bands/fps must stay under their own
+      // batch_id or the replay's resend probe sees its first attempt
       maintainAfterRun("full-graph-bands",
-        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g"))
+        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g",
+          foldThrough = gStats.lastCommitted + 1L))
       maintainAfterRun("full-graph-fp",
         graft.streaming.MediaDedupStream.maintain(spark,
-          s"$outDir/fp_g"))
+          s"$outDir/fp_g", foldThrough = gStats.lastCommitted + 1L))
       // the two sum/union-served sketch indexes accrete one directory
       // per trigger (no bucket level / day level) — same decay law,
       // and their hooks fold through the streams' own screen-first
@@ -771,11 +776,15 @@ object RunStream {
           if (legs.nonEmpty) Some(s"$outDir/fp_g") else None,
         auditTouched = auditTouched)
       EventPipeline.runBounded(q, seconds * 1000L)
+      // fold only through the committed stored id (see runFull) — an
+      // interrupted trigger's bands/fps must stay under their own
+      // batch_id or the replay's resend probe sees its first attempt
       maintainAfterRun("graph-bands",
-        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g"))
+        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g",
+          foldThrough = stats.lastCommitted + 1L))
       if (legs.nonEmpty) maintainAfterRun("graph-fp",
         graft.streaming.MediaDedupStream.maintain(spark,
-          s"$outDir/fp_g"))
+          s"$outDir/fp_g", foldThrough = stats.lastCommitted + 1L))
       val (pairsStored, labels, stale) = graphAudit(spark,
         s"$outDir/graph_g", stats.lastCommitted)
       val trigMs = q.recentProgress.toSeq.map(p =>

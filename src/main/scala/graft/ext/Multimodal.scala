@@ -1819,12 +1819,14 @@ object Multimodal {
     * level, so -1 serves like any other).
     */
   def compactMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long) = {
+      path: String,
+      foldThrough: Long = Long.MaxValue): (Long, Long) = {
     val root = Versioned.resolve(spark, path)
     val out = graft.streaming.BatchIndex.compactMulti(spark,
       s"$root/data",
       cols = Seq("doc_id", "decoded", "fp_lo", "fp_hi"),
-      bucketCols = Seq("modality", "bucket"))
+      bucketCols = Seq("modality", "bucket"),
+      foldThrough = foldThrough)
     // the band sidecar compacts with its component (absent on a
     // pre-sidecar root — nothing to fold)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -1833,7 +1835,8 @@ object Multimodal {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands")))
       graft.streaming.BatchIndex.compactMulti(spark, s"$root/bands",
         cols = Seq("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val"),
-        bucketCols = Seq("modality", "band_bucket"))
+        bucketCols = Seq("modality", "band_bucket"),
+        foldThrough = foldThrough)
     out
   }
 

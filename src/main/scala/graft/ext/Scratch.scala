@@ -152,9 +152,21 @@ object Scratch {
       (r, frames())
     } catch {
       case e: Throwable =>
-        frames().foreach(df =>
-          try { df.unpersist(blocking = false); () }
-          catch { case _: Throwable => () })
+        // same release as scopedAll's: a checkpoint frame's backing
+        // RDD blocks are not reachable through Dataset.unpersist
+        // alone (see release case 1) — dropping only the cache entry
+        // here would pin them for the stream's lifetime
+        frames().foreach { df =>
+          try {
+            df.queryExecution.analyzed match {
+              case l: org.apache.spark.sql.execution.LogicalRDD =>
+                l.rdd.unpersist(blocking = false)
+              case _ => ()
+            }
+            df.unpersist(blocking = false)
+            ()
+          } catch { case _: Throwable => () }
+        }
         throw e
     } finally tl.set(outer)
   }

@@ -251,13 +251,41 @@ object Search {
       org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.LongType)))
 
-  /** Postings component of the resolved snapshot root. */
-  private def readPostings(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(PostingsSchema).parquet(s"$root/postings")
+  /** [[PostingsSchema]] / [[DocLenSchema]] plus the compaction screen
+    * column ([[graft.streaming.SearchStream.compactIndex]] stamps it
+    * on `-1` fold rows; pre-fold files read as null).
+    */
+  private val PostingsReadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(PostingsSchema.fields :+
+      org.apache.spark.sql.types.StructField("folded_through",
+        org.apache.spark.sql.types.LongType))
+  private val DocLenReadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(DocLenSchema.fields :+
+      org.apache.spark.sql.types.StructField("folded_through",
+        org.apache.spark.sql.types.LongType))
 
-  /** Doc-length component of the resolved snapshot root. */
+  /** Postings component of the resolved snapshot root — screened:
+    * BM25 SUMS tf and COUNTS df over these rows, so a batch a fold
+    * already merged (crashed compaction leftovers, or a bounded run's
+    * replayed in-flight trigger re-landing next to the fold) must not
+    * serve twice. Per-bucket screen, crash-consistent under partial
+    * promotes; a no-fold index pays one pruned empty `-1` read.
+    */
+  private def readPostings(spark: SparkSession, root: String): DataFrame =
+    SketchIndex.screenFolded(
+      spark.read.schema(PostingsReadSchema).parquet(s"$root/postings"),
+      keyCols = Seq("bucket"))
+      .select("doc_id", "token", "tf", "positions", "bucket",
+        "batch_id")
+
+  /** Doc-length component of the resolved snapshot root — screened
+    * globally (the sidecar folds as one partition); a doubled dl row
+    * would double a doc's BM25 length normalization.
+    */
   private def readDocLens(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(DocLenSchema).parquet(s"$root/doclen")
+    SketchIndex.screenFolded(
+      spark.read.schema(DocLenReadSchema).parquet(s"$root/doclen"),
+      keyCols = Nil)
       .select("doc_id", "dl")
 
   /** Conjunctive search against a persisted search artifact: returns

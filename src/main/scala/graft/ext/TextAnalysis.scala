@@ -100,28 +100,14 @@ object TextAnalysis {
     * per-doc scoring pass. A learned model would swap the literal
     * weights for broadcast coefficients; the plan is identical.
     */
-  def qualityClassifier(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val en = Lexicons.head._2
-    documents
-      .select(col("doc_id"), col("source"), col("lang"),
-        size(toks).cast("long").as("n_tok"),
-        size(array_distinct(toks)).cast("long").as("n_dist"),
-        aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
-        size(filter(toks, t => t.isin(en: _*))).cast("long").as("n_stop"))
-      .select(col("doc_id"), col("source"), col("lang"),
-        col("n_tok").as("n_tokens"),
-        (least(col("n_tok") * 2000L, lit(250000L))
-          + round(col("n_dist") * 400000.0 / col("n_tok")).cast("long")
-          + least(round(col("n_stop") * 1000000.0 / col("n_tok"))
-              .cast("long"), lit(60000L))
-          - least(expr(
-              "abs(cast(round(sum_len * 1000000.0 / n_tok) as bigint)"
-                + " - 4500000) div 10"), lit(300000L))
-          - 300000L).as("margin_ppm"))
-      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        col("margin_ppm"), (col("margin_ppm") > 0L).as("keep"))
-  }
+  def qualityClassifier(documents: DataFrame): DataFrame =
+    // ONE feature projection in the codebase: the literal rule is the
+    // coefficient seam at the literal weights (ExtSpec pins the
+    // bit-equality; margin_raw is a multiple of 1e6 for this set, so
+    // the div-scaled margin_ppm is exact). A cap or feature tweak now
+    // reaches the verified row and the learned path together.
+    qualityClassifierWith(documents, LiteralQualityCoefficients)
+      .drop("margin_raw")
 
   def qualityClassifierSql: String =
     s"""SELECT doc_id, source, lang, n_tok AS n_tokens,
@@ -308,7 +294,16 @@ object TextAnalysis {
         - col("f_dev")) > lit(300000L)).cast("double")
       val z = x.zip(wd).map { case (c, wi) => c * wi }
         .reduce(_ + _) + wd(4)
-      val sigma = lit(1.0) / (lit(1.0) + exp(-z))
+      // StrictMath.exp, not Spark's exp (java.lang.Math.exp): Math.exp
+      // is allowed 1-ulp platform variance (x86 vs aarch64 intrinsics),
+      // which could flip a rounded nano-gradient on a boundary row and
+      // compound across the fixed-point steps — StrictMath is fdlibm,
+      // bit-identical on every JVM, so the shipped constants reproduce
+      // on any cluster. Training-time only (a UDF over 60 fixture-scale
+      // steps); the verified apply path stays pure-column.
+      val strictSigmoid =
+        udf((zv: Double) => 1.0 / (1.0 + StrictMath.exp(-zv)))
+      val sigma = strictSigmoid(z)
       val gCols = (x :+ lit(1.0)).zipWithIndex.map { case (xi, i) =>
         round((sigma - teacher) * xi * 1e9).cast("long").as(s"g$i")
       }

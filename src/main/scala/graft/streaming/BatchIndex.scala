@@ -380,7 +380,8 @@ object BatchIndex {
   def maintain(spark: SparkSession, path: String, bucketCol: String,
       default: Long, cols: Seq[String],
       fold: Option[DataFrame => DataFrame] = None,
-      targetBytes: Long = TargetBytesPerBucket): Option[Maintenance] = {
+      targetBytes: Long = TargetBytesPerBucket,
+      foldThrough: Long = Long.MaxValue): Option[Maintenance] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -389,31 +390,8 @@ object BatchIndex {
       targetBytes)
     val compacted =
       if (report.compactRecommended)
-        Some(compactMulti(spark, path, cols, Seq(bucketCol), fold))
-      else None
-    Some(Maintenance(report, compacted))
-  }
-
-  /** [[maintain]] for multi-level layouts ([[layoutReportMulti]]):
-    * the reporting denominator is the OBSERVED distinct
-    * bucket-combination count (a partition-column read), `floor`
-    * bounds the resize recommendation.
-    */
-  def maintainMulti(spark: SparkSession, path: String,
-      bucketCols: Seq[String], floor: Long, cols: Seq[String],
-      fold: Option[DataFrame => DataFrame] = None,
-      targetBytes: Long = TargetBytesPerBucket): Option[Maintenance] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return None
-    val observed = spark.read.parquet(path)
-      .select(bucketCols.map(col): _*).distinct().count()
-    val report = layoutReportMulti(spark, path, bucketCols, observed,
-      floor, targetBytes)
-    val compacted =
-      if (report.compactRecommended)
-        Some(compactMulti(spark, path, cols, bucketCols, fold))
+        Some(compactMulti(spark, path, cols, Seq(bucketCol), fold,
+          foldThrough))
       else None
     Some(Maintenance(report, compacted))
   }
@@ -565,14 +543,27 @@ object BatchIndex {
     */
   def compactMulti(spark: SparkSession, path: String, cols: Seq[String],
       bucketCols: Seq[String],
-      fold: Option[DataFrame => DataFrame] = None): (Long, Long) = {
+      fold: Option[DataFrame => DataFrame] = None,
+      foldThrough: Long = Long.MaxValue): (Long, Long) = {
     import spark.implicits._
     val parts = bucketCols :+ "batch_id"
     // mergeSchema: a custom fold may have added columns (e.g. the
     // sketch index's folded_through) that plain per-file inference
     // would drop when the first-listed file predates them
-    val index = spark.read.option("mergeSchema", "true").parquet(path)
-    val before = index.count()
+    val full = spark.read.option("mergeSchema", "true").parquet(path)
+    val before = full.count()
+    // foldThrough: partitions above the caller's last fully-committed
+    // batch are left in place — NOT folded, NOT deleted. An in-flight
+    // batch interrupted mid-processBatch has landed SOME of its
+    // artifacts (e.g. a graph trigger's bands but not its pairs);
+    // folding those rows into `-1` would defeat the reader-side
+    // `batch_id < storedId` replay exclusion — the replay would see
+    // its own first attempt as stored state, classify every doc as
+    // re-sent, and silently never produce the batch's evidence.
+    // Callers that know their committed boundary (RunStream's
+    // post-run maintenance) pass it; Long.MaxValue folds everything
+    // (safe only when checkpoints are known committed).
+    val index = full.filter(col("batch_id") <= foldThrough)
     // bounded collect: one row per LIVE partition directory — ≤ buckets
     // × committed batches (the partition space, never row counts), and
     // compaction's whole point is to keep that space folded down

@@ -519,9 +519,17 @@ object GraphStream {
     * metadata repair — left to the operator.
     */
   def maintain(spark: org.apache.spark.sql.SparkSession,
-      bandIndexPath: String): Option[BatchIndex.Maintenance] =
+      bandIndexPath: String,
+      foldThrough: Long = Long.MaxValue): Option[BatchIndex.Maintenance] =
+    // foldThrough = the last COMMITTED stored id (stats.lastCommitted
+    // + 1 at the RunStream seam): this stream writes bands BEFORE
+    // pairs inside a trigger, so an interrupted in-flight batch can
+    // have bands on disk with no pair evidence — folding those bands
+    // into -1 would make the replay's `batch_id < storedId` resend
+    // probe see its own first attempt, classify every doc re-sent,
+    // and silently never produce the batch's pairs
     BatchIndex.maintain(spark, bandIndexPath, "band_bucket",
-      DedupStream.bandBucketCount, BandCols)
+      DedupStream.bandBucketCount, BandCols, foldThrough = foldThrough)
 
   /** Attach the graph-maintenance ingest to a document stream; pass
     * `mediaLegs` + `fpIndexPath` for a multimodal stream whose

@@ -169,8 +169,9 @@ object MediaDedupStream {
     * ([[Multimodal.compactMediaFpIndex]] — streams stopped only).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): (Long, Long) =
-    Multimodal.compactMediaFpIndex(spark, indexPath)
+      indexPath: String,
+      foldThrough: Long = Long.MaxValue): (Long, Long) =
+    Multimodal.compactMediaFpIndex(spark, indexPath, foldThrough)
 
   /** The wired maintenance cadence for the unified media fp index
     * (the [[BatchIndex.maintain]] discipline over its VERSIONED,
@@ -179,10 +180,17 @@ object MediaDedupStream {
     * (modality, band_bucket) layout; one [[compactIndex]] (it folds
     * both components) when either crosses the cadence. Streams
     * stopped + checkpoints committed only. Returns the data
-    * component's report; None = no index yet.
+    * component's report; None = no index yet. `foldThrough` bounds
+    * the fold to the caller's last fully-committed stored id — a
+    * GraphStream media leg appends fingerprints BEFORE its pairs
+    * land, so an interrupted trigger's fps must not fold into `-1`
+    * where the replay's `batch_id < storedId` resend probe would
+    * see them (the [[GraphStream.maintain]] hazard, media face).
     */
   def maintain(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Option[BatchIndex.Maintenance] = {
+      indexPath: String,
+      foldThrough: Long = Long.MaxValue)
+      : Option[BatchIndex.Maintenance] = {
     val root = graft.ext.Versioned.resolve(spark, indexPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(root).toUri,
@@ -206,7 +214,7 @@ object MediaDedupStream {
           .compactRecommended
     val compacted =
       if (dataRep.compactRecommended || bandsDue)
-        Some(compactIndex(spark, indexPath))
+        Some(compactIndex(spark, indexPath, foldThrough))
       else None
     Some(BatchIndex.Maintenance(dataRep, compacted))
   }

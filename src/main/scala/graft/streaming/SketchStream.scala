@@ -104,8 +104,13 @@ object SketchStream {
       return None
     val days = spark.read.parquet(indexPath)
       .select(col("day")).distinct().count()
-    val report = BatchIndex.layoutReportMulti(spark, indexPath,
+    val raw = BatchIndex.layoutReportMulti(spark, indexPath,
       Seq("day"), days, days)
+    // the rebucket arm is suppressed, not just floored: `day` is a
+    // semantic level, so byte drift (many events per day) must never
+    // print an actionable-looking resize for it
+    val report = raw.copy(rebucketRecommended = false,
+      recommendedBuckets = days)
     val compacted =
       if (report.compactRecommended) Some(compact(spark, indexPath))
       else None

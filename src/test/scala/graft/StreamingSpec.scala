@@ -1459,6 +1459,35 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.SearchStream.processBatch(
       Seq((7L, "spark streaming")).toDF("doc_id", "text"), 9L, idx)
     assert(hits("spark").contains(7L))
+
+    // replay of a FOLDED batch (bounded stop before the checkpoint
+    // commit, restart re-runs it): its partitions re-land next to the
+    // fold's copies, and BM25 sums tf / counts df / reads dl over the
+    // index — without the folded_through screen every replayed row
+    // would double those aggregates
+    val bm25AfterIngest = graft.ext.Search.bm25Served(spark, idx,
+        Seq("spark")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSet
+    graft.streaming.SearchStream.processBatch(
+      Seq((1L, "spark window"), (2L, "table scan"))
+        .toDF("doc_id", "text"), 0L, idx)
+    assert(spark.read.parquet(s"$idx/doclen")
+      .filter(col("doc_id") === 1L).count() == 2L,
+      "the replayed partition must be ON DISK next to the fold")
+    assert(hits("spark") == Set(0L, 1L, 3L, 7L))
+    assert(graft.ext.Search.bm25Served(spark, idx, Seq("spark"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSet == bm25AfterIngest,
+      "replayed folded batch double-served BM25 tf/df/dl")
+    // re-running the compaction over the crash-window state folds
+    // cleanly (the screen runs inside the fold too)
+    graft.streaming.SearchStream.compactIndex(spark, idx)
+    assert(graft.ext.Search.bm25Served(spark, idx, Seq("spark"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSet == bm25AfterIngest)
   }
 
   test("anomaly monitor folds batches idempotently and alerts once per hour") {
@@ -1761,6 +1790,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(CorpusGraph.readPairs(spark, graphDir)
       .filter((col("doc_a") === 1L || col("doc_b") === 1L)
         && col("batch_id") === 3L).count() == 0L)
+    assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
+
+    // fold BOUND: an interrupted trigger leaves bands on disk with no
+    // pair evidence (stop() lands the band write, not the append); a
+    // bounded compact (foldThrough = last committed stored id) must
+    // leave that partition under its own batch_id — folding it into
+    // -1 would make the replay's `batch_id < storedId` resend probe
+    // see the first attempt, classify the docs re-sent, and the
+    // batch's pairs would silently never exist
+    val textD = (1 to 50).map(i => s"d$i").mkString(" ")
+    val b3 = docsDf((40L, textD), (41L, textD + " q"))
+    val bandB = graft.streaming.BatchIndex.bucketCountOf(spark,
+      bandsDir, graft.streaming.DedupStream.bandBucketCount)
+    graft.streaming.BatchIndex.writePartition(
+      Dedup.bandTable(b3).withColumn("band_bucket",
+        graft.streaming.DedupStream.bandBucketAt(bandB)),
+      4L, bandsDir, bucketCol = Some("band_bucket"))
+    graft.streaming.BatchIndex.compactMulti(spark, bandsDir,
+      Seq("doc_id", "band_idx", "band_hash"), Seq("band_bucket"),
+      foldThrough = 3L)
+    assert(spark.read.parquet(bandsDir).select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).toSet
+      == Set(-1L, 4L), "bounded fold must keep the in-flight partition")
+    val rep = new GraphStream.GraphStats(spark)
+    rep.lastCommitted = 2L
+    GraphStream.processBatch(b3, 3L, corpusDir, bandsDir, graphDir, rep)
+    assert(rep.resent.value == 0L,
+      "replay must not see its own first attempt as stored")
+    val labels3 = CorpusGraph.readLabels(spark, graphDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels3.get(40L).contains(40L)
+      && labels3.get(41L).contains(40L), s"$labels3")
     assert(CorpusGraph.staleLabelCount(spark, graphDir) == 0L)
   }
 

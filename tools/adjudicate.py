@@ -78,8 +78,13 @@ def main():
     tp, tc = prev["value"], cur["value"] / drift
     print(f"totals: prev={tp:.1f}s cur(normalized)={tc:.1f}s "
           f"({tc / tp:.2f}x)")
-    if both and (all(v[0][2] > 1 for v in both.values())
-                 or all(v[0][2] <= 1 for v in both.values())):
+    # the box-state signature needs BOTH protocol conditions: every
+    # mover one direction AND the totals moving the same way — movers
+    # all up while the total fell is not box state
+    one_dir_up = bool(both) and all(v[0][2] > 1 for v in both.values())
+    one_dir_down = bool(both) and all(v[0][2] <= 1 for v in both.values())
+    box_state = (one_dir_up and tc > tp) or (one_dir_down and tc <= tp)
+    if box_state:
         print("signature: ALL movers one direction + totals moving with"
               " them -> box state (page-cache/disk; CPU calibration is"
               " blind to it). No escalation unless a regression repeats"
@@ -90,7 +95,9 @@ def main():
               " the prior round's code on the flagged queries.")
     else:
         print("no both-mode movers after normalization.")
-    return 1 if regress else 0
+    # the exit code IS the escalation gate, so it must agree with the
+    # printed verdict: box-state regressions do not escalate
+    return 1 if (regress and not box_state) else 0
 
 
 if __name__ == "__main__":

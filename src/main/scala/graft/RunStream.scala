@@ -462,13 +462,20 @@ object RunStream {
       // graph artifacts fold only through the committed stored id
       // (lastCommitted + 1 — stream batch ids are offset by one): an
       // interrupted trigger's bands/fps must stay under their own
-      // batch_id or the replay's resend probe sees its first attempt
-      maintainAfterRun("full-graph-bands",
-        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g",
-          foldThrough = gStats.lastCommitted + 1L))
-      maintainAfterRun("full-graph-fp",
-        graft.streaming.MediaDedupStream.maintain(spark,
-          s"$outDir/fp_g", foldThrough = gStats.lastCommitted + 1L))
+      // batch_id or the replay's resend probe sees its first attempt.
+      // A run that committed NOTHING (lastCommitted = -1) skips them:
+      // its bound would exclude every batch earlier runs committed,
+      // so the fold could only re-fold the old -1 partition — wasted
+      // IO, no progress (the volatile counter only knows THIS run)
+      if (gStats.lastCommitted >= 0L) {
+        maintainAfterRun("full-graph-bands",
+          graft.streaming.GraphStream.maintain(spark,
+            s"$outDir/bands_g",
+            foldThrough = gStats.lastCommitted + 1L))
+        maintainAfterRun("full-graph-fp",
+          graft.streaming.MediaDedupStream.maintain(spark,
+            s"$outDir/fp_g", foldThrough = gStats.lastCommitted + 1L))
+      }
       // the two sum/union-served sketch indexes accrete one directory
       // per trigger (no bucket level / day level) — same decay law,
       // and their hooks fold through the streams' own screen-first
@@ -778,13 +785,17 @@ object RunStream {
       EventPipeline.runBounded(q, seconds * 1000L)
       // fold only through the committed stored id (see runFull) — an
       // interrupted trigger's bands/fps must stay under their own
-      // batch_id or the replay's resend probe sees its first attempt
-      maintainAfterRun("graph-bands",
-        graft.streaming.GraphStream.maintain(spark, s"$outDir/bands_g",
-          foldThrough = stats.lastCommitted + 1L))
-      if (legs.nonEmpty) maintainAfterRun("graph-fp",
-        graft.streaming.MediaDedupStream.maintain(spark,
-          s"$outDir/fp_g", foldThrough = stats.lastCommitted + 1L))
+      // batch_id or the replay's resend probe sees its first attempt;
+      // a zero-commit run skips (its bound would only re-fold the -1)
+      if (stats.lastCommitted >= 0L) {
+        maintainAfterRun("graph-bands",
+          graft.streaming.GraphStream.maintain(spark,
+            s"$outDir/bands_g",
+            foldThrough = stats.lastCommitted + 1L))
+        if (legs.nonEmpty) maintainAfterRun("graph-fp",
+          graft.streaming.MediaDedupStream.maintain(spark,
+            s"$outDir/fp_g", foldThrough = stats.lastCommitted + 1L))
+      }
       val (pairsStored, labels, stale) = graphAudit(spark,
         s"$outDir/graph_g", stats.lastCommitted)
       val trigMs = q.recentProgress.toSeq.map(p =>

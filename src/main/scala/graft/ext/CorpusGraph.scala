@@ -564,22 +564,8 @@ object CorpusGraph {
       s"${Versioned.resolve(spark, path)}/pairs",
       cols = Seq("doc_a", "doc_b", "modality", "folded_through"),
       bucketCols = Seq("bucket"),
-      fold = Some { idx =>
-        import org.apache.spark.sql.functions._
-        val withFt =
-          if (idx.columns.contains("folded_through")) idx
-          else idx.withColumn("folded_through",
-            lit(null).cast("long"))
-        // screen first: re-running a CRASHED compaction must not
-        // treat the old fold's superseded batch rows as live evidence
-        val live =
-          graft.ext.SketchIndex.screenFolded(withFt, Seq("bucket"))
-        val through = withFt.groupBy("bucket")
-          .agg(max(greatest(coalesce(col("folded_through"), lit(-1L)),
-            col("batch_id"))).as("folded_through"))
-        live.select("bucket", "doc_a", "doc_b", "modality").distinct()
-          .join(broadcast(through), Seq("bucket"))
-      })
+      fold = Some(graft.ext.SketchIndex.screenedDistinctFold(
+        Seq("bucket"), Seq("doc_a", "doc_b", "modality"))))
 
   /** The wired maintenance cadence for the pair table — the
     * [[graft.streaming.BatchIndex.maintain]] discipline over the

@@ -564,6 +564,11 @@ object BatchIndex {
     // post-run maintenance) pass it; Long.MaxValue folds everything
     // (safe only when checkpoints are known committed).
     val index = full.filter(col("batch_id") <= foldThrough)
+    // nothing in fold scope (a fresh index, or a bound below every
+    // partition): writing an empty partitioned frame emits only
+    // _SUCCESS and the tmp read-back would throw UNABLE_TO_INFER_SCHEMA
+    // after staging — short-circuit instead of half-running
+    if (index.isEmpty) return (before, before)
     // bounded collect: one row per LIVE partition directory — ≤ buckets
     // × committed batches (the partition space, never row counts), and
     // compaction's whole point is to keep that space folded down

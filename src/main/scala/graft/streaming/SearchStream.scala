@@ -37,46 +37,27 @@ object SearchStream {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Long, Long) = {
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.functions._
     val root = graft.ext.Versioned.resolve(spark, indexPath)
-    // screen-first folds stamping folded_through (the SketchIndex
-    // discipline): BM25 sums tf / counts df / reads one dl per doc
-    // over these rows, so a crashed compaction's leftovers or a
-    // bounded run's replayed in-flight batch re-landing next to the
-    // fold must be screened at read — each component's through
-    // derives from its OWN rows, which also keeps the partial-append
-    // window exact (postings landed, doclen not: the replayed doclen
-    // rows sit above the sidecar's through and serve; the replayed
-    // postings are byte-identical to the fold's copy and screen out)
-    def withFt(idx: DataFrame): DataFrame =
-      if (idx.columns.contains("folded_through")) idx
-      else idx.withColumn("folded_through", lit(null).cast("long"))
+    // screen-first folds stamping folded_through (the shared
+    // [[graft.ext.SketchIndex.screenedDistinctFold]]): BM25 sums tf /
+    // counts df / reads one dl per doc over these rows, so a crashed
+    // compaction's leftovers or a bounded run's replayed in-flight
+    // batch re-landing next to the fold must be screened at read —
+    // each component's through derives from its OWN rows, which also
+    // keeps the partial-append window exact (postings landed, doclen
+    // not: the replayed doclen rows sit above the sidecar's through
+    // and serve; the replayed postings are byte-identical to the
+    // fold's copy and screen out)
     val out = BatchIndex.compactMulti(spark, s"$root/postings",
       cols = Seq("doc_id", "token", "tf", "positions",
         "folded_through"),
       bucketCols = Seq("bucket"),
-      fold = Some { i =>
-        val idx = withFt(i)
-        val through = idx.groupBy("bucket")
-          .agg(max(greatest(coalesce(col("folded_through"), lit(-1L)),
-            col("batch_id"))).as("folded_through"))
-        graft.ext.SketchIndex.screenFolded(idx, Seq("bucket"))
-          .select("bucket", "doc_id", "token", "tf", "positions")
-          .distinct()
-          .join(broadcast(through), Seq("bucket"))
-      })
+      fold = Some(graft.ext.SketchIndex.screenedDistinctFold(
+        Seq("bucket"), Seq("doc_id", "token", "tf", "positions"))))
     BatchIndex.compactMulti(spark, s"$root/doclen",
       cols = Seq("doc_id", "dl", "folded_through"), bucketCols = Nil,
-      fold = Some { i =>
-        val idx = withFt(i)
-        val through = idx
-          .agg(max(greatest(coalesce(col("folded_through"), lit(-1L)),
-            col("batch_id"))).as("folded_through"))
-        graft.ext.SketchIndex.screenFolded(idx, Nil)
-          .select("doc_id", "dl").distinct()
-          .crossJoin(broadcast(through))
-      })
+      fold = Some(graft.ext.SketchIndex.screenedDistinctFold(
+        Nil, Seq("doc_id", "dl"))))
     out
   }
 

@@ -93,6 +93,10 @@ def main():
         print("signature: paired-opposite or isolated regressions ->"
               " candidate CODE regression. Escalate: worktree re-run of"
               " the prior round's code on the flagged queries.")
+    elif both:
+        print("signature: improvements only, totals moved against them"
+              " -> mixed box state; no action (improvements never"
+              " escalate).")
     else:
         print("no both-mode movers after normalization.")
     # the exit code IS the escalation gate, so it must agree with the

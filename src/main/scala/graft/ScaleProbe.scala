@@ -770,6 +770,99 @@ object ScaleProbe {
     }
   }
 
+  /** Whole-root filter-pruned discovery vs DIRECT hit-bucket paths —
+    * the listing cost of one per-trigger index read, isolated. The
+    * r16 decay law showed trigger wall tracking TOTAL partition dirs
+    * (B × L): a `spark.read.parquet(root).filter(isin)` read builds
+    * its file index over EVERY leaf dir before the filter prunes any.
+    * [[graft.streaming.BatchIndex.readBeforeBuckets]] now lists the
+    * top level once and reads only hit-bucket dirs — O(B + hit × L).
+    * The two regimes: a saturated trigger (hit ≈ B) pays the same
+    * either way (compaction stays the repair there); a BOUNDED-spread
+    * trigger (hit ≪ B — candidate-driven corpus reads, media legs,
+    * small triggers against byte-rule B in the tens of thousands)
+    * drops the (B−hit) × L share of the walk. This probe measures the
+    * bounded regime: an index at B×L dirs, a hit list of `HITS`
+    * buckets, the same screen counted through both plans (direct =
+    * cold median of 3 run FIRST; legacy = one page-cache-warm run —
+    * both biases run against the claimed speedup; equality asserted).
+    * `sbt "runMain graft.ScaleProbe listing 32"` — the size arg is
+    * the LEVEL count; SPARK_GRAFT_LISTING_B / _ROWS / _HITS override
+    * B (8192), band rows per level (100000), and hit-bucket count
+    * (800).
+    */
+  def listingProbe(spark: SparkSession, levels: Long): Unit = {
+    import graft.streaming.BatchIndex
+    val b = sys.env.getOrElse("SPARK_GRAFT_LISTING_B", "8192").toLong
+    val rowsPerLevel =
+      sys.env.getOrElse("SPARK_GRAFT_LISTING_ROWS", "100000").toLong
+    val hitN = sys.env.getOrElse("SPARK_GRAFT_LISTING_HITS", "800").toInt
+    val dir = s"/tmp/graft_scaleprobe_lst_$levels/idx"
+    // the build (B × levels files on local fs) dwarfs the measurement
+    // — reuse a complete prior build (deterministic content), rebuild
+    // otherwise; the dir is left in place for re-runs
+    val complete = {
+      val d = new java.io.File(s"$dir/band_bucket=0")
+      d.isDirectory && d.list().count(_.startsWith("batch_id=")) ==
+        levels && BatchIndex.bucketCountOf(spark, dir, -1L) == b
+    }
+    try {
+      if (!complete) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"/tmp/graft_scaleprobe_lst_$levels"))
+        (0L until levels).foreach { l =>
+          val bands = spark.range(l * rowsPerLevel,
+              (l + 1) * rowsPerLevel)
+            .select(col("id").as("doc_id"),
+              (col("id") % 4).cast("int").as("band_idx"),
+              md5(col("id").cast("string")).as("band_hash"))
+            .withColumn("band_bucket",
+              pmod(xxhash64(col("band_hash")), lit(b)))
+          BatchIndex.writePartition(bands, l, dir,
+            bucketCol = Some("band_bucket"))
+        }
+        BatchIndex.ensureBucketMeta(spark, dir, b)
+      }
+      // a bounded-spread batch: hitN buckets spread across [0, B)
+      val hit = (0 until hitN).map(i => i.toLong * b / hitN).distinct
+      val cols = Seq("doc_id", "band_idx", "band_hash")
+      def empty = spark.range(0).select(col("id").as("doc_id"),
+        lit(0).cast("int").as("band_idx"),
+        lit("").as("band_hash"))
+      def legacy(): Long = spark.read.parquet(dir)
+        .filter(col("band_bucket").isin(hit: _*)
+          && col("batch_id") < levels)
+        .select(cols.map(col): _*).count()
+      def direct(): Long = BatchIndex.readBeforeBuckets(spark, dir,
+        levels, cols, empty, "band_bucket", hit).count()
+      def median3(f: () => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val c = f()
+          ((System.nanoTime() - t0) / 1e9, c)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      // DIRECT first, COLD (no warmup): every page-cache/dentry byte
+      // the legacy run then re-reads is warm — the bias runs AGAINST
+      // the claimed speedup. Legacy is one run, not a median: at probe
+      // scale the whole-root read's driver-side partition resolution
+      // (PartitioningUtils.resolvePartitions — single-threaded over
+      // all B × L dirs) runs MINUTES; a median would triple a cost
+      // the number's magnitude already makes unambiguous.
+      val (tDirect, cDirect) = median3(() => direct())
+      val t0L = System.nanoTime()
+      val cLegacy = legacy()
+      val tLegacy = (System.nanoTime() - t0L) / 1e9
+      assert(cLegacy == cDirect,
+        s"direct read lost rows: $cDirect vs $cLegacy")
+      println(f"[scale-listing] B=$b levels=$levels " +
+        f"dirs=${b * levels} hit=${hit.size} rows=$cLegacy " +
+        f"legacy=$tLegacy%6.2fs direct(median3)=$tDirect%6.2fs " +
+        f"speedup=${tLegacy / tDirect}%.1fx")
+    } finally spark.catalog.clearCache()
+  }
+
   /** The mega-component envelope, measured: a STAR component of n
     * members (hub doc 0 — the power-law worst case
     * [[graft.ext.CorpusGraph.BroadcastMemberMax]] exists for) next to
@@ -1667,6 +1760,7 @@ object ScaleProbe {
     val levelsMode = args.headOption.contains("levels")
     val rebucketMode = args.headOption.contains("rebucket")
     val cadenceMode = args.headOption.contains("cadence")
+    val listingMode = args.headOption.contains("listing")
     val sizeArgs =
       if (annMode || lshMode || joinsMode || pqMode || ivfMode || spansMode
           || winnowMode || bpeTokMode || curationMode || linkMode
@@ -1675,7 +1769,8 @@ object ScaleProbe {
           || takedownMode || imageDupMode || audioDupMode
           || videoDupMode || bloomMode || mediaServedMode
           || ivfRebuildMode || graphMode || streamReadMode
-          || graphStarMode || levelsMode || rebucketMode || cadenceMode)
+          || graphStarMode || levelsMode || rebucketMode || cadenceMode
+          || listingMode)
         args.drop(1)
       else args
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
@@ -1747,6 +1842,11 @@ object ScaleProbe {
     }
     if (cadenceMode) {
       sizes.foreach(cadenceProbe(spark, _))
+      spark.stop()
+      return
+    }
+    if (listingMode) {
+      sizes.foreach(listingProbe(spark, _))
       spark.stop()
       return
     }

@@ -2032,12 +2032,35 @@ object Multimodal {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands")))
       None
-    else Some(spark.read.schema(MediaBandSchema)
-      .parquet(s"$root/bands")
-      .filter(col("modality") === lit(modality)
-        && col("band_bucket").isin(hitBuckets: _*) // partition pruning
-        && col("batch_id") < beforeBatch)
-      .select("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val"))
+    else {
+      // direct-path read of the hit (modality, band_bucket) dirs — a
+      // whole-sidecar read with an isin filter would LIST every
+      // modality × B × L leaf dir before pruning any (the measured
+      // trigger decay law; see [[graft.streaming.BatchIndex
+      // .readBeforeBuckets]]); one listStatus of this modality's
+      // bucket dirs bounds listing to O(B + hit × L)
+      val sel = Seq("doc_id", "fp_lo", "fp_hi", "band_idx", "band_val")
+      def empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        MediaBandSchema).select(sel.map(col): _*)
+      val mDir = new org.apache.hadoop.fs.Path(
+        s"$root/bands/modality=$modality")
+      val present =
+        try fs.listStatus(mDir).iterator.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("band_bucket="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("band_bucket=").toLong).toOption)
+          .toSet
+        catch { case _: java.io.FileNotFoundException => Set.empty[Long] }
+      val hit = hitBuckets.distinct.filter(present.contains)
+      if (hit.isEmpty) Some(empty)
+      else Some(spark.read.schema(MediaBandSchema)
+        .option("basePath", s"$root/bands")
+        .parquet(hit.map(b => s"$mDir/band_bucket=$b"): _*)
+        .filter(col("batch_id") < beforeBatch)
+        .select(sel.map(col): _*))
+    }
   }
 
   /** The takedown artifact entries for the media fp artifact: BOTH

@@ -716,8 +716,14 @@ object ProductQuant {
     val probes = probesFor(queries, refined, nProbe, cbs)
     val probedCells = probes.select(col("p_cell").cast("long"))
       .distinct().collect().map(_.getLong(0))
-    val index = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(probedCells: _*))
+    // direct-path read of the probed cells' code dirs — a whole-root
+    // read with an isin filter lists every cell dir before pruning
+    // (the [[graft.streaming.BatchIndex.readHitPartitions]] listing
+    // discipline)
+    val index = graft.streaming.BatchIndex.readHitPartitions(spark,
+        s"$path/codes", "cell", probedCells.toIndexedSeq,
+        spark.read.parquet(s"$path/codes").limit(0))
+      .withColumn("cell", col("cell").cast("long"))
     val scored = index.join(broadcast(probes),
         col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -1460,12 +1460,18 @@ object Similarity {
     val fineCells = spark.read.parquet(s"$root/centroids")
     val probes = rankProbes(queries, fineCells, nProbe, probeCoarse)
     // the probed cell set is bounded (≤ nQueries·nProbe) — collect it
-    // and push it into the scan as a PARTITION filter, so only those
-    // cell= directories are ever read (pruning pinned in ExtSpec)
+    // and read ONLY those cell= directories, by explicit path: a
+    // whole-root read with an isin filter would LIST every cell dir
+    // before pruning any (the [[graft.streaming.BatchIndex
+    // .readHitPartitions]] listing discipline; pruning pinned in
+    // ExtSpec)
     val probed = probes.select("p_cell").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
     serveFromAssign(
-      readIndexData(spark, root).filter(col("cell").isin(probed: _*)),
+      graft.streaming.BatchIndex.readHitPartitions(spark,
+          s"$root/data", "cell", probed,
+          readIndexData(spark, root).limit(0))
+        .withColumn("cell", col("cell").cast("long")),
       probes)
   }
 

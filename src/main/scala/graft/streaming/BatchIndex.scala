@@ -119,26 +119,77 @@ object BatchIndex {
     * (same bucket function both sides), so pruning is lossless. Same
     * absent-only recovery and replay-excluding `batch_id < batchId`
     * semantics as [[readBefore]].
+    *
+    * LISTING COST: the read is constructed from EXPLICIT hit-bucket
+    * directory paths (one top-level `listStatus` of the B bucket dirs,
+    * intersected with `buckets`, then a `basePath` read of the hit
+    * dirs) — NOT a whole-root `spark.read.parquet(path)` with an
+    * `isin` filter. Filter-pruned partition discovery lists ALL B × L
+    * leaf directories before the filter prunes any of them, which is
+    * exactly the measured trigger decay law (SCALING.md "Streaming
+    * compaction cadence": trigger wall tracks TOTAL partition dirs,
+    * 3× at 65 k, 35× at 262 k). Direct paths cut per-trigger listing
+    * from O(B × L) to O(B + hit × L): one directory-entry scan of the
+    * top level, then leaf listing only inside hit buckets. The
+    * compaction cadence still matters — it bounds L (read volume per
+    * hit bucket and duplicate accretion) and file health — but the
+    * whole-index metadata walk no longer taxes every trigger.
     */
   def readBeforeBuckets(spark: SparkSession, path: String,
       batchId: Long, cols: Seq[String], empty: => DataFrame,
       bucketCol: String, buckets: Seq[Long]): DataFrame =
     if (buckets.isEmpty) empty
+    else presentBuckets(spark, path, bucketCol) match {
+      case None => empty // absent index: first batch
+      case Some(present) =>
+        val hit = buckets.distinct.filter(present.contains)
+        if (hit.isEmpty) empty // nothing stored where this batch probes
+        else try {
+          spark.read.option("basePath", path)
+            .parquet(hit.map(b => s"$path/$bucketCol=$b"): _*)
+            .filter(col("batch_id") < batchId)
+            .select(cols.map(col): _*)
+        } catch {
+          case e: AnalysisException
+              if e.getCondition != null
+                && (e.getCondition.contains("PATH_NOT_FOUND")
+                  || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+            empty // hit dirs exist but hold no files (purged clean)
+        }
+    }
+
+  /** Direct-path read of the `partCol=v` partition dirs under `path`
+    * for v ∈ `values` — the SERVED-index face of [[readBeforeBuckets]]'s
+    * listing discipline, for probe-style reads against a value-
+    * partitioned layout (IVF `cell=` data, PQ `cell=` codes): a
+    * whole-root read with an `isin` filter lists every partition dir
+    * before the filter prunes any, so a k-cell probe against an
+    * N-cell index pays an O(N × files) metadata walk; one top-level
+    * `listStatus` + explicit hit dirs pays O(N + k × files-per-cell).
+    * Values with no dir are skipped (lossless for equi-probes — a
+    * missing dir holds no rows); absent path or no hit dirs returns
+    * `empty`. No batch semantics here — callers add their own filters.
+    */
+  def readHitPartitions(spark: SparkSession, path: String,
+      partCol: String, values: Seq[Long],
+      empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(p)
+      catch { case _: java.io.FileNotFoundException => return empty }
+    val prefix = s"$partCol="
+    val present = entries.iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(prefix).toLong).toOption)
+      .toSet
+    val hit = values.distinct.filter(present.contains)
+    if (hit.isEmpty) empty
     else try {
-      val index = spark.read.parquet(path)
-      // legacy flat layout (batch_id-only, written before the index
-      // was key-bucketed): fail with the migration, not an
-      // UNRESOLVED_COLUMN — resuming a checkpoint over a pre-bucketing
-      // index is a one-time [[migrateToBucketed]] rewrite, and mixing
-      // the two layouts in place would corrupt partition discovery
-      require(index.columns.contains(bucketCol),
-        s"index at $path predates the $bucketCol-bucketed layout — " +
-          "run BatchIndex.migrateToBucketed (stream stopped) before " +
-          "resuming this checkpoint")
-      index
-        .filter(col(bucketCol).isin(buckets: _*) // partition pruning
-          && col("batch_id") < batchId)
-        .select(cols.map(col): _*)
+      spark.read.option("basePath", path)
+        .parquet(hit.map(v => s"$path/$partCol=$v"): _*)
     } catch {
       case e: AnalysisException
           if e.getCondition != null
@@ -146,6 +197,39 @@ object BatchIndex {
               || e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
         empty
     }
+  }
+
+  /** The bucket values present as `bucketCol=` partition dirs directly
+    * under `path` — the one top-level listing a direct-path bucket
+    * read needs. None = the path does not exist (absent index).
+    * Detects the legacy flat layout (batch_id-only dirs, written
+    * before the index was key-bucketed) and fails with the migration
+    * message — resuming a checkpoint over a pre-bucketing index is a
+    * one-time [[migrateToBucketed]] rewrite, and silently treating it
+    * as "no hit buckets" would screen against nothing.
+    */
+  private def presentBuckets(spark: SparkSession, path: String,
+      bucketCol: String): Option[Set[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val prefix = s"$bucketCol="
+    val present = entries.iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(prefix).toLong).toOption)
+      .toSet
+    require(present.nonEmpty
+        || !entries.exists(e => e.isDirectory
+          && e.getPath.getName.contains("=")),
+      s"index at $path predates the $bucketCol-bucketed layout — " +
+        "run BatchIndex.migrateToBucketed (stream stopped) before " +
+        "resuming this checkpoint")
+    Some(present)
+  }
 
   /** Read the key-bucket count an index was WRITTEN with — its layout
     * metadata sidecar (`<path>/_graft_buckets`; the `_` prefix keeps

@@ -267,21 +267,9 @@ object GraphStream {
           .select(pmod(col("doc_id"), lit(corpusB)).as("bucket"))
           .distinct().collect().map(_.getLong(0)).toSeq
         mark("candBuckets")
-        val corpusBefore =
-          if (candBuckets.isEmpty) cached.limit(0)
-          else
-            try spark.read.parquet(corpusPath)
-              .filter(col("bucket").isin(candBuckets: _*) // pruning
-                && col("batch_id") < storedId)
-              .select(cached.columns.map(col).toIndexedSeq: _*)
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getCondition != null
-                    && (e.getCondition.contains("PATH_NOT_FOUND")
-                      || e.getCondition.contains(
-                        "UNABLE_TO_INFER_SCHEMA")) =>
-                cached.limit(0)
-            }
+        val corpusBefore = BatchIndex.readBeforeBuckets(spark,
+          corpusPath, storedId, cached.columns.toIndexedSeq,
+          cached.limit(0), "bucket", candBuckets)
         val cross = Dedup.incrementalNearDups(
             corpusBefore, fresh, indexBands = Some(indexBands),
             broadcastBatch = smallTrigger)

@@ -2568,6 +2568,37 @@ class ExtSpec extends AnyFunSuite {
         s"only-full=${full -- inc}")
   }
 
+  test("readHitPartitions: direct cell-dir read ≡ isin-filtered scan; "
+      + "absent values and empty-dir edges are lossless") {
+    import spark.implicits._
+    import graft.streaming.BatchIndex
+    val path = java.nio.file.Files.createTempDirectory("rhp").toString +
+      "/data"
+    // 40 cells × 25 rows, the IVF data shape (cell-partitioned)
+    spark.range(1000)
+      .select(col("id").as("vec_id"), (col("id") % 40).as("cell"),
+        (col("id") * 3).as("payload"))
+      .write.partitionBy("cell").parquet(path)
+    def empty = spark.read.parquet(path).limit(0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1))
+    // probe: present cells + values no dir exists for
+    val probe = Seq(3L, 17L, 38L, 99L, 1000L)
+    val direct = BatchIndex.readHitPartitions(spark, path, "cell",
+        probe, empty)
+      .select(col("vec_id"), col("payload")).collect().map(key).toSet
+    val full = spark.read.parquet(path)
+      .filter(col("cell").isin(probe: _*))
+      .select(col("vec_id"), col("payload")).collect().map(key).toSet
+    assert(direct == full && direct.size == 75,
+      s"direct=${direct.size} full=${full.size}")
+    // all-absent probe and absent root: empty, no failure
+    assert(BatchIndex.readHitPartitions(spark, path, "cell",
+      Seq(99L), empty).count() == 0L)
+    assert(BatchIndex.readHitPartitions(spark, s"$path.gone", "cell",
+      Seq(1L), spark.range(0).toDF("vec_id")).count() == 0L)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -2714,4 +2714,66 @@ class StreamingSpec extends AnyFunSuite {
     // and the migration stamped its layout metadata
     assert(BatchIndex.bucketCountOf(spark, idxM, -1L) == 64L)
   }
+
+  test("direct-path hit-bucket read: ≡ filter-pruned scan across fold "
+      + "partitions, absent hits, and the empty/absent index edges") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    import graft.streaming.{BatchIndex, DedupStream}
+    val idx = Files.createTempDirectory("dp_idx").toString + "/idx"
+    val rnd = new scala.util.Random(11)
+    def docs(ids: Seq[Long]) = ids.map(i => (i, s"anchor$i " +
+        Seq.fill(30)(s"w${rnd.nextInt(100000)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def write(ids: Seq[Long], batch: Long): Unit =
+      BatchIndex.writePartition(Dedup.bandTable(docs(ids))
+          .withColumn("band_bucket", DedupStream.bandBucketAt(64L)),
+        batch, idx, bucketCol = Some("band_bucket"))
+    val cols = Seq("doc_id", "band_idx", "band_hash")
+    def emptyF = Dedup.bandTable(docs(Nil).limit(0)).select(
+      cols.map(col): _*)
+
+    // absent index: typed empty, no failure
+    assert(BatchIndex.readBeforeBuckets(spark, idx, 5L, cols, emptyF,
+      "band_bucket", Seq(0L, 1L)).count() == 0L)
+
+    write(1L to 20L, 0L)
+    write(21L to 40L, 1L)
+    // fold batches 0-1 into a -1 partition, then land a live batch on
+    // top — the read must union the fold level with real levels
+    BatchIndex.compactMulti(spark, idx, cols, Seq("band_bucket"))
+    write(41L to 60L, 2L)
+
+    val present = spark.read.parquet(idx)
+      .select(col("band_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    // hit list: half the present buckets plus values NO dir exists for
+    // (a batch whose keys hash to never-written buckets) — the direct
+    // read must skip those losslessly, not fail on a missing path
+    val hit = present.toSeq.sorted.take(present.size / 2) ++
+      (0L until 64L).filterNot(present.contains).take(3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.get(1).toString.toLong, r.getString(2))
+    val direct = BatchIndex.readBeforeBuckets(spark, idx, 3L, cols,
+      emptyF, "band_bucket", hit).collect().map(key).toSet
+    val full = spark.read.parquet(idx)
+      .filter(col("band_bucket").isin(hit: _*)
+        && col("batch_id") < 3L)
+      .select(cols.map(col): _*).collect().map(key).toSet
+    assert(direct == full && direct.nonEmpty,
+      s"direct=${direct.size} full=${full.size}")
+    // replay exclusion unchanged: batch 2's own rows are invisible to
+    // a reader at batchId=2, visible at 3
+    val at2 = BatchIndex.readBeforeBuckets(spark, idx, 2L, cols,
+      emptyF, "band_bucket", present.toSeq).collect().map(key).toSet
+    val at3 = BatchIndex.readBeforeBuckets(spark, idx, 3L, cols,
+      emptyF, "band_bucket", present.toSeq).collect().map(key).toSet
+    assert(at2.subsetOf(at3) && at3.size == at2.size + 80,
+      s"at2=${at2.size} at3=${at3.size}") // 20 docs × 4 bands
+    // all-absent hit list: empty, no failure
+    assert(BatchIndex.readBeforeBuckets(spark, idx, 3L, cols, emptyF,
+      "band_bucket",
+      (0L until 64L).filterNot(present.contains).take(2))
+      .count() == 0L)
+  }
 }

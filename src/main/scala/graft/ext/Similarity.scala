@@ -1386,7 +1386,16 @@ object Similarity {
         .agg(first(col("label")).as("label"),
           first(col("v")).as("v"), first(col("nrm")).as("nrm"),
           min_by(col("ccell"), struct(col("d2"), col("ccell"))).as("ccell"))
-    val coarseRefined = nearestCoarse(e, coarse0)
+    // coarseRefined is ~√nlist rows but costs a FULL corpus pass
+    // (nearestCoarse over every vector) to derive, and it feeds three
+    // consumers (coarseAssign's scoring, fineCells' fallback rows, and
+    // through fineCells the probe ranking) — without a persist the
+    // corpus pass re-runs once per consumer (measured: 38 parquet
+    // scans / 86 Exchanges in the in-flight hier plan). Same for
+    // fineCells (≤ cells+√nlist rows, derived from another corpus
+    // pass). Two tracked persists of centroid-sized frames collapse
+    // the plan to one evaluation per corpus pass.
+    val coarseRefined = Scratch.track(nearestCoarse(e, coarse0)
       .select(col("ccell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("ccell", "i")
       .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
@@ -1396,13 +1405,16 @@ object Similarity {
           (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
+      .persist())
     val coarseAssign = nearestCoarse(e, coarseRefined)
-    val fineCells = coarseAssign.filter(col("vec_id") < cells)
+    val fineCells = Scratch.track(coarseAssign
+      .filter(col("vec_id") < cells)
       .select(col("ccell"), col("vec_id").as("cell"), col("v").as("fv"),
         (col("nrm") * col("nrm")).as("fn2"))
       .unionByName(coarseRefined.select(col("ccell"),
         (-col("ccell") - 1).as("cell"), col("cv").as("fv"),
         col("cn2").as("fn2")))
+      .persist())
     val assign = coarseAssign.join(broadcast(fineCells), Seq("ccell"))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
         col("cell"),

@@ -58,3 +58,41 @@ final case class Tables(spark: SparkSession, dir: String) {
     t("embeddings").withColumn("label", col("label").cast("long"))
   }
 }
+
+object Tables {
+  /** Spread an under-partitioned input across the session's cores —
+    * for TARGETED use directly ahead of heavy per-row compute, not as
+    * a blanket loader step.
+    *
+    * The driver fixtures ship each table as ONE parquet file with ONE
+    * row group — unsplittable below the row group, so every map-side
+    * pipeline over it (tokenize, shingle, hash, codec decode, partial
+    * aggregation) runs in a single task until the first exchange.
+    * This is the guide's "one huge unsplittable file" input-skew case;
+    * the fix it names is a repartition immediately after the read.
+    *
+    * Measured discipline (r17 A/B at sf0.1 local[32]): spreading EVERY
+    * scan was a net LOSS (16-query subset 14.7 s → 18.4 s) — the extra
+    * exchange serializes the full text payload through one map task,
+    * which costs more than the unlocked parallelism for cheap
+    * pipelines. It pays only where ≥ roughly 0.7 s of single-task
+    * compute follows (dsir_weights 1.05→0.67 s, dup_span_top
+    * 1.19→0.90 s in the same A/B). Hence: call sites opt in.
+    *
+    * Scale posture: GUARDED — input already carrying at least
+    * `spark.graft.scanSpreadMin` partitions (default: the session's
+    * default parallelism) is returned untouched, so on production
+    * inputs (files ≫ cores) this is a no-op. Set the conf to 0 to
+    * disable. Round-robin keeps the spread uniform; Spark's
+    * sort-before-repartition keeps the row-to-partition assignment
+    * deterministic under task retry.
+    */
+  def spreadSmallScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.conf.getOption("spark.graft.scanSpreadMin")
+      .map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (target <= 0 || df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+}

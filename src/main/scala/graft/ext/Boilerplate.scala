@@ -54,7 +54,11 @@ object Boilerplate {
     */
   private def positionGrams(documents: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"template gram width must be >= 2 tokens, got $n")
-    documents
+    // heavy per-row work (gram window explode + xxhash64) — spread an
+    // under-partitioned input across cores first (no-op on
+    // well-partitioned production inputs; measured 0.38 s single-task
+    // at sf0.1 local[32] without it)
+    graft.Tables.spreadSmallScan(documents)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), col("source"), posexplode(
         when(size(col("a")) >= n,

@@ -2212,7 +2212,12 @@ object Curation {
     val spark = documents.sparkSession
     import spark.implicits._
     val feat = model.feat.toDF("b", "ct", "cr")
-    dsirScore(dsirPositions(documents, buckets), feat,
+    // the apply pass is pure per-row compute (bigram explode + h32 per
+    // position) — on an under-partitioned input it serializes on one
+    // core (measured 0.92 s single-task at sf0.1 local[32]); spread
+    // first (no-op on well-partitioned production inputs)
+    dsirScore(dsirPositions(
+        graft.Tables.spreadSmallScan(documents), buckets), feat,
       lit(model.tt), lit(model.tr), buckets)
   }
 

@@ -1386,7 +1386,13 @@ object Dedup {
     */
   def bowNearDups(documents: DataFrame): DataFrame =
     embeddingNearDupsAnn(
-      Scratch.track(graft.ext.EmbedStats.hashEmbeddings(documents)
+      // spread an under-partitioned input first: the hashing fold AND
+      // everything downstream of the checkpoint (which freezes the
+      // partition layout) otherwise run single-task (measured 0.51 s
+      // 1-task pair stage at sf0.1 local[32]); no-op on
+      // well-partitioned production inputs
+      Scratch.track(graft.ext.EmbedStats.hashEmbeddings(
+          graft.Tables.spreadSmallScan(documents))
         .select(col("doc_id").as("vec_id"), col("embedding"))
         // eager materialization: downstream computes nrm + 8 plane
         // dots from `embedding`; left as an expression column each
@@ -1559,7 +1565,12 @@ object Dedup {
     */
   def dupSpanTop(documents: DataFrame, n: Int = SpanTokens,
       topK: Int = 10): DataFrame =
-    spanGrams(documents, n)
+    // this path keeps the RAW gram strings (the report surfaces them),
+    // so the span explode + the string-keyed partial aggregate are the
+    // whole cost — on an under-partitioned input they serialize on one
+    // core (measured 0.99 s single-task at sf0.1 local[32]); spread
+    // first (no-op on well-partitioned production inputs)
+    spanGrams(graft.Tables.spreadSmallScan(documents), n)
       .groupBy("gram")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -1647,6 +1658,11 @@ object Dedup {
       hashGrams: Boolean = true): DataFrame = {
     val key: Column => Column =
       if (hashGrams) xxhash64(_) else identity
+    // NOTE (r17): the distinct span frame feeds four consumers, but
+    // persisting it was A/B-measured WORSE (1.85 s → 2.28 s suite):
+    // the four subtrees end in the same distinct Exchange, which
+    // Spark's ReuseExchange already evaluates once — the persist only
+    // added cache-write cost on top of the reused exchange.
     val grams = spanGrams(documents, n)
       .select(col("doc_id"), key(col("gram")).as("g")).distinct()
     val pairable = grams.join(

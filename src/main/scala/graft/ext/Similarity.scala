@@ -723,8 +723,13 @@ object Similarity {
       score(e, cents).groupBy("vec_id")
         .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
           min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
-    // one k-means pass: exact fixed-point element-wise mean per cell
-    val refined = nearestCell(cents0)
+    // one k-means pass: exact fixed-point element-wise mean per cell.
+    // `refined` is |cells| rows but costs a FULL corpus scoring pass to
+    // derive, and it feeds two consumers (the re-assignment and the
+    // query-probe ranking) — persist it so that pass runs once (the
+    // ivfIndexParts discipline; same measured pattern as the hier
+    // build's coarseRefined).
+    val refined = Scratch.track(nearestCell(cents0)
       .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cell", "i")
       .agg(sum(floor(col("x") * 1e6)).as("s"), count(lit(1)).as("cnt"))
@@ -734,6 +739,7 @@ object Similarity {
           (col("s").cast("double") / col("cnt") / 1e6).as("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
+      .persist())
     val assign = nearestCell(refined)
     // probe ranking needs the nProbe-nearest cells only for the QUERY
     // vectors — filter to them before the (tiny) window

@@ -9,6 +9,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen class cache: the default 100-entry LRU is sized for a
+      // handful of hot queries; a JVM serving this library's full
+      // query surface compiles ~10^3 distinct codegen units, so by the
+      // time a plan repeats the cache has long evicted it and janino
+      // recompiles from scratch. Not scale-dependent (bounded by
+      // compiled-class memory, tens of MB) — the same value is right
+      // on a long-lived serving driver. Static conf, so set at session
+      // build; env-overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup (codegen, shuffle service, parquet footer reads)

@@ -544,6 +544,11 @@ object RunStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen class cache sized for a long-lived JVM serving the full
+      // library surface (see Bench: default 100-entry LRU thrashes and
+      // janino recompiles; A/B-measured -24% suite)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // FAIR by default: FIFO lets one leg's ~30-job trigger
       // head-of-line block the other five — measured 8.6× on the
       // composed graph leg (703 → 6 030 docs/s, 360 s runs, SCALING.md

@@ -1658,13 +1658,15 @@ object Dedup {
       hashGrams: Boolean = true): DataFrame = {
     val key: Column => Column =
       if (hashGrams) xxhash64(_) else identity
-    // NOTE (r17): the distinct span frame feeds four consumers, but
-    // persisting it was A/B-measured WORSE (1.85 s → 2.28 s suite):
-    // the four subtrees end in the same distinct Exchange, which
-    // Spark's ReuseExchange already evaluates once — the persist only
-    // added cache-write cost on top of the reused exchange.
-    val grams = spanGrams(documents, n)
-      .select(col("doc_id"), key(col("gram")).as("g")).distinct()
+    // spread + persist TOGETHER (r17): separately each was
+    // A/B-measured worse (persist alone 1.85→2.28 s — the cache build
+    // itself ran single-task; spread alone 1.62→1.93 s — the explode
+    // still re-ran per consumer); combined, the explode runs once,
+    // parallel, and all four consumers read a 32-partition cache.
+    val grams = Scratch.track(
+      spanGrams(graft.Tables.spreadSmallScan(documents), n)
+        .select(col("doc_id"), key(col("gram")).as("g")).distinct()
+        .persist())
     val pairable = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1 && col("c") <= maxSpanBucket)

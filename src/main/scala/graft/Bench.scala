@@ -4,21 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // process-level measured settings (codegen cache, shuffle local
+    // dir, shuffle writer): SessionTuning — one definition for every
+    // entry point, each env-overridable for A/B
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // codegen class cache: the default 100-entry LRU is sized for a
-      // handful of hot queries; a JVM serving this library's full
-      // query surface compiles ~10^3 distinct codegen units, so by the
-      // time a plan repeats the cache has long evicted it and janino
-      // recompiles from scratch. Not scale-dependent (bounded by
-      // compiled-class memory, tens of MB) — the same value is right
-      // on a long-lived serving driver. Static conf, so set at session
-      // build; env-overridable for A/B.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup (codegen, shuffle service, parquet footer reads)

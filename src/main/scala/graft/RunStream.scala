@@ -539,16 +539,11 @@ object RunStream {
     val rowsPerSecond = args.lift(2).getOrElse("200")
     val wire = args.lift(3).getOrElse("json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // codegen class cache sized for a long-lived JVM serving the full
-      // library surface (see Bench: default 100-entry LRU thrashes and
-      // janino recompiles; A/B-measured -24% suite)
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      .config("spark.ui.enabled", "false"))
       // FAIR by default: FIFO lets one leg's ~30-job trigger
       // head-of-line block the other five — measured 8.6× on the
       // composed graph leg (703 → 6 030 docs/s, 360 s runs, SCALING.md

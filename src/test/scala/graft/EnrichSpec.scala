@@ -6,11 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    // same process-level tuning as the entry points (SessionTuning):
+    // the specs exercise the same operators, and the tmpfs shuffle dir
+    // + serialized shuffle writer cut the full suite's wall clock
+    val s = SessionTuning.tuned(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -71,6 +71,22 @@ object SessionTuning {
       .config("spark.local.dir", localDir)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      // AQE coalescing sized by BYTES, not by core count
+      // (`SPARK_GRAFT_AQE_PARALLELISM_FIRST`): with the default
+      // parallelismFirst=true, AQE refuses to coalesce a post-shuffle
+      // read below the session's parallelism, so every tiny shuffle
+      // still schedules ~cores reduce tasks — per-task overhead, not
+      // compute, at fixture scale, and the Spark docs themselves
+      // recommend false ("respect the configured target size").
+      // Size-derived partitioning is exactly the scale-adaptive
+      // posture: at 100 TB the same setting yields thousands of
+      // advisory-sized partitions. r18 same-box A/B (33-query subset):
+      // suite 29.6 → 23.4 s (−21 %), isolated 32.1 → 23.3 s (−27 %),
+      // calibration flat; 29 of 31 queries improved or flat
+      // (winnow_matches −58 %, dedup_incremental −44 %,
+      // media_dedup_clusters_served −46 %).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
     // dev seam: `SPARK_GRAFT_CONF=k=v;k=v` extra confs, so a candidate
     // setting can be A/B'd against one binary before it earns a
     // measured default above

@@ -31,10 +31,23 @@ object NegSampling {
 
   def negativeSamples(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // the distinct's exchange, made EXPLICIT at the session's shuffle
+    // parallelism: the (custkey, partkey) rows are bytes-light but
+    // md5-hash/dedup-heavy, so AQE's byte-based coalescing (advisory
+    // 64 MB) folds the post-shuffle distinct + anti-join chain into
+    // ONE task (r18 profile: an 879 ms single-task stage reading the
+    // whole 8.4 MB exchange). A user-specified partition count is
+    // exempt from AQE coalescing and pins the join's other side to
+    // match. Scale-neutral: this is the same hash exchange the plan
+    // runs anyway, and at production volume AQE would not have
+    // coalesced it.
     val interactions = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c_custkey"),
         col("l_partkey").as("p_partkey"))
+      .repartition(orders.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt,
+        col("c_custkey"), col("p_partkey"))
       .distinct()
     val nParts = broadcast(
       part.agg(max("p_partkey").cast("long").as("n_parts")))

@@ -1379,15 +1379,24 @@ object TextAnalysis {
     * — a raw double sum would vary with partial-aggregation order.
     */
   def lmScore(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-      split(col("text"), " ").as("t"))
-    val pos = toks.select(col("doc_id"),
+    // spread + persist COMBINED (the span_containment r17 lesson —
+    // each alone lost its A/B): the bigram position stream feeds three
+    // differently-keyed consumers (bg, ctx, final join), so without a
+    // materialization barrier the explode runs once per consumer, and
+    // without the spread each run is single-task over the unsplittable
+    // fixture scan (r18 profile: three ~250 ms 1-task stages). Spread
+    // the input, evaluate the explode once 32-way, cache the compact
+    // (doc_id, w1, w2) rows for all three consumers.
+    val toks = graft.Tables.spreadSmallScan(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val pos = Scratch.track(toks.select(col("doc_id"),
         explode(zip_with(
           slice(col("t"), lit(1), size(col("t")) - 1),
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
+      .persist())
     val bg = pos.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = pos.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = documents

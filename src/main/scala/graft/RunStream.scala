@@ -552,6 +552,15 @@ object RunStream {
       // restores the old posture for A/B.
       .config("spark.scheduler.mode",
         sys.env.getOrElse("SPARK_GRAFT_SCHEDULER", "FAIR"))
+      // streaming OVERRIDE of the SessionTuning batch default (false):
+      // a micro-batch trigger's per-batch frames are small by
+      // construction, so size-based AQE coalescing folds every
+      // trigger's index/sink writes into one task and serializes the
+      // trigger — measured 15.3k -> 10.7k docs/s on the 30 s curate
+      // leg. Latency-bound micro-batches want parallelism-first; the
+      // size-based posture is for the batch/analytics sessions.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
